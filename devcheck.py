@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's correctness gate: read Verify output
+parquet per query, run the oracle SQL in DuckDB over the same sf dir,
+compare sorted-by-column-name values. Usage: devcheck.py <sfDir> <outDir>."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+            df[c] = s.apply(lambda b: b.hex())
+        elif pd.api.types.is_integer_dtype(s) or s.dtype == object and len(s) and isinstance(s.iloc[0], int):
+            try: df[c] = s.astype("int64")
+            except Exception: pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+ok = fail = 0
+for name in sorted(os.listdir(outdir)):
+    p = os.path.join(outdir, name)
+    if not os.path.isdir(p):
+        continue
+    files = glob.glob(f"{p}/*.parquet")
+    if not files:
+        print(f"  {name}: NO PARQUET (query failed)"); fail += 1; continue
+    got = pd.read_parquet(p)
+    if name not in oracle:
+        print(f"  {name}: rows-only check — {len(got)} rows " + ("OK" if len(got) > 0 else "EMPTY?"))
+        ok += 1
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"  {name}: ORACLE SQL ERROR: {str(e)[:200]}"); fail += 1; continue
+    g, e = normalize(got), normalize(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"  {name}: SCHEMA MISMATCH spark={list(g.columns)} duck={list(e.columns)}"); fail += 1; continue
+    if len(g) != len(e):
+        print(f"  {name}: ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}"); fail += 1; continue
+    bad = []
+    for c in g.columns:
+        a, b = g[c], e[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            an, bn = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+            eq = (an == bn) | (np.isnan(an) & np.isnan(bn))
+        else:
+            eq = (a.astype(str).to_numpy() == b.astype(str).to_numpy())
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad.append((c, i, a.iloc[i], b.iloc[i]))
+    if bad:
+        print(f"  {name}: VALUE MISMATCH {bad[:3]}"); fail += 1
+    else:
+        print(f"  {name}: OK ({len(g)} rows)"); ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory backing `queries`, §5 for the determinism conventions that
+  * make every query hash-match its DuckDB oracle.
+  */
 object SparkEntry {
+
+  /** All operator modules, in SURVEY §2 order. */
+  private def allDefs: Seq[(String, Q)] =
+    operators.Relational.defs ++
+      operators.TimeSeries.defs ++
+      operators.Geo.defs ++
+      operators.TextOps.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (n, q) => n -> q.build }.toMap
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (n, q) if q.oracle.isDefined =>
+      n -> q.oracle.get.trim.stripMargin
+    }.toMap
+
+  /** Headline subset for Bench. */
+  def benchQueries: Seq[String] =
+    allDefs.collect { case (n, q) if q.bench => n }
 }

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.Det._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.C geospatial ops — odin_common/src/geo.rs re-expressed as codegen'd
+  * column math: haversine_distance (geo.rs:167), bearing_from (geo.rs:102),
+  * GeoRect containment (geo.rs:216), polygon contains (geo.rs:409), plus
+  * the grid binning the GOES-R/HRRR stores imply.
+  *
+  * The synthetic tables carry no coordinates, so positions derive
+  * deterministically from integer columns (identical formula on the DuckDB
+  * side — integer modular arithmetic plus IEEE +,-,*,/ is bit-exact across
+  * engines). Trig outputs are rounded to 3 decimals, far above libm
+  * cross-implementation disagreement (~1e-11 rel).
+  */
+object Geo {
+
+  // -- position derivation (Spark side) --
+  private def evPts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("lat", (col("user_id") * 37 % 140 - 70).cast(DoubleType)
+        + col("value") / lit(1000.0))
+      .withColumn("lon", (col("event_id") * 73 % 360 - 180).cast(DoubleType)
+        + col("value") / lit(2000.0))
+
+  // -- position derivation (DuckDB side; identical op order) --
+  private val LAT = "(CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0)"
+  private val LON = "(CAST(event_id*73 % 360 - 180 AS DOUBLE) + value/2000.0)"
+
+  /** Haversine km, asin form; both engines get the same expression tree. */
+  private def havC(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    lit(12742.0) * asin(sqrt(least(lit(1.0),
+      pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+        + cos(radians(lat1)) * cos(radians(lat2))
+        * pow(sin((radians(lon2) - radians(lon1)) / 2), 2))))
+
+  private def havS(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""12742.0*asin(sqrt(least(1.0,
+       pow(sin((radians($lat2)-radians($lat1))/2),2)
+       + cos(radians($lat1))*cos(radians($lat2))
+         *pow(sin((radians($lon2)-radians($lon1))/2),2))))"""
+
+  /** Initial bearing in degrees [0,360), rounded to 3 decimals. */
+  private def bearC(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val b = degrees(atan2(
+      sin(radians(lon2) - radians(lon1)) * cos(radians(lat2)),
+      cos(radians(lat1)) * sin(radians(lat2))
+        - sin(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1))))
+    (b + 360.0) % 360.0
+  }
+
+  private def bearS(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""(degrees(atan2(
+        sin(radians($lon2)-radians($lon1))*cos(radians($lat2)),
+        cos(radians($lat1))*sin(radians($lat2))
+        - sin(radians($lat1))*cos(radians($lat2))*cos(radians($lon2)-radians($lon1)))) + 360.0) % 360.0"""
+
+  // station positions from supplier keys (10 fixed "ground stations")
+  private def stations(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "supplier").select(col("s_suppkey"),
+      (col("s_suppkey") * 53 % 140 - 70).cast(DoubleType).as("s_lat"),
+      (col("s_suppkey") * 97 % 360 - 180).cast(DoubleType).as("s_lon"))
+
+  private val SLAT = "CAST(s_suppkey*53 % 140 - 70 AS DOUBLE)"
+  private val SLON = "CAST(s_suppkey*97 % 360 - 180 AS DOUBLE)"
+
+  private val wTrack = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_sec"), col("event_id"))
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- geo_bbox: GeoRect containment filter --------------------------
+    "geo_bbox" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .filter(col("lat") >= -20.0 && col("lat") <= 40.0
+            && col("lon") >= -60.0 && col("lon") <= 60.0)
+          .select(col("event_id"), col("user_id"), col("lat"), col("lon"))
+          .orderBy(col("event_id")),
+      oracle = Some(s"""
+        SELECT event_id, user_id, $LAT AS lat, $LON AS lon FROM events
+        WHERE $LAT >= -20.0 AND $LAT <= 40.0 AND $LON >= -60.0 AND $LON <= 60.0
+        ORDER BY event_id""")),
+
+    // ----- geo_haversine: per-track segment lengths ----------------------
+    "geo_haversine" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .withColumn("plat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("plon", lag(col("lon"), 1).over(wTrack))
+          .filter(col("plat").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            round(havC(col("plat"), col("plon"), col("lat"), col("lon")), 3)
+              .as("seg_km"))
+          .orderBy(col("user_id"), col("event_id")),
+      oracle = Some(s"""
+        SELECT user_id, event_id,
+               round(${havS("plat", "plon", "lat", "lon")}, 3) AS seg_km
+        FROM (
+          SELECT user_id, event_id, lat, lon,
+                 LAG(lat,1) OVER w AS plat, LAG(lon,1) OVER w AS plon
+          FROM (SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       $LAT AS lat, $LON AS lon FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        WHERE plat IS NOT NULL
+        ORDER BY user_id, event_id"""),
+      bench = true),
+
+    // ----- geo_bearing: course between consecutive positions -------------
+    "geo_bearing" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .withColumn("plat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("plon", lag(col("lon"), 1).over(wTrack))
+          .filter(col("plat").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            round(bearC(col("plat"), col("plon"), col("lat"), col("lon")), 3)
+              .as("bearing_deg"))
+          .orderBy(col("user_id"), col("event_id")),
+      oracle = Some(s"""
+        SELECT user_id, event_id,
+               round(${bearS("plat", "plon", "lat", "lon")}, 3) AS bearing_deg
+        FROM (
+          SELECT user_id, event_id, lat, lon,
+                 LAG(lat,1) OVER w AS plat, LAG(lon,1) OVER w AS plon
+          FROM (SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       $LAT AS lat, $LON AS lon FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        WHERE plat IS NOT NULL
+        ORDER BY user_id, event_id""")),
+
+    // ----- geo_grid_agg: 5°-cell binning + per-cell aggregation ----------
+    "geo_grid_agg" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .withColumn("cell_lat", floor(col("lat") / 5.0).cast(LongType))
+          .withColumn("cell_lon", floor(col("lon") / 5.0).cast(LongType))
+          .groupBy(col("cell_lat"), col("cell_lon"))
+          .agg(count(lit(1)).as("n_points"), qsum(col("value")).as("val_sum"))
+          .orderBy(col("cell_lat"), col("cell_lon")),
+      oracle = Some(s"""
+        SELECT CAST(floor($LAT/5.0) AS BIGINT) AS cell_lat,
+               CAST(floor($LON/5.0) AS BIGINT) AS cell_lon,
+               COUNT(*) AS n_points, ${QSUM("value")} AS val_sum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true),
+
+    // ----- geo_nearest: nearest ground station per sampled point ---------
+    // Broadcast the tiny station table; at scale the same op grid-buckets
+    // both sides first (see SURVEY §4).
+    "geo_nearest" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d).filter(col("event_id") % 97 === 0)
+          .select(col("event_id"), col("lat"), col("lon"))
+        val joined = pts.crossJoin(broadcast(stations(s, d)))
+          .withColumn("dist_km",
+            round(havC(col("lat"), col("lon"), col("s_lat"), col("s_lon")), 3))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("dist_km"), col("s_suppkey"))
+        joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("event_id"), col("s_suppkey").as("nearest_station"),
+            col("dist_km"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT event_id, nearest_station, dist_km FROM (
+          SELECT e.event_id, s.s_suppkey AS nearest_station,
+                 round(${havS("e.lat", "e.lon", "s.s_lat", "s.s_lon")}, 3) AS dist_km,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY round(${havS("e.lat", "e.lon", "s.s_lat", "s.s_lon")}, 3),
+                            s.s_suppkey) AS rn
+          FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events
+                WHERE event_id % 97 = 0) e
+          CROSS JOIN (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier) s)
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    // ----- geo_polygon: point-in-convex-polygon (rows-only) --------------
+    // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
+    // pentagon here, all cross products must be >= 0 going clockwise.
+    "geo_polygon" -> Q(
+      build = (s, d) => {
+        // clockwise convex pentagon
+        val poly = Seq((0.0, -40.0), (30.0, -10.0), (20.0, 30.0), (-20.0, 30.0), (-30.0, -10.0))
+        val edges = poly.zip(poly.tail :+ poly.head)
+        val inside = edges.map { case ((y1, x1), (y2, x2)) =>
+          ((lit(x2) - lit(x1)) * (col("lat") - lit(y1))
+            - (lit(y2) - lit(y1)) * (col("lon") - lit(x1))) <= 0.0
+        }.reduce(_ && _)
+        evPts(s, d)
+          .filter(inside)
+          .select(col("event_id"), col("lat"), col("lon"))
+          .orderBy(col("event_id"))
+      },
+      oracle = None)
+  )
+}

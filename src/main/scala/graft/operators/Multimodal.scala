@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.F multimodal-column plumbing. Image/audio/video payloads are opaque
+  * `binary` columns with typed metadata — modeled here by treating the
+  * document text bytes as the payload (no codec libs in this container;
+  * the decode step is a clearly-marked deterministic stub, the Spark-side
+  * schema/partitioning/batching is real).
+  *
+  * Mirrors odin_image / the GOES-R NetCDF payload handling
+  * (odin_goesr/src/lib.rs:526 read_goesr_data): opaque blob in, typed
+  * records out.
+  */
+object Multimodal {
+
+  private def blobs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- mm_blob_meta: typed metadata over binary payloads -------------
+    "mm_blob_meta" -> Q(
+      build = (s, d) =>
+        blobs(s, d)
+          .select(col("doc_id"), col("source"),
+            octet_length(col("payload")).cast(LongType).as("n_bytes"),
+            sha2(col("payload"), 256).as("sha256"),
+            crc32(col("payload")).as("crc"))
+          .orderBy(col("doc_id")),
+      oracle = None),
+
+    // ----- mm_frame_sample: deterministic frame/chunk sampling -----------
+    // "Frames" are 32-byte windows every 64 bytes — the shape of sampling
+    // video keyframes / audio windows from a packed payload.
+    "mm_frame_sample" -> Q(
+      build = (s, d) =>
+        blobs(s, d)
+          .filter(octet_length(col("payload")) >= 32)
+          .select(col("doc_id"),
+            posexplode(expr("transform(sequence(0, octet_length(payload) - 32, 64), " +
+              "off -> xxhash64(substring(payload, off + 1, 32)))"))
+              .as(Seq("frame_idx", "frame_hash")))
+          .orderBy(col("doc_id"), col("frame_idx")),
+      oracle = None),
+
+    // ----- mm_feature_stub: batched feature extraction plumbing ----------
+    // mapPartitions keeps the batch shape an ML codec would need; the
+    // "decode" is a STUB (deterministic byte statistics standing in for a
+    // real image/audio decoder, which this container does not ship).
+    "mm_feature_stub" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val src = blobs(s, d).select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        src.mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // STUB codec: replace with real decode when codec libs exist.
+            val feat = Array.tabulate(8) { k =>
+              var acc = 0L
+              var i = k
+              while (i < bytes.length) { acc += (bytes(i) & 0xFF); i += 8 }
+              acc.toDouble / math.max(1, bytes.length / 8)
+            }
+            (id, bytes.length, feat)
+          }
+        }.toDF("doc_id", "n_bytes", "features")
+          .orderBy(col("doc_id"))
+      },
+      oracle = None)
+  )
+}

@@ -1,0 +1,382 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.A relational core — the substrate every ODIN-style pipeline sits on.
+  *
+  * Each query is declarative DataFrame code: filters/projections reach the
+  * parquet scan, small dims broadcast, aggregates do map-side partials, and
+  * windows are single-shuffle. Mirrors of the record filtering/joining that
+  * e.g. odin_goesr/src/lib.rs:262 (update_hotspots) and
+  * odin_sentinel/src/lib.rs do imperatively per record-set.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def pt(s: SparkSession, d: String) = Tables.t(s, d, "part")
+  private def sup(s: SparkSession, d: String) = Tables.t(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = Tables.t(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.t(s, d, "region")
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- q1_agg: TPC-H Q1 shape — groupBy + multi-aggregate ------------
+    "q1_agg" -> Q(
+      build = (s, d) =>
+        li(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+              .cast(DoubleType).as("sum_disc_price"),
+            sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount"))
+              * decR(lit(1.0) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            (sum(decR(col("l_discount")).cast(DecimalType(12, 2))).cast(DoubleType)
+              / count(col("l_discount"))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${DSUM("l_quantity")} AS sum_qty,
+               ${DSUM("l_extendedprice")} AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2)) * CAST(1.0+l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+               ${DAVG("l_quantity")} AS avg_qty,
+               ${DAVG("l_extendedprice")} AS avg_price,
+               CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(12,2))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ----- q2_filter_project: pushdown-friendly scan ----------------------
+    "q2_filter_project" -> Q(
+      build = (s, d) =>
+        pt(s, d)
+          .filter(col("p_size") >= 25 && col("p_type") =!= "PROMO")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+            upper(col("p_brand")).as("brand_uc"))
+          .orderBy(col("p_partkey")),
+      oracle = Some("""
+        SELECT p_partkey, p_name, p_retailprice, upper(p_brand) AS brand_uc
+        FROM part WHERE p_size >= 25 AND p_type <> 'PROMO'
+        ORDER BY p_partkey""")),
+
+    // ----- q3_join_agg: TPC-H Q3 shape — 3-way join + agg + topN ----------
+    "q3_join_agg" -> Q(
+      build = (s, d) => {
+        val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = li(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 20"""),
+      bench = true),
+
+    // ----- q4_broadcast_join: small-dim broadcast -------------------------
+    "q4_broadcast_join" -> Q(
+      build = (s, d) =>
+        li(s, d)
+          .join(broadcast(pt(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("brand_rev"))
+          .orderBy(col("p_brand")),
+      oracle = Some(s"""
+        SELECT p_brand, COUNT(*) AS n_lines, ${DSUM("l_extendedprice")} AS brand_rev
+        FROM lineitem, part WHERE l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      bench = true),
+
+    // ----- q5_multi_join: TPC-H Q5 shape — 6-way star join ----------------
+    "q5_multi_join" -> Q(
+      build = (s, d) => {
+        val r = reg(s, d).filter(col("r_name") === "ASIA")
+        r.join(broadcast(nat(s, d)), col("r_regionkey") === col("n_regionkey"))
+          .join(cust(s, d), col("n_nationkey") === col("c_nationkey"))
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+          .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(sup(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+          AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true),
+
+    // ----- q6_topn: global order-by + limit (TakeOrderedAndProject) -------
+    "q6_topn" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ----- q7_distinct ----------------------------------------------------
+    "q7_distinct" -> Q(
+      build = (s, d) =>
+        ord(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      oracle = Some("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ----- q8_semi_join: EXISTS ------------------------------------------
+    "q8_semi_join" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .join(ord(s, d).filter(col("o_totalprice") > 300000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey")),
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        ORDER BY c_custkey""")),
+
+    // ----- q9_anti_join: NOT EXISTS --------------------------------------
+    "q9_anti_join" -> Q(
+      build = (s, d) =>
+        pt(s, d)
+          .join(li(s, d).filter(col("l_quantity") >= 48.0),
+            col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey")),
+      oracle = Some("""
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 48.0)
+        ORDER BY p_partkey""")),
+
+    // ----- q10_window_rank: top-3 per group via row_number ---------------
+    "q10_window_rank" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_orderpriority, rn""")),
+
+    // ----- q11_window_running: exact running sum per entity --------------
+    "q11_window_running" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(decP(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ----- q12_rollup: hierarchical totals -------------------------------
+    "q12_rollup" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("n_cust"), col("total_bal"))
+          .orderBy(col("region_name"), col("nation_name")),
+      oracle = Some(s"""
+        SELECT COALESCE(r_name,'ALL') AS region_name, COALESCE(n_name,'ALL') AS nation_name,
+               COUNT(*) AS n_cust, ${DSUM("c_acctbal")} AS total_bal
+        FROM customer, nation, region
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name""")),
+
+    // ----- q13_grouping_sets: cube slice ---------------------------------
+    "q13_grouping_sets" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_rev"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"), col("total_rev"))
+          .orderBy(col("status"), col("priority")),
+      oracle = Some(s"""
+        SELECT COALESCE(o_orderstatus,'ALL') AS status, COALESCE(o_orderpriority,'ALL') AS priority,
+               COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS total_rev
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ----- q14_pivot: conditional aggregation ----------------------------
+    "q14_pivot" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "O", decP(col("o_totalprice"))))
+              .cast(DoubleType).as("open_total"),
+            sum(when(col("o_orderstatus") === "F", decP(col("o_totalprice"))))
+              .cast(DoubleType).as("filled_total"),
+            sum(when(col("o_orderstatus") === "P", decP(col("o_totalprice"))))
+              .cast(DoubleType).as("pending_total"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority")),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS open_total,
+               CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS filled_total,
+               CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS pending_total,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- q15_union: heterogeneous source union -------------------------
+    "q15_union" -> Q(
+      build = (s, d) =>
+        cust(s, d).select(lit("customer").as("kind"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+          .unionAll(sup(s, d).select(lit("supplier").as("kind"),
+            col("s_name").as("name"), col("s_acctbal").as("bal")))
+          .orderBy(col("kind"), col("name")),
+      oracle = Some("""
+        SELECT 'customer' AS kind, c_name AS name, c_acctbal AS bal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS bal FROM supplier
+        ORDER BY kind, name""")),
+
+    // ----- q16_scalar_subquery: TPC-H Q17 shape --------------------------
+    "q16_scalar_subquery" -> Q(
+      build = (s, d) => {
+        val thresh = li(s, d).groupBy(col("l_partkey").as("t_partkey"))
+          .agg((lit(0.2) * davg(col("l_quantity"))).as("threshold"))
+        li(s, d)
+          .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("threshold"))
+          .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      oracle = Some(s"""
+        SELECT ${DSUM("l_extendedprice")}/7.0 AS avg_yearly
+        FROM lineitem l1
+        WHERE l1.l_quantity < (
+          SELECT 0.2*(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(l2.l_quantity))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""),
+      bench = true),
+
+    // ----- q17_having: post-aggregation filter ---------------------------
+    "q17_having" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 5)
+          .orderBy(col("o_custkey")),
+      oracle = Some(s"""
+        SELECT o_custkey, COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+        ORDER BY o_custkey""")),
+
+    // ----- q18_string_funcs ----------------------------------------------
+    "q18_string_funcs" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .filter(col("c_name").like("%1%"))
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("uname"),
+            substring(col("c_name"), 1, 8).as("prefix8"),
+            length(col("c_name")).cast(LongType).as("name_len"),
+            concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))
+          .orderBy(col("c_custkey")),
+      oracle = Some("""
+        SELECT c_custkey, upper(c_name) AS uname, substr(c_name,1,8) AS prefix8,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               c_mktsegment || ':' || c_name AS tagged
+        FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""")),
+
+    // ----- q19_date_funcs: calendar rollup -------------------------------
+    "q19_date_funcs" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"),
+            month(col("o_orderdate")).cast(LongType).as("o_month"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("month_rev"))
+          .orderBy(col("o_year"), col("o_month")),
+      oracle = Some(s"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+               COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS month_rev
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- q20_case_agg: CASE bucket classification ----------------------
+    "q20_case_agg" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .select(when(col("o_totalprice") < 50000.0, "low")
+            .when(col("o_totalprice") < 150000.0, "mid")
+            .otherwise("high").as("bucket"), col("o_totalprice"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"), davg(col("o_totalprice")).as("avg_price"))
+          .orderBy(col("bucket")),
+      oracle = Some(s"""
+        SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                    WHEN o_totalprice < 150000.0 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               COUNT(*) AS n_orders, ${DAVG("o_totalprice")} AS avg_price
+        FROM orders GROUP BY 1 ORDER BY 1"""))
+  )
+}

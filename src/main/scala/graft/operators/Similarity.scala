@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.Det._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.E similarity search over the `embeddings` table (64-dim float).
+  *
+  * All dot products are fixed-point quantized (floor(x·y·2^30) per element,
+  * BIGINT sums) so results are order-independent and bit-identical to the
+  * DuckDB oracle — no UDFs, everything stays in codegen'd array
+  * expressions (`zip_with`/`aggregate`/`posexplode`).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** Quantized dot product of two float arrays: BIGINT, exact. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1073741824.0))
+          .cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB equivalent per-element term (i is a 1-based series index). */
+  private def qterm(ax: String, bx: String): String =
+    s"CAST(FLOOR(CAST($ax AS DOUBLE)*CAST($bx AS DOUBLE)*1073741824) AS BIGINT)"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- emb_cosine_topk: brute-force cosine top-k ---------------------
+    // Queries (vec_id < 10) broadcast against all candidates; the scale
+    // path replaces the crossJoin with the LSH buckets of emb_lsh_ann.
+    "emb_cosine_topk" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"))
+        val joined = e.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("cos_sim",
+            qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+              / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+        val w = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
+            col("cos_sim"))
+          .orderBy(col("q_vec_id"), col("rn"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+                 SUM(${qterm("q.embedding[i]", "e.embedding[i]")}) AS dot
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings e ON e.vec_id <> q.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT d.q_vec_id, d.n_vec_id,
+                 CAST(d.dot AS DOUBLE)/(sqrt(CAST(nq1.nq AS DOUBLE))*sqrt(CAST(nq2.nq AS DOUBLE))) AS cos_sim
+          FROM dots d
+          JOIN n nq1 ON nq1.vec_id = d.q_vec_id
+          JOIN n nq2 ON nq2.vec_id = d.n_vec_id)
+        SELECT q_vec_id, CAST(rn AS INT) AS rn, n_vec_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                       ORDER BY cos_sim DESC, n_vec_id) AS rn
+          FROM sims) WHERE rn <= 5
+        ORDER BY q_vec_id, rn"""),
+      bench = true),
+
+    // ----- emb_centroids: per-label centroid (IVF coarse quantizer) ------
+    "emb_centroids" -> Q(
+      build = (s, d) =>
+        emb(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), (col("pos") + 1).cast(LongType).as("dim"),
+            floor(col("x").cast(DoubleType) * lit(16384.0)).cast(LongType).as("xq"))
+          .groupBy(col("label"), col("dim"))
+          .agg((sum(col("xq")).cast(DoubleType)
+            / (lit(16384.0) * count(lit(1)))).as("centroid"))
+          .orderBy(col("label"), col("dim")),
+      oracle = Some("""
+        SELECT label, CAST(i AS BIGINT) AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384) AS BIGINT)) AS DOUBLE)
+               / (16384.0*COUNT(*)) AS centroid
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- emb_pair_sim: cosine similarity between label centroids -------
+    "emb_pair_sim" -> Q(
+      build = (s, d) => {
+        val sums = emb(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), col("pos"),
+            floor(col("x").cast(DoubleType) * lit(16384.0)).cast(LongType).as("xq"))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("xq")).as("sv"))
+        val norms = sums.groupBy(col("label"))
+          .agg(sum(col("sv") * col("sv")).as("nn"))
+        sums.as("a")
+          .join(sums.as("b"), col("a.pos") === col("b.pos")
+            && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+          .join(norms.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+          .join(norms.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            (col("dot").cast(DoubleType)
+              / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+              .as("cos_sim"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT label, i, SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384) AS BIGINT)) AS sv
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+        n AS (SELECT label, SUM(sv*sv) AS nn FROM s GROUP BY 1)
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.sv*b.sv) AS DOUBLE)
+               / (sqrt(CAST(na.nn AS DOUBLE))*sqrt(CAST(nb.nn AS DOUBLE))) AS cos_sim
+        FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+        JOIN n na ON na.label = a.label
+        JOIN n nb ON nb.label = b.label
+        GROUP BY a.label, b.label, na.nn, nb.nn
+        ORDER BY label_a, label_b""")),
+
+    // ----- emb_lsh_ann: random-hyperplane LSH buckets (rows-only) --------
+    // 16 deterministic pseudo-random hyperplanes (hash-derived ±1
+    // components); sign bits form the bucket key. Candidates share a
+    // bucket — O(n) shuffle instead of O(n²) crossJoin at scale.
+    "emb_lsh_ann" -> Q(
+      build = (s, d) => {
+        val planes = 16
+        val e = emb(s, d)
+        // component c of plane p: +1 if xxhash64(p*64+c) even else -1
+        val sig = (0 until planes).map { p =>
+          val dot = aggregate(
+            zip_with(col("embedding"),
+              expr(s"transform(sequence(0, 63), c -> " +
+                s"IF(xxhash64(${p * 64} + c) % 2 = 0, 1.0D, -1.0D))"),
+              (x, pl) => x.cast(DoubleType) * pl),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+        val keyed = e.select(col("vec_id"), col("label"), sig.as("bucket"))
+        keyed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("label")).as("n_labels"),
+            min(col("vec_id")).as("min_vec_id"))
+          .orderBy(col("bucket"))
+      },
+      oracle = None)
+  )
+}

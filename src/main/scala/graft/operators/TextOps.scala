@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.Det._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.D text analysis + deduplication over `documents` — the
+  * LLM-training-data pipeline layer. Exact dedup and shingle-join
+  * near-dup detection carry DuckDB oracles; MinHash-LSH / SimHash /
+  * winnowing fingerprints are the O(n·bands) scale path (spec-tested,
+  * rows-only at the driver).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** occurrences of substring w, exact integer arithmetic both engines */
+  private def occC(c: Column, w: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), "")))
+      / w.length).cast(LongType)
+  private def occS(x: String, w: String): String =
+    s"CAST((length($x) - length(replace($x, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  // char shingles: k=20, stride 4 (both engines generate identical sets)
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 19, 4)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 20)").as("sh"))
+      .distinct()
+
+  // DuckDB 1.0 can't lateral-join generate_series on a column; use a fixed
+  // series (docs are < 1024 chars) + filter, which yields the same set.
+  private val SHINGLES = """
+    SELECT DISTINCT d.doc_id, substr(d.text, g.i, 20) AS sh
+    FROM documents d, generate_series(1, 1024, 4) AS g(i)
+    WHERE length(d.text) >= 20 AND g.i <= length(d.text) - 19"""
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- doc_exact_dedup: content-hash dedup ---------------------------
+    "doc_exact_dedup" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("content_hash")),
+      oracle = Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash"""),
+      bench = true),
+
+    // ----- doc_token_count: whitespace tokenization ----------------------
+    "doc_token_count" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType).as("n_tokens"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ----- doc_quality: heuristic quality scoring ------------------------
+    "doc_quality" -> Q(
+      build = (s, d) => {
+        val nTok = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast(LongType)
+        docs(s, d)
+          .withColumn("n_tokens", nTok)
+          .withColumn("dup_cnt", occC(col("text"), "dup"))
+          .select(col("doc_id"), col("n_tokens"), col("dup_cnt"),
+            (col("n_chars").cast(DoubleType) / col("n_tokens")).as("avg_tok_len"),
+            when(col("n_tokens") >= 60 && col("dup_cnt") === 0, "high")
+              .when(col("n_tokens") >= 30, "mid").otherwise("low").as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id, n_tokens, dup_cnt,
+               CAST(n_chars AS DOUBLE)/n_tokens AS avg_tok_len,
+               CASE WHEN n_tokens >= 60 AND dup_cnt = 0 THEN 'high'
+                    WHEN n_tokens >= 30 THEN 'mid' ELSE 'low' END AS quality
+        FROM (
+          SELECT doc_id, n_chars,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                 ${occS("text", "dup")} AS dup_cnt
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- doc_lang_heuristic: stopword-ratio scoring --------------------
+    "doc_lang_heuristic" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .withColumn("occ_the", occC(col("text"), " the "))
+          .withColumn("occ_a", occC(col("text"), " a "))
+          .select(col("doc_id"), col("lang"), col("occ_the"), col("occ_a"),
+            when(col("occ_the") + col("occ_a") >= 3, "en_like")
+              .otherwise("other").as("verdict"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id, lang, occ_the, occ_a,
+               CASE WHEN occ_the + occ_a >= 3 THEN 'en_like' ELSE 'other' END AS verdict
+        FROM (
+          SELECT doc_id, lang, ${occS("text", " the ")} AS occ_the,
+                 ${occS("text", " a ")} AS occ_a
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- doc_ngram_dedup: shingle-join near-dup pairs ------------------
+    // The shuffle is keyed on the shingle — O(n·shingles), not O(n²); this
+    // is the exact-Jaccard oracle for the MinHash scale path below.
+    "doc_ngram_dedup" -> Q(
+      build = (s, d) => {
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("x")
+          .join(sh.as("y"), col("x.sh") === col("y.sh")
+            && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .withColumn("jaccard", col("n_common").cast(DoubleType)
+            / (col("n_a") + col("n_b") - col("n_common")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(s"""
+        WITH sh AS ($SHINGLES),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN sizes a ON a.doc_id = p.doc_a
+        JOIN sizes b ON b.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      bench = true),
+
+    // ----- doc_minhash_lsh: MinHash signatures + LSH banding (rows-only) -
+    "doc_minhash_lsh" -> Q(
+      build = (s, d) => {
+        val nPerm = 32
+        val bands = 8 // 4 rows per band
+        val h = shingles(s, d)
+        // 32 independent hash families via seeded xxhash64(sh, i)
+        val minCols = (0 until nPerm).map { i =>
+          min(xxhash64(col("sh"), lit(i))).as(s"m$i")
+        }
+        val sigs = h.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bandCols = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"m$i")): _*).as("sig"))
+        }
+        val banded = sigs.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = None,
+      bench = true),
+
+    // ----- doc_simhash: 64-bit SimHash + hamming candidate pairs ---------
+    "doc_simhash" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+        val votes = (0 until 64).map { j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"v$j")
+        }
+        val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        val sim = (0 until 64).map { j =>
+          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+        val sigs = agg.select(col("doc_id"), sim.as("simhash"))
+        // candidates: exact match on any of 4 16-bit chunks, then hamming<=6
+        val chunks = (0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
+        }
+        val keyed = sigs.select(col("doc_id"), col("simhash"),
+          explode(array(chunks: _*)).as("c"))
+          .select(col("doc_id"), col("simhash"),
+            col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+        keyed.as("x").join(keyed.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = None),
+
+    // ----- doc_fingerprint: winnowed rolling-hash fingerprints -----------
+    "doc_fingerprint" -> Q(
+      build = (s, d) => {
+        val sh = docs(s, d)
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text) - 19, 1)")).as("i"), col("text"))
+          .select(col("doc_id"), col("i"),
+            xxhash64(expr("substring(text, i, 20)")).as("h"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(-4, 0) // winnowing window w=5
+        sh.withColumn("wmin", min(col("h")).over(w))
+          .select(col("doc_id"), col("wmin").as("fingerprint"))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fingerprints"), min(col("fingerprint")).as("min_fp"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = None)
+  )
+}

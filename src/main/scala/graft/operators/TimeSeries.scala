@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.B time-series / per-entity state ops.
+  *
+  * These re-express ODIN's imperative per-entity stores declaratively:
+  * - GoesrHotspotStore ring buffer (odin_goesr/src/lib.rs:250,262) →
+  *   latest-per-key / top-N-per-key window queries;
+  * - aircraft track updates (odin_adsb/src/adsb.rs:89,126) →
+  *   sessionization, per-entity deltas, gap detection;
+  * - sentinel alarm thresholding (odin_sentinel/src/alarm.rs) →
+  *   threshold-crossing windows;
+  * - archive replay / live merge → as-of and range joins.
+  *
+  * Every op is a single shuffle keyed on the entity (`user_id`) — the
+  * partitioning a 1000-executor cluster would want — with all event-time
+  * math on epoch-second BIGINTs (see Tables.events).
+  */
+object TimeSeries {
+
+  /** DuckDB-side epoch seconds for the nanos `ts` column. */
+  private val TS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  private val byUser = Window.partitionBy(col("user_id"))
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- ts_latest_per_key: current state per entity -------------------
+    "ts_latest_per_key" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec").desc, col("event_id").desc)
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts_sec"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, event_type, value, ts_sec FROM (
+          SELECT user_id, event_id, event_type, value, $TS AS ts_sec,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY $TS DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+        ORDER BY user_id"""),
+      bench = true),
+
+    // ----- ts_topn_per_key: ring-buffer retention ------------------------
+    "ts_topn_per_key" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("value").desc, col("event_id"))
+        ev(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT user_id, CAST(rn AS INT) AS rn, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 5
+        ORDER BY user_id, rn""")),
+
+    // ----- ts_dedup: replay duplicate-drop -------------------------------
+    "ts_dedup" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .groupBy(col("user_id"), col("event_type"), col("ts_sec"))
+          .agg(min(col("event_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("user_id"), col("event_type"), col("ts_sec")),
+      oracle = Some(s"""
+        SELECT user_id, event_type, $TS AS ts_sec,
+               MIN(event_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM events GROUP BY 1, 2, 3
+        ORDER BY user_id, event_type, ts_sec""")),
+
+    // ----- ts_sessionize: gap-based session assembly (track legs) --------
+    "ts_sessionize" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+          .withColumn("is_start",
+            when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("is_start")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+        FROM (
+          SELECT user_id, ts_sec,
+                 SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, event_id, $TS AS ts_sec,
+                   CASE WHEN LAG($TS, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) IS NULL
+                          OR $TS - LAG($TS, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events))
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true),
+
+    // ----- ts_tumbling: hourly rollup ------------------------------------
+    "ts_tumbling" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .withColumn("hour_bucket", expr("ts_sec div 3600"))
+          .groupBy(col("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("val_sum"))
+          .orderBy(col("hour_bucket"), col("event_type")),
+      oracle = Some(s"""
+        SELECT $TS // 3600 AS hour_bucket, event_type,
+               COUNT(*) AS n_events, ${DSUM("value")} AS val_sum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- ts_sliding: trailing-hour moving average per entity -----------
+    "ts_sliding" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec")).rangeBetween(-3600, 0)
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            (sum(decP(col("value"))).over(w).cast(DoubleType)
+              / count(lit(1)).over(w)).as("mov_avg"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, ts_sec,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts_sec
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS mov_avg
+        FROM (SELECT user_id, event_id, value, $TS AS ts_sec FROM events)
+        ORDER BY user_id, ts_sec, event_id""")),
+
+    // ----- ts_gaps: signal-loss detection --------------------------------
+    "ts_gaps" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+          .filter(col("prev_sec").isNotNull && col("ts_sec") - col("prev_sec") > 1800)
+          .select(col("user_id"), col("event_id"), col("prev_sec"),
+            col("ts_sec").as("cur_sec"),
+            (col("ts_sec") - col("prev_sec")).as("gap_sec"))
+          .orderBy(col("user_id"), col("cur_sec"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, prev_sec, cur_sec, cur_sec - prev_sec AS gap_sec
+        FROM (
+          SELECT user_id, event_id, $TS AS cur_sec,
+                 LAG($TS, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS prev_sec
+          FROM events)
+        WHERE prev_sec IS NOT NULL AND cur_sec - prev_sec > 1800
+        ORDER BY user_id, cur_sec, event_id""")),
+
+    // ----- ts_rate: per-minute event rates -------------------------------
+    "ts_rate" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .withColumn("minute_bucket", expr("ts_sec div 60"))
+          .groupBy(col("event_type"), col("minute_bucket"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"), col("minute_bucket")),
+      oracle = Some(s"""
+        SELECT event_type, $TS // 60 AS minute_bucket, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- ts_asof_join: most recent order state at event time -----------
+    // Scalable shape: union both sides, one window pass — no per-row
+    // subqueries, single shuffle on the entity key.
+    "ts_asof_join" -> Q(
+      build = (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts_sec"),
+          lit(1).as("is_ev"), col("event_id"),
+          lit(null).cast(LongType).as("o_orderkey"),
+          lit(null).cast(LongType).as("o_sec"))
+        val o = Tables.t(s, d, "orders").select(col("o_custkey").as("user_id"),
+          unix_timestamp(col("o_orderdate")).as("ts_sec"),
+          lit(0).as("is_ev"), lit(null).cast(LongType).as("event_id"),
+          col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_sec"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("is_ev"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionAll(o)
+          .withColumn("last_ord", max(struct(col("o_sec"), col("o_orderkey"))).over(w))
+          .filter(col("is_ev") === 1)
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("last_ord.o_orderkey").as("o_orderkey"),
+            col("last_ord.o_sec").as("order_sec"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT e.event_id, e.user_id, $TS AS ts_sec,
+               (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= $TS
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey,
+               (SELECT CAST(floor(epoch(MAX(o.o_orderdate))) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= $TS) AS order_sec
+        FROM events e ORDER BY e.event_id"""),
+      bench = true),
+
+    // ----- ts_range_join: equi + band predicate join ---------------------
+    "ts_range_join" -> Q(
+      build = (s, d) => {
+        val o = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val e = ev(s, d).select(col("user_id"), col("event_id"), col("value"))
+        o.join(e, col("user_id") === col("o_custkey")
+            && col("value") >= col("o_totalprice") / lit(1000.0) - lit(20.0)
+            && col("value") <= col("o_totalprice") / lit(1000.0) + lit(20.0))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"), qsum(col("value")).as("val_sum"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, COUNT(*) AS n_events, ${QSUM("value")} AS val_sum
+        FROM orders JOIN events
+          ON user_id = o_custkey
+         AND value >= o_totalprice/1000.0 - 20.0
+         AND value <= o_totalprice/1000.0 + 20.0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----- ts_delta: consecutive-reading deltas (alarm slope) ------------
+    "ts_delta" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .filter(col("prev_value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("value"), col("prev_value"),
+            (col("value") - col("prev_value")).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, value, prev_value, value - prev_value AS delta
+        FROM (
+          SELECT user_id, event_id, value,
+                 LAG(value, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS prev_value
+          FROM events)
+        WHERE prev_value IS NOT NULL
+        ORDER BY user_id, event_id""")),
+
+    // ----- ts_threshold_alarm: upward threshold crossings ----------------
+    "ts_threshold_alarm" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .filter(col("prev_value").isNotNull
+            && col("value") >= 180.0 && col("prev_value") < 180.0)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("value"), col("prev_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, ts_sec, value, prev_value
+        FROM (
+          SELECT user_id, event_id, $TS AS ts_sec, value,
+                 LAG(value, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS prev_value
+          FROM events)
+        WHERE prev_value IS NOT NULL AND value >= 180.0 AND prev_value < 180.0
+        ORDER BY user_id, event_id"""))
+  )
+}
