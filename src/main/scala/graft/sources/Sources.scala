@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** §2.H sources/sinks — the ingest layer ODIN implements per-feed
+  * (CSV/JSON decode in odin_adsb/src/sbs.rs, GeoJSON in odin_geolayer,
+  * archive replay throughout) re-expressed as schema'd Spark readers and
+  * scale-friendly writers.
+  */
+object Sources {
+
+  /** Schema'd CSV read — schema supplied, not inferred (inference is a
+    * full extra pass at 100 TB).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Schema'd JSON-lines read. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Archive replay: deliver records time-ordered per entity, the batch
+    * equivalent of ODIN's replay actors. Range-partitioned by entity then
+    * sorted within partitions — each partition is an independently
+    * replayable, time-ordered shard (no global sort, no driver funnel).
+    */
+  def replayOrdered(df: DataFrame, entityCol: String, tsCol: String): DataFrame =
+    df.repartitionByRange(col(entityCol))
+      .sortWithinPartitions(col(entityCol), col(tsCol))
+
+  /** Scale-layout sink: date-bucketed partitioned parquet, the layout that
+    * makes partition pruning work on a 100 TB event archive.
+    */
+  def writePartitioned(df: DataFrame, path: String, tsSecCol: String): Unit =
+    df.withColumn("event_date",
+        to_date(timestamp_seconds(col(tsSecCol))).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+}

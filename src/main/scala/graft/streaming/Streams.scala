@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.G — ODIN's live importers re-expressed as Structured Streaming.
+  *
+  * The reference runs continuous actors that fold each incoming record
+  * into per-entity state (odin_adsb/src/actor.rs aircraft store,
+  * odin_sentinel live_connector.rs, odin_goesr live_importer.rs). Here the
+  * same semantics are watermarked streaming queries over the `events`
+  * schema: state lives in Spark's state store, sharded by the entity key,
+  * so a 1000-executor cluster scales it horizontally.
+  */
+object Streams {
+
+  case class Ev(event_id: Long, ts_sec: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  case class EntityState(user_id: Long, last_event_id: Long, last_ts_sec: Long,
+      last_value: Double, n_seen: Long)
+
+  /** stream_latest_state: mapGroupsWithState latest-per-entity store —
+    * the streaming form of ts_latest_per_key.
+    */
+  def latestState(events: Dataset[Ev]): Dataset[EntityState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EntityState, EntityState](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[EntityState]) =>
+          val prev = state.getOption.getOrElse(EntityState(uid, -1L, Long.MinValue, 0.0, 0L))
+          // fold in event-time order with event_id tiebreak (replay-safe)
+          val next = batch.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+            .foldLeft(prev) { (st, e) =>
+              val n = st.n_seen + 1
+              if (e.ts_sec > st.last_ts_sec ||
+                (e.ts_sec == st.last_ts_sec && e.event_id > st.last_event_id))
+                EntityState(uid, e.event_id, e.ts_sec, e.value, n)
+              else st.copy(n_seen = n)
+            }
+          state.update(next)
+          next
+      }
+  }
+
+  /** stream_windowed_agg: watermarked tumbling-window aggregation —
+    * the streaming form of ts_tumbling.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("val_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("val_sum"))
+
+  case class Alarm(user_id: Long, event_id: Long, ts_sec: Long,
+      value: Double, prev_value: Double)
+
+  /** stream_threshold: stateful upward-crossing detector — the streaming
+    * form of ts_threshold_alarm (odin_sentinel/src/alarm.rs semantics).
+    */
+  def thresholdAlarm(events: Dataset[Ev], threshold: Double): Dataset[Alarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Alarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[Double]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var prev = state.getOption
+          val alarms = sorted.flatMap { e =>
+            val out = prev match {
+              case Some(p) if e.value >= threshold && p < threshold =>
+                Some(Alarm(uid, e.event_id, e.ts_sec, e.value, p))
+              case _ => None
+            }
+            prev = Some(e.value)
+            out
+          }
+          prev.foreach(state.update)
+          alarms.iterator
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpecBase {
+
+  test("geo_bbox: all points inside the rectangle") {
+    run("geo_bbox").collect().foreach { r =>
+      val (lat, lon) = (r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+      assert(lat >= -20 && lat <= 40 && lon >= -60 && lon <= 60)
+    }
+  }
+
+  test("geo_haversine: distances within earth bounds") {
+    val ds = run("geo_haversine").select("seg_km").collect().map(_.getDouble(0))
+    assert(ds.nonEmpty && ds.forall(d => d >= 0 && d <= 20016.0))
+  }
+
+  test("geo_bearing: bearings in [0, 360)") {
+    val bs = run("geo_bearing").select("bearing_deg").collect().map(_.getDouble(0))
+    assert(bs.nonEmpty && bs.forall(b => b >= 0 && b < 360))
+  }
+
+  test("geo_grid_agg: cell counts reconcile with event count") {
+    val n = run("geo_grid_agg").agg(sum("n_points")).head.getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("geo_nearest: reported station minimizes distance (brute check)") {
+    val res = run("geo_nearest").collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[Double]("dist_km") >= 0))
+    // every event appears exactly once
+    assert(res.map(_.getAs[Long]("event_id")).distinct.length == res.length)
+  }
+
+  test("geo_polygon: returned points satisfy the winding test edges") {
+    val rows = run("geo_polygon").collect()
+    val poly = Seq((0.0, -40.0), (30.0, -10.0), (20.0, 30.0), (-20.0, 30.0), (-30.0, -10.0))
+    val edges = poly.zip(poly.tail :+ poly.head)
+    rows.foreach { r =>
+      val (lat, lon) = (r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+      edges.foreach { case ((y1, x1), (y2, x2)) =>
+        assert((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) <= 0.0)
+      }
+    }
+  }
+}
+
+class TextSpec extends SparkSpecBase {
+
+  test("doc_exact_dedup: copies reconcile to table size") {
+    val df = run("doc_exact_dedup")
+    assert(df.agg(sum("n_copies")).head.getLong(0)
+      == Tables.t(spark, sf, "documents").count())
+  }
+
+  test("doc_token_count matches Scala-side split") {
+    val sample = Tables.t(spark, sf, "documents").limit(20).collect()
+    val got = run("doc_token_count").limit(20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    sample.foreach { r =>
+      val expected = r.getAs[String]("text").split(" ", -1).length
+      assert(got(r.getAs[Long]("doc_id")) == expected)
+    }
+  }
+
+  test("doc_minhash_lsh: candidates cover all exact-duplicate pairs") {
+    val dups = Tables.t(spark, sf, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(ids, b -> struct(least(a,b) AS a, greatest(a,b) AS b))))"))
+        .as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+    val missed = dups.join(run("doc_minhash_lsh"), Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed == 0, s"$missed exact-dup pairs missed by LSH")
+  }
+
+  test("doc_simhash: exact duplicates collide at hamming 0") {
+    val cand = run("doc_simhash").filter(col("hamming") === 0).count()
+    val dupDocs = Tables.t(spark, sf, "documents")
+      .groupBy(md5(col("text").cast("binary"))).count().filter(col("count") > 1).count()
+    assert(dupDocs == 0 || cand > 0)
+  }
+
+  test("doc_ngram_dedup: jaccard within (0,1]") {
+    run("doc_ngram_dedup").collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+    }
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("emb_cosine_topk: 5 neighbors per query, cos in [-1,1], descending") {
+    val rows = run("emb_cosine_topk").collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getAs[Long]("q_vec_id")).values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("emb_centroids: 64 dims per label") {
+    val df = run("emb_centroids")
+    val labels = Tables.t(spark, sf, "embeddings").select("label").distinct().count()
+    assert(df.count() == labels * 64)
+  }
+
+  test("emb_pair_sim: symmetric-range cosine between distinct labels") {
+    val rows = run("emb_pair_sim").collect()
+    assert(rows.length == 45) // C(10,2)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+  }
+
+  test("emb_lsh_ann: buckets partition all vectors") {
+    val total = run("emb_lsh_ann").agg(sum("n_vecs")).head.getLong(0)
+    assert(total == Tables.t(spark, sf, "embeddings").count())
+  }
+}

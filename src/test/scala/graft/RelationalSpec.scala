@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("q1_agg: six groups, counts reconcile with source") {
+    val df = run("q1_agg").cache()
+    assert(df.count() == 6)
+    val totalFromGroups = df.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(totalFromGroups == expected)
+  }
+
+  test("q2_filter_project: filter pushed to parquet scan") {
+    val plan = run("q2_filter_project").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("p_size"),
+      s"expected p_size in PushedFilters:\n$plan")
+  }
+
+  test("q4_broadcast_join: physical plan broadcasts the dim") {
+    val plan = run("q4_broadcast_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q6_topn: descending, uses TakeOrderedAndProject") {
+    val df = run("q6_topn")
+    val prices = df.collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10 && prices.sameElements(prices.sorted.reverse))
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q8/q9: semi and anti joins partition the filtered key space") {
+    val semi = run("q8_semi_join").count()
+    val anti = Tables.t(spark, sf, "customer")
+      .join(Tables.t(spark, sf, "orders").filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val all = Tables.t(spark, sf, "customer").count()
+    assert(semi + anti == all)
+  }
+
+  test("q10_window_rank: at most 3 per priority, rank contiguous") {
+    val rows = run("q10_window_rank").collect()
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byPrio.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rn")).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1 to ranks.length))
+    }
+  }
+
+  test("q11_window_running: final running value equals the customer total") {
+    val finals = run("q11_window_running")
+      .groupBy("o_custkey").agg(max("running_spend").as("final_spend"))
+    val expected = Tables.t(spark, sf, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+    val bad = finals.join(expected, "o_custkey")
+      .filter(abs(col("final_spend") - col("total")) > 1e-6).count()
+    assert(bad == 0)
+  }
+
+  test("q12_rollup: grand total row equals table count") {
+    val rows = run("q12_rollup").collect()
+    val grand = rows.find(r => r.getAs[String]("region_name") == "ALL"
+      && r.getAs[String]("nation_name") == "ALL").get
+    assert(grand.getAs[Long]("n_cust") == Tables.t(spark, sf, "customer").count())
+  }
+
+  test("q16_scalar_subquery: single finite value") {
+    val v = run("q16_scalar_subquery").head.getAs[Double]("avg_yearly")
+    assert(!v.isNaN && v > 0)
+  }
+}

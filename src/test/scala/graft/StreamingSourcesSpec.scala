@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import graft.sources.Sources
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def mem(): MemoryStream[Ev] = {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    MemoryStream[Ev]
+  }
+
+  test("stream_latest_state: state converges to latest event across batches") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.latestState(in.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    in.addData(Ev(1, 100, 7, "view", 1.0), Ev(2, 200, 7, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, 150, 7, "view", 9.0)) // late event: must NOT win
+    q.processAllAvailable()
+    val st = spark.table("latest_out").orderBy(col("n_seen").desc)
+      .head
+    q.stop()
+    assert(st.getAs[Long]("last_event_id") == 2 && st.getAs[Long]("n_seen") == 3)
+  }
+
+  test("stream_windowed_agg: watermarked hourly counts") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.windowedAgg(in.toDS().toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    in.addData(Ev(1, 0, 1, "view", 1.0), Ev(2, 1800, 1, "view", 2.0),
+      Ev(3, 3700, 2, "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+    assert(rows.length == 2) // two distinct hours
+  }
+
+  test("stream_threshold: alarm fires only on upward crossing") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.thresholdAlarm(in.toDS(), 100.0)
+      .writeStream.format("memory").queryName("alarm_out")
+      .outputMode("append").start()
+    in.addData(Ev(1, 10, 5, "s", 50.0), Ev(2, 20, 5, "s", 150.0), // crossing
+      Ev(3, 30, 5, "s", 160.0), // stays above: no alarm
+      Ev(4, 40, 5, "s", 90.0), Ev(5, 50, 5, "s", 120.0)) // second crossing
+    q.processAllAvailable()
+    val alarms = spark.table("alarm_out").orderBy("event_id").collect()
+    q.stop()
+    assert(alarms.map(_.getAs[Long]("event_id")).toSeq == Seq(2L, 5L))
+  }
+}
+
+class SourcesSpec extends SparkSpecBase {
+
+  private val tmp = "target/tmp-sources"
+
+  test("src_csv_json: schema'd round trips preserve data") {
+    val df = Tables.t(spark, sf, "nation")
+    val schema = df.schema
+    Sources.writeCsv(df, s"$tmp/nation_csv")
+    val back = Sources.readCsv(spark, s"$tmp/nation_csv", schema)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).count() == 0)
+
+    Sources.writeJsonl(df, s"$tmp/nation_json")
+    val backJ = Sources.readJsonl(spark, s"$tmp/nation_json", schema)
+    assert(backJ.exceptAll(df).count() == 0)
+  }
+
+  test("src_replay: per-entity shards are time-ordered") {
+    val replay = Sources.replayOrdered(Tables.events(spark, sf), "user_id", "ts_sec")
+    import spark.implicits._
+    val violations = replay.select("user_id", "ts_sec").as[(Long, Long)]
+      .mapPartitions { it =>
+        var bad = 0L
+        var prev: Option[(Long, Long)] = None
+        it.foreach { cur =>
+          prev.foreach { p =>
+            if (p._1 == cur._1 && p._2 > cur._2) bad += 1
+          }
+          prev = Some(cur)
+        }
+        Iterator(bad)
+      }.collect().sum
+    assert(violations == 0)
+  }
+
+  test("snk_partitioned: date-partitioned layout prunes on read") {
+    Sources.writePartitioned(
+      Tables.events(spark, sf).select("event_id", "user_id", "value", "ts_sec"),
+      s"$tmp/events_part", "ts_sec")
+    val back = spark.read.parquet(s"$tmp/events_part")
+    val pruned = back.filter(col("event_date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"))
+    assert(pruned.count() > 0)
+  }
+
+  test("src_parquet: projection pruning reaches the scan") {
+    val df = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"),
+      s"scan reads more columns than projected:\n$plan")
+  }
+}

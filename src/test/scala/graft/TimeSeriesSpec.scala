@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpecBase {
+
+  test("ts_latest_per_key: one row per entity, at the max timestamp") {
+    val df = run("ts_latest_per_key").cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() == users)
+    val expected = Tables.events(spark, sf).groupBy("user_id")
+      .agg(max("ts_sec").as("mx"))
+    val joined = df.join(expected, "user_id")
+      .filter(col("ts_sec") =!= col("mx")).count()
+    assert(joined == 0)
+  }
+
+  test("ts_topn_per_key: values descending within each entity") {
+    run("ts_topn_per_key").collect()
+      .groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+        val vs = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("value"))
+        assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+      }
+  }
+
+  test("ts_sessionize: session event counts reconcile; gaps respected") {
+    val df = run("ts_sessionize").cache()
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // sessions of one user are disjoint, ordered, separated by > 1800s
+    val rows = df.filter(col("user_id") === 3)
+      .orderBy("session_id").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start_sec") - a.getAs[Long]("end_sec") > 1800)
+      case _ =>
+    }
+  }
+
+  test("ts_asof_join: joined order is the latest at-or-before the event") {
+    val df = run("ts_asof_join").cache()
+    // spot-check with a brute-force join at tiny scale
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      col("user_id"), col("ts_sec"))
+    val ord = Tables.t(spark, sf, "orders").select(col("o_custkey"),
+      col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("o_sec"))
+    val brute = ev.join(ord, col("user_id") === col("o_custkey")
+        && col("o_sec") <= col("ts_sec"), "left")
+      .groupBy("event_id").agg(max(struct(col("o_sec"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("m.o_orderkey").as("exp_key"))
+    val bad = df.join(brute, "event_id")
+      .filter(coalesce(col("o_orderkey"), lit(-1L)) =!= coalesce(col("exp_key"), lit(-1L)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("ts_threshold_alarm: all alarms cross upward through 180") {
+    run("ts_threshold_alarm").collect().foreach { r =>
+      assert(r.getAs[Double]("value") >= 180.0 && r.getAs[Double]("prev_value") < 180.0)
+    }
+  }
+
+  test("per-entity window ops are single-shuffle") {
+    spark.catalog.clearCache() // earlier tests cache query results
+    val plan = run("ts_latest_per_key").queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    // one shuffle for the window partitioning + one for the final
+    // orderBy's range partitioning — nothing else
+    assert(shuffles <= 2, s"too many shuffles ($shuffles):\n$plan")
+  }
+}
