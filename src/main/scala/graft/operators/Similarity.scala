@@ -140,13 +140,19 @@ object Similarity {
       build = (s, d) => {
         val planes = 16
         val e = emb(s, d)
-        // component c of plane p: +1 if xxhash64(p*64+c) even else -1
+        // deterministic ±1 hyperplanes precomputed driver-side (splitmix64)
+        // and shipped as literals — the per-row work is 16 zip_with dots
+        def splitmix64(x0: Long): Long = {
+          var z = x0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
         val sig = (0 until planes).map { p =>
+          val plane = typedLit((0 until 64).map(c =>
+            if ((splitmix64(p * 64L + c) & 1L) == 0L) 1.0 else -1.0))
           val dot = aggregate(
-            zip_with(col("embedding"),
-              expr(s"transform(sequence(0, 63), c -> " +
-                s"IF(xxhash64(${p * 64} + c) % 2 = 0, 1.0D, -1.0D))"),
-              (x, pl) => x.cast(DoubleType) * pl),
+            zip_with(col("embedding"), plane, (x, pl) => x.cast(DoubleType) * pl),
             lit(0.0), (acc, x) => acc + x)
           when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_))

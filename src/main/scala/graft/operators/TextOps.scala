@@ -158,10 +158,17 @@ object TextOps {
       build = (s, d) => {
         val nPerm = 32
         val bands = 8 // 4 rows per band
+        // two base hashes per shingle; perm i = h1 XOR rotl(h2, i) — a
+        // standard 2-hash family, overflow-free under ANSI mode
         val h = shingles(s, d)
-        // 32 independent hash families via seeded xxhash64(sh, i)
+          .withColumn("h1", xxhash64(col("sh")))
+          .withColumn("h2", xxhash64(col("sh"), lit(1)))
         val minCols = (0 until nPerm).map { i =>
-          min(xxhash64(col("sh"), lit(i))).as(s"m$i")
+          val rot =
+            if (i == 0) col("h2")
+            else shiftleft(col("h2"), i)
+              .bitwiseOR(shiftrightunsigned(col("h2"), 64 - i))
+          min(col("h1").bitwiseXOR(rot)).as(s"m$i")
         }
         val sigs = h.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
         val bandCols = (0 until bands).map { b =>
@@ -217,23 +224,20 @@ object TextOps {
       oracle = None),
 
     // ----- doc_fingerprint: winnowed rolling-hash fingerprints -----------
+    // Winnowing (k=20, w=5) computed entirely within each row via array
+    // expressions — no explode, no window shuffle; the whole op is a
+    // narrow map over the scan, which is the shape you want at 100 TB.
     "doc_fingerprint" -> Q(
-      build = (s, d) => {
-        val sh = docs(s, d)
-          .filter(length(col("text")) >= 20)
-          .select(col("doc_id"),
-            explode(expr("sequence(1, length(text) - 19, 1)")).as("i"), col("text"))
-          .select(col("doc_id"), col("i"),
-            xxhash64(expr("substring(text, i, 20)")).as("h"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-          .rowsBetween(-4, 0) // winnowing window w=5
-        sh.withColumn("wmin", min(col("h")).over(w))
-          .select(col("doc_id"), col("wmin").as("fingerprint"))
-          .distinct()
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_fingerprints"), min(col("fingerprint")).as("min_fp"))
-          .orderBy(col("doc_id"))
-      },
+      build = (s, d) =>
+        docs(s, d)
+          .filter(length(col("text")) >= 24) // need >= 5 shingles
+          .withColumn("hs",
+            expr("transform(sequence(1, length(text) - 19), i -> xxhash64(substring(text, i, 20)))"))
+          .withColumn("fps",
+            expr("array_distinct(transform(sequence(1, size(hs) - 4), k -> array_min(slice(hs, k, 5))))"))
+          .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fingerprints"),
+            array_min(col("fps")).as("min_fp"))
+          .orderBy(col("doc_id")),
       oracle = None)
   )
 }
