@@ -32,12 +32,11 @@ object Geo {
   private val LAT = "(CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0)"
   private val LON = "(CAST(event_id*73 % 360 - 180 AS DOUBLE) + value/2000.0)"
 
-  /** Haversine km, asin form; both engines get the same expression tree. */
+  /** Haversine km via the codegen-native graft.functions.HaversineKm —
+    * same formula as the DuckDB oracle (rounded to 3 decimals at use).
+    */
   private def havC(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    lit(12742.0) * asin(sqrt(least(lit(1.0),
-      pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
-        + cos(radians(lat1)) * cos(radians(lat2))
-        * pow(sin((radians(lon2) - radians(lon1)) / 2), 2))))
+    graft.functions.GeoFunctions.haversine_km(lat1, lon1, lat2, lon2)
 
   private def havS(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"""12742.0*asin(sqrt(least(1.0,

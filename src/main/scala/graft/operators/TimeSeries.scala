@@ -219,6 +219,32 @@ object TimeSeries {
         FROM events e ORDER BY e.event_id"""),
       bench = true),
 
+    // ----- ts_asof_native: same semantics via the custom Catalyst plan ---
+    // graft.plans.AsOfJoinNode/-Exec: hash-clustered + sorted merge pass,
+    // hash-checked against the identical DuckDB oracle as ts_asof_join.
+    "ts_asof_native" -> Q(
+      build = (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_id"), col("ts_sec"))
+        val o = Tables.t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("o_sec"))
+        graft.plans.AsOf.join(e, o,
+            e("user_id"), o("o_custkey"), e("ts_sec"), o("o_sec"), o("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("o_orderkey"), col("o_sec").as("order_sec"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT e.event_id, e.user_id, $TS AS ts_sec,
+               (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= $TS
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey,
+               (SELECT CAST(floor(epoch(MAX(o.o_orderdate))) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= $TS) AS order_sec
+        FROM events e ORDER BY e.event_id"""),
+      bench = true),
+
     // ----- ts_range_join: equi + band predicate join ---------------------
     "ts_range_join" -> Q(
       build = (s, d) => {

@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+
+  test("native as-of join equals the union-window formulation") {
+    spark.catalog.clearCache()
+    val native = run("ts_asof_native")
+    val ref = run("ts_asof_join")
+    assert(native.exceptAll(ref).count() == 0 && ref.exceptAll(native).count() == 0)
+  }
+
+  test("physical plan: AsOfJoinExec with clustered+sorted children") {
+    val e = Tables.events(spark, sf).select(col("user_id"), col("event_id"), col("ts_sec"))
+    val o = Tables.t(spark, sf, "orders").select(col("o_custkey"),
+      col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("o_sec"))
+    val df = AsOf.join(e, o, e("user_id"), o("o_custkey"),
+      e("ts_sec"), o("o_sec"), o("o_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Sort"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("left rows with no prior right row get nulls (left-outer)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val r = Seq((1L, 15L, 100L), (3L, 1L, 300L)).toDF("rk", "rt", "payload")
+    val out = AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"), r("payload"))
+      .orderBy("k", "t").collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(4))                         // (1,10): no rt<=10
+    assert(out(1).getAs[Long]("payload") == 100L)      // (1,20): rt=15
+    assert(out(2).isNullAt(4))                         // (2,5): key absent
+  }
+
+  test("time ties resolve to greatest tiebreak") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("rk", "rt", "pay")
+    val out = AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"), r("pay")).collect()
+    assert(out.head.getAs[Long]("pay") == 9L)
+  }
+}
