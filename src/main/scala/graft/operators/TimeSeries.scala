@@ -286,6 +286,73 @@ object TimeSeries {
         WHERE prev_value IS NOT NULL
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_json_extract: typed extraction from JSON payloads ----------
+    // ODIN feeds arrive as JSON (adsb sbs.rs, sentinel ws.rs); `props` is
+    // the payload column here.
+    "ts_json_extract" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("prop_k")).as("k_sum"), max(col("prop_k")).as("k_max"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ----- ts_alarm_debounce: first alarm per burst ----------------------
+    // Alarm storms collapse to one notification per 1h-gap burst
+    // (odin_sentinel alarm notification semantics): threshold crossings,
+    // sessionized, first per session.
+    "ts_alarm_debounce" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val alarms = ev(s, d)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .filter(col("prev_value").isNotNull
+            && col("value") >= 180.0 && col("prev_value") < 180.0)
+          .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+        val wa = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val cum = wa.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        alarms
+          .withColumn("prev_alarm", lag(col("ts_sec"), 1).over(wa))
+          .withColumn("is_burst_start",
+            when(col("prev_alarm").isNull || col("ts_sec") - col("prev_alarm") > 3600, 1L)
+              .otherwise(0L))
+          .withColumn("burst_id", sum(col("is_burst_start")).over(cum))
+          .filter(col("is_burst_start") === 1)
+          .select(col("user_id"), col("burst_id"), col("event_id"),
+            col("ts_sec"), col("value"))
+          .orderBy(col("user_id"), col("burst_id"))
+      },
+      oracle = Some(s"""
+        WITH alarms AS (
+          SELECT user_id, event_id, ts_sec, value
+          FROM (
+            SELECT user_id, event_id, $TS AS ts_sec, value,
+                   LAG(value, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS prev_value
+            FROM events)
+          WHERE prev_value IS NOT NULL AND value >= 180.0 AND prev_value < 180.0),
+        flagged AS (
+          SELECT user_id, event_id, ts_sec, value,
+                 CASE WHEN LAG(ts_sec, 1) OVER w IS NULL
+                        OR ts_sec - LAG(ts_sec, 1) OVER w > 3600
+                      THEN 1 ELSE 0 END AS is_burst_start
+          FROM alarms
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        SELECT user_id,
+               CAST(SUM(is_burst_start) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_id,
+               event_id, ts_sec, value
+        FROM flagged
+        QUALIFY is_burst_start = 1
+        ORDER BY user_id, burst_id"""),
+      bench = false),
+
     // ----- ts_threshold_alarm: upward threshold crossings ----------------
     "ts_threshold_alarm" -> Q(
       build = (s, d) => {
