@@ -286,6 +286,117 @@ object TimeSeries {
         WHERE prev_value IS NOT NULL
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_interpolate: linear value interpolation at probe times -----
+    // The DEM/wind-grid sampling pattern (odin_dem, odin_wind): probe the
+    // signal of an entity at external timestamps (orders of sf-scaled
+    // custkeys), interpolating between the surrounding readings. One
+    // union + one window pass — no per-probe lookups.
+    "ts_interpolate" -> Q(
+      build = (s, d) => {
+        // one reading per (entity, second): keeps prev/next unambiguous
+        val e = ev(s, d)
+          .groupBy(col("user_id"), col("ts_sec"))
+          .agg(max(col("value")).as("value"))
+          .select(col("user_id"), col("ts_sec"),
+            lit(0).as("is_probe"), lit(null).cast(LongType).as("o_orderkey"),
+            col("value"))
+        // probes: synthetic in-range timestamps derived from order keys
+        val probes = Tables.t(s, d, "orders")
+          .select(col("o_custkey").as("user_id"),
+            (lit(1704067200L) + pmod(col("o_orderkey") * 997, lit(2505600L))).as("ts_sec"),
+            lit(1).as("is_probe"), col("o_orderkey"),
+            lit(null).cast(DoubleType).as("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("is_probe"))
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.unionAll(probes)
+          .withColumn("prev_r", last(when(col("is_probe") === 0,
+            struct(col("ts_sec").as("t"), col("value").as("v"))), ignoreNulls = true).over(wPrev))
+          .withColumn("next_r", first(when(col("is_probe") === 0,
+            struct(col("ts_sec").as("t"), col("value").as("v"))), ignoreNulls = true).over(wNext))
+          .filter(col("is_probe") === 1
+            && col("prev_r").isNotNull && col("next_r").isNotNull)
+          .select(col("o_orderkey"), col("user_id"), col("ts_sec"),
+            when(col("next_r.t") === col("prev_r.t"), col("prev_r.v"))
+              .otherwise(col("prev_r.v")
+                + (col("next_r.v") - col("prev_r.v"))
+                * (col("ts_sec") - col("prev_r.t"))
+                / (col("next_r.t") - col("prev_r.t"))).as("interp_value"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (
+          SELECT o_custkey AS user_id,
+                 1704067200 + (o_orderkey*997) % 2505600 AS p_sec, o_orderkey
+          FROM orders),
+        ev AS (SELECT user_id, $TS AS ts_sec, MAX(value) AS value
+               FROM events GROUP BY 1, 2)
+        SELECT p.o_orderkey, p.user_id, p.p_sec AS ts_sec,
+               CASE WHEN nx.t = pv.t THEN pv.v
+                    ELSE pv.v + (nx.v - pv.v)*(p.p_sec - pv.t)/(nx.t - pv.t) END AS interp_value
+        FROM probes p
+        JOIN LATERAL (SELECT ts_sec AS t, value AS v FROM ev
+                      WHERE ev.user_id = p.user_id AND ev.ts_sec <= p.p_sec
+                      ORDER BY ts_sec DESC LIMIT 1) pv ON TRUE
+        JOIN LATERAL (SELECT ts_sec AS t, value AS v FROM ev
+                      WHERE ev.user_id = p.user_id AND ev.ts_sec > p.p_sec
+                      ORDER BY ts_sec ASC LIMIT 1) nx ON TRUE
+        ORDER BY p.o_orderkey"""),
+      bench = true),
+
+    // ----- ts_concurrency: max concurrent sessions (interval algebra) ----
+    // odin_common/src/ranges.rs overlap semantics: sessions become +1/-1
+    // boundary events; a running sum over the global time order gives the
+    // concurrency profile; aggregate to the max per hour bucket.
+    "ts_concurrency" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = ev(s, d)
+          .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+          .withColumn("is_start",
+            when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("is_start")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_sec")).as("start_sec"),
+            (max(col("ts_sec")) + 1).as("end_sec"))
+        val bounds = sessions.select(col("start_sec").as("t"), lit(1L).as("delta"))
+          .unionAll(sessions.select(col("end_sec").as("t"), lit(-1L).as("delta")))
+        val wg = Window.orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds
+          .withColumn("concurrency", sum(col("delta")).over(wg))
+          .groupBy(expr("t div 3600").as("hour_bucket"))
+          .agg(max(col("concurrency")).as("max_concurrency"))
+          .orderBy(col("hour_bucket"))
+      },
+      oracle = Some(s"""
+        WITH sess AS (
+          SELECT user_id, session_id, MIN(ts_sec) AS start_sec, MAX(ts_sec) + 1 AS end_sec
+          FROM (
+            SELECT user_id, ts_sec,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, event_id, $TS AS ts_sec,
+                     CASE WHEN LAG($TS, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) IS NULL
+                            OR $TS - LAG($TS, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) > 1800
+                          THEN 1 ELSE 0 END AS is_start
+              FROM events))
+          GROUP BY 1, 2),
+        bounds AS (
+          SELECT start_sec AS t, 1 AS delta FROM sess
+          UNION ALL SELECT end_sec AS t, -1 AS delta FROM sess)
+        SELECT t // 3600 AS hour_bucket,
+               CAST(MAX(concurrency) AS BIGINT) AS max_concurrency
+        FROM (
+          SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+          FROM bounds)
+        GROUP BY 1 ORDER BY 1""")),
+
     // ----- ts_json_extract: typed extraction from JSON payloads ----------
     // ODIN feeds arrive as JSON (adsb sbs.rs, sentinel ws.rs); `props` is
     // the payload column here.
