@@ -362,6 +362,35 @@ object Relational {
                COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS month_rev
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ----- q21_profile: dataset profiling (pipeline hygiene op) ----------
+    // Per-column stats a training-data pipeline runs before ingest: null
+    // counts, exact distincts, ranges. One scan per column union'd —
+    // Catalyst collapses to shared scans; at 100 TB swap distinct for the
+    // HLL sketch (see ApproxSpec).
+    "q21_profile" -> Q(
+      build = (s, d) => {
+        def prof(c: String) = li(s, d).agg(
+          lit(c).as("col_name"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast(DoubleType).as("min_val"),
+          max(col(c)).cast(DoubleType).as("max_val"))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(prof).reduce(_.unionAll(_))
+          .orderBy(col("col_name"))
+      },
+      oracle = Some {
+        def p(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              COUNT(DISTINCT $c) AS n_distinct,
+              CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val
+              FROM lineitem"""
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(p).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
     // ----- q20_case_agg: CASE bucket classification ----------------------
     "q20_case_agg" -> Q(
       build = (s, d) =>

@@ -57,6 +57,16 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("val_sum"))
 
+  /** stream_dedup: at-least-once feed → exactly-once records, the
+    * streaming form of ts_dedup (replayed ODIN archives re-deliver).
+    * State is bounded by the watermark horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Alarm(user_id: Long, event_id: Long, ts_sec: Long,
       value: Double, prev_value: Double)
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates — the 100 TB substitutes for exact distinct/
+  * percentile (no DuckDB oracle: estimates are engine-specific).
+  */
+class ApproxSpec extends SparkSpecBase {
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val exact = li.select(countDistinct("l_orderkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct("l_orderkey", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val o = Tables.t(spark, sf, "orders")
+    val approxMed = o.select(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)))
+      .head.getDouble(0)
+    val sorted = o.select("o_totalprice").orderBy("o_totalprice").collect().map(_.getDouble(0))
+    val exactMed = sorted(sorted.length / 2)
+    assert(math.abs(approxMed - exactMed) / exactMed < 0.05)
+  }
+}
+
+class StreamingDedupSpec extends SparkSpecBase {
+  import graft.streaming.Streams
+
+  test("stream_dedup drops re-delivered events across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val q = Streams.dedupStream(in.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(Streams.Ev(1, 100, 7, "view", 1.0), Streams.Ev(2, 200, 7, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Streams.Ev(1, 100, 7, "view", 1.0), // re-delivery
+      Streams.Ev(3, 300, 8, "view", 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
