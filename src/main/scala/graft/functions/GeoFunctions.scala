@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftops.GraftInternal
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -48,15 +48,20 @@ case class HaversineKm(first: Expression, second: Expression,
 }
 
 object GeoFunctions {
+  /** Coerce any numeric input (SQL literals parse as Decimal). */
+  def ofAny(exprs: Seq[Expression]): HaversineKm = {
+    val d = exprs.map { e =>
+      if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    }
+    HaversineKm(d(0), d(1), d(2), d(3))
+  }
+
   /** Column-API form. */
   def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    GraftInternal.column(HaversineKm(GraftInternal.expr(lat1),
-      GraftInternal.expr(lon1), GraftInternal.expr(lat2), GraftInternal.expr(lon2)))
+    GraftInternal.column(ofAny(Seq(lat1, lon1, lat2, lon2).map(GraftInternal.expr)))
 
   /** SQL registration: SELECT haversine_km(lat1, lon1, lat2, lon2). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "haversine_km",
-      exprs => HaversineKm(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "scala_udf")
+      "haversine_km", ofAny, "scala_udf")
 }

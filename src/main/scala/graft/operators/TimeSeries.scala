@@ -245,6 +245,48 @@ object TimeSeries {
         FROM events e ORDER BY e.event_id"""),
       bench = true),
 
+    // ----- ts_next_event: reverse as-of — next reading after a probe -----
+    // The satellite-overpass shape (odin_orbital): for each order, the
+    // first event of that entity strictly after the order time. Same
+    // union+window trick as as-of, mirrored with an unbounded-following
+    // frame.
+    "ts_next_event" -> Q(
+      build = (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("ts_sec"),
+          lit(1).as("is_ev"), col("event_id"),
+          lit(null).cast(LongType).as("o_orderkey"))
+        val probes = Tables.t(s, d, "orders")
+          .select(col("o_custkey").as("user_id"),
+            (lit(1704067200L) + pmod(col("o_orderkey") * 997, lit(2505600L))).as("ts_sec"),
+            lit(0).as("is_ev"), lit(null).cast(LongType).as("event_id"),
+            col("o_orderkey"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("is_ev"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.unionAll(probes)
+          .withColumn("next_ev", min(when(col("is_ev") === 1,
+            struct(col("ts_sec").as("t"), col("event_id").as("id")))).over(w))
+          .filter(col("is_ev") === 0)
+          .select(col("o_orderkey"), col("user_id"), col("ts_sec"),
+            col("next_ev.id").as("next_event_id"),
+            col("next_ev.t").as("next_sec"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (
+          SELECT o_custkey AS user_id,
+                 1704067200 + (o_orderkey*997) % 2505600 AS p_sec, o_orderkey
+          FROM orders)
+        SELECT p.o_orderkey, p.user_id, p.p_sec AS ts_sec,
+               nx.id AS next_event_id, nx.t AS next_sec
+        FROM probes p
+        LEFT JOIN LATERAL (
+          SELECT event_id AS id, $TS AS t FROM events e
+          WHERE e.user_id = p.user_id AND $TS >= p.p_sec
+          ORDER BY $TS ASC, event_id ASC LIMIT 1) nx ON TRUE
+        ORDER BY p.o_orderkey"""),
+      bench = false),
+
     // ----- ts_range_join: equi + band predicate join ---------------------
     "ts_range_join" -> Q(
       build = (s, d) => {
