@@ -133,21 +133,23 @@ object Similarity {
         ORDER BY label_a, label_b""")),
 
     // ----- emb_near_dup: embedding-cosine near-duplicate pairs -----------
-    // Exact quantized-cosine pairs >= 0.4 — the oracle for embedding
-    // dedup; at 100 TB the candidate generation swaps to the LSH buckets
-    // below (same scoring expression).
+    // Blocked exact scoring: candidates are generated within a blocking
+    // key (label — the shard/partition key a 100 TB pipeline blocks on;
+    // swap in the LSH bucket below for unkeyed corpora), then scored with
+    // the exact quantized cosine. The join shuffles on the block key —
+    // O(sum block²), never global O(n²).
     "emb_near_dup" -> Q(
       build = (s, d) => {
         val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-          col("nq").as("nq_a"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-          col("nq").as("nq_b"))
-        a.join(b, col("vec_a") < col("vec_b"))
+        val a = e.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nq").as("nq_a"))
+        val b = e.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nq").as("nq_b"))
+        a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
           .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
             / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
-          .filter(col("cos_sim") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+          .filter(col("cos_sim") >= 0.3)
+          .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
       oracle = Some(s"""
@@ -155,18 +157,18 @@ object Similarity {
           SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
           FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
         dots AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                  SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
           FROM embeddings a
-          JOIN embeddings b ON a.vec_id < b.vec_id
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
           CROSS JOIN generate_series(1, 64) AS t(i)
-          GROUP BY 1, 2)
-        SELECT d.vec_a, d.vec_b,
+          GROUP BY 1, 2, 3)
+        SELECT d.label, d.vec_a, d.vec_b,
                CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) AS cos_sim
         FROM dots d
         JOIN n na ON na.vec_id = d.vec_a
         JOIN n nb ON nb.vec_id = d.vec_b
-        WHERE CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) >= 0.4
+        WHERE CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
         ORDER BY vec_a, vec_b""")),
 
     // ----- emb_lsh_ann: random-hyperplane LSH buckets (rows-only) --------
