@@ -154,26 +154,20 @@ object TextOps {
       bench = true),
 
     // ----- doc_minhash_lsh: MinHash signatures + LSH banding (rows-only) -
+    // Signature computed by the one-pass rolling-hash kernel
+    // (graft.functions.MinHashSignature): no shingle explode, no shuffle
+    // until the band join.
     "doc_minhash_lsh" -> Q(
       build = (s, d) => {
-        val nPerm = 32
-        val bands = 8 // 4 rows per band
-        // two base hashes per shingle; perm i = h1 XOR rotl(h2, i) — a
-        // standard 2-hash family, overflow-free under ANSI mode
-        val h = shingles(s, d)
-          .withColumn("h1", xxhash64(col("sh")))
-          .withColumn("h2", xxhash64(col("sh"), lit(1)))
-        val minCols = (0 until nPerm).map { i =>
-          val rot =
-            if (i == 0) col("h2")
-            else shiftleft(col("h2"), i)
-              .bitwiseOR(shiftrightunsigned(col("h2"), 64 - i))
-          min(col("h1").bitwiseXOR(rot)).as(s"m$i")
-        }
-        val sigs = h.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bands = 8 // 4 rows per band over a 32-perm signature
+        val sigs = docs(s, d)
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"m$i")): _*).as("sig"))
+            xxhash64((b * 4 until (b + 1) * 4).map(i =>
+              element_at(col("sig"), i + 1)): _*).as("sig"))
         }
         val banded = sigs.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bs"))
@@ -224,19 +218,17 @@ object TextOps {
       oracle = None),
 
     // ----- doc_fingerprint: winnowed rolling-hash fingerprints -----------
-    // Winnowing (k=20, w=5) computed entirely within each row via array
-    // expressions — no explode, no window shuffle; the whole op is a
-    // narrow map over the scan, which is the shape you want at 100 TB.
+    // Winnowing (k=20, w=5) in one pass per row via the codegen kernel
+    // (graft.functions.WinnowFingerprints) — a narrow map over the scan,
+    // no intermediate arrays, which is the shape you want at 100 TB.
     "doc_fingerprint" -> Q(
       build = (s, d) =>
         docs(s, d)
           .filter(length(col("text")) >= 24) // need >= 5 shingles
-          .withColumn("hs",
-            expr("transform(sequence(1, length(text) - 19), i -> xxhash64(substring(text, i, 20)))"))
-          .withColumn("fps",
-            expr("array_distinct(transform(sequence(1, size(hs) - 4), k -> array_min(slice(hs, k, 5))))"))
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.winnow_fingerprints(col("text")).as("fps"))
           .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fingerprints"),
-            array_min(col("fps")).as("min_fp"))
+            element_at(col("fps"), 1).as("min_fp")) // kernel emits sorted
           .orderBy(col("doc_id")),
       oracle = None)
   )
