@@ -114,6 +114,84 @@ object TextOps {
           FROM documents)
         ORDER BY doc_id""")),
 
+    // ----- doc_normalize: text cleaning (lower/strip/collapse) -----------
+    "doc_normalize" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            regexp_replace(
+              trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")),
+              " +", " ").as("clean_text"))
+          .withColumn("clean_len", length(col("clean_text")).cast(LongType))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
+        FROM (
+          SELECT doc_id,
+                 regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                                ' +', ' ', 'g') AS clean_text
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- doc_mask: PII-style masking (digit runs) ----------------------
+    "doc_mask" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[0-9]+", "<NUM>").as("masked"))
+          .withColumn("n_masked",
+            ((length(col("masked"))
+              - length(regexp_replace(col("masked"), java.util.regex.Pattern.quote("<NUM>"), ""))) / 5)
+              .cast(LongType))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, masked,
+               CAST((length(masked) - length(replace(masked, '<NUM>', ''))) / 5 AS BIGINT) AS n_masked
+        FROM (SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS masked
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- doc_dedup_keep_best: dedup with keeper selection --------------
+    // The real pipeline op: per content-hash group keep the "best" copy
+    // (longest text, doc_id tiebreak), emit keeper + drop count.
+    "doc_dedup_keep_best" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("content_hash"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, d)
+          .withColumn("content_hash", md5(col("text").cast(BinaryType)))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_group", count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+          .filter(col("rn") === 1)
+          .select(col("content_hash"), col("doc_id").as("keeper_id"),
+            col("n_chars"), (col("n_group") - 1).cast(LongType).as("n_dropped"))
+          .orderBy(col("content_hash"))
+      },
+      oracle = Some("""
+        SELECT content_hash, keeper_id, n_chars, n_dropped FROM (
+          SELECT md5(text) AS content_hash, doc_id AS keeper_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY md5(text)) - 1 AS BIGINT) AS n_dropped
+          FROM documents)
+        WHERE rn = 1 ORDER BY content_hash""")),
+
+    // ----- doc_vocab: corpus vocabulary stats ----------------------------
+    "doc_vocab" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("word"))
+          .limit(50),
+      oracle = Some("""
+        SELECT word, COUNT(*) AS n_occurrences FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50""")),
+
     // ----- doc_ngram_dedup: shingle-join near-dup pairs ------------------
     // The shuffle is keyed on the shingle — O(n·shingles), not O(n²); this
     // is the exact-Jaccard oracle for the MinHash scale path below.
