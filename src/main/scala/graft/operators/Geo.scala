@@ -71,6 +71,46 @@ object Geo {
   private val wTrack = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_sec"), col("event_id"))
 
+  /** WGS84 → UTM forward projection (Krüger series), mirroring
+    * odin_common/src/utm.rs. Adds utm_zone / utm_easting / utm_northing
+    * columns; pure codegen'd column arithmetic.
+    */
+  def withUtm(df: DataFrame, lat: Column, lon: Column): DataFrame = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val k0 = 0.9996
+    val e2 = f * (2 - f)
+    val ep2 = e2 / (1 - e2)
+    val e4 = e2 * e2
+    val e6 = e4 * e2
+    val zone = (floor((lon + 180.0) / 6.0) + 1).cast(LongType)
+    val lam0 = radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    val phi = radians(lat)
+    val lam = radians(lon)
+    val sinP = sin(phi); val cosP = cos(phi); val tanP = tan(phi)
+    val nN = lit(a) / sqrt(lit(1.0) - lit(e2) * sinP * sinP)
+    val t = tanP * tanP
+    val c = lit(ep2) * cosP * cosP
+    val bigA = cosP * (lam - lam0)
+    val m = lit(a) * (
+      lit(1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - lit(3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * sin(phi * 2)
+        + lit(15 * e4 / 256 + 45 * e6 / 1024) * sin(phi * 4)
+        - lit(35 * e6 / 3072) * sin(phi * 6))
+    val a2 = bigA * bigA; val a3 = a2 * bigA; val a4 = a3 * bigA
+    val a5 = a4 * bigA; val a6 = a5 * bigA
+    val easting = lit(500000.0) + lit(k0) * nN * (bigA
+      + (lit(1.0) - t + c) * a3 / 6.0
+      + (lit(5.0) - t * 18.0 + t * t + c * 72.0 - lit(58 * ep2)) * a5 / 120.0)
+    val northingRaw = lit(k0) * (m + nN * tanP * (a2 / 2.0
+      + (lit(5.0) - t + c * 9.0 + c * c * 4.0) * a4 / 24.0
+      + (lit(61.0) - t * 58.0 + t * t + c * 600.0 - lit(330 * ep2)) * a6 / 720.0))
+    val northing = when(lat >= 0.0, northingRaw).otherwise(northingRaw + 10000000.0)
+    df.withColumn("utm_zone", zone)
+      .withColumn("utm_easting", easting)
+      .withColumn("utm_northing", northing)
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
@@ -179,6 +219,20 @@ object Geo {
                 WHERE event_id % 97 = 0) e
           CROSS JOIN (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier) s)
         WHERE rn = 1 ORDER BY event_id""")),
+
+    // ----- geo_utm: WGS84 → UTM projection (odin_common/src/utm.rs) ------
+    // Standard Krüger series, all codegen'd column math (no UDF). Rows-
+    // only: transcendental chains are too long for cross-engine hash
+    // equality; the spec pins known geodetic fixtures to ±1 m instead.
+    "geo_utm" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d).filter(col("lat") > -80.0 && col("lat") < 84.0)
+        Geo.withUtm(pts, col("lat"), col("lon"))
+          .select(col("event_id"), col("utm_zone"), col("utm_easting"),
+            col("utm_northing"))
+          .orderBy(col("event_id"))
+      },
+      oracle = None),
 
     // ----- geo_polygon: point-in-convex-polygon (rows-only) --------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
