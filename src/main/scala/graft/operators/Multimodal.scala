@@ -48,6 +48,35 @@ object Multimodal {
           .orderBy(col("doc_id"), col("frame_idx")),
       oracle = None),
 
+    // ----- mm_tile: model-input mosaic tiling plan -----------------------
+    // odin_onnx/src/lib.rs:97 fit_mosaic: cover an image with overlapping
+    // model-sized tiles. Synthetic dims derive from payload length; the
+    // tiling geometry (offsets, counts) is real arithmetic the cluster
+    // would ship to the decode stage.
+    "mm_tile" -> Q(
+      build = (s, d) => {
+        val tile = 224
+        val overlap = 32 // px overlapped between adjacent tiles
+        val step = tile - overlap
+        val dims = blobs(s, d)
+          .withColumn("img_w", (octet_length(col("payload")) % 1024 + 256).cast(LongType))
+          .withColumn("img_h", (octet_length(col("payload")) % 768 + 256).cast(LongType))
+        dims
+          .withColumn("nx", ceil((col("img_w") - tile).cast(DoubleType) / step).cast(LongType) + 1)
+          .withColumn("ny", ceil((col("img_h") - tile).cast(DoubleType) / step).cast(LongType) + 1)
+          .select(col("doc_id"), col("img_w"), col("img_h"), col("nx"), col("ny"),
+            posexplode(expr(
+              s"""flatten(transform(sequence(0, nx - 1), ix ->
+                    transform(sequence(0, ny - 1), iy ->
+                      struct(least(ix * $step, img_w - $tile) AS x,
+                             least(iy * $step, img_h - $tile) AS y))))"""))
+              .as(Seq("tile_idx", "tl")))
+          .select(col("doc_id"), col("img_w"), col("img_h"),
+            col("tile_idx"), col("tl.x").as("tile_x"), col("tl.y").as("tile_y"))
+          .orderBy(col("doc_id"), col("tile_idx"))
+      },
+      oracle = None),
+
     // ----- mm_feature_stub: batched feature extraction plumbing ----------
     // mapPartitions keeps the batch shape an ML codec would need; the
     // "decode" is a STUB (deterministic byte statistics standing in for a

@@ -439,6 +439,53 @@ object TimeSeries {
           FROM bounds)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----- ts_loess: local linear smoothing (odin_image/loess.rs:116) ----
+    // linear_loess re-expressed per entity: least-squares line over a
+    // ±5-row window, evaluated at the center. All frame sums are exact
+    // (rebased BIGINT x, DECIMAL y), so the fitted value is deterministic
+    // across engines; one window shuffle.
+    "ts_loess" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(-5, 5)
+        val x = (col("ts_sec") - 1704067200L)
+        val base = ev(s, d)
+          .withColumn("x", x)
+          .withColumn("yd", decP(col("value")))
+        val n = count(lit(1)).over(w).cast(DoubleType)
+        val sx = sum(col("x")).over(w).cast(DoubleType)
+        val sy = sum(col("yd")).over(w).cast(DoubleType)
+        val sxy = sum(col("x") * col("yd")).over(w).cast(DoubleType)
+        val sxx = sum(col("x") * col("x")).over(w).cast(DoubleType)
+        val denom = n * sxx - sx * sx
+        val slope = (n * sxy - sx * sy) / denom
+        val smoothed = when(denom === 0.0, sy / n)
+          .otherwise((sy - slope * sx) / n + slope * col("x"))
+        base
+          .select(col("user_id"), col("event_id"), col("value"),
+            smoothed.as("smoothed"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, value,
+               CASE WHEN n*sxx - sx*sx = 0.0 THEN sy/n
+                    ELSE (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n
+                         + ((n*sxy - sx*sy)/(n*sxx - sx*sx))*x END AS smoothed
+        FROM (
+          SELECT user_id, event_id, value, x,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(yd) OVER w AS DOUBLE) AS sy,
+                 CAST(SUM(x*yd) OVER w AS DOUBLE) AS sxy,
+                 CAST(SUM(x*x) OVER w AS DOUBLE) AS sxx
+          FROM (SELECT user_id, event_id, value, $TS - 1704067200 AS x,
+                       CAST(value AS DECIMAL(12,2)) AS yd, $TS AS ts_sec
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+        ORDER BY user_id, event_id"""),
+      bench = true),
+
     // ----- ts_json_extract: typed extraction from JSON payloads ----------
     // ODIN feeds arrive as JSON (adsb sbs.rs, sentinel ws.rs); `props` is
     // the payload column here.
