@@ -38,10 +38,24 @@ object StreamingDemo {
     winQ.processAllAvailable(); stateQ.processAllAvailable()
     winQ.stop(); stateQ.stop()
 
+    // stream-stream enrich: events joined to a staged reference stream
+    val refStaged = "target/tmp-streaming/refs"
+    Tables.events(spark, sfDir)
+      .select(col("user_id").as("ref_user_id"), col("ts_sec").as("ref_sec"),
+        col("event_type").as("ref_tag"))
+      .write.mode("overwrite").parquet(refStaged)
+    val refSchema = spark.read.parquet(refStaged).schema
+    val refStream = spark.readStream.schema(refSchema).parquet(refStaged)
+    val enrichQ = Streams.enrichStream(stream, refStream)
+      .writeStream.format("memory").queryName("demo_enrich")
+      .outputMode("append").start()
+    enrichQ.processAllAvailable(); enrichQ.stop()
+
     val win = spark.table("demo_win")
     val st = spark.table("demo_state")
     println(s"windowed rows=${win.count()} events=${win.agg(sum("n_events")).head.getLong(0)}")
     println(s"state entities=${st.select("user_id").distinct().count()}")
+    println(s"enriched rows=${spark.table("demo_enrich").count()}")
     win.orderBy(desc("n_events")).show(5, false)
     st.orderBy("user_id").show(5, false)
     spark.stop()

@@ -57,6 +57,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("val_sum"))
 
+  /** stream_enrich: watermarked stream-stream join — live events enriched
+    * with the reference stream's records from the trailing hour (the
+    * live-feed merge ODIN's actors do by holding both stores in memory).
+    * Both states are bounded by watermark + range condition, so executors
+    * hold O(window) state per key however long the streams run.
+    */
+  def enrichStream(events: DataFrame, refs: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "1 hour")
+    val r = refs
+      .withColumn("ref_ts", timestamp_seconds(col("ref_sec")))
+      .withWatermark("ref_ts", "1 hour")
+    e.join(r,
+      col("user_id") === col("ref_user_id")
+        && col("ref_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+        && col("ref_ts") <= col("ts"),
+      "inner")
+  }
+
   /** stream_dedup: at-least-once feed → exactly-once records, the
     * streaming form of ts_dedup (replayed ODIN archives re-deliver).
     * State is bounded by the watermark horizon.

@@ -27,6 +27,26 @@ class ApproxSpec extends SparkSpecBase {
 class StreamingDedupSpec extends SparkSpecBase {
   import graft.streaming.Streams
 
+  test("stream_enrich joins events to trailing-hour reference records") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val rf = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val refs = rf.toDS().toDF("ref_user_id", "ref_sec", "ref_tag")
+    val q = Streams.enrichStream(ev.toDS().toDF(), refs)
+      .select("event_id", "ref_tag")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    ev.addData(Streams.Ev(1, 7200, 5, "view", 1.0))   // event at t=7200
+    rf.addData((5L, 7000L, "in-window"),              // 200s before: joins
+      (5L, 1000L, "too-old"),                         // > 1h before: no
+      (9L, 7100L, "other-user"))                      // key mismatch: no
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "in-window")))
+  }
+
   test("stream_dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
