@@ -391,6 +391,26 @@ object Relational {
           .map(p).mkString("", " UNION ALL ", " ORDER BY col_name")
       }),
 
+    // ----- q22_distribution: ntile/percent_rank/cume_dist ----------------
+    "q22_distribution" -> Q(
+      build = (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")),
+
     // ----- q20_case_agg: CASE bucket classification ----------------------
     "q20_case_agg" -> Q(
       build = (s, d) =>

@@ -231,6 +231,34 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
+    // ----- doc_edit_distance: fuzzy matching within blocked pairs --------
+    // Levenshtein over metadata-blocked candidate pairs (same lang+source,
+    // nearby ids) — the exact re-rank step after LSH candidate generation.
+    "doc_edit_distance" -> Q(
+      build = (s, d) => {
+        val a = docs(s, d).select(col("doc_id").as("doc_a"), col("lang"),
+          col("source"), col("text").as("text_a"))
+        val b = docs(s, d).select(col("doc_id").as("doc_b"), col("lang"),
+          col("source"), col("text").as("text_b"))
+        a.join(b, Seq("lang", "source"))
+          .filter(col("doc_a") < col("doc_b") && col("doc_b") - col("doc_a") <= 40)
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+            (levenshtein(col("text_a"), col("text_b")).cast(DoubleType)
+              / greatest(length(col("text_a")), length(col("text_b"))))
+              .as("rel_dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some("""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+               CAST(levenshtein(a.text, b.text) AS DOUBLE)
+               / greatest(length(a.text), length(b.text)) AS rel_dist
+        FROM documents a
+        JOIN documents b ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 40
+        ORDER BY doc_a, doc_b""")),
+
     // ----- doc_minhash_lsh: MinHash signatures + LSH banding (rows-only) -
     // Signature computed by the one-pass rolling-hash kernel
     // (graft.functions.MinHashSignature): no shingle explode, no shuffle
