@@ -220,6 +220,37 @@ object Geo {
           CROSS JOIN (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier) s)
         WHERE rn = 1 ORDER BY event_id""")),
 
+    // ----- geo_closest_point: closest point on segment (geo.rs:179) ------
+    // ClosestGeoPoint re-expressed: project each event onto a fixed
+    // planar segment, clamp to the segment, report the foot point and
+    // distance. Pure +,-,*,/,sqrt — bit-identical across engines, no
+    // rounding needed.
+    "geo_closest_point" -> Q(
+      build = (s, d) => {
+        val (aLat, aLon, bLat, bLon) = (-30.0, -60.0, 40.0, 60.0)
+        val num = (col("lat") - aLat) * (bLat - aLat) + (col("lon") - aLon) * (bLon - aLon)
+        val den = lit((bLat - aLat) * (bLat - aLat) + (bLon - aLon) * (bLon - aLon))
+        val t = least(lit(1.0), greatest(lit(0.0), num / den))
+        val cLat = t * (bLat - aLat) + aLat
+        val cLon = t * (bLon - aLon) + aLon
+        evPts(s, d)
+          .select(col("event_id"), t.as("t"),
+            cLat.as("c_lat"), cLon.as("c_lon"),
+            sqrt((col("lat") - cLat) * (col("lat") - cLat)
+              + (col("lon") - cLon) * (col("lon") - cLon)).as("planar_dist"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT event_id, t, t*70.0 + -30.0 AS c_lat, t*120.0 + -60.0 AS c_lon,
+               sqrt((lat - (t*70.0 + -30.0))*(lat - (t*70.0 + -30.0))
+                    + (lon - (t*120.0 + -60.0))*(lon - (t*120.0 + -60.0))) AS planar_dist
+        FROM (
+          SELECT event_id, lat, lon,
+                 least(1.0, greatest(0.0,
+                   ((lat - -30.0)*70.0 + (lon - -60.0)*120.0) / 19300.0)) AS t
+          FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events))
+        ORDER BY event_id""")),
+
     // ----- geo_utm: WGS84 → UTM projection (odin_common/src/utm.rs) ------
     // Standard Krüger series, all codegen'd column math (no UDF). Rows-
     // only: transcendental chains are too long for cross-engine hash

@@ -77,6 +77,20 @@ object Streams {
       "inner")
   }
 
+  /** stream_sessions: gap-based session windows (the streaming form of
+    * ts_sessionize — track legs assembled live, sessions emitted once the
+    * watermark passes their gap).
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("val_sum"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("val_sum"))
+
   /** stream_dedup: at-least-once feed → exactly-once records, the
     * streaming form of ts_dedup (replayed ODIN archives re-deliver).
     * State is bounded by the watermark horizon.

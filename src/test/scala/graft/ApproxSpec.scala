@@ -47,6 +47,45 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "in-window")))
   }
 
+  test("stream_sessions groups by gap and emits on watermark close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val q = Streams.sessionStream(in.toDS().toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    in.addData(
+      Streams.Ev(1, 1000, 7, "a", 1.0), Streams.Ev(2, 1600, 7, "a", 2.0), // session 1
+      Streams.Ev(3, 9000, 7, "a", 3.0),                                   // session 2 (gap > 30m)
+      Streams.Ev(4, 1200, 8, "a", 4.0))                                   // other user
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+    q.stop()
+    assert(rows.length == 3)
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7)
+    assert(u7.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming file sink writes exactly-once with checkpoint") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "target/tmp-streaming/sink-" + System.nanoTime()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val q = in.toDS().toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    in.addData(Streams.Ev(1, 100, 1, "a", 1.0), Streams.Ev(2, 200, 1, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(Streams.Ev(3, 300, 2, "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() == 3)
+    assert(out.select("event_id").distinct().count() == 3)
+  }
+
   test("stream_dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
