@@ -171,6 +171,55 @@ object Similarity {
         WHERE CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
         ORDER BY vec_a, vec_b""")),
 
+    // ----- emb_ivf_topk: IVF-style ANN (rows-only) -----------------------
+    // Coarse quantizer = per-label centroids (emb_centroids); each vector
+    // is assigned to its nearest centroid cell, queries probe only their
+    // own cell (nprobe=1) and score exactly within it. At 100 TB the cell
+    // assignment is the partition key — each probe touches one partition
+    // instead of the whole corpus.
+    "emb_ivf_topk" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        // codebook: quantized per-label centroid vectors (exact arithmetic)
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+          .select(col("label").as("c_label"),
+            expr("transform(ps, p -> p.c)").as("centroid"))
+        // assign every vector to its nearest centroid (10 cells: broadcast)
+        def cdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y), lit(0.0),
+            (acc, x) => acc + x)
+        val scored = e.crossJoin(broadcast(cent))
+          .withColumn("score", cdot(col("embedding"), col("centroid"))
+            / sqrt(col("nq").cast(DoubleType)))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("c_label"))
+        val assigned = scored.withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("embedding"), col("nq"),
+            col("c_label").as("cell"))
+        // probe: queries search only their own cell
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"), col("cell"))
+        val cand = assigned.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_vec_id"))
+          .withColumn("cos_sim", qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+            / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+        val wTop = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
+            col("cell"), col("cos_sim"))
+          .orderBy(col("q_vec_id"), col("rn"))
+      },
+      oracle = None),
+
     // ----- emb_lsh_ann: random-hyperplane LSH buckets (rows-only) --------
     // 16 deterministic pseudo-random hyperplanes (hash-derived ±1
     // components); sign bits form the bucket key. Candidates share a

@@ -69,6 +69,22 @@ object TextOps {
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // ----- doc_bpe_tokens: BPE-ish regex tokenization counts -------------
+    // Subword-style segmentation: runs of letters, single digits, and
+    // punctuation as separate tokens (the GPT-2 pre-tokenizer shape,
+    // simplified to regex classes both engines implement identically).
+    "doc_bpe_tokens" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+              .cast(LongType).as("n_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
     // ----- doc_quality: heuristic quality scoring ------------------------
     "doc_quality" -> Q(
       build = (s, d) => {
