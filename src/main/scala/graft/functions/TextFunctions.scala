@@ -100,7 +100,42 @@ object TextHashKernels {
     }
     new GenericArrayData(sig)
   }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit votes from each
+    * token's hash, one pass, no tokenizer allocation beyond the scan.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var i = 0
+    var h = 0L
+    var inTok = false
+    def vote(th: Long): Unit = {
+      var j = 0
+      while (j < 64) {
+        if (((th >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ') {
+        if (inTok) { vote(mix(h)); h = 0L; inTok = false }
+      } else {
+        h = h * 1000003L + (b & 0xFF)
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) vote(mix(h))
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
 }
+
 
 /** array<long> of winnowed fingerprints of a string column. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -130,9 +165,23 @@ case class MinHashSignature(child: Expression, k: Int, stride: Int, nPerm: Int)
     copy(child = c)
 }
 
+/** 64-bit SimHash of a string column (whitespace tokens, bit votes). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
 object TextFunctions {
   def winnow_fingerprints(c: Column, k: Int = 20, w: Int = 5): Column =
     GraftInternal.column(WinnowFingerprints(GraftInternal.expr(c), k, w))
   def minhash_signature(c: Column, k: Int = 20, stride: Int = 4, nPerm: Int = 32): Column =
     GraftInternal.column(MinHashSignature(GraftInternal.expr(c), k, stride, nPerm))
+  def simhash64(c: Column): Column =
+    GraftInternal.column(SimHash64(GraftInternal.expr(c)))
 }

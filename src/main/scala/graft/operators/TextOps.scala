@@ -305,20 +305,12 @@ object TextOps {
       bench = true),
 
     // ----- doc_simhash: 64-bit SimHash + hamming candidate pairs ---------
+    // SimHash computed per row by the one-pass kernel (no token explode,
+    // no 64-column aggregation shuffle).
     "doc_simhash" -> Q(
       build = (s, d) => {
-        val toks = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
-        val votes = (0 until 64).map { j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"v$j")
-        }
-        val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        val sim = (0 until 64).map { j =>
-          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_))
-        val sigs = agg.select(col("doc_id"), sim.as("simhash"))
+        val sigs = docs(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
         // candidates: exact match on any of 4 16-bit chunks, then hamming<=6
         val chunks = (0 until 4).map { c =>
           struct(lit(c).as("chunk"),
