@@ -226,7 +226,7 @@ object Similarity {
     // bucket — O(n) shuffle instead of O(n²) crossJoin at scale.
     "emb_lsh_ann" -> Q(
       build = (s, d) => {
-        val planes = 16
+        val planes = 8 // 256 buckets — tens of candidates per bucket
         val e = emb(s, d)
         // deterministic ±1 hyperplanes precomputed driver-side (splitmix64)
         // and shipped as literals — the per-row work is 16 zip_with dots

@@ -308,6 +308,42 @@ object TimeSeries {
          AND value <= o_totalprice/1000.0 + 20.0
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----- ts_interval_join: keyless interval containment at scale -------
+    // A pure range join (no equi key) degenerates to nested-loop on a
+    // cluster; the scale form replicates each interval to the hour
+    // buckets it overlaps and equi-joins on the bucket. Each event lives
+    // in exactly one bucket, so no dedup is needed. The oracle is the
+    // naive range join — same result, different plan.
+    "ts_interval_join" -> Q(
+      build = (s, d) => {
+        val iv = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"),
+            (lit(1704067200L) + pmod(col("o_orderkey") * 997, lit(2505600L))).as("start_sec"))
+          .withColumn("end_sec", col("start_sec") + 7200L)
+        val ivBuckets = iv.select(col("o_orderkey"), col("start_sec"), col("end_sec"),
+          explode(expr("sequence(start_sec div 3600, (end_sec - 1) div 3600)"))
+            .as("bucket"))
+        val e = ev(s, d)
+          .select(col("event_id"), col("ts_sec"), col("value"))
+          .withColumn("bucket", expr("ts_sec div 3600"))
+        ivBuckets.join(e, Seq("bucket"))
+          .filter(col("ts_sec") >= col("start_sec") && col("ts_sec") < col("end_sec"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"), qsum(col("value")).as("val_sum"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(s"""
+        WITH iv AS (
+          SELECT o_orderkey,
+                 1704067200 + (o_orderkey*997) % 2505600 AS start_sec,
+                 1704067200 + (o_orderkey*997) % 2505600 + 7200 AS end_sec
+          FROM orders)
+        SELECT iv.o_orderkey, COUNT(*) AS n_events, ${QSUM("value")} AS val_sum
+        FROM iv JOIN (SELECT event_id, $TS AS ts_sec, value FROM events) e
+          ON e.ts_sec >= iv.start_sec AND e.ts_sec < iv.end_sec
+        GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
     // ----- ts_delta: consecutive-reading deltas (alarm slope) ------------
     "ts_delta" -> Q(
       build = (s, d) => {
