@@ -33,6 +33,25 @@ class TextKernelSpec extends SparkSpecBase {
     assert(overlap(sigs(1), sigs(3)) <= 8, s"far: ${overlap(sigs(1), sigs(3))}/32")
   }
 
+  test("doc_fingerprint: stable, positive counts, min_fp is a member") {
+    val a = run("doc_fingerprint").collect()
+    val b = run("doc_fingerprint").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_fingerprints") > 0)
+    }
+    // identical documents produce identical fingerprint profiles
+    val byText = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h")).collect()
+      .groupBy(_.getAs[String]("h")).values.filter(_.length > 1)
+    val fps = a.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_fingerprints"), r.getAs[Long]("min_fp"))).toMap
+    byText.foreach { group =>
+      val vals = group.flatMap(g => fps.get(g.getAs[Long]("doc_id"))).distinct
+      assert(vals.length <= 1, s"dup docs disagree: $vals")
+    }
+  }
+
   test("doc_minhash_lsh still covers all exact-duplicate pairs (kernel path)") {
     val dups = Tables.t(spark, sf, "documents")
       .groupBy(md5(col("text").cast("binary")).as("h"))
