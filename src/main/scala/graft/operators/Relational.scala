@@ -391,6 +391,86 @@ object Relational {
           .map(p).mkString("", " UNION ALL ", " ORDER BY col_name")
       }),
 
+    // ----- q23_min_cost_match: TPC-H Q2 shape — correlated min ----------
+    // Cheapest lineitem per part, matched back (correlated aggregate).
+    "q23_min_cost_match" -> Q(
+      build = (s, d) => {
+        val minCost = li(s, d).groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        li(s, d)
+          .join(minCost, col("l_partkey") === col("m_partkey")
+            && col("l_extendedprice") === col("min_price"))
+          .groupBy(col("l_partkey"))
+          .agg(min(col("l_orderkey")).as("cheapest_order"),
+            min(col("l_extendedprice")).as("min_price"))
+          .orderBy(col("l_partkey"))
+      },
+      oracle = Some("""
+        SELECT l_partkey, MIN(l_orderkey) AS cheapest_order,
+               MIN(l_extendedprice) AS min_price
+        FROM lineitem l1
+        WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey ORDER BY l_partkey""")),
+
+    // ----- q24_double_exists: TPC-H Q21 shape — EXISTS + NOT EXISTS ------
+    // Suppliers with a late line on a multi-supplier order where no other
+    // supplier was late (two correlated quantified predicates).
+    "q24_double_exists" -> Q(
+      build = (s, d) => {
+        val l = li(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate"), col("l_quantity"))
+        val late = l.filter(col("l_quantity") >= 40.0)
+          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+        val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val lateOthers = l.filter(col("l_quantity") >= 40.0)
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        late
+          .join(others, col("o2") === col("o1") && col("s2") =!= col("s1"), "left_semi")
+          .join(lateOthers, col("o3") === col("o1") && col("s3") =!= col("s1"), "left_anti")
+          .groupBy(col("s1").as("l_suppkey"))
+          .agg(count(lit(1)).as("n_waiting"))
+          .orderBy(col("n_waiting").desc, col("l_suppkey"))
+      },
+      oracle = Some("""
+        SELECT l1.l_suppkey, COUNT(*) AS n_waiting
+        FROM lineitem l1
+        WHERE l1.l_quantity >= 40.0
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_quantity >= 40.0)
+        GROUP BY l1.l_suppkey
+        ORDER BY n_waiting DESC, l_suppkey""")),
+
+    // ----- q25_inactive_customers: TPC-H Q22 shape -----------------------
+    // Customers above the average balance with no orders at all.
+    "q25_inactive_customers" -> Q(
+      build = (s, d) => {
+        val avgBal = cust(s, d).filter(col("c_acctbal") > 0.0)
+          .agg(davg(col("c_acctbal")).as("avg_bal"))
+        cust(s, d)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(substring(col("c_name"), 10, 2).as("cust_group"),
+            col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some(s"""
+        SELECT substr(c_name, 10, 2) AS cust_group, c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT ${DAVG("c_acctbal")} FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
     // ----- q22_distribution: ntile/percent_rank/cume_dist ----------------
     "q22_distribution" -> Q(
       build = (s, d) => {
