@@ -170,6 +170,38 @@ object TimeSeries {
         WHERE prev_sec IS NOT NULL AND cur_sec - prev_sec > 1800
         ORDER BY user_id, cur_sec, event_id""")),
 
+    // ----- ts_schedule_frame: dense forecast-cycle frame -----------------
+    // odin_hrrr/src/schedule.rs: data arrives on a fixed cycle schedule;
+    // reporting needs EVERY slot, including empty ones. Generate the
+    // 6-hour slot series for the month and left-join the per-slot
+    // aggregates — gap-free, unlike a plain tumbling groupBy.
+    "ts_schedule_frame" -> Q(
+      build = (s, d) => {
+        val slots = s.range(1)
+          .select(explode(expr(
+            "sequence(1704067200L, 1706659200L, 21600L)")).as("slot_sec"))
+        val perSlot = ev(s, d)
+          .withColumn("slot_sec",
+            col("ts_sec") - (col("ts_sec") - 1704067200L) % 21600L)
+          .groupBy(col("slot_sec"))
+          .agg(count(lit(1)).as("n"), qsum(col("value")).as("vs"))
+        slots.join(perSlot, Seq("slot_sec"), "left")
+          .select(col("slot_sec"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            coalesce(col("vs"), lit(0.0)).as("val_sum"))
+          .orderBy(col("slot_sec"))
+      },
+      oracle = Some(s"""
+        SELECT t.slot_sec, COALESCE(p.n, 0) AS n_events,
+               COALESCE(p.vs, 0.0) AS val_sum
+        FROM generate_series(1704067200, 1706659200, 21600) t(slot_sec)
+        LEFT JOIN (
+          SELECT ts_sec - (ts_sec - 1704067200) % 21600 AS slot_sec,
+                 COUNT(*) AS n, ${QSUM("value")} AS vs
+          FROM (SELECT $TS AS ts_sec, value FROM events)
+          GROUP BY 1) p ON p.slot_sec = t.slot_sec
+        ORDER BY t.slot_sec""")),
+
     // ----- ts_rate: per-minute event rates -------------------------------
     "ts_rate" -> Q(
       build = (s, d) =>
