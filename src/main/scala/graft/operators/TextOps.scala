@@ -247,6 +247,31 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
+    // ----- doc_incremental_dedup: new batch vs existing corpus -----------
+    // The backfill/ingest pattern: treat src0 as the incoming batch and
+    // everything else as the corpus; keep only incoming docs whose
+    // content hash is unseen. Anti join on the hash — shuffle keyed on
+    // the hash, no full-corpus broadcast.
+    "doc_incremental_dedup" -> Q(
+      build = (s, d) => {
+        val hashed = docs(s, d)
+          .withColumn("content_hash", md5(col("text").cast(BinaryType)))
+        val incoming = hashed.filter(col("source") === "src0")
+        val corpus = hashed.filter(col("source") =!= "src0")
+          .select(col("content_hash"))
+        incoming
+          .join(corpus, Seq("content_hash"), "left_anti")
+          .select(col("doc_id"), col("content_hash"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, md5(text) AS content_hash, n_chars
+        FROM documents d1
+        WHERE source = 'src0'
+          AND NOT EXISTS (SELECT 1 FROM documents d2
+                          WHERE d2.source <> 'src0' AND md5(d2.text) = md5(d1.text))
+        ORDER BY doc_id""")),
+
     // ----- doc_edit_distance: fuzzy matching within blocked pairs --------
     // Levenshtein over metadata-blocked candidate pairs (same lang+source,
     // nearby ids) — the exact re-rank step after LSH candidate generation.
