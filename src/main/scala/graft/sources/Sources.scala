@@ -46,4 +46,22 @@ object Sources {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(path)
+
+  /** Small-file compaction: rewrite a directory into ~targetMB output
+    * files (row-size estimated from a sample). The maintenance op every
+    * long-running ingest needs — thousands of tiny files kill both the
+    * driver's file index and scan throughput at scale.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 128): Long = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val sampleRows = math.min(n, 1000L)
+    val bytesPerRow = if (sampleRows == 0) 1L
+      else math.max(1L, df.limit(sampleRows.toInt)
+        .toJSON.collect().map(_.length.toLong).sum / sampleRows)
+    val files = math.max(1L, n * bytesPerRow / (targetMB.toLong * 1024 * 1024))
+    df.repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(outPath)
+    files
+  }
 }

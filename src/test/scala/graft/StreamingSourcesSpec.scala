@@ -108,6 +108,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() > 0)
   }
 
+  test("snk_compact: many small files collapse to the target count") {
+    val src = s"$tmp/small-files"
+    Tables.events(spark, sf).repartition(64)
+      .write.mode("overwrite").parquet(src)
+    val before = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 30)
+    val est = Sources.compact(spark, src, s"$tmp/compacted", targetMB = 128)
+    val after = new java.io.File(s"$tmp/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after.toLong == est && after < before)
+    assert(spark.read.parquet(s"$tmp/compacted").count()
+      == Tables.events(spark, sf).count())
+  }
+
   test("src_parquet: projection pruning reaches the scan") {
     val df = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val plan = df.queryExecution.executedPlan.toString
