@@ -265,9 +265,10 @@ object Geo {
       },
       oracle = None),
 
-    // ----- geo_polygon: point-in-convex-polygon (rows-only) --------------
+    // ----- geo_polygon: point-in-convex-polygon --------------------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
-    // pentagon here, all cross products must be >= 0 going clockwise.
+    // pentagon, all cross products <= 0 going clockwise. Pure arithmetic →
+    // hash-checked against the identical predicate in DuckDB.
     "geo_polygon" -> Q(
       build = (s, d) => {
         // clockwise convex pentagon
@@ -282,6 +283,41 @@ object Geo {
           .select(col("event_id"), col("lat"), col("lon"))
           .orderBy(col("event_id"))
       },
-      oracle = None)
+      oracle = {
+        val poly = Seq((0.0, -40.0), (30.0, -10.0), (20.0, 30.0), (-20.0, 30.0), (-30.0, -10.0))
+        val edges = poly.zip(poly.tail :+ poly.head)
+        val pred = edges.map { case ((y1, x1), (y2, x2)) =>
+          s"(($x2 - $x1)*(lat - $y1) - ($y2 - $y1)*(lon - $x1)) <= 0.0"
+        }.mkString(" AND ")
+        Some(s"""
+          SELECT event_id, lat, lon
+          FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events)
+          WHERE $pred
+          ORDER BY event_id""")
+      }),
+
+    // ----- geo_track_envelope: per-track bounding rect (GeoRect) ---------
+    // GeoRect::from_min_max over each entity's track (geo.rs:216) plus the
+    // diagonal extent — the viewport query every track display needs.
+    "geo_track_envelope" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            min(col("lat")).as("south"), max(col("lat")).as("north"),
+            min(col("lon")).as("west"), max(col("lon")).as("east"))
+          .withColumn("diag_km",
+            round(havC(col("south"), col("west"), col("north"), col("east")), 3))
+          .orderBy(col("user_id")),
+      oracle = Some(s"""
+        SELECT user_id, n_points, south, north, west, east,
+               round(${havS("south", "west", "north", "east")}, 3) AS diag_km
+        FROM (
+          SELECT user_id, COUNT(*) AS n_points,
+                 MIN(lat) AS south, MAX(lat) AS north,
+                 MIN(lon) AS west, MAX(lon) AS east
+          FROM (SELECT user_id, $LAT AS lat, $LON AS lon FROM events)
+          GROUP BY 1)
+        ORDER BY user_id"""))
   )
 }
