@@ -41,6 +41,74 @@ object TextOps {
     FROM documents d, generate_series(1, 1024, 4) AS g(i)
     WHERE length(d.text) >= 20 AND g.i <= length(d.text) - 19"""
 
+  /** Exact-Jaccard near-dup pairs (>= 0.5) via the shingle join — shared by
+    * doc_ngram_dedup (pair report) and doc_cc_clusters (edge set).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh")
+        && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_common").cast(DoubleType)
+        / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Distributed connected components: min-label propagation with pointer
+    * jumping, iterated to convergence. `nodes` has column `node`; `edges`
+    * has (`src`,`dst`) and must be symmetric. Returns (`node`,`label`)
+    * where label = min node id in the component. `localCheckpoint`
+    * truncates lineage each round (the GraphX pattern) so plan depth stays
+    * O(1) and convergence needs O(log diameter) rounds at any scale.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var lbl = nodes.select(col("node"), col("node").as("label")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = e.join(lbl, e("dst") === lbl("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val jumped = stepped.as("a") // pointer jump: label := label(label)
+        .join(stepped.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+        .localCheckpoint(true)
+      converged = jumped.as("n")
+        .join(lbl.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      lbl = jumped
+      iter += 1
+    }
+    lbl
+  }
+
+  // Matching DuckDB CTE list (embed after WITH / WITH RECURSIVE).
+  private val JPAIRS = s"""
+    sh AS ($SHINGLES),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    cpairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT p.doc_a, p.doc_b, p.n_common,
+             CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) AS jaccard
+      FROM cpairs p
+      JOIN sizes a ON a.doc_id = p.doc_a
+      JOIN sizes b ON b.doc_id = p.doc_b
+      WHERE CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) >= 0.5)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- doc_exact_dedup: content-hash dedup ---------------------------
@@ -212,38 +280,13 @@ object TextOps {
     // The shuffle is keyed on the shingle — O(n·shingles), not O(n²); this
     // is the exact-Jaccard oracle for the MinHash scale path below.
     "doc_ngram_dedup" -> Q(
-      build = (s, d) => {
-        val sh = shingles(s, d)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("x")
-          .join(sh.as("y"), col("x.sh") === col("y.sh")
-            && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n_sh", "n_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n_sh", "n_b"), "doc_b")
-          .withColumn("jaccard", col("n_common").cast(DoubleType)
-            / (col("n_a") + col("n_b") - col("n_common")))
-          .filter(col("jaccard") >= 0.5)
+      build = (s, d) =>
+        jaccardPairs(s, d)
           .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+          .orderBy(col("doc_a"), col("doc_b")),
       oracle = Some(s"""
-        WITH sh AS ($SHINGLES),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        pairs AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-          GROUP BY 1, 2)
-        SELECT p.doc_a, p.doc_b, p.n_common,
-               CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) AS jaccard
-        FROM pairs p
-        JOIN sizes a ON a.doc_id = p.doc_a
-        JOIN sizes b ON b.doc_id = p.doc_b
-        WHERE CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) >= 0.5
+        WITH $JPAIRS
+        SELECT doc_a, doc_b, n_common, jaccard FROM jpairs
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
@@ -369,6 +412,184 @@ object TextOps {
           .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fingerprints"),
             element_at(col("fps"), 1).as("min_fp")) // kernel emits sorted
           .orderBy(col("doc_id")),
-      oracle = None)
+      oracle = None),
+
+    // ----- doc_cc_clusters: connected components over near-dup pairs -----
+    // The closure step of every dedup pipeline: near-dup similarity is not
+    // transitive, so the canonical "document group" is the connected
+    // component of the pair graph. Label propagation (min doc_id) with
+    // pointer-jumping, iterated to convergence; `localCheckpoint` truncates
+    // lineage each round (the GraphX/large-star pattern), so the plan stays
+    // O(1) deep regardless of component diameter — the shape that survives
+    // a 100 TB corpus. Oracle: DuckDB recursive CTE computing exact CC.
+    "doc_cc_clusters" -> Q(
+      build = (s, d) => {
+        val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst")
+        val nodes = docs(s, d).select(col("doc_id").as("node"))
+        connectedComponents(nodes, edges)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("label"))))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $JPAIRS,
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM jpairs
+                  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.t FROM walk w JOIN edges e ON e.s = w.lbl),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc ORDER BY doc_id""")),
+
+    // ----- doc_sample_hash: deterministic hash sampling ------------------
+    // Reproducible corpus subsampling: keep a doc iff the first 4 hex chars
+    // of md5(doc_id || salt) fall below the threshold (~1/8). A pure narrow
+    // map over the scan — no shuffle, no RNG state, same sample on every
+    // engine and every run; the only sampler that is referentially
+    // transparent across a 1000-executor retry storm.
+    "doc_sample_hash" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .withColumn("skey",
+            substring(md5(concat(col("doc_id").cast(StringType), lit(":s1"))
+              .cast(BinaryType)), 1, 4))
+          .filter(col("skey") < "2000")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("skey"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id, lang, source, n_chars, skey FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 4) AS skey
+          FROM documents)
+        WHERE skey < '2000' ORDER BY doc_id""")),
+
+    // ----- doc_stratified_sample: exact per-stratum fraction -------------
+    // ceil(n/5) docs per language, chosen by hash order (deterministic,
+    // unbiased); one window shuffle keyed on the stratum.
+    "doc_stratified_sample" -> Q(
+      build = (s, d) => {
+        val h = md5(concat(col("doc_id").cast(StringType), lit(":s2")).cast(BinaryType))
+        val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .filter(col("rn") <= expr("(n_lang + 4) div 5"))
+          .select(col("doc_id"), col("lang"), col("n_lang"), col("rn"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, n_lang, rn FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s2'), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents)
+        WHERE rn <= (n_lang + 4) // 5 ORDER BY doc_id""")),
+
+    // ----- doc_train_test_split: deterministic corpus split --------------
+    // Hash-range assignment (~80/10/10 by first md5 hex byte) — stable under
+    // corpus growth: a doc's split never changes when other docs arrive,
+    // unlike row_number-based splits. Emits per-(split, lang) counts.
+    "doc_train_test_split" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .withColumn("h2",
+            substring(md5(concat(col("doc_id").cast(StringType), lit(":s3"))
+              .cast(BinaryType)), 1, 2))
+          .withColumn("split",
+            when(col("h2") < "cd", "train")
+              .when(col("h2") < "e7", "valid").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+          .orderBy(col("split"), col("lang")),
+      oracle = Some("""
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM (
+          SELECT lang, n_chars,
+                 CASE WHEN h2 < 'cd' THEN 'train'
+                      WHEN h2 < 'e7' THEN 'valid' ELSE 'test' END AS split
+          FROM (SELECT lang, n_chars,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':s3'), 1, 2) AS h2
+                FROM documents))
+        GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    // ----- doc_domain_cap: per-source quota capping ----------------------
+    // The Common-Crawl-style balancing op: cap each (source, lang) bucket
+    // at 20 docs, keeping the longest (doc_id tiebreak). One window shuffle
+    // keyed on the bucket; emits the per-bucket keep/drop accounting.
+    "doc_domain_cap" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") <= 20, col("n_chars")).otherwise(0L)).as("chars_kept"))
+          .orderBy(col("source"), col("lang"))
+      },
+      oracle = Some("""
+        SELECT source, lang, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        FROM (
+          SELECT source, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source, lang
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // ----- doc_tfidf: top-3 distinguishing terms per document ------------
+    // Token explode -> tf per (doc, term), df per term, tfidf = tf·ln(N/df).
+    // Ranking uses the integer dominance order (tf desc, df asc, term) so
+    // the cross-engine row set is exact; the tfidf value itself is rounded
+    // to 3 decimals (ln differs ~1 ulp between libms).
+    "doc_tfidf" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df"), col("term"))
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 3))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+            col("tfidf"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM toks_f) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, rn, term, tf, df, tfidf FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 3) AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+          FROM tf JOIN df ON tf.term = df.term, n)
+        WHERE rn <= 3 ORDER BY doc_id, rn"""))
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation ops: CC dedup clustering, deterministic
+  * sampling / splitting / capping, TF-IDF.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents: converges on a 60-node chain plus extras") {
+    // chain 0-1-...-59 (diameter 60 — needs pointer jumping, not just
+    // k-hop propagation), a separate triangle, and a singleton.
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst", $"src"))
+    val nodes = ((0L to 59L) ++ Seq(100L, 101L, 102L, 500L)).toDF("node")
+    val got = operators.TextOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 59L).foreach(n => assert(got(n) == 0L, s"chain node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(got(n) == 100L))
+    assert(got(500L) == 500L) // singleton labels itself
+    assert(got.size == 64)
+  }
+
+  test("doc_cc_clusters: partition of the corpus; pairs land in one cluster") {
+    val cc = run("doc_cc_clusters").cache()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(cc.count() == nDocs) // every doc exactly once
+    assert(cc.select("doc_id").distinct().count() == nDocs)
+    // cluster_id is the min doc_id of its cluster
+    val bad = cc.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter($"cluster_id" =!= $"mn").count()
+    assert(bad == 0)
+    // cluster sizes reconcile
+    assert(cc.select(sum("cluster_size")).head.getLong(0) >= nDocs)
+    cc.unpersist()
+  }
+
+  test("doc_sample_hash: deterministic across runs, plausible rate") {
+    val a = run("doc_sample_hash").collect().map(_.getLong(0))
+    val b = run("doc_sample_hash").collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    val n = Tables.t(spark, sf, "documents").count().toDouble
+    assert(a.length > 0 && a.length < n * 0.35) // ~12.5% expected
+  }
+
+  test("doc_stratified_sample: exactly ceil(n/5) per language") {
+    val perLang = run("doc_stratified_sample")
+      .groupBy("lang").agg(count(lit(1)).as("k"), max("n_lang").as("n"))
+      .collect()
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("k") == (r.getAs[Long]("n") + 4) / 5)
+    }
+  }
+
+  test("doc_train_test_split: covers the whole corpus, train dominates") {
+    val rows = run("doc_train_test_split").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.t(spark, sf, "documents").count())
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(bySplit("train") > bySplit.getOrElse("valid", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("doc_domain_cap: kept <= 20 and <= total per bucket") {
+    run("doc_domain_cap").collect().foreach { r =>
+      val (tot, kept) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(kept <= 20 && kept <= tot && kept == math.min(tot, 20L))
+    }
+  }
+
+  test("doc_tfidf: <=3 terms per doc, rarer same-tf term ranks higher") {
+    val rows = run("doc_tfidf").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      rs.sortBy(_.getAs[Int]("rn")).sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (tfH, dfH) = (hi.getAs[Long]("tf"), hi.getAs[Long]("df"))
+          val (tfL, dfL) = (lo.getAs[Long]("tf"), lo.getAs[Long]("df"))
+          assert(tfH > tfL || (tfH == tfL && dfH <= dfL))
+        case _ =>
+      }
+    }
+  }
+}
