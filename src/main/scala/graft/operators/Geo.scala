@@ -296,6 +296,56 @@ object Geo {
           ORDER BY event_id""")
       }),
 
+    // ----- geo_proximity_pairs: grid-bucketed proximity join -------------
+    // Conflict/encounter detection (the adsb "close aircraft" query): pairs
+    // of events in the same 10-min frame within 25 km. The self-join is
+    // keyed on (time bucket, 1-degree grid cell) with the probe side
+    // replicated to its 3x3 neighborhood — O(n·9) shuffle rows instead of
+    // O(n^2) pairs, the only shape that survives 100 TB of track data. At
+    // this data's |lat| <= 70, 25 km never spans more than one 1-degree
+    // cell boundary, so the candidate set is exact (antimeridian pairs
+    // excepted, as in any grid index).
+    "geo_proximity_pairs" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d)
+          .select(col("event_id"), expr("ts_sec div 600").as("tb"),
+            col("lat"), col("lon"),
+            floor(col("lat")).cast(LongType).as("cl"),
+            floor(col("lon")).cast(LongType).as("cn"))
+        val probe = pts
+          .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("event_id"), col("tb"), col("lat"), col("lon"),
+            (col("cl") + col("dlat")).as("cl"), (col("cn") + col("dlon")).as("cn"))
+        pts.as("a").join(probe.as("b"),
+            col("a.tb") === col("b.tb")
+              && col("a.cl") === col("b.cl") && col("a.cn") === col("b.cn")
+              && col("a.event_id") < col("b.event_id"))
+          .withColumn("dist_km",
+            round(havC(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 3))
+          .filter(col("dist_km") <= 25.0)
+          .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+            col("a.tb").as("tb"), col("dist_km"))
+          .orderBy(col("event_a"), col("event_b"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) // 600 AS tb,
+                 $LAT AS lat, $LON AS lon,
+                 CAST(floor($LAT) AS BIGINT) AS cl,
+                 CAST(floor($LON) AS BIGINT) AS cn
+          FROM events),
+        probe AS (
+          SELECT event_id, tb, lat, lon, cl + g1.d AS cl, cn + g2.d AS cn
+          FROM pts, generate_series(-1, 1) AS g1(d), generate_series(-1, 1) AS g2(d))
+        SELECT a.event_id AS event_a, b.event_id AS event_b, a.tb AS tb,
+               round(${havS("a.lat", "a.lon", "b.lat", "b.lon")}, 3) AS dist_km
+        FROM pts a JOIN probe b
+          ON a.tb = b.tb AND a.cl = b.cl AND a.cn = b.cn
+         AND a.event_id < b.event_id
+        WHERE round(${havS("a.lat", "a.lon", "b.lat", "b.lon")}, 3) <= 25.0
+        ORDER BY event_a, event_b""")),
+
     // ----- geo_track_envelope: per-track bounding rect (GeoRect) ---------
     // GeoRect::from_min_max over each entity's track (geo.rs:216) plus the
     // diagonal extent — the viewport query every track display needs.

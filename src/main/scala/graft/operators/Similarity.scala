@@ -251,6 +251,57 @@ object Similarity {
             min(col("vec_id")).as("min_vec_id"))
           .orderBy(col("bucket"))
       },
+      oracle = None),
+
+    // ----- emb_kmeans: Lloyd clustering (IVF coarse-quantizer training) --
+    // The training step the IVF index (emb_ivf_topk) assumes: k=8 centroids
+    // refined by 3 Lloyd rounds from a deterministic seed (the 8 lowest
+    // vec_ids). Per round: assignment is a broadcast of the k tiny
+    // centroids against the full table (narrow, no shuffle of the vectors),
+    // update is one posexplode + groupBy(cid,pos) shuffle keyed on the
+    // cluster — both shapes scale to any corpus size. Centroids are
+    // localCheckpoint'd each round so plan depth stays O(1), exactly as a
+    // 100 TB run would checkpoint between iterations.
+    "emb_kmeans" -> Q(
+      build = (s, d) => {
+        val k = 8
+        val e = emb(s, d)
+        def assign(cents: DataFrame): DataFrame = {
+          val dist = aggregate(
+            zip_with(col("embedding"), col("centroid"),
+              (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+            lit(0.0), (acc, x) => acc + x)
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist_sq"), col("cid"))
+          e.crossJoin(broadcast(cents))
+            .withColumn("dist_sq", dist)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("cid"), col("dist_sq"))
+        }
+        var cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").cast(IntegerType).as("cid"),
+            transform(col("embedding"), _.cast(DoubleType)).as("centroid"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val upd = assign(cents)
+            .select(col("cid"), posexplode(col("embedding")))
+            .toDF("cid", "pos", "v")
+            .groupBy(col("cid"), col("pos"))
+            .agg(avg(col("v").cast(DoubleType)).as("m"))
+            .groupBy(col("cid"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              st => st.getField("m")).as("centroid"))
+          cents = upd.localCheckpoint(true)
+        }
+        assign(cents)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cid"))))
+          .select(col("vec_id"), col("label"), col("cid"), col("cluster_size"),
+            round(sqrt(col("dist_sq")), 6).as("dist"))
+          .orderBy(col("vec_id"))
+      },
       oracle = None)
   )
 }

@@ -641,5 +641,107 @@ object TimeSeries {
           FROM events)
         WHERE prev_value IS NOT NULL AND value >= 180.0 AND prev_value < 180.0
         ORDER BY user_id, event_id"""))
+,
+    // ----- ts_zscore: per-entity anomaly detection -----------------------
+    // Statistical outlier flagging per sensor (the robust form of the fixed
+    // threshold in alarm.rs): z = (x - mean)/std over the entity's history.
+    // Sums are exact (2-decimal DECIMAL); every double op after that is the
+    // same IEEE expression on both engines, so z is bit-identical and needs
+    // no rounding. One window shuffle keyed on the entity.
+    "ts_zscore" -> Q(
+      build = (s, d) => {
+        val n = count(lit(1)).over(byUser).cast(DoubleType)
+        val sumd = sum(decP(col("value"))).over(byUser).cast(DoubleType)
+        val sumsq = sum(decP(col("value")) * decP(col("value"))).over(byUser)
+          .cast(DoubleType)
+        ev(s, d)
+          .withColumn("mean_v", sumd / n)
+          .withColumn("var_v",
+            greatest(sumsq / n - col("mean_v") * col("mean_v"), lit(0.0)))
+          .withColumn("z", (col("value") - col("mean_v")) / sqrt(col("var_v")))
+          .filter(col("var_v") > 0.0 && abs(col("z")) > 2.5)
+          .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"),
+            col("mean_v"), col("z"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, ts_sec, value, mean_v,
+               (value - mean_v)/sqrt(var_v) AS z
+        FROM (
+          SELECT user_id, event_id, $TS AS ts_sec, value, mean_v,
+                 greatest(sumsq/n - mean_v*mean_v, 0.0) AS var_v
+          FROM (
+            SELECT user_id, event_id, ts, value,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                     / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_v,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))
+                            * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sumsq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)))
+        WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
+        ORDER BY user_id, event_id""")),
+
+    // ----- ts_ewma: finite-horizon exponential smoothing -----------------
+    // The streaming smoother behind debounced alarms: EWMA(alpha=0.2) over
+    // the last 10 readings per entity, renormalized on partial history.
+    // Everything is exact integer fixed-point: decay coefficients x 10^10
+    // are exact integers (0.2·0.8^k has k+1 decimal digits), readings x 100
+    // are exact (2-decimal data), so both weighted sums are BIGINT-exact
+    // and order-free; the only double ops are two identical divisions.
+    // Single window shuffle keyed on the entity; lag() only — no self-join.
+    "ts_ewma" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        // 0.2*0.8^k * 10^10, exact
+        val c = (0 until 10).map(k => java.math.BigDecimal.valueOf(2, 1)
+          .multiply(java.math.BigDecimal.valueOf(8, 1).pow(k))
+          .movePointRight(10).longValueExact)
+        val base = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"),
+            (decP(col("value")) * 100).cast(LongType).as("v100"))
+        val lagged = (0 until 10).foldLeft(base) { (df, k) =>
+          df.withColumn(s"l$k", lag(col("v100"), k).over(w))
+        }
+        val num = (0 until 10).map(k =>
+          expr(s"CASE WHEN l$k IS NOT NULL THEN ${c(k)}L * l$k ELSE 0L END"))
+          .reduce(_ + _)
+        val den = (0 until 10).map(k =>
+          expr(s"CASE WHEN l$k IS NOT NULL THEN ${c(k)}L ELSE 0L END"))
+          .reduce(_ + _)
+        lagged
+          .withColumn("ewma",
+            num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0))
+          .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"),
+            col("ewma"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = {
+        val c = (0 until 10).map(k => java.math.BigDecimal.valueOf(2, 1)
+          .multiply(java.math.BigDecimal.valueOf(8, 1).pow(k))
+          .movePointRight(10).longValueExact)
+        val lags = (0 until 10).map(k =>
+          s"LAG(v100, $k) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS l$k")
+          .mkString(",\n                 ")
+        val num = (0 until 10).map(k =>
+          s"CASE WHEN l$k IS NOT NULL THEN CAST(${c(k)} AS BIGINT) * l$k ELSE 0 END")
+          .mkString(" + ")
+        val den = (0 until 10).map(k =>
+          s"CASE WHEN l$k IS NOT NULL THEN CAST(${c(k)} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        Some(s"""
+        WITH base AS (
+          SELECT user_id, event_id, $TS AS ts_sec, value,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v100
+          FROM events),
+        lagged AS (
+          SELECT user_id, event_id, ts_sec, value,
+                 $lags
+          FROM base)
+        SELECT user_id, event_id, ts_sec, value,
+               CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0 AS ewma
+        FROM lagged
+        ORDER BY user_id, event_id""")
+      })
   )
 }
