@@ -47,6 +47,40 @@ object Sources {
       .partitionBy("event_date")
       .parquet(path)
 
+  /** Morton (Z-order) code: interleave the low 16 bits of two cell
+    * indices into a 32-bit curve position, as a pure codegen'd column
+    * expression (shift/mask chain, no UDF). Used by `writeZOrdered`.
+    */
+  def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // spread 16 bits to even positions: classic mask ladder
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val m = Seq(
+        (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      m.foldLeft(c.bitwiseAND(0xFFFFL)) { case (acc, (s, mask)) =>
+        (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(mask)
+      }
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-order-clustered parquet sink: range-partition + sort by the Morton
+    * code of the (lat,lon) grid cell, so spatially close records land in
+    * the same files and parquet min/max stats prune 2-D bounding-box
+    * queries — the layout that turns a full 100 TB scan into a handful of
+    * file reads. `bits`-bit cells over [-90,90]x[-180,180].
+    */
+  def writeZOrdered(df: DataFrame, path: String, latCol: String,
+      lonCol: String, files: Int = 8, bits: Int = 16): Unit = {
+    val scale = (1 << bits).toDouble
+    val cx = floor((col(lonCol) + 180.0) / 360.0 * scale).cast("long")
+    val cy = floor((col(latCol) + 90.0) / 180.0 * scale).cast("long")
+    df.withColumn("zorder", mortonCode(cx, cy))
+      .repartitionByRange(files, col("zorder"))
+      .sortWithinPartitions(col("zorder"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a directory into ~targetMB output
     * files (row-size estimated from a sample). The maintenance op every
     * long-running ingest needs — thousands of tiny files kill both the

@@ -77,6 +77,16 @@ object Streams {
       "inner")
   }
 
+  /** stream_static_enrich: live feed joined against a broadcast static
+    * dimension (sensor registry, aircraft metadata — ODIN's config stores).
+    * The static side is planned as a broadcast hash join under every
+    * micro-batch: no streaming state at all, and the dim can be refreshed
+    * by restarting the query — the standard shape for slowly-changing
+    * reference data at scale.
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** stream_sessions: gap-based session windows (the streaming form of
     * ts_sessionize — track legs assembled live, sessions emitted once the
     * watermark passes their gap).

@@ -60,6 +60,26 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     assert(alarms.map(_.getAs[Long]("event_id")).toSeq == Seq(2L, 5L))
   }
+
+  test("stream_static_enrich: every batch row picks up its dim attributes") {
+    import spark.implicits._
+    val in = mem()
+    val dim = Seq((7L, "sensor-A", "ridge"), (8L, "sensor-B", "valley"))
+      .toDF("user_id", "sensor_name", "site")
+    val q = Streams.enrichStatic(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_static_out")
+      .outputMode("append").start()
+    in.addData(Ev(1, 100, 7, "view", 1.0), Ev(2, 110, 9, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_static_out").collect()
+    assert(rows.length == 2)
+    val known = rows.find(_.getAs[Long]("user_id") == 7L).get
+    assert(known.getAs[String]("sensor_name") == "sensor-A")
+    // unmatched keys survive with null dim attrs (left join)
+    val unknown = rows.find(_.getAs[Long]("user_id") == 9L).get
+    assert(unknown.getAs[String]("sensor_name") == null)
+  }
 }
 
 class SourcesSpec extends SparkSpecBase {
@@ -120,6 +140,46 @@ class SourcesSpec extends SparkSpecBase {
     assert(after.toLong == est && after < before)
     assert(spark.read.parquet(s"$tmp/compacted").count()
       == Tables.events(spark, sf).count())
+  }
+
+  test("snk_zorder: morton code interleaves bits; files cover disjoint ranges") {
+    import spark.implicits._
+    // reference interleave in plain Scala
+    def ref(x: Long, y: Long): Long = {
+      var r = 0L
+      (0 until 16).foreach { i =>
+        r |= ((x >> i) & 1L) << (2 * i)
+        r |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val got = samples.toDF("x", "y")
+      .select(Sources.mortonCode(col("x"), col("y")).as("m"))
+      .collect().map(_.getLong(0))
+    samples.map { case (x, y) => ref(x, y) }.zip(got).foreach {
+      case (want, g) => assert(g == want)
+    }
+
+    val out = s"$tmp/events_zorder"
+    val pts = Tables.events(spark, sf)
+      .withColumn("lat", (col("user_id") * 37 % 140 - 70).cast("double")
+        + col("value") / 1000.0)
+      .withColumn("lon", (col("event_id") * 73 % 360 - 180).cast("double")
+        + col("value") / 2000.0)
+      .select("event_id", "lat", "lon")
+    Sources.writeZOrdered(pts, out, "lat", "lon", files = 6)
+    val back = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("zorder"))
+      .groupBy("f").agg(min("zorder").as("lo"), max("zorder").as("hi"))
+      .orderBy("lo").collect()
+    assert(back.length > 1)
+    back.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        "z-order file ranges overlap")
+      case _ =>
+    }
   }
 
   test("src_parquet: projection pruning reaches the scan") {
