@@ -296,6 +296,41 @@ object Geo {
           ORDER BY event_id""")
       }),
 
+    // ----- geo_ecef: geodetic -> ECEF cartesian --------------------------
+    // WGS84 ellipsoid conversion (odin_common/src/cartographic.rs:370
+    // `From<&Cartographic> for Cartesian3`, constants geo_constants.rs:24),
+    // the transform every Cesium-facing track needs. Trig -> rounded to
+    // 3 decimals (mm). Narrow map over the scan, no shuffle except the
+    // deterministic output order.
+    "geo_ecef" -> Q(
+      build = (s, d) => {
+        val a2 = 6378137.0 * 6378137.0
+        val b2 = 6356752.3142451793 * 6356752.3142451793
+        val phi = radians(col("lat"))
+        val lam = radians(col("lon"))
+        val h = col("value") // reading as height-above-ellipsoid meters
+        val n = lit(a2) / sqrt(lit(a2) * cos(phi) * cos(phi)
+          + lit(b2) * sin(phi) * sin(phi))
+        evPts(s, d)
+          .withColumn("x", round((n + h) * cos(phi) * cos(lam), 3))
+          .withColumn("y", round((n + h) * cos(phi) * sin(lam), 3))
+          .withColumn("z", round((lit(b2) / lit(a2) * n + h) * sin(phi), 3))
+          .select(col("event_id"), col("lat"), col("lon"), col("x"), col("y"),
+            col("z"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT event_id, lat, lon,
+               round((n + value)*cos(radians(lat))*cos(radians(lon)), 3) AS x,
+               round((n + value)*cos(radians(lat))*sin(radians(lon)), 3) AS y,
+               round((${6356752.3142451793 * 6356752.3142451793}/${6378137.0 * 6378137.0}*n + value)*sin(radians(lat)), 3) AS z
+        FROM (
+          SELECT event_id, lat, lon, value,
+                 ${6378137.0 * 6378137.0} / sqrt(${6378137.0 * 6378137.0}*cos(radians(lat))*cos(radians(lat))
+                   + ${6356752.3142451793 * 6356752.3142451793}*sin(radians(lat))*sin(radians(lat))) AS n
+          FROM (SELECT event_id, value, $LAT AS lat, $LON AS lon FROM events))
+        ORDER BY event_id""")),
+
     // ----- geo_proximity_pairs: grid-bucketed proximity join -------------
     // Conflict/encounter detection (the adsb "close aircraft" query): pairs
     // of events in the same 10-min frame within 25 km. The self-join is
