@@ -561,8 +561,9 @@ object TextOps {
           .filter(col("term") =!= "")
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // tf is already distinct per (doc, term): df falls out of it with no
+        // second pass over the tokens and no extra distinct shuffle
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df"), col("term"))
