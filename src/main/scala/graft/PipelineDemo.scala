@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 
 /** End-to-end training-data pipeline composed from graft operators:
   * ingest → clean → exact-dedup (keep best) → quality filter → MinHash-LSH
-  * near-dup prune → embedding join → partitioned write. One declarative
-  * DAG — Catalyst fuses the narrow stages; the only shuffles are the two
-  * dedup groupings, the LSH band join, and the final write partitioning.
+  * candidates → connected-components canonical dedup → per-source quota
+  * cap → hash train/valid/test split → embedding join → partitioned write.
+  * One declarative DAG plus the checkpointed CC loop — Catalyst fuses the
+  * narrow stages; shuffles are the dedup groupings, the LSH band join, the
+  * CC rounds, the cap window, and the final write partitioning.
   * Usage: runMain graft.PipelineDemo [sfDir] [outDir]
   */
 object PipelineDemo {
@@ -47,30 +49,56 @@ object PipelineDemo {
       .filter(col("n_tokens") >= 25)
     println(s"after quality filter: ${quality.count()}")
 
-    // near-dup prune via MinHash-LSH banding (keep the lowest doc_id)
+    // near-dup candidates via MinHash-LSH banding
     val sigs = quality.select(col("doc_id"),
       functions.TextFunctions.minhash_signature(col("clean_text")).as("sig"))
     val bands = sigs.select(col("doc_id"), posexplode(
       expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b*4 + 1, 4)))"))
       .as(Seq("band", "bsig")))
-    val dropIds = bands.as("x").join(bands.as("y"),
+    val candPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("y.doc_id").as("doc_id")).distinct()
-    val pruned = quality.join(dropIds, Seq("doc_id"), "left_anti")
-    println(s"after near-dup prune: ${pruned.count()}")
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst")).distinct()
+
+    // canonical dedup: connected components over the candidate graph —
+    // near-dup similarity isn't transitive, the component is the document
+    // group; keep each component's min doc_id
+    val cc = operators.TextOps.connectedComponents(
+      quality.select(col("doc_id").as("node")),
+      candPairs.union(candPairs.select(col("dst"), col("src"))).toDF("src", "dst"))
+    val pruned = quality.join(
+      cc.filter(col("node") === col("label")).select(col("node").as("doc_id")),
+      Seq("doc_id"))
+    println(s"after CC near-dup dedup: ${pruned.count()}")
+
+    // per-source quota cap (keep longest 100 docs per source)
+    val wCap = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val capped = pruned.withColumn("cap_rn", row_number().over(wCap))
+      .filter(col("cap_rn") <= 100).drop("cap_rn")
+    println(s"after source cap: ${capped.count()}")
+
+    // growth-stable hash split
+    val split = capped.withColumn("split",
+      when(substring(md5(concat(col("doc_id").cast(StringType), lit(":s3"))
+        .cast(BinaryType)), 1, 2) < "cd", "train")
+        .when(substring(md5(concat(col("doc_id").cast(StringType), lit(":s3"))
+          .cast(BinaryType)), 1, 2) < "e7", "valid").otherwise("test"))
 
     // attach embeddings (broadcastable dim at this scale)
     val emb = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    val enriched = pruned.join(emb, Seq("doc_id"), "left")
+    val enriched = split.join(emb, Seq("doc_id"), "left")
     println(s"with embeddings: ${enriched.filter(col("embedding").isNotNull).count()}")
 
-    // partitioned write (lang-bucketed layout for downstream pruning)
-    enriched.select("doc_id", "lang", "source", "clean_text", "n_tokens", "embedding")
-      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    // partitioned write (split/lang layout for downstream pruning)
+    enriched.select("doc_id", "lang", "source", "split", "clean_text",
+        "n_tokens", "embedding")
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(outDir)
     val back = spark.read.parquet(outDir)
-    println(s"written+readback: ${back.count()} rows, langs=${back.select("lang").distinct().count()}")
+    println(s"written+readback: ${back.count()} rows, " +
+      s"splits=${back.select("split").distinct().count()}, " +
+      s"langs=${back.select("lang").distinct().count()}")
     spark.stop()
   }
 }

@@ -24,6 +24,46 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got.size == 64)
   }
 
+  test("connectedComponents: agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 80
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map { i =>
+        // component min = min of all members sharing the root
+        val r = find(i)
+        (0 until n).filter(j => find(j) == r).min.toLong
+      }
+      val pairsDf = edges.toDF("src", "dst")
+      val sym = pairsDf.union(pairsDf.select($"dst", $"src"))
+      val nodes = (0L until n.toLong).toDF("node")
+      val got = operators.TextOps.connectedComponents(nodes, sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).foreach(i => assert(got(i.toLong) == want(i), s"node $i"))
+    }
+  }
+
+  test("mortonCode: bit-exact roundtrip against reference interleave") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val got = samples.toDF("x", "y")
+      .select(sources.Sources.mortonCode(col("x"), col("y")).as("m"))
+      .collect().map(_.getLong(0))
+    samples.map((ref _).tupled).zip(got).foreach { case (w, g) => assert(w == g) }
+  }
+
   test("doc_cc_clusters: partition of the corpus; pairs land in one cluster") {
     val cc = run("doc_cc_clusters").cache()
     val nDocs = Tables.t(spark, sf, "documents").count()
