@@ -296,6 +296,80 @@ object Geo {
           ORDER BY event_id""")
       }),
 
+    // ----- geo_dem_bilinear: grid lookup + bilinear interpolation --------
+    // The odin_dem / odin_wind probe: sample a raster (here a synthetic
+    // 1-degree DEM realized as a 50k-row grid TABLE, the post-GDAL-decode
+    // shape) at each event position via bilinear interpolation of the 4
+    // surrounding cells. The probe explodes to its 4 corner keys and
+    // equi-joins the grid — the co-partitionable O(4n) shape that scales to
+    // a continental 1-arcsecond raster, vs. the driver-side array lookup a
+    // native engine does. Pure +,-,*,/ arithmetic: bit-identical, no
+    // rounding.
+    "geo_dem_bilinear" -> Q(
+      build = (s, d) => {
+        // synthetic DEM: elev(i,j) deterministic from the cell indices
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            (((col("gi") * 31 + col("gj") * 17) % 500 + 500) % 500 + lit(100.0))
+              .as("elev"))
+        val probes = evPts(s, d)
+          .select(col("event_id"), col("lat"), col("lon"),
+            floor(col("lat")).cast(LongType).as("i"),
+            floor(col("lon")).cast(LongType).as("j"))
+          .withColumn("di", col("lat") - col("i"))
+          .withColumn("dj", col("lon") - col("j"))
+        val corners = probes
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val weighted = corners
+          .join(grid, corners("i") + corners("ci") === grid("gi")
+            && corners("j") + corners("cj") === grid("gj"))
+          .withColumn("w",
+            (when(col("ci") === 0L, lit(1.0) - col("di")).otherwise(col("di")))
+              * (when(col("cj") === 0L, lit(1.0) - col("dj")).otherwise(col("dj"))))
+          // fixed summand order (ci,cj): (0,0),(0,1),(1,0),(1,1) via 2*ci+cj
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+        weighted
+          .groupBy(col("event_id"), col("lat"), col("lon"))
+          .agg(sum(when(col("ord") === 0, col("w") * col("elev")).otherwise(0.0))
+            .as("t00"),
+            sum(when(col("ord") === 1, col("w") * col("elev")).otherwise(0.0)).as("t01"),
+            sum(when(col("ord") === 2, col("w") * col("elev")).otherwise(0.0)).as("t10"),
+            sum(when(col("ord") === 3, col("w") * col("elev")).otherwise(0.0)).as("t11"))
+          .select(col("event_id"), col("lat"), col("lon"),
+            (col("t00") + col("t01") + col("t10") + col("t11")).as("elev_m"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH grid AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 CAST(((gi.i*31 + gj.j*17) % 500 + 500) % 500 AS DOUBLE) + 100.0 AS elev
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        probes AS (
+          SELECT event_id, lat, lon,
+                 CAST(floor(lat) AS BIGINT) AS i, CAST(floor(lon) AS BIGINT) AS j,
+                 lat - CAST(floor(lat) AS BIGINT) AS di,
+                 lon - CAST(floor(lon) AS BIGINT) AS dj
+          FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events)),
+        corners AS (
+          SELECT p.*, ci.c AS ci, cj.c AS cj
+          FROM probes p, generate_series(0, 1) AS ci(c), generate_series(0, 1) AS cj(c)),
+        weighted AS (
+          SELECT c.event_id, c.lat, c.lon, c.ci*2 + c.cj AS ord,
+                 (CASE WHEN c.ci = 0 THEN 1.0 - c.di ELSE c.di END)
+                 * (CASE WHEN c.cj = 0 THEN 1.0 - c.dj ELSE c.dj END) * g.elev AS we
+          FROM corners c JOIN grid g ON c.i + c.ci = g.gi AND c.j + c.cj = g.gj)
+        SELECT event_id, lat, lon,
+               SUM(CASE WHEN ord = 0 THEN we ELSE 0.0 END)
+               + SUM(CASE WHEN ord = 1 THEN we ELSE 0.0 END)
+               + SUM(CASE WHEN ord = 2 THEN we ELSE 0.0 END)
+               + SUM(CASE WHEN ord = 3 THEN we ELSE 0.0 END) AS elev_m
+        FROM weighted
+        GROUP BY event_id, lat, lon
+        ORDER BY event_id""")),
+
     // ----- geo_ecef: geodetic -> ECEF cartesian --------------------------
     // WGS84 ellipsoid conversion (odin_common/src/cartographic.rs:370
     // `From<&Cartographic> for Cartesian3`, constants geo_constants.rs:24),

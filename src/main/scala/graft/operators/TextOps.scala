@@ -549,6 +549,50 @@ object TextOps {
           FROM documents)
         GROUP BY 1, 2 ORDER BY source, lang""")),
 
+    // ----- doc_unigram_logprob: LM-perplexity-style quality scoring ------
+    // The CCNet-style fluency filter: score each doc by mean unigram
+    // surprisal -ln p(term) under the corpus's own unigram model, flag the
+    // high-perplexity tail. Two shuffles (term counts, per-doc agg); the
+    // model join is keyed on the term, broadcastable once the vocabulary
+    // is Zipf-truncated. Per-token surprisals round to 6 decimals before
+    // the DECIMAL-exact sum, so the mean is order-free and cross-engine.
+    "doc_unigram_logprob" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("n_total"))
+        val scored = toks.join(model, "term")
+          .crossJoin(broadcast(total))
+          .withColumn("nll",
+            round(-log(col("cnt").cast(DoubleType) / col("n_total")), 6)
+              .cast(DecimalType(18, 6)))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("mean_nll"))
+          .withColumn("verdict",
+            when(col("mean_nll") <= 4.0, "fluent").otherwise("rare"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        model AS (SELECT term, COUNT(*) AS cnt FROM toks_f GROUP BY 1),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(round(-ln(CAST(m.cnt AS DOUBLE) / n_total), 6)
+                      AS DECIMAL(18,6)) AS nll
+          FROM toks_f t JOIN model m ON t.term = m.term, total)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll,
+               CASE WHEN CAST(SUM(nll) AS DOUBLE) / COUNT(*) <= 4.0
+                    THEN 'fluent' ELSE 'rare' END AS verdict
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- doc_tfidf: top-3 distinguishing terms per document ------------
     // Token explode -> tf per (doc, term), df per term, tfidf = tf·ln(N/df).
     // Ranking uses the integer dominance order (tf desc, df asc, term) so

@@ -111,6 +111,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("doc_unigram_logprob: every doc scored; common-token docs are fluent") {
+    val rows = run("doc_unigram_logprob").collect()
+    assert(rows.length == Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("mean_nll")
+      assert(nll > 0 && nll < 20.0) // surprisal of a seen token is bounded
+      val v = r.getAs[String]("verdict")
+      assert(if (nll <= 4.0) v == "fluent" else v == "rare")
+    }
+  }
+
+  test("geo_dem_bilinear: interpolation stays inside the corner value range") {
+    // elev values lie in [100, 600); bilinear is a convex combination
+    val rows = run("geo_dem_bilinear").collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val e = r.getAs[Double]("elev_m")
+      assert(e >= 100.0 && e < 600.0)
+    }
+  }
+
   test("doc_tfidf: <=3 terms per doc, rarer same-tf term ranks higher") {
     val rows = run("doc_tfidf").collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
