@@ -340,6 +340,33 @@ object TimeSeries {
          AND value <= o_totalprice/1000.0 + 20.0
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----- ts_range_native: the same band join via the custom exec -------
+    // graft.plans.RangeJoinExec: hash-clustered + sorted sweep, O(n+m+out)
+    // with a band-bounded working set — proven here against the identical
+    // DuckDB oracle as ts_range_join (same semantics, native operator).
+    "ts_range_native" -> Q(
+      build = (s, d) => {
+        val o = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val e = ev(s, d).select(col("user_id"), col("event_id"), col("value"))
+        graft.plans.RangeJoin.join(o, e,
+            o("o_custkey"), e("user_id"),
+            o("o_totalprice") / lit(1000.0) - lit(20.0),
+            o("o_totalprice") / lit(1000.0) + lit(20.0),
+            e("value"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"), qsum(col("value")).as("val_sum"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, COUNT(*) AS n_events, ${QSUM("value")} AS val_sum
+        FROM orders JOIN events
+          ON user_id = o_custkey
+         AND value >= o_totalprice/1000.0 - 20.0
+         AND value <= o_totalprice/1000.0 + 20.0
+        GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
     // ----- ts_interval_join: keyless interval containment at scale -------
     // A pure range join (no equi key) degenerates to nested-loop on a
     // cluster; the scale form replicates each interval to the hour
