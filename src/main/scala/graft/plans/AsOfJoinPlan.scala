@@ -151,10 +151,18 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // computed time/tiebreak expressions are projected onto the inputs
+    // first so the custom node only carries resolved attributes (arbitrary
+    // Column expressions inside a custom node bypass the analyzer)
+    val l2 = leftDf.withColumn("__graft_lt", leftTime.cast("long"))
+    val r2 = rightDf
+      .withColumn("__graft_rt", rightTime.cast("long"))
+      .withColumn("__graft_tb", tieBreak)
     GraftInternal.ofRows(spark, AsOfJoinNode(
-      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      l2.queryExecution.analyzed, r2.queryExecution.analyzed,
       Seq(GraftInternal.expr(leftKey)), Seq(GraftInternal.expr(rightKey)),
-      GraftInternal.expr(leftTime), GraftInternal.expr(rightTime),
-      Seq(GraftInternal.expr(tieBreak))))
+      GraftInternal.expr(l2("__graft_lt")), GraftInternal.expr(r2("__graft_rt")),
+      Seq(GraftInternal.expr(r2("__graft_tb")))))
+      .drop("__graft_lt", "__graft_rt", "__graft_tb")
   }
 }

@@ -36,6 +36,16 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(2).isNullAt(4))                         // (2,5): key absent
   }
 
+  test("computed (non-attribute) time expressions are accepted") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 6L, 42L)).toDF("rk", "rt", "pay")
+    // shift both times by arithmetic: rt*2=12 > t=10, rt*2-10=2 <= 10
+    val out = AsOf.join(l, r, l("k"), r("rk"),
+      l("t"), r("rt") * lit(2) - lit(10), r("pay")).collect()
+    assert(out.head.getAs[Long]("pay") == 42L)
+  }
+
   test("time ties resolve to greatest tiebreak") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")
