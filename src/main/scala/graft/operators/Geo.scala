@@ -467,16 +467,66 @@ object Geo {
             min(col("lon")).as("west"), max(col("lon")).as("east"))
           .withColumn("diag_km",
             round(havC(col("south"), col("west"), col("north"), col("east")), 3))
+          // spherical rect area (GeoRect::area, geo.rs:232):
+          // R^2 (sin N - sin S) dLon
+          .withColumn("rect_area_km2",
+            round(lit(6371.0 * 6371.0)
+              * (sin(radians(col("north"))) - sin(radians(col("south"))))
+              * radians(col("east") - col("west")), 3))
           .orderBy(col("user_id")),
       oracle = Some(s"""
         SELECT user_id, n_points, south, north, west, east,
-               round(${havS("south", "west", "north", "east")}, 3) AS diag_km
+               round(${havS("south", "west", "north", "east")}, 3) AS diag_km,
+               round(${6371.0 * 6371.0}
+                     * (sin(radians(north)) - sin(radians(south)))
+                     * radians(east - west), 3) AS rect_area_km2
         FROM (
           SELECT user_id, COUNT(*) AS n_points,
                  MIN(lat) AS south, MAX(lat) AS north,
                  MIN(lon) AS west, MAX(lon) AS east
           FROM (SELECT user_id, $LAT AS lat, $LON AS lon FROM events)
           GROUP BY 1)
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- geo_closing_rate: range-rate tracking (adsb.rs) ---------------
+    // The closing-rate computation ODIN does per aircraft update
+    // (odin_adsb/src/adsb.rs:105): rate of change of the distance to a
+    // reference point (station 1 at (-17,-83), derived like geo_nearest's
+    // stations) between consecutive fixes. Negative = approaching. One
+    // window shuffle keyed on the entity; the trig difference amplifies
+    // ~1e-13 km, far below the 3-decimal rounding.
+    "geo_closing_rate" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        evPts(s, d)
+          .withColumn("dist_km", havC(col("lat"), col("lon"), lit(-17.0), lit(-83.0)))
+          .withColumn("prev_d", lag(col("dist_km"), 1).over(w))
+          .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+          .filter(col("prev_ts").isNotNull && col("ts_sec") > col("prev_ts"))
+          .withColumn("closing_kmh",
+            round((col("dist_km") - col("prev_d"))
+              / (col("ts_sec") - col("prev_ts")) * 3600.0, 3))
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            round(col("dist_km"), 3).as("dist_km"), col("closing_kmh"),
+            (col("closing_kmh") < 0.0).as("approaching"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, event_id, ts_sec,
+               round(dist_km, 3) AS dist_km,
+               round((dist_km - prev_d) / (ts_sec - prev_ts) * 3600.0, 3) AS closing_kmh,
+               round((dist_km - prev_d) / (ts_sec - prev_ts) * 3600.0, 3) < 0.0 AS approaching
+        FROM (
+          SELECT user_id, event_id, ts_sec, dist_km,
+                 LAG(dist_km, 1) OVER w AS prev_d,
+                 LAG(ts_sec, 1) OVER w AS prev_ts
+          FROM (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                   ${havS(LAT, LON, "-17.0", "-83.0")} AS dist_km
+            FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        WHERE prev_ts IS NOT NULL AND ts_sec > prev_ts
+        ORDER BY user_id, event_id"""))
   )
 }
