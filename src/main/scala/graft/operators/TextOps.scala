@@ -593,6 +593,66 @@ object TextOps {
         FROM scored GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ----- doc_bigram_surprisal: sequence-aware fluency + repetition -----
+    // The bigram step up from doc_unigram_logprob: mean conditional
+    // surprisal -ln p(w2|w1) under the corpus bigram model, plus the
+    // distinct-bigram ratio (repeated bigrams = boilerplate). Bigrams come
+    // from one lag() window per doc — no positional self-join; the model
+    // is two groupBys keyed on the bigram/left-context. Surprisals round
+    // to 6 decimals before a DECIMAL-exact sum (order-free, cross-engine).
+    "doc_bigram_surprisal" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = docs(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "term")
+          .filter(col("term") =!= "")
+        val big = toks
+          .withColumn("prev", lag(col("term"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("doc_id"), col("prev"), col("term"))
+        val pair = big.groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c12"))
+        val left = pair.groupBy(col("prev")).agg(sum(col("c12")).as("c1"))
+        val scored = big
+          .join(pair, Seq("prev", "term")).join(left, Seq("prev"))
+          .withColumn("nll",
+            round(-log(col("c12").cast(DoubleType) / col("c1")), 6)
+              .cast(DecimalType(18, 6)))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("mean_nll2"),
+            (countDistinct(concat_ws(" ", col("prev"), col("term")))
+              .cast(DoubleType) / count(lit(1))).as("distinct_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, g.i AS pos, l[g.i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+               generate_series(1, 2048) AS g(i)
+          WHERE g.i <= len(l) AND l[g.i] <> ''),
+        big AS (
+          SELECT doc_id, prev, term FROM (
+            SELECT doc_id, term,
+                   LAG(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks)
+          WHERE prev IS NOT NULL),
+        pair AS (SELECT prev, term, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        lft AS (SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-ln(CAST(p.c12 AS DOUBLE) / l.c1), 6)
+                      AS DECIMAL(18,6)) AS nll,
+                 b.prev || ' ' || b.term AS bigram
+          FROM big b
+          JOIN pair p ON b.prev = p.prev AND b.term = p.term
+          JOIN lft l ON b.prev = l.prev)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS mean_nll2,
+               CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS distinct_ratio
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ----- doc_tfidf: top-3 distinguishing terms per document ------------
     // Token explode -> tf per (doc, term), df per term, tfidf = tf·ln(N/df).
     // Ranking uses the integer dominance order (tf desc, df asc, term) so
