@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,7 +67,7 @@ class ReplayFeedTable(props: Map[String, String]) extends Table with SupportsRea
   override def name(): String = s"replay_feed(${conf.days}d x ${conf.stations}st)"
   override def schema(): StructType = ReplayFeed.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReplayFeedScanBuilder(conf)
 }
@@ -133,6 +134,43 @@ class ReplayFeedScan(conf: ReplayFeedConf, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ReplayFeedReaderFactory(conf, required.fieldNames)
+
+  /** Streaming surface: the same archive replayed live, one day per
+    * micro-batch tick — ODIN's live_importer shape (archived feed
+    * re-delivered in time order) on the Structured Streaming engine.
+    * Offsets are day ticks, so restarts resume exactly at the last
+    * committed day and re-reads are identical (deterministic generator):
+    * exactly-once without any source-side state.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ReplayFeedMicroBatchStream(conf, required.fieldNames)
+}
+
+class TickOffset(val tick: Long) extends Offset {
+  override def json(): String = tick.toString
+}
+
+class ReplayFeedMicroBatchStream(conf: ReplayFeedConf, cols: Array[String])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = new TickOffset(0L)
+  override def latestOffset(): Offset = {
+    // one new day becomes visible per trigger until the archive is drained
+    lastSeen = math.min(lastSeen + 1, conf.days.toLong)
+    new TickOffset(lastSeen)
+  }
+  private var lastSeen = 0L
+  override def deserializeOffset(json: String): Offset =
+    new TickOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TickOffset].tick.toInt
+    val e = end.asInstanceOf[TickOffset].tick.toInt
+    (for (day <- s until e; st <- 0 until conf.stations)
+      yield ReplayFeedPartition(day, st): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayFeedReaderFactory(conf, cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class ReplayFeedReaderFactory(conf: ReplayFeedConf, cols: Array[String])

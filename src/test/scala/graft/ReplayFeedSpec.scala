@@ -50,6 +50,25 @@ class ReplayFeedSpec extends SparkSpecBase {
     assert(plan.contains("read=[event_id,value]"), plan)
   }
 
+  test("micro-batch streaming read delivers the archive exactly once") {
+    val q = spark.readStream
+      .format("graft.sources.ReplayFeedProvider")
+      .option("days", "3").option("stations", "4").option("eventsPerDay", "32")
+      .load()
+      .writeStream.format("memory").queryName("replay_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("replay_stream_out")
+    assert(got.count() == 3L * 4 * 32)
+    assert(got.select(countDistinct("event_id")).head.getLong(0) == 3L * 4 * 32)
+    // batch read of the same conf sees the identical record set
+    val batch = spark.read.format("graft.sources.ReplayFeedProvider")
+      .option("days", "3").option("stations", "4").option("eventsPerDay", "32")
+      .load()
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("source rows behave as a normal DataFrame (join + agg)") {
     val enriched = feed.groupBy("station")
       .agg(count(lit(1)).as("n"), max("value").as("vmax"))
