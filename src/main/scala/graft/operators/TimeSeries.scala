@@ -709,6 +709,41 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_seasonal_baseline: diurnal profile + deviation counts ------
+    // The day-shape baseline behind sensor sanity checks: per (entity,
+    // hour-of-day) mean (exact DECIMAL sum / count) and how many readings
+    // deviate > 60 from their hour's mean. Two shuffles, both keyed on
+    // (user_id, hod), so the profile join is co-partitioned with the agg.
+    // No libm anywhere — comparisons are bit-identical by construction.
+    "ts_seasonal_baseline" -> Q(
+      build = (s, d) => {
+        val hod = expr("(ts_sec % 86400) div 3600")
+        val base = ev(s, d).withColumn("hod", hod)
+        val prof = base.groupBy(col("user_id"), col("hod"))
+          .agg(count(lit(1)).as("n_obs"),
+            (sum(decP(col("value"))).cast(DoubleType) / count(lit(1))).as("mean_v"))
+        base.join(prof, Seq("user_id", "hod"))
+          .groupBy(col("user_id"), col("hod"))
+          .agg(max(col("n_obs")).as("n_obs"), max(col("mean_v")).as("mean_v"),
+            sum(when(abs(col("value") - col("mean_v")) > 60.0, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy(col("user_id"), col("hod"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, value, ($TS % 86400) // 3600 AS hod FROM events),
+        prof AS (
+          SELECT user_id, hod, COUNT(*) AS n_obs,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v
+          FROM base GROUP BY 1, 2)
+        SELECT b.user_id AS user_id, b.hod AS hod,
+               MAX(p.n_obs) AS n_obs, MAX(p.mean_v) AS mean_v,
+               CAST(SUM(CASE WHEN abs(b.value - p.mean_v) > 60.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM base b JOIN prof p ON b.user_id = p.user_id AND b.hod = p.hod
+        GROUP BY 1, 2
+        ORDER BY b.user_id, b.hod""")),
+
     // ----- ts_ewma: finite-horizon exponential smoothing -----------------
     // The streaming smoother behind debounced alarms: EWMA(alpha=0.2) over
     // the last 10 readings per entity, renormalized on partial history.
