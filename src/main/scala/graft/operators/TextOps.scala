@@ -70,7 +70,11 @@ object TextOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint(true)
-    var lbl = nodes.select(col("node"), col("node").as("label")).localCheckpoint(true)
+    // iterate only over the subgraph that has edges — in a dedup pipeline
+    // that's a small fraction of the corpus; isolated nodes join back as
+    // their own singleton components at the end
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -90,7 +94,8 @@ object TextOps {
       lbl = jumped
       iter += 1
     }
-    lbl
+    nodes.join(lbl, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   // Matching DuckDB CTE list (embed after WITH / WITH RECURSIVE).
