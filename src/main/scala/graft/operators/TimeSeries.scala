@@ -709,6 +709,62 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_interval_merge: range-set union per entity -----------------
+    // odin_common/src/ranges.rs keeps per-entity range SETS normalized by
+    // merging overlapping spans; declaratively that's gaps-and-islands:
+    // an island starts where this interval's start exceeds the running max
+    // of prior ends. One window shuffle keyed on the entity. Intervals
+    // derive from orders exactly as in ts_interval_join.
+    "ts_interval_merge" -> Q(
+      build = (s, d) => {
+        val iv = Tables.t(s, d, "orders")
+          .select(col("o_custkey"),
+            (lit(1704067200L) + pmod(col("o_orderkey") * 997, lit(2505600L)))
+              .as("start_sec"))
+          .withColumn("end_sec", col("start_sec") + 7200L)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("start_sec"), col("end_sec"))
+        val cumPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv
+          .withColumn("prev_max_end", max(col("end_sec")).over(cumPrev))
+          .withColumn("is_start",
+            when(col("prev_max_end").isNull
+              || col("start_sec") > col("prev_max_end"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("is_start")).over(cum))
+          .groupBy(col("o_custkey"), col("island"))
+          .agg(min(col("start_sec")).as("span_start"),
+            max(col("end_sec")).as("span_end"),
+            count(lit(1)).as("n_merged"))
+          .orderBy(col("o_custkey"), col("island"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT o_custkey,
+                 1704067200 + ((o_orderkey * 997) % 2505600 + 2505600) % 2505600 AS start_sec,
+                 1704067200 + ((o_orderkey * 997) % 2505600 + 2505600) % 2505600 + 7200 AS end_sec
+          FROM orders),
+        flagged AS (
+          SELECT o_custkey, start_sec, end_sec,
+                 CASE WHEN MAX(end_sec) OVER (PARTITION BY o_custkey
+                        ORDER BY start_sec, end_sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR start_sec > MAX(end_sec) OVER (PARTITION BY o_custkey
+                        ORDER BY start_sec, end_sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS is_start
+          FROM iv),
+        islands AS (
+          SELECT o_custkey, start_sec, end_sec,
+                 CAST(SUM(is_start) OVER (PARTITION BY o_custkey
+                   ORDER BY start_sec, end_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+          FROM flagged)
+        SELECT o_custkey, island, MIN(start_sec) AS span_start,
+               MAX(end_sec) AS span_end, COUNT(*) AS n_merged
+        FROM islands GROUP BY 1, 2
+        ORDER BY o_custkey, island""")),
+
     // ----- ts_seasonal_baseline: diurnal profile + deviation counts ------
     // The day-shape baseline behind sensor sanity checks: per (entity,
     // hour-of-day) mean (exact DECIMAL sum / count) and how many readings
