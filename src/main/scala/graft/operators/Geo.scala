@@ -371,7 +371,7 @@ object Geo {
         ORDER BY event_id""")),
 
     // ----- geo_ecef: geodetic -> ECEF cartesian --------------------------
-    // WGS84 ellipsoid conversion (odin_common/src/cartographic.rs:370
+    // WGS84 ellipsoid conversion (odin_common/src/cartesian3.rs:595
     // `From<&Cartographic> for Cartesian3`, constants geo_constants.rs:24),
     // the transform every Cesium-facing track needs. Trig -> rounded to
     // 3 decimals (mm). Narrow map over the scan, no shuffle except the
@@ -489,8 +489,9 @@ object Geo {
         ORDER BY user_id""")),
 
     // ----- geo_closing_rate: range-rate tracking (adsb.rs) ---------------
-    // The closing-rate computation ODIN does per aircraft update
-    // (odin_adsb/src/adsb.rs:105): rate of change of the distance to a
+    // The closing-rate state ODIN keeps per aircraft update
+    // (odin_adsb/src/adsb.rs:126,144 AirborneVelocity -> groundspeed /
+    // vertical_rate merge): rate of change of the distance to a
     // reference point (station 1 at (-17,-83), derived like geo_nearest's
     // stations) between consecutive fixes. Negative = approaching. One
     // window shuffle keyed on the entity; the trig difference amplifies
