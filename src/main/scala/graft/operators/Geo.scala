@@ -191,6 +191,43 @@ object Geo {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
       bench = true),
 
+    // ----- geo_hotspot_cells: top-density cells (hotspot map ranking) ----
+    // The "where is it burning most" rollup over the gridded hotspot store
+    // (odin_goesr gridding + display ranking): rank 5-degree cells by point
+    // count, keep the top 10 with rank and share-of-total. Partial (map-
+    // side) agg then a tiny global top-k — TakeOrdered, no full sort.
+    "geo_hotspot_cells" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .withColumn("cell_lat", floor(col("lat") / 5.0).cast(LongType))
+          .withColumn("cell_lon", floor(col("lon") / 5.0).cast(LongType))
+          .groupBy(col("cell_lat"), col("cell_lon"))
+          .agg(count(lit(1)).as("n_points"))
+        val total = cells.agg(sum(col("n_points")).as("n_total"))
+        val w = Window.orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
+        cells.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("rank"), col("cell_lat"), col("cell_lon"), col("n_points"),
+            (col("n_points").cast(DoubleType) / col("n_total")).as("share"))
+          .orderBy(col("rank"))
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT CAST(floor($LAT/5.0) AS BIGINT) AS cell_lat,
+                 CAST(floor($LON/5.0) AS BIGINT) AS cell_lon,
+                 COUNT(*) AS n_points
+          FROM events GROUP BY 1, 2),
+        total AS (SELECT CAST(SUM(n_points) AS BIGINT) AS n_total FROM cells)
+        SELECT rank, cell_lat, cell_lon, n_points,
+               CAST(n_points AS DOUBLE) / n_total AS share
+        FROM (
+          SELECT c.*, t.n_total,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_points DESC, cell_lat, cell_lon)
+                      AS INT) AS rank
+          FROM cells c, total t)
+        WHERE rank <= 10 ORDER BY rank""")),
+
     // ----- geo_nearest: nearest ground station per sampled point ---------
     // Broadcast the tiny station table; at scale the same op grid-buckets
     // both sides first (see SURVEY §4).

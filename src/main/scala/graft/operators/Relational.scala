@@ -506,6 +506,25 @@ object Relational {
                     WHEN o_totalprice < 150000.0 THEN 'mid'
                     ELSE 'high' END AS bucket,
                COUNT(*) AS n_orders, ${DAVG("o_totalprice")} AS avg_price
-        FROM orders GROUP BY 1 ORDER BY 1"""))
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ----- q26_median: exact median / p90 per group ----------------------
+    // The sort-based exact quantiles that approx_sketch replaces at 100 TB
+    // (kept here as the small-data oracle for those sketches). Interpolated
+    // quantiles of 2-decimal data carry at most 3 decimals, so rounding at
+    // 4 decimals can never sit on a rounding boundary — cross-engine safe.
+    "q26_median" -> Q(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 4).as("med_value"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90_value"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               round(quantile_cont(value, 0.5), 4) AS med_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }
