@@ -11,13 +11,31 @@ import graft.functions.HaversineKm
   * for sessions created without the config).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[HaversineKm].getName, "haversine_km"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.GeoFunctions.ofAny(exprs)))
+      new FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
+      (exprs: Seq[Expression]) => graft.functions.GeoFunctions.ofAny(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
+        "minhash_signature"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashSignature(exprs.head, 20, 4, 32)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WinnowFingerprints(exprs.head, 20, 5)))
   }
 }

@@ -184,4 +184,15 @@ object TextFunctions {
     GraftInternal.column(MinHashSignature(GraftInternal.expr(c), k, stride, nPerm))
   def simhash64(c: Column): Column =
     GraftInternal.column(SimHash64(GraftInternal.expr(c)))
+
+  /** SQL registration of the text kernels (default parameters). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (es: Seq[Expression]) => MinHashSignature(es.head, 20, 4, 32), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      (es: Seq[Expression]) => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      (es: Seq[Expression]) => WinnowFingerprints(es.head, 20, 5), "scala_udf")
+  }
 }

@@ -15,6 +15,19 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(math.abs(d - 559.1) < 1.0, s"got $d") // SF -> LA great circle
   }
 
+  test("text kernels are SQL-callable after registration") {
+    val s2 = spark.newSession()
+    graft.functions.TextFunctions.register(s2)
+    val row = s2.sql("""
+      SELECT simhash64('the quick brown fox jumps over the lazy dog') AS sh,
+             size(minhash_signature('the quick brown fox jumps over the lazy dog')) AS nsig,
+             size(winnow_fingerprints('the quick brown fox jumps over the lazy dog again')) AS nfp
+    """).head
+    assert(row.getLong(0) != 0L)
+    assert(row.getInt(1) == 32)
+    assert(row.getInt(2) >= 1)
+  }
+
   test("TopK aggregator matches window row_number top-k") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
