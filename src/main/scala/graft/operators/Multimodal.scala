@@ -101,6 +101,39 @@ object Multimodal {
         }.toDF("doc_id", "n_bytes", "features")
           .orderBy(col("doc_id"))
       },
+      oracle = None),
+
+    // ----- mm_batch_infer: fixed-batch model-inference plumbing ----------
+    // odin_onnx runs the model on FIXED-SIZE batches; mapPartitions with
+    // `grouped(32)` reproduces that shape: per executor partition, payloads
+    // are buffered to batch tensors, "inferred" together, and re-flattened
+    // with their ids. The model call is a STUB (payload hash -> 4-dim
+    // logits); the batching, id bookkeeping, and tail-batch handling are
+    // the real plumbing an ONNX session needs at scale.
+    "mm_batch_infer" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val batchSize = 32
+        blobs(s, d).select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.grouped(batchSize).flatMap { batch =>
+              // STUB model: one "session run" per batch of <= 32 payloads
+              val logits = batch.map { case (_, bytes) =>
+                var h = 1125899906842597L
+                var i = 0
+                while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xFF); i += 1 }
+                Array.tabulate(4)(k => ((h >>> (k * 16)) & 0xFFFF).toDouble / 65535.0)
+              }
+              batch.zip(logits).zipWithIndex.map { case (((id, bytes), lg), i) =>
+                (id, batch.size, i, lg, lg.indexOf(lg.max))
+              }
+            }
+          }
+          .toDF("doc_id", "batch_n", "batch_pos", "logits", "pred_class")
+          .orderBy(col("doc_id"))
+      },
       oracle = None)
   )
 }

@@ -27,6 +27,23 @@ class MultimodalSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getAs[String]("sha256").matches("[0-9a-f]{64}")))
   }
 
+  test("mm_batch_infer: every payload scored once, batches bounded at 32") {
+    val rows = run("mm_batch_infer").collect()
+    assert(rows.length == Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val n = r.getAs[Int]("batch_n")
+      assert(n >= 1 && n <= 32)
+      assert(r.getAs[Int]("batch_pos") < n)
+      val cls = r.getAs[Int]("pred_class")
+      assert(cls >= 0 && cls < 4)
+      assert(r.getAs[scala.collection.Seq[Double]]("logits").length == 4)
+    }
+    // deterministic across runs
+    val again = run("mm_batch_infer").collect()
+    assert(rows.map(_.getAs[Int]("pred_class")).toSeq
+      == again.map(_.getAs[Int]("pred_class")).toSeq)
+  }
+
   test("mm_feature_stub: deterministic 8-dim features") {
     val a = run("mm_feature_stub").collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getSeq[Double](2)).toMap
