@@ -508,6 +508,51 @@ object Relational {
                COUNT(*) AS n_orders, ${DAVG("o_totalprice")} AS avg_price
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // ----- q27_snapshot_diff: dataset-version diff (SCD accounting) ------
+    // The change-data report between two table versions: full outer join
+    // on the key, classify added / removed / changed / unchanged. Two
+    // deterministic "snapshots" derive from orders; the join is keyed on
+    // the natural key so at scale it rides the same hash partitioning as
+    // every other orders op. The per-class rollup is what an incremental
+    // pipeline publishes after each ingest.
+    "q27_snapshot_diff" -> Q(
+      build = (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val old = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+        val neu = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 7 === 0, decP(col("o_totalprice")) * 2)
+              .otherwise(decP(col("o_totalprice"))).cast(DoubleType).as("new_price"))
+        old.join(neu, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("old_price").isNull, "added")
+              .when(col("new_price").isNull, "removed")
+              .when(col("old_price") =!= col("new_price"), "changed")
+              .otherwise("unchanged"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"), min(col("k")).as("first_key"))
+          .orderBy(col("status"))
+      },
+      oracle = Some("""
+        WITH old AS (
+          SELECT o_orderkey AS k, o_totalprice AS old_price
+          FROM orders WHERE o_orderkey % 3 <> 0),
+        neu AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+                      ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                 END AS new_price
+          FROM orders WHERE o_orderkey % 5 <> 0)
+        SELECT CASE WHEN old_price IS NULL THEN 'added'
+                    WHEN new_price IS NULL THEN 'removed'
+                    WHEN old_price <> new_price THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_rows, MIN(COALESCE(old.k, neu.k)) AS first_key
+        FROM old FULL OUTER JOIN neu ON old.k = neu.k
+        GROUP BY 1 ORDER BY 1"""))
+,
     // ----- q26_median: exact median / p90 per group ----------------------
     // The sort-based exact quantiles that approx_sketch replaces at 100 TB
     // (kept here as the small-data oracle for those sketches). Interpolated
