@@ -253,6 +253,70 @@ object Similarity {
       },
       oracle = None),
 
+    // ----- emb_pq_topk: product-quantization ANN (ADC search) ------------
+    // The memory-compression leg of the ANN triad (LSH buckets, IVF cells,
+    // PQ codes): split the 64-dim vector into 8 subspaces of 8 dims, build
+    // a per-subspace codebook (per-label sub-centroids — 10 codes/subspace,
+    // the k-means-lite quantizer), encode every vector as 8 small codes,
+    // then answer top-k by asymmetric distance (query subvector vs. code
+    // centroid, summed via a broadcast codebook join). At 100 TB the codes
+    // are 8 bytes/vector instead of 256 — the scan-side payload shrinks
+    // 32x while distances stay a narrow map over the code columns.
+    "emb_pq_topk" -> Q(
+      build = (s, d) => {
+        val nSub = 8 // subspaces of 8 dims each
+        val e = emb(s, d)
+        val sub = e.select(col("vec_id"), col("label"),
+            posexplode(expr("transform(sequence(0, 7), b -> slice(embedding, b*8 + 1, 8))")))
+          .toDF("vec_id", "label", "sub_id", "sub_vec")
+        // codebook: per (subspace, label) centroid — 10 codes per subspace
+        val codebook = sub
+          .select(col("sub_id"), col("label").as("code"),
+            posexplode(col("sub_vec"))).toDF("sub_id", "code", "pos", "v")
+          .groupBy(col("sub_id"), col("code"), col("pos"))
+          .agg(avg(col("v").cast(DoubleType)).as("m"))
+          .groupBy(col("sub_id"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            st => st.getField("m")).as("centroid"))
+          .localCheckpoint(true)
+        // encode: nearest code per (vector, subspace)
+        val dist2 = aggregate(
+          zip_with(col("sub_vec"), col("centroid"),
+            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+          lit(0.0), (acc, x) => acc + x)
+        val wCode = Window.partitionBy(col("vec_id"), col("sub_id"))
+          .orderBy(col("d2"), col("code"))
+        val codes = sub.join(broadcast(codebook), Seq("sub_id"))
+          .withColumn("d2", dist2)
+          .withColumn("rn", row_number().over(wCode))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("sub_id"), col("code"))
+        // ADC: queries (vec_id < 10) score candidates by summed
+        // query-subvector -> code-centroid distances
+        val q = sub.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("sub_id"),
+            col("sub_vec").as("q_sub"))
+        val lut = q.join(broadcast(codebook), Seq("sub_id"))
+          .withColumn("qd2", aggregate(
+            zip_with(col("q_sub"), col("centroid"),
+              (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+            lit(0.0), (acc, x) => acc + x))
+          .select(col("q_vec_id"), col("sub_id"), col("code"), col("qd2"))
+        val wTop = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("adc_d2"), col("vec_id"))
+        codes.join(broadcast(lut), Seq("sub_id", "code"))
+          .filter(col("vec_id") =!= col("q_vec_id"))
+          .groupBy(col("q_vec_id"), col("vec_id"), col("label"))
+          .agg(sum(col("qd2")).as("adc_d2"), count(lit(1)).as("n_sub"))
+          .filter(col("n_sub") === nSub) // all subspaces present
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
+            col("label"), round(sqrt(col("adc_d2")), 6).as("adc_dist"))
+          .orderBy(col("q_vec_id"), col("rn"))
+      },
+      oracle = None),
+
     // ----- emb_kmeans: Lloyd clustering (IVF coarse-quantizer training) --
     // The training step the IVF index (emb_ivf_topk) assumes: k=8 centroids
     // refined by 3 Lloyd rounds from a deterministic seed (the 8 lowest

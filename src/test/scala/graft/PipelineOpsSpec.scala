@@ -132,6 +132,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("emb_pq_topk: 5 ADC hits per query, distances ascending") {
+    val rows = run("emb_pq_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_vec_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      val ds = sorted.map(_.getAs[Double]("adc_dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      val ids = rs.map(_.getAs[Long]("n_vec_id"))
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
   test("doc_tfidf: <=3 terms per doc, rarer same-tf term ranks higher") {
     val rows = run("doc_tfidf").collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
