@@ -709,6 +709,48 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_funnel: ordered-sequence (funnel) detection ----------------
+    // Did view -> click -> purchase happen IN ORDER per entity? The
+    // sequence-pattern query (MATCH_RECOGNIZE's common case) as three
+    // co-partitioned aggregations: each stage is min(ts of the next type
+    // AFTER the previous stage's time) — all shuffles keyed on user_id, so
+    // the chain rides one partitioning. Emits per-user stage times + the
+    // reached stage.
+    "ts_funnel" -> Q(
+      build = (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts_sec"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts_sec") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts_sec") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .withColumn("stage",
+            when(col("t_purchase").isNotNull, "purchase")
+              .when(col("t_click").isNotNull, "click").otherwise("view"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT user_id, event_type, $TS AS ts_sec FROM events),
+        v AS (SELECT user_id, MIN(ts_sec) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts_sec) AS t_click
+              FROM e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts_sec > v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts_sec) AS t_purchase
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_sec > c.t_click GROUP BY 1)
+        SELECT v.user_id AS user_id, v.t_view, c.t_click, p.t_purchase,
+               CASE WHEN p.t_purchase IS NOT NULL THEN 'purchase'
+                    WHEN c.t_click IS NOT NULL THEN 'click'
+                    ELSE 'view' END AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY user_id""")),
+
     // ----- ts_interval_merge: range-set union per entity -----------------
     // odin_common/src/ranges.rs keeps per-entity range SETS normalized by
     // merging overlapping spans; declaratively that's gaps-and-islands:
