@@ -238,11 +238,13 @@ object Geo {
         val joined = pts.crossJoin(broadcast(stations(s, d)))
           .withColumn("dist_km",
             round(havC(col("lat"), col("lon"), col("s_lat"), col("s_lon")), 3))
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("dist_km"), col("s_suppkey"))
-        joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("event_id"), col("s_suppkey").as("nearest_station"),
-            col("dist_km"))
+        // argmin as a struct-min aggregate: lexicographic (dist, station)
+        // min equals the window row_number ordering, but partial-aggregates
+        // map-side — no per-event sort, no window shuffle of all candidates
+        joined.groupBy(col("event_id"))
+          .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("m"))
+          .select(col("event_id"), col("m.s_suppkey").as("nearest_station"),
+            col("m.dist_km").as("dist_km"))
           .orderBy(col("event_id"))
       },
       oracle = Some(s"""
