@@ -34,16 +34,22 @@ object TimeSeries {
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- ts_latest_per_key: current state per entity -------------------
+    // argmax as a struct-max aggregate: lexicographic max on (ts_sec,
+    // event_id) — (ts_sec, event_id) is unique, so the trailing payload
+    // fields never decide the comparison. Partial-aggregates map-side (one
+    // row per entity per input partition reaches the shuffle), which is
+    // the state-store fold shape a 100 TB feed wants; the window-sort form
+    // would shuffle and sort every raw event per entity instead.
     "ts_latest_per_key" -> Q(
-      build = (s, d) => {
-        val w = byUser.orderBy(col("ts_sec").desc, col("event_id").desc)
+      build = (s, d) =>
         ev(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("value"), col("ts_sec"))
-          .orderBy(col("user_id"))
-      },
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts_sec"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"),
+            col("m.ts_sec").as("ts_sec"))
+          .orderBy(col("user_id")),
       oracle = Some(s"""
         SELECT user_id, event_id, event_type, value, ts_sec FROM (
           SELECT user_id, event_id, event_type, value, $TS AS ts_sec,
