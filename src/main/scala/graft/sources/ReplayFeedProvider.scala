@@ -135,12 +135,14 @@ class ReplayFeedScan(conf: ReplayFeedConf, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new ReplayFeedReaderFactory(conf, required.fieldNames)
 
-  /** Streaming surface: the same archive replayed live, one day per
-    * micro-batch tick — ODIN's live_importer shape (archived feed
-    * re-delivered in time order) on the Structured Streaming engine.
-    * Offsets are day ticks, so restarts resume exactly at the last
-    * committed day and re-reads are identical (deterministic generator):
-    * exactly-once without any source-side state.
+  /** Streaming surface: the same archive replayed through Structured
+    * Streaming — ODIN's live_importer shape (archived feed re-delivered in
+    * time order) on the micro-batch engine. Offsets are day ticks and the
+    * source is fully STATELESS: `latestOffset` is always the archive end,
+    * so resume position comes solely from the engine's offset/commit log
+    * and a restart re-plans exactly the uncommitted day range (re-reads
+    * are identical because the generator is deterministic) — exactly-once
+    * with no source-side bookkeeping to lose.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ReplayFeedMicroBatchStream(conf, required.fieldNames)
@@ -153,12 +155,7 @@ class TickOffset(val tick: Long) extends Offset {
 class ReplayFeedMicroBatchStream(conf: ReplayFeedConf, cols: Array[String])
     extends MicroBatchStream {
   override def initialOffset(): Offset = new TickOffset(0L)
-  override def latestOffset(): Offset = {
-    // one new day becomes visible per trigger until the archive is drained
-    lastSeen = math.min(lastSeen + 1, conf.days.toLong)
-    new TickOffset(lastSeen)
-  }
-  private var lastSeen = 0L
+  override def latestOffset(): Offset = new TickOffset(conf.days.toLong)
   override def deserializeOffset(json: String): Offset =
     new TickOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -50,7 +50,7 @@ class ReplayFeedSpec extends SparkSpecBase {
     assert(plan.contains("read=[event_id,value]"), plan)
   }
 
-  test("micro-batch streaming read delivers the archive exactly once") {
+  test("micro-batch streaming read delivers the whole archive") {
     val q = spark.readStream
       .format("graft.sources.ReplayFeedProvider")
       .option("days", "3").option("stations", "4").option("eventsPerDay", "32")
@@ -67,6 +67,25 @@ class ReplayFeedSpec extends SparkSpecBase {
       .option("days", "3").option("stations", "4").option("eventsPerDay", "32")
       .load()
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
+  test("streaming restart from checkpoint re-delivers nothing (exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("replay-restart").toString
+    def start() = spark.readStream
+      .format("graft.sources.ReplayFeedProvider")
+      .option("days", "2").option("stations", "3").option("eventsPerDay", "16")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val n1 = spark.read.parquet(s"$dir/data").count()
+    assert(n1 == 2L * 3 * 16)
+    val q2 = start() // same checkpoint: offsets already committed
+    q2.processAllAvailable(); q2.stop()
+    val n2 = spark.read.parquet(s"$dir/data").count()
+    assert(n2 == n1, s"restart re-delivered rows: $n1 -> $n2")
   }
 
   test("source rows behave as a normal DataFrame (join + agg)") {
