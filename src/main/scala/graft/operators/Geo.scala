@@ -527,6 +527,41 @@ object Geo {
           GROUP BY 1)
         ORDER BY user_id""")),
 
+    // ----- geo_speed: track speed + GPS-glitch flag ----------------------
+    // Track QC every ingest needs (gpshub/adsb position updates): segment
+    // speed from consecutive fixes; speeds beyond a physical bound flag
+    // the fix as a glitch (teleporting sensor = bad decode / id collision).
+    // Same single window shuffle as geo_haversine.
+    "geo_speed" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .withColumn("plat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("plon", lag(col("lon"), 1).over(wTrack))
+          .withColumn("pts", lag(col("ts_sec"), 1).over(wTrack))
+          .filter(col("plat").isNotNull && col("ts_sec") > col("pts"))
+          .withColumn("speed_kmh",
+            round(havC(col("plat"), col("plon"), col("lat"), col("lon"))
+              / (col("ts_sec") - col("pts")) * 3600.0, 3))
+          .select(col("user_id"), col("event_id"), col("speed_kmh"),
+            (col("speed_kmh") > 1000.0).as("glitch"))
+          .orderBy(col("user_id"), col("event_id")),
+      oracle = Some(s"""
+        SELECT user_id, event_id,
+               round(${havS("plat", "plon", "lat", "lon")}
+                     / (ts_sec - pts) * 3600.0, 3) AS speed_kmh,
+               round(${havS("plat", "plon", "lat", "lon")}
+                     / (ts_sec - pts) * 3600.0, 3) > 1000.0 AS glitch
+        FROM (
+          SELECT user_id, event_id, ts_sec, lat, lon,
+                 LAG(lat, 1) OVER w AS plat, LAG(lon, 1) OVER w AS plon,
+                 LAG(ts_sec, 1) OVER w AS pts
+          FROM (SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       $LAT AS lat, $LON AS lon FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        WHERE plat IS NOT NULL AND ts_sec > pts
+        ORDER BY user_id, event_id""")),
+
     // ----- geo_closing_rate: range-rate tracking (adsb.rs) ---------------
     // The closing-rate state ODIN keeps per aircraft update
     // (odin_adsb/src/adsb.rs:126,144 AirborneVelocity -> groundspeed /

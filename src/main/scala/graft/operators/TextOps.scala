@@ -419,6 +419,32 @@ object TextOps {
           .orderBy(col("doc_id")),
       oracle = None),
 
+    // ----- doc_length_profile: corpus length histogram per language ------
+    // The first chart of every corpus report: doc-length distribution per
+    // lang in 128-char buckets with exact share-of-language. One partial
+    // aggregation; the share division is the same IEEE op on both engines.
+    "doc_length_profile" -> Q(
+      build = (s, d) => {
+        val wl = Window.partitionBy(col("lang"))
+        docs(s, d)
+          .withColumn("len_bucket", expr("n_chars div 128"))
+          .groupBy(col("lang"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"))
+          .withColumn("share",
+            col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(wl))
+          .orderBy(col("lang"), col("len_bucket"))
+      },
+      oracle = Some("""
+        SELECT lang, len_bucket, n_docs, chars_total,
+               CAST(n_docs AS DOUBLE)
+               / SUM(n_docs) OVER (PARTITION BY lang) AS share
+        FROM (
+          SELECT lang, n_chars // 128 AS len_bucket, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars_total
+          FROM documents GROUP BY 1, 2)
+        ORDER BY lang, len_bucket""")),
+
     // ----- doc_cc_clusters: connected components over near-dup pairs -----
     // The closure step of every dedup pipeline: near-dup similarity is not
     // transitive, so the canonical "document group" is the connected

@@ -715,6 +715,34 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_rate_trend: day-over-day volume change per type ------------
+    // Trend surveillance over the feed itself (is the sensor network
+    // degrading?): daily event counts per type with the previous day's
+    // count and the exact-integer delta. Daily agg then a lag over the
+    // tiny (type, day) frame — heavy lifting is one partial-agg shuffle.
+    "ts_rate_trend" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        ev(s, d)
+          .withColumn("day", expr("ts_sec div 86400"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+          .filter(col("prev_n").isNotNull)
+          .withColumn("delta", col("n_events") - col("prev_n"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      oracle = Some(s"""
+        SELECT event_type, day, n_events, prev_n, n_events - prev_n AS delta
+        FROM (
+          SELECT event_type, day, n_events,
+                 LAG(n_events, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+          FROM (
+            SELECT event_type, $TS // 86400 AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2))
+        WHERE prev_n IS NOT NULL
+        ORDER BY event_type, day""")),
+
     // ----- ts_funnel: ordered-sequence (funnel) detection ----------------
     // Did view -> click -> purchase happen IN ORDER per entity? The
     // sequence-pattern query (MATCH_RECOGNIZE's common case) as three
