@@ -253,6 +253,52 @@ object Similarity {
       },
       oracle = None),
 
+    // ----- emb_outliers: distance-to-own-centroid QC ---------------------
+    // Label-quality audit (mislabeled / corrupt vectors): top-5 vectors
+    // farthest from their label centroid. All comparisons happen on the
+    // exact integer  sum((xq*n - Sq)^2)  — quantized coordinates times the
+    // group count minus the quantized coordinate sums — so the ranking is
+    // order-free and cross-engine; only the final reported distance
+    // divides/sqrt's (identical IEEE ops). Shuffles: per-(label,pos) sums,
+    // join back, per-vec sum — all keyed on the label.
+    "emb_outliers" -> Q(
+      build = (s, d) => {
+        val q = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xq",
+            floor(col("x").cast(DoubleType) * lit(16384.0)).cast(LongType))
+        val sums = q.groupBy(col("label"), col("pos"))
+          .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+        val d2 = q.join(sums, Seq("label", "pos"))
+          .withColumn("t", col("xq") * col("n") - col("sq"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(col("n")).as("n"), sum(col("t") * col("t")).as("d2n"))
+        val w = Window.partitionBy(col("label")).orderBy(col("d2n").desc, col("vec_id"))
+        d2.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("label"), col("rn"), col("vec_id"),
+            (sqrt(col("d2n").cast(DoubleType)) / (lit(16384.0) * col("n")))
+              .as("dist"))
+          .orderBy(col("label"), col("rn"))
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*16384) AS BIGINT) AS xq
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        s AS (SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS sq, COUNT(*) AS n
+              FROM q GROUP BY 1, 2),
+        d AS (SELECT q.vec_id, q.label, MAX(s.n) AS n,
+                     CAST(SUM((q.xq*s.n - s.sq)*(q.xq*s.n - s.sq)) AS BIGINT) AS d2n
+              FROM q JOIN s ON q.label = s.label AND q.pos = s.pos
+              GROUP BY 1, 2)
+        SELECT label, CAST(rn AS INT) AS rn, vec_id,
+               sqrt(CAST(d2n AS DOUBLE)) / (16384.0 * n) AS dist
+        FROM (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY d2n DESC, vec_id) AS rn FROM d)
+        WHERE rn <= 5 ORDER BY label, rn""")),
+
     // ----- emb_pq_topk: product-quantization ANN (ADC search) ------------
     // The memory-compression leg of the ANN triad (LSH buckets, IVF cells,
     // PQ codes): split the 64-dim vector into 8 subspaces of 8 dims, build
