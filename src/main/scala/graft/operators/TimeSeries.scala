@@ -715,6 +715,34 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_heartbeat_uptime: per-entity availability --------------------
+    // The sensor-availability dashboard number: of the 10-min heartbeat
+    // slots between an entity's first and last report, how many carried at
+    // least one event? Pure integer slot math; the ratio is one identical
+    // IEEE division. One partial-agg shuffle keyed on the entity.
+    "ts_heartbeat_uptime" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .withColumn("slot", expr("ts_sec div 600"))
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("slot")).as("n_active_slots"),
+            min(col("slot")).as("first_slot"), max(col("slot")).as("last_slot"))
+          .withColumn("n_expected", col("last_slot") - col("first_slot") + 1)
+          .withColumn("uptime",
+            col("n_active_slots").cast(DoubleType) / col("n_expected"))
+          .select(col("user_id"), col("n_active_slots"), col("n_expected"),
+            col("uptime"))
+          .orderBy(col("user_id")),
+      oracle = Some(s"""
+        SELECT user_id, n_active_slots, last_slot - first_slot + 1 AS n_expected,
+               CAST(n_active_slots AS DOUBLE) / (last_slot - first_slot + 1) AS uptime
+        FROM (
+          SELECT user_id, COUNT(DISTINCT slot) AS n_active_slots,
+                 MIN(slot) AS first_slot, MAX(slot) AS last_slot
+          FROM (SELECT user_id, $TS // 600 AS slot FROM events)
+          GROUP BY 1)
+        ORDER BY user_id""")),
+
     // ----- ts_rate_trend: day-over-day volume change per type ------------
     // Trend surveillance over the feed itself (is the sensor network
     // degrading?): daily event counts per type with the previous day's
