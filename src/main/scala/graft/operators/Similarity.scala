@@ -325,18 +325,18 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             st => st.getField("m")).as("centroid"))
           .localCheckpoint(true)
-        // encode: nearest code per (vector, subspace)
+        // encode: nearest code per (vector, subspace) — struct-min argmin,
+        // partial-aggregated map-side
         val dist2 = aggregate(
           zip_with(col("sub_vec"), col("centroid"),
             (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
           lit(0.0), (acc, x) => acc + x)
-        val wCode = Window.partitionBy(col("vec_id"), col("sub_id"))
-          .orderBy(col("d2"), col("code"))
         val codes = sub.join(broadcast(codebook), Seq("sub_id"))
           .withColumn("d2", dist2)
-          .withColumn("rn", row_number().over(wCode))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("label"), col("sub_id"), col("code"))
+          .groupBy(col("vec_id"), col("sub_id"))
+          .agg(min(struct(col("d2"), col("code"), col("label"))).as("m"))
+          .select(col("vec_id"), col("m.label").as("label"), col("sub_id"),
+            col("m.code").as("code"))
         // ADC: queries (vec_id < 10) score candidates by summed
         // query-subvector -> code-centroid distances
         val q = sub.filter(col("vec_id") < 10)
@@ -381,14 +381,17 @@ object Similarity {
             zip_with(col("embedding"), col("centroid"),
               (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
             lit(0.0), (acc, x) => acc + x)
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist_sq"), col("cid"))
+          // argmin as struct-min: (dist_sq, cid) is unique, the carried
+          // label/embedding are constant per vec — map-side combinable,
+          // no per-vector sort
           e.crossJoin(broadcast(cents))
             .withColumn("dist_sq", dist)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("label"), col("embedding"),
-              col("cid"), col("dist_sq"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("dist_sq"), col("cid"), col("label"),
+              col("embedding"))).as("m"))
+            .select(col("vec_id"), col("m.label").as("label"),
+              col("m.embedding").as("embedding"), col("m.cid").as("cid"),
+              col("m.dist_sq").as("dist_sq"))
         }
         var cents = e.filter(col("vec_id") < k)
           .select(col("vec_id").cast(IntegerType).as("cid"),
