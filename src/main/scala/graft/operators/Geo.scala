@@ -527,6 +527,38 @@ object Geo {
           GROUP BY 1)
         ORDER BY user_id""")),
 
+    // ----- geo_cell_transitions: grid-cell flow matrix -------------------
+    // Mobility rollup over the gridded world (where do tracks move next?):
+    // consecutive fixes per track mapped to 5-degree cells, transitions
+    // counted. The flow matrix behind movement prediction / corridor maps.
+    // One lag window keyed on the entity + one partial agg.
+    "geo_cell_transitions" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .withColumn("cl", floor(col("lat") / 5.0).cast(LongType))
+          .withColumn("cn", floor(col("lon") / 5.0).cast(LongType))
+          .withColumn("pcl", lag(col("cl"), 1).over(wTrack))
+          .withColumn("pcn", lag(col("cn"), 1).over(wTrack))
+          .filter(col("pcl").isNotNull
+            && (col("pcl") =!= col("cl") || col("pcn") =!= col("cn")))
+          .groupBy(col("pcl"), col("pcn"), col("cl"), col("cn"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy(col("pcl"), col("pcn"), col("cl"), col("cn")),
+      oracle = Some(s"""
+        SELECT pcl, pcn, cl, cn, COUNT(*) AS n_transitions
+        FROM (
+          SELECT cl, cn,
+                 LAG(cl, 1) OVER w AS pcl, LAG(cn, 1) OVER w AS pcn
+          FROM (SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                       CAST(floor($LAT/5.0) AS BIGINT) AS cl,
+                       CAST(floor($LON/5.0) AS BIGINT) AS cn
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        WHERE pcl IS NOT NULL AND (pcl <> cl OR pcn <> cn)
+        GROUP BY 1, 2, 3, 4
+        ORDER BY pcl, pcn, cl, cn""")),
+
     // ----- geo_speed: track speed + GPS-glitch flag ----------------------
     // Track QC every ingest needs (gpshub/adsb position updates): segment
     // speed from consecutive fixes; speeds beyond a physical bound flag

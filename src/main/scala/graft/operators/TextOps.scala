@@ -419,6 +419,28 @@ object TextOps {
           .orderBy(col("doc_id")),
       oracle = None),
 
+    // ----- doc_source_overlap: cross-source duplication matrix -----------
+    // Which crawls re-collect each other's documents? Pairs of sources
+    // sharing a content hash, counted — the dedup-planning dashboard that
+    // decides processing order. Shuffle keyed on the hash; pair expansion
+    // happens inside each tiny hash group.
+    "doc_source_overlap" -> Q(
+      build = (s, d) => {
+        val h = docs(s, d)
+          .select(md5(col("text").cast(BinaryType)).as("h"), col("source"))
+          .distinct()
+        h.as("a").join(h.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
     // ----- doc_length_profile: corpus length histogram per language ------
     // The first chart of every corpus report: doc-length distribution per
     // lang in 128-char buckets with exact share-of-language. One partial
