@@ -508,6 +508,42 @@ object Relational {
                COUNT(*) AS n_orders, ${DAVG("o_totalprice")} AS avg_price
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // ----- q28_winsorize: robust-stats outlier clamping ------------------
+    // The data-cleaning step before any sensitive aggregate: clamp each
+    // reading to its group's [p10, p90] band and report raw vs. winsorized
+    // means. Quantiles round to 4 decimals (safe: interpolants of 2-decimal
+    // data carry <= 3 decimals), clamped values therefore carry <= 4
+    // decimals, so the winsorized mean is an exact DECIMAL(14,4) sum.
+    "q28_winsorize" -> Q(
+      build = (s, d) => {
+        val bands = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.1)"), 4).as("p10"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        Tables.events(s, d)
+          .join(broadcast(bands), "event_type")
+          .withColumn("clamped", least(greatest(col("value"), col("p10")), col("p90")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(decP(col("value"))).cast(DoubleType) / count(lit(1))).as("mean_raw"),
+            (sum(col("clamped").cast(DecimalType(14, 4))).cast(DoubleType)
+              / count(lit(1))).as("mean_winsorized"),
+            max(col("p10")).as("p10"), max(col("p90")).as("p90"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH bands AS (
+          SELECT event_type, round(quantile_cont(value, 0.1), 4) AS p10,
+                 round(quantile_cont(value, 0.9), 4) AS p90
+          FROM events GROUP BY 1)
+        SELECT e.event_type AS event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_raw,
+               CAST(SUM(CAST(least(greatest(e.value, b.p10), b.p90) AS DECIMAL(14,4)))
+                    AS DOUBLE) / COUNT(*) AS mean_winsorized,
+               MAX(b.p10) AS p10, MAX(b.p90) AS p90
+        FROM events e JOIN bands b ON e.event_type = b.event_type
+        GROUP BY 1 ORDER BY event_type""")),
+
     // ----- q27_snapshot_diff: dataset-version diff (SCD accounting) ------
     // The change-data report between two table versions: full outer join
     // on the key, classify added / removed / changed / unchanged. Two
