@@ -41,10 +41,11 @@ object TextOps {
     FROM documents d, generate_series(1, 1024, 4) AS g(i)
     WHERE length(d.text) >= 20 AND g.i <= length(d.text) - 19"""
 
-  /** Exact-Jaccard near-dup pairs (>= 0.5) via the shingle join — shared by
-    * doc_ngram_dedup (pair report) and doc_cc_clusters (edge set).
+  /** Exact-Jaccard scores for every shingle-sharing pair (the shingle
+    * join), unfiltered — shared by the pair report, the CC edge set, and
+    * the threshold-tuning histogram.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardAll(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("x")
@@ -58,8 +59,11 @@ object TextOps {
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard", col("n_common").cast(DoubleType)
         / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= 0.5)
   }
+
+  /** Near-dup pairs at the dedup threshold (>= 0.5). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardAll(s, d).filter(col("jaccard") >= 0.5)
 
   /** Distributed connected components: min-label propagation with pointer
     * jumping, iterated to convergence. `nodes` has column `node`; `edges`
@@ -106,13 +110,13 @@ object TextOps {
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       GROUP BY 1, 2),
-    jpairs AS (
+    jpairs_all AS (
       SELECT p.doc_a, p.doc_b, p.n_common,
              CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) AS jaccard
       FROM cpairs p
       JOIN sizes a ON a.doc_id = p.doc_a
-      JOIN sizes b ON b.doc_id = p.doc_b
-      WHERE CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) >= 0.5)"""
+      JOIN sizes b ON b.doc_id = p.doc_b),
+    jpairs AS (SELECT * FROM jpairs_all WHERE jaccard >= 0.5)"""
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -418,6 +422,27 @@ object TextOps {
             element_at(col("fps"), 1).as("min_fp")) // kernel emits sorted
           .orderBy(col("doc_id")),
       oracle = None),
+
+    // ----- doc_sim_histogram: pair-similarity distribution ---------------
+    // Where should the dedup threshold sit? The histogram of exact-Jaccard
+    // scores over all shingle-sharing pairs answers it (the knee between
+    // the background hump and the duplicate spike). Bucketing floor(j*10)
+    // is the same IEEE op on the same doubles on both engines.
+    "doc_sim_histogram" -> Q(
+      build = (s, d) =>
+        jaccardAll(s, d)
+          .withColumn("bucket", floor(col("jaccard") * 10.0).cast(LongType))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("jaccard") >= 0.5, 1)).as("n_above_threshold"))
+          .orderBy(col("bucket")),
+      oracle = Some(s"""
+        WITH $JPAIRS
+        SELECT CAST(floor(jaccard*10.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n_pairs,
+               CAST(COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS BIGINT)
+                 AS n_above_threshold
+        FROM jpairs_all GROUP BY 1 ORDER BY bucket""")),
 
     // ----- doc_source_overlap: cross-source duplication matrix -----------
     // Which crawls re-collect each other's documents? Pairs of sources
