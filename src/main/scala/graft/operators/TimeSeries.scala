@@ -715,6 +715,36 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_first_seen: daily new-entity counts + cumulative -----------
+    // "New vs. returning" growth accounting without windowed distinct
+    // counting: an entity's first-seen day is a min-aggregate, daily new
+    // counts follow, and the running total is a window sum over the tiny
+    // per-day frame — exact at any scale where COUNT(DISTINCT) OVER would
+    // need state proportional to the entity universe.
+    "ts_first_seen" -> Q(
+      build = (s, d) => {
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("day", expr("ts_sec div 86400"))
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_new"))
+          .withColumn("cum_entities", sum(col("n_new")).over(w))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        SELECT day, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_entities
+        FROM (
+          SELECT day, COUNT(*) AS n_new FROM (
+            SELECT user_id, MIN($TS // 86400) AS day FROM events GROUP BY 1)
+          GROUP BY 1)
+        ORDER BY day""")),
+
     // ----- ts_heartbeat_uptime: per-entity availability --------------------
     // The sensor-availability dashboard number: of the 10-min heartbeat
     // slots between an entity's first and last report, how many carried at
