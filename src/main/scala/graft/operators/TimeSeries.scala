@@ -715,6 +715,66 @@ object TimeSeries {
         WHERE var_v > 0.0 AND abs((value - mean_v)/sqrt(var_v)) > 2.5
         ORDER BY user_id, event_id""")),
 
+    // ----- ts_crosscorr: co-variation matrix of feed volumes -------------
+    // Do sensor channels move together? Pearson correlation between the
+    // hourly volumes of every event-type pair, computed entirely from
+    // integer sums (n, Sx, Sy, Sxy, Sxx, Syy over a densified hour x type
+    // frame) — the only doubles are the final identical sqrt/divide, so
+    // the matrix is bit-exact cross-engine with no rounding.
+    "ts_crosscorr" -> Q(
+      build = (s, d) => {
+        val e = ev(s, d).withColumn("hour", expr("ts_sec div 3600"))
+        val counts = e.groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val hours = e.select(col("hour")).distinct()
+        val types = e.select(col("event_type")).distinct()
+        val dense = hours.crossJoin(types)
+          .join(counts, Seq("hour", "event_type"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        val p = dense.as("a").join(dense.as("b"),
+            col("a.hour") === col("b.hour")
+              && col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+            col("a.n").as("x"), col("b.n").as("y"))
+        p.groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("r",
+            (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+              / (sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+                * sqrt((col("n_hours") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+          .select(col("type_a"), col("type_b"), col("n_hours"), col("r"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT $TS // 3600 AS hour, event_type FROM events),
+        counts AS (SELECT hour, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        dense AS (
+          SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS n
+          FROM (SELECT DISTINCT hour FROM e) h
+          CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+          LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+          FROM dense a JOIN dense b
+            ON a.hour = b.hour AND a.event_type < b.event_type),
+        sums AS (
+          SELECT type_a, type_b, COUNT(*) AS n_hours,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy
+          FROM p GROUP BY 1, 2)
+        SELECT type_a, type_b, n_hours,
+               CAST(n_hours*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n_hours*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n_hours*syy - sy*sy AS DOUBLE))) AS r
+        FROM sums
+        ORDER BY type_a, type_b""")),
+
     // ----- ts_first_seen: daily new-entity counts + cumulative -----------
     // "New vs. returning" growth accounting without windowed distinct
     // counting: an entity's first-seen day is a min-aggregate, daily new
