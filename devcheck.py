@@ -40,8 +40,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"  {name}: NO PARQUET (query failed)"); fail += 1; continue
     got = pd.read_parquet(p)
     if name not in oracle:
-        print(f"  {name}: rows-only check — {len(got)} rows " + ("OK" if len(got) > 0 else "EMPTY?"))
-        ok += 1
+        # mirror the driver's rows>0 smoke check: an empty rows-only output
+        # is a silent breakage, count it as a failure
+        if len(got) > 0:
+            print(f"  {name}: rows-only check — {len(got)} rows OK"); ok += 1
+        else:
+            print(f"  {name}: rows-only check — EMPTY (fail)"); fail += 1
         continue
     try:
         exp = con.execute(oracle[name]).fetchdf()

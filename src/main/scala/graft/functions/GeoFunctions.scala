@@ -21,6 +21,50 @@ object GeoMath {
         * Math.pow(Math.sin((Math.toRadians(lon2) - Math.toRadians(lon1)) / 2), 2))
     12742.0 * Math.asin(Math.sqrt(a))
   }
+
+  /** WGS84 ellipsoidal (geodesic) distance — Vincenty inverse, mirroring
+    * the reference's `GeoLine::geodesic_distance` (odin_common/src/geo.rs:173)
+    * which the spherical haversine misses by up to ~0.5% on long /
+    * high-latitude tracks. Runs a FIXED 8 lambda iterations with no early
+    * exit so the evaluation order is identical to the unrolled-CTE DuckDB
+    * oracle (determinism over a data-dependent break; 8 rounds converge to
+    * far below a millimetre everywhere except the near-antipodal singular
+    * band, where both engines still agree with each other by construction).
+    */
+  def vincentyKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val a = 6378137.0
+    val b = 6356752.314245
+    val f = 1.0 / 298.257223563
+    val ll = Math.toRadians(lon2) - Math.toRadians(lon1)
+    val u1 = Math.atan((1 - f) * Math.tan(Math.toRadians(lat1)))
+    val u2 = Math.atan((1 - f) * Math.tan(Math.toRadians(lat2)))
+    val su1 = Math.sin(u1); val cu1 = Math.cos(u1)
+    val su2 = Math.sin(u2); val cu2 = Math.cos(u2)
+    var lam = ll
+    var sinsig = 0.0; var cossig = 0.0; var sig = 0.0
+    var cos2a = 0.0; var cos2sm = 0.0
+    var i = 0
+    while (i < 8) {
+      val sinlam = Math.sin(lam); val coslam = Math.cos(lam)
+      sinsig = Math.sqrt(Math.pow(cu2 * sinlam, 2)
+        + Math.pow(cu1 * su2 - su1 * cu2 * coslam, 2))
+      cossig = su1 * su2 + cu1 * cu2 * coslam
+      sig = Math.atan2(sinsig, cossig)
+      val sina = if (sinsig == 0) 0.0 else cu1 * cu2 * sinlam / sinsig
+      cos2a = 1 - sina * sina
+      cos2sm = if (cos2a == 0) 0.0 else cossig - 2 * su1 * su2 / cos2a
+      val cc = f / 16 * cos2a * (4 + f * (4 - 3 * cos2a))
+      lam = ll + (1 - cc) * f * sina *
+        (sig + cc * sinsig * (cos2sm + cc * cossig * (-1 + 2 * cos2sm * cos2sm)))
+      i += 1
+    }
+    val usq = cos2a * (a * a - b * b) / (b * b)
+    val bigA = 1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq)))
+    val bigB = usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq)))
+    val dsig = bigB * sinsig * (cos2sm + bigB / 4 * (cossig * (-1 + 2 * cos2sm * cos2sm)
+      - bigB / 6 * cos2sm * (-3 + 4 * sinsig * sinsig) * (-3 + 4 * cos2sm * cos2sm)))
+    b * bigA * (sig - dsig) / 1000.0
+  }
 }
 
 /** Codegen-native haversine: one fused call inside whole-stage codegen

@@ -600,19 +600,23 @@ object Geo {
     // vertical_rate merge): rate of change of the distance to a
     // reference point (station 1 at (-17,-83), derived like geo_nearest's
     // stations) between consecutive fixes. Negative = approaching. One
-    // window shuffle keyed on the entity; the trig difference amplifies
-    // ~1e-13 km, far below the 3-decimal rounding.
+    // window shuffle keyed on the entity. Determinism: the lag-difference
+    // of two haversines amplifies the ~ulp cross-engine trig disagreement
+    // by 3600/dt, so quantize the distance to fixed-point BIGINT (1/1024
+    // km ~ 1 m) BEFORE the lag — the subtraction is then integer-exact
+    // and the trailing /1024.0 /dt *3600.0 chain is bit-identical.
     "geo_closing_rate" -> Q(
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_sec"), col("event_id"))
         evPts(s, d)
           .withColumn("dist_km", havC(col("lat"), col("lon"), lit(-17.0), lit(-83.0)))
-          .withColumn("prev_d", lag(col("dist_km"), 1).over(w))
+          .withColumn("dist_q", floor(col("dist_km") * 1024.0).cast("long"))
+          .withColumn("prev_q", lag(col("dist_q"), 1).over(w))
           .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
           .filter(col("prev_ts").isNotNull && col("ts_sec") > col("prev_ts"))
           .withColumn("closing_kmh",
-            round((col("dist_km") - col("prev_d"))
+            round((col("dist_q") - col("prev_q")) / 1024.0
               / (col("ts_sec") - col("prev_ts")) * 3600.0, 3))
           .select(col("user_id"), col("event_id"), col("ts_sec"),
             round(col("dist_km"), 3).as("dist_km"), col("closing_kmh"),
@@ -622,16 +626,19 @@ object Geo {
       oracle = Some(s"""
         SELECT user_id, event_id, ts_sec,
                round(dist_km, 3) AS dist_km,
-               round((dist_km - prev_d) / (ts_sec - prev_ts) * 3600.0, 3) AS closing_kmh,
-               round((dist_km - prev_d) / (ts_sec - prev_ts) * 3600.0, 3) < 0.0 AS approaching
+               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) AS closing_kmh,
+               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) < 0.0 AS approaching
         FROM (
-          SELECT user_id, event_id, ts_sec, dist_km,
-                 LAG(dist_km, 1) OVER w AS prev_d,
+          SELECT user_id, event_id, ts_sec, dist_km, dist_q,
+                 LAG(dist_q, 1) OVER w AS prev_q,
                  LAG(ts_sec, 1) OVER w AS prev_ts
           FROM (
             SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-                   ${havS(LAT, LON, "-17.0", "-83.0")} AS dist_km
-            FROM events)
+                   dist_km, CAST(FLOOR(dist_km * 1024.0) AS BIGINT) AS dist_q
+            FROM (
+              SELECT user_id, event_id, ts,
+                     ${havS(LAT, LON, "-17.0", "-83.0")} AS dist_km
+              FROM events))
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
         WHERE prev_ts IS NOT NULL AND ts_sec > prev_ts
         ORDER BY user_id, event_id"""))

@@ -99,6 +99,11 @@ object Multimodal {
             (id, bytes.length, feat)
           }
         }.toDF("doc_id", "n_bytes", "features")
+          // Project the feature vector to scalar per-dim columns: the
+          // driver's comparator (and any columnar sink) wants flat
+          // doubles, and 8 fixed dims are schema-stable.
+          .select(col("doc_id") +: col("n_bytes") +:
+            (0 until 8).map(k => round(col("features")(k), 6).as(s"f$k")): _*)
           .orderBy(col("doc_id"))
       },
       oracle = None),
@@ -132,6 +137,10 @@ object Multimodal {
             }
           }
           .toDF("doc_id", "batch_n", "batch_pos", "logits", "pred_class")
+          // Flatten the 4-dim logits to scalar columns for the comparator.
+          .select(col("doc_id") +: col("batch_n") +: col("batch_pos") +:
+            (0 until 4).map(k => round(col("logits")(k), 6).as(s"logit$k")) :+
+            col("pred_class"): _*)
           .orderBy(col("doc_id"))
       },
       oracle = None)

@@ -81,7 +81,8 @@ object TextOps {
       .select(col("node"), col("node").as("label")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 20 // pointer jumping: O(log diameter), 20 covers 2^20-hop paths
+    while (!converged && iter < maxIter) {
       val nbrMin = e.join(lbl, e("dst") === lbl("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("src"), "left")
@@ -98,6 +99,11 @@ object TextOps {
       lbl = jumped
       iter += 1
     }
+    // Never emit silently-wrong labels: if the loop exited on the round cap
+    // rather than a fixed point, fail loudly so the caller can raise maxIter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     nodes.join(lbl, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
@@ -327,14 +333,24 @@ object TextOps {
     // ----- doc_edit_distance: fuzzy matching within blocked pairs --------
     // Levenshtein over metadata-blocked candidate pairs (same lang+source,
     // nearby ids) — the exact re-rank step after LSH candidate generation.
+    // Scale shape: the ±40-id band is IN the join key, not a post-join
+    // filter — (lang, source) alone is low-cardinality and one hot block
+    // would materialize O(B^2) pairs. Each left row keys on its id bucket
+    // (doc_id div 40); the right side replicates to its own and previous
+    // bucket (geo_proximity_pairs pattern), so any in-band pair meets in
+    // exactly the left row's bucket and per-key work is O(B*80).
     "doc_edit_distance" -> Q(
       build = (s, d) => {
+        val band = 40
         val a = docs(s, d).select(col("doc_id").as("doc_a"), col("lang"),
           col("source"), col("text").as("text_a"))
+          .withColumn("bucket", expr(s"doc_a div $band"))
         val b = docs(s, d).select(col("doc_id").as("doc_b"), col("lang"),
           col("source"), col("text").as("text_b"))
-        a.join(b, Seq("lang", "source"))
-          .filter(col("doc_a") < col("doc_b") && col("doc_b") - col("doc_a") <= 40)
+          .withColumn("bucket", explode(array(
+            expr(s"doc_b div $band"), expr(s"doc_b div $band - 1"))))
+        a.join(b, Seq("lang", "source", "bucket"))
+          .filter(col("doc_a") < col("doc_b") && col("doc_b") - col("doc_a") <= band)
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
             (levenshtein(col("text_a"), col("text_b")).cast(DoubleType)

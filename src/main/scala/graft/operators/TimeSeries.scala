@@ -490,8 +490,14 @@ object TimeSeries {
 
     // ----- ts_concurrency: max concurrent sessions (interval algebra) ----
     // odin_common/src/ranges.rs overlap semantics: sessions become +1/-1
-    // boundary events; a running sum over the global time order gives the
+    // boundary events; a running sum over the time order gives the
     // concurrency profile; aggregate to the max per hour bucket.
+    // Scale shape: NO global single-partition window. Two-level prefix
+    // sum — boundary events shuffle once on their hour bucket for a
+    // partitioned local running sum + per-bucket (sum, max) aggregate;
+    // only the per-bucket TOTALS (rows = #hours, thousands not billions)
+    // pass through an ordered window to build each bucket's offset, and
+    // max_concurrency = offset + local_max needs no join back.
     "ts_concurrency" -> Q(
       build = (s, d) => {
         val w = byUser.orderBy(col("ts_sec"), col("event_id"))
@@ -507,12 +513,22 @@ object TimeSeries {
             (max(col("ts_sec")) + 1).as("end_sec"))
         val bounds = sessions.select(col("start_sec").as("t"), lit(1L).as("delta"))
           .unionAll(sessions.select(col("end_sec").as("t"), lit(-1L).as("delta")))
-        val wg = Window.orderBy(col("t"), col("delta"))
+          .withColumn("bucket", expr("t div 3600"))
+        val wLocal = Window.partitionBy(col("bucket"))
+          .orderBy(col("t"), col("delta"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bounds
-          .withColumn("concurrency", sum(col("delta")).over(wg))
-          .groupBy(expr("t div 3600").as("hour_bucket"))
-          .agg(max(col("concurrency")).as("max_concurrency"))
+        val perBucket = bounds
+          .withColumn("local_cum", sum(col("delta")).over(wLocal))
+          .groupBy(col("bucket"))
+          .agg(sum(col("delta")).as("bucket_sum"),
+            max(col("local_cum")).as("local_max"))
+        val wOffset = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perBucket
+          .withColumn("offset",
+            coalesce(sum(col("bucket_sum")).over(wOffset), lit(0L)))
+          .select(col("bucket").as("hour_bucket"),
+            (col("offset") + col("local_max")).as("max_concurrency"))
           .orderBy(col("hour_bucket"))
       },
       oracle = Some(s"""

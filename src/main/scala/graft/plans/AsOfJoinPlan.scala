@@ -100,29 +100,44 @@ case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow).copy()
-        val lT = lTimeBound.eval(lRow).asInstanceOf[Long]
-        // advance the right side up to (key, time <= lT), retaining the
-        // last row seen for this key (sorted ties resolve to the last)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rKey = rKeyProj(rRow)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { rBuf.next() } // different (smaller) key: discard
-          else if (cmp == 0) {
-            val rT = rTimeBound.eval(rRow).asInstanceOf[Long]
-            if (rT <= lT) {
-              matchRow = rRow.copy()
-              matchKey = rKey.copy()
-              rBuf.next()
-            } else advancing = false
-          } else advancing = false
+        val lTimeVal = lTimeBound.eval(lRow)
+        if (lKey.anyNull || lTimeVal == null) {
+          // SQL join semantics: a null key or null time never matches —
+          // left-outer extend with nulls (null keys sort first, so no
+          // right-side state is disturbed by skipping the advance)
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lT = lTimeVal.asInstanceOf[Long]
+          // advance the right side up to (key, time <= lT), retaining the
+          // last row seen for this key (sorted ties resolve to the last)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            if (rKey.anyNull) { rBuf.next() } // null key never matches: discard
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { rBuf.next() } // different (smaller) key: discard
+              else if (cmp == 0) {
+                val rTimeVal = rTimeBound.eval(rRow)
+                if (rTimeVal == null) { rBuf.next() } // null time: discard
+                else {
+                  val rT = rTimeVal.asInstanceOf[Long]
+                  if (rT <= lT) {
+                    matchRow = rRow.copy()
+                    matchKey = rKey.copy()
+                    rBuf.next()
+                  } else advancing = false
+                }
+              } else advancing = false
+            }
+          }
+          val rSide =
+            if (matchRow != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0)
+              matchRow
+            else nullRight
+          outProj(joined(lRow, rSide))
         }
-        val rSide =
-          if (matchRow != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0)
-            matchRow
-          else nullRight
-        outProj(joined(lRow, rSide))
       }
     }
   }

@@ -99,7 +99,8 @@ case class RangeJoinExec(
         val lKey = lKeyProj(lRow).copy()
         val loV = loBound.eval(lRow)
         val hiV = hiBound.eval(lRow)
-        if (loV == null || hiV == null) Iterator.empty
+        // SQL inner-join semantics: null keys and null band edges never match
+        if (lKey.anyNull || loV == null || hiV == null) Iterator.empty
         else {
           val lo = loV.asInstanceOf[Double]
           val hi = hiV.asInstanceOf[Double]
@@ -111,7 +112,10 @@ case class RangeJoinExec(
           var pulling = true
           while (pulling && rBuf.hasNext) {
             val head = rBuf.head
-            val cmp = keyOrd.compare(rKeyProj(head), lKey)
+            val rKey = rKeyProj(head)
+            if (rKey.anyNull) { rBuf.next() } // null key never matches: discard
+            else {
+            val cmp = keyOrd.compare(rKey, lKey)
             if (cmp < 0) rBuf.next() // key already passed: discard
             else if (cmp == 0) {
               val v = valBound.eval(head)
@@ -120,6 +124,7 @@ case class RangeJoinExec(
               } else if (v == null) rBuf.next() // null value never matches
               else pulling = false
             } else pulling = false
+            }
           }
           // evict rows that fell below every future band
           while (held.nonEmpty

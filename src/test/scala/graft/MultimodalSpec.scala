@@ -36,7 +36,7 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getAs[Int]("batch_pos") < n)
       val cls = r.getAs[Int]("pred_class")
       assert(cls >= 0 && cls < 4)
-      assert(r.getAs[scala.collection.Seq[Double]]("logits").length == 4)
+      (0 until 4).foreach(k => assert(r.getAs[Double](s"logit$k") >= 0.0))
     }
     // deterministic across runs
     val again = run("mm_batch_infer").collect()
@@ -45,10 +45,10 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   test("mm_feature_stub: deterministic 8-dim features") {
-    val a = run("mm_feature_stub").collect().map(r =>
-      r.getAs[Long]("doc_id") -> r.getSeq[Double](2)).toMap
-    val b = run("mm_feature_stub").collect().map(r =>
-      r.getAs[Long]("doc_id") -> r.getSeq[Double](2)).toMap
+    def grab() = run("mm_feature_stub").collect().map(r =>
+      r.getAs[Long]("doc_id") -> (0 until 8).map(k => r.getAs[Double](s"f$k"))).toMap
+    val a = grab()
+    val b = grab()
     assert(a == b)
     assert(a.values.forall(_.length == 8))
   }
