@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
       (exprs: Seq[Expression]) => graft.functions.GeoFunctions.ofAny(exprs)))
     e.injectFunction((
+      new FunctionIdentifier("geodesic_km"),
+      new ExpressionInfo(classOf[graft.functions.GeodesicKm].getName, "geodesic_km"),
+      (exprs: Seq[Expression]) => graft.functions.GeoFunctions.geodesicOfAny(exprs)))
+    e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
         "minhash_signature"),

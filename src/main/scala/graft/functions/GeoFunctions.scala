@@ -91,21 +91,59 @@ case class HaversineKm(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** Codegen-native WGS84 geodesic distance (Vincenty inverse): the whole
+  * fixed-iteration solve is one fused call inside whole-stage codegen.
+  */
+case class GeodesicKm(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def prettyName: String = "geodesic_km"
+
+  override protected def nullSafeEval(lat1: Any, lon1: Any, lat2: Any, lon2: Any): Any =
+    GeoMath.vincentyKm(lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
+      lat2.asInstanceOf[Double], lon2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.GeoMath.vincentyKm($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): GeodesicKm =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 object GeoFunctions {
-  /** Coerce any numeric input (SQL literals parse as Decimal). */
-  def ofAny(exprs: Seq[Expression]): HaversineKm = {
-    val d = exprs.map { e =>
+  private def toDouble(exprs: Seq[Expression]): Seq[Expression] =
+    exprs.map { e =>
       if (e.dataType == DoubleType) e else Cast(e, DoubleType)
     }
+
+  /** Coerce any numeric input (SQL literals parse as Decimal). */
+  def ofAny(exprs: Seq[Expression]): HaversineKm = {
+    val d = toDouble(exprs)
     HaversineKm(d(0), d(1), d(2), d(3))
+  }
+
+  def geodesicOfAny(exprs: Seq[Expression]): GeodesicKm = {
+    val d = toDouble(exprs)
+    GeodesicKm(d(0), d(1), d(2), d(3))
   }
 
   /** Column-API form. */
   def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     GraftInternal.column(ofAny(Seq(lat1, lon1, lat2, lon2).map(GraftInternal.expr)))
 
-  /** SQL registration: SELECT haversine_km(lat1, lon1, lat2, lon2). */
-  def register(spark: SparkSession): Unit =
+  def geodesic_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    GraftInternal.column(geodesicOfAny(Seq(lat1, lon1, lat2, lon2).map(GraftInternal.expr)))
+
+  /** SQL registration: SELECT haversine_km(...) / geodesic_km(...). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_km", ofAny, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "geodesic_km", geodesicOfAny, "scala_udf")
+  }
 }

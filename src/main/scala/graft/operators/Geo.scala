@@ -71,44 +71,163 @@ object Geo {
   private val wTrack = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_sec"), col("event_id"))
 
-  /** WGS84 → UTM forward projection (Krüger series), mirroring
-    * odin_common/src/utm.rs. Adds utm_zone / utm_easting / utm_northing
-    * columns; pure codegen'd column arithmetic.
+  /** Unrolled fixed-8-iteration Vincenty inverse as DuckDB CTE layers —
+    * the exact arithmetic sequence of GeoMath.vincentyKm so both engines
+    * follow the identical evaluation path (see that method's Scaladoc).
+    * Input CTE `vbase` must provide (user_id, event_id, hav_km, ll, su1,
+    * cu1, su2, cu2); emits `it8` carrying the converged sigma terms.
+    */
+  private def vincentyCtes: String = {
+    // e-notation forces DOUBLE literals in DuckDB (plain decimals parse as
+    // DECIMAL: constant products overflow DECIMAL(38) and decimal division
+    // would not be IEEE)
+    val F = "(1.0e0/298.257223563e0)"
+    val C = "user_id, event_id, hav_km, ll, su1, cu1, su2, cu2"
+    val sb = new StringBuilder
+    sb.append(s"it0 AS (SELECT $C, ll AS lam FROM vbase),\n")
+    for (k <- 1 to 8) {
+      val j = k - 1
+      val keepFinal = if (k == 8) ", sinsig, cossig, sig, cos2a, cos2sm" else ""
+      sb.append(s"""
+        p$k AS (SELECT $C, lam, sin(lam) AS sinlam, cos(lam) AS coslam FROM it$j),
+        q$k AS (SELECT *, sqrt(pow(cu2*sinlam,2) + pow(cu1*su2 - su1*cu2*coslam,2)) AS sinsig,
+                       su1*su2 + cu1*cu2*coslam AS cossig FROM p$k),
+        r$k AS (SELECT *, atan2(sinsig, cossig) AS sig,
+                       CASE WHEN sinsig = 0 THEN 0.0 ELSE cu1*cu2*sinlam/sinsig END AS sina FROM q$k),
+        s$k AS (SELECT *, 1.0 - sina*sina AS cos2a FROM r$k),
+        t$k AS (SELECT *, CASE WHEN cos2a = 0 THEN 0.0 ELSE cossig - 2.0*su1*su2/cos2a END AS cos2sm FROM s$k),
+        u$k AS (SELECT *, $F/16.0*cos2a*(4.0 + $F*(4.0 - 3.0*cos2a)) AS cc FROM t$k),
+        it$k AS (SELECT $C,
+                       ll + (1.0-cc)*$F*sina*(sig + cc*sinsig*(cos2sm + cc*cossig*(-1.0 + 2.0*cos2sm*cos2sm))) AS lam$keepFinal
+                 FROM u$k),""")
+    }
+    sb.toString
+  }
+
+  /** Shared WGS84 transverse-Mercator (Krüger exact-form) formula text —
+    * forward AND inverse — used VERBATIM by the Spark side (`expr`) and
+    * the DuckDB oracles, so both engines follow the same arithmetic path.
+    * Hyperbolics are spelled in exp/ln form (DuckDB has no sinh/cosh/
+    * atanh). Mirrors odin_common/src/utm.rs: geo_to_utm_zone (:142),
+    * utm_to_geo (:192), utm_zone special cases (:87), latitude_band
+    * (:121); series coefficients are the published Krüger/Karney n-series.
+    */
+  private[operators] object UtmK {
+    private def c(d: Double): String = {
+      val s = d.toString; if (s.contains("E")) s else s + "e0"
+    }
+    private val n  = (1.0 / 298.257223563) / (2.0 - 1.0 / 298.257223563)
+    private val n2 = n * n
+    private val n3 = n2 * n
+    private val n4 = n2 * n2
+    private val K  = c(0.9996 * (6378137.0 / (1.0 + n)) * (1.0 + n2 / 4.0 + n4 / 64.0))
+    private val CC = c(2.0 * math.sqrt(n) / (1.0 + n))
+    private val A1 = c(n / 2.0 - 2.0 / 3.0 * n2 + 5.0 / 16.0 * n3)
+    private val A2 = c(13.0 / 48.0 * n2 - 3.0 / 5.0 * n3)
+    private val A3 = c(61.0 / 240.0 * n3)
+    private val B1 = c(n / 2.0 - 2.0 / 3.0 * n2 + 37.0 / 96.0 * n3)
+    private val B2 = c(n2 / 48.0 + n3 / 15.0)
+    private val B3 = c(17.0 / 480.0 * n3)
+    private val D1 = c(2.0 * n - 2.0 / 3.0 * n2 - 2.0 * n3)
+    private val D2 = c(7.0 / 3.0 * n2 - 8.0 / 5.0 * n3)
+    private val D3 = c(56.0 / 15.0 * n3)
+
+    /** UTM zone with the published Norway/Svalbard exceptions. */
+    def zoneExpr(lat: String, lon: String): String = s"""
+      CASE WHEN $lat > 55.0 AND $lat < 64.0 AND $lon > 2.0 AND $lon < 6.0 THEN 32
+           WHEN $lat > 71.0 AND $lon >= 6.0 AND $lon < 9.0 THEN 31
+           WHEN $lat > 71.0 AND (($lon >= 9.0 AND $lon < 12.0) OR ($lon >= 18.0 AND $lon < 21.0)) THEN 33
+           WHEN $lat > 71.0 AND (($lon >= 21.0 AND $lon < 24.0) OR ($lon >= 30.0 AND $lon < 33.0)) THEN 35
+           ELSE CAST(floor(($lon + 180.0)/6.0) AS BIGINT) % 60 + 1 END"""
+
+    /** MGRS latitude band letter (C..X skipping I/O; A/B/Y/Z polar). */
+    def bandExpr(lat: String, lon: String): String = s"""
+      CASE WHEN $lat < -80.0 THEN (CASE WHEN $lon < 0.0 THEN 'A' ELSE 'B' END)
+           WHEN $lat >= 84.0 THEN (CASE WHEN $lon < 0.0 THEN 'Y' ELSE 'Z' END)
+           WHEN $lat >= 72.0 THEN 'X'
+           ELSE substr('CDEFGHJKLMNPQRSTUVW', CAST(floor(($lat + 80.0)/8.0) AS INT) + 1, 1) END"""
+
+    /** Forward steps: (lat, lon, utm_zone) → utm_easting / utm_northing. */
+    def fwdSteps(lat: String, lon: String): Seq[(String, String)] = Seq(
+      "u_dlam" -> s"radians($lon) - radians(CAST(utm_zone*6 - 183 AS DOUBLE))",
+      "u_sphi" -> s"sin(radians($lat))",
+      "u_targ" -> s"0.5*ln((1.0 + u_sphi)/(1.0 - u_sphi)) - $CC*(0.5*ln((1.0 + $CC*u_sphi)/(1.0 - $CC*u_sphi)))",
+      "u_t"    -> "(exp(u_targ) - exp(-u_targ))/2.0",
+      "u_xi"   -> "atan(u_t/cos(u_dlam))",
+      "u_etaa" -> "sin(u_dlam)/sqrt(1.0 + u_t*u_t)",
+      "u_eta"  -> "0.5*ln((1.0 + u_etaa)/(1.0 - u_etaa))",
+      "u_s2"   -> "(exp(2.0*u_eta) - exp(-2.0*u_eta))/2.0",
+      "u_c2"   -> "(exp(2.0*u_eta) + exp(-2.0*u_eta))/2.0",
+      "u_s4"   -> "(exp(4.0*u_eta) - exp(-4.0*u_eta))/2.0",
+      "u_c4"   -> "(exp(4.0*u_eta) + exp(-4.0*u_eta))/2.0",
+      "u_s6"   -> "(exp(6.0*u_eta) - exp(-6.0*u_eta))/2.0",
+      "u_c6"   -> "(exp(6.0*u_eta) + exp(-6.0*u_eta))/2.0",
+      "utm_easting" -> s"500000.0 + $K*(u_eta + $A1*cos(2.0*u_xi)*u_s2 + $A2*cos(4.0*u_xi)*u_s4 + $A3*cos(6.0*u_xi)*u_s6)",
+      "utm_northing" -> s"(CASE WHEN $lat < 0.0 THEN 10000000.0 ELSE 0.0 END) + $K*(u_xi + $A1*sin(2.0*u_xi)*u_c2 + $A2*sin(4.0*u_xi)*u_c4 + $A3*sin(6.0*u_xi)*u_c6)")
+
+    /** Inverse steps: (utm_zone, is_south, utm_easting, utm_northing) →
+      * lat_rt / lon_rt degrees.
+      */
+    val invSteps: Seq[(String, String)] = Seq(
+      "v_xi"  -> s"(utm_northing - (CASE WHEN is_south THEN 10000000.0 ELSE 0.0 END))/$K",
+      "v_eta" -> s"(utm_easting - 500000.0)/$K",
+      "v_s2"  -> "(exp(2.0*v_eta) - exp(-2.0*v_eta))/2.0",
+      "v_c2"  -> "(exp(2.0*v_eta) + exp(-2.0*v_eta))/2.0",
+      "v_s4"  -> "(exp(4.0*v_eta) - exp(-4.0*v_eta))/2.0",
+      "v_c4"  -> "(exp(4.0*v_eta) + exp(-4.0*v_eta))/2.0",
+      "v_s6"  -> "(exp(6.0*v_eta) - exp(-6.0*v_eta))/2.0",
+      "v_c6"  -> "(exp(6.0*v_eta) + exp(-6.0*v_eta))/2.0",
+      "v_xip"  -> s"v_xi - ($B1*sin(2.0*v_xi)*v_c2 + $B2*sin(4.0*v_xi)*v_c4 + $B3*sin(6.0*v_xi)*v_c6)",
+      "v_etap" -> s"v_eta - ($B1*cos(2.0*v_xi)*v_s2 + $B2*cos(4.0*v_xi)*v_s4 + $B3*cos(6.0*v_xi)*v_s6)",
+      "v_shp"  -> "(exp(v_etap) - exp(-v_etap))/2.0",
+      "v_chp"  -> "(exp(v_etap) + exp(-v_etap))/2.0",
+      "v_chi"  -> "asin(sin(v_xip)/v_chp)",
+      "lat_rt" -> s"degrees(v_chi + $D1*sin(2.0*v_chi) + $D2*sin(4.0*v_chi) + $D3*sin(6.0*v_chi))",
+      "lon_rt" -> s"CAST(utm_zone*6 - 183 AS DOUBLE) + degrees(atan(v_shp/cos(v_xip)))")
+
+    /** Apply steps as a withColumn chain (Spark side). */
+    def apply(df: DataFrame, steps: Seq[(String, String)]): DataFrame =
+      steps.foldLeft(df) { case (acc, (nm, ex)) => acc.withColumn(nm, expr(ex)) }
+
+    /** Render steps as chained CTE layers (DuckDB side) → (text, lastName). */
+    def ctes(base: String, steps: Seq[(String, String)], pfx: String): (String, String) = {
+      val text = steps.zipWithIndex.map { case ((nm, ex), i) =>
+        val from = if (i == 0) base else s"$pfx${i - 1}"
+        s"$pfx$i AS (SELECT *, $ex AS $nm FROM $from)"
+      }.mkString(",\n")
+      (text, s"$pfx${steps.size - 1}")
+    }
+  }
+
+  /** WGS84 → UTM forward projection (Krüger exact form), with the
+    * Norway/Svalbard zone exceptions and the MGRS latitude band. Adds
+    * utm_zone / utm_band / utm_easting / utm_northing; pure codegen'd
+    * column arithmetic. Valid for lat in [-80, 84].
     */
   def withUtm(df: DataFrame, lat: Column, lon: Column): DataFrame = {
-    val a = 6378137.0
-    val f = 1.0 / 298.257223563
-    val k0 = 0.9996
-    val e2 = f * (2 - f)
-    val ep2 = e2 / (1 - e2)
-    val e4 = e2 * e2
-    val e6 = e4 * e2
-    val zone = (floor((lon + 180.0) / 6.0) + 1).cast(LongType)
-    val lam0 = radians((zone - 1) * 6.0 - 180.0 + 3.0)
-    val phi = radians(lat)
-    val lam = radians(lon)
-    val sinP = sin(phi); val cosP = cos(phi); val tanP = tan(phi)
-    val nN = lit(a) / sqrt(lit(1.0) - lit(e2) * sinP * sinP)
-    val t = tanP * tanP
-    val c = lit(ep2) * cosP * cosP
-    val bigA = cosP * (lam - lam0)
-    val m = lit(a) * (
-      lit(1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
-        - lit(3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * sin(phi * 2)
-        + lit(15 * e4 / 256 + 45 * e6 / 1024) * sin(phi * 4)
-        - lit(35 * e6 / 3072) * sin(phi * 6))
-    val a2 = bigA * bigA; val a3 = a2 * bigA; val a4 = a3 * bigA
-    val a5 = a4 * bigA; val a6 = a5 * bigA
-    val easting = lit(500000.0) + lit(k0) * nN * (bigA
-      + (lit(1.0) - t + c) * a3 / 6.0
-      + (lit(5.0) - t * 18.0 + t * t + c * 72.0 - lit(58 * ep2)) * a5 / 120.0)
-    val northingRaw = lit(k0) * (m + nN * tanP * (a2 / 2.0
-      + (lit(5.0) - t + c * 9.0 + c * c * 4.0) * a4 / 24.0
-      + (lit(61.0) - t * 58.0 + t * t + c * 600.0 - lit(330 * ep2)) * a6 / 720.0))
-    val northing = when(lat >= 0.0, northingRaw).otherwise(northingRaw + 10000000.0)
-    df.withColumn("utm_zone", zone)
-      .withColumn("utm_easting", easting)
-      .withColumn("utm_northing", northing)
+    val base = df
+      .withColumn("__glat", lat.cast(DoubleType))
+      .withColumn("__glon", lon.cast(DoubleType))
+      .withColumn("utm_zone", expr(UtmK.zoneExpr("__glat", "__glon")))
+      .withColumn("utm_band", expr(UtmK.bandExpr("__glat", "__glon")))
+    val steps = UtmK.fwdSteps("__glat", "__glon")
+    UtmK(base, steps)
+      .drop("__glat" +: "__glon" +: steps.map(_._1).filter(_.startsWith("u_")): _*)
+  }
+
+  /** UTM → WGS84 inverse (Krüger exact form). Needs the zone and the
+    * hemisphere flag (southern rows carry the 10,000 km false northing).
+    * Adds lat_rt / lon_rt degree columns.
+    */
+  def withUtmInverse(df: DataFrame, zone: Column, isSouth: Column,
+      easting: Column, northing: Column): DataFrame = {
+    val base = df
+      .withColumn("utm_zone", zone)
+      .withColumn("is_south", isSouth)
+      .withColumn("utm_easting", easting.cast(DoubleType))
+      .withColumn("utm_northing", northing.cast(DoubleType))
+    UtmK(base, UtmK.invSteps)
+      .drop(UtmK.invSteps.map(_._1).filter(_.startsWith("v_")): _*)
   }
 
   val defs: Seq[(String, Q)] = Seq(
@@ -291,18 +410,66 @@ object Geo {
         ORDER BY event_id""")),
 
     // ----- geo_utm: WGS84 → UTM projection (odin_common/src/utm.rs) ------
-    // Standard Krüger series, all codegen'd column math (no UDF). Rows-
-    // only: transcendental chains are too long for cross-engine hash
-    // equality; the spec pins known geodetic fixtures to ±1 m instead.
+    // Krüger exact-form forward with Norway/Svalbard zone exceptions and
+    // the MGRS band letter, all codegen'd column math (no UDF). Hash-
+    // checked: the oracle replays the IDENTICAL formula text (UtmK) in
+    // DuckDB; cm rounding absorbs cross-libm ulp noise. The spec pins
+    // known geodetic fixtures to ±1 m on top.
     "geo_utm" -> Q(
       build = (s, d) => {
         val pts = evPts(s, d).filter(col("lat") > -80.0 && col("lat") < 84.0)
         Geo.withUtm(pts, col("lat"), col("lon"))
-          .select(col("event_id"), col("utm_zone"), col("utm_easting"),
-            col("utm_northing"))
+          .select(col("event_id"), col("utm_zone"), col("utm_band").as("band"),
+            round(col("utm_easting"), 2).as("easting_m"),
+            round(col("utm_northing"), 2).as("northing_m"))
           .orderBy(col("event_id"))
       },
-      oracle = None),
+      oracle = Some({
+        val (fw, last) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "uf")
+        s"""
+        WITH upts AS (SELECT event_id, $LAT AS lat, $LON AS lon FROM events
+                      WHERE $LAT > -80.0 AND $LAT < 84.0),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone,
+                      ${UtmK.bandExpr("lat", "lon")} AS band FROM upts),
+        $fw
+        SELECT event_id, utm_zone, band,
+               round(utm_easting, 2) AS easting_m,
+               round(utm_northing, 2) AS northing_m
+        FROM $last ORDER BY event_id"""
+      })),
+
+    // ----- geo_utm_roundtrip: UTM inverse closes the loop ----------------
+    // utm_to_geo (odin_common/src/utm.rs:192): forward-project every event
+    // position, invert it, and emit the recovered degrees — the spec
+    // asserts sub-mm closure; the oracle replays the identical forward +
+    // inverse formula text in DuckDB. 6-decimal rounding is boundary-safe:
+    // the synthetic lon/lat are exact multiples of 5e-6/1e-5 (EVEN multiples
+    // of the 5e-7 round-6 half-step), so the sub-1e-8-deg closure error
+    // cannot reach a rounding boundary (round-5 would sit ON the boundary).
+    "geo_utm_roundtrip" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d).filter(col("lat") > -80.0 && col("lat") < 84.0)
+        val fwd = Geo.withUtm(pts, col("lat"), col("lon"))
+          .withColumn("is_south", col("lat") < 0.0)
+        UtmK(fwd, UtmK.invSteps)
+          .select(col("event_id"),
+            round(col("lat_rt"), 6).as("lat_rt"),
+            round(col("lon_rt"), 6).as("lon_rt"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some({
+        val (fw, lastF) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "uf")
+        val (inv, lastI) = UtmK.ctes("ui0", UtmK.invSteps, "uv")
+        s"""
+        WITH upts AS (SELECT event_id, $LAT AS lat, $LON AS lon FROM events
+                      WHERE $LAT > -80.0 AND $LAT < 84.0),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone FROM upts),
+        $fw,
+        ui0 AS (SELECT *, lat < 0.0 AS is_south FROM $lastF),
+        $inv
+        SELECT event_id, round(lat_rt, 6) AS lat_rt, round(lon_rt, 6) AS lon_rt
+        FROM $lastI ORDER BY event_id"""
+      })),
 
     // ----- geo_polygon: point-in-convex-polygon --------------------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
@@ -641,6 +808,68 @@ object Geo {
               FROM events))
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
         WHERE prev_ts IS NOT NULL AND ts_sec > prev_ts
+        ORDER BY user_id, event_id""")),
+
+    // ----- geo_geodesic: ellipsoidal vs spherical segment length ---------
+    // The reference computes true WGS84 geodesic distances alongside the
+    // haversine (odin_common/src/geo.rs:173 GeoLine::geodesic_distance);
+    // long / high-latitude tracks see up to ~0.5% haversine error, which
+    // matters for fuel/ETA-grade track math. Per segment: haversine km,
+    // Vincenty geodesic km (graft.functions.GeodesicKm — the whole fixed-
+    // iteration solve is one codegen'd call), and the excess in metres.
+    // Segments beyond 15000 km (near-antipodal Vincenty singular band)
+    // are filtered on the already-rounded haversine, identically on both
+    // engines. Same single per-entity window shuffle as geo_haversine.
+    "geo_geodesic" -> Q(
+      build = (s, d) => {
+        val seg = evPts(s, d)
+          .withColumn("plat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("plon", lag(col("lon"), 1).over(wTrack))
+          .filter(col("plat").isNotNull)
+          .withColumn("hav_km",
+            round(havC(col("plat"), col("plon"), col("lat"), col("lon")), 3))
+          .filter(col("hav_km") < 15000.0)
+        seg
+          .withColumn("geodesic_km", round(graft.functions.GeoFunctions
+            .geodesic_km(col("plat"), col("plon"), col("lat"), col("lon")), 3))
+          .select(col("user_id"), col("event_id"), col("hav_km"), col("geodesic_km"),
+            round((col("geodesic_km") - col("hav_km")) * 1000.0, 1).as("excess_m"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH vseg AS (
+          SELECT user_id, event_id, lat, lon, plat, plon,
+                 round(${havS("plat", "plon", "lat", "lon")}, 3) AS hav_km
+          FROM (
+            SELECT user_id, event_id, ts_sec, lat, lon,
+                   LAG(lat, 1) OVER w AS plat, LAG(lon, 1) OVER w AS plon
+            FROM (SELECT user_id, event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                         $LAT AS lat, $LON AS lon FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+          WHERE plat IS NOT NULL),
+        vbase AS (
+          SELECT user_id, event_id, hav_km,
+                 radians(lon) - radians(plon) AS ll,
+                 sin(atan((1.0e0 - (1.0e0/298.257223563e0))*tan(radians(plat)))) AS su1,
+                 cos(atan((1.0e0 - (1.0e0/298.257223563e0))*tan(radians(plat)))) AS cu1,
+                 sin(atan((1.0e0 - (1.0e0/298.257223563e0))*tan(radians(lat)))) AS su2,
+                 cos(atan((1.0e0 - (1.0e0/298.257223563e0))*tan(radians(lat)))) AS cu2
+          FROM vseg WHERE hav_km < 15000.0),
+        $vincentyCtes
+        fin1 AS (SELECT *, cos2a*(6378137.0e0*6378137.0e0 - 6356752.314245e0*6356752.314245e0)
+                             /(6356752.314245e0*6356752.314245e0) AS usq FROM it8),
+        fin2 AS (SELECT *,
+                   1.0 + usq/16384.0*(4096.0 + usq*(-768.0 + usq*(320.0 - 175.0*usq))) AS biga,
+                   usq/1024.0*(256.0 + usq*(-128.0 + usq*(74.0 - 47.0*usq))) AS bigb FROM fin1),
+        fin3 AS (SELECT *,
+                   bigb*sinsig*(cos2sm + bigb/4.0*(cossig*(-1.0 + 2.0*cos2sm*cos2sm)
+                     - bigb/6.0*cos2sm*(-3.0 + 4.0*sinsig*sinsig)*(-3.0 + 4.0*cos2sm*cos2sm))) AS dsig
+                 FROM fin2)
+        SELECT user_id, event_id, hav_km,
+               round(6356752.314245e0*biga*(sig - dsig)/1000.0, 3) AS geodesic_km,
+               round((round(6356752.314245e0*biga*(sig - dsig)/1000.0, 3) - hav_km)*1000.0, 1) AS excess_m
+        FROM fin3
         ORDER BY user_id, event_id"""))
   )
 }

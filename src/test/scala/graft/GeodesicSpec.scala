@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.GeoMath
+
+/** Fixtures for the WGS84 Vincenty inverse (GeoMath.vincentyKm), mirroring
+  * the reference's geodesic_distance (odin_common/src/geo.rs:173). Expected
+  * values are published geodesics: Vincenty's classic Flinders Peak ->
+  * Buninyong line, the analytic equatorial arc (s = a * dLon), and the
+  * WGS84 quarter meridian. Tolerance +-1 m.
+  */
+class GeodesicSpec extends SparkSpecBase {
+
+  private def m(km: Double): Double = km * 1000.0
+
+  test("vincenty: Flinders Peak -> Buninyong (classic fixture, +-1 m)") {
+    val d = GeoMath.vincentyKm(
+      -37.95103341666667, 144.42486788888888,
+      -37.65282113888889, 143.92649552777777)
+    assert(math.abs(m(d) - 54972.271) < 1.0, s"got ${m(d)} m")
+  }
+
+  test("vincenty: equatorial arc = a * dLon (+-1 m)") {
+    val d = GeoMath.vincentyKm(0.0, 0.0, 0.0, 90.0)
+    val expect = 6378137.0 * math.Pi / 2 // 10018754.17 m
+    assert(math.abs(m(d) - expect) < 1.0, s"got ${m(d)} m want $expect")
+  }
+
+  test("vincenty: quarter meridian (+-1 m)") {
+    val d = GeoMath.vincentyKm(0.0, 0.0, 90.0, 0.0)
+    assert(math.abs(m(d) - 10001965.729) < 1.0, s"got ${m(d)} m")
+  }
+
+  test("vincenty: zero for coincident points") {
+    assert(GeoMath.vincentyKm(37.77, -122.42, 37.77, -122.42) == 0.0)
+  }
+
+  test("vincenty: symmetric and within 0.6% of haversine off the poles") {
+    val pts = Seq((37.77, -122.42), (-33.86, 151.21), (51.47, -0.45),
+      (64.13, -21.9), (1.35, 103.99))
+    for ((p1, i) <- pts.zipWithIndex; p2 <- pts.drop(i + 1)) {
+      val ab = GeoMath.vincentyKm(p1._1, p1._2, p2._1, p2._2)
+      val ba = GeoMath.vincentyKm(p2._1, p2._2, p1._1, p1._2)
+      assert(math.abs(ab - ba) < 1e-9, s"asymmetry $p1 $p2")
+      val hav = GeoMath.haversineKm(p1._1, p1._2, p2._1, p2._2)
+      assert(math.abs(ab - hav) / ab < 0.006, s"vs haversine $p1 $p2: $ab $hav")
+    }
+  }
+
+  test("geodesic_km SQL function registered via GeoFunctions.register") {
+    graft.functions.GeoFunctions.register(spark)
+    val km = spark.sql(
+      "SELECT geodesic_km(-37.95103341666667, 144.42486788888888, " +
+        "-37.65282113888889, 143.92649552777777) AS km")
+      .collect()(0).getDouble(0)
+    assert(math.abs(m(km) - 54972.271) < 1.0)
+  }
+}
