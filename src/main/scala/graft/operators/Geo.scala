@@ -471,6 +471,187 @@ object Geo {
         FROM $lastI ORDER BY event_id"""
       })),
 
+    // ----- geo_swath_cover: orbital swath coverage test ------------------
+    // odin_orbital/src/overpass.rs:148 closest_track_point / :535
+    // compute_swath: "was probe point P inside the sensor swath" — the
+    // FIRMS hotspot-attribution join. Ground track synthesized from part
+    // keys (inclination-bounded sinusoid, |lat| <= 60); a probe is covered
+    // when its closest track point is within the 400 km swath half-width.
+    // Scale shape: NO all-pairs scan — both sides bucket on 4° grid cells,
+    // track points replicate to +-1 lat cells and a latitude-aware lon
+    // neighborhood (ceil(400km / cell width at that latitude), wrapping at
+    // the antimeridian), then one equi-join + per-probe argmin. The 400 km
+    // cap guarantees every covered pair meets in some shared cell, so the
+    // bucketed min equals the brute-force min the DuckDB oracle computes.
+    // Distances quantize to 1/1024 km BIGINT before compare/argmin so the
+    // threshold and tie-breaks are integer-exact across engines.
+    "geo_swath_cover" -> Q(
+      build = (s, d) => {
+        val cell = 4.0
+        val probes = evPts(s, d)
+          .select(col("user_id"), col("event_id"), col("lat"), col("lon"))
+          .withColumn("ci", floor(col("lat") / cell).cast(LongType))
+          .withColumn("cj", floor(col("lon") / cell).cast(LongType))
+        val track = Tables.t(s, d, "part").select(
+          col("p_partkey").as("t_key"),
+          (lit(60.0) * sin(radians((col("p_partkey") * 7 % 360).cast(DoubleType))))
+            .as("tlat"),
+          (col("p_partkey") * 23 % 360 - 180).cast(DoubleType).as("tlon"))
+        val trep = track
+          .withColumn("dn", ceil(lit(400.0)
+            / (lit(110.0) * cos(radians(least(abs(col("tlat")) + 3.7, lit(64.0)))))
+            / cell).cast(LongType))
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("dj", explode(expr("sequence(-dn, dn)")))
+          .withColumn("ci", floor(col("tlat") / cell).cast(LongType) + col("di"))
+          // 360/4 = 90 lon cells in [-45, 44]: wrap replicas across the
+          // antimeridian so trans-dateline coverage is not missed
+          .withColumn("cj",
+            (((floor(col("tlon") / cell).cast(LongType) + col("dj") + 45) % 90 + 90) % 90) - 45)
+        probes.join(trep, Seq("ci", "cj"))
+          .withColumn("dist_q",
+            floor(havC(col("lat"), col("lon"), col("tlat"), col("tlon")) * 1024.0)
+              .cast(LongType))
+          .filter(col("dist_q") <= 409600L) // 400 km * 1024
+          .groupBy(col("user_id"), col("event_id"))
+          .agg(min(struct(col("dist_q"), col("t_key"))).as("m"))
+          .select(col("user_id"), col("event_id"),
+            col("m.t_key").as("track_key"),
+            round(col("m.dist_q") / 1024.0, 3).as("dist_km"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (SELECT user_id, event_id, $LAT AS lat, $LON AS lon FROM events),
+        track AS (SELECT p_partkey AS t_key,
+                         60.0*sin(radians(CAST(p_partkey*7 % 360 AS DOUBLE))) AS tlat,
+                         CAST(p_partkey*23 % 360 - 180 AS DOUBLE) AS tlon FROM part),
+        pairs AS (
+          SELECT user_id, event_id, t_key,
+                 CAST(FLOOR(${havS("lat", "lon", "tlat", "tlon")} * 1024.0) AS BIGINT) AS dist_q
+          FROM probes, track),
+        cov AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                             ORDER BY dist_q, t_key) AS rn
+                FROM pairs WHERE dist_q <= 409600)
+        SELECT user_id, event_id, t_key AS track_key,
+               round(dist_q/1024.0, 3) AS dist_km
+        FROM cov WHERE rn = 1
+        ORDER BY user_id, event_id""")),
+
+    // ----- geo_geojson: GeoJSON FeatureCollection ingest -----------------
+    // odin_geolayer/src/lib.rs: GeoJSON text in, typed vertex rows out.
+    // Per nation, a FeatureCollection is assembled (a Point + a pentagon
+    // Polygon per supplier station), then parsed back through the real
+    // reader (graft.sources.GeoJson: schema'd from_json + normalization +
+    // ring explode — no UDFs). The oracle recomputes the expected vertices
+    // DIRECTLY from the tables, so any parsing/explode defect breaks the
+    // hash: the query proves construct→parse→explode is the identity.
+    // Coordinates survive the text hop exactly because double→string→
+    // double round-trips in IEEE; feature order is fixed by array_sort.
+    "geo_geojson" -> Q(
+      build = (s, d) => {
+        val st = Tables.t(s, d, "supplier").select(
+          col("s_suppkey"), col("s_nationkey"),
+          (col("s_suppkey") * 53 % 140 - 70).cast(DoubleType).as("s_lat"),
+          (col("s_suppkey") * 97 % 360 - 180).cast(DoubleType).as("s_lon"))
+        val dy = Seq(0.4, 0.1, -0.3, -0.3, 0.1, 0.4)
+        val dx = Seq(0.0, 0.38, 0.24, -0.24, -0.38, 0.0)
+        val ring = (0 until 6).map(k =>
+          concat(lit("["), (col("s_lon") + dx(k)).cast(StringType), lit(","),
+            (col("s_lat") + dy(k)).cast(StringType), lit("]")))
+        val ringStr = concat(lit("[["), concat_ws(",", ring: _*), lit("]]"))
+        val pointFeat = concat(lit("""{"type":"Feature","properties":{"fid":""""),
+          col("s_suppkey").cast(StringType),
+          lit(""""},"geometry":{"type":"Point","coordinates":["""),
+          col("s_lon").cast(StringType), lit(","),
+          col("s_lat").cast(StringType), lit("]}}"))
+        val polyFeat = concat(lit("""{"type":"Feature","properties":{"fid":""""),
+          col("s_suppkey").cast(StringType),
+          lit(""""},"geometry":{"type":"Polygon","coordinates":"""),
+          ringStr, lit("}}"))
+        val fcs = st
+          .select(col("s_nationkey"), col("s_suppkey"),
+            pointFeat.as("pf"), polyFeat.as("gf"))
+          .groupBy(col("s_nationkey"))
+          .agg(array_sort(collect_list(
+            struct(col("s_suppkey"), col("pf"), col("gf")))).as("fs"))
+          .withColumn("fc",
+            concat(lit("""{"type":"FeatureCollection","features":["""),
+              array_join(expr("flatten(transform(fs, x -> array(x.pf, x.gf)))"), ","),
+              lit("]}")))
+        graft.sources.GeoJson.parse(fcs, col("fc"))
+          .select(col("s_nationkey").as("nation_key"),
+            col("properties")("fid").as("fid"),
+            col("geom_type"), col("ring_idx"), col("pt_idx"),
+            col("lon"), col("lat"))
+          .orderBy(col("nation_key"), col("fid"), col("geom_type"),
+            col("ring_idx"), col("pt_idx"))
+      },
+      oracle = Some(s"""
+        WITH st AS (SELECT s_suppkey, s_nationkey, $SLAT AS s_lat, $SLON AS s_lon
+                    FROM supplier),
+        offs AS (SELECT * FROM (VALUES (0, 0.0, 0.4), (1, 0.38, 0.1), (2, 0.24, -0.3),
+                                       (3, -0.24, -0.3), (4, -0.38, 0.1), (5, 0.0, 0.4))
+                 o(i, dx, dy)),
+        vx AS (
+          SELECT s_nationkey AS nation_key, CAST(s_suppkey AS VARCHAR) AS fid,
+                 'Point' AS geom_type, 0 AS ring_idx, 0 AS pt_idx,
+                 s_lon AS lon, s_lat AS lat
+          FROM st
+          UNION ALL
+          SELECT s_nationkey, CAST(s_suppkey AS VARCHAR), 'Polygon', 0, o.i,
+                 s_lon + o.dx, s_lat + o.dy
+          FROM st, offs o)
+        SELECT * FROM vx
+        ORDER BY nation_key, fid, geom_type, ring_idx, pt_idx""")),
+
+    // ----- geo_polygon_area: spherical polygon + circle area -------------
+    // GeoPolygon/GeoLine area (odin_common/src/geo.rs:232 via the geo
+    // crate's geodesic area) and GeoCircle::area (geo.rs:325), re-expressed
+    // as the Chamberlain–Duquette spherical-excess shoelace over the ring
+    // edges of each station's pentagon: area = |Σ (λ2−λ1)(2 + sinφ1 +
+    // sinφ2)| · R²/2. Each edge term quantizes to 2^-40 fixed point before
+    // the per-polygon SUM, so the aggregation is integer-exact and order-
+    // free on both engines; one narrow shuffle keyed on the polygon.
+    "geo_polygon_area" -> Q(
+      build = (s, d) => {
+        val dy = Seq(0.4, 0.1, -0.3, -0.3, 0.1)
+        val dx = Seq(0.0, 0.38, 0.24, -0.24, -0.38)
+        val q = 1099511627776.0 // 2^40
+        val r2half = 6371.0088 * 6371.0088 / 2.0
+        val terms = (0 until 5).map { k =>
+          val k2 = (k + 1) % 5
+          floor((radians(col("s_lon") + dx(k2)) - radians(col("s_lon") + dx(k)))
+            * (lit(2.0) + sin(radians(col("s_lat") + dy(k)))
+              + sin(radians(col("s_lat") + dy(k2)))) * q).cast(LongType)
+        }
+        stations(s, d)
+          .select(col("s_suppkey"), terms.reduce(_ + _).as("qsum"),
+            (col("s_suppkey") % 50 + 10).cast(DoubleType).as("r_km"))
+          .select(col("s_suppkey"),
+            round(abs(col("qsum")) / q * r2half, 3).as("poly_area_km2"),
+            round(lit(math.Pi) * col("r_km") * col("r_km"), 3).as("circle_area_km2"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some(s"""
+        WITH st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier),
+        edges AS (SELECT * FROM (VALUES
+          (0.0, 0.4, 0.38, 0.1), (0.38, 0.1, 0.24, -0.3),
+          (0.24, -0.3, -0.24, -0.3), (-0.24, -0.3, -0.38, 0.1),
+          (-0.38, 0.1, 0.0, 0.4)) e(dx1, dy1, dx2, dy2)),
+        q AS (
+          SELECT s_suppkey,
+                 CAST(SUM(CAST(FLOOR((radians(s_lon + dx2) - radians(s_lon + dx1))
+                   * (2.0 + sin(radians(s_lat + dy1)) + sin(radians(s_lat + dy2)))
+                   * 1099511627776.0) AS BIGINT)) AS BIGINT) AS qsum,
+                 CAST(s_suppkey % 50 + 10 AS DOUBLE) AS r_km
+          FROM st, edges
+          GROUP BY s_suppkey)
+        SELECT s_suppkey,
+               round(abs(qsum)/1099511627776.0 * ${6371.0088 * 6371.0088 / 2.0}, 3)
+                 AS poly_area_km2,
+               round(pi() * r_km * r_km, 3) AS circle_area_km2
+        FROM q ORDER BY s_suppkey""")),
+
     // ----- geo_polygon: point-in-convex-polygon --------------------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
     // pentagon, all cross products <= 0 going clockwise. Pure arithmetic →

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.GeoJson
+import org.apache.spark.sql.functions._
+
+class GeoJsonSpec extends SparkSpecBase {
+
+  private val fc =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","properties":{"fid":"7","name":"probe"},
+      | "geometry":{"type":"Point","coordinates":[1.5,2.5]}},
+      |{"type":"Feature","properties":{"fid":"8"},
+      | "geometry":{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0],[2.0,0.5]]}},
+      |{"type":"Feature","properties":{"fid":"9"},
+      | "geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]],
+      |                                             [[1.0,1.0],[2.0,1.0],[1.0,2.0],[1.0,1.0]]]}},
+      |{"type":"Feature","properties":{"fid":"10"},
+      | "geometry":{"type":"MultiPolygon","coordinates":[[[[10.0,10.0],[11.0,10.0],[10.0,11.0],[10.0,10.0]]],
+      |                                                  [[[20.0,20.0],[21.0,20.0],[20.0,21.0],[20.0,20.0]]]]}}
+      |]}""".stripMargin.replace("\n", "")
+
+  test("parse: all geometry types explode to the right vertex rows") {
+    import spark.implicits._
+    val rows = GeoJson.parse(Seq(fc).toDF("g"), col("g"))
+      .select("feature_pos", "geom_type", "part_idx", "ring_idx", "pt_idx", "lon", "lat")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6)))
+    // point: one vertex at part 0 / ring 0 / pt 0
+    assert(rows.filter(_._1 == 0) sameElements
+      Array((0, "Point", 0, 0, 0, 1.5, 2.5)))
+    // linestring: 3 vertices in order
+    assert(rows.filter(_._1 == 1).map(t => (t._5, t._6, t._7)).toSeq ==
+      Seq((0, 0.0, 0.0), (1, 1.0, 1.0), (2, 2.0, 0.5)))
+    // polygon: outer ring 4 + hole ring 4, ring_idx distinguishes
+    val poly = rows.filter(_._1 == 2)
+    assert(poly.count(_._4 == 0) == 4 && poly.count(_._4 == 1) == 4)
+    assert(poly.forall(_._2 == "Polygon"))
+    // multipolygon: two parts
+    val mp = rows.filter(_._1 == 3)
+    assert(mp.count(_._3 == 0) == 4 && mp.count(_._3 == 1) == 4)
+  }
+
+  test("parse: properties map and malformed features survive") {
+    import spark.implicits._
+    val feats = GeoJson.features(Seq(fc).toDF("g"), col("g")).collect()
+    assert(feats.length == 4)
+    val p0 = feats(0).getAs[Map[String, String]]("properties")
+    assert(p0("fid") == "7" && p0("name") == "probe")
+    // unknown geometry type yields no vertex rows, not a crash
+    val odd = """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","properties":{},"geometry":{"type":"Weird","coordinates":[1.0]}}]}"""
+      .stripMargin.replace("\n", "")
+    assert(GeoJson.parse(Seq(odd).toDF("g"), col("g")).count() == 0)
+  }
+
+  test("geo_geojson query is non-empty and round-trips station points") {
+    val rows = run("geo_geojson").collect()
+    assert(rows.nonEmpty)
+    val pts = rows.filter(_.getAs[String]("geom_type") == "Point")
+    val polys = rows.filter(_.getAs[String]("geom_type") == "Polygon")
+    assert(pts.nonEmpty && polys.length == 6 * pts.length)
+  }
+}

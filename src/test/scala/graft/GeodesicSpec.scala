@@ -46,6 +46,28 @@ class GeodesicSpec extends SparkSpecBase {
     }
   }
 
+  test("geo_polygon_area: spherical excess tracks the planar estimate") {
+    // pentagon offsets have planar shoelace area 0.362 deg^2; on the
+    // sphere that is ~0.362*(pi*R/180)^2*cos(lat), good to a few percent
+    // for a sub-degree polygon away from the poles
+    val rows = run("geo_polygon_area").collect()
+    assert(rows.length > 0)
+    val st = run("geo_polygon_area").sparkSession // station lat from key
+    rows.foreach { r =>
+      val key = r.getAs[Long]("s_suppkey")
+      val lat = (key * 53 % 140 - 70).toDouble
+      if (math.abs(lat) < 65.0) {
+        val expect = 0.362 * math.pow(math.Pi * 6371.0088 / 180.0, 2) *
+          math.cos(math.toRadians(lat))
+        val got = r.getAs[Double]("poly_area_km2")
+        assert(math.abs(got - expect) / expect < 0.05,
+          s"area for key=$key lat=$lat: got $got want ~$expect")
+      }
+      val rKm = (key % 50 + 10).toDouble
+      assert(math.abs(r.getAs[Double]("circle_area_km2") - math.Pi * rKm * rKm) < 0.001)
+    }
+  }
+
   test("geodesic_km SQL function registered via GeoFunctions.register") {
     graft.functions.GeoFunctions.register(spark)
     val km = spark.sql(
