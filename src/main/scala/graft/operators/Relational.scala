@@ -472,14 +472,41 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // ----- q22_distribution: ntile/percent_rank/cume_dist ----------------
+    // Scale shape: NO single-partition global window. The total order
+    // comes from a range repartition + in-partition sort; each row's
+    // global rank = per-partition offset (a #partitions-row aggregate,
+    // broadcast back) + its position within the partition (decoded from
+    // monotonically_increasing_id: partition id in the high bits, row
+    // index in the low 33). ntile/percent_rank/cume_dist then derive from
+    // (rank, N) arithmetic identical to the SQL window definitions, and
+    // the result is invariant to where the range boundaries fall.
     "q22_distribution" -> Q(
       build = (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        ord(s, d)
+        val base = ord(s, d).select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+          .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+          .withColumn("lrn", col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+        val offsets = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("n_total", sum(col("cnt")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        base.join(broadcast(offsets.select("pid", "offset", "n_total")), Seq("pid"))
+          .withColumn("rnk", col("offset") + col("lrn"))
+          .withColumn("quartile", expr("""
+            CASE WHEN rnk <= (n_total div 4 + 1) * (n_total % 4)
+                 THEN (rnk - 1) div (n_total div 4 + 1) + 1
+                 ELSE n_total % 4
+                      + (rnk - 1 - (n_total div 4 + 1) * (n_total % 4)) div (n_total div 4)
+                      + 1 END"""))
           .select(col("o_orderkey"), col("o_totalprice"),
-            ntile(4).over(w).cast(LongType).as("quartile"),
-            percent_rank().over(w).as("pct_rank"),
-            cume_dist().over(w).as("cume"))
+            col("quartile").cast(LongType).as("quartile"),
+            ((col("rnk") - 1).cast(DoubleType) / (col("n_total") - 1)).as("pct_rank"),
+            (col("rnk").cast(DoubleType) / col("n_total")).as("cume"))
           .orderBy(col("o_orderkey"))
       },
       oracle = Some("""

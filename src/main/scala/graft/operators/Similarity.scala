@@ -315,8 +315,18 @@ object Similarity {
         val sub = e.select(col("vec_id"), col("label"),
             posexplode(expr("transform(sequence(0, 7), b -> slice(embedding, b*8 + 1, 8))")))
           .toDF("vec_id", "label", "sub_id", "sub_vec")
-        // codebook: per (subspace, label) centroid — 10 codes per subspace
-        val codebook = sub
+        // encode distance: query/vector subspace vs. code centroid
+        val dist2 = aggregate(
+          zip_with(col("sub_vec"), col("centroid"),
+            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+          lit(0.0), (acc, x) => acc + x)
+        // codebook: per-label sub-centroids seed 10 codes/subspace, then 2
+        // Lloyd rounds train them properly (assign each subvector to its
+        // nearest code via the broadcast codebook — narrow, no vector
+        // shuffle — then recompute centroids with one keyed agg; empty
+        // codes keep their previous centroid; rounds localCheckpoint so
+        // plan depth stays O(1) — same shape emb_kmeans uses at full dim)
+        val cbInit = sub
           .select(col("sub_id"), col("label").as("code"),
             posexplode(col("sub_vec"))).toDF("sub_id", "code", "pos", "v")
           .groupBy(col("sub_id"), col("code"), col("pos"))
@@ -325,12 +335,27 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             st => st.getField("m")).as("centroid"))
           .localCheckpoint(true)
-        // encode: nearest code per (vector, subspace) — struct-min argmin,
-        // partial-aggregated map-side
-        val dist2 = aggregate(
-          zip_with(col("sub_vec"), col("centroid"),
-            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-          lit(0.0), (acc, x) => acc + x)
+        var codebook = cbInit
+        for (_ <- 1 to 2) {
+          val upd = sub.join(broadcast(codebook), Seq("sub_id"))
+            .withColumn("d2", dist2)
+            // (d2, code) is unique per (vec, sub): the carried sub_vec is
+            // never compared by the struct-min argmin
+            .groupBy(col("vec_id"), col("sub_id"))
+            .agg(min(struct(col("d2"), col("code"), col("sub_vec"))).as("m"))
+            .select(col("sub_id"), col("m.code").as("code"),
+              posexplode(col("m.sub_vec")))
+            .toDF("sub_id", "code", "pos", "v")
+            .groupBy(col("sub_id"), col("code"), col("pos"))
+            .agg(avg(col("v").cast(DoubleType)).as("m"))
+            .groupBy(col("sub_id"), col("code"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              st => st.getField("m")).as("c2"))
+          codebook = codebook.join(upd, Seq("sub_id", "code"), "left")
+            .select(col("sub_id"), col("code"),
+              coalesce(col("c2"), col("centroid")).as("centroid"))
+            .localCheckpoint(true)
+        }
         val codes = sub.join(broadcast(codebook), Seq("sub_id"))
           .withColumn("d2", dist2)
           .groupBy(col("vec_id"), col("sub_id"))
