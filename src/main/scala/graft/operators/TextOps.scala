@@ -789,6 +789,137 @@ object TextOps {
                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                                     ORDER BY tf.tf DESC, df.df, tf.term) AS rn
           FROM tf JOIN df ON tf.term = df.term, n)
-        WHERE rn <= 3 ORDER BY doc_id, rn"""))
+        WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ----- doc_gopher_rules: composite quality-rule filter ---------------
+    // The Gopher/C4-style rule battery every pretraining pipeline runs
+    // before anything expensive: word-count bounds, mean word length
+    // bounds, stopword presence, and single-word dominance — each rule a
+    // boolean column plus the conjunction, so downstream stages can slice
+    // by failure reason. One token-explode aggregate keyed on the doc (for
+    // the dominance ratio); everything else is per-row column math. All
+    // ratios are exact integer divisions, so the booleans are
+    // threshold-stable across engines.
+    "doc_gopher_rules" -> Q(
+      build = (s, d) => {
+        val tops = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+        docs(s, d)
+          .withColumn("n_words",
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType))
+          .withColumn("stop_hits", occC(col("text"), " the ") + occC(col("text"), " a "))
+          .join(tops, Seq("doc_id"))
+          .withColumn("mean_word_len",
+            (col("n_chars") - (col("n_words") - 1)).cast(DoubleType) / col("n_words"))
+          .withColumn("top_word_frac", col("top_cnt").cast(DoubleType) / col("n_words"))
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("stop_hits"), col("top_word_frac"),
+            (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_len"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_wlen"),
+            (col("stop_hits") >= 2).as("ok_stop"),
+            (col("top_word_frac") <= 0.12).as("ok_rep"))
+          .withColumn("passes",
+            col("ok_len") && col("ok_wlen") && col("ok_stop") && col("ok_rep"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        tops AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM wc GROUP BY 1),
+        base AS (
+          SELECT d.doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+                 ${occS("text", " the ")} + ${occS("text", " a ")} AS stop_hits,
+                 n_chars, top_cnt
+          FROM documents d JOIN tops t ON d.doc_id = t.doc_id),
+        r AS (SELECT doc_id, n_words,
+                CAST(n_chars - (n_words - 1) AS DOUBLE)/n_words AS mean_word_len,
+                stop_hits,
+                CAST(top_cnt AS DOUBLE)/n_words AS top_word_frac
+              FROM base)
+        SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+               n_words >= 50 AND n_words <= 100000 AS ok_len,
+               mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_wlen,
+               stop_hits >= 2 AS ok_stop,
+               top_word_frac <= 0.12 AS ok_rep,
+               (n_words >= 50 AND n_words <= 100000)
+                 AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                 AND stop_hits >= 2 AND top_word_frac <= 0.12 AS passes
+        FROM r ORDER BY doc_id""")),
+
+    // ----- doc_repetition: duplicated-bigram repetition score ------------
+    // The Gopher repetition signal: what fraction of a document's word
+    // bigrams are repeats (1 − distinct/total)? Catches looping generator
+    // output and boilerplate that char-level dedup misses. One explode +
+    // one aggregate keyed on the doc; the fraction is an exact integer
+    // division, so the flag threshold is stable across engines.
+    "doc_repetition" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+            .as("bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+          .withColumn("dup_frac",
+            lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_bigrams"))
+          .withColumn("repetitive", col("dup_frac") > 0.2)
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS bg
+               FROM wl, generate_series(1, 1023) g(i)
+               WHERE len(w) >= 2 AND g.i <= len(w) - 1),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       COUNT(DISTINCT bg) AS n_distinct
+                FROM bg GROUP BY 1)
+        SELECT doc_id, n_bigrams, n_distinct,
+               1.0 - CAST(n_distinct AS DOUBLE)/n_bigrams AS dup_frac,
+               1.0 - CAST(n_distinct AS DOUBLE)/n_bigrams > 0.2 AS repetitive
+        FROM agg ORDER BY doc_id""")),
+
+    // ----- doc_contamination: benchmark n-gram overlap audit -------------
+    // The eval-contamination check run before any training shard ships:
+    // treat src0 as the held-out benchmark; a train document is flagged
+    // when it shares character shingles with ANY benchmark doc (the
+    // 13-gram-overlap audit at shingle granularity). Scale shape: one
+    // semi-join keyed on the shingle (the same shuffle the exact-dedup
+    // family uses) — never doc×doc pairs.
+    "doc_contamination" -> Q(
+      build = (s, d) => {
+        val srcs = docs(s, d).select(col("doc_id"), col("source"))
+        val shs = shingles(s, d).join(srcs, Seq("doc_id"))
+        val bench = shs.filter(col("source") === "src0").select(col("sh")).distinct()
+        val train = shs.filter(col("source") =!= "src0")
+        val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        train.join(bench, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes, Seq("doc_id"))
+          .withColumn("shared_frac", col("n_shared").cast(DoubleType) / col("n_sh"))
+          .withColumn("contaminated", col("shared_frac") >= 0.5)
+          .select(col("doc_id"), col("n_shared"), col("n_sh"),
+            col("shared_frac"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH sh AS ($SHINGLES),
+        shs AS (SELECT sh.doc_id, sh.sh, d.source
+                FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+        bench AS (SELECT DISTINCT sh FROM shs WHERE source = 'src0'),
+        train AS (SELECT * FROM shs WHERE source <> 'src0'),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY 1),
+        shared AS (SELECT t.doc_id, COUNT(*) AS n_shared FROM train t
+                   WHERE EXISTS (SELECT 1 FROM bench b WHERE b.sh = t.sh)
+                   GROUP BY 1)
+        SELECT s.doc_id, n_shared, n_sh,
+               CAST(n_shared AS DOUBLE)/n_sh AS shared_frac,
+               CAST(n_shared AS DOUBLE)/n_sh >= 0.5 AS contaminated
+        FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+        ORDER BY s.doc_id"""))
   )
 }

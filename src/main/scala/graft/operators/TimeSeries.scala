@@ -1070,6 +1070,57 @@ object TimeSeries {
                CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0 AS ewma
         FROM lagged
         ORDER BY user_id, event_id""")
-      })
+      }),
+
+    // ----- ts_changepoint: CUSUM level-shift localization ----------------
+    // Where did a sensor's level shift? The CUSUM statistic: the running
+    // sum of deviations from the series mean peaks at the changepoint
+    // (the robust follow-up to ts_zscore's pointwise flags). All scan
+    // state is integer — with cents = 100*value (exact DECIMAL) and
+    // (S, n) the per-entity total and count, c_i = Σ_{j<=i}(cents_j*n − S)
+    // is an exact BIGINT running sum (no division inside the scan); the
+    // reported deviation max|c|/(n²·100) is one identical IEEE division.
+    // Two shuffles keyed on the entity (stats window + ordered window),
+    // argmax via struct-min — no per-entity sort at the driver.
+    "ts_changepoint" -> Q(
+      build = (s, d) => {
+        val cum = byUser.orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("cents", (decP(col("value")) * 100).cast(LongType))
+          .withColumn("tot", sum(col("cents")).over(byUser))
+          .withColumn("n", count(lit(1)).over(byUser))
+          .withColumn("c", sum(col("cents") * col("n") - col("tot")).over(cum))
+          .groupBy(col("user_id"))
+          .agg(min(struct((-abs(col("c"))).as("negabs"),
+            col("event_id").as("eid"), col("ts_sec").as("ts"),
+            col("c").as("cv"), col("n").as("nn"))).as("m"))
+          .select(col("user_id"), col("m.eid").as("cp_event_id"),
+            col("m.ts").as("cp_ts_sec"),
+            (abs(col("m.cv")).cast(DoubleType)
+              / (col("m.nn") * col("m.nn")).cast(DoubleType) / 100.0).as("max_dev"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, cp_event_id, cp_ts_sec,
+               CAST(abs_c AS DOUBLE)/CAST(n*n AS DOUBLE)/100.0 AS max_dev
+        FROM (
+          SELECT user_id, event_id AS cp_event_id, ts_sec AS cp_ts_sec,
+                 abs(c) AS abs_c, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY abs(c) DESC, event_id) AS rn
+          FROM (
+            SELECT user_id, event_id, ts_sec, n,
+                   SUM(cents*n - tot) OVER (PARTITION BY user_id
+                     ORDER BY ts_sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM (
+              SELECT user_id, event_id, $TS AS ts_sec,
+                     CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                          OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events)))
+        WHERE rn = 1 ORDER BY user_id"""))
   )
 }
