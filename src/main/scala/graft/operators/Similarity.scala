@@ -171,6 +171,66 @@ object Similarity {
         WHERE CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3
         ORDER BY vec_a, vec_b""")),
 
+    // ----- emb_semantic_dedup: SemDeDup-style corpus pruning -------------
+    // The embedding-space dedup pass (SemDeDup): documents whose
+    // embeddings are mutually near-duplicate form a semantic cluster; keep
+    // one representative per cluster and drop the rest. Pairs come from
+    // the label-blocked exact cosine (emb_near_dup's shuffle shape — swap
+    // in LSH buckets for unkeyed corpora), the closure is the checkpointed
+    // pointer-jumping connectedComponents, and the representative is the
+    // component-min vec_id. Emits a keep/drop decision per vector — the
+    // actual pruning filter a 100 TB shard applies. Oracle: DuckDB
+    // recursive-CTE exact CC over the same quantized-cosine graph.
+    "emb_semantic_dedup" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val a = e.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nq").as("nq_a"))
+        val b = e.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nq").as("nq_b"))
+        val pairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
+            / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
+          .filter(col("cos_sim") >= 0.3)
+          .select(col("vec_a"), col("vec_b"))
+        val edges = pairs
+          .union(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+          .toDF("src", "dst")
+        val nodes = e.select(col("vec_id").as("node"))
+        TextOps.connectedComponents(nodes, edges)
+          .select(col("node").as("vec_id"), col("label").as("rep_id"))
+          .withColumn("keep", col("vec_id") === col("rep_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("rep_id"))))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
+          FROM embeddings a
+          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d.vec_a, d.vec_b FROM dots d
+          JOIN n na ON na.vec_id = d.vec_a
+          JOIN n nb ON nb.vec_id = d.vec_b
+          WHERE CAST(d.dot AS DOUBLE)/(sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3),
+        edges AS (SELECT vec_a AS s, vec_b AS t FROM pairs
+                  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT w.node, e.t FROM walk w JOIN edges e ON e.s = w.lbl),
+        cc AS (SELECT node AS vec_id, MIN(lbl) AS rep_id FROM walk GROUP BY 1)
+        SELECT vec_id, rep_id, vec_id = rep_id AS keep,
+               COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
+        FROM cc ORDER BY vec_id""")),
+
     // ----- emb_ivf_topk: IVF-style ANN (rows-only) -----------------------
     // Coarse quantizer = per-label centroids (emb_centroids); each vector
     // is assigned to its nearest centroid cell, queries probe only their
