@@ -652,6 +652,55 @@ object Geo {
                round(pi() * r_km * r_km, 3) AS circle_area_km2
         FROM q ORDER BY s_suppkey""")),
 
+    // ----- geo_grid_stencil: raster slope/aspect (DEM gradient) ----------
+    // The stencil computation odin_dem/odin_wind run on elevation/wind
+    // grids: per cell, the central-difference gradient from the 4
+    // neighbors, then slope = atan(|∇z|) and aspect = atan2(dzdy, dzdx).
+    // The grid is the per-cell event density (an integer field, exact on
+    // both engines). Scale shape: a stencil over a distributed raster is
+    // 4 equi-joins keyed on the shifted cell id — each neighbor lookup
+    // shuffles on the grid key, never a windowed scan over the whole
+    // raster; this is how a 100 TB HRRR/DEM sweep parallelizes.
+    "geo_grid_stencil" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat") / 2.0).cast(LongType).as("ci"),
+            floor(col("lon") / 2.0).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("z"))
+        def shifted(di: Int, dj: Int, as: String) = cells.select(
+          (col("ci") - di).as("ci"), (col("cj") - dj).as("cj"), col("z").as(as))
+        cells
+          .join(shifted(0, 1, "z_e"), Seq("ci", "cj"))
+          .join(shifted(0, -1, "z_w"), Seq("ci", "cj"))
+          .join(shifted(1, 0, "z_n"), Seq("ci", "cj"))
+          .join(shifted(-1, 0, "z_s"), Seq("ci", "cj"))
+          .withColumn("dzdx", (col("z_e") - col("z_w")).cast(DoubleType) / 2.0)
+          .withColumn("dzdy", (col("z_n") - col("z_s")).cast(DoubleType) / 2.0)
+          .select(col("ci"), col("cj"), col("z"), col("dzdx"), col("dzdy"),
+            round(degrees(atan(sqrt(col("dzdx") * col("dzdx")
+              + col("dzdy") * col("dzdy")))), 3).as("slope_deg"),
+            round((degrees(atan2(col("dzdy"), col("dzdx"))) + 360.0) % 360.0, 3)
+              .as("aspect_deg"))
+          .orderBy(col("ci"), col("cj"))
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT CAST(FLOOR($LAT/2.0) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON/2.0) AS BIGINT) AS cj, COUNT(*) AS z
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT c.ci, c.cj, c.z,
+                 (e.z - w.z)/2.0 AS dzdx, (n_.z - s_.z)/2.0 AS dzdy
+          FROM cells c
+          JOIN cells e  ON e.ci = c.ci AND e.cj = c.cj + 1
+          JOIN cells w  ON w.ci = c.ci AND w.cj = c.cj - 1
+          JOIN cells n_ ON n_.ci = c.ci + 1 AND n_.cj = c.cj
+          JOIN cells s_ ON s_.ci = c.ci - 1 AND s_.cj = c.cj)
+        SELECT ci, cj, z, dzdx, dzdy,
+               round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 3) AS slope_deg,
+               round((degrees(atan2(dzdy, dzdx)) + 360.0) % 360.0, 3) AS aspect_deg
+        FROM g ORDER BY ci, cj""")),
+
     // ----- geo_polygon: point-in-convex-polygon --------------------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
     // pentagon, all cross products <= 0 going clockwise. Pure arithmetic →

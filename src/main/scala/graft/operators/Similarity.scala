@@ -193,6 +193,8 @@ object Similarity {
             / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
           .filter(col("cos_sim") >= 0.3)
           .select(col("vec_a"), col("vec_b"))
+        // the union references pairs twice, but ReusedExchange dedups the
+        // twin cosine-join subplans — cheaper than a forced checkpoint
         val edges = pairs
           .union(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
           .toDF("src", "dst")

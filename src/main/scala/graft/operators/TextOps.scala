@@ -519,6 +519,8 @@ object TextOps {
     "doc_cc_clusters" -> Q(
       build = (s, d) => {
         val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // the union references pairs twice, but ReusedExchange dedups the
+        // twin shingle-join subplans — cheaper than a forced checkpoint
         val edges = pairs
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")

@@ -511,8 +511,13 @@ object TimeSeries {
           .groupBy(col("user_id"), col("session_id"))
           .agg(min(col("ts_sec")).as("start_sec"),
             (max(col("ts_sec")) + 1).as("end_sec"))
-        val bounds = sessions.select(col("start_sec").as("t"), lit(1L).as("delta"))
-          .unionAll(sessions.select(col("end_sec").as("t"), lit(-1L).as("delta")))
+        // one explode, not a self-union: referencing sessions twice would
+        // evaluate the sessionization chain twice in one plan
+        val bounds = sessions
+          .select(explode(array(
+            struct(col("start_sec").as("t"), lit(1L).as("delta")),
+            struct(col("end_sec").as("t"), lit(-1L).as("delta")))).as("b"))
+          .select(col("b.t").as("t"), col("b.delta").as("delta"))
           .withColumn("bucket", expr("t div 3600"))
         val wLocal = Window.partitionBy(col("bucket"))
           .orderBy(col("t"), col("delta"))
