@@ -199,6 +199,49 @@ object Geo {
     }
   }
 
+  /** GOES-R fixed-grid (scan/elevation angle) → geodetic projection
+    * constants and shared formula text (both engines evaluate the same
+    * strings). Geometry per the published geostationary projection
+    * (GOES-R PUG L2+ vol. 5 p.23); mirrors odin_goesr/src/geo.rs:93.
+    */
+  private[graft] object GoesK {
+    private def c(d: Double): String = {
+      val s = d.toString; if (s.contains("E")) s else s + "e0"
+    }
+    private val rEq  = 6378137.0
+    private val rPol = 6356752.31414
+    private val R2   = c((rEq / rPol) * (rEq / rPol))
+    private val Hs   = 35786023.0 + rEq
+    private val H    = c(Hs)
+    private val CC   = c(Hs * Hs - rEq * rEq)
+    private val LON0 = c(Math.toRadians(-137.0)) // GOES-West
+
+    // synthetic full-disk scan angles (±0.15 rad) from integer columns
+    val X = "(CAST(event_id*31 % 2000 - 1000 AS DOUBLE)/1000.0)*0.15"
+    val Y = "(CAST(user_id*17 % 2000 - 1000 AS DOUBLE)/1000.0)*0.15"
+
+    /** Through the quadratic discriminant (off-disk test happens here). */
+    val discSteps: Seq[(String, String)] = Seq(
+      "g_sx" -> "sin(scan_x)", "g_cx" -> "cos(scan_x)",
+      "g_sy" -> "sin(scan_y)", "g_cy" -> "cos(scan_y)",
+      "g_s2x" -> "g_sx*g_sx", "g_s2y" -> "g_sy*g_sy",
+      "g_a" -> s"g_s2x + (1.0 - g_s2x)*((1.0 - g_s2y) + $R2*g_s2y)",
+      "g_b" -> s"-2.0*$H*g_cx*g_cy",
+      "g_disc" -> s"g_b*g_b - 4.0*g_a*$CC")
+
+    /** Ellipsoid intersection → geodetic degrees (needs discSteps first). */
+    val geoSteps: Seq[(String, String)] = Seq(
+      "g_rs" -> "(-g_b - sqrt(g_disc))/(2.0*g_a)",
+      "g_px" -> "g_rs*g_cx*g_cy",
+      "g_py" -> "-g_rs*g_sx",
+      "g_pz" -> "g_rs*g_cx*g_sy",
+      "glat" -> s"degrees(atan($R2*g_pz/sqrt(($H - g_px)*($H - g_px) + g_py*g_py)))",
+      "glon" -> s"degrees($LON0 - atan(g_py/($H - g_px)))")
+
+    def apply1(df: DataFrame, steps: Seq[(String, String)]): DataFrame =
+      steps.foldLeft(df) { case (acc, (nm, ex)) => acc.withColumn(nm, expr(ex)) }
+  }
+
   /** WGS84 → UTM forward projection (Krüger exact form), with the
     * Norway/Svalbard zone exceptions and the MGRS latitude band. Adds
     * utm_zone / utm_band / utm_easting / utm_northing; pure codegen'd
@@ -700,6 +743,43 @@ object Geo {
                round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 3) AS slope_deg,
                round((degrees(atan2(dzdy, dzdx)) + 360.0) % 360.0, 3) AS aspect_deg
         FROM g ORDER BY ci, cj""")),
+
+    // ----- geo_goes_project: GOES-R fixed-grid → geodetic ----------------
+    // The satellite-pixel geolocation every GOES-R hotspot carries
+    // (odin_goesr/src/geo.rs:93 geo_from_instrument_angles; published
+    // geostationary projection, GOES-R PUG L2+ vol. 5 p.23): scan/elevation
+    // angles → ellipsoid intersection → lat/lon. Shared formula text runs
+    // verbatim on both engines (UtmK technique); off-disk pixels are
+    // dropped on the quadratic discriminant with a wide limb margin so
+    // ulp-level trig noise can never flip row membership. Pure narrow
+    // column math over the scan — the shape of geolocating a full-disk
+    // raster at 100 TB.
+    "geo_goes_project" -> Q(
+      build = (s, d) => {
+        val base = Tables.events(s, d)
+          .withColumn("scan_x", expr(GoesK.X))
+          .withColumn("scan_y", expr(GoesK.Y))
+        val disc = GoesK.apply1(base, GoesK.discSteps)
+          .filter(col("g_disc") >= 1.0e10)
+        GoesK.apply1(disc, GoesK.geoSteps)
+          .select(col("event_id"), col("scan_x"), col("scan_y"),
+            round(col("glat"), 4).as("lat_deg"),
+            round(col("glon"), 4).as("lon_deg"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some({
+        val (d1, l1) = UtmK.ctes("gb", GoesK.discSteps, "gd")
+        val (d2, l2) = UtmK.ctes("gf", GoesK.geoSteps, "gg")
+        s"""
+        WITH gb AS (SELECT event_id, ${GoesK.X} AS scan_x, ${GoesK.Y} AS scan_y
+                    FROM events),
+        $d1,
+        gf AS (SELECT * FROM $l1 WHERE g_disc >= 1.0e10),
+        $d2
+        SELECT event_id, scan_x, scan_y,
+               round(glat, 4) AS lat_deg, round(glon, 4) AS lon_deg
+        FROM $l2 ORDER BY event_id"""
+      })),
 
     // ----- geo_polygon: point-in-convex-polygon --------------------------
     // Winding test per odin_common/src/geo.rs:409 `contains`; a convex
