@@ -82,20 +82,22 @@ object Sources {
   }
 
   /** Small-file compaction: rewrite a directory into ~targetMB output
-    * files (row-size estimated from a sample). The maintenance op every
-    * long-running ingest needs — thousands of tiny files kill both the
-    * driver's file index and scan throughput at scale.
+    * files. The target count comes straight from the input files' on-disk
+    * parquet bytes (a filesystem listing — no data ever reaches the
+    * driver, and encoded bytes beat any row-sample estimate). The
+    * maintenance op every long-running ingest needs — thousands of tiny
+    * files kill both the driver's file index and scan throughput at scale.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetMB: Int = 128): Long = {
-    val df = spark.read.parquet(inPath)
-    val n = df.count()
-    val sampleRows = math.min(n, 1000L)
-    val bytesPerRow = if (sampleRows == 0) 1L
-      else math.max(1L, df.limit(sampleRows.toInt)
-        .toJSON.collect().map(_.length.toLong).sum / sampleRows)
-    val files = math.max(1L, n * bytesPerRow / (targetMB.toLong * 1024 * 1024))
-    df.repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(outPath)
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val files = math.max(1L, totalBytes / (targetMB.toLong * 1024 * 1024))
+    spark.read.parquet(inPath)
+      .repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(outPath)
     files
   }
 }
