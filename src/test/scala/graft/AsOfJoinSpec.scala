@@ -36,6 +36,25 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(2).isNullAt(4))                         // (2,5): key absent
   }
 
+  test("null keys and null times never match (SQL join semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), 100L), (Option.empty[Long], Some(1L), 900L),
+      (Some(1L), Option.empty[Long], 800L)).toDF("rk", "rt", "payload")
+    val out = AsOf.join(l, r, l("k"), r("rk"), l("t"), r("rt"), r("payload"))
+      .collect()
+    assert(out.length == 3)
+    val byRow = out.map(x => (Option(x.get(0)), Option(x.get(1))) ->
+      Option(x.getAs[Any]("payload"))).toMap
+    // valid left row matches only the valid right row (not the null-key
+    // or null-time rows, which previously unboxed to epoch 0 / matched)
+    assert(byRow((Some(1L), Some(10L))) == Some(100L))
+    // null-keyed / null-timed left rows extend with nulls
+    assert(byRow((None, Some(10L))).isEmpty)
+    assert(byRow((Some(1L), None)).isEmpty)
+  }
+
   test("computed (non-attribute) time expressions are accepted") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")

@@ -38,6 +38,18 @@ class RangeJoinSpec extends SparkSpecBase {
       (1L, 10.0, 20.0), (1L, 15.0, 16.0)))
   }
 
+  test("null keys never match (inner-join SQL semantics)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), 10.0, 20.0), (Option.empty[Long], 0.0, 100.0))
+      .toDF("k", "lo", "hi")
+    val r = Seq((Some(1L), 15.0), (Option.empty[Long], 50.0)).toDF("rk", "v")
+    val out = RangeJoin.join(l, r, l("k"), r("rk"), l("lo"), l("hi"), r("v"))
+      .select("k", "v").collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // only the non-null-keyed pair joins; null keys (which compare equal
+    // under RowOrdering) must not match each other
+    assert(out.toSeq == Seq((1L, 15.0)))
+  }
+
   test("later narrower band does not see evicted or over-edge rows") {
     import spark.implicits._
     // same key, increasing lo, decreasing hi: the held buffer must re-check
