@@ -139,4 +139,39 @@ object Streams {
           alarms.iterator
       }
   }
+
+  case class Drift(user_id: Long, event_id: Long, ts_sec: Long,
+      cum_dev: Double, n_seen: Long)
+
+  /** stream_cusum: streaming CUSUM drift detector — the streaming form of
+    * ts_changepoint (and of odin_sentinel's long-horizon sensor
+    * monitoring). Each entity folds deviations from a reference mean into
+    * running state in the state store; the first |cum_dev| >= threshold
+    * crossing emits a Drift row and latches, so one sustained level shift
+    * alarms exactly once. State is 3 scalars per entity — sharded by the
+    * key, constant per-record work, horizontally scalable.
+    */
+  def cusumMonitor(events: Dataset[Ev], refMean: Double,
+      threshold: Double): Dataset[Drift] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long, Boolean), Drift](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[(Double, Long, Boolean)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var (cum, n, alarmed) = state.getOption.getOrElse((0.0, 0L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Drift]
+          sorted.foreach { e =>
+            cum += e.value - refMean
+            n += 1
+            if (!alarmed && math.abs(cum) >= threshold) {
+              out += Drift(uid, e.event_id, e.ts_sec, cum, n)
+              alarmed = true
+            }
+          }
+          state.update((cum, n, alarmed))
+          out.iterator
+      }
+  }
 }

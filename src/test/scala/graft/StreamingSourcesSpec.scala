@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.getAs[Long]("last_event_id") == 2 && st.getAs[Long]("n_seen") == 3)
   }
 
+  test("stream_cusum: drift alarms once at the first threshold crossing") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.cusumMonitor(in.toDS(), refMean = 10.0, threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    // entity 7 drifts +2 per event; entity 8 oscillates around the mean
+    in.addData(Ev(1, 100, 7, "t", 12.0), Ev(2, 200, 7, "t", 12.0),
+      Ev(10, 100, 8, "t", 11.0), Ev(11, 200, 8, "t", 9.0))
+    q.processAllAvailable()
+    // state persists across batches: third event pushes |cum|=6 >= 5
+    in.addData(Ev(3, 300, 7, "t", 12.0), Ev(4, 400, 7, "t", 12.0),
+      Ev(12, 300, 8, "t", 11.0))
+    q.processAllAvailable()
+    val rows = spark.table("cusum_out").collect()
+    q.stop()
+    assert(rows.length == 1) // one latch-once alarm, only the drifting entity
+    val r = rows(0)
+    assert(r.getAs[Long]("user_id") == 7 && r.getAs[Long]("event_id") == 3)
+    assert(math.abs(r.getAs[Double]("cum_dev") - 6.0) < 1e-9)
+    assert(r.getAs[Long]("n_seen") == 3)
+  }
+
   test("stream_windowed_agg: watermarked hourly counts") {
     import spark.implicits._
     val in = mem()
