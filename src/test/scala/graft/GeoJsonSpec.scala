@@ -54,6 +54,30 @@ class GeoJsonSpec extends SparkSpecBase {
     assert(GeoJson.parse(Seq(odd).toDF("g"), col("g")).count() == 0)
   }
 
+  test("parsed polygon rings drive point-in-polygon: station centers inside") {
+    // closes the loop with geo_polygon: the pentagon rings recovered by the
+    // reader contain their generating station point (winding test on the
+    // parsed vertices, not the source offsets)
+    val rows = run("geo_geojson")
+      .filter(col("geom_type") === "Polygon").collect()
+    val rings = rows.groupBy(_.getAs[String]("fid")).map { case (fid, vs) =>
+      fid -> vs.sortBy(_.getAs[Int]("pt_idx")).map(r =>
+        (r.getAs[Double]("lat"), r.getAs[Double]("lon")))
+    }
+    assert(rings.nonEmpty)
+    rings.foreach { case (fid, ring) =>
+      val key = fid.toLong
+      val (cLat, cLon) = ((key * 53 % 140 - 70).toDouble, (key * 97 % 360 - 180).toDouble)
+      // counterclockwise pentagon: center must be left of every edge
+      val inside = ring.dropRight(1).zip(ring.tail).forall { case ((y1, x1), (y2, x2)) =>
+        (x2 - x1) * (cLat - y1) - (y2 - y1) * (cLon - x1) >= 0.0
+      } || ring.dropRight(1).zip(ring.tail).forall { case ((y1, x1), (y2, x2)) =>
+        (x2 - x1) * (cLat - y1) - (y2 - y1) * (cLon - x1) <= 0.0
+      }
+      assert(inside, s"station $fid not inside its parsed pentagon")
+    }
+  }
+
   test("geo_geojson query is non-empty and round-trips station points") {
     val rows = run("geo_geojson").collect()
     assert(rows.nonEmpty)
