@@ -633,6 +633,49 @@ object Relational {
         SELECT event_type, COUNT(*) AS n,
                round(quantile_cont(value, 0.5), 4) AS med_value,
                round(quantile_cont(value, 0.9), 4) AS p90_value
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ----- q29_scd2_dim: slowly-changing-dimension as-of join ------------
+    // The SCD2 pattern every warehouse needs: facts join the dimension
+    // version that was effective AT FACT TIME, not the current one.
+    // Supplier "rate" versions take effect every 600 days; each lineitem
+    // picks the version effective at its ship date via the native
+    // AsOfJoinExec (one shuffle+sort per side, streaming merge — the same
+    // operator ts_asof_native proves, here in its warehouse role).
+    // Version 0 is effective from day 0, so every fact matches (inner ==
+    // left-outer) and the DuckDB LATERAL oracle can use a plain join.
+    "q29_scd2_dim" -> Q(
+      build = (s, d) => {
+        val dim = Tables.t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            expr("CAST(CAST(s_acctbal AS DECIMAL(12,2))*100 AS BIGINT)").as("base_cents"))
+          .withColumn("v", explode(expr("sequence(0, 3)")))
+          .select(col("s_suppkey"), (col("v") * 600).cast(LongType).as("ver_day"),
+            (col("base_cents") + col("v") * 10000).as("rate_cents"))
+        val fact = Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            expr("unix_timestamp(l_shipdate) div 86400").as("fact_day"))
+        graft.plans.AsOf.join(fact, dim, fact("l_suppkey"), dim("s_suppkey"),
+          fact("fact_day"), dim("ver_day"), dim("ver_day"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("fact_day"), col("ver_day"), col("rate_cents"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT s_suppkey, CAST(v*600 AS BIGINT) AS ver_day,
+                 CAST(CAST(s_acctbal AS DECIMAL(12,2))*100 AS BIGINT) + v*10000 AS rate_cents
+          FROM supplier, (SELECT * FROM (VALUES (0),(1),(2),(3)) t(v)) vs),
+        f AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS fact_day
+              FROM lineitem)
+        SELECT f.l_orderkey, f.l_linenumber, f.l_suppkey, f.fact_day,
+               d.ver_day, d.rate_cents
+        FROM f
+        JOIN LATERAL (SELECT ver_day, rate_cents FROM dim
+                      WHERE dim.s_suppkey = f.l_suppkey
+                        AND dim.ver_day <= f.fact_day
+                      ORDER BY ver_day DESC LIMIT 1) d ON TRUE
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 }
