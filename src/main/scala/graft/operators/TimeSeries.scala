@@ -1127,5 +1127,41 @@ object TimeSeries {
                      COUNT(*) OVER (PARTITION BY user_id) AS n
               FROM events)))
         WHERE rn = 1 ORDER BY user_id"""))
+  ) ++ Seq(
+
+    // ----- ts_ohlc: per-entity hourly open/high/low/close ----------------
+    // The candle rollup every telemetry dashboard draws (first/last/
+    // extremes per bucket — the odin_goesr store keeps exactly this shape
+    // per hotspot interval). Open/close use the argmin/argmax struct-min
+    // trick: (ts, event_id) is unique, so the carried value is never
+    // compared and the whole aggregate is ONE map-side-combinable shuffle —
+    // no per-bucket sort, no window. Values are 2-decimal reads, so every
+    // output is exactly representable on both engines.
+    "ts_ohlc" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .groupBy(col("user_id"), expr("ts_sec div 3600").as("hour"))
+          .agg(
+            min(struct(col("ts_sec"), col("event_id"), col("value"))).as("o"),
+            max(struct(col("ts_sec"), col("event_id"), col("value"))).as("c"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), col("hour"), col("o.value").as("open"),
+            col("high"), col("low"), col("c.value").as("close"), col("n"))
+          .orderBy(col("user_id"), col("hour")),
+      oracle = Some(s"""
+        WITH b AS (SELECT user_id, event_id, $TS AS ts_sec, value FROM events),
+        h AS (SELECT user_id, ts_sec // 3600 AS hour, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, ts_sec // 3600
+                                   ORDER BY ts_sec, event_id) AS rn_a,
+                ROW_NUMBER() OVER (PARTITION BY user_id, ts_sec // 3600
+                                   ORDER BY ts_sec DESC, event_id DESC) AS rn_d
+              FROM b)
+        SELECT user_id, hour,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n
+        FROM h GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
