@@ -390,6 +390,77 @@ object Geo {
           FROM cells c, total t)
         WHERE rank <= 10 ORDER BY rank""")),
 
+    // ----- geo_hotspot_clusters: fire-event clustering of hot cells ------
+    // odin_fires groups satellite hotspot detections into fire events by
+    // spatial adjacency. Re-expressed: 5-degree cells whose density exceeds
+    // a Poisson band (mu + 2*sqrt(mu), data-derived so it adapts to SF),
+    // 8-neighbor adjacency edges via offset-explode + equi-join (never a
+    // theta join — the scale shape), then the shared connectedComponents
+    // (pointer-jumped label propagation). Per-cluster rollup: cell count,
+    // point total, cell-index bounding box. Oracle: DuckDB recursive-CTE
+    // reachability closure over the same hot set.
+    "geo_hotspot_clusters" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .withColumn("cla", floor(col("lat") / 5.0).cast(LongType))
+          .withColumn("clo", floor(col("lon") / 5.0).cast(LongType))
+          .groupBy(col("cla"), col("clo"))
+          .agg(count(lit(1)).as("n"))
+        val mu = cells.agg(
+          (sum(col("n")).cast(DoubleType) / count(lit(1))).as("mu"))
+        val hot = cells.crossJoin(broadcast(mu))
+          .filter(col("n").cast(DoubleType) >= col("mu") + lit(2.0) * sqrt(col("mu")))
+          .withColumn("cell_id", (col("cla") + 100L) * 1000L + (col("clo") + 200L))
+          .localCheckpoint(true) // reused 3x (nodes, edges, rollup)
+        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1))
+        val nbrs = hot.select(col("cell_id").as("src"),
+            explode(array(offs.map { case (da, db) =>
+              struct(lit(da.toLong).as("da"), lit(db.toLong).as("db"))
+            }: _*)).as("o"),
+            col("cla"), col("clo"))
+          .select(col("src"),
+            ((col("cla") + col("o.da") + 100L) * 1000L
+              + (col("clo") + col("o.db") + 200L)).as("dst"))
+        val edges = nbrs.join(hot.select(col("cell_id").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst"))
+        val lbl = TextOps.connectedComponents(hot.select(col("cell_id").as("node")), edges)
+        hot.join(lbl, hot("cell_id") === lbl("node"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("total_points"),
+            min(col("cla")).as("lat_cell_min"), max(col("cla")).as("lat_cell_max"),
+            min(col("clo")).as("lon_cell_min"), max(col("clo")).as("lon_cell_max"))
+          .select(col("label").as("cluster_id"), col("n_cells"), col("total_points"),
+            col("lat_cell_min"), col("lat_cell_max"),
+            col("lon_cell_min"), col("lon_cell_max"))
+          .orderBy(col("cluster_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE cells AS (
+          SELECT CAST(floor($LAT/5.0) AS BIGINT) AS cla,
+                 CAST(floor($LON/5.0) AS BIGINT) AS clo,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        stats AS (SELECT CAST(SUM(n) AS DOUBLE)/COUNT(*) AS mu FROM cells),
+        hot AS (SELECT cla, clo, n, (cla+100)*1000 + (clo+200) AS cell_id
+                FROM cells, stats
+                WHERE CAST(n AS DOUBLE) >= mu + 2.0*sqrt(mu)),
+        edges AS (SELECT a.cell_id AS s, b.cell_id AS t
+                  FROM hot a JOIN hot b
+                  ON abs(a.cla-b.cla) <= 1 AND abs(a.clo-b.clo) <= 1
+                     AND a.cell_id <> b.cell_id),
+        walk(node, lbl) AS (
+          SELECT cell_id, cell_id FROM hot
+          UNION
+          SELECT w.node, e.t FROM walk w JOIN edges e ON e.s = w.lbl),
+        cc AS (SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY 1)
+        SELECT cc.cluster_id, COUNT(*) AS n_cells,
+               CAST(SUM(h.n) AS BIGINT) AS total_points,
+               MIN(h.cla) AS lat_cell_min, MAX(h.cla) AS lat_cell_max,
+               MIN(h.clo) AS lon_cell_min, MAX(h.clo) AS lon_cell_max
+        FROM cc JOIN hot h ON h.cell_id = cc.node
+        GROUP BY 1 ORDER BY 1""")),
+
     // ----- geo_nearest: nearest ground station per sampled point ---------
     // Broadcast the tiny station table; at scale the same op grid-buckets
     // both sides first (see SURVEY §4).
