@@ -61,7 +61,9 @@ for name in sorted(os.listdir(outdir)):
         a, b = g[c], e[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             an, bn = a.astype(float).to_numpy(), b.astype(float).to_numpy()
-            eq = (an == bn) | (np.isnan(an) & np.isnan(bn))
+            # bitwise, like the driver's hash: -0.0 != 0.0 there
+            eq = ((an == bn) & (np.signbit(an) == np.signbit(bn))) \
+                 | (np.isnan(an) & np.isnan(bn))
         else:
             eq = (a.astype(str).to_numpy() == b.astype(str).to_numpy())
         if not eq.all():

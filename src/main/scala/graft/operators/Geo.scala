@@ -1152,40 +1152,45 @@ object Geo {
     // of two haversines amplifies the ~ulp cross-engine trig disagreement
     // by 3600/dt, so quantize the distance to fixed-point BIGINT (1/1024
     // km ~ 1 m) BEFORE the lag — the subtraction is then integer-exact
-    // and the trailing /1024.0 /dt *3600.0 chain is bit-identical.
+    // and the trailing /1024.0 /dt *3600.0 chain is bit-identical. Every
+    // emitted double derives from dist_q (never the raw trig double), and
+    // rounds are followed by `+ 0.0`: DuckDB's round() preserves the sign
+    // of tiny negatives (round(-1e-4, 3) = -0.0) while Spark's
+    // BigDecimal-based round never emits -0.0 — equal under ==, different
+    // bits under a hash compare. (+(-0.0) + 0.0 = +0.0 in IEEE on both.)
     "geo_closing_rate" -> Q(
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_sec"), col("event_id"))
         evPts(s, d)
-          .withColumn("dist_km", havC(col("lat"), col("lon"), lit(-17.0), lit(-83.0)))
-          .withColumn("dist_q", floor(col("dist_km") * 1024.0).cast("long"))
+          .withColumn("dist_raw", havC(col("lat"), col("lon"), lit(-17.0), lit(-83.0)))
+          .withColumn("dist_q", floor(col("dist_raw") * 1024.0).cast("long"))
           .withColumn("prev_q", lag(col("dist_q"), 1).over(w))
           .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
           .filter(col("prev_ts").isNotNull && col("ts_sec") > col("prev_ts"))
           .withColumn("closing_kmh",
             round((col("dist_q") - col("prev_q")) / 1024.0
-              / (col("ts_sec") - col("prev_ts")) * 3600.0, 3))
+              / (col("ts_sec") - col("prev_ts")) * 3600.0, 3) + 0.0)
           .select(col("user_id"), col("event_id"), col("ts_sec"),
-            round(col("dist_km"), 3).as("dist_km"), col("closing_kmh"),
+            (round(col("dist_q") / 1024.0, 3) + 0.0).as("dist_km"), col("closing_kmh"),
             (col("closing_kmh") < 0.0).as("approaching"))
           .orderBy(col("user_id"), col("event_id"))
       },
       oracle = Some(s"""
         SELECT user_id, event_id, ts_sec,
-               round(dist_km, 3) AS dist_km,
-               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) AS closing_kmh,
-               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) < 0.0 AS approaching
+               round(dist_q / 1024.0, 3) + 0.0 AS dist_km,
+               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) + 0.0 AS closing_kmh,
+               round((dist_q - prev_q) / 1024.0 / (ts_sec - prev_ts) * 3600.0, 3) + 0.0 < 0.0 AS approaching
         FROM (
-          SELECT user_id, event_id, ts_sec, dist_km, dist_q,
+          SELECT user_id, event_id, ts_sec, dist_q,
                  LAG(dist_q, 1) OVER w AS prev_q,
                  LAG(ts_sec, 1) OVER w AS prev_ts
           FROM (
             SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-                   dist_km, CAST(FLOOR(dist_km * 1024.0) AS BIGINT) AS dist_q
+                   CAST(FLOOR(dist_raw * 1024.0) AS BIGINT) AS dist_q
             FROM (
               SELECT user_id, event_id, ts,
-                     ${havS(LAT, LON, "-17.0", "-83.0")} AS dist_km
+                     ${havS(LAT, LON, "-17.0", "-83.0")} AS dist_raw
               FROM events))
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
         WHERE prev_ts IS NOT NULL AND ts_sec > prev_ts
