@@ -30,6 +30,50 @@ object Similarity {
   private def qterm(ax: String, bx: String): String =
     s"CAST(FLOOR(CAST($ax AS DOUBLE)*CAST($bx AS DOUBLE)*1073741824) AS BIGINT)"
 
+  /** emb_semantic_dedup's candidate stage, exposed for plan specs: IVF
+    * cell assignment (argmax quantized dot vs the codebook centroids) and
+    * the cell-keyed pair join with exact quantized-cosine scoring.
+    * Returns (vec_a, vec_b) edges with cos_sim >= 0.3 inside a cell.
+    */
+  private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+    // codebook: quantized per-label mean vectors (same arithmetic as
+    // emb_centroids / emb_ivf_topk — exact in both engines)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+        .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("label").as("c_label"),
+        expr("transform(ps, p -> p.c)").as("centroid"))
+    // assign each vector to its nearest cell: argmax of the BIGINT
+    // fixed-point dot, via the argmin-struct fold (map-side combine,
+    // no per-key sort); trailing struct fields ride along uncompared
+    val dotq = aggregate(
+      zip_with(col("embedding"), col("centroid"), (x, c) =>
+        floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("m", struct((-dotq).as("nd"), col("c_label").as("cell"),
+        col("embedding").as("emb"), col("nq").as("nqv")))
+      .groupBy(col("vec_id"))
+      .agg(min(col("m")).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.emb").as("embedding"), col("m.nqv").as("nq"))
+    // pair stage: join keyed on the CELL, not the label
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nq").as("nq_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nq").as("nq_b"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
+        / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- emb_cosine_topk: brute-force cosine top-k ---------------------
@@ -172,27 +216,24 @@ object Similarity {
         ORDER BY vec_a, vec_b""")),
 
     // ----- emb_semantic_dedup: SemDeDup-style corpus pruning -------------
-    // The embedding-space dedup pass (SemDeDup): documents whose
-    // embeddings are mutually near-duplicate form a semantic cluster; keep
-    // one representative per cluster and drop the rest. Pairs come from
-    // the label-blocked exact cosine (emb_near_dup's shuffle shape — swap
-    // in LSH buckets for unkeyed corpora), the closure is the checkpointed
-    // pointer-jumping connectedComponents, and the representative is the
-    // component-min vec_id. Emits a keep/drop decision per vector — the
-    // actual pruning filter a 100 TB shard applies. Oracle: DuckDB
-    // recursive-CTE exact CC over the same quantized-cosine graph.
+    // The embedding-space dedup pass (SemDeDup): cluster the corpus with a
+    // coarse quantizer first, then pair-score ONLY within a cluster — that
+    // is the published algorithm's design and the reason it scales: the
+    // pair join is keyed on the cell id, so the shuffle is O(sum cell²)
+    // with bounded cells, never corpus².  Cells here are IVF cells (each
+    // vector assigned to its nearest codebook centroid — the emb_ivf_topk
+    // coarse quantizer); at 100 TB k grows with the corpus so cell size
+    // stays bounded.  Determinism: centroids are exact quantized means,
+    // the assignment score is a per-element-floored BIGINT dot (order-
+    // independent sum, identical in both engines), ties break on cell id.
+    // Closure = checkpointed pointer-jumping connectedComponents;
+    // representative = component-min vec_id.  Emits the keep/drop decision
+    // a 100 TB shard applies.  Oracle: DuckDB recursive-CTE exact CC over
+    // the identical cell-blocked quantized-cosine graph.
     "emb_semantic_dedup" -> Q(
       build = (s, d) => {
         val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        val a = e.select(col("label"), col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("nq").as("nq_a"))
-        val b = e.select(col("label"), col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b"), col("nq").as("nq_b"))
-        val pairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-          .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
-            / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
-          .filter(col("cos_sim") >= 0.3)
-          .select(col("vec_a"), col("vec_b"))
+        val pairs = semanticPairs(s, d)
         // the union references pairs twice, but ReusedExchange dedups the
         // twin cosine-join subplans — cheaper than a forced checkpoint
         val edges = pairs
@@ -210,11 +251,27 @@ object Similarity {
         WITH RECURSIVE n AS (
           SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
           FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        cent AS (
+          SELECT label AS c_label, i,
+                 CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / (16384.0*COUNT(*)) AS c
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+        dotq AS (
+          SELECT e.vec_id, c.c_label,
+                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[c.i] AS DOUBLE)*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dq
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, c_label AS cell FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq DESC, c_label) AS rn
+            FROM dotq) WHERE rn = 1),
         dots AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
-          FROM embeddings a
-          JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+          FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id
+          JOIN assign sb ON sb.cell = sa.cell
+          JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
           CROSS JOIN generate_series(1, 64) AS t(i)
           GROUP BY 1, 2),
         pairs AS (

@@ -29,3 +29,21 @@ class IvfSpec extends SparkSpecBase {
     assert(mean > 0.0, s"IVF found no true neighbors at all (mean recall $mean)")
   }
 }
+
+class SemDedupPlanSpec extends SparkSpecBase {
+
+  test("emb_semantic_dedup: pair stage is keyed on the IVF cell, not label") {
+    // the shipped pair join must shuffle on the coarse-quantizer cell id —
+    // the SemDeDup scale contract (cells stay bounded as the corpus grows).
+    // (the full query's executed plan is truncated by the CC checkpoint,
+    // so assert on the exposed candidate stage directly)
+    val pairs = graft.operators.Similarity.semanticPairs(spark, sf)
+    assert(pairs.collect().nonEmpty)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(cell"),
+      s"pair join not shuffle-keyed on cell:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      "semantic dedup must not contain a cartesian product")
+    assert(run("emb_semantic_dedup").collect().nonEmpty)
+  }
+}
