@@ -246,6 +246,14 @@ object Geo {
     * Norway/Svalbard zone exceptions and the MGRS latitude band. Adds
     * utm_zone / utm_band / utm_easting / utm_northing; pure codegen'd
     * column arithmetic. Valid for lat in [-80, 84].
+    *
+    * Intentional divergence from the reference: odin's geo_to_utm
+    * (utm.rs:142) projects around the NAIVE zone's central meridian even
+    * in the Norway/Svalbard exception regions; here easting/northing use
+    * the exception-corrected zone so the reported zone and the projection
+    * agree (coordinates land in the grid cell they claim). Callers who
+    * need reference-exact output in those regions can project with
+    * `UtmK.fwdSteps` around `floor((lon+180)/6)+1` directly.
     */
   def withUtm(df: DataFrame, lat: Column, lon: Column): DataFrame = {
     val base = df

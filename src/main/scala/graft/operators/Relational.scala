@@ -505,7 +505,10 @@ object Relational {
                       + 1 END"""))
           .select(col("o_orderkey"), col("o_totalprice"),
             col("quartile").cast(LongType).as("quartile"),
-            ((col("rnk") - 1).cast(DoubleType) / (col("n_total") - 1)).as("pct_rank"),
+            // SQL percent_rank() is defined as 0.0 for a single row
+            when(col("n_total") === 1, lit(0.0))
+              .otherwise((col("rnk") - 1).cast(DoubleType) / (col("n_total") - 1))
+              .as("pct_rank"),
             (col("rnk").cast(DoubleType) / col("n_total")).as("cume"))
           .orderBy(col("o_orderkey"))
       },

@@ -874,9 +874,9 @@ object TextOps {
           .orderBy(col("doc_id")),
       oracle = Some("""
         WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        bg AS (SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS bg
-               FROM wl, generate_series(1, 1023) g(i)
-               WHERE len(w) >= 2 AND g.i <= len(w) - 1),
+        bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                     FROM wl WHERE len(w) >= 2)),
         agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
                        COUNT(DISTINCT bg) AS n_distinct
                 FROM bg GROUP BY 1)

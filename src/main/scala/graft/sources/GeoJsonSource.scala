@@ -49,6 +49,10 @@ object GeoJson {
           WHEN 'Polygon'         THEN array(${c(3)})
           WHEN 'MultiLineString' THEN array(${c(3)})
           WHEN 'MultiPolygon'    THEN ${c(4)}
+          -- unsupported geometry types surface as one sentinel vertex row
+          -- (null lon/lat, geom_type preserved) instead of silently
+          -- vanishing from the posexplode
+          ELSE array(array(array(array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)))))
         END"""))
       .select(col("*"), posexplode(col("__norm")).as(Seq("part_idx", "__rings")))
       .select(col("*"), posexplode(col("__rings")).as(Seq("ring_idx", "__ring")))

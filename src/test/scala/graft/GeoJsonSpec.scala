@@ -47,11 +47,16 @@ class GeoJsonSpec extends SparkSpecBase {
     assert(feats.length == 4)
     val p0 = feats(0).getAs[Map[String, String]]("properties")
     assert(p0("fid") == "7" && p0("name") == "probe")
-    // unknown geometry type yields no vertex rows, not a crash
+    // unknown geometry type surfaces as ONE sentinel vertex row (null
+    // lon/lat, geom_type preserved) — visible downstream, not a crash and
+    // not a silent drop
     val odd = """{"type":"FeatureCollection","features":[
       |{"type":"Feature","properties":{},"geometry":{"type":"Weird","coordinates":[1.0]}}]}"""
       .stripMargin.replace("\n", "")
-    assert(GeoJson.parse(Seq(odd).toDF("g"), col("g")).count() == 0)
+    val sent = GeoJson.parse(Seq(odd).toDF("g"), col("g")).collect()
+    assert(sent.length == 1)
+    assert(sent(0).getAs[String]("geom_type") == "Weird")
+    assert(sent(0).isNullAt(sent(0).fieldIndex("lon")))
   }
 
   test("parsed polygon rings drive point-in-polygon: station centers inside") {
