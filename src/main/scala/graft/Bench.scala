@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,21 +23,34 @@ object Bench {
       Tables.events(spark, sfDir).count() // nanos flag + index
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
     } catch { case _: Throwable => }
-    // steady-state timing: best of 2 runs per query (JMH-style), noted in
-    // the JSON as "runs"
-    val runs = 2
+    // steady-state timing: best of 3 back-to-back runs per query
+    // (JMH-style min; run 1 absorbs codegen+JIT of the query's fresh
+    // classes, runs 2-3 measure steady state). A GC between queries keeps
+    // one query's shuffle-buffer collection out of the next one's timing.
+    val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val best = times.min
+      // progress to stderr so a truncated capture still shows the tail
+      System.err.println(f"[bench] $name%-28s ${best}%.3f s")
+      name -> best
+    }
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
+    // the full per-query map also lands in its own file: driver-side
+    // stdout capture has truncated mid-map before, which loses the suite
+    Files.write(Paths.get("BENCH_FULL.json"),
+      line.getBytes(StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

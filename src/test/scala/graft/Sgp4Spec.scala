@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.OrbitMath
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SGP4 kernel pinned to the published Spacetrack Report #3 / Vallado
+  * "Revisiting Spacetrack Report #3" verification satellite 00005
+  * (TLE 1 00005U 58002B 00179.78495062 ... / 2 00005 34.2682 348.7242
+  * 1859667 331.7664 19.3264 10.82419157413667) — public test vectors.
+  */
+class Sgp4Spec extends AnyFunSuite {
+
+  private val n0 = 10.82419157 // rev/day
+  private val e0 = 0.1859667
+  private val inc = 34.2682
+  private val raan = 348.7242
+  private val argp = 331.7664
+  private val m0 = 19.3264
+  private val bstar = 0.28098e-4
+
+  private def pos(t: Double): Array[Double] =
+    OrbitMath.propagateTeme(n0, e0, inc, raan, argp, m0, bstar, t)
+
+  test("satellite 00005 epoch position matches the published vector") {
+    // tcppver.out, t=0 min: (7022.46529266, -1400.08296755, 0.03995155) km
+    val p = pos(0.0)
+    assert(math.abs(p(0) - 7022.46529266) < 0.5, s"x=${p(0)}")
+    assert(math.abs(p(1) + 1400.08296755) < 0.5, s"y=${p(1)}")
+    assert(math.abs(p(2) - 0.03995155) < 0.5, s"z=${p(2)}")
+  }
+
+  test("propagation stays on the element-set ellipse (radius + plane bounds)") {
+    // a from mean motion: a = (xke/n)^(2/3) er; apogee/perigee bound the
+    // radius, inclination bounds |z|/r — over two full revolutions
+    val xn = n0 * 2.0 * math.Pi / 1440.0
+    val aEr = math.pow(0.0743669161 / xn, 2.0 / 3.0)
+    val rp = aEr * (1.0 - e0) * 6378.135 - 60.0
+    val ra = aEr * (1.0 + e0) * 6378.135 + 60.0
+    val sinI = math.sin(math.toRadians(inc)) + 0.02
+    (0 to 280 by 10).foreach { t =>
+      val p = pos(t.toDouble)
+      val r = math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
+      assert(r > rp && r < ra, s"t=$t r=$r outside [$rp,$ra]")
+      assert(math.abs(p(2)) <= r * sinI, s"t=$t z=${p(2)} breaks inclination bound")
+    }
+  }
+
+  test("near-circular LEO subpoint altitude is sane (drag branch isimp)") {
+    // ISS-like elements: the near-earth low-perigee simplification path
+    val p = OrbitMath.propagateTeme(15.50103472, 0.0004263, 51.6416,
+      247.4627, 130.5360, 325.0288, 0.367e-4, 0.0)
+    val r = math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
+    val alt = r - 6378.135
+    assert(alt > 330.0 && alt < 460.0, s"ISS-like altitude $alt km")
+  }
+
+  test("Kepler fixed-iteration solve is exact at moderate eccentricity") {
+    // E - e sin E = M must hold to ~1e-12 after 10 Newton steps; probe by
+    // round-tripping the radius at many anomalies (monotone-free check:
+    // r = a(1 - e cos E) ⇒ |r - a| <= a*e)
+    val xn = n0 * 2.0 * math.Pi / 1440.0
+    val aKm = math.pow(0.0743669161 / xn, 2.0 / 3.0) * 6378.135
+    (0 to 130 by 5).foreach { t =>
+      val p = pos(t.toDouble)
+      val r = math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
+      assert(math.abs(r - aKm) <= aKm * (e0 + 0.01), s"t=$t r=$r vs a=$aKm")
+    }
+  }
+}
