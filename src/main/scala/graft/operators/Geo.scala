@@ -60,6 +60,9 @@ object Geo {
         - sin(radians($lat1))*cos(radians($lat2))*cos(radians($lon2)-radians($lon1)))) + 360.0) % 360.0"""
 
   // station positions from supplier keys (10 fixed "ground stations")
+  private[graft] def stationsFor(s: SparkSession, d: String): DataFrame =
+    stations(s, d)
+
   private def stations(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "supplier").select(col("s_suppkey"),
       (col("s_suppkey") * 53 % 140 - 70).cast(DoubleType).as("s_lat"),
@@ -281,7 +284,83 @@ object Geo {
       .drop(UtmK.invSteps.map(_._1).filter(_.startsWith("v_")): _*)
   }
 
+  /** SGP4-propagated ground track for a 5-satellite LEO constellation at
+    * 1-minute steps over 24 h — the track table the reference's overpass
+    * machinery generates by calling sgp4 per step
+    * (odin_orbital/src/orbitinfo.rs:91 get_orbits → overpass.rs:318).
+    * Elements are deterministic per sat_id (ISS-class orbits, RAAN-
+    * spread constellation); TEME → subpoint via GMST rotation and three
+    * unrolled geodetic-latitude iterations — all codegen column math on
+    * top of the fused Sgp4Teme expression.
+    */
+  private[graft] def sgp4Track(s: SparkSession): DataFrame = {
+    import graft.functions.OrbitFunctions.sgp4_teme
+    val gmst0 = 1.7321 // epoch GMST (rad) — synthetic constellation epoch
+    val wEarth = 4.37526908801129966e-3 // rad/min (IAU-82 rate)
+    val sats = s.range(5).select(col("id").cast(IntegerType).as("sat_id"))
+    val mins = s.range(1440).select(col("id").cast(DoubleType).as("t_min"))
+    val track = sats.crossJoin(mins)
+      .withColumn("p", sgp4_teme(
+        lit(15.2) - col("sat_id") * 0.1, // rev/day: slight period spread
+        lit(0.001), lit(51.6) + col("sat_id") * 2.0,
+        col("sat_id") * 72.0, col("sat_id") * 30.0, col("sat_id") * 50.0,
+        lit(1.0e-5), col("t_min")))
+      .withColumn("px", col("p")(0)).withColumn("py", col("p")(1))
+      .withColumn("pz", col("p")(2))
+      .withColumn("rho", sqrt(col("px") * col("px") + col("py") * col("py")))
+      // earth-fixed longitude: TEME right ascension minus GMST
+      .withColumn("tlon",
+        ((degrees(atan2(col("py"), col("px")) - (lit(gmst0) + lit(wEarth) * col("t_min")))
+          % 360.0 + 540.0) % 360.0) - 180.0)
+    // geodetic latitude: three fixed iterations of the standard
+    // phi <- atan2(z + N e^2 sin phi, rho) refinement
+    val e2 = 0.0066943
+    val aE = 6378.135
+    val it = (1 to 3).foldLeft(track.withColumn("phi", atan2(col("pz"), col("rho")))) {
+      case (df, _) =>
+        df.withColumn("nrad", lit(aE) / sqrt(lit(1.0) - lit(e2) * pow(sin(col("phi")), 2)))
+          .withColumn("phi", atan2(col("pz") + col("nrad") * lit(e2) * sin(col("phi")), col("rho")))
+    }
+    it.withColumn("tlat", degrees(col("phi")))
+      .withColumn("alt_km", col("rho") / cos(col("phi")) - col("nrad"))
+      .select(col("sat_id"), col("t_min").cast(IntegerType).as("minute"),
+        col("tlat"), col("tlon"), col("alt_km"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+
+    // ----- geo_overpass: SGP4 next-overpass prediction -------------------
+    // The reference's overpass prediction (odin_orbital/src/overpass.rs:318
+    // compute_overpasses): when does each satellite next pass within range
+    // of each ground station, and for how long? Track = sgp4Track (real
+    // SGP4, spec'd against published test vectors). Scale shape: the track
+    // is small and broadcast (n_sats × 1440 rows/day regardless of data
+    // size); stations are the data-sized side; the pairing is an
+    // equi-join on 10° latitude bands (a pair within the 1000 km
+    // visibility radius is never more than 9° of latitude apart, so ±1
+    // band replication of the broadcast side loses nothing) — no
+    // station×track cross product at any scale.
+    "geo_overpass" -> Q(
+      build = (s, d) => {
+        val st = stations(s, d)
+          .withColumn("band", floor(col("s_lat") / 10.0).cast(LongType))
+        val tr = sgp4Track(s)
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("band", floor(col("tlat") / 10.0).cast(LongType) + col("di"))
+        st.join(broadcast(tr), Seq("band"))
+          .withColumn("dist_q",
+            floor(havC(col("s_lat"), col("s_lon"), col("tlat"), col("tlon")) * 1024.0)
+              .cast(LongType))
+          .filter(col("dist_q") <= 1024000L) // within 1000 km => visible
+          .groupBy(col("s_suppkey"), col("sat_id"))
+          .agg(min(col("minute")).as("first_visible_min"),
+            count(lit(1)).cast(LongType).as("n_visible_min"),
+            min(col("dist_q")).as("min_q"))
+          .select(col("s_suppkey"), col("sat_id"), col("first_visible_min"),
+            col("n_visible_min"), round(col("min_q") / 1024.0, 3).as("min_dist_km"))
+          .orderBy(col("s_suppkey"), col("sat_id"))
+      },
+      oracle = None),
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
     "geo_bbox" -> Q(

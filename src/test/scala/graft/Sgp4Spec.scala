@@ -67,3 +67,39 @@ class Sgp4Spec extends AnyFunSuite {
     }
   }
 }
+
+/** geo_overpass end-to-end: SGP4 track feeding station visibility. */
+class OverpassSpec extends SparkSpecBase {
+
+  test("sgp4Track subpoints respect inclination and LEO altitude") {
+    val t = graft.operators.Geo.sgp4Track(spark).collect()
+    assert(t.length == 5 * 1440)
+    t.foreach { r =>
+      val lat = r.getAs[Double]("tlat"); val lon = r.getAs[Double]("tlon")
+      val alt = r.getAs[Double]("alt_km")
+      assert(math.abs(lat) < 61.0, s"subpoint lat $lat beyond inclination bound")
+      assert(lon >= -180.0 && lon < 180.0, s"lon $lon unnormalized")
+      assert(alt > 350.0 && alt < 800.0, s"altitude $alt not LEO")
+    }
+  }
+
+  test("geo_overpass: visibility windows are sane and high-latitude stations excluded") {
+    val rows = run("geo_overpass").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_dist_km") <= 1000.0)
+      val first = r.getAs[Int]("first_visible_min")
+      assert(first >= 0 && first < 1440)
+      val n = r.getAs[Long]("n_visible_min")
+      assert(n >= 1L && n <= 1440L)
+    }
+    // a station poleward of inclination + visibility radius can never
+    // come within 1000 km of any subpoint
+    val st = graft.operators.Geo.stationsFor(spark, sf)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("s_lat")).toMap
+    rows.foreach { r =>
+      val lat = st(r.getAs[Long]("s_suppkey"))
+      assert(math.abs(lat) < 70.0, s"impossible overpass at station lat $lat")
+    }
+  }
+}
