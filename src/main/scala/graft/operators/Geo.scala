@@ -327,7 +327,132 @@ object Geo {
         col("tlat"), col("tlon"), col("alt_km"))
   }
 
+  /** Marching-squares case table rendered as shared SQL CASE text — the
+    * contour extraction odin_wind runs on forecast grids
+    * (odin_wind/src/actor.rs:306 create_contour_json /
+    * write_windspeed_contour). Corners of the 2×2 block anchored at cell
+    * (ci,cj): bl=(cj,ci) br=(cj+1,ci) tr=(cj+1,ci+1) tl=(cj,ci+1);
+    * `iso` is the threshold column. Each crossed edge's crossing point is
+    * linear interpolation (iso - z1)/(z2 - z1) — integer corners and a
+    * half-integer threshold, so the arithmetic is pure rational IEEE,
+    * bit-identical across engines, and the denominator is never zero
+    * inside its guarding branch. Saddles resolve with the fixed
+    * center-low pairing (no center sampling), the deterministic variant.
+    * Returns the CASE expression text for segment `seg` (0/1) coordinate
+    * `coord` (0=x1,1=y1,2=x2,3=y2), in grid units.
+    */
+  private[graft] def marchingCase(seg: Int, coord: Int): String = {
+    // edge crossing points (x, y) in grid units
+    val B = ("(cj + (iso - bl)/(br - bl))", "CAST(ci AS DOUBLE)")
+    val R = ("CAST(cj + 1 AS DOUBLE)", "(ci + (iso - br)/(tr - br))")
+    val T = ("(cj + (iso - tl)/(tr - tl))", "CAST(ci + 1 AS DOUBLE)")
+    val L = ("CAST(cj AS DOUBLE)", "(ci + (iso - bl)/(tl - bl))")
+    val whens = (1 to 14).flatMap { idx =>
+      val hb = Seq(8, 4, 2, 1).map(m => (idx & m) != 0) // bl, br, tr, tl
+      val Seq(bl, br, tr, tl) = hb
+      val crossed = Seq(
+        (bl != br) -> B, (br != tr) -> R, (tl != tr) -> T, (bl != tl) -> L)
+        .collect { case (true, e) => e }
+      val segs: Seq[((String, String), (String, String))] =
+        if (crossed.size == 2) Seq((crossed(0), crossed(1)))
+        else if (bl) Seq((L, B), (R, T)) // saddle bl+tr, center-low
+        else Seq((B, R), (T, L)) // saddle br+tl, center-low
+      if (seg < segs.size) {
+        val (p, q) = segs(seg)
+        val e = coord match {
+          case 0 => p._1; case 1 => p._2; case 2 => q._1; case 3 => q._2
+        }
+        Some(s"WHEN $idx THEN $e")
+      } else None
+    }
+    s"CASE midx ${whens.mkString(" ")} ELSE NULL END"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+
+    // ----- geo_contour: marching-squares isoline extraction --------------
+    // odin_wind/src/actor.rs:306 create_contour_json: wind-speed contour
+    // polygons from forecast grids. Field = per-cell event density (the
+    // same integer grid geo_grid_stencil differentiates); per 2×2 block
+    // and threshold, the marching-squares case emits 0-2 isoline segments
+    // with rational-interpolated endpoints. Scale shape: blocks assemble
+    // from 3 equi-joins keyed on the shifted cell id (the stencil
+    // pattern) — the contour sweep shuffles on the grid key, never a
+    // global scan; thresholds explode on the already-blocked frame.
+    // Emitted in grid units and degrees (cell size 2°), ordered
+    // deterministically; all arithmetic is integer/rational so the oracle
+    // hash-matches without rounding.
+    "geo_contour" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat") / 2.0).cast(LongType).as("ci"),
+            floor(col("lon") / 2.0).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("z"))
+        def shifted(di: Int, dj: Int, as: String) = cells.select(
+          (col("ci") - di).as("ci"), (col("cj") - dj).as("cj"), col("z").as(as))
+        val blocks = cells.withColumnRenamed("z", "bl")
+          .join(shifted(0, 1, "br"), Seq("ci", "cj"))
+          .join(shifted(1, 1, "tr"), Seq("ci", "cj"))
+          .join(shifted(1, 0, "tl"), Seq("ci", "cj"))
+          .withColumn("iso", explode(array(lit(1.5), lit(3.5), lit(7.5))))
+          .withColumn("midx", expr(
+            """CAST(CASE WHEN bl >= iso THEN 8 ELSE 0 END
+               + CASE WHEN br >= iso THEN 4 ELSE 0 END
+               + CASE WHEN tr >= iso THEN 2 ELSE 0 END
+               + CASE WHEN tl >= iso THEN 1 ELSE 0 END AS INT)"""))
+          .filter(col("midx") > 0 && col("midx") < 15)
+        // build both segments' coordinates from the shared case table
+        val withCoords = blocks
+          .withColumn("seg", explode(expr("sequence(0, 1)")))
+          .withColumn("x1", when(col("seg") === 0, expr(marchingCase(0, 0)))
+            .otherwise(expr(marchingCase(1, 0))))
+          .withColumn("y1", when(col("seg") === 0, expr(marchingCase(0, 1)))
+            .otherwise(expr(marchingCase(1, 1))))
+          .withColumn("x2", when(col("seg") === 0, expr(marchingCase(0, 2)))
+            .otherwise(expr(marchingCase(1, 2))))
+          .withColumn("y2", when(col("seg") === 0, expr(marchingCase(0, 3)))
+            .otherwise(expr(marchingCase(1, 3))))
+          .filter(col("x1").isNotNull)
+        withCoords.select(col("iso"), col("ci"), col("cj"),
+          col("seg").cast(IntegerType).as("seg"),
+          (col("x1") * 2.0).as("lon1"), (col("y1") * 2.0).as("lat1"),
+          (col("x2") * 2.0).as("lon2"), (col("y2") * 2.0).as("lat2"))
+          .orderBy(col("iso"), col("ci"), col("cj"), col("seg"))
+      },
+      oracle = Some({
+        def segSql(seg: Int): String =
+          s"""SELECT iso, ci, cj, $seg AS seg,
+                ${marchingCase(seg, 0)} AS x1, ${marchingCase(seg, 1)} AS y1,
+                ${marchingCase(seg, 2)} AS x2, ${marchingCase(seg, 3)} AS y2
+              FROM blocks"""
+        s"""
+        WITH cells AS (
+          SELECT CAST(FLOOR($LAT/2.0) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON/2.0) AS BIGINT) AS cj, COUNT(*) AS z
+          FROM events GROUP BY 1, 2),
+        blocks AS (
+          SELECT c.ci, c.cj, c.z AS bl, e.z AS br, ne.z AS tr, n_.z AS tl,
+                 t.iso,
+                 CAST(CASE WHEN c.z >= t.iso THEN 8 ELSE 0 END
+                    + CASE WHEN e.z >= t.iso THEN 4 ELSE 0 END
+                    + CASE WHEN ne.z >= t.iso THEN 2 ELSE 0 END
+                    + CASE WHEN n_.z >= t.iso THEN 1 ELSE 0 END AS INT) AS midx
+          FROM cells c
+          JOIN cells e  ON e.ci = c.ci     AND e.cj = c.cj + 1
+          JOIN cells ne ON ne.ci = c.ci + 1 AND ne.cj = c.cj + 1
+          JOIN cells n_ ON n_.ci = c.ci + 1 AND n_.cj = c.cj
+          CROSS JOIN (VALUES (1.5e0), (3.5e0), (7.5e0)) t(iso)
+          WHERE CAST(CASE WHEN c.z >= t.iso THEN 8 ELSE 0 END
+                   + CASE WHEN e.z >= t.iso THEN 4 ELSE 0 END
+                   + CASE WHEN ne.z >= t.iso THEN 2 ELSE 0 END
+                   + CASE WHEN n_.z >= t.iso THEN 1 ELSE 0 END AS INT)
+                BETWEEN 1 AND 14),
+        segs AS (${segSql(0)} UNION ALL ${segSql(1)})
+        SELECT iso, ci, cj, seg, x1*2.0 AS lon1, y1*2.0 AS lat1,
+               x2*2.0 AS lon2, y2*2.0 AS lat2
+        FROM segs WHERE x1 IS NOT NULL
+        ORDER BY iso, ci, cj, seg"""
+      })),
 
     // ----- geo_overpass: SGP4 next-overpass prediction -------------------
     // The reference's overpass prediction (odin_orbital/src/overpass.rs:318
