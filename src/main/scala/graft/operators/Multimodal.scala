@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** §2.F multimodal-column plumbing. Image/audio/video payloads are opaque
-  * `binary` columns with typed metadata — modeled here by treating the
-  * document text bytes as the payload (no codec libs in this container;
-  * the decode step is a clearly-marked deterministic stub, the Spark-side
-  * schema/partitioning/batching is real).
+  * `binary` columns with typed metadata. The byte-level ops (meta, frame
+  * sampling, tiling) treat document text bytes as the payload; the
+  * feature-extraction and inference ops decode REAL PNG images through
+  * the in-JDK javax.imageio codec (graft.functions.ImageCodec) — only
+  * the model weights remain stubbed (a fixed linear layer), since no
+  * model runtime ships in this container.
   *
   * Mirrors odin_image / the GOES-R NetCDF payload handling
   * (odin_goesr/src/lib.rs:526 read_goesr_data): opaque blob in, typed
@@ -77,32 +79,32 @@ object Multimodal {
       },
       oracle = None),
 
-    // ----- mm_feature_stub: batched feature extraction plumbing ----------
-    // mapPartitions keeps the batch shape an ML codec would need; the
-    // "decode" is a STUB (deterministic byte statistics standing in for a
-    // real image/audio decoder, which this container does not ship).
-    "mm_feature_stub" -> Q(
+    // ----- mm_feature_extract: REAL image decode + feature extraction ----
+    // The decode step is no longer a stub: per document, a deterministic
+    // synthetic RGB image is PNG-encoded and then decoded back through
+    // the in-JDK javax.imageio codec (lossless round trip), and the
+    // 8-dim feature vector is exact per-channel statistics over the
+    // DECODED pixels — the preprocessing odin_image/odin_onnx run before
+    // inference. mapPartitions keeps the encode/decode batched per
+    // executor partition (the shape a native codec session needs); the
+    // features are flat schema-stable scalar columns.
+    "mm_feature_extract" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
-        val src = blobs(s, d).select(col("doc_id"), col("payload"))
-          .as[(Long, Array[Byte])]
-        src.mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            // STUB codec: replace with real decode when codec libs exist.
-            val feat = Array.tabulate(8) { k =>
-              var acc = 0L
-              var i = k
-              while (i < bytes.length) { acc += (bytes(i) & 0xFF); i += 8 }
-              acc.toDouble / math.max(1, bytes.length / 8)
+        import graft.functions.ImageCodec
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val png = ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))
+              val img = ImageCodec.decode(png) // REAL ImageIO decode
+              val ok = img != null
+              val feat = if (ok) ImageCodec.features(img) else new Array[Double](8)
+              (id, png.length, ok, feat)
             }
-            (id, bytes.length, feat)
-          }
-        }.toDF("doc_id", "n_bytes", "features")
-          // Project the feature vector to scalar per-dim columns: the
-          // driver's comparator (and any columnar sink) wants flat
-          // doubles, and 8 fixed dims are schema-stable.
-          .select(col("doc_id") +: col("n_bytes") +:
+          }.toDF("doc_id", "png_bytes", "decoded", "features")
+          .select(col("doc_id") +: col("png_bytes") +: col("decoded") +:
             (0 until 8).map(k => round(col("features")(k), 6).as(s"f$k")): _*)
           .orderBy(col("doc_id"))
       },
@@ -110,34 +112,44 @@ object Multimodal {
 
     // ----- mm_batch_infer: fixed-batch model-inference plumbing ----------
     // odin_onnx runs the model on FIXED-SIZE batches; mapPartitions with
-    // `grouped(32)` reproduces that shape: per executor partition, payloads
-    // are buffered to batch tensors, "inferred" together, and re-flattened
-    // with their ids. The model call is a STUB (payload hash -> 4-dim
-    // logits); the batching, id bookkeeping, and tail-batch handling are
-    // the real plumbing an ONNX session needs at scale.
+    // `grouped(32)` reproduces that shape: per executor partition, images
+    // are decoded (real ImageIO), featurized, buffered into batch
+    // tensors, "inferred" together, and re-flattened with their ids. The
+    // model itself is the remaining stub (a fixed 8x4 linear layer over
+    // the REAL decoded features — no model weights ship in this
+    // container); the decode, batching, id bookkeeping, and tail-batch
+    // handling are the production plumbing an ONNX session needs.
     "mm_batch_infer" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
+        import graft.functions.ImageCodec
         val batchSize = 32
-        blobs(s, d).select(col("doc_id"), col("payload"))
-          .as[(Long, Array[Byte])]
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             it.grouped(batchSize).flatMap { batch =>
-              // STUB model: one "session run" per batch of <= 32 payloads
-              val logits = batch.map { case (_, bytes) =>
-                var h = 1125899906842597L
-                var i = 0
-                while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xFF); i += 1 }
-                Array.tabulate(4)(k => ((h >>> (k * 16)) & 0xFFFF).toDouble / 65535.0)
+              // one "session run" per batch of <= 32 decoded images
+              val feats = batch.map { id =>
+                val img = ImageCodec.decode(ImageCodec.toPng(
+                  ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+                ImageCodec.features(img)
               }
-              batch.zip(logits).zipWithIndex.map { case (((id, bytes), lg), i) =>
+              val logits = feats.map { f =>
+                // stub model: fixed deterministic linear layer over the
+                // real decoded features, softmax-free margins
+                Array.tabulate(4) { k =>
+                  var acc = 0.0
+                  var j = 0
+                  while (j < 8) { acc += f(j) * (((k * 8 + j) % 5) - 2) / 510.0; j += 1 }
+                  acc
+                }
+              }
+              batch.zip(logits).zipWithIndex.map { case ((id, lg), i) =>
                 (id, batch.size, i, lg, lg.indexOf(lg.max))
               }
             }
           }
           .toDF("doc_id", "batch_n", "batch_pos", "logits", "pred_class")
-          // Flatten the 4-dim logits to scalar columns for the comparator.
           .select(col("doc_id") +: col("batch_n") +: col("batch_pos") +:
             (0 until 4).map(k => round(col("logits")(k), 6).as(s"logit$k")) :+
             col("pred_class"): _*)

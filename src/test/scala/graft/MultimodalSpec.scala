@@ -36,7 +36,9 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getAs[Int]("batch_pos") < n)
       val cls = r.getAs[Int]("pred_class")
       assert(cls >= 0 && cls < 4)
-      (0 until 4).foreach(k => assert(r.getAs[Double](s"logit$k") >= 0.0))
+      // margins from the fixed linear layer over 8 features bounded by
+      // 255 with weights in [-2,2]/510: |logit| <= 8
+      (0 until 4).foreach(k => assert(math.abs(r.getAs[Double](s"logit$k")) <= 8.0))
     }
     // deterministic across runs
     val again = run("mm_batch_infer").collect()
@@ -44,12 +46,42 @@ class MultimodalSpec extends SparkSpecBase {
       == again.map(_.getAs[Int]("pred_class")).toSeq)
   }
 
-  test("mm_feature_stub: deterministic 8-dim features") {
-    def grab() = run("mm_feature_stub").collect().map(r =>
+  test("mm_feature_extract: real ImageIO decode, deterministic 8-dim features") {
+    def grab() = run("mm_feature_extract").collect().map(r =>
       r.getAs[Long]("doc_id") -> (0 until 8).map(k => r.getAs[Double](s"f$k"))).toMap
     val a = grab()
     val b = grab()
     assert(a == b)
     assert(a.values.forall(_.length == 8))
+    // every payload is a valid PNG and decodes
+    assert(run("mm_feature_extract").collect().forall(_.getAs[Boolean]("decoded")))
+  }
+
+  test("ImageCodec: decode recovers known pixel statistics exactly") {
+    import graft.functions.ImageCodec
+    import java.awt.image.BufferedImage
+    // solid color: mean channels are exact
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val f = ImageCodec.features(ImageCodec.decode(ImageCodec.toPng(img)))
+    assert(f(0) == 200.0 && f(1) == 100.0 && f(2) == 50.0)
+    val lum = (299L * 200 + 587L * 100 + 114L * 50) / 1000L
+    assert(f(3) == lum.toDouble && f(4) == 0.0) // mean lum, zero variance
+    assert(f(5) == lum.toDouble && f(6) == lum.toDouble) // min = max
+    assert(f(7) == 0.0) // no edges in a solid image
+    // two-band image: mean = midpoint, edge energy = one step per row
+    val img2 = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img2.setRGB(x, y, if (x < 4) 0 else 0xFFFFFF)
+    val f2 = ImageCodec.features(ImageCodec.decode(ImageCodec.toPng(img2)))
+    assert(f2(0) == 127.5 && f2(1) == 127.5 && f2(2) == 127.5)
+    assert(f2(5) == 0.0 && f2(6) == 255.0)
+    // 8 rows x 7 horizontal diffs, one 255-step per row: 8*255/56
+    assert(math.abs(f2(7) - 8.0 * 255.0 / 56.0) < 1e-12)
+  }
+
+  test("mm_feature_extract decode survives a corrupt payload (flagged, not thrown)") {
+    import graft.functions.ImageCodec
+    assert(ImageCodec.decode(Array[Byte](1, 2, 3, 4)) == null)
   }
 }
