@@ -40,16 +40,24 @@ object Bench {
       System.err.println(f"[bench] $name%-28s ${best}%.3f s")
       name -> best
     }
-    def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would make the line
+    // invalid JSON (ADVICE r3)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
-    // the full per-query map also lands in its own file: driver-side
-    // stdout capture has truncated mid-map before, which loses the suite
+    // full per-query map in its own file; stdout gets ONLY the headline
+    // subset: the driver's capture window is ~2KB and the 132-query map
+    // (~3.5KB) overflowed it every round so far (BENCH_r{1,2,3}.json all
+    // record parsed:null) — the printed line must fit the window
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
     Files.write(Paths.get("BENCH_FULL.json"),
-      line.getBytes(StandardCharsets.UTF_8))
+      full.getBytes(StandardCharsets.UTF_8))
+    val headline = SparkEntry.benchQueries.toSet
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"queries_full":"BENCH_FULL.json"}"""
     println(line)
     spark.stop()
   }

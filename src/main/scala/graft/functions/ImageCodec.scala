@@ -90,6 +90,6 @@ object ImageCodec {
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
       meanLum, math.sqrt(math.max(0.0, varLum)),
       minLum.toDouble, maxLum.toDouble,
-      edge.toDouble / (n - h)) // h rows × (w-1) diffs
+      edge.toDouble / math.max(1, n - h)) // h rows × (w-1) diffs; max guards w<=1 (ADVICE r3)
   }
 }

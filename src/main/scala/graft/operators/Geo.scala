@@ -296,7 +296,7 @@ object Geo {
   private[graft] def sgp4Track(s: SparkSession): DataFrame = {
     import graft.functions.OrbitFunctions.sgp4_teme
     val gmst0 = 1.7321 // epoch GMST (rad) — synthetic constellation epoch
-    val wEarth = 4.37526908801129966e-3 // rad/min (IAU-82 rate)
+    val wEarth = graft.functions.OrbitMath.GmstRate // rad/min (IAU-82 rate, shared site)
     val sats = s.range(5).select(col("id").cast(IntegerType).as("sat_id"))
     val mins = s.range(1440).select(col("id").cast(DoubleType).as("t_min"))
     val track = sats.crossJoin(mins)
@@ -325,6 +325,68 @@ object Geo {
       .withColumn("alt_km", col("rho") / cos(col("phi")) - col("nrad"))
       .select(col("sat_id"), col("t_min").cast(IntegerType).as("minute"),
         col("tlat"), col("tlon"), col("alt_km"))
+  }
+
+  /** Driver-side twin of [[sgp4Track]]: same `OrbitMath.propagateTeme`
+    * kernel, same subpoint arithmetic in the same operation order, so
+    * every (tlat, tlon) is bit-identical to the column pipeline's output
+    * (asserted exhaustively in OverpassSpec). This is what lets
+    * geo_overpass carry a real DuckDB oracle: the 7 200-row track is
+    * emitted as exact double literals in a VALUES table, and the oracle
+    * recomputes visibility brute-force — which also independently proves
+    * the Spark side's ±1 latitude-band pruning loses no visible pair.
+    */
+  private[graft] lazy val sgp4TrackLocal: IndexedSeq[(Int, Int, Double, Double)] = {
+    val gmst0 = 1.7321
+    val wEarth = graft.functions.OrbitMath.GmstRate
+    val e2 = 0.0066943
+    val aE = 6378.135
+    for { sat <- 0 until 5; m <- 0 until 1440 } yield {
+      val t = m.toDouble
+      val p = graft.functions.OrbitMath.propagateTeme(
+        15.2 - sat * 0.1, 0.001, 51.6 + sat * 2.0,
+        sat * 72.0, sat * 30.0, sat * 50.0, 1.0e-5, t)
+      val px = p(0); val py = p(1); val pz = p(2)
+      val rho = math.sqrt(px * px + py * py)
+      val tlon = ((math.toDegrees(math.atan2(py, px) - (gmst0 + wEarth * t))
+        % 360.0 + 540.0) % 360.0) - 180.0
+      var phi = math.atan2(pz, rho)
+      var i = 0
+      while (i < 3) {
+        val nrad = aE / math.sqrt(1.0 - e2 * math.pow(math.sin(phi), 2.0))
+        phi = math.atan2(pz + nrad * e2 * math.sin(phi), rho)
+        i += 1
+      }
+      (sat, m, math.toDegrees(phi), tlon)
+    }
+  }
+
+  /** Exact round-trip double literal for DuckDB (e-notation so the parser
+    * types it DOUBLE, not DECIMAL — see geo_geodesic's oracle note).
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+
+  private lazy val overpassOracle: String = {
+    val rows = sgp4TrackLocal
+      .map { case (s, m, la, lo) => s"($s,$m,${dlit(la)},${dlit(lo)})" }
+      .mkString(",")
+    s"""WITH track(sat_id, minute, tlat, tlon) AS (VALUES $rows),
+        st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier),
+        pairs AS (
+          SELECT s.s_suppkey, t.sat_id, t.minute,
+                 CAST(FLOOR((${havS("s.s_lat", "s.s_lon", "t.tlat", "t.tlon")}) * 1024.0) AS BIGINT) AS dist_q
+          FROM st s CROSS JOIN track t)
+        SELECT s_suppkey, sat_id,
+               MIN(minute) AS first_visible_min,
+               CAST(COUNT(*) AS BIGINT) AS n_visible_min,
+               round(MIN(dist_q)/1024.0, 3) AS min_dist_km
+        FROM pairs
+        WHERE dist_q <= 1024000
+        GROUP BY s_suppkey, sat_id
+        ORDER BY s_suppkey, sat_id"""
   }
 
   /** Marching-squares case table rendered as shared SQL CASE text — the
@@ -485,7 +547,7 @@ object Geo {
             col("n_visible_min"), round(col("min_q") / 1024.0, 3).as("min_dist_km"))
           .orderBy(col("s_suppkey"), col("sat_id"))
       },
-      oracle = None),
+      oracle = Some(overpassOracle)),
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
     "geo_bbox" -> Q(

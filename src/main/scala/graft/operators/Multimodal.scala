@@ -132,7 +132,10 @@ object Multimodal {
               val feats = batch.map { id =>
                 val img = ImageCodec.decode(ImageCodec.toPng(
                   ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
-                ImageCodec.features(img)
+                // mirror mm_feature_extract's decode-failure guard: a null
+                // decode yields a zero feature vector instead of an NPE
+                // that would fail the whole partition (ADVICE r3)
+                if (img == null) new Array[Double](8) else ImageCodec.features(img)
               }
               val logits = feats.map { f =>
                 // stub model: fixed deterministic linear layer over the

@@ -83,6 +83,23 @@ class OverpassSpec extends SparkSpecBase {
     }
   }
 
+  test("sgp4TrackLocal twin is bit-identical to the column pipeline (oracle literals)") {
+    // the VALUES-table oracle is only sound if the driver-side twin
+    // reproduces the codegen pipeline's doubles EXACTLY, row for row
+    val sparkTrack = graft.operators.Geo.sgp4Track(spark)
+      .select("sat_id", "minute", "tlat", "tlon").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val local = graft.operators.Geo.sgp4TrackLocal
+    assert(local.size == sparkTrack.size)
+    local.foreach { case (s, m, la, lo) =>
+      val (sla, slo) = sparkTrack((s, m))
+      assert(java.lang.Double.doubleToRawLongBits(la)
+        == java.lang.Double.doubleToRawLongBits(sla), s"tlat differs at ($s,$m): $la vs $sla")
+      assert(java.lang.Double.doubleToRawLongBits(lo)
+        == java.lang.Double.doubleToRawLongBits(slo), s"tlon differs at ($s,$m): $lo vs $slo")
+    }
+  }
+
   test("geo_overpass: visibility windows are sane and high-latitude stations excluded") {
     val rows = run("geo_overpass").collect()
     assert(rows.nonEmpty)
