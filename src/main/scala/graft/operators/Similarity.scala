@@ -30,6 +30,18 @@ object Similarity {
   private def qterm(ax: String, bx: String): String =
     s"CAST(FLOOR(CAST($ax AS DOUBLE)*CAST($bx AS DOUBLE)*1073741824) AS BIGINT)"
 
+  // deterministic ±1 hyperplane components for emb_lsh_ann, shared by the
+  // Spark literals and the oracle's VALUES table (splitmix64 parity)
+  private val LshPlanes = 8 // 256 buckets — tens of candidates per bucket
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def lshSign(p: Int, c: Int): Long =
+    if ((splitmix64(p * 64L + c) & 1L) == 0L) 1L else -1L
+
   /** emb_semantic_dedup's candidate stage, exposed for plan specs: IVF
     * cell assignment (argmax quantized dot vs the codebook centroids) and
     * the cell-keyed pair join with exact quantized-cosine scoring.
@@ -290,12 +302,15 @@ object Similarity {
                COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
         FROM cc ORDER BY vec_id""")),
 
-    // ----- emb_ivf_topk: IVF-style ANN (rows-only) -----------------------
+    // ----- emb_ivf_topk: IVF-style ANN -----------------------------------
     // Coarse quantizer = per-label centroids (emb_centroids); each vector
-    // is assigned to its nearest centroid cell, queries probe only their
-    // own cell (nprobe=1) and score exactly within it. At 100 TB the cell
-    // assignment is the partition key — each probe touches one partition
-    // instead of the whole corpus.
+    // is assigned to its max-inner-product centroid cell, queries probe
+    // only their own cell (nprobe=1) and score exactly within it. At
+    // 100 TB the cell assignment is the partition key — each probe
+    // touches one partition instead of the whole corpus. Cell assignment
+    // uses the 2^20-quantized BIGINT dot (order-free, same fixed-point
+    // discipline as the rest of the module) so the whole pipeline —
+    // assignment, probe, ranking — is bit-reproducible by the oracle.
     "emb_ivf_topk" -> Q(
       build = (s, d) => {
         val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
@@ -309,19 +324,19 @@ object Similarity {
           .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
           .select(col("label").as("c_label"),
             expr("transform(ps, p -> p.c)").as("centroid"))
-        // assign every vector to its nearest centroid (10 cells: broadcast)
-        def cdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y), lit(0.0),
-            (acc, x) => acc + x)
-        val scored = e.crossJoin(broadcast(cent))
-          .withColumn("score", cdot(col("embedding"), col("centroid"))
-            / sqrt(col("nq").cast(DoubleType)))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("c_label"))
-        val assigned = scored.withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("label"), col("embedding"), col("nq"),
-            col("c_label").as("cell"))
+        // assign every vector to its nearest centroid (10 cells: broadcast);
+        // argmax of the exact BIGINT fixed-point dot via the struct-min
+        // fold (map-side combinable, no per-vector sort)
+        val dotq = aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) =>
+            floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("m", struct((-dotq).as("nd"), col("c_label").as("cell"),
+            col("label").as("lbl"), col("embedding").as("emb"), col("nq").as("nqv")))
+          .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
+          .select(col("vec_id"), col("m.lbl").as("label"), col("m.emb").as("embedding"),
+            col("m.nqv").as("nq"), col("m.cell").as("cell"))
         // probe: queries search only their own cell
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
@@ -337,30 +352,68 @@ object Similarity {
             col("cell"), col("cos_sim"))
           .orderBy(col("q_vec_id"), col("rn"))
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH x AS (
+          SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        nq AS (
+          SELECT e.vec_id,
+                 CAST(SUM(${qterm("e.embedding[t.i]", "e.embedding[t.i]")}) AS BIGINT) AS nq
+          FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY 1),
+        cent AS (
+          SELECT label AS c_label, pos,
+                 CAST(SUM(CAST(FLOOR(x*16384.0) AS BIGINT)) AS DOUBLE)
+                   / (16384.0*COUNT(*)) AS c
+          FROM x GROUP BY 1, 2),
+        dots AS (
+          SELECT x.vec_id, c.c_label,
+                 CAST(SUM(CAST(FLOOR(x.x*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dotq
+          FROM x JOIN cent c ON x.pos = c.pos GROUP BY 1, 2),
+        assigned AS (
+          SELECT d.vec_id, e.label, n.nq, d.c_label AS cell
+          FROM (SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dotq DESC, c_label) AS rn FROM dots) d
+          JOIN embeddings e ON e.vec_id = d.vec_id
+          JOIN nq n ON n.vec_id = d.vec_id
+          WHERE d.rn = 1),
+        pairdot AS (
+          SELECT a.vec_id AS q_vec_id, b.vec_id,
+                 CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS pq
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id,
+          generate_series(1, 64) AS t(i)
+          WHERE a.vec_id < 10
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT p.q_vec_id, p.vec_id, b.cell, b.label,
+                 CAST(p.pq AS DOUBLE)
+                   / (sqrt(CAST(qa.nq AS DOUBLE))*sqrt(CAST(b.nq AS DOUBLE))) AS cos_sim
+          FROM pairdot p
+          JOIN assigned qa ON qa.vec_id = p.q_vec_id
+          JOIN assigned b ON b.vec_id = p.vec_id)
+        SELECT q_vec_id, CAST(rn AS INT) AS rn, vec_id AS n_vec_id, cell, cos_sim
+        FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                ORDER BY cos_sim DESC, vec_id) AS rn FROM scored s)
+        WHERE rn <= 5 ORDER BY q_vec_id, rn""")),
 
-    // ----- emb_lsh_ann: random-hyperplane LSH buckets (rows-only) --------
-    // 16 deterministic pseudo-random hyperplanes (hash-derived ±1
+    // ----- emb_lsh_ann: random-hyperplane LSH buckets --------------------
+    // 8 deterministic pseudo-random hyperplanes (hash-derived ±1
     // components); sign bits form the bucket key. Candidates share a
-    // bucket — O(n) shuffle instead of O(n²) crossJoin at scale.
+    // bucket — O(n) shuffle instead of O(n²) crossJoin at scale. The
+    // plane dot is the ±-signed sum of the 2^20-quantized coordinates —
+    // an exact BIGINT, so the sign bit (and hence every bucket id) is
+    // order-free and reproducible in the DuckDB oracle, which recomputes
+    // the signature from the same ±1 literals.
     "emb_lsh_ann" -> Q(
       build = (s, d) => {
-        val planes = 8 // 256 buckets — tens of candidates per bucket
         val e = emb(s, d)
-        // deterministic ±1 hyperplanes precomputed driver-side (splitmix64)
-        // and shipped as literals — the per-row work is 16 zip_with dots
-        def splitmix64(x0: Long): Long = {
-          var z = x0 + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        val sig = (0 until planes).map { p =>
-          val plane = typedLit((0 until 64).map(c =>
-            if ((splitmix64(p * 64L + c) & 1L) == 0L) 1.0 else -1.0))
+        val xq = transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+        val sig = (0 until LshPlanes).map { p =>
+          val plane = typedLit((0 until 64).map(c => lshSign(p, c)))
           val dot = aggregate(
-            zip_with(col("embedding"), plane, (x, pl) => x.cast(DoubleType) * pl),
-            lit(0.0), (acc, x) => acc + x)
+            zip_with(xq, plane, (x, pl) => x * pl), lit(0L), (acc, x) => acc + x)
           when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_))
         val keyed = e.select(col("vec_id"), col("label"), sig.as("bucket"))
@@ -370,7 +423,29 @@ object Similarity {
             min(col("vec_id")).as("min_vec_id"))
           .orderBy(col("bucket"))
       },
-      oracle = None),
+      oracle = Some {
+        val planeRows = (for {
+          p <- 0 until LshPlanes
+          c <- 0 until 64
+        } yield s"($p,${1L << p},${c + 1},${lshSign(p, c)})").mkString(",")
+        s"""
+        WITH planes(p, w, i, s) AS (VALUES $planeRows),
+        xq AS (
+          SELECT vec_id, label, t.i AS i,
+                 CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1048576) AS BIGINT) AS xq
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        dots AS (
+          SELECT x.vec_id, p.p, p.w, CAST(SUM(x.xq*p.s) AS BIGINT) AS dp
+          FROM xq x JOIN planes p ON x.i = p.i GROUP BY 1, 2, 3),
+        sig AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN dp >= 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY 1)
+        SELECT g.bucket, COUNT(*) AS n_vecs,
+               CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+               MIN(e.vec_id) AS min_vec_id
+        FROM sig g JOIN embeddings e ON g.vec_id = e.vec_id
+        GROUP BY g.bucket ORDER BY g.bucket"""
+      }),
 
     // ----- emb_outliers: distance-to-own-centroid QC ---------------------
     // Label-quality audit (mislabeled / corrupt vectors): top-5 vectors
@@ -434,22 +509,29 @@ object Similarity {
         val sub = e.select(col("vec_id"), col("label"),
             posexplode(expr("transform(sequence(0, 7), b -> slice(embedding, b*8 + 1, 8))")))
           .toDF("vec_id", "label", "sub_id", "sub_vec")
-        // encode distance: query/vector subspace vs. code centroid
+        // encode distance: query/vector subspace vs. code centroid —
+        // per-dim residual quantized to BIGINT (order-free exact sums,
+        // same fixed-point discipline as emb_kmeans) so encoding, ADC
+        // ranking, and the reported distance all carry a DuckDB oracle
         val dist2 = aggregate(
-          zip_with(col("sub_vec"), col("centroid"),
-            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-          lit(0.0), (acc, x) => acc + x)
+          zip_with(col("sub_vec"), col("centroid"), (x, c) =>
+            floor((x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)
+              * lit(1073741824.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
         // codebook: per-label sub-centroids seed 10 codes/subspace, then 2
         // Lloyd rounds train them properly (assign each subvector to its
         // nearest code via the broadcast codebook — narrow, no vector
         // shuffle — then recompute centroids with one keyed agg; empty
         // codes keep their previous centroid; rounds localCheckpoint so
         // plan depth stays O(1) — same shape emb_kmeans uses at full dim)
+        def qmean(v: Column): Column =
+          sum(floor(v.cast(DoubleType) * 16384.0).cast(LongType))
+            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))
         val cbInit = sub
           .select(col("sub_id"), col("label").as("code"),
             posexplode(col("sub_vec"))).toDF("sub_id", "code", "pos", "v")
           .groupBy(col("sub_id"), col("code"), col("pos"))
-          .agg(avg(col("v").cast(DoubleType)).as("m"))
+          .agg(qmean(col("v")).as("m"))
           .groupBy(col("sub_id"), col("code"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             st => st.getField("m")).as("centroid"))
@@ -466,7 +548,7 @@ object Similarity {
               posexplode(col("m.sub_vec")))
             .toDF("sub_id", "code", "pos", "v")
             .groupBy(col("sub_id"), col("code"), col("pos"))
-            .agg(avg(col("v").cast(DoubleType)).as("m"))
+            .agg(qmean(col("v")).as("m"))
             .groupBy(col("sub_id"), col("code"))
             .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
               st => st.getField("m")).as("c2"))
@@ -488,9 +570,10 @@ object Similarity {
             col("sub_vec").as("q_sub"))
         val lut = q.join(broadcast(codebook), Seq("sub_id"))
           .withColumn("qd2", aggregate(
-            zip_with(col("q_sub"), col("centroid"),
-              (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-            lit(0.0), (acc, x) => acc + x))
+            zip_with(col("q_sub"), col("centroid"), (x, c) =>
+              floor((x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)
+                * lit(1073741824.0)).cast(LongType)),
+            lit(0L), (acc, x) => acc + x))
           .select(col("q_vec_id"), col("sub_id"), col("code"), col("qd2"))
         val wTop = Window.partitionBy(col("q_vec_id"))
           .orderBy(col("adc_d2"), col("vec_id"))
@@ -502,10 +585,74 @@ object Similarity {
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 5)
           .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
-            col("label"), round(sqrt(col("adc_d2")), 6).as("adc_dist"))
+            col("label"),
+            round(sqrt(col("adc_d2").cast(DoubleType) / 1073741824.0), 6).as("adc_dist"))
           .orderBy(col("q_vec_id"), col("rn"))
       },
-      oracle = None),
+      oracle = Some {
+        // d2 between a subvector (from sub) and a codebook centroid c,
+        // per-dim quantized — shared fragment for encode + query LUT
+        def dq(x: String, c: String): String =
+          s"CAST(SUM(CAST(FLOOR(($x-$c)*($x-$c)*1073741824.0) AS BIGINT)) AS BIGINT)"
+        // 2 Lloyd rounds unrolled: encode against cb{r-1}, re-mean, carry
+        // previous centroid for empty codes (COALESCE = the Spark left join)
+        val rounds = (1 to 2).map { r =>
+          s"""enc$r AS (
+            SELECT vec_id, sub_id, code FROM (
+              SELECT s.vec_id, s.sub_id, c.code, ROW_NUMBER() OVER (
+                PARTITION BY s.vec_id, s.sub_id
+                ORDER BY ${dq("s.v", "c.c")}, c.code) AS rn
+              FROM sub s JOIN cb${r - 1} c ON s.sub_id = c.sub_id AND s.pos = c.pos
+              GROUP BY s.vec_id, s.sub_id, c.code)
+            WHERE rn = 1),
+          upd$r AS (
+            SELECT e.sub_id, e.code, s.pos,
+                   CAST(SUM(CAST(FLOOR(s.v*16384.0) AS BIGINT)) AS DOUBLE)
+                     / (16384.0*COUNT(*)) AS c
+            FROM enc$r e JOIN sub s ON s.vec_id = e.vec_id AND s.sub_id = e.sub_id
+            GROUP BY 1, 2, 3),
+          cb$r AS (
+            SELECT p.sub_id, p.code, p.pos, COALESCE(u.c, p.c) AS c
+            FROM cb${r - 1} p LEFT JOIN upd$r u
+              ON u.sub_id = p.sub_id AND u.code = p.code AND u.pos = p.pos)"""
+        }.mkString(",\n")
+        s"""
+        WITH sub AS (
+          SELECT vec_id, label, CAST((t.i-1)//8 AS INT) AS sub_id,
+                 CAST((t.i-1)%8 AS INT) AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        cb0 AS (
+          SELECT sub_id, label AS code, pos,
+                 CAST(SUM(CAST(FLOOR(v*16384.0) AS BIGINT)) AS DOUBLE)
+                   / (16384.0*COUNT(*)) AS c
+          FROM sub GROUP BY 1, 2, 3),
+        $rounds,
+        codes AS (
+          SELECT vec_id, label, sub_id, code FROM (
+            SELECT s.vec_id, MIN(s.label) AS label, s.sub_id, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                     ORDER BY ${dq("s.v", "c.c")}, c.code) AS rn
+            FROM sub s JOIN cb2 c ON s.sub_id = c.sub_id AND s.pos = c.pos
+            GROUP BY s.vec_id, s.sub_id, c.code)
+          WHERE rn = 1),
+        lut AS (
+          SELECT s.vec_id AS q_vec_id, s.sub_id, c.code, ${dq("s.v", "c.c")} AS qd2
+          FROM sub s JOIN cb2 c ON s.sub_id = c.sub_id AND s.pos = c.pos
+          WHERE s.vec_id < 10
+          GROUP BY s.vec_id, s.sub_id, c.code),
+        adc AS (
+          SELECT l.q_vec_id, k.vec_id, k.label,
+                 CAST(SUM(l.qd2) AS BIGINT) AS adc_d2, COUNT(*) AS n_sub
+          FROM codes k JOIN lut l ON l.sub_id = k.sub_id AND l.code = k.code
+          WHERE k.vec_id <> l.q_vec_id
+          GROUP BY 1, 2, 3)
+        SELECT q_vec_id, CAST(rn AS INT) AS rn, vec_id AS n_vec_id, label,
+               round(sqrt(CAST(adc_d2 AS DOUBLE)/1073741824.0), 6) AS adc_dist
+        FROM (SELECT a.*, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                ORDER BY adc_d2, vec_id) AS rn
+              FROM adc a WHERE n_sub = 8)
+        WHERE rn <= 5 ORDER BY q_vec_id, rn"""
+      }),
 
     // ----- emb_kmeans: Lloyd clustering (IVF coarse-quantizer training) --
     // The training step the IVF index (emb_ivf_topk) assumes: k=8 centroids
@@ -521,21 +668,26 @@ object Similarity {
         val k = 8
         val e = emb(s, d)
         def assign(cents: DataFrame): DataFrame = {
+          // per-dim squared residual quantized to BIGINT before the sum:
+          // order-free, and the argmin ranking is exact integer — the
+          // discipline that lets a fixed-round Lloyd carry a DuckDB
+          // oracle (unrolled CTE per round, like geo_geodesic)
           val dist = aggregate(
-            zip_with(col("embedding"), col("centroid"),
-              (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-            lit(0.0), (acc, x) => acc + x)
-          // argmin as struct-min: (dist_sq, cid) is unique, the carried
+            zip_with(col("embedding"), col("centroid"), (x, c) =>
+              floor((x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)
+                * lit(1073741824.0)).cast(LongType)),
+            lit(0L), (acc, x) => acc + x)
+          // argmin as struct-min: (dist_q, cid) is unique, the carried
           // label/embedding are constant per vec — map-side combinable,
           // no per-vector sort
           e.crossJoin(broadcast(cents))
-            .withColumn("dist_sq", dist)
+            .withColumn("dist_q", dist)
             .groupBy(col("vec_id"))
-            .agg(min(struct(col("dist_sq"), col("cid"), col("label"),
+            .agg(min(struct(col("dist_q"), col("cid"), col("label"),
               col("embedding"))).as("m"))
             .select(col("vec_id"), col("m.label").as("label"),
               col("m.embedding").as("embedding"), col("m.cid").as("cid"),
-              col("m.dist_sq").as("dist_sq"))
+              col("m.dist_q").as("dist_q"))
         }
         var cents = e.filter(col("vec_id") < k)
           .select(col("vec_id").cast(IntegerType).as("cid"),
@@ -546,7 +698,10 @@ object Similarity {
             .select(col("cid"), posexplode(col("embedding")))
             .toDF("cid", "pos", "v")
             .groupBy(col("cid"), col("pos"))
-            .agg(avg(col("v").cast(DoubleType)).as("m"))
+            // quantized mean: exact integer sum / (scale * n) — the same
+            // order-free centroid arithmetic as emb_centroids
+            .agg((sum(floor(col("v").cast(DoubleType) * 16384.0).cast(LongType))
+              .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("m"))
             .groupBy(col("cid"))
             .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
               st => st.getField("m")).as("centroid"))
@@ -556,9 +711,50 @@ object Similarity {
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cid"))))
           .select(col("vec_id"), col("label"), col("cid"), col("cluster_size"),
-            round(sqrt(col("dist_sq")), 6).as("dist"))
+            round(sqrt(col("dist_q").cast(DoubleType) / 1073741824.0), 6).as("dist"))
           .orderBy(col("vec_id"))
       },
-      oracle = None)
+      oracle = Some {
+        // unrolled Lloyd rounds: centroids_r and assignment_r as CTE
+        // layers generated by the same loop count as the Spark side
+        val rounds = (1 to 3).map { r =>
+          s"""a$r AS (
+            SELECT vec_id, cid, dq FROM (
+              SELECT x.vec_id, c.cid,
+                     CAST(SUM(CAST(FLOOR((x.x-c.c)*(x.x-c.c)*1073741824.0) AS BIGINT)) AS BIGINT) AS dq,
+                     ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY CAST(SUM(CAST(FLOOR((x.x-c.c)*(x.x-c.c)*1073741824.0) AS BIGINT)) AS BIGINT), c.cid) AS rn
+              FROM x JOIN c${r - 1} c ON x.pos = c.pos
+              GROUP BY x.vec_id, c.cid)
+            WHERE rn = 1),
+          c$r AS (
+            SELECT a.cid, x.pos,
+                   CAST(SUM(CAST(FLOOR(x.x*16384.0) AS BIGINT)) AS DOUBLE)
+                     / (16384.0*COUNT(*)) AS c
+            FROM a$r a JOIN x ON x.vec_id = a.vec_id
+            GROUP BY 1, 2)"""
+        }.mkString(",\n")
+        s"""
+        WITH x AS (
+          SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        c0 AS (
+          SELECT CAST(vec_id AS INT) AS cid, pos, x AS c FROM x WHERE vec_id < 8),
+        $rounds,
+        final AS (
+          SELECT vec_id, cid, dq FROM (
+            SELECT x.vec_id, c.cid,
+                   CAST(SUM(CAST(FLOOR((x.x-c.c)*(x.x-c.c)*1073741824.0) AS BIGINT)) AS BIGINT) AS dq,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                     ORDER BY CAST(SUM(CAST(FLOOR((x.x-c.c)*(x.x-c.c)*1073741824.0) AS BIGINT)) AS BIGINT), c.cid) AS rn
+            FROM x JOIN c3 c ON x.pos = c.pos
+            GROUP BY x.vec_id, c.cid)
+          WHERE rn = 1)
+        SELECT f.vec_id, e.label, f.cid,
+               COUNT(*) OVER (PARTITION BY f.cid) AS cluster_size,
+               round(sqrt(CAST(f.dq AS DOUBLE)/1073741824.0), 6) AS dist
+        FROM final f JOIN embeddings e ON e.vec_id = f.vec_id
+        ORDER BY f.vec_id"""
+      })
   )
 }
