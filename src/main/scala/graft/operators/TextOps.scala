@@ -922,6 +922,127 @@ object TextOps {
                CAST(n_shared AS DOUBLE)/n_sh AS shared_frac,
                CAST(n_shared AS DOUBLE)/n_sh >= 0.5 AS contaminated
         FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // ----- doc_span_dedup: exact substring-span dedup --------------------
+    // The "Deduplicating Training Data Makes Language Models Better"
+    // capability: find exact character spans repeated across documents
+    // (the suffix-array find, re-expressed as a stride-8 32-char window
+    // groupBy). A span occurring in >= 2 distinct docs is duplicated;
+    // each doc reports how much of it is made of duplicated spans. At
+    // 100 TB the only change is hashing the span to a 64-bit key before
+    // the shuffle (same semantics modulo collisions) — the shape stays
+    // one explode + two keyed aggs, no pair join anywhere.
+    "doc_span_dedup" -> Q(
+      build = (s, d) => {
+        val w = docs(s, d).filter(length(col("text")) >= 32)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text) - 31, 8)")).as("i"), col("text"))
+          .select(col("doc_id"), expr("substring(text, i, 32)").as("span"))
+        val dup = w.groupBy(col("span"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+        val tot = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        val dd = w.join(dup, Seq("span"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+        tot.join(dd, Seq("doc_id"), "left")
+          .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+          .withColumn("dup_frac", col("n_dup_spans").cast(DoubleType) / col("n_spans"))
+          .withColumn("flagged", col("dup_frac") >= 0.2)
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            col("dup_frac"), col("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT d.doc_id, substr(d.text, g.i, 32) AS span
+          FROM documents d, generate_series(1, 1024, 8) AS g(i)
+          WHERE length(d.text) >= 32 AND g.i <= length(d.text) - 31),
+        dup AS (SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM w GROUP BY 1),
+        dd AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM w
+               WHERE span IN (SELECT span FROM dup) GROUP BY 1)
+        SELECT t.doc_id, t.n_spans,
+               COALESCE(dd.n_dup_spans, 0) AS n_dup_spans,
+               CAST(COALESCE(dd.n_dup_spans, 0) AS DOUBLE)/t.n_spans AS dup_frac,
+               CAST(COALESCE(dd.n_dup_spans, 0) AS DOUBLE)/t.n_spans >= 0.2 AS flagged
+        FROM tot t LEFT JOIN dd ON t.doc_id = dd.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ----- doc_pack_sequences: training-example packing ------------------
+    // Pack documents into fixed 2048-token training sequences: shuffle
+    // deterministically (md5 order — growth-stable like the split/sample
+    // family), run a per-source prefix sum of token counts, and assign
+    // each doc to the sequence where it starts. Per-source windows keep
+    // the prefix sum partition-parallel (a 100 TB run sub-shards each
+    // source by hash range and offsets the sums, the ts_concurrency
+    // two-level pattern); the report is per-sequence fill.
+    "doc_pack_sequences" -> Q(
+      build = (s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          md5(concat(col("doc_id").cast(StringType), lit(":pack"))
+            .cast(BinaryType)).as("h"))
+        val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        t.withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("h")).as("first_h"))
+          .withColumn("fill_frac", col("n_tokens").cast(DoubleType) / 2048.0)
+          .select(col("source"), col("seq_id"), col("n_docs"), col("n_tokens"),
+            col("first_h"), col("fill_frac"))
+          .orderBy(col("source"), col("seq_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR) || ':pack') AS h
+          FROM documents),
+        c AS (
+          SELECT source, n_tok, h,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+          FROM t)
+        SELECT source, (cum - n_tok)//2048 AS seq_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(h) AS first_h,
+               CAST(SUM(n_tok) AS DOUBLE)/2048.0 AS fill_frac
+        FROM c GROUP BY 1, 2 ORDER BY source, seq_id""")),
+
+    // ----- doc_mixture_weights: temperature-scaled source mixing ---------
+    // The data-mixing step of corpus assembly: per-source sampling
+    // weights w_i ∝ n_i^0.7 (temperature alpha = 0.7, the standard
+    // multinomial rebalancing) and an integer allocation of a 100k-doc
+    // training budget. The power weight is 2^20-fixed-point quantized so
+    // shares and allocations are exact integer arithmetic on both
+    // engines; the total rides in on a broadcast scalar, no global
+    // window.
+    "doc_mixture_weights" -> Q(
+      build = (s, d) => {
+        val g = docs(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+          .withColumn("qw",
+            floor(pow(col("n_docs").cast(DoubleType), 0.7) * 1048576.0).cast(LongType))
+        g.crossJoin(broadcast(g.select(sum(col("qw")).as("tq"))))
+          .withColumn("share", col("qw").cast(DoubleType) / col("tq").cast(DoubleType))
+          .withColumn("target_docs", expr("(100000 * qw) div tq"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("share"), col("target_docs"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+                 CAST(FLOOR(pow(CAST(COUNT(*) AS DOUBLE), 0.7)*1048576.0) AS BIGINT) AS qw
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(qw) AS BIGINT) AS tq FROM g)
+        SELECT g.source, g.n_docs, g.n_tokens,
+               CAST(g.qw AS DOUBLE)/CAST(t.tq AS DOUBLE) AS share,
+               (100000 * g.qw)//t.tq AS target_docs
+        FROM g CROSS JOIN tot t
+        ORDER BY g.source"""))
   )
 }
