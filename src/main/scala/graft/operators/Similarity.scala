@@ -86,29 +86,28 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
   }
 
-  val defs: Seq[(String, Q)] = Seq(
+  /** Brute-force exact cosine top-5 for the probe set (vec_id < 10) —
+    * emb_cosine_topk's body, shared with emb_recall_at_k as the ANN
+    * ground truth.
+    */
+  private def exactTopk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        col("nq").as("q_nq"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+      .withColumn("cos_sim",
+        qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+          / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
+        col("cos_sim"))
+      .orderBy(col("q_vec_id"), col("rn"))
+  }
 
-    // ----- emb_cosine_topk: brute-force cosine top-k ---------------------
-    // Queries (vec_id < 10) broadcast against all candidates; the scale
-    // path replaces the crossJoin with the LSH buckets of emb_lsh_ann.
-    "emb_cosine_topk" -> Q(
-      build = (s, d) => {
-        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-            col("nq").as("q_nq"))
-        val joined = e.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
-          .withColumn("cos_sim",
-            qdot(col("q_emb"), col("embedding")).cast(DoubleType)
-              / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
-        val w = Window.partitionBy(col("q_vec_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
-            col("cos_sim"))
-          .orderBy(col("q_vec_id"), col("rn"))
-      },
-      oracle = Some(s"""
+  private val exactTopkOracle: String = s"""
         WITH n AS (
           SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
           FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
@@ -129,7 +128,105 @@ object Similarity {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
                        ORDER BY cos_sim DESC, n_vec_id) AS rn
           FROM sims) WHERE rn <= 5
-        ORDER BY q_vec_id, rn"""),
+        ORDER BY q_vec_id, rn"""
+
+  /** IVF nprobe=1 top-5 for the probe set — emb_ivf_topk's body, shared
+    * with emb_recall_at_k as the ANN side of the recall audit.
+    */
+  private def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        // codebook: quantized per-label centroid vectors (exact arithmetic)
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+          .select(col("label").as("c_label"),
+            expr("transform(ps, p -> p.c)").as("centroid"))
+        // assign every vector to its nearest centroid (10 cells: broadcast);
+        // argmax of the exact BIGINT fixed-point dot via the struct-min
+        // fold (map-side combinable, no per-vector sort)
+        val dotq = aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) =>
+            floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("m", struct((-dotq).as("nd"), col("c_label").as("cell"),
+            col("label").as("lbl"), col("embedding").as("emb"), col("nq").as("nqv")))
+          .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
+          .select(col("vec_id"), col("m.lbl").as("label"), col("m.emb").as("embedding"),
+            col("m.nqv").as("nq"), col("m.cell").as("cell"))
+        // probe: queries search only their own cell
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"), col("cell"))
+        val cand = assigned.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_vec_id"))
+          .withColumn("cos_sim", qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+            / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+        val wTop = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
+            col("cell"), col("cos_sim"))
+          .orderBy(col("q_vec_id"), col("rn"))
+  }
+
+  private val ivfTopkOracle: String = s"""
+        WITH x AS (
+          SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        nq AS (
+          SELECT e.vec_id,
+                 CAST(SUM(${qterm("e.embedding[t.i]", "e.embedding[t.i]")}) AS BIGINT) AS nq
+          FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY 1),
+        cent AS (
+          SELECT label AS c_label, pos,
+                 CAST(SUM(CAST(FLOOR(x*16384.0) AS BIGINT)) AS DOUBLE)
+                   / (16384.0*COUNT(*)) AS c
+          FROM x GROUP BY 1, 2),
+        dots AS (
+          SELECT x.vec_id, c.c_label,
+                 CAST(SUM(CAST(FLOOR(x.x*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dotq
+          FROM x JOIN cent c ON x.pos = c.pos GROUP BY 1, 2),
+        assigned AS (
+          SELECT d.vec_id, e.label, n.nq, d.c_label AS cell
+          FROM (SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dotq DESC, c_label) AS rn FROM dots) d
+          JOIN embeddings e ON e.vec_id = d.vec_id
+          JOIN nq n ON n.vec_id = d.vec_id
+          WHERE d.rn = 1),
+        pairdot AS (
+          SELECT a.vec_id AS q_vec_id, b.vec_id,
+                 CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS pq
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id,
+          generate_series(1, 64) AS t(i)
+          WHERE a.vec_id < 10
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT p.q_vec_id, p.vec_id, b.cell, b.label,
+                 CAST(p.pq AS DOUBLE)
+                   / (sqrt(CAST(qa.nq AS DOUBLE))*sqrt(CAST(b.nq AS DOUBLE))) AS cos_sim
+          FROM pairdot p
+          JOIN assigned qa ON qa.vec_id = p.q_vec_id
+          JOIN assigned b ON b.vec_id = p.vec_id)
+        SELECT q_vec_id, CAST(rn AS INT) AS rn, vec_id AS n_vec_id, cell, cos_sim
+        FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                ORDER BY cos_sim DESC, vec_id) AS rn FROM scored s)
+        WHERE rn <= 5 ORDER BY q_vec_id, rn"""
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- emb_cosine_topk: brute-force cosine top-k ---------------------
+    // Queries (vec_id < 10) broadcast against all candidates; the scale
+    // path replaces the crossJoin with the LSH buckets of emb_lsh_ann.
+    "emb_cosine_topk" -> Q(
+      build = exactTopk,
+      oracle = Some(exactTopkOracle),
       bench = true),
 
     // ----- emb_centroids: per-label centroid (IVF coarse quantizer) ------
@@ -312,90 +409,35 @@ object Similarity {
     // discipline as the rest of the module) so the whole pipeline —
     // assignment, probe, ranking — is bit-reproducible by the oracle.
     "emb_ivf_topk" -> Q(
+      build = ivfTopk,
+      oracle = Some(ivfTopkOracle)),
+
+    // ----- emb_recall_at_k: ANN quality audit ----------------------------
+    // Measure, don't guess: recall@5 of the IVF nprobe=1 probe against
+    // the brute-force exact top-5 for the same query set. Both sides are
+    // deterministic (exact BIGINT ranking), so the audit itself is
+    // hash-checked. At 100 TB this is the query you run on a sample
+    // before trusting the ANN index for the production dedup sweep.
+    "emb_recall_at_k" -> Q(
       build = (s, d) => {
-        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        // codebook: quantized per-label centroid vectors (exact arithmetic)
-        val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos"))
-          .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
-            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
-          .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
-          .select(col("label").as("c_label"),
-            expr("transform(ps, p -> p.c)").as("centroid"))
-        // assign every vector to its nearest centroid (10 cells: broadcast);
-        // argmax of the exact BIGINT fixed-point dot via the struct-min
-        // fold (map-side combinable, no per-vector sort)
-        val dotq = aggregate(
-          zip_with(col("embedding"), col("centroid"), (x, c) =>
-            floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
-          lit(0L), (acc, x) => acc + x)
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("m", struct((-dotq).as("nd"), col("c_label").as("cell"),
-            col("label").as("lbl"), col("embedding").as("emb"), col("nq").as("nqv")))
-          .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
-          .select(col("vec_id"), col("m.lbl").as("label"), col("m.emb").as("embedding"),
-            col("m.nqv").as("nq"), col("m.cell").as("cell"))
-        // probe: queries search only their own cell
-        val q = assigned.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
-            col("nq").as("q_nq"), col("cell"))
-        val cand = assigned.join(broadcast(q), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_vec_id"))
-          .withColumn("cos_sim", qdot(col("q_emb"), col("embedding")).cast(DoubleType)
-            / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
-        val wTop = Window.partitionBy(col("q_vec_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
-          .select(col("q_vec_id"), col("rn"), col("vec_id").as("n_vec_id"),
-            col("cell"), col("cos_sim"))
-          .orderBy(col("q_vec_id"), col("rn"))
+        val ex = exactTopk(s, d).select(col("q_vec_id"), col("n_vec_id"))
+        val ann = ivfTopk(s, d)
+          .select(col("q_vec_id"), col("n_vec_id"), lit(1L).as("hit"))
+        ex.join(ann, Seq("q_vec_id", "n_vec_id"), "left")
+          .groupBy(col("q_vec_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast(DoubleType) / col("k"))
+          .orderBy(col("q_vec_id"))
       },
       oracle = Some(s"""
-        WITH x AS (
-          SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
-          FROM embeddings, generate_series(1, 64) AS t(i)),
-        nq AS (
-          SELECT e.vec_id,
-                 CAST(SUM(${qterm("e.embedding[t.i]", "e.embedding[t.i]")}) AS BIGINT) AS nq
-          FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY 1),
-        cent AS (
-          SELECT label AS c_label, pos,
-                 CAST(SUM(CAST(FLOOR(x*16384.0) AS BIGINT)) AS DOUBLE)
-                   / (16384.0*COUNT(*)) AS c
-          FROM x GROUP BY 1, 2),
-        dots AS (
-          SELECT x.vec_id, c.c_label,
-                 CAST(SUM(CAST(FLOOR(x.x*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dotq
-          FROM x JOIN cent c ON x.pos = c.pos GROUP BY 1, 2),
-        assigned AS (
-          SELECT d.vec_id, e.label, n.nq, d.c_label AS cell
-          FROM (SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
-                  ORDER BY dotq DESC, c_label) AS rn FROM dots) d
-          JOIN embeddings e ON e.vec_id = d.vec_id
-          JOIN nq n ON n.vec_id = d.vec_id
-          WHERE d.rn = 1),
-        pairdot AS (
-          SELECT a.vec_id AS q_vec_id, b.vec_id,
-                 CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS pq
-          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-          JOIN embeddings ea ON ea.vec_id = a.vec_id
-          JOIN embeddings eb ON eb.vec_id = b.vec_id,
-          generate_series(1, 64) AS t(i)
-          WHERE a.vec_id < 10
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT p.q_vec_id, p.vec_id, b.cell, b.label,
-                 CAST(p.pq AS DOUBLE)
-                   / (sqrt(CAST(qa.nq AS DOUBLE))*sqrt(CAST(b.nq AS DOUBLE))) AS cos_sim
-          FROM pairdot p
-          JOIN assigned qa ON qa.vec_id = p.q_vec_id
-          JOIN assigned b ON b.vec_id = p.vec_id)
-        SELECT q_vec_id, CAST(rn AS INT) AS rn, vec_id AS n_vec_id, cell, cos_sim
-        FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                ORDER BY cos_sim DESC, vec_id) AS rn FROM scored s)
-        WHERE rn <= 5 ORDER BY q_vec_id, rn""")),
+        SELECT e.q_vec_id, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(a.n_vec_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(a.n_vec_id) AS DOUBLE)/COUNT(*) AS recall
+        FROM ($exactTopkOracle) e
+        LEFT JOIN ($ivfTopkOracle) a
+          ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+        GROUP BY e.q_vec_id ORDER BY e.q_vec_id""")),
 
     // ----- emb_lsh_ann: random-hyperplane LSH buckets --------------------
     // 8 deterministic pseudo-random hyperplanes (hash-derived ±1
