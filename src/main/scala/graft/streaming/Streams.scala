@@ -174,4 +174,53 @@ object Streams {
           out.iterator
       }
   }
+
+  case class NearDup(doc_id: Long, keeper_id: Long, band: Int)
+
+  /** stream_lsh_dedup: streaming MinHash-LSH near-dup detection — the
+    * live-feed twin of doc_minhash_lsh, for ingest-time dedup of a
+    * document stream (the reference's live importers re-deliver and
+    * overlap; a training-data pipeline dedups the firehose the same
+    * way). Same signature scheme as the batch op (32-perm minhash, 8
+    * four-row bands, xxhash64 band keys); state is ONE long per occupied
+    * (band, band-signature) bucket — the keeper (min doc_id seen). Every
+    * later arrival in an occupied bucket emits a candidate pair against
+    * the keeper, at most once per band, and buckets shard horizontally
+    * across the state store like every other keyed stream here.
+    */
+  def lshDedupStream(docs: DataFrame): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val bands = 8
+    val sigs = docs
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until (b + 1) * 4).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("bsig"))
+      .as[(Long, Int, Long)]
+    banded.groupByKey { case (_, band, bsig) => (band, bsig) }
+      .flatMapGroupsWithState[Long, NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          ids.foreach { id =>
+            if (keeper == Long.MaxValue) keeper = id
+            else if (id != keeper) {
+              // late-arriving smaller id becomes the new keeper; the
+              // displaced one is reported as its duplicate
+              if (id < keeper) { out += NearDup(keeper, id, band); keeper = id }
+              else out += NearDup(id, keeper, band)
+            }
+          }
+          if (keeper != Long.MaxValue) state.update(keeper)
+          out.iterator
+      }
+  }
 }

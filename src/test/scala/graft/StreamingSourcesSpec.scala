@@ -103,6 +103,35 @@ class StreamingSpec extends SparkSpecBase {
     val unknown = rows.find(_.getAs[Long]("user_id") == 9L).get
     assert(unknown.getAs[String]("sensor_name") == null)
   }
+
+  test("stream_lsh_dedup: near-identical docs pair against the keeper, once per band") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.lshDedupStream(docs)
+      .writeStream.format("memory").queryName("lsh_dedup_out")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    in.addData((10L, base), (99L, "completely unrelated content with different shingles throughout the text"))
+    q.processAllAvailable()
+    assert(spark.table("lsh_dedup_out").count() == 0, "no dups yet")
+    in.addData((20L, base)) // exact near-dup arrives later
+    q.processAllAvailable()
+    val dups = spark.table("lsh_dedup_out").collect()
+    assert(dups.nonEmpty, "duplicate not detected")
+    assert(dups.forall(r => r.getAs[Long]("doc_id") == 20L
+      && r.getAs[Long]("keeper_id") == 10L))
+    val bandsHit = dups.map(_.getAs[Int]("band")).toSet
+    assert(bandsHit.size == dups.length, "a band reported the same pair twice")
+    in.addData((5L, base)) // late smaller id takes over as keeper
+    q.processAllAvailable()
+    val all = spark.table("lsh_dedup_out").collect()
+    val displaced = all.filter(r => r.getAs[Long]("keeper_id") == 5L)
+    assert(displaced.nonEmpty && displaced.forall(_.getAs[Long]("doc_id") == 10L))
+    q.stop()
+  }
+
 }
 
 class SourcesSpec extends SparkSpecBase {
