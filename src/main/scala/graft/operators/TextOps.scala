@@ -972,19 +972,33 @@ object TextOps {
     // ----- doc_pack_sequences: training-example packing ------------------
     // Pack documents into fixed 2048-token training sequences: shuffle
     // deterministically (md5 order — growth-stable like the split/sample
-    // family), run a per-source prefix sum of token counts, and assign
-    // each doc to the sequence where it starts. Per-source windows keep
-    // the prefix sum partition-parallel (a 100 TB run sub-shards each
-    // source by hash range and offsets the sums, the ts_concurrency
-    // two-level pattern); the report is per-sequence fill.
+    // family), run a prefix sum of token counts, and assign each doc to
+    // the sequence where it starts. The prefix sum is two-level (the
+    // ts_concurrency pattern): a local window per (source, first hex
+    // char of the order key) — a RANGE bucket of the md5 order, so
+    // bucket-local prefix + bucket offset == the global per-source
+    // prefix sum, exactly, in integers — plus a tiny offset window over
+    // the 16 bucket totals. Parallelism is sources × 16 instead of
+    // sources, and nothing about the result changes at any scale.
     "doc_pack_sequences" -> Q(
       build = (s, d) => {
         val t = docs(s, d).select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast(LongType).as("n_tok"),
           md5(concat(col("doc_id").cast(StringType), lit(":pack"))
             .cast(BinaryType)).as("h"))
-        val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-        t.withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("hb", substring(col("h"), 1, 1))
+        val wLocal = Window.partitionBy(col("source"), col("hb"))
+          .orderBy(col("h"), col("doc_id"))
+        val totals = t.groupBy(col("source"), col("hb"))
+          .agg(sum(col("n_tok")).as("btot"))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = totals
+          .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+          .select(col("source"), col("hb"), col("off"))
+        t.withColumn("lcum", sum(col("n_tok")).over(wLocal))
+          .join(broadcast(offsets), Seq("source", "hb"))
+          .withColumn("cum", col("off") + col("lcum"))
           .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
           .groupBy(col("source"), col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
