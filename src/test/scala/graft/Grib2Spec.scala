@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.Grib2
+import org.apache.spark.sql.functions._
+
+/** GRIB2 source spec — the odin_hrrr/odin_wind ingest path: HRRR surface
+  * fields (u10/v10 wind components) arrive as GRIB2 messages
+  * (odin_hrrr/src/fields.rs NOMADS field list; odin_gdal/src/lib.rs:61
+  * decodes "grib2" via GDAL), then odin_wind derives grid / vector /
+  * contour products. Here the decode is the pure-JVM Grib2Provider and
+  * the products are declarative Spark plans over its output.
+  */
+class Grib2Spec extends SparkSpecBase {
+
+  private val ni = 40 // lon points
+  private val nj = 25 // lat points
+
+  // synthetic wind components, quantized to the file's 2-decimal packing
+  private def u10(r: Int, c: Int): Double = ((r * 13 + c * 7) % 41 - 20) / 4.0
+  private def v10(r: Int, c: Int): Double = ((r * 5 + c * 11) % 37 - 18) / 4.0
+  // gusts with missing cells (bitmap): NaN south of the diagonal
+  private def gust(r: Int, c: Int): Double =
+    if ((r + c) % 7 == 0) Double.NaN else ((r * 3 + c) % 50) / 2.0
+
+  private lazy val path: String = {
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("hrrr.grib2")
+    def grid(g: (Int, Int) => Double) =
+      Array.tabulate(nj * ni)(i => g(i / ni, i % ni))
+    val common = (fld: (Int, Int, Int, Int, Int, (Int, Int) => Double)) =>
+      Grib2.Field(discipline = fld._1, category = fld._2, parameter = fld._3,
+        levelType = fld._4, level = fld._5,
+        year = 2026, month = 8, day = 12, hour = 6, forecastHour = 3,
+        ni = ni, nj = nj, la1Deg = 44.0, lo1Deg = -124.0,
+        diDeg = 0.1, djDeg = 0.1, values = grid(fld._6))
+    Grib2.write(f.toString, Seq(
+      common((0, 2, 2, 103, 10, u10)), // UGRD 10 m above ground
+      common((0, 2, 3, 103, 10, v10)), // VGRD 10 m above ground
+      common((0, 2, 22, 103, 10, gust)))) // GUST, with bitmap
+    f.toString
+  }
+
+  private def grib = spark.read
+    .format("graft.sources.Grib2Provider").option("path", path).load()
+
+  test("round trip: values, georeference, product identification") {
+    val rows = grib.filter(col("parameter") === 2).collect()
+    assert(rows.length == ni * nj)
+    rows.foreach { r =>
+      val row = r.getAs[Int]("row"); val c = r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == u10(row, c), s"value at ($row,$c)")
+      assert(math.abs(r.getAs[Double]("lat") - (44.0 - row * 0.1)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("lon") - (-124.0 + c * 0.1)) < 1e-9)
+      assert(r.getAs[Int]("discipline") == 0)
+      assert(r.getAs[Int]("category") == 2)
+      assert(r.getAs[Int]("level_type") == 103)
+      assert(r.getAs[Double]("level") == 10.0)
+      assert(r.getAs[Int]("forecast_hour") == 3)
+      assert(r.getAs[Long]("ref_time") ==
+        java.time.LocalDateTime.of(2026, 8, 12, 6, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC))
+    }
+  }
+
+  test("bitmap: missing cells decode as null, present cells exact") {
+    val rows = grib.filter(col("parameter") === 22)
+      .select("row", "col", "value").collect()
+    assert(rows.length == ni * nj)
+    var nulls = 0
+    rows.foreach { r =>
+      val row = r.getAs[Int]("row"); val c = r.getAs[Int]("col")
+      if (gust(row, c).isNaN) { assert(r.isNullAt(2), s"expected null at ($row,$c)"); nulls += 1 }
+      else assert(r.getAs[Double]("value") == gust(row, c), s"gust at ($row,$c)")
+    }
+    assert(nulls == (0 until nj).flatMap(r => (0 until ni).map(c => (r, c)))
+      .count { case (r, c) => (r + c) % 7 == 0 })
+  }
+
+  test("one input partition per message") {
+    assert(grib.rdd.getNumPartitions == 3)
+  }
+
+  test("column pruning reaches the reader") {
+    val pruned = grib.select("value")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("lat"), s"lat not pruned:\n$plan")
+    val total = pruned.agg(sum("value")).collect()(0).getDouble(0)
+    val exp = (0 until nj).flatMap(r => (0 until ni).flatMap(c =>
+      Seq(u10(r, c), v10(r, c)) ++ (if (gust(r, c).isNaN) Nil else Seq(gust(r, c))))).sum
+    assert(math.abs(total - exp) < 1e-6)
+  }
+
+  test("wind product: u/v join -> speed/direction grid -> contour segments") {
+    // odin_wind's grid+vector product: join the u and v messages on the
+    // cell key (co-partitioned equi-join, no shuffle beyond the pair),
+    // then speed = hypot, meteorological direction = atan2
+    val u = grib.filter(col("parameter") === 2)
+      .select(col("row"), col("col"), col("lat"), col("lon"), col("value").as("u"))
+    val v = grib.filter(col("parameter") === 3)
+      .select(col("row"), col("col"), col("value").as("v"))
+    val wind = u.join(v, Seq("row", "col"))
+      .withColumn("speed", sqrt(col("u") * col("u") + col("v") * col("v")))
+      .withColumn("dir_deg",
+        (degrees(atan2(-col("u"), -col("v"))) + 360.0) % 360.0)
+    val rows = wind.collect()
+    assert(rows.length == ni * nj)
+    rows.foreach { r =>
+      val row = r.getAs[Int]("row"); val c = r.getAs[Int]("col")
+      val exp = math.hypot(u10(row, c), v10(row, c))
+      assert(math.abs(r.getAs[Double]("speed") - exp) < 1e-9)
+    }
+    // odin_wind's contour product (actor.rs write_windspeed_contour):
+    // marching-squares cases over 2x2 speed blocks at one threshold —
+    // count the boundary cells where the 5 m/s isoline passes
+    val cells = wind.select(col("row").as("ci"), col("col").as("cj"), col("speed").as("z"))
+    def shifted(di: Int, dj: Int, as: String) = cells.select(
+      (col("ci") - di).as("ci"), (col("cj") - dj).as("cj"), col("z").as(as))
+    val blocks = cells.withColumnRenamed("z", "bl")
+      .join(shifted(0, 1, "br"), Seq("ci", "cj"))
+      .join(shifted(1, 1, "tr"), Seq("ci", "cj"))
+      .join(shifted(1, 0, "tl"), Seq("ci", "cj"))
+      .withColumn("midx", expr(
+        """CAST(CASE WHEN bl >= 5.0 THEN 8 ELSE 0 END
+             + CASE WHEN br >= 5.0 THEN 4 ELSE 0 END
+             + CASE WHEN tr >= 5.0 THEN 2 ELSE 0 END
+             + CASE WHEN tl >= 5.0 THEN 1 ELSE 0 END AS INT)"""))
+      .filter(col("midx") > 0 && col("midx") < 15)
+    val nBoundary = blocks.count()
+    // oracle: recompute boundary-block count directly
+    def speed(r: Int, c: Int) = math.hypot(u10(r, c), v10(r, c))
+    val exp = (0 until nj - 1).flatMap(r => (0 until ni - 1).map(c => (r, c)))
+      .count { case (r, c) =>
+        val bits = Seq(speed(r, c), speed(r, c + 1), speed(r + 1, c + 1), speed(r + 1, c))
+          .count(_ >= 5.0)
+        bits > 0 && bits < 4
+      }
+    assert(nBoundary == exp, s"boundary blocks $nBoundary != $exp")
+  }
+}
