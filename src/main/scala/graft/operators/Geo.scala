@@ -1231,6 +1231,101 @@ object Geo {
         GROUP BY event_id, lat, lon
         ORDER BY event_id""")),
 
+    // ----- geo_wind_vector: u/v forecast grid -> speed/dir at probes -----
+    // odin_wind's vector product (lib.rs:224 huvw_vector_suffix; actor.rs
+    // wind_service serves per-point speed+direction derived from the
+    // WindNinja/HRRR u,v component grids). Here the post-GRIB2-decode u/v
+    // grid (the shape sources.Grib2Provider emits) is sampled at each
+    // event position via the same 4-corner bilinear equi-join as
+    // geo_dem_bilinear — one pass interpolates BOTH components — then
+    // speed = sqrt(u²+v²) (IEEE-exact on exact inputs) and meteorological
+    // direction = atan2 rounded to 3 decimals (below the libm
+    // disagreement threshold). Scale shape: O(4n) equi-join against a
+    // broadcastable grid, no shuffle beyond the probe aggregation.
+    "geo_wind_vector" -> Q(
+      build = (s, d) => {
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            ((((col("gi") * 13 + col("gj") * 7) % 41 + 41) % 41 - 20) / 4.0)
+              .as("gu"),
+            ((((col("gi") * 5 + col("gj") * 11) % 37 + 37) % 37 - 18) / 4.0)
+              .as("gv"))
+        val probes = evPts(s, d)
+          .select(col("event_id"), col("lat"), col("lon"),
+            floor(col("lat")).cast(LongType).as("i"),
+            floor(col("lon")).cast(LongType).as("j"))
+          .withColumn("di", col("lat") - col("i"))
+          .withColumn("dj", col("lon") - col("j"))
+        val corners = probes
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val weighted = corners
+          .join(grid, corners("i") + corners("ci") === grid("gi")
+            && corners("j") + corners("cj") === grid("gj"))
+          .withColumn("w",
+            (when(col("ci") === 0L, lit(1.0) - col("di")).otherwise(col("di")))
+              * (when(col("cj") === 0L, lit(1.0) - col("dj")).otherwise(col("dj"))))
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+        val interp = weighted
+          .groupBy(col("event_id"), col("lat"), col("lon"))
+          .agg(
+            sum(when(col("ord") === 0, col("w") * col("gu")).otherwise(0.0)).as("u00"),
+            sum(when(col("ord") === 1, col("w") * col("gu")).otherwise(0.0)).as("u01"),
+            sum(when(col("ord") === 2, col("w") * col("gu")).otherwise(0.0)).as("u10"),
+            sum(when(col("ord") === 3, col("w") * col("gu")).otherwise(0.0)).as("u11"),
+            sum(when(col("ord") === 0, col("w") * col("gv")).otherwise(0.0)).as("v00"),
+            sum(when(col("ord") === 1, col("w") * col("gv")).otherwise(0.0)).as("v01"),
+            sum(when(col("ord") === 2, col("w") * col("gv")).otherwise(0.0)).as("v10"),
+            sum(when(col("ord") === 3, col("w") * col("gv")).otherwise(0.0)).as("v11"))
+          .select(col("event_id"),
+            (col("u00") + col("u01") + col("u10") + col("u11")).as("ui"),
+            (col("v00") + col("v01") + col("v10") + col("v11")).as("vi"))
+        interp.select(col("event_id"),
+            round(sqrt(col("ui") * col("ui") + col("vi") * col("vi")), 3)
+              .as("speed_ms"),
+            round((degrees(atan2(-col("ui"), -col("vi"))) + 360.0) % 360.0, 3)
+              .as("dir_deg"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH grid AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 (((gi.i*13 + gj.j*7) % 41 + 41) % 41 - 20) / 4.0 AS gu,
+                 (((gi.i*5 + gj.j*11) % 37 + 37) % 37 - 18) / 4.0 AS gv
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        probes AS (
+          SELECT event_id, lat, lon,
+                 CAST(floor(lat) AS BIGINT) AS i, CAST(floor(lon) AS BIGINT) AS j,
+                 lat - CAST(floor(lat) AS BIGINT) AS di,
+                 lon - CAST(floor(lon) AS BIGINT) AS dj
+          FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events)),
+        corners AS (
+          SELECT p.*, ci.c AS ci, cj.c AS cj
+          FROM probes p, generate_series(0, 1) AS ci(c), generate_series(0, 1) AS cj(c)),
+        weighted AS (
+          SELECT c.event_id, c.lat, c.lon, c.ci*2 + c.cj AS ord,
+                 (CASE WHEN c.ci = 0 THEN 1.0 - c.di ELSE c.di END)
+                 * (CASE WHEN c.cj = 0 THEN 1.0 - c.dj ELSE c.dj END) AS w,
+                 g.gu, g.gv
+          FROM corners c JOIN grid g ON c.i + c.ci = g.gi AND c.j + c.cj = g.gj),
+        interp AS (
+          SELECT event_id,
+                 SUM(CASE WHEN ord = 0 THEN w*gu ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 1 THEN w*gu ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 2 THEN w*gu ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 3 THEN w*gu ELSE 0.0 END) AS ui,
+                 SUM(CASE WHEN ord = 0 THEN w*gv ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 1 THEN w*gv ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 2 THEN w*gv ELSE 0.0 END)
+                 + SUM(CASE WHEN ord = 3 THEN w*gv ELSE 0.0 END) AS vi
+          FROM weighted GROUP BY event_id, lat, lon)
+        SELECT event_id,
+               round(sqrt(ui*ui + vi*vi), 3) AS speed_ms,
+               round((degrees(atan2(-ui, -vi)) + 360.0) % 360.0, 3) AS dir_deg
+        FROM interp ORDER BY event_id""")),
+
     // ----- geo_ecef: geodetic -> ECEF cartesian --------------------------
     // WGS84 ellipsoid conversion (odin_common/src/cartesian3.rs:595
     // `From<&Cartographic> for Cartesian3`, constants geo_constants.rs:24),
