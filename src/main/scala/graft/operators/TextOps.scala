@@ -17,6 +17,9 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** BPE training rounds for doc_bpe_train (vocab-sized work per round). */
+  private val BpeRounds = 8
+
   /** occurrences of substring w, exact integer arithmetic both engines */
   private def occC(c: Column, w: String): Column =
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), "")))
@@ -167,6 +170,96 @@ object TextOps {
         SELECT doc_id, lang,
                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens
         FROM documents ORDER BY doc_id""")),
+
+    // ----- doc_bpe_train: corpus-level BPE merge training ----------------
+    // Tokenizer training as a distributed pipeline (Sennrich et al. 2016
+    // byte-pair encoding): collapse the corpus to a word-frequency dict
+    // (THE corpus-sized shuffle — everything after operates on vocab-sized
+    // data, the property that makes BPE trainable on 100 TB), then per
+    // round: count adjacent symbol pairs weighted by word frequency,
+    // take the argmax (count desc, pair asc — deterministic), and apply
+    // the merge to every word. Words are spelled as space-joined symbol
+    // strings padded with sentinel spaces, so applying a merge is a plain
+    // left-to-right `replace(' a b ' -> ' ab ')` — identical greedy
+    // semantics in Spark and DuckDB, no UDF. Each round localCheckpoints
+    // (O(1) plan depth, the kmeans/cc convention) and broadcasts the
+    // 1-row argmax. Output: the learned merge table.
+    "doc_bpe_train" -> Q(
+      build = (s, d) => {
+        var spaced = docs(s, d)
+          .select(explode(expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+            .as("spaced"), col("wc"))
+          .localCheckpoint(true)
+        var merges: DataFrame = null
+        for (r <- 0 until BpeRounds) {
+          val best = spaced
+            .select(split(trim(col("spaced")), " ").as("l"), col("wc"))
+            .filter(size(col("l")) >= 2)
+            .select(col("wc"), explode(expr(
+              """transform(sequence(1, size(l)-1),
+                 i -> concat(element_at(l, i), ' ', element_at(l, i+1)))"""))
+              .as("pair"))
+            .groupBy(col("pair"))
+            .agg(sum(col("wc")).as("pair_count"))
+            .orderBy(col("pair_count").desc, col("pair")).limit(1)
+            .select(lit(r).as("round"), col("pair"), col("pair_count"))
+            .localCheckpoint(true)
+          merges = if (merges == null) best else merges.union(best)
+          if (r < BpeRounds - 1)
+            spaced = spaced.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+              .select(expr(
+                "replace(spaced, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")
+                .as("spaced"), col("wc"))
+              .localCheckpoint(true)
+        }
+        merges
+          .select(col("round"), col("pair"),
+            regexp_replace(col("pair"), " ", "").as("merged"), col("pair_count"))
+          .orderBy(col("round"))
+      },
+      oracle = Some {
+        // every CTE is MATERIALIZED: the round chain references spaced$r
+        // and best$r multiple times, and DuckDB's default CTE inlining
+        // re-expands the whole prefix per reference — exponential in the
+        // round count (measured: 8 rounds inlined >2 min at sf0.001 vs
+        // 0.08 s materialized)
+        val rounds = (0 until BpeRounds).map { r =>
+          val next =
+            if (r < BpeRounds - 1) s""",
+            spaced${r + 1} AS MATERIALIZED (
+              SELECT replace(spaced, ' ' || (SELECT pair FROM best$r) || ' ',
+                     ' ' || replace((SELECT pair FROM best$r), ' ', '') || ' ') AS spaced, wc
+              FROM spaced$r)"""
+            else ""
+          s"""
+            px$r AS MATERIALIZED (
+              SELECT l, wc, unnest(generate_series(1, len(l)-1)) AS i
+              FROM (SELECT string_split(trim(spaced), ' ') AS l, wc FROM spaced$r)),
+            pc$r AS MATERIALIZED (
+              SELECT l[i] || ' ' || l[i+1] AS pair,
+                     CAST(SUM(wc) AS BIGINT) AS pair_count
+              FROM px$r GROUP BY 1),
+            best$r AS MATERIALIZED (
+              SELECT $r AS round, pair, pair_count FROM pc$r
+              ORDER BY pair_count DESC, pair LIMIT 1)$next"""
+        }.mkString(",")
+        val union = (0 until BpeRounds)
+          .map(r => s"SELECT * FROM best$r").mkString(" UNION ALL ")
+        s"""
+        WITH words AS MATERIALIZED (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents),
+        wdict AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM words GROUP BY 1),
+        spaced0 AS MATERIALIZED (
+          SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS spaced, wc
+          FROM wdict),$rounds
+        SELECT round, pair, replace(pair, ' ', '') AS merged, pair_count
+        FROM ($union) ORDER BY round"""
+      }),
 
     // ----- doc_quality: heuristic quality scoring ------------------------
     "doc_quality" -> Q(
