@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +159,75 @@ object Multimodal {
             col("pred_class"): _*)
           .orderBy(col("doc_id"))
       },
-      oracle = None)
+      oracle = None),
+
+    // ----- mm_smoke_diff: consecutive-frame tiled smoke detection --------
+    // odin_image/src/smoke.rs:70 get_gw_smoke_diff: fire-camera smoke
+    // shows as tiles whose WHITENESS (brightness) and GRAY-NESS both
+    // increase between consecutive frames of the same camera. Re-expressed
+    // over the documents table: payload bytes are the pixel stream, a
+    // camera is a `source`, consecutive frames pair via lag(doc_id); per
+    // 16-byte tile, whiteness = byte sum and grayness = count of bytes in
+    // the "gray" band, all integer so the oracle hash-matches. Scale
+    // shape: the per-pixel explode is the decode-stage cost paid once,
+    // tile stats map-side combine on (doc, tile), and the frame pairing
+    // is a co-partitioned equi-join on (prev_doc, tile) — no all-pairs,
+    // no driver loop; per-camera lag windows are bounded by feed size.
+    "mm_smoke_diff" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val framePairs = frames
+          .select(col("source"), col("doc_id"))
+          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+          .filter(col("prev_doc_id").isNotNull)
+        val tiles = frames
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"),
+            expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("tile_id"))
+          .agg(sum(col("b")).as("wsum"),
+            sum(when(col("b").between(97, 122), 1L).otherwise(0L)).as("gsum"))
+        val prev = tiles.select(col("doc_id").as("prev_doc_id"), col("tile_id"),
+          col("wsum").as("wprev"), col("gsum").as("gprev"))
+        framePairs.join(tiles, Seq("doc_id"))
+          .join(prev, Seq("prev_doc_id", "tile_id"))
+          .select(col("doc_id"), col("prev_doc_id"), col("tile_id"),
+            (col("wsum") - col("wprev")).as("w_diff"),
+            (col("gsum") - col("gprev")).as("g_diff"))
+          .filter(col("w_diff") >= 16 && col("g_diff") >= 1)
+          .orderBy(col("doc_id"), col("tile_id"))
+      },
+      oracle = Some("""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
+        pairs AS (
+          SELECT source, doc_id,
+                 lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_doc_id
+          FROM frames),
+        px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, CAST(floor(length(text)/16)*16 AS INT))) AS pos,
+                 text
+          FROM frames),
+        tiles AS (
+          SELECT doc_id, CAST(floor((pos-1)/16) AS BIGINT) AS tile_id,
+                 CAST(SUM(ascii(substr(text, pos, 1))) AS BIGINT) AS wsum,
+                 CAST(SUM(CASE WHEN ascii(substr(text, pos, 1)) BETWEEN 97 AND 122
+                          THEN 1 ELSE 0 END) AS BIGINT) AS gsum
+          FROM px GROUP BY 1, 2)
+        SELECT p.doc_id, p.prev_doc_id, c.tile_id,
+               c.wsum - pv.wsum AS w_diff, c.gsum - pv.gsum AS g_diff
+        FROM pairs p
+        JOIN tiles c ON c.doc_id = p.doc_id
+        JOIN tiles pv ON pv.doc_id = p.prev_doc_id AND pv.tile_id = c.tile_id
+        WHERE p.prev_doc_id IS NOT NULL
+          AND c.wsum - pv.wsum >= 16 AND c.gsum - pv.gsum >= 1
+        ORDER BY p.doc_id, c.tile_id"""))
   )
 }
