@@ -208,6 +208,60 @@ object TimeSeries {
           GROUP BY 1) p ON p.slot_sec = t.slot_sec
         ORDER BY t.slot_sec""")),
 
+    // ----- ts_hrrr_schedule: next-available forecast (base run, step) ----
+    // odin_hrrr's download scheduler: hourly HRRR runs publish forecast
+    // steps minutes after the base hour on an estimated linear schedule
+    // (schedule.rs:51 estimate_sched: first + (i*dsec + delay + 30)/60),
+    // runs at 00/06/12/18 UTC are extended with 48 steps instead of 18
+    // (lib.rs:216 is_extended_forecast), and get_next_base_step
+    // (lib.rs:410) picks the next (base, step) to fetch after "now".
+    // Re-expressed per event timestamp: explode the 3 candidate base
+    // hours × their step schedules (≤110 rows/event, all integer math),
+    // filter to future availability, argmin by (avail, base, step) as a
+    // struct-min — map-side combinable, no window over the full table.
+    "ts_hrrr_schedule" -> Q(
+      build = (s, d) => {
+        val cand = ev(s, d)
+          .select(col("event_id"), col("ts_sec"))
+          .withColumn("k", explode(expr("sequence(-1, 1)")))
+          .withColumn("base_sec", (expr("ts_sec DIV 3600") + col("k")) * 3600L)
+          .withColumn("ext", expr("(base_sec DIV 3600) % 6 = 0"))
+          .withColumn("step", explode(expr(
+            "sequence(0L, CASE WHEN ext THEN 48L ELSE 18L END)")))
+          .withColumn("avail_sec",
+            col("base_sec") + lit(60L) * (lit(50L) + expr(
+              "(step * (CASE WHEN ext THEN 75L ELSE 116L END) + 60 + 30) DIV 60")))
+          .filter(col("avail_sec") > col("ts_sec"))
+        cand.groupBy(col("event_id"), col("ts_sec"))
+          .agg(min(struct(col("avail_sec"), col("base_sec"), col("step"))).as("m"))
+          .select(col("event_id"), col("ts_sec"),
+            col("m.base_sec").as("next_base_sec"),
+            col("m.step").as("next_step"),
+            col("m.avail_sec").as("next_avail_sec"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_id, $TS AS ts_sec FROM events),
+        cand AS (
+          SELECT e.event_id, e.ts_sec,
+                 (e.ts_sec // 3600 + k.k) * 3600 AS base_sec
+          FROM ev e, generate_series(-1, 1) k(k)),
+        typed AS (
+          SELECT *, ((base_sec // 3600) % 6 = 0) AS ext FROM cand),
+        steps AS (
+          SELECT t.event_id, t.ts_sec, t.base_sec, s.s AS step,
+                 t.base_sec + 60 * (50 + (s.s * (CASE WHEN t.ext THEN 75 ELSE 116 END) + 60 + 30) // 60) AS avail_sec
+          FROM typed t, generate_series(0, 48) s(s)
+          WHERE s.s <= CASE WHEN t.ext THEN 48 ELSE 18 END),
+        nxt AS (
+          SELECT event_id, ts_sec, base_sec, step, avail_sec,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY avail_sec, base_sec, step) AS rn
+          FROM steps WHERE avail_sec > ts_sec)
+        SELECT event_id, ts_sec, base_sec AS next_base_sec, step AS next_step,
+               avail_sec AS next_avail_sec
+        FROM nxt WHERE rn = 1 ORDER BY event_id""")),
+
     // ----- ts_rate: per-minute event rates -------------------------------
     "ts_rate" -> Q(
       build = (s, d) =>
