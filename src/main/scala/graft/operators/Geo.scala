@@ -430,6 +430,36 @@ object Geo {
     s"CASE midx ${whens.mkString(" ")} ELSE NULL END"
   }
 
+  /** Edge-key twin of [[marchingCase]]: each interpolated contour endpoint
+    * lies on exactly one lattice edge, so the INTEGER edge id — (kind,
+    * row, col) packed into a BIGINT — identifies it exactly, with no
+    * floating-point node keys. Same case table and saddle convention as
+    * marchingCase, so rings assemble from precisely the segments
+    * geo_contour emits. end 0 = first endpoint, 1 = second.
+    */
+  private[graft] def marchingEdgeKey(seg: Int, end: Int): String = {
+    def h(ci: String, cj: String) = s"((($ci + 1000) * 4096) + ($cj + 1000)) * 2"
+    def v(ci: String, cj: String) = s"((($ci + 1000) * 4096) + ($cj + 1000)) * 2 + 1"
+    val B = h("ci", "cj"); val R = v("ci", "cj + 1")
+    val T = h("ci + 1", "cj"); val L = v("ci", "cj")
+    val whens = (1 to 14).flatMap { idx =>
+      val hb = Seq(8, 4, 2, 1).map(m => (idx & m) != 0)
+      val Seq(bl, br, tr, tl) = hb
+      val crossed = Seq(
+        (bl != br) -> B, (br != tr) -> R, (tl != tr) -> T, (bl != tl) -> L)
+        .collect { case (true, e) => e }
+      val segs: Seq[(String, String)] =
+        if (crossed.size == 2) Seq((crossed(0), crossed(1)))
+        else if (bl) Seq((L, B), (R, T))
+        else Seq((B, R), (T, L))
+      if (seg < segs.size) {
+        val (p, q) = segs(seg)
+        Some(s"WHEN $idx THEN CAST(${if (end == 0) p else q} AS BIGINT)")
+      } else None
+    }
+    s"CASE midx ${whens.mkString(" ")} ELSE NULL END"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -514,6 +544,117 @@ object Geo {
                x2*2.0 AS lon2, y2*2.0 AS lat2
         FROM segs WHERE x1 IS NOT NULL
         ORDER BY iso, ci, cj, seg"""
+      })),
+
+    // ----- geo_contour_rings: contour polygon assembly -------------------
+    // The second half of odin_wind's contour product (actor.rs:306
+    // create_contour_json emits closed contour POLYGONS, not loose
+    // segments): chain geo_contour's marching-squares segments into
+    // rings. Because every interpolated endpoint lies on exactly one
+    // lattice edge, the INTEGER edge id is an exact node key (no float
+    // joins), and ring assembly is connected components over the
+    // segment graph — the same checkpointed pointer-jumping closure the
+    // dedup pipeline uses (O(log diameter) rounds at any scale, never a
+    // driver-side walk). Output: per (iso, ring) the segment/node counts
+    // and closedness — closed iff every node has degree 2.
+    "geo_contour_rings" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat") / 2.0).cast(LongType).as("ci"),
+            floor(col("lon") / 2.0).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("z"))
+        def shifted(di: Int, dj: Int, as: String) = cells.select(
+          (col("ci") - di).as("ci"), (col("cj") - dj).as("cj"), col("z").as(as))
+        val blocks = cells.withColumnRenamed("z", "bl")
+          .join(shifted(0, 1, "br"), Seq("ci", "cj"))
+          .join(shifted(1, 1, "tr"), Seq("ci", "cj"))
+          .join(shifted(1, 0, "tl"), Seq("ci", "cj"))
+          .withColumn("iso", explode(array(lit(1.5), lit(3.5), lit(7.5))))
+          .withColumn("midx", expr(
+            """CAST(CASE WHEN bl >= iso THEN 8 ELSE 0 END
+               + CASE WHEN br >= iso THEN 4 ELSE 0 END
+               + CASE WHEN tr >= iso THEN 2 ELSE 0 END
+               + CASE WHEN tl >= iso THEN 1 ELSE 0 END AS INT)"""))
+          .filter(col("midx") > 0 && col("midx") < 15)
+        val segEdges = blocks
+          .withColumn("seg", explode(expr("sequence(0, 1)")))
+          .withColumn("n1", when(col("seg") === 0, expr(marchingEdgeKey(0, 0)))
+            .otherwise(expr(marchingEdgeKey(1, 0))))
+          .withColumn("n2", when(col("seg") === 0, expr(marchingEdgeKey(0, 1)))
+            .otherwise(expr(marchingEdgeKey(1, 1))))
+          .filter(col("n1").isNotNull)
+          .withColumn("iso_idx", expr(
+            "CAST(CASE WHEN iso = 1.5D THEN 0 WHEN iso = 3.5D THEN 1 ELSE 2 END AS BIGINT)"))
+          .select(col("iso"),
+            (col("n1") * 3 + col("iso_idx")).as("src"),
+            (col("n2") * 3 + col("iso_idx")).as("dst"))
+        val nodes = segEdges.select(col("src").as("node"))
+          .union(segEdges.select(col("dst").as("node"))).distinct()
+        val edges = segEdges.select(col("src"), col("dst"))
+          .union(segEdges.select(col("dst").as("src"), col("src").as("dst")))
+        val cc = TextOps.connectedComponents(nodes, edges)
+        val ringNodes = cc.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+        segEdges
+          .join(cc.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("iso"), col("label"))
+          .agg(count(lit(1)).as("n_segs"))
+          .join(ringNodes, Seq("label"))
+          .select(col("iso"), col("label").as("ring_id"),
+            col("n_nodes"), col("n_segs"),
+            (col("n_segs") === col("n_nodes")).as("closed"))
+          .orderBy(col("iso"), col("ring_id"))
+      },
+      oracle = Some({
+        def segSql(seg: Int): String =
+          s"""SELECT iso, ${marchingEdgeKey(seg, 0)} AS n1,
+                ${marchingEdgeKey(seg, 1)} AS n2
+              FROM blocks"""
+        s"""
+        WITH RECURSIVE cells AS (
+          SELECT CAST(FLOOR($LAT/2.0) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON/2.0) AS BIGINT) AS cj, COUNT(*) AS z
+          FROM events GROUP BY 1, 2),
+        blocks AS (
+          SELECT c.ci, c.cj, c.z AS bl, e.z AS br, ne.z AS tr, n_.z AS tl,
+                 t.iso,
+                 CAST(CASE WHEN c.z >= t.iso THEN 8 ELSE 0 END
+                    + CASE WHEN e.z >= t.iso THEN 4 ELSE 0 END
+                    + CASE WHEN ne.z >= t.iso THEN 2 ELSE 0 END
+                    + CASE WHEN n_.z >= t.iso THEN 1 ELSE 0 END AS INT) AS midx
+          FROM cells c
+          JOIN cells e  ON e.ci = c.ci     AND e.cj = c.cj + 1
+          JOIN cells ne ON ne.ci = c.ci + 1 AND ne.cj = c.cj + 1
+          JOIN cells n_ ON n_.ci = c.ci + 1 AND n_.cj = c.cj
+          CROSS JOIN (VALUES (1.5e0), (3.5e0), (7.5e0)) t(iso)
+          WHERE CAST(CASE WHEN c.z >= t.iso THEN 8 ELSE 0 END
+                   + CASE WHEN e.z >= t.iso THEN 4 ELSE 0 END
+                   + CASE WHEN ne.z >= t.iso THEN 2 ELSE 0 END
+                   + CASE WHEN n_.z >= t.iso THEN 1 ELSE 0 END AS INT)
+                BETWEEN 1 AND 14),
+        se AS (${segSql(0)} UNION ALL ${segSql(1)}),
+        segedges AS (
+          SELECT iso, n1*3 + ii AS src, n2*3 + ii AS dst
+          FROM (SELECT *, CAST(CASE WHEN iso = 1.5 THEN 0 WHEN iso = 3.5 THEN 1
+                                    ELSE 2 END AS BIGINT) AS ii
+                FROM se WHERE n1 IS NOT NULL)),
+        nodes AS (SELECT DISTINCT src AS node FROM
+                  (SELECT src FROM segedges UNION ALL SELECT dst FROM segedges) u(src)),
+        edges2 AS (SELECT src AS s, dst AS t FROM segedges
+                   UNION ALL SELECT dst, src FROM segedges),
+        walk(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT w.node, e.t FROM walk w JOIN edges2 e ON e.s = w.lbl),
+        cc AS (SELECT node, MIN(lbl) AS label FROM walk GROUP BY 1),
+        ringnodes AS (SELECT label, COUNT(*) AS n_nodes FROM cc GROUP BY 1),
+        rings AS (
+          SELECT s.iso, c.label AS ring_id, COUNT(*) AS n_segs
+          FROM segedges s JOIN cc c ON c.node = s.src
+          GROUP BY 1, 2)
+        SELECT r.iso, r.ring_id, n.n_nodes, r.n_segs,
+               (r.n_segs = n.n_nodes) AS closed
+        FROM rings r JOIN ringnodes n ON n.label = r.ring_id
+        ORDER BY r.iso, r.ring_id"""
       })),
 
     // ----- geo_overpass: SGP4 next-overpass prediction -------------------
