@@ -1467,6 +1467,119 @@ object Geo {
                round((degrees(atan2(-ui, -vi)) + 360.0) % 360.0, 3) AS dir_deg
         FROM interp ORDER BY event_id""")),
 
+    // ----- geo_wind_streamline: particle advection over the u/v grid -----
+    // odin_wind's animated vector product (wind_service.rs streams the
+    // huvw vector field that the client advects particles through): trace
+    // each seed through K Euler steps of pos += (v,u)·dt with the wind
+    // bilinearly interpolated at the current position. Every step is the
+    // same broadcastable 4-corner equi-join as geo_wind_vector — pure
+    // +,-,*,/ so the whole trajectory is bit-exact cross-engine, no
+    // rounding. Steps localCheckpoint (O(1) plan depth); a particle
+    // leaving the grid simply drops out of the inner join, identically in
+    // both engines. Scale shape: O(4·seeds) per step against a broadcast
+    // grid — no shuffle growth with step count.
+    "geo_wind_streamline" -> Q(
+      build = (s, d) => {
+        val K = 6
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            ((((col("gi") * 13 + col("gj") * 7) % 41 + 41) % 41 - 20) / 4.0)
+              .as("gu"),
+            ((((col("gi") * 5 + col("gj") * 11) % 37 + 37) % 37 - 18) / 4.0)
+              .as("gv"))
+        def advect(pos: DataFrame): DataFrame = {
+          val probes = pos
+            .withColumn("i", floor(col("lat")).cast(LongType))
+            .withColumn("j", floor(col("lon")).cast(LongType))
+            .withColumn("di", col("lat") - col("i"))
+            .withColumn("dj", col("lon") - col("j"))
+            .withColumn("ci", explode(array(lit(0L), lit(1L))))
+            .withColumn("cj", explode(array(lit(0L), lit(1L))))
+          val weighted = probes
+            .join(grid, probes("i") + probes("ci") === grid("gi")
+              && probes("j") + probes("cj") === grid("gj"))
+            .withColumn("w",
+              (when(col("ci") === 0L, lit(1.0) - col("di")).otherwise(col("di")))
+                * (when(col("cj") === 0L, lit(1.0) - col("dj")).otherwise(col("dj"))))
+            .withColumn("ord", col("ci") * 2 + col("cj"))
+          weighted
+            .groupBy(col("event_id"), col("lat"), col("lon"))
+            .agg(
+              sum(when(col("ord") === 0, col("w") * col("gu")).otherwise(0.0)).as("u00"),
+              sum(when(col("ord") === 1, col("w") * col("gu")).otherwise(0.0)).as("u01"),
+              sum(when(col("ord") === 2, col("w") * col("gu")).otherwise(0.0)).as("u10"),
+              sum(when(col("ord") === 3, col("w") * col("gu")).otherwise(0.0)).as("u11"),
+              sum(when(col("ord") === 0, col("w") * col("gv")).otherwise(0.0)).as("v00"),
+              sum(when(col("ord") === 1, col("w") * col("gv")).otherwise(0.0)).as("v01"),
+              sum(when(col("ord") === 2, col("w") * col("gv")).otherwise(0.0)).as("v10"),
+              sum(when(col("ord") === 3, col("w") * col("gv")).otherwise(0.0)).as("v11"))
+            .select(col("event_id"),
+              (col("lat") + (col("v00") + col("v01") + col("v10") + col("v11")) * 0.05)
+                .as("lat"),
+              (col("lon") + (col("u00") + col("u01") + col("u10") + col("u11")) * 0.05)
+                .as("lon"))
+        }
+        var pos = evPts(s, d)
+          .filter(col("event_id") % 37 === 0)
+          .select(col("event_id"), col("lat"), col("lon"))
+          .localCheckpoint(true)
+        var out = pos.withColumn("step", lit(0))
+        for (k <- 1 to K) {
+          pos = advect(pos).localCheckpoint(true)
+          out = out.union(pos.withColumn("step", lit(k)))
+        }
+        out.select(col("event_id"), col("step"), col("lat"), col("lon"))
+          .orderBy(col("event_id"), col("step"))
+      },
+      oracle = Some({
+        val K = 6
+        val steps = (0 until K).map { k =>
+          s"""
+          prb$k AS MATERIALIZED (
+            SELECT event_id, lat, lon,
+                   CAST(floor(lat) AS BIGINT) AS i, CAST(floor(lon) AS BIGINT) AS j,
+                   lat - CAST(floor(lat) AS BIGINT) AS di,
+                   lon - CAST(floor(lon) AS BIGINT) AS dj
+            FROM pos$k),
+          wei$k AS MATERIALIZED (
+            SELECT c.event_id, c.lat, c.lon, c.ci*2 + c.cj AS ord,
+                   (CASE WHEN c.ci = 0 THEN 1.0 - c.di ELSE c.di END)
+                   * (CASE WHEN c.cj = 0 THEN 1.0 - c.dj ELSE c.dj END) AS w,
+                   g.gu, g.gv
+            FROM (SELECT p.*, ci.c AS ci, cj.c AS cj
+                  FROM prb$k p, generate_series(0, 1) AS ci(c),
+                       generate_series(0, 1) AS cj(c)) c
+            JOIN grid g ON c.i + c.ci = g.gi AND c.j + c.cj = g.gj),
+          pos${k + 1} AS MATERIALIZED (
+            SELECT event_id,
+                   lat + (SUM(CASE WHEN ord = 0 THEN w*gv ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 1 THEN w*gv ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 2 THEN w*gv ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 3 THEN w*gv ELSE 0.0 END)) * 0.05 AS lat,
+                   lon + (SUM(CASE WHEN ord = 0 THEN w*gu ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 1 THEN w*gu ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 2 THEN w*gu ELSE 0.0 END)
+                        + SUM(CASE WHEN ord = 3 THEN w*gu ELSE 0.0 END)) * 0.05 AS lon
+            FROM wei$k GROUP BY event_id, lat, lon)"""
+        }.mkString(",")
+        val union = (0 to K)
+          .map(k => s"SELECT event_id, $k AS step, lat, lon FROM pos$k")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH grid AS MATERIALIZED (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 (((gi.i*13 + gj.j*7) % 41 + 41) % 41 - 20) / 4.0 AS gu,
+                 (((gi.i*5 + gj.j*11) % 37 + 37) % 37 - 18) / 4.0 AS gv
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        pos0 AS MATERIALIZED (
+          SELECT event_id, $LAT AS lat, $LON AS lon
+          FROM events WHERE event_id % 37 = 0),$steps
+        SELECT event_id, step, lat, lon FROM ($union)
+        ORDER BY event_id, step"""
+      })),
+
     // ----- geo_ecef: geodetic -> ECEF cartesian --------------------------
     // WGS84 ellipsoid conversion (odin_common/src/cartesian3.rs:595
     // `From<&Cartographic> for Cartesian3`, constants geo_constants.rs:24),
