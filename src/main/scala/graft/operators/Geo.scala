@@ -1230,6 +1230,71 @@ object Geo {
                round((degrees(atan2(dzdy, dzdx)) + 360.0) % 360.0, 3) AS aspect_deg
         FROM g ORDER BY ci, cj""")),
 
+    // ----- geo_fill_nodata: IDW fill of missing raster cells -------------
+    // odin_gdal/src/lib.rs:811 fill_nodata (GDALFillNodata): fill nodata
+    // raster cells by inverse-distance weighting of valid cells within a
+    // search radius. Re-expressed on the synthetic DEM grid with a
+    // deterministic ~4% nodata mask: each missing cell joins its ≤24
+    // present neighbors within Chebyshev radius 2 (keyed equi-join on the
+    // offset cell id — the stencil pattern, no scan-squared), weight
+    // 1/d². The possible weights {1, ½, ¼, ⅕, ⅛} are exact decimals, so
+    // weighted sums aggregate in DECIMAL — order-free and bit-identical
+    // cross-engine with no quantization. Cells with no valid neighbor
+    // stay unfilled (dropped), as GDAL does beyond max_dist.
+    "geo_fill_nodata" -> Q(
+      build = (s, d) => {
+        val base = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            (((col("gi") * 31 + col("gj") * 17) % 500 + 500) % 500 + lit(100.0))
+              .as("elev"),
+            ((((col("gi") * 7 + col("gj") * 13) % 23) + 23) % 23 === 0)
+              .as("missing"))
+        val present = base.filter(!col("missing"))
+          .select(col("gi").as("pi"), col("gj").as("pj"), col("elev"))
+        val missing = base.filter(col("missing")).select(col("gi"), col("gj"))
+        val nbrs = missing
+          .withColumn("di", explode(expr("sequence(-2, 2)")))
+          .withColumn("dj", explode(expr("sequence(-2, 2)")))
+          .filter(col("di") =!= 0 || col("dj") =!= 0)
+          .join(present, col("gi") + col("di") === col("pi")
+            && col("gj") + col("dj") === col("pj"))
+          .withColumn("d2", col("di") * col("di") + col("dj") * col("dj"))
+          .withColumn("w", expr(
+            """CAST(CASE d2 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 WHEN 4 THEN 0.25
+                            WHEN 5 THEN 0.2 ELSE 0.125 END AS DECIMAL(18,3))"""))
+          .withColumn("wz", col("w") * col("elev").cast(DecimalType(18, 3)))
+        nbrs.groupBy(col("gi"), col("gj"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            (sum(col("wz")).cast(DoubleType) / sum(col("w")).cast(DoubleType))
+              .as("filled"))
+          .orderBy(col("gi"), col("gj"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 CAST(((gi.i*31 + gj.j*17) % 500 + 500) % 500 AS DOUBLE) + 100.0 AS elev,
+                 (((gi.i*7 + gj.j*13) % 23) + 23) % 23 = 0 AS missing
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        nbrs AS (
+          SELECT m.gi, m.gj,
+                 di.d*di.d + dj.d*dj.d AS d2, p.elev
+          FROM (SELECT gi, gj FROM base WHERE missing) m,
+               generate_series(-2, 2) AS di(d), generate_series(-2, 2) AS dj(d)
+          JOIN base p ON p.gi = m.gi + di.d AND p.gj = m.gj + dj.d
+                      AND NOT p.missing
+          WHERE di.d != 0 OR dj.d != 0),
+        weighted AS (
+          SELECT gi, gj,
+                 CAST(CASE d2 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 WHEN 4 THEN 0.25
+                              WHEN 5 THEN 0.2 ELSE 0.125 END AS DECIMAL(18,3)) AS w,
+                 CAST(elev AS DECIMAL(18,3)) AS z
+          FROM nbrs)
+        SELECT gi, gj, COUNT(*) AS n_neighbors,
+               CAST(SUM(w*z) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS filled
+        FROM weighted GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ----- geo_goes_project: GOES-R fixed-grid → geodetic ----------------
     // The satellite-pixel geolocation every GOES-R hotspot carries
     // (odin_goesr/src/geo.rs:93 geo_from_instrument_angles; published

@@ -228,6 +228,59 @@ object Multimodal {
         JOIN tiles pv ON pv.doc_id = p.prev_doc_id AND pv.tile_id = c.tile_id
         WHERE p.prev_doc_id IS NOT NULL
           AND c.wsum - pv.wsum >= 16 AND c.gsum - pv.gsum >= 1
-        ORDER BY p.doc_id, c.tile_id"""))
+        ORDER BY p.doc_id, c.tile_id""")),
+
+    // ----- mm_contrast_stretch: percentile contrast bounds ---------------
+    // odin_image/src/lib.rs:1171 upper_percentile_bounds /:1179
+    // lower_percentile_bounds: per-channel histogram percentile cuts that
+    // feed the linear contrast stretch for camera frames. Re-expressed per
+    // payload: byte-value histogram, cumulative count, the 2%/98% bounds
+    // as the smallest value whose cumulative count reaches the integer-
+    // exact cut ceil(p·n), and the resulting stretch scale. The histogram
+    // groupBy is map-side combinable and the cumulative window runs over
+    // ≤256 histogram rows per doc — never over raw pixels.
+    "mm_contrast_stretch" -> Q(
+      build = (s, d) => {
+        val hist = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(wDoc))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+        cum.groupBy(col("doc_id"), col("n"))
+          .agg(
+            min(when(col("cum") >= expr("(2*n + 99) DIV 100"), col("b"))).as("lo"),
+            min(when(col("cum") >= expr("(98*n + 99) DIV 100"), col("b"))).as("hi"))
+          .select(col("doc_id"), col("n").as("n_pixels"), col("lo"), col("hi"),
+            when(col("hi") > col("lo"), lit(255.0) / (col("hi") - col("lo")))
+              .otherwise(lit(1.0)).as("scale"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM documents WHERE length(text) >= 16),
+        hist AS (
+          SELECT doc_id, ascii(substr(text, pos, 1)) AS b, COUNT(*) AS cnt
+          FROM px GROUP BY 1, 2),
+        cum AS (
+          SELECT doc_id, b, cnt,
+                 SUM(cnt) OVER (PARTITION BY doc_id ORDER BY b) AS cum,
+                 SUM(cnt) OVER (PARTITION BY doc_id) AS n
+          FROM hist)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_pixels,
+               MIN(CASE WHEN cum >= (2*n + 99) // 100 THEN b END) AS lo,
+               MIN(CASE WHEN cum >= (98*n + 99) // 100 THEN b END) AS hi,
+               CASE WHEN MIN(CASE WHEN cum >= (98*n + 99) // 100 THEN b END)
+                       > MIN(CASE WHEN cum >= (2*n + 99) // 100 THEN b END)
+                    THEN 255.0 / (MIN(CASE WHEN cum >= (98*n + 99) // 100 THEN b END)
+                                - MIN(CASE WHEN cum >= (2*n + 99) // 100 THEN b END))
+                    ELSE 1.0 END AS scale
+        FROM cum GROUP BY doc_id, n ORDER BY doc_id"""))
   )
 }
