@@ -1230,6 +1230,100 @@ object Geo {
                round((degrees(atan2(dzdy, dzdx)) + 360.0) % 360.0, 3) AS aspect_deg
         FROM g ORDER BY ci, cj""")),
 
+    // ----- geo_goes_filenames: GOES-R archive filename parse -------------
+    // odin_goesr/src/lib.rs:328 parse_filename + :350 parse_goesr_dtg:
+    // every archived GOES-R product file encodes (system, instrument,
+    // level, product, mode, satellite, start/end/create DTG) in its name,
+    // and the replay importer drives entirely off that parse. Here each
+    // event synthesizes a filename (the archive-listing shape), then the
+    // parse is pure regexp_extract + integer date math — no timestamp
+    // parser, so the epoch reconstruction (days-from-civil × 86400 +
+    // in-day seconds) is identical in both engines. Narrow map over the
+    // scan: the 100 TB shape of indexing an object-store archive listing.
+    "geo_goes_filenames" -> Q(
+      build = (s, d) => {
+        def dtg(sec: Column): Column = {
+          val t = timestamp_seconds(sec)
+          concat(
+            lpad(year(t).cast(StringType), 4, "0"),
+            lpad(dayofyear(t).cast(StringType), 3, "0"),
+            lpad(hour(t).cast(StringType), 2, "0"),
+            lpad(minute(t).cast(StringType), 2, "0"),
+            lpad(second(t).cast(StringType), 2, "0"), lit("0"))
+        }
+        val named = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_sec"))
+          .select(col("event_id"), concat(
+            lit("OR_ABI-L2-"),
+            when(col("event_type").isin("click", "view"), "FDCC")
+              .otherwise("FDCF"),
+            lit("-M6_G"), (lit(16) + col("user_id") % 2).cast(StringType),
+            lit("_s"), dtg(col("ts_sec")),
+            lit("_e"), dtg(col("ts_sec") + 300),
+            lit("_c"), dtg(col("ts_sec") + 330), lit(".nc")).as("fname"))
+        val re = "^OR_([A-Z]+)-(L[0-9])-([A-Z]+)-M([0-9])_G([0-9]+)_s([0-9]{14})_e([0-9]{14})_c([0-9]{14})\\.nc$"
+        def dtgSec(g: Column): Column = {
+          val y = substring(g, 1, 4).cast(IntegerType)
+          val doy = substring(g, 5, 3).cast(IntegerType)
+          val hh = substring(g, 8, 2).cast(IntegerType)
+          val mi = substring(g, 10, 2).cast(IntegerType)
+          val ss = substring(g, 12, 2).cast(IntegerType)
+          ((datediff(make_date(y, lit(1), lit(1)), to_date(lit("1970-01-01")))
+            .cast(LongType) + (doy - 1)) * 86400L
+            + hh * 3600L + mi * 60L + ss)
+        }
+        named.select(col("event_id"), col("fname"),
+            regexp_extract(col("fname"), re, 1).as("instrument"),
+            regexp_extract(col("fname"), re, 2).as("level"),
+            regexp_extract(col("fname"), re, 3).as("product"),
+            regexp_extract(col("fname"), re, 4).cast(IntegerType).as("mode"),
+            regexp_extract(col("fname"), re, 5).cast(IntegerType).as("sat_id"),
+            dtgSec(regexp_extract(col("fname"), re, 6)).as("start_sec"),
+            dtgSec(regexp_extract(col("fname"), re, 8)).as("create_sec"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some({
+        // note: SparkEntry applies stripMargin to oracle text, so no line
+        // here may BEGIN with '|' — concatenation operators go at line ends
+        def dtg(x: String): String = {
+          val t = s"make_timestamp(CAST(($x) AS BIGINT) * 1000000)"
+          s"""lpad(CAST(year($t) AS VARCHAR), 4, '0') ||
+              lpad(CAST(dayofyear($t) AS VARCHAR), 3, '0') ||
+              lpad(CAST(hour($t) AS VARCHAR), 2, '0') ||
+              lpad(CAST(minute($t) AS VARCHAR), 2, '0') ||
+              lpad(CAST(second($t) AS VARCHAR), 2, '0') || '0'"""
+        }
+        val re = """^OR_([A-Z]+)-(L[0-9])-([A-Z]+)-M([0-9])_G([0-9]+)_s([0-9]{14})_e([0-9]{14})_c([0-9]{14})\.nc$"""
+        def dtgSec(g: String): String =
+          s"""(CAST(make_date(CAST(substr($g,1,4) AS INT), 1, 1)
+                 - DATE '1970-01-01' AS BIGINT)
+               + CAST(substr($g,5,3) AS INT) - 1) * 86400
+              + CAST(substr($g,8,2) AS INT) * 3600
+              + CAST(substr($g,10,2) AS INT) * 60
+              + CAST(substr($g,12,2) AS INT)"""
+        s"""
+        WITH named AS (
+          SELECT event_id,
+                 'OR_ABI-L2-' ||
+                 (CASE WHEN event_type IN ('click','view') THEN 'FDCC'
+                       ELSE 'FDCF' END) ||
+                 '-M6_G' || CAST(16 + user_id % 2 AS VARCHAR) ||
+                 '_s' || ${dtg("ts_sec")} || '_e' || ${dtg("ts_sec + 300")} ||
+                 '_c' || ${dtg("ts_sec + 330")} || '.nc' AS fname
+          FROM (SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events))
+        SELECT event_id, fname,
+               regexp_extract(fname, '$re', 1) AS instrument,
+               regexp_extract(fname, '$re', 2) AS level,
+               regexp_extract(fname, '$re', 3) AS product,
+               CAST(regexp_extract(fname, '$re', 4) AS INT) AS mode,
+               CAST(regexp_extract(fname, '$re', 5) AS INT) AS sat_id,
+               ${dtgSec(s"regexp_extract(fname, '$re', 6)")} AS start_sec,
+               ${dtgSec(s"regexp_extract(fname, '$re', 8)")} AS create_sec
+        FROM named ORDER BY event_id"""
+      })),
+
     // ----- geo_fill_nodata: IDW fill of missing raster cells -------------
     // odin_gdal/src/lib.rs:811 fill_nodata (GDALFillNodata): fill nodata
     // raster cells by inverse-distance weighting of valid cells within a
