@@ -281,6 +281,54 @@ object Multimodal {
                     THEN 255.0 / (MIN(CASE WHEN cum >= (98*n + 99) // 100 THEN b END)
                                 - MIN(CASE WHEN cum >= (2*n + 99) // 100 THEN b END))
                     ELSE 1.0 END AS scale
-        FROM cum GROUP BY doc_id, n ORDER BY doc_id"""))
+        FROM cum GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // ----- mm_audio_features: frame-windowed signal features -------------
+    // The audio half of the multimodal column story: treat payload bytes
+    // as 8-bit samples, window into 64-sample frames, and emit the two
+    // classic frame features — energy (sum of squared deviations from the
+    // 128 midpoint) and zero-crossing count (sign changes around the
+    // midpoint) — as exact integers. The same decode-stage shape as
+    // mm_smoke_diff: per-sample explode once, map-side-combined frame
+    // aggregation, no UDFs.
+    "mm_audio_features" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
+            col("pos"),
+            (expr("ascii(substring(text, pos, 1))") - 128).as("s0"),
+            (expr("ascii(substring(text, pos + 1, 1))") - 128).as("s1"))
+        frames.groupBy(col("doc_id"), col("frame_id"))
+          .agg(
+            sum((col("s0") * col("s0")).cast(LongType)).as("energy"),
+            sum(when(col("pos") % 64 =!= 0
+              && ((col("s0") < 0 && col("s1") >= 0)
+                || (col("s0") >= 0 && col("s1") < 0)), 1L)
+              .otherwise(0L)).as("zero_crossings"))
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, CAST(floor(length(text)/64)*64 AS INT))) AS pos,
+                 text
+          FROM documents WHERE length(text) >= 64),
+        sam AS (
+          SELECT doc_id, CAST(floor((pos-1)/64) AS BIGINT) AS frame_id, pos,
+                 ascii(substr(text, pos, 1)) - 128 AS s0,
+                 ascii(substr(text, pos + 1, 1)) - 128 AS s1
+          FROM px)
+        SELECT doc_id, frame_id,
+               CAST(SUM(CAST(s0*s0 AS BIGINT)) AS BIGINT) AS energy,
+               CAST(SUM(CASE WHEN pos % 64 != 0
+                             AND ((s0 < 0 AND s1 >= 0) OR (s0 >= 0 AND s1 < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM sam GROUP BY 1, 2 ORDER BY doc_id, frame_id"""))
   )
 }
