@@ -22,9 +22,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * grid/vector/contour products consume). No GDAL ships in this
   * container, so the section parse is done directly against the public
   * spec. Supported subset — the shape every HRRR surface field uses:
-  * grid definition template 3.0 (regular lat/lon), product definition
-  * template 4.0, data representation template 5.0 (simple packing),
-  * optional bitmap (section 6), any number of messages per file.
+  * grid definition templates 3.0 (regular lat/lon) and 3.30 (Lambert
+  * conformal conic — the actual HRRR CONUS projection, geolocated per
+  * cell via the spherical Snyder inverse), product definition template
+  * 4.0, data representation template 5.0 (simple packing), optional
+  * bitmap (section 6), any number of messages per file.
   *
   * Scale shape (what a 100 TB HRRR archive sweep needs):
   * - one InputPartition PER MESSAGE (field × level × forecast hour) —
@@ -53,10 +55,21 @@ object Grib2 {
     StructField("lon", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = true))) // null = bitmap-missing
 
-  /** One GRIB2 message to encode: a single field/level/forecast-hour on a
-    * regular lat/lon grid scanned +i (west→east), −j (north→south).
-    * `values` row-major from the north-west corner; NaN marks a missing
-    * cell (encoded via a section-6 bitmap).
+  /** Lambert-conformal-conic grid parameters (grid definition template
+    * 3.30) — the projection the real HRRR surface grid uses (tangent
+    * cone at 38.5°N, LoV 262.5°E, 3 km spacing). Spherical earth
+    * (shape 6, R = 6 371 229 m), standard Snyder formulas.
+    */
+  final case class Lcc(latin1Deg: Double, latin2Deg: Double,
+      loVDeg: Double, dxM: Double, dyM: Double)
+
+  /** One GRIB2 message to encode: a single field/level/forecast-hour on
+    * either a regular lat/lon grid (template 3.0; scanned +i west→east,
+    * −j north→south; di/dj degrees) or, when `lcc` is set, a Lambert
+    * conformal grid (template 3.30; scanned +i, +j, row-major from the
+    * SW corner, di/dj ignored). (la1, lo1) is the first grid point in
+    * both cases. `values` row-major; NaN marks a missing cell (encoded
+    * via a section-6 bitmap).
     */
   final case class Field(
       discipline: Int, category: Int, parameter: Int,
@@ -66,8 +79,48 @@ object Grib2 {
       ni: Int, nj: Int,
       la1Deg: Double, lo1Deg: Double, diDeg: Double, djDeg: Double,
       values: Array[Double],
-      decScale: Int = 2, nBits: Int = 16) {
+      decScale: Int = 2, nBits: Int = 16,
+      lcc: Option[Lcc] = None) {
     require(values.length == ni * nj, s"expect ${ni * nj} values")
+  }
+
+  /** Spherical Lambert conformal conic (Snyder 1987, eq. 15-1..15-5),
+    * shared by the reader (inverse, per cell) and specs (forward).
+    * Returns meters from the projection origin (LoV meridian, LaD =
+    * latin1 reference latitude).
+    */
+  object LccMath {
+    val R = 6371229.0
+    final case class Cone(n: Double, f: Double, rho0: Double, lov: Double)
+    def cone(p: Lcc): Cone = {
+      val p1 = math.toRadians(p.latin1Deg); val p2 = math.toRadians(p.latin2Deg)
+      val n =
+        if (math.abs(p1 - p2) < 1e-12) math.sin(p1)
+        else math.log(math.cos(p1) / math.cos(p2)) /
+          math.log(math.tan(Math.PI / 4 + p2 / 2) / math.tan(Math.PI / 4 + p1 / 2))
+      val f = math.cos(p1) * math.pow(math.tan(Math.PI / 4 + p1 / 2), n) / n
+      val rho0 = R * f / math.pow(math.tan(Math.PI / 4 + p1 / 2), n)
+      Cone(n, f, rho0, math.toRadians(p.loVDeg))
+    }
+    def forward(c: Cone, latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      var dlon = math.toRadians(lonDeg) - c.lov
+      while (dlon > Math.PI) dlon -= 2 * Math.PI
+      while (dlon < -Math.PI) dlon += 2 * Math.PI
+      val rho = R * c.f / math.pow(math.tan(Math.PI / 4 + phi / 2), c.n)
+      val th = c.n * dlon
+      (rho * math.sin(th), c.rho0 - rho * math.cos(th))
+    }
+    def inverse(c: Cone, x: Double, y: Double): (Double, Double) = {
+      val sgn = if (c.n < 0) -1.0 else 1.0
+      val rho = sgn * math.hypot(x, c.rho0 - y)
+      val th = math.atan2(sgn * x, sgn * (c.rho0 - y))
+      val lat = 2 * math.atan(math.pow(R * c.f / rho, 1.0 / c.n)) - Math.PI / 2
+      var lon = math.toDegrees(c.lov + th / c.n)
+      while (lon > 180.0) lon -= 360.0
+      while (lon < -180.0) lon += 360.0
+      (math.toDegrees(lat), lon)
+    }
   }
 
   // ---- encode --------------------------------------------------------
@@ -117,20 +170,39 @@ object Grib2 {
       bb.put(f.hour.toByte).put(0.toByte).put(0.toByte)
       bb.put(0.toByte).put(1.toByte) // operational, forecast
     }, 16)
-    val s3 = sec(3, bb => {
-      bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
-      bb.putShort(0) // template 3.0: lat/lon
-      bb.put(6.toByte) // shape of earth: sphere 6371.229 km
-      bb.put(0.toByte).putInt(0).put(0.toByte).putInt(0).put(0.toByte).putInt(0)
-      bb.putInt(f.ni).putInt(f.nj)
-      bb.putInt(0).putInt(0) // basic angle, subdivisions
-      bb.putInt(microDeg(f.la1Deg)).putInt(microDeg(f.lo1Deg))
-      bb.put(48.toByte) // res/component flags: di+dj given
-      bb.putInt(microDeg(f.la1Deg - (f.nj - 1) * f.djDeg))
-      bb.putInt(microDeg(f.lo1Deg + (f.ni - 1) * f.diDeg))
-      bb.putInt(microDeg(f.diDeg)).putInt(microDeg(f.djDeg))
-      bb.put(0.toByte) // scan mode: +i, -j
-    }, 67)
+    val s3 = f.lcc match {
+      case None => sec(3, bb => {
+        bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
+        bb.putShort(0) // template 3.0: lat/lon
+        bb.put(6.toByte) // shape of earth: sphere 6371.229 km
+        bb.put(0.toByte).putInt(0).put(0.toByte).putInt(0).put(0.toByte).putInt(0)
+        bb.putInt(f.ni).putInt(f.nj)
+        bb.putInt(0).putInt(0) // basic angle, subdivisions
+        bb.putInt(microDeg(f.la1Deg)).putInt(microDeg(f.lo1Deg))
+        bb.put(48.toByte) // res/component flags: di+dj given
+        bb.putInt(microDeg(f.la1Deg - (f.nj - 1) * f.djDeg))
+        bb.putInt(microDeg(f.lo1Deg + (f.ni - 1) * f.diDeg))
+        bb.putInt(microDeg(f.diDeg)).putInt(microDeg(f.djDeg))
+        bb.put(0.toByte) // scan mode: +i, -j
+      }, 67)
+      case Some(p) => sec(3, bb => {
+        bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
+        bb.putShort(30) // template 3.30: Lambert conformal
+        bb.put(6.toByte) // sphere 6371.229 km
+        bb.put(0.toByte).putInt(0).put(0.toByte).putInt(0).put(0.toByte).putInt(0)
+        bb.putInt(f.ni).putInt(f.nj)
+        bb.putInt(microDeg(f.la1Deg)).putInt(microDeg(f.lo1Deg))
+        bb.put(48.toByte)
+        bb.putInt(microDeg(p.latin1Deg)) // LaD
+        bb.putInt(microDeg(p.loVDeg))
+        bb.putInt(Math.round(p.dxM * 1000).toInt) // 10^-3 m
+        bb.putInt(Math.round(p.dyM * 1000).toInt)
+        bb.put(0.toByte) // projection centre: north pole
+        bb.put(64.toByte) // scan mode: +i, +j (row-major from SW)
+        bb.putInt(microDeg(p.latin1Deg)).putInt(microDeg(p.latin2Deg))
+        bb.putInt(microDeg(-90.0)).putInt(0) // south pole of projection
+      }, 76)
+    }
     val s4 = sec(4, bb => {
       bb.putShort(0).putShort(0) // NV, template 4.0
       bb.put(f.category.toByte).put(f.parameter.toByte)
@@ -208,7 +280,18 @@ object Grib2 {
       discipline: Int, category: Int, parameter: Int,
       levelType: Int, level: Double, refEpochSec: Long, forecastHour: Int,
       ni: Int, nj: Int, la1: Double, lo1: Double, di: Double, dj: Double,
-      present: Array[Boolean], values: Array[Double])
+      present: Array[Boolean], values: Array[Double],
+      lcc: Option[Lcc] = None) {
+    // per-cell geolocation: lat/lon grid directly, LCC via inverse
+    // projection from the first point's projected coordinates
+    private lazy val cone = lcc.map(LccMath.cone)
+    private lazy val xy1 = cone.map(c => LccMath.forward(c, la1, lo1))
+    def latLonAt(row: Int, col: Int): (Double, Double) = (cone, xy1, lcc) match {
+      case (Some(c), Some((x1, y1)), Some(p)) =>
+        LccMath.inverse(c, x1 + col * p.dxM, y1 + row * p.dyM)
+      case _ => (la1 - row * dj, lo1 + col * di)
+    }
+  }
 
   private def sm16(v: Int): Int = // sign-magnitude 16-bit
     if ((v & 0x8000) != 0) -(v & 0x7FFF) else v
@@ -229,6 +312,7 @@ object Grib2 {
     var refSec = 0L; var fh = 0
     var ni = 0; var nj = 0; var la1 = 0.0; var lo1 = 0.0; var di = 0.0; var dj = 0.0
     var nPoints = 0; var rRef = 0.0f; var eScale = 0; var dScale = 0; var nBits = 0
+    var lccOpt: Option[Lcc] = None
     var present: Array[Boolean] = null
     var packed: Array[Byte] = null
     var nDataPts = 0
@@ -248,16 +332,32 @@ object Grib2 {
             .toEpochSecond(java.time.ZoneOffset.UTC)
         case 3 =>
           bb.get(); nDataPts = bb.getInt(); bb.get(); bb.get()
-          require(bb.getShort() == 0, "grid template 3.0 (lat/lon) only")
+          val tmpl = bb.getShort()
+          require(tmpl == 0 || tmpl == 30,
+            s"grid template 3.0 (lat/lon) or 3.30 (Lambert) only, got $tmpl")
           bb.get(); bb.get(); bb.getInt(); bb.get(); bb.getInt(); bb.get(); bb.getInt()
           ni = bb.getInt(); nj = bb.getInt()
-          bb.getInt(); bb.getInt()
-          la1 = udeg(bb.getInt()); lo1 = udeg(bb.getInt())
-          bb.get()
-          bb.getInt(); bb.getInt() // la2, lo2 (redundant with di/dj)
-          di = udeg(bb.getInt()); dj = udeg(bb.getInt())
-          val scan = bb.get() & 0xFF
-          require(scan == 0, s"scan mode 0 (+i,-j) only, got $scan")
+          if (tmpl == 0) {
+            bb.getInt(); bb.getInt()
+            la1 = udeg(bb.getInt()); lo1 = udeg(bb.getInt())
+            bb.get()
+            bb.getInt(); bb.getInt() // la2, lo2 (redundant with di/dj)
+            di = udeg(bb.getInt()); dj = udeg(bb.getInt())
+            val scan = bb.get() & 0xFF
+            require(scan == 0, s"scan mode 0 (+i,-j) only, got $scan")
+          } else {
+            la1 = udeg(bb.getInt()); lo1 = udeg(bb.getInt())
+            bb.get()
+            bb.getInt() // LaD (== latin1 for the grids we accept)
+            val loV = udeg(bb.getInt())
+            val dx = bb.getInt() / 1000.0; val dy = bb.getInt() / 1000.0
+            bb.get() // projection centre
+            val scan = bb.get() & 0xFF
+            require(scan == 64, s"LCC scan mode 64 (+i,+j) only, got $scan")
+            val latin1 = udeg(bb.getInt()); val latin2 = udeg(bb.getInt())
+            bb.getInt(); bb.getInt() // south pole
+            lccOpt = Some(Lcc(latin1, latin2, loV, dx, dy))
+          }
         case 4 =>
           bb.getShort()
           require(bb.getShort() == 0, "product template 4.0 only")
@@ -315,7 +415,7 @@ object Grib2 {
       }
     }
     Decoded(discipline, cat, par, lvlT, lvl, refSec, fh,
-      ni, nj, la1, lo1, di, dj, present, vals)
+      ni, nj, la1, lo1, di, dj, present, vals, lccOpt)
   }
 }
 
@@ -401,8 +501,8 @@ class Grib2MsgReader(p: Grib2MsgPartition, required: StructType)
         case "forecast_hour" => out.setInt(f, d.forecastHour)
         case "row" => out.setInt(f, row)
         case "col" => out.setInt(f, colI)
-        case "lat" => out.setDouble(f, d.la1 - row * d.dj)
-        case "lon" => out.setDouble(f, d.lo1 + colI * d.di)
+        case "lat" => out.setDouble(f, d.latLonAt(row, colI)._1)
+        case "lon" => out.setDouble(f, d.latLonAt(row, colI)._2)
         case "value" =>
           if (d.present(i)) out.setDouble(f, d.values(presentRank))
           else out.setNullAt(f)

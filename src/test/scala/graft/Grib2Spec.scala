@@ -89,6 +89,43 @@ class Grib2Spec extends SparkSpecBase {
     assert(math.abs(total - exp) < 1e-6)
   }
 
+  test("Lambert conformal grid (template 3.30): the real HRRR projection") {
+    // HRRR CONUS parameters: tangent cone at 38.5N, LoV 262.5E, 3 km
+    val lcc = Grib2.Lcc(latin1Deg = 38.5, latin2Deg = 38.5,
+      loVDeg = 262.5, dxM = 3000.0, dyM = 3000.0)
+    val (w, h) = (30, 20)
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("lcc.grib2")
+    Grib2.write(f.toString, Seq(Grib2.Field(
+      discipline = 0, category = 2, parameter = 2, levelType = 103, level = 10,
+      year = 2026, month = 8, day = 12, hour = 6, forecastHour = 1,
+      ni = w, nj = h, la1Deg = 38.0, lo1Deg = -100.0, diDeg = 0, djDeg = 0,
+      values = Array.tabulate(h * w)(i => (i % 97) / 4.0), lcc = Some(lcc))))
+    val df = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", f.toString).load().collect()
+    assert(df.length == w * h)
+    val cone = Grib2.LccMath.cone(lcc)
+    val (x1, y1) = Grib2.LccMath.forward(cone, 38.0, -100.0)
+    df.foreach { r =>
+      val row = r.getAs[Int]("row"); val c = r.getAs[Int]("col")
+      val lat = r.getAs[Double]("lat"); val lon = r.getAs[Double]("lon")
+      if (row == 0 && c == 0) {
+        assert(math.abs(lat - 38.0) < 1e-6 && math.abs(lon + 100.0) < 1e-6,
+          s"first point ($lat,$lon)")
+      }
+      // projecting the emitted lat/lon must land back on the cell's
+      // exact projected coordinates (x1 + c*dx, y1 + row*dy)
+      val (x, y) = Grib2.LccMath.forward(cone, lat, lon)
+      assert(math.abs(x - (x1 + c * 3000.0)) < 1e-3, s"x at ($row,$c)")
+      assert(math.abs(y - (y1 + row * 3000.0)) < 1e-3, s"y at ($row,$c)")
+      assert(r.getAs[Double]("value") == ((row * w + c) % 97) / 4.0)
+    }
+    // rows advance ~3 km northward, cols ~3 km eastward near the cone
+    val byPos = df.map(r => ((r.getAs[Int]("row"), r.getAs[Int]("col")),
+      (r.getAs[Double]("lat"), r.getAs[Double]("lon")))).toMap
+    assert(byPos((1, 0))._1 > byPos((0, 0))._1)
+    assert(byPos((0, 1))._2 > byPos((0, 0))._2)
+  }
+
   test("wind product: u/v join -> speed/direction grid -> contour segments") {
     // odin_wind's grid+vector product: join the u and v messages on the
     // cell key (co-partitioned equi-join, no shuffle beyond the pair),
