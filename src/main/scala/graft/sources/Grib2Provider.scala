@@ -25,7 +25,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * grid definition templates 3.0 (regular lat/lon) and 3.30 (Lambert
   * conformal conic — the actual HRRR CONUS projection, geolocated per
   * cell via the spherical Snyder inverse), product definition template
-  * 4.0, data representation template 5.0 (simple packing), optional
+  * 4.0, data representation templates 5.0 (simple packing), 5.2
+  * (complex/group packing) and 5.3 (complex + order-1/2 spatial
+  * differencing — what NOMADS actually ships for HRRR), optional
   * bitmap (section 6), any number of messages per file.
   *
   * Scale shape (what a 100 TB HRRR archive sweep needs):
@@ -80,8 +82,10 @@ object Grib2 {
       la1Deg: Double, lo1Deg: Double, diDeg: Double, djDeg: Double,
       values: Array[Double],
       decScale: Int = 2, nBits: Int = 16,
-      lcc: Option[Lcc] = None) {
+      lcc: Option[Lcc] = None,
+      packing: Int = 0) { // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing)
     require(values.length == ni * nj, s"expect ${ni * nj} values")
+    require(packing == 0 || packing == 2 || packing == 3, s"packing $packing")
   }
 
   /** Spherical Lambert conformal conic (Snyder 1987, eq. 15-1..15-5),
@@ -121,6 +125,40 @@ object Grib2 {
       while (lon < -180.0) lon += 360.0
       (math.toDegrees(lat), lon)
     }
+  }
+
+  // ---- bit-stream helpers (sub-arrays octet-aligned, MSB first) ------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L; private var nb = 0
+    def put(v: Long, bits: Int): Unit = if (bits > 0) {
+      acc = (acc << bits) | (v & ((1L << bits) - 1)); nb += bits
+      while (nb >= 8) { nb -= 8; out.write(((acc >>> nb) & 0xFF).toInt) }
+    }
+    def align(): Unit = if (nb > 0) { out.write(((acc << (8 - nb)) & 0xFF).toInt); acc = 0; nb = 0 }
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  private final class BitReader(a: Array[Byte], var byteOff: Int) {
+    private var acc = 0L; private var nb = 0
+    def get(bits: Int): Long = {
+      if (bits == 0) return 0L
+      while (nb < bits) { acc = (acc << 8) | (a(byteOff) & 0xFFL); byteOff += 1; nb += 8 }
+      nb -= bits
+      (acc >>> nb) & ((1L << bits) - 1)
+    }
+    def align(): Unit = { acc = 0L; nb = 0 }
+  }
+
+  /** Signed-magnitude n-octet integer (GRIB2 negative-number convention). */
+  private def signMagN(v: Long, octets: Int): Long = {
+    val signBit = 1L << (octets * 8 - 1)
+    if (v < 0) signBit | -v else v
+  }
+  private def unSignMagN(raw: Long, octets: Int): Long = {
+    val signBit = 1L << (octets * 8 - 1)
+    if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
   }
 
   // ---- encode --------------------------------------------------------
@@ -212,13 +250,64 @@ object Grib2 {
       bb.put(f.levelType.toByte).put(0.toByte).putInt(f.level)
       bb.put(255.toByte).put(255.toByte).putInt(-1) // no second surface
     }, 29)
-    val s5 = sec(5, bb => {
-      bb.putInt(nPresent).putShort(0) // template 5.0
-      bb.putFloat(rRef.toFloat)
-      bb.putShort(signMag16(0).toShort) // binary scale E = 0
-      bb.putShort(signMag16(f.decScale).toShort)
-      bb.put(f.nBits.toByte).put(0.toByte) // original field: float
-    }, 16)
+    // ---- data representation: simple (5.0) or complex (5.2 / 5.3) -----
+    val G = 32 // cells per group for complex packing
+    def bitsFor(v: Long): Int =
+      if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val n0 = xs.length
+    // 5.3 work sequence: order-2 differences offset to non-negative
+    val d2 = new Array[Long](n0)
+    if (f.packing == 3) {
+      var k = 2; while (k < n0) { d2(k) = xs(k).toLong - 2L * xs(k - 1) + xs(k - 2); k += 1 }
+    }
+    val gmin: Long =
+      if (f.packing == 3 && n0 > 2) (2 until n0).iterator.map(d2).min else 0L
+    val hseq: Array[Long] = f.packing match {
+      case 2 => xs.map(_.toLong)
+      case 3 =>
+        val a = new Array[Long](n0)
+        var k = 2; while (k < n0) { a(k) = d2(k) - gmin; k += 1 }; a
+      case _ => Array.emptyLongArray
+    }
+    val ng = if (f.packing == 0) 0 else (n0 + G - 1) / G
+    val grpRef = new Array[Long](ng); val grpWidth = new Array[Int](ng)
+    var gi = 0
+    while (gi < ng) {
+      val s = gi * G; val e = math.min(n0, s + G)
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var k = s; while (k < e) { mn = math.min(mn, hseq(k)); mx = math.max(mx, hseq(k)); k += 1 }
+      grpRef(gi) = mn; grpWidth(gi) = bitsFor(mx - mn)
+      gi += 1
+    }
+    val refBits = if (ng == 0) f.nBits else math.max(1, bitsFor(grpRef.max))
+    val lastLen = if (ng == 0) 0 else n0 - (ng - 1) * G
+
+    val s5 =
+      if (f.packing == 0) sec(5, bb => {
+        bb.putInt(nPresent).putShort(0) // template 5.0
+        bb.putFloat(rRef.toFloat)
+        bb.putShort(signMag16(0).toShort) // binary scale E = 0
+        bb.putShort(signMag16(f.decScale).toShort)
+        bb.put(f.nBits.toByte).put(0.toByte) // original field: float
+      }, 16)
+      else sec(5, bb => {
+        bb.putInt(nPresent).putShort(f.packing.toShort) // template 5.2 / 5.3
+        bb.putFloat(rRef.toFloat)
+        bb.putShort(signMag16(0).toShort)
+        bb.putShort(signMag16(f.decScale).toShort)
+        bb.put(refBits.toByte).put(0.toByte)
+        bb.put(1.toByte) // group splitting: general
+        bb.put(0.toByte) // missing value management: none
+        bb.putInt(0).putInt(0) // primary/secondary missing substitutes
+        bb.putInt(ng)
+        bb.put(0.toByte) // group width reference
+        bb.put(8.toByte) // bits per group width
+        bb.putInt(G) // group length reference
+        bb.put(1.toByte) // length increment
+        bb.putInt(lastLen) // true length of last group
+        bb.put(0.toByte) // bits for scaled group lengths (uniform G)
+        if (f.packing == 3) { bb.put(2.toByte); bb.put(4.toByte) } // order 2, 4-octet extras
+      }, if (f.packing == 2) 42 else 44)
     val s6 =
       if (!hasBitmap) sec(6, bb => bb.put(255.toByte), 1)
       else sec(6, bb => {
@@ -230,15 +319,37 @@ object Grib2 {
         }
         if (nb > 0) bb.put((acc << (8 - nb)).toByte)
       }, 1 + (n + 7) / 8)
-    val packedLen = (nPresent * f.nBits + 7) / 8
-    val s7 = sec(7, bb => {
-      var acc = 0L; var nb = 0
-      xs.foreach { x =>
-        acc = (acc << f.nBits) | x.toLong; nb += f.nBits
-        while (nb >= 8) { nb -= 8; bb.put((acc >>> nb).toByte) }
+    val s7 =
+      if (f.packing == 0) {
+        val packedLen = (nPresent * f.nBits + 7) / 8
+        sec(7, bb => {
+          var acc = 0L; var nb = 0
+          xs.foreach { x =>
+            acc = (acc << f.nBits) | x.toLong; nb += f.nBits
+            while (nb >= 8) { nb -= 8; bb.put((acc >>> nb).toByte) }
+          }
+          if (nb > 0) bb.put((acc << (8 - nb)).toByte)
+        }, packedLen)
+      } else {
+        // octet-aligned sub-arrays: [5.3 extras] refs | widths | group data
+        val bw = new BitWriter
+        if (f.packing == 3) {
+          bw.put(signMagN(if (n0 > 0) xs(0) else 0, 4), 32)
+          bw.put(signMagN(if (n0 > 1) xs(1) else 0, 4), 32)
+          bw.put(signMagN(gmin, 4), 32)
+          bw.align()
+        }
+        grpRef.foreach(r => bw.put(r, refBits)); bw.align()
+        grpWidth.foreach(w => bw.put(w, 8)); bw.align()
+        var g = 0
+        while (g < ng) {
+          val s = g * G; val e = math.min(n0, s + G)
+          var k = s; while (k < e) { bw.put(hseq(k) - grpRef(g), grpWidth(g)); k += 1 }
+          g += 1
+        }
+        val data = bw.bytes
+        sec(7, bb => bb.put(data), data.length)
       }
-      if (nb > 0) bb.put((acc << (8 - nb)).toByte)
-    }, packedLen)
     val bodyLen = s1.length + s3.length + s4.length + s5.length + s6.length + s7.length
     val total = 16 + bodyLen + 4
     val bb = ByteBuffer.allocate(total)
@@ -312,6 +423,10 @@ object Grib2 {
     var refSec = 0L; var fh = 0
     var ni = 0; var nj = 0; var la1 = 0.0; var lo1 = 0.0; var di = 0.0; var dj = 0.0
     var nPoints = 0; var rRef = 0.0f; var eScale = 0; var dScale = 0; var nBits = 0
+    var tmpl5 = 0; var ng = 0
+    var grpWidthRef = 0; var grpWidthBits = 0
+    var grpLenRef = 0; var grpLenInc = 0; var grpLastLen = 0; var grpScaledLenBits = 0
+    var sdOrder = 0; var sdOctets = 0
     var lccOpt: Option[Lcc] = None
     var present: Array[Boolean] = null
     var packed: Array[Byte] = null
@@ -377,12 +492,24 @@ object Grib2 {
           lvl = bb.getInt() / math.pow(10, lsv)
         case 5 =>
           nPoints = bb.getInt()
-          require(bb.getShort() == 0, "data representation 5.0 (simple) only")
+          tmpl5 = bb.getShort()
+          require(tmpl5 == 0 || tmpl5 == 2 || tmpl5 == 3,
+            s"data representation 5.0/5.2/5.3 only, got $tmpl5")
           rRef = bb.getFloat()
           eScale = sm16(bb.getShort() & 0xFFFF)
           dScale = sm16(bb.getShort() & 0xFFFF)
           nBits = bb.get() & 0xFF
           bb.get()
+          if (tmpl5 == 2 || tmpl5 == 3) {
+            bb.get() // group splitting method
+            require((bb.get() & 0xFF) == 0, "missing-value management unsupported")
+            bb.getInt(); bb.getInt()
+            ng = bb.getInt()
+            grpWidthRef = bb.get() & 0xFF; grpWidthBits = bb.get() & 0xFF
+            grpLenRef = bb.getInt(); grpLenInc = bb.get() & 0xFF
+            grpLastLen = bb.getInt(); grpScaledLenBits = bb.get() & 0xFF
+            if (tmpl5 == 3) { sdOrder = bb.get() & 0xFF; sdOctets = bb.get() & 0xFF }
+          }
         case 6 =>
           val ind = bb.get() & 0xFF
           if (ind == 0) {
@@ -403,16 +530,60 @@ object Grib2 {
     // unpack nBits-wide big-endian integers; Y = (R + X·2^E) / 10^D
     val binF = math.pow(2, eScale); val decF = math.pow(10, dScale)
     val vals = new Array[Double](nPoints)
-    if (nBits == 0) java.util.Arrays.fill(vals, rRef / decF)
-    else {
-      var acc = 0L; var nb = 0; var bi = 0; var vi = 0
-      while (vi < nPoints) {
-        while (nb < nBits) { acc = (acc << 8) | (packed(bi) & 0xFFL); bi += 1; nb += 8 }
-        nb -= nBits
-        val x = (acc >>> nb) & ((1L << nBits) - 1)
-        vals(vi) = (rRef + x * binF) / decF
-        vi += 1
+    if (tmpl5 == 0) {
+      if (nBits == 0) java.util.Arrays.fill(vals, rRef / decF)
+      else {
+        var acc = 0L; var nb = 0; var bi = 0; var vi = 0
+        while (vi < nPoints) {
+          while (nb < nBits) { acc = (acc << 8) | (packed(bi) & 0xFFL); bi += 1; nb += 8 }
+          nb -= nBits
+          val x = (acc >>> nb) & ((1L << nBits) - 1)
+          vals(vi) = (rRef + x * binF) / decF
+          vi += 1
+        }
       }
+    } else {
+      // complex packing: [5.3 extras] group refs | widths | packed groups
+      val br = new BitReader(packed, 0)
+      var iv1 = 0L; var iv2 = 0L; var gmin = 0L
+      if (tmpl5 == 3) {
+        require(sdOrder == 1 || sdOrder == 2, s"differencing order $sdOrder")
+        iv1 = unSignMagN(br.get(sdOctets * 8), sdOctets)
+        if (sdOrder == 2) iv2 = unSignMagN(br.get(sdOctets * 8), sdOctets)
+        gmin = unSignMagN(br.get(sdOctets * 8), sdOctets)
+        br.align()
+      }
+      val refs = Array.fill(ng)(br.get(nBits)); br.align()
+      val widths = Array.fill(ng)(grpWidthRef + br.get(grpWidthBits).toInt); br.align()
+      val scaledLens = Array.fill(ng)(br.get(grpScaledLenBits)); br.align()
+      val xsOut = new Array[Long](nPoints)
+      var vi = 0; var g = 0
+      while (g < ng) {
+        val len =
+          if (g == ng - 1) grpLastLen
+          else grpLenRef + grpLenInc * scaledLens(g).toInt
+        var k = 0
+        while (k < len) { xsOut(vi) = refs(g) + br.get(widths(g)); vi += 1; k += 1 }
+        g += 1
+      }
+      require(vi == nPoints, s"complex packing decoded $vi of $nPoints points")
+      if (tmpl5 == 3) {
+        // undo spatial differencing: stored values are offset differences
+        if (sdOrder == 1) {
+          if (nPoints > 0) xsOut(0) = iv1
+          var k = 1
+          while (k < nPoints) { xsOut(k) = xsOut(k) + gmin + xsOut(k - 1); k += 1 }
+        } else {
+          if (nPoints > 0) xsOut(0) = iv1
+          if (nPoints > 1) xsOut(1) = iv2
+          var k = 2
+          while (k < nPoints) {
+            xsOut(k) = xsOut(k) + gmin + 2 * xsOut(k - 1) - xsOut(k - 2); k += 1
+          }
+        }
+      }
+      var k = 0
+      while (k < nPoints) { vals(k) = (rRef + xsOut(k) * binF) / decF; k += 1 }
     }
     Decoded(discipline, cat, par, lvlT, lvl, refSec, fh,
       ni, nj, la1, lo1, di, dj, present, vals, lccOpt)

@@ -89,6 +89,33 @@ class Grib2Spec extends SparkSpecBase {
     assert(math.abs(total - exp) < 1e-6)
   }
 
+  test("complex packing (5.2) and spatial differencing (5.3) round-trip") {
+    // same grid, three packings — NOMADS HRRR files ship 5.3
+    def field(packing: Int) = Grib2.Field(
+      discipline = 0, category = 2, parameter = 2, levelType = 103, level = 10,
+      year = 2026, month = 8, day = 12, hour = 6, forecastHour = 2,
+      ni = ni, nj = nj, la1Deg = 44.0, lo1Deg = -124.0,
+      diDeg = 0.1, djDeg = 0.1,
+      values = Array.tabulate(nj * ni)(i => u10(i / ni, i % ni)),
+      packing = packing)
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("cplx.grib2")
+    Grib2.write(f.toString, Seq(field(0), field(2), field(3)))
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", f.toString).load()
+      .select("msg", "row", "col", "value").collect()
+    assert(rows.length == 3 * ni * nj)
+    rows.foreach { r =>
+      val row = r.getAs[Int]("row"); val c = r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == u10(row, c),
+        s"msg ${r.getAs[Int]("msg")} at ($row,$c)")
+    }
+    // 5.3 should beat simple packing on smooth fields; both beat nothing
+    val msgs = Grib2.scanMessages(f.toString)
+    assert(msgs.length == 3)
+    assert(msgs(2).length < msgs(0).length,
+      s"5.3 (${msgs(2).length} B) not smaller than 5.0 (${msgs(0).length} B)")
+  }
+
   test("Lambert conformal grid (template 3.30): the real HRRR projection") {
     // HRRR CONUS parameters: tangent cone at 38.5N, LoV 262.5E, 3 km
     val lcc = Grib2.Lcc(latin1Deg = 38.5, latin2Deg = 38.5,
