@@ -1624,7 +1624,8 @@ object Geo {
         SELECT event_id,
                round(sqrt(ui*ui + vi*vi), 3) AS speed_ms,
                round((degrees(atan2(-ui, -vi)) + 360.0) % 360.0, 3) AS dir_deg
-        FROM interp ORDER BY event_id""")),
+        FROM interp ORDER BY event_id"""),
+      bench = true),
 
     // ----- geo_wind_streamline: particle advection over the u/v grid -----
     // odin_wind's animated vector product (wind_service.rs streams the

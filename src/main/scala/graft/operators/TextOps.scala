@@ -297,7 +297,8 @@ object TextOps {
           FROM wdict),$rounds
         SELECT round, pair, replace(pair, ' ', '') AS merged, pair_count
         FROM ($union) ORDER BY round"""
-      }),
+      },
+      bench = true),
 
     // ----- doc_quality: heuristic quality scoring ------------------------
     "doc_quality" -> Q(
