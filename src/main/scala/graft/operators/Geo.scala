@@ -2039,6 +2039,93 @@ object Geo {
                round(6356752.314245e0*biga*(sig - dsig)/1000.0, 3) AS geodesic_km,
                round((round(6356752.314245e0*biga*(sig - dsig)/1000.0, 3) - hav_km)*1000.0, 1) AS excess_m
         FROM fin3
+        ORDER BY user_id, event_id""")),
+
+    // ----- geo_perimeter_growth: fire-perimeter growth rate --------------
+    // odin_bushfire/src/lib.rs: each Bushfire update carries (date, area,
+    // perimeter) and the store keeps a per-fire history ring
+    // (max_history); the product consumers care about is how fast each
+    // fire grows between consecutive perimeter snapshots. Re-expressed:
+    // each event is a perimeter snapshot of incident `user_id` — a
+    // hexagonal ring of radius r(value) around the incident's fixed
+    // center — whose spherical area uses the same Chamberlain–Duquette
+    // fixed-point scheme as geo_polygon_area (edge terms floored at 2^-40
+    // before the sum). The per-snapshot area stays an INTEGER (qarea)
+    // through the lag, so the consecutive-snapshot delta and the per-hour
+    // growth rate derive from integer differences only — the
+    // geo_closing_rate lesson applied from the start. Scale shape: one
+    // map-side-combinable edge aggregation keyed on the snapshot, one
+    // bounded lag window per incident.
+    "geo_perimeter_growth" -> Q(
+      build = (s, d) => {
+        val ax = Seq(0.0, 0.866, 0.866, 0.0, -0.866, -0.866)
+        val ay = Seq(1.0, 0.5, -0.5, -1.0, -0.5, 0.5)
+        val q = 1099511627776.0 // 2^40
+        val r2half = 6371.0088 * 6371.0088 / 2.0
+        val snaps = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            (col("user_id") * 37 % 140 - 70).cast(DoubleType).as("clat"),
+            (col("user_id") * 91 % 360 - 180).cast(DoubleType).as("clon"),
+            (lit(0.05) + col("value") / lit(5000.0)).as("r"))
+        val terms = (0 until 6).map { k =>
+          val k2 = (k + 1) % 6
+          floor((radians(col("clon") + col("r") * ax(k2))
+            - radians(col("clon") + col("r") * ax(k)))
+            * (lit(2.0) + sin(radians(col("clat") + col("r") * ay(k)))
+              + sin(radians(col("clat") + col("r") * ay(k2)))) * q).cast(LongType)
+        }
+        val areas = snaps.select(col("user_id"), col("event_id"), col("ts_sec"),
+          abs(terms.reduce(_ + _)).as("qarea"))
+        val byFire = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        areas
+          .withColumn("prev_qarea", lag(col("qarea"), 1).over(byFire))
+          .withColumn("prev_ts", lag(col("ts_sec"), 1).over(byFire))
+          .filter(col("prev_qarea").isNotNull && col("ts_sec") > col("prev_ts"))
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            round(col("qarea") / q * r2half, 3).as("area_km2"),
+            round((col("qarea") - col("prev_qarea")) / q * r2half, 3)
+              .as("darea_km2"),
+            round((col("qarea") - col("prev_qarea")) / q * r2half
+              * lit(3600.0) / (col("ts_sec") - col("prev_ts")).cast(DoubleType), 3)
+              .as("growth_km2_h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH snaps AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 CAST(user_id*37 % 140 - 70 AS DOUBLE) AS clat,
+                 CAST(user_id*91 % 360 - 180 AS DOUBLE) AS clon,
+                 0.05 + value/5000.0 AS r
+          FROM events),
+        edges AS (SELECT * FROM (VALUES
+          (0.0, 1.0, 0.866, 0.5), (0.866, 0.5, 0.866, -0.5),
+          (0.866, -0.5, 0.0, -1.0), (0.0, -1.0, -0.866, -0.5),
+          (-0.866, -0.5, -0.866, 0.5), (-0.866, 0.5, 0.0, 1.0))
+          e(ax1, ay1, ax2, ay2)),
+        areas AS (
+          SELECT user_id, event_id, ts_sec,
+                 abs(CAST(SUM(CAST(FLOOR((radians(clon + r*ax2) - radians(clon + r*ax1))
+                   * (2.0 + sin(radians(clat + r*ay1)) + sin(radians(clat + r*ay2)))
+                   * 1099511627776.0) AS BIGINT)) AS BIGINT)) AS qarea
+          FROM snaps, edges
+          GROUP BY user_id, event_id, ts_sec),
+        lagd AS (
+          SELECT user_id, event_id, ts_sec, qarea,
+                 lag(qarea) OVER w AS prev_qarea,
+                 lag(ts_sec) OVER w AS prev_ts
+          FROM areas
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        SELECT user_id, event_id, ts_sec,
+               round(qarea/1099511627776.0 * ${6371.0088 * 6371.0088 / 2.0}, 3)
+                 AS area_km2,
+               round((qarea - prev_qarea)/1099511627776.0
+                 * ${6371.0088 * 6371.0088 / 2.0}, 3) AS darea_km2,
+               round((qarea - prev_qarea)/1099511627776.0
+                 * ${6371.0088 * 6371.0088 / 2.0}
+                 * 3600.0 / CAST(ts_sec - prev_ts AS DOUBLE), 3) AS growth_km2_h
+        FROM lagd
+        WHERE prev_qarea IS NOT NULL AND ts_sec > prev_ts
         ORDER BY user_id, event_id"""))
   )
 }

@@ -329,6 +329,232 @@ object Multimodal {
                CAST(SUM(CASE WHEN pos % 64 != 0
                              AND ((s0 < 0 AND s1 >= 0) OR (s0 >= 0 AND s1 < 0))
                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-        FROM sam GROUP BY 1, 2 ORDER BY doc_id, frame_id"""))
+        FROM sam GROUP BY 1, 2 ORDER BY doc_id, frame_id""")),
+
+    // ----- mm_hist_equalize: histogram-equalization LUT ------------------
+    // odin_image/src/lib.rs:149 rgb_histogram_equalize /:192 compute_lut:
+    // per channel, 256-bin histogram -> CDF -> lut[v] = round((cdf[v] -
+    // cdf_min) / (n - cdf_min) * 255). Re-expressed per payload: byte
+    // histogram, running CDF over <=256 histogram rows, cdf_min as the
+    // window MIN of the running CDF (the CDF at the first occupied bin),
+    // and the LUT in pure integer round-half-up so both engines agree
+    // bit-for-bit (the reference's f32 round can differ in the last ulp —
+    // divergence documented here by design). Scale shape identical to
+    // mm_contrast_stretch: one map-side-combinable histogram groupBy, all
+    // windows over histogram rows, never raw pixels.
+    "mm_hist_equalize" -> Q(
+      build = (s, d) => {
+        val hist = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+        hist
+          .withColumn("cum", sum(col("cnt")).over(byDoc.orderBy(col("b"))))
+          .withColumn("n", sum(col("cnt")).over(byDoc))
+          .withColumn("cdf_min", min(col("cum")).over(byDoc))
+          .select(col("doc_id"), col("b"), col("cnt"),
+            when(col("n") > col("cdf_min"),
+              expr("((cum - cdf_min) * 510 + (n - cdf_min)) DIV (2 * (n - cdf_min))"))
+              .otherwise(lit(0L)).as("lut"))
+          .orderBy(col("doc_id"), col("b"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM documents WHERE length(text) >= 16),
+        hist AS (
+          SELECT doc_id, ascii(substr(text, pos, 1)) AS b, COUNT(*) AS cnt
+          FROM px GROUP BY 1, 2),
+        cum AS (
+          SELECT doc_id, b, cnt,
+                 SUM(cnt) OVER (PARTITION BY doc_id ORDER BY b) AS cum,
+                 SUM(cnt) OVER (PARTITION BY doc_id) AS n
+          FROM hist),
+        lut AS (
+          SELECT doc_id, b, cnt, cum, n,
+                 MIN(cum) OVER (PARTITION BY doc_id) AS cdf_min
+          FROM cum)
+        SELECT doc_id, b, CAST(cnt AS BIGINT) AS cnt,
+               CAST(CASE WHEN n > cdf_min
+                    THEN ((cum - cdf_min) * 510 + (n - cdf_min)) // (2 * (n - cdf_min))
+                    ELSE 0 END AS BIGINT) AS lut
+        FROM lut ORDER BY doc_id, b""")),
+
+    // ----- mm_focus_measure: Brenner gradient focus ----------------------
+    // odin_image/src/lib.rs:550 avg_horizontal_brenner_focus: per pixel
+    // column, sum of squared luma differences two rows apart, averaged
+    // over w*(h-2) — the classic autofocus sharpness measure the fire
+    // cameras use. Payload-as-image: row-major width 32, so the y+2
+    // neighbor is 64 bytes ahead; the pair sum is exact integer and the
+    // single final division is one deterministic IEEE op. One explode +
+    // map-side-combinable groupBy per doc.
+    "mm_focus_measure" -> Q(
+      build = (s, d) =>
+        Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 96)
+          .select(col("doc_id"),
+            expr("CAST(floor(length(text)/32)*32 AS INT)").as("len32"),
+            col("text"))
+          .select(col("doc_id"), col("len32"),
+            explode(expr("sequence(1, len32 - 64)")).as("pos"), col("text"))
+          .select(col("doc_id"), col("len32"),
+            (expr("ascii(substring(text, pos + 64, 1))")
+              - expr("ascii(substring(text, pos, 1))")).as("dd"))
+          .groupBy(col("doc_id"), col("len32"))
+          .agg(sum((col("dd") * col("dd")).cast(LongType)).as("focus_sum"))
+          .select(col("doc_id"), lit(32L).as("w"),
+            expr("CAST(len32 DIV 32 AS BIGINT)").as("h"),
+            col("focus_sum"),
+            round(col("focus_sum").cast(DoubleType)
+              / (col("len32") - lit(64)).cast(DoubleType), 6).as("focus_avg"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(floor(length(text)/32)*32 AS INT) AS len32, text
+          FROM documents WHERE length(text) >= 96),
+        px AS (
+          SELECT doc_id, len32,
+                 unnest(generate_series(1, len32 - 64)) AS pos, text
+          FROM d),
+        df AS (
+          SELECT doc_id, len32,
+                 ascii(substr(text, pos + 64, 1)) - ascii(substr(text, pos, 1)) AS dd
+          FROM px)
+        SELECT doc_id, CAST(32 AS BIGINT) AS w, CAST(len32 // 32 AS BIGINT) AS h,
+               CAST(SUM(CAST(dd*dd AS BIGINT)) AS BIGINT) AS focus_sum,
+               round(CAST(SUM(CAST(dd*dd AS BIGINT)) AS DOUBLE)
+                     / CAST(len32 - 64 AS DOUBLE), 6) AS focus_avg
+        FROM df GROUP BY doc_id, len32 ORDER BY doc_id""")),
+
+    // ----- mm_horizon_line: per-column horizon + smoothing ---------------
+    // odin_image/src/lib.rs:732 hsv_horizon_line /:772 offset_horizon: per
+    // image column, scan down for the first non-sky pixel, then smooth the
+    // resulting per-column series and clamp into [min_horizon,
+    // max_horizon]. Payload-as-image (width 32): y_raw = first row whose
+    // byte drops below the brightness threshold (h if none — all sky),
+    // y_smooth = centered 5-column moving average (the reference smooths
+    // with LOESS; a centered window mean is the same shape and integer-
+    // exact), y_clamp = clamp(floor(y_smooth) - 1, 1, h-1). Scale shape:
+    // one explode + min-aggregate per (doc, column), then a 5-row window
+    // over 32 columns per doc — never a window over raw pixels.
+    "mm_horizon_line" -> Q(
+      build = (s, d) => {
+        val cols32 = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 256)
+          .select(col("doc_id"),
+            expr("CAST(floor(length(text)/32) AS BIGINT)").as("h"), col("text"))
+          .select(col("doc_id"), col("h"),
+            explode(expr("sequence(1, CAST(h*32 AS INT))")).as("pos"), col("text"))
+          .select(col("doc_id"), col("h"),
+            expr("CAST((pos - 1) % 32 AS BIGINT)").as("x"),
+            expr("CAST((pos - 1) DIV 32 AS BIGINT)").as("y"),
+            expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("h"), col("x"))
+          .agg(coalesce(min(when(col("b") < 96, col("y"))), col("h")).as("y_raw"))
+        val wCols = Window.partitionBy(col("doc_id"))
+          .orderBy(col("x")).rowsBetween(-2, 2)
+        cols32
+          .withColumn("y_smooth",
+            sum(col("y_raw")).over(wCols).cast(DoubleType)
+              / count(lit(1)).over(wCols).cast(DoubleType))
+          .select(col("doc_id"), col("x"), col("y_raw"),
+            round(col("y_smooth"), 4).as("y_smooth"),
+            least(greatest(floor(col("y_smooth")).cast(LongType) - 1, lit(1L)),
+              col("h") - 1).as("y_clamp"))
+          .orderBy(col("doc_id"), col("x"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(floor(length(text)/32) AS BIGINT) AS h, text
+          FROM documents WHERE length(text) >= 256),
+        px AS (
+          SELECT doc_id, h,
+                 unnest(generate_series(1, CAST(h*32 AS INT))) AS pos, text
+          FROM d),
+        cols AS (
+          SELECT doc_id, h, CAST((pos - 1) % 32 AS BIGINT) AS x,
+                 COALESCE(MIN(CASE WHEN ascii(substr(text, pos, 1)) < 96
+                              THEN CAST((pos - 1) // 32 AS BIGINT) END), h) AS y_raw
+          FROM px GROUP BY doc_id, h, x),
+        sm AS (
+          SELECT doc_id, h, x, y_raw,
+                 CAST(SUM(y_raw) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS y_smooth
+          FROM cols
+          WINDOW w AS (PARTITION BY doc_id ORDER BY x
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+        SELECT doc_id, x, y_raw, round(y_smooth, 4) AS y_smooth,
+               least(greatest(CAST(floor(y_smooth) AS BIGINT) - 1, 1), h - 1)
+                 AS y_clamp
+        FROM sm ORDER BY doc_id, x""")),
+
+    // ----- mm_tile_compress: per-tile compressed-size texture ------------
+    // odin_image/src/lib.rs:648 compressed_size (PNG-encode into a
+    // counting null writer) /:680 get_tiled_comp: per-tile compressed size
+    // as the texture/complexity feature the smoke classifier consumes.
+    // Payload tiles of 256 bytes, DEFLATE length per tile via the in-JDK
+    // zlib (functions/Compress.scala) batched in mapPartitions — the same
+    // declared-codec pattern as mm_feature_extract. Rows-only by design:
+    // DuckDB cannot DEFLATE, so the spec pins exact values in-JVM.
+    "mm_tile_compress" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.Compress
+        Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 256)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val nt = bytes.length / 256
+              (0 until nt).iterator.map { t =>
+                val comp = Compress.deflateLen(
+                  java.util.Arrays.copyOfRange(bytes, t * 256, (t + 1) * 256))
+                (id, t.toLong, 256L, comp.toLong, comp / 256.0)
+              }
+            }
+          }
+          .toDF("doc_id", "tile_id", "n_bytes", "comp_bytes", "ratio")
+          .withColumn("ratio", round(col("ratio"), 6))
+          .orderBy(col("doc_id"), col("tile_id"))
+      },
+      oracle = None),
+
+    // ----- mm_fractal_dim: compression-based fractal dimension -----------
+    // odin_image/src/lib.rs:580 fractal_dim (after Del-Pozo-Velázquez et
+    // al., DSP 166, 2025): compressed size of the image at scales s_min..
+    // 1.0 step 0.1, slope of log2(size) vs log2(10*s) via least squares —
+    // a smoke-texture score. Byte-stream analog: Bresenham decimation to
+    // k/10 of the payload for k=5..10, DEFLATE length per scale, exact
+    // regression slope (functions/Compress.scala). Same mapPartitions
+    // batch shape; rows-only by design (no DEFLATE in DuckDB).
+    "mm_fractal_dim" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.Compress
+        Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val ks = Array(5, 6, 7, 8, 9, 10)
+              val sizes = ks.map(k => Compress.deflateLen(Compress.decimate(bytes, k)))
+              val xs = ks.map(k => math.log(k.toDouble) / math.log(2.0))
+              val ys = sizes.map(sz => math.log(sz.toDouble) / math.log(2.0))
+              (id, bytes.length.toLong, sizes.last.toLong, Compress.slope(xs, ys))
+            }
+          }
+          .toDF("doc_id", "n_bytes", "comp_full", "fractal_slope")
+          .withColumn("fractal_slope", round(col("fractal_slope"), 6))
+          .orderBy(col("doc_id"))
+      },
+      oracle = None)
   )
 }

@@ -1216,6 +1216,55 @@ object TimeSeries {
                MAX(value) AS high, MIN(value) AS low,
                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
                COUNT(*) AS n
-        FROM h GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM h GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- ts_schedule_learn: availability-schedule statistics -----------
+    // odin_hrrr/src/schedule.rs:96 parse_schedules /:151 update_schedule:
+    // the downloader LEARNS the per-step forecast availability schedule
+    // from observed file-creation times — per forecast step, the average
+    // and max delay (minutes from cycle base hour to availability), plus
+    // the configured delay margin, with a monotonicity check over steps
+    // (schedule.rs check_schedule). Re-expressed: each event is an
+    // availability observation (step = event_id % 19, delay = minute-in-
+    // hour + 2*step), per-step integer aggregation, avg as one exact
+    // integer division pair, monotone flag via lag over the 19-row result.
+    // Scale shape: one map-side-combinable groupBy on step; the window
+    // runs over 19 aggregated rows, never raw observations.
+    "ts_schedule_learn" -> Q(
+      build = (s, d) => {
+        val delayMargin = 1L // conf.delay rounded up to minutes (schedule.rs:77)
+        val obs = ev(s, d)
+          .select((col("event_id") % 19).as("step"),
+            (expr("(ts_sec % 3600) DIV 60") + (col("event_id") % 19) * 2)
+              .as("diff_min"))
+        val byStep = obs.groupBy(col("step"))
+          .agg(count(lit(1)).as("n_obs"),
+            sum(col("diff_min")).as("sum_min"),
+            max(col("diff_min")).as("max_min"))
+        val w = Window.orderBy(col("step")) // 19 rows total — bounded
+        byStep
+          .select(col("step"), col("n_obs"),
+            (expr("sum_min DIV n_obs") + delayMargin).as("avg_delay_min"),
+            (col("max_min") + delayMargin).as("max_delay_min"))
+          .withColumn("monotone",
+            coalesce(col("avg_delay_min")
+              >= lag(col("avg_delay_min"), 1).over(w), lit(true)))
+          .orderBy(col("step"))
+      },
+      oracle = Some(s"""
+        WITH obs AS (
+          SELECT event_id % 19 AS step,
+                 ($TS % 3600) // 60 + (event_id % 19) * 2 AS diff_min
+          FROM events),
+        agg AS (
+          SELECT step, COUNT(*) AS n_obs,
+                 SUM(diff_min) // COUNT(*) + 1 AS avg_delay_min,
+                 MAX(diff_min) + 1 AS max_delay_min
+          FROM obs GROUP BY step)
+        SELECT step, n_obs, CAST(avg_delay_min AS BIGINT) AS avg_delay_min,
+               CAST(max_delay_min AS BIGINT) AS max_delay_min,
+               COALESCE(avg_delay_min >= lag(avg_delay_min)
+                 OVER (ORDER BY step), TRUE) AS monotone
+        FROM agg ORDER BY step"""))
   )
 }
