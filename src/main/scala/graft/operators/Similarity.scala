@@ -797,6 +797,53 @@ object Similarity {
                round(sqrt(CAST(f.dq AS DOUBLE)/1073741824.0), 6) AS dist
         FROM final f JOIN embeddings e ON e.vec_id = f.vec_id
         ORDER BY f.vec_id"""
-      })
+      }),
+
+    // ----- emb_dim_stats: per-dimension whitening statistics -------------
+    // The normalization pass every embedding pipeline runs before
+    // PCA/whitening or index training (mean-center + scale): per
+    // dimension, n / mean / variance / min / max over the whole corpus.
+    // Sums are fixed-point BIGINTs (floor(x·2^30), floor(x²·2^30)), so
+    // the aggregation is order-free and map-side combinable — at 100 TB
+    // this is ONE combinable shuffle of 64 groups, the cheapest possible
+    // full-corpus statistic. Mean/variance derive from the two integer
+    // sums with deterministic IEEE ops only.
+    "emb_dim_stats" -> Q(
+      build = (s, d) => {
+        val q = 1073741824.0 // 2^30
+        emb(s, d)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast(LongType).as("dim"),
+            col("x").cast(DoubleType).as("v"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v") * q).cast(LongType)).as("qs"),
+            sum(floor(col("v") * col("v") * q).cast(LongType)).as("qss"),
+            min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+          .select(col("dim"), col("n"),
+            round(col("qs").cast(DoubleType) / q / col("n"), 9).as("mean"),
+            round(col("qss").cast(DoubleType) / q / col("n")
+              - (col("qs").cast(DoubleType) / q / col("n"))
+              * (col("qs").cast(DoubleType) / q / col("n")), 9).as("variance"),
+            col("vmin"), col("vmax"))
+          .orderBy(col("dim"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        agg AS (
+          SELECT dim, COUNT(*) AS n,
+                 SUM(CAST(FLOOR(v*1073741824) AS BIGINT)) AS qs,
+                 SUM(CAST(FLOOR(v*v*1073741824) AS BIGINT)) AS qss,
+                 MIN(v) AS vmin, MAX(v) AS vmax
+          FROM px GROUP BY dim)
+        SELECT dim, n,
+               round(CAST(qs AS DOUBLE)/1073741824/n, 9) AS mean,
+               round(CAST(qss AS DOUBLE)/1073741824/n
+                 - (CAST(qs AS DOUBLE)/1073741824/n)
+                 * (CAST(qs AS DOUBLE)/1073741824/n), 9) AS variance,
+               vmin, vmax
+        FROM agg ORDER BY dim"""))
   )
 }

@@ -300,6 +300,107 @@ object TextOps {
       },
       bench = true),
 
+    // ----- doc_bpe_apply: tokenize the corpus with the trained merges ----
+    // The other half of the tokenizer story: ENCODE every document with
+    // the merge table doc_bpe_train learns. The key production property:
+    // after training, the final per-WORD segmentation IS the encoder —
+    // so apply = explode doc words, broadcast-join the vocab-sized
+    // word→segmentation dict, aggregate token counts per doc. The
+    // corpus-sized pass is one explode + one broadcast join + one
+    // combinable groupBy; all merge applications happen on the
+    // vocab-sized dict (identical greedy `replace(' a b ' -> ' ab ')`
+    // semantics as training, both engines).
+    "doc_bpe_apply" -> Q(
+      build = (s, d) => {
+        var dict = docs(s, d)
+          .select(explode(expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .select(col("word"),
+            concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+              .as("spaced"), col("wc"))
+          .localCheckpoint(true)
+        for (_ <- 0 until BpeRounds) {
+          val best = dict
+            .select(split(trim(col("spaced")), " ").as("l"), col("wc"))
+            .filter(size(col("l")) >= 2)
+            .select(col("wc"), explode(expr(
+              """transform(sequence(1, size(l)-1),
+                 i -> concat(element_at(l, i), ' ', element_at(l, i+1)))"""))
+              .as("pair"))
+            .groupBy(col("pair"))
+            .agg(sum(col("wc")).as("pair_count"))
+            .orderBy(col("pair_count").desc, col("pair")).limit(1)
+            .select(col("pair").as("bp"))
+            .localCheckpoint(true)
+          dict = dict.crossJoin(broadcast(best))
+            .select(col("word"), expr(
+              "replace(spaced, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")
+              .as("spaced"), col("wc"))
+            .localCheckpoint(true)
+        }
+        val enc = dict.select(col("word"),
+          size(split(trim(col("spaced")), " ")).cast(LongType).as("n_sym"))
+        docs(s, d)
+          .select(col("doc_id"), explode(expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .join(broadcast(enc), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).as("n_tokens"),
+            sum(length(col("word")).cast(LongType)).as("n_chars_alpha"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            col("n_chars_alpha"),
+            round(col("n_chars_alpha").cast(DoubleType) / col("n_tokens"), 6)
+              .as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        // identical round chain to doc_bpe_train (all CTEs MATERIALIZED —
+        // see the note there), except `word` rides along as the encoder
+        // join key and every learned merge (including the last) is
+        // applied to produce the final segmentation dict.
+        val rounds = (0 until BpeRounds).map { r =>
+          s"""
+            px$r AS MATERIALIZED (
+              SELECT l, wc, unnest(generate_series(1, len(l)-1)) AS i
+              FROM (SELECT string_split(trim(spaced), ' ') AS l, wc FROM spaced$r)),
+            pc$r AS MATERIALIZED (
+              SELECT l[i] || ' ' || l[i+1] AS pair,
+                     CAST(SUM(wc) AS BIGINT) AS pair_count
+              FROM px$r GROUP BY 1),
+            best$r AS MATERIALIZED (
+              SELECT pair FROM pc$r
+              ORDER BY pair_count DESC, pair LIMIT 1),
+            spaced${r + 1} AS MATERIALIZED (
+              SELECT word, replace(spaced, ' ' || (SELECT pair FROM best$r) || ' ',
+                     ' ' || replace((SELECT pair FROM best$r), ' ', '') || ' ') AS spaced, wc
+              FROM spaced$r)"""
+        }.mkString(",")
+        s"""
+        WITH words AS MATERIALIZED (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents),
+        wdict AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM words GROUP BY 1),
+        spaced0 AS MATERIALIZED (
+          SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS spaced, wc
+          FROM wdict),$rounds,
+        enc AS MATERIALIZED (
+          SELECT word, CAST(len(string_split(trim(spaced), ' ')) AS BIGINT) AS n_sym
+          FROM spaced$BpeRounds),
+        wd AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents)
+        SELECT wd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(wd.word)) AS BIGINT) AS n_chars_alpha,
+               round(CAST(SUM(length(wd.word)) AS DOUBLE)/SUM(e.n_sym), 6)
+                 AS chars_per_token
+        FROM wd JOIN enc e USING (word)
+        GROUP BY wd.doc_id ORDER BY wd.doc_id"""
+      }),
+
     // ----- doc_quality: heuristic quality scoring ------------------------
     "doc_quality" -> Q(
       build = (s, d) => {

@@ -14,9 +14,10 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Minimal pure-JVM GeoTIFF (classic TIFF, little-endian, uncompressed,
-  * strip-organized, single-band float32) — the raster file format the
-  * reference decodes through GDAL (odin_gdal/src/lib.rs,
+/** Minimal pure-JVM GeoTIFF (classic TIFF, little-endian, strip-
+  * organized, single-band float32; compression 1 = none or 8 = Adobe
+  * DEFLATE, GDAL's default `COMPRESS=DEFLATE`) — the raster file format
+  * the reference decodes through GDAL (odin_gdal/src/lib.rs,
   * odin_dem/src/lib.rs DEM tiles, odin_hrrr grids). No GDAL ships in
   * this container, so the ~200-line binary parse is done directly; the
   * writer exists to produce fixture rasters for specs and dev data.
@@ -52,19 +53,23 @@ object GeoTiff {
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
 
-  /** Write a single-band float32 uncompressed strip-organized GeoTIFF.
-    * Tiepoint maps pixel (0,0) to (originLon, originLat); north-up with
-    * pixel size (sx, sy) degrees.
+  /** Write a single-band float32 strip-organized GeoTIFF, uncompressed
+    * or per-strip zlib DEFLATE (TIFF compression 8). Tiepoint maps pixel
+    * (0,0) to (originLon, originLat); north-up with pixel size (sx, sy)
+    * degrees.
     */
   def write(path: String, width: Int, height: Int, data: Array[Float],
       originLon: Double, originLat: Double, sx: Double, sy: Double,
-      rowsPerStrip: Int = 64): Unit = {
+      rowsPerStrip: Int = 64, deflate: Boolean = false): Unit = {
     require(data.length == width * height)
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    val stripBytes = (0 until nStrips).map { s =>
+    val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-      rows * width * 4
+      val raw = ByteBuffer.allocate(rows * width * 4).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until rows * width).foreach(i => raw.putFloat(data(s * rowsPerStrip * width + i)))
+      if (deflate) zlibDeflate(raw.array()) else raw.array()
     }
+    val stripBytes = strips.map(_.length)
     val dataStart = 8
     val stripOffsets = stripBytes.scanLeft(dataStart)(_ + _).dropRight(1)
     val ifdOffset = dataStart + stripBytes.sum
@@ -76,8 +81,8 @@ object GeoTiff {
     val bb = ByteBuffer.allocate(ifdOffset + ifdSize + 8 * 9 + 4 * 2 * nStrips + 64)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
-    // pixel strips
-    data.foreach(bb.putFloat)
+    // pixel strips (raw or per-strip zlib streams)
+    strips.foreach(bb.put)
     // IFD
     bb.putShort(nEntries.toShort)
     def entryInline(tag: Int, typ: Int, count: Int, value: Long): Unit = {
@@ -97,7 +102,7 @@ object GeoTiff {
     entryInline(TImageWidth, 4, 1, width)
     entryInline(TImageLength, 4, 1, height)
     entryInline(TBitsPerSample, 3, 1, 32)
-    entryInline(TCompression, 3, 1, 1)
+    entryInline(TCompression, 3, 1, if (deflate) 8 else 1)
     entryInline(TPhotometric, 3, 1, 1)
     entryArray(TStripOffsets, 4, stripOffsets.map(_.toLong))
     entryInline(TSamplesPerPixel, 3, 1, 1)
@@ -119,8 +124,33 @@ object GeoTiff {
     Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
   }
 
+  /** zlib-wrapped DEFLATE (what TIFF compression 8 stores per strip). */
+  def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Inverse of [[zlibDeflate]]; `expected` is the known raw strip size. */
+  def zlibInflate(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](expected)
+      var n = 0
+      while (n < expected && !inf.finished()) n += inf.inflate(out, n, expected - n)
+      require(n == expected, s"short inflate: $n of $expected bytes")
+      out
+    } finally inf.end()
+  }
+
   final case class Meta(width: Int, height: Int, rowsPerStrip: Int,
-      stripOffsets: Array[Long], stripByteCounts: Array[Long],
+      compression: Int, stripOffsets: Array[Long], stripByteCounts: Array[Long],
       originLon: Double, originLat: Double, sx: Double, sy: Double)
 
   /** Parse header + IFD of a classic little-endian uncompressed
@@ -167,7 +197,8 @@ object GeoTiff {
           case _ =>
         }
       }
-      require(comp == 1, s"compressed TIFF ($comp) unsupported by this reader")
+      require(comp == 1 || comp == 8,
+        s"compression $comp unsupported (only none=1 / DEFLATE=8)")
       require(bits == 32 && fmt == 3, s"expect float32 band (bits=$bits fmt=$fmt)")
       if (rps == 0) rps = height
       val so = if (soCount == 1) Array(soInline)
@@ -180,7 +211,7 @@ object GeoTiff {
       val tb = readBytes(tieOff, 48)
       tb.getDouble(); tb.getDouble(); tb.getDouble() // pixel-space tiepoint (0,0,0)
       val originLon = tb.getDouble(); val originLat = tb.getDouble()
-      Meta(width, height, rps, so, sc, originLon, originLat, sx, sy)
+      Meta(width, height, rps, comp, so, sc, originLon, originLat, sx, sy)
     } finally raf.close()
   }
 }
@@ -218,8 +249,9 @@ class GeoTiffScanBuilder(path: String) extends ScanBuilder
 }
 
 final case class GeoTiffStripPartition(path: String, stripIdx: Int,
-    offset: Long, byteCount: Long, startRow: Int, width: Int,
-    originLon: Double, originLat: Double, sx: Double, sy: Double)
+    offset: Long, byteCount: Long, startRow: Int, rows: Int, width: Int,
+    compression: Int, originLon: Double, originLat: Double,
+    sx: Double, sy: Double)
   extends InputPartition
 
 class GeoTiffScan(path: String, required: StructType) extends Scan with Batch {
@@ -228,8 +260,10 @@ class GeoTiffScan(path: String, required: StructType) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val m = GeoTiff.readMeta(path)
     m.stripOffsets.indices.map { i =>
+      val startRow = i * m.rowsPerStrip
       GeoTiffStripPartition(path, i, m.stripOffsets(i), m.stripByteCounts(i),
-        i * m.rowsPerStrip, m.width, m.originLon, m.originLat, m.sx, m.sy)
+        startRow, math.min(m.rowsPerStrip, m.height - startRow), m.width,
+        m.compression, m.originLon, m.originLat, m.sx, m.sy)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -242,7 +276,7 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
 }
 
 /** Reads exactly one strip's byte range (seek + readFully — never the
-  * whole file) and emits its cells.
+  * whole file), inflating DEFLATE strips in-JDK, and emits its cells.
   */
 class GeoTiffStripReader(p: GeoTiffStripPartition, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -251,10 +285,12 @@ class GeoTiffStripReader(p: GeoTiffStripPartition, required: StructType)
     try {
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
-      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+      val raw = if (p.compression == 8)
+        GeoTiff.zlibInflate(a, p.rows * p.width * 4) else a
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     } finally raf.close()
   }
-  private val nCells = (p.byteCount / 4).toInt
+  private val nCells = p.rows * p.width
   private var i = -1
   override def next(): Boolean = { i += 1; i < nCells }
   override def get(): InternalRow = {

@@ -53,6 +53,30 @@ class GeoTiffSpec extends SparkSpecBase {
       == (0 until h).flatMap(r => (0 until w).map(c => z(r, c).toDouble)).sum)
   }
 
+  test("DEFLATE-compressed TIFF (compression 8) round-trips identically") {
+    val f = java.nio.file.Files.createTempDirectory("gtiffz").resolve("demz.tif")
+    GeoTiff.write(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, deflate = true)
+    // the compressed file is genuinely smaller than the raw strips
+    assert(java.nio.file.Files.size(f) < w.toLong * h * 4)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.compression == 8)
+    assert(m.stripByteCounts.sum < w.toLong * h * 4)
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load()
+    assert(df.rdd.getNumPartitions == (h + 15) / 16) // still strip-parallel
+    val got = df.collect()
+    assert(got.length == w * h)
+    got.foreach { r =>
+      val row = r.getAs[Int]("row"); val col = r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == z(row, col).toDouble,
+        s"value mismatch at ($row,$col) after inflate")
+      assert(r.getAs[Double]("lon") == -120.0 + col * 0.01)
+    }
+  }
+
   test("raster feeds the DEM bilinear probe (geo_dem_bilinear pattern)") {
     // probe points at cell-fraction positions; 4-corner equi-join then
     // bilinear weights — the geo_dem_bilinear plan shape over a REAL
