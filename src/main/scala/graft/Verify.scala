@@ -22,6 +22,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop checkpoint blocks left by earlier iterative queries (same
+      // block-manager leak Bench clears — see Bench.scala)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
