@@ -24,6 +24,32 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("agrees with brute-force latest-at-or-before on random data (seeded sweep)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { round =>
+      val nl = 30 + rng.nextInt(40); val nr = 20 + rng.nextInt(50)
+      val l = Seq.fill(nl)((rng.nextInt(6).toLong, rng.nextInt(100).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val r = Seq.fill(nr)((rng.nextInt(6).toLong, rng.nextInt(100).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val lDf = l.toDF("k", "t", "lid")
+      val rDf = r.toDF("rk", "rt", "pay")
+      val got = AsOf.join(lDf, rDf, lDf("k"), rDf("rk"),
+        lDf("t"), rDf("rt"), rDf("pay"))
+        .select("lid", "pay").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val exp = l.map { case (k, t, lid) =>
+        val cands = r.filter(x => x._1 == k && x._2 <= t)
+        // greatest (rt, tiebreak) wins; -1 = no match (null payload)
+        lid -> (if (cands.isEmpty) -1L
+          else cands.maxBy(x => (x._2, x._3))._3)
+      }.toMap
+      assert(got == exp, s"sweep round $round (nl=$nl nr=$nr)")
+    }
+  }
+
   test("left rows with no prior right row get nulls (left-outer)") {
     import spark.implicits._
     val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
