@@ -1265,6 +1265,79 @@ object TimeSeries {
                CAST(max_delay_min AS BIGINT) AS max_delay_min,
                COALESCE(avg_delay_min >= lag(avg_delay_min)
                  OVER (ORDER BY step), TRUE) AS monotone
-        FROM agg ORDER BY step"""))
+        FROM agg ORDER BY step""")),
+
+    // ----- ts_hourly_schedule: learned hourly poll schedule --------------
+    // odin_common/src/schedule.rs:35 get_hourly_schedule (+ RightEdge
+    // compaction) /:51 get_next_hourly_event_dtg: live importers learn at
+    // which minutes-of-hour a feed publishes — minute histogram with
+    // round-up (01:01 counts as :02), consecutive non-zero spans
+    // compacted to their right edge, and next-poll prediction after the
+    // entity's last event (first scheduled minute past the current one,
+    // else the first minute of the next hour; edge 60 naturally rolls
+    // over). All integer math; the span compaction is the classic
+    // gaps-and-islands grouping (m - row_number), windows run over ≤61
+    // histogram rows per entity, never raw events.
+    "ts_hourly_schedule" -> Q(
+      build = (s, d) => {
+        val hist = ev(s, d)
+          .select(col("user_id"),
+            (expr("(ts_sec % 3600) DIV 60")
+              + when(col("ts_sec") % 60 > 0, 1L).otherwise(0L)).as("m"))
+          .groupBy(col("user_id"), col("m"))
+          .agg(count(lit(1)).as("cnt"))
+        val comp = hist
+          .withColumn("isl", col("m") - row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("m"))))
+          .groupBy(col("user_id"), col("isl"))
+          .agg(max(col("m")).as("sched_minute"), sum(col("cnt")).as("n_events"))
+        val last = ev(s, d).groupBy(col("user_id"))
+          .agg(max(col("ts_sec")).as("last_sec"))
+          .select(col("user_id"),
+            expr("(last_sec % 3600) DIV 60").as("lm"),
+            expr("(last_sec DIV 3600) * 3600").as("base"))
+        val nxt = comp.join(last, "user_id")
+          .groupBy(col("user_id"), col("base"), col("lm"))
+          .agg(min(when(col("sched_minute") > col("lm"), col("sched_minute")))
+            .as("mn"), min(col("sched_minute")).as("m0"))
+          .select(col("user_id"),
+            coalesce(col("base") + col("mn") * 60,
+              col("base") + 3600L + (col("m0") % 60) * 60).as("next_event_sec"))
+        comp.join(nxt, "user_id")
+          .select(col("user_id"), col("sched_minute"), col("n_events"),
+            col("next_event_sec"))
+          .orderBy(col("user_id"), col("sched_minute"))
+      },
+      oracle = Some(s"""
+        WITH obs AS (
+          SELECT user_id,
+                 ($TS % 3600) // 60
+                   + CASE WHEN $TS % 60 > 0 THEN 1 ELSE 0 END AS m
+          FROM events),
+        hist AS (
+          SELECT user_id, m, COUNT(*) AS cnt FROM obs GROUP BY 1, 2),
+        isl AS (
+          SELECT user_id, m, cnt,
+                 m - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY m) AS isl
+          FROM hist),
+        comp AS (
+          SELECT user_id, isl, MAX(m) AS sched_minute,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events
+          FROM isl GROUP BY 1, 2),
+        last AS (
+          SELECT user_id, (MAX($TS) % 3600) // 60 AS lm,
+                 (MAX($TS) // 3600) * 3600 AS base
+          FROM events GROUP BY 1),
+        nxt AS (
+          SELECT c.user_id,
+                 COALESCE(l.base + MIN(CASE WHEN c.sched_minute > l.lm
+                            THEN c.sched_minute END) * 60,
+                          l.base + 3600 + (MIN(c.sched_minute) % 60) * 60)
+                   AS next_event_sec
+          FROM comp c JOIN last l USING (user_id)
+          GROUP BY c.user_id, l.base, l.lm)
+        SELECT c.user_id, c.sched_minute, c.n_events, n.next_event_sec
+        FROM comp c JOIN nxt n USING (user_id)
+        ORDER BY c.user_id, c.sched_minute"""))
   )
 }
