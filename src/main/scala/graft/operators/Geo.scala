@@ -2084,11 +2084,14 @@ object Geo {
           .filter(col("prev_qarea").isNotNull && col("ts_sec") > col("prev_ts"))
           .select(col("user_id"), col("event_id"), col("ts_sec"),
             round(col("qarea") / q * r2half, 3).as("area_km2"),
-            round((col("qarea") - col("prev_qarea")) / q * r2half, 3)
+            // `+ 0.0` folds DuckDB's -0.0 (its round() keeps the sign of
+            // tiny negatives; Spark's BigDecimal round never emits -0.0)
+            // into +0.0 on both engines — the geo_closing_rate lesson
+            (round((col("qarea") - col("prev_qarea")) / q * r2half, 3) + 0.0)
               .as("darea_km2"),
-            round((col("qarea") - col("prev_qarea")) / q * r2half
+            (round((col("qarea") - col("prev_qarea")) / q * r2half
               * lit(3600.0) / (col("ts_sec") - col("prev_ts")).cast(DoubleType), 3)
-              .as("growth_km2_h"))
+              + 0.0).as("growth_km2_h"))
           .orderBy(col("user_id"), col("event_id"))
       },
       oracle = Some(s"""
@@ -2120,10 +2123,11 @@ object Geo {
                round(qarea/1099511627776.0 * ${6371.0088 * 6371.0088 / 2.0}, 3)
                  AS area_km2,
                round((qarea - prev_qarea)/1099511627776.0
-                 * ${6371.0088 * 6371.0088 / 2.0}, 3) AS darea_km2,
+                 * ${6371.0088 * 6371.0088 / 2.0}, 3) + 0.0 AS darea_km2,
                round((qarea - prev_qarea)/1099511627776.0
                  * ${6371.0088 * 6371.0088 / 2.0}
-                 * 3600.0 / CAST(ts_sec - prev_ts AS DOUBLE), 3) AS growth_km2_h
+                 * 3600.0 / CAST(ts_sec - prev_ts AS DOUBLE), 3) + 0.0
+                 AS growth_km2_h
         FROM lagd
         WHERE prev_qarea IS NOT NULL AND ts_sec > prev_ts
         ORDER BY user_id, event_id"""))
