@@ -844,6 +844,41 @@ object Similarity {
                  - (CAST(qs AS DOUBLE)/1073741824/n)
                  * (CAST(qs AS DOUBLE)/1073741824/n), 9) AS variance,
                vmin, vmax
-        FROM agg ORDER BY dim"""))
+        FROM agg ORDER BY dim""")),
+
+    // ----- emb_gram: corpus Gram matrix via a typed Aggregator -----------
+    // The Σ x·xᵀ pass PCA whitening / OPQ rotation training runs before
+    // index build. The declarative form explodes d² = 4096 rows per
+    // vector — that explode IS the job at 100 TB — so this uses the
+    // custom GramMatrix Aggregator (functions/GramAggregator.scala):
+    // each partition folds its vectors into ONE 4096-cell BIGINT buffer
+    // map-side, partials merge element-wise, and the shuffle carries one
+    // buffer per partition. Fixed-point cells keep the fold order-free,
+    // so the DuckDB oracle (which does the honest double-unnest) must
+    // agree bit-for-bit.
+    "emb_gram" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val g = emb(s, d).select(col("embedding")).as[Seq[Float]]
+          .select(graft.functions.GramMatrix(64).toColumn.name("g"))
+        g.select(posexplode(col("g")).as(Seq("k", "qsum")))
+          .select(expr("CAST(k DIV 64 + 1 AS BIGINT)").as("i"),
+            expr("CAST(k % 64 + 1 AS BIGINT)").as("j"),
+            col("qsum"),
+            round(col("qsum").cast(DoubleType) / 67108864.0, 6).as("gram"))
+          .orderBy(col("i"), col("j"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT i, j,
+                 SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                   * CAST(embedding[j] AS DOUBLE) * 67108864) AS BIGINT)) AS qsum
+          FROM embeddings, generate_series(1, 64) t(i), generate_series(1, 64) u(j)
+          GROUP BY i, j)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(qsum AS BIGINT) AS qsum,
+               round(CAST(qsum AS DOUBLE)/67108864.0, 6) AS gram
+        FROM cells ORDER BY i, j"""))
   )
 }
