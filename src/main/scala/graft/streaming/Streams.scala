@@ -175,6 +175,50 @@ object Streams {
       }
   }
 
+  case class SchedState(hist: Seq[Long], n_seen: Long)
+  case class SchedUpdate(user_id: Long, n_seen: Long, sched: Seq[Int],
+      next_minute: Int)
+
+  /** stream_schedule: live hourly-schedule learning — the streaming twin
+    * of ts_hourly_schedule (odin_common/schedule.rs get_hourly_schedule +
+    * get_next_hourly_event_dtg). ODIN's live importers ADAPT their poll
+    * cadence from observed arrivals; here the per-entity minute-of-hour
+    * histogram is mapGroupsWithState state (61 longs), each micro-batch
+    * folds its arrivals in (round-up minute, as the reference), and the
+    * emitted update carries the current right-edge-compacted schedule and
+    * the predicted next poll minute after the latest arrival. State is
+    * O(61) per entity and shards across the state store like every other
+    * keyed stream here.
+    */
+  def scheduleLearner(events: Dataset[Ev]): Dataset[SchedUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SchedState, SchedUpdate](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[SchedState]) =>
+          val st = state.getOption.getOrElse(SchedState(Vector.fill(61)(0L), 0L))
+          val hist = st.hist.toArray
+          var lastMin = -1
+          var n = st.n_seen
+          batch.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            val m = ((e.ts_sec % 3600) / 60
+              + (if (e.ts_sec % 60 > 0) 1 else 0)).toInt
+            hist(m) += 1
+            lastMin = (e.ts_sec % 3600 / 60).toInt
+            n += 1
+          }
+          // right-edge compaction (schedule.rs RightEdge): spans of
+          // consecutive non-zero minutes collapse to their right edge
+          val sched = (0 to 60).filter(m => hist(m) > 0 &&
+            (m == 60 || hist(m + 1) == 0))
+          val next =
+            if (sched.isEmpty || lastMin < 0) -1
+            else sched.find(_ > lastMin).getOrElse(sched.head + 60) % 60
+          state.update(SchedState(hist.toVector, n))
+          SchedUpdate(uid, n, sched, next)
+      }
+  }
+
   case class NearDup(doc_id: Long, keeper_id: Long, band: Int)
 
   /** stream_lsh_dedup: streaming MinHash-LSH near-dup detection — the

@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_seen") == 3)
   }
 
+  test("stream_schedule: histogram state accumulates, compaction + next-poll predict") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.scheduleLearner(in.toDS())
+      .writeStream.format("memory").queryName("sched_out")
+      .outputMode("update").start()
+    // entity 7 publishes at :05 and :06 (a span), and at :30 exactly
+    in.addData(
+      Ev(1, 300, 7, "t", 0.0),        // 00:05:00 -> minute 5 (no round-up)
+      Ev(2, 3610, 7, "t", 0.0),       // 01:00:10 -> rounds up to minute 1
+      Ev(3, 7500, 7, "t", 0.0))       // 02:05:00 -> minute 5
+    q.processAllAvailable()
+    in.addData(Ev(4, 3960, 7, "t", 0.0)) // 01:06:00 -> minute 6: span 5-6
+    q.processAllAvailable()
+    val st = spark.table("sched_out").orderBy(col("n_seen").desc).head
+    q.stop()
+    assert(st.getAs[Long]("n_seen") == 4)
+    // histogram: minute 1 (rounded), 5, 6 -> right-edge compaction keeps
+    // 1 and 6 (5-6 is a span); last arrival minute = 6 -> wraps to 1
+    assert(st.getAs[scala.collection.Seq[Int]]("sched").toList == List(1, 6))
+    assert(st.getAs[Int]("next_minute") == 1)
+  }
+
   test("stream_windowed_agg: watermarked hourly counts") {
     import spark.implicits._
     val in = mem()
