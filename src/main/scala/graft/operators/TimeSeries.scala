@@ -1338,6 +1338,149 @@ object TimeSeries {
           GROUP BY c.user_id, l.base, l.lm)
         SELECT c.user_id, c.sched_minute, c.n_events, n.next_event_sec
         FROM comp c JOIN nxt n USING (user_id)
-        ORDER BY c.user_id, c.sched_minute"""))
+        ORDER BY c.user_id, c.sched_minute""")),
+
+    // ----- ts_sbs_merge: SBS feed parse + per-aircraft state merge -------
+    // The ADS-B ingest path (odin_adsb/src/sbs.rs:151 parse_msg → adsb.rs
+    // :128 AdsbData::update): a BaseStation CSV feed carries heterogeneous
+    // partial updates — MSG,1 identification (callsign), MSG,3 airborne
+    // position (lat/lon/alt, position sometimes absent), MSG,4 velocity
+    // (gs/track/vrate), MSG,5 altitude reply, MSG,8 all-call (ignored) —
+    // and the aircraft store merges each field from the latest message
+    // that carried it. Re-expressed: synthesize the 22-field SBS line per
+    // event (integers only, so the text round-trips exactly), parse it
+    // back (split_part + strptime, mirroring get_utc_datetime at sbs.rs
+    // :188), then fold per-aircraft state as last-non-null per field over
+    // (ts, event-id) order — one shuffle keyed on icao24, the partition a
+    // live tracker wants. Only position messages advance the store
+    // timestamp (adsb.rs:139 `Some(timestamp)`), hence last_pos_sec.
+    "ts_sbs_merge" -> Q(
+      build = (s, d) => {
+        val base = ev(s, d).select(col("event_id"), col("user_id"),
+          col("value"), col("ts_sec"),
+          expr(SbsK.icao).as("icao0"), expr(SbsK.mt).as("mt0"))
+        val lines = base.select(expr(SbsK.line(
+          "from_unixtime(ts_sec, 'yyyy/MM/dd')",
+          "from_unixtime(ts_sec, 'HH:mm:ss')")).as("line"))
+        val parsed = lines.select(
+          expr(SbsK.pInt(2)).as("mt"), expr(SbsK.pBig(3)).as("eid"),
+          expr("split_part(line, ',', 5)").as("icao24"),
+          expr("""unix_timestamp(concat(split_part(line, ',', 7), ' ',
+                 split_part(line, ',', 8)), 'yyyy/MM/dd HH:mm:ss')""").as("tsp"),
+          expr(SbsK.callsign).as("cs"),
+          expr(SbsK.optBig(12)).as("alt_ft"), expr(SbsK.optBig(13)).as("gs_kt"),
+          expr(SbsK.optBig(14)).as("track_deg"), expr(SbsK.optBig(15)).as("lat_ud"),
+          expr(SbsK.optBig(16)).as("lon_ud"), expr(SbsK.optBig(17)).as("vrate_fpm"))
+        val w = Window.partitionBy(col("icao24")).orderBy(col("tsp"), col("eid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p = Window.partitionBy(col("icao24"))
+        parsed
+          .withColumn("callsign", last(col("cs"), ignoreNulls = true).over(w))
+          .withColumn("lat", last(col("lat_ud"), ignoreNulls = true).over(w) / 100000.0)
+          .withColumn("lon", last(col("lon_ud"), ignoreNulls = true).over(w) / 100000.0)
+          .withColumn("alt", last(col("alt_ft"), ignoreNulls = true).over(w))
+          .withColumn("gs", last(col("gs_kt"), ignoreNulls = true).over(w))
+          .withColumn("trk", last(col("track_deg"), ignoreNulls = true).over(w))
+          .withColumn("vr", last(col("vrate_fpm"), ignoreNulls = true).over(w))
+          .withColumn("last_pos_sec",
+            last(when(col("lat_ud").isNotNull, col("tsp")), ignoreNulls = true).over(w))
+          .withColumn("n_msgs", count(lit(1)).over(p))
+          .withColumn("n_pos",
+            sum(when(col("lat_ud").isNotNull, 1L).otherwise(0L)).over(p))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("icao24")).orderBy(col("tsp").desc, col("eid").desc)))
+          .filter(col("rn") === 1)
+          .select(col("icao24"), col("callsign"), col("lat"), col("lon"),
+            col("alt").as("alt_ft"), col("gs").as("gs_kt"),
+            col("trk").as("track_deg"), col("vr").as("vrate_fpm"),
+            col("tsp").as("last_update_sec"), col("last_pos_sec"),
+            col("n_msgs"), col("n_pos"))
+          .orderBy(col("icao24"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT event_id, user_id, value, $TS AS ts_sec,
+                 ${SbsK.icao} AS icao0, ${SbsK.mt} AS mt0
+          FROM events),
+        lines AS (
+          SELECT ${SbsK.line(
+            "strftime(to_timestamp(ts_sec), '%Y/%m/%d')",
+            "strftime(to_timestamp(ts_sec), '%H:%M:%S')")} AS line
+          FROM base),
+        parsed AS (
+          SELECT ${SbsK.pInt(2)} AS mt, ${SbsK.pBig(3)} AS eid,
+                 split_part(line, ',', 5) AS icao24,
+                 CAST(floor(epoch(strptime(concat(split_part(line, ',', 7), ' ',
+                   split_part(line, ',', 8)), '%Y/%m/%d %H:%M:%S'))) AS BIGINT) AS tsp,
+                 ${SbsK.callsign} AS cs,
+                 ${SbsK.optBig(12)} AS alt_ft, ${SbsK.optBig(13)} AS gs_kt,
+                 ${SbsK.optBig(14)} AS track_deg, ${SbsK.optBig(15)} AS lat_ud,
+                 ${SbsK.optBig(16)} AS lon_ud, ${SbsK.optBig(17)} AS vrate_fpm
+          FROM lines),
+        state AS (
+          SELECT icao24, tsp, eid,
+                 last_value(cs IGNORE NULLS) OVER w AS callsign,
+                 last_value(lat_ud IGNORE NULLS) OVER w / 100000.0 AS lat,
+                 last_value(lon_ud IGNORE NULLS) OVER w / 100000.0 AS lon,
+                 last_value(alt_ft IGNORE NULLS) OVER w AS alt_ft,
+                 last_value(gs_kt IGNORE NULLS) OVER w AS gs_kt,
+                 last_value(track_deg IGNORE NULLS) OVER w AS track_deg,
+                 last_value(vrate_fpm IGNORE NULLS) OVER w AS vrate_fpm,
+                 last_value(CASE WHEN lat_ud IS NOT NULL THEN tsp END IGNORE NULLS)
+                   OVER w AS last_pos_sec,
+                 COUNT(*) OVER (PARTITION BY icao24) AS n_msgs,
+                 CAST(SUM(CASE WHEN lat_ud IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY icao24) AS BIGINT) AS n_pos,
+                 ROW_NUMBER() OVER (PARTITION BY icao24
+                                    ORDER BY tsp DESC, eid DESC) AS rn
+          FROM parsed
+          WINDOW w AS (PARTITION BY icao24 ORDER BY tsp, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT icao24, callsign, lat, lon, alt_ft, gs_kt, track_deg,
+               vrate_fpm, tsp AS last_update_sec, last_pos_sec, n_msgs, n_pos
+        FROM state WHERE rn = 1
+        ORDER BY icao24"""))
   )
+
+  /** Shared SQL fragments for the SBS feed — identical text evaluated by
+    * Spark (`expr`) and DuckDB so synthesis, parse, and state fold follow
+    * the same arithmetic. Field layout per the BaseStation format notes at
+    * odin_adsb/src/sbs.rs:121-146; only integer-valued fields are placed
+    * in the text so parse round-trips are exact.
+    */
+  private object SbsK {
+    /** Mode S hex id from the user key. */
+    val icao = "lpad(upper(hex(user_id % 150 + 1)), 6, '0')"
+    /** Transmission-type mix incl. the ignored MSG,8 arm. */
+    val mt = ("CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 " +
+      "WHEN 2 THEN 4 WHEN 3 THEN 5 ELSE 8 END")
+    /** The 22-field CSV line; `dateF`/`timeF` are the engine's formatter. */
+    def line(dateF: String, timeF: String): String = s"""concat_ws(',',
+      'MSG', CAST(mt0 AS STRING), CAST(event_id AS STRING), '11111', icao0,
+      '111111', $dateF, $timeF, $dateF, $timeF,
+      CASE WHEN mt0 = 1
+           THEN rpad(concat('UAL', CAST(user_id % 1000 AS STRING)), 8, ' ')
+           ELSE '' END,
+      CASE WHEN mt0 IN (3, 5)
+           THEN CAST(CAST(round(value * 100.0) AS BIGINT) + 1000 AS STRING)
+           ELSE '' END,
+      CASE WHEN mt0 = 4 THEN CAST(user_id % 500 + 100 AS STRING) ELSE '' END,
+      CASE WHEN mt0 = 4 THEN CAST(event_id % 360 AS STRING) ELSE '' END,
+      CASE WHEN mt0 = 3 AND event_id % 4 <> 0
+           THEN CAST(CAST(floor((CAST(user_id*37 % 140 - 70 AS DOUBLE)
+                + value/1000.0) * 100000.0) AS BIGINT) AS STRING) ELSE '' END,
+      CASE WHEN mt0 = 3 AND event_id % 4 <> 0
+           THEN CAST(CAST(floor((CAST(event_id*73 % 360 - 180 AS DOUBLE)
+                + value/2000.0) * 100000.0) AS BIGINT) AS STRING) ELSE '' END,
+      CASE WHEN mt0 = 4 THEN CAST((event_id % 129 - 64) * 64 AS STRING) ELSE '' END,
+      CASE WHEN mt0 = 5 THEN CAST(4000 + user_id % 1000 AS STRING) ELSE '' END,
+      '0', '0', '0', '0')"""
+    def pInt(k: Int) = s"CAST(split_part(line, ',', $k) AS INT)"
+    def pBig(k: Int) = s"CAST(split_part(line, ',', $k) AS BIGINT)"
+    /** Empty CSV field → NULL, else BIGINT (1-based split_part index). */
+    def optBig(k: Int): String =
+      s"CASE WHEN split_part(line, ',', $k) <> '' THEN CAST(split_part(line, ',', $k) AS BIGINT) END"
+    val callsign =
+      "CASE WHEN split_part(line, ',', 11) <> '' THEN trim(split_part(line, ',', 11)) END"
+  }
 }

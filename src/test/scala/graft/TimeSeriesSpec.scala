@@ -60,6 +60,32 @@ class TimeSeriesSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_sbs_merge: per-aircraft state carries each field's latest message") {
+    val df = run("ts_sbs_merge").cache()
+    val ev = Tables.events(spark, sf)
+      .withColumn("icao", expr("lpad(upper(hex(user_id % 150 + 1)), 6, '0')"))
+      .withColumn("mt", expr(
+        "CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 ELSE 8 END"))
+      .cache()
+    // one state row per aircraft, last_update = max message time
+    assert(df.count() == ev.select("icao").distinct().count())
+    val badTs = df.join(
+      ev.groupBy("icao").agg(max("ts_sec").as("mx"))
+        .withColumnRenamed("icao", "icao24"), "icao24")
+      .filter(col("last_update_sec") =!= col("mx")).count()
+    assert(badTs == 0)
+    // callsign comes from the latest MSG,1 for that aircraft (trimmed)
+    val lastId = ev.filter(col("mt") === 1)
+      .groupBy("icao").agg(max(struct(col("ts_sec"), col("event_id"), col("user_id"))).as("m"))
+      .select(col("icao").as("icao24"),
+        expr("concat('UAL', CAST(m.user_id % 1000 AS STRING))").as("exp_cs"))
+    val badCs = df.join(lastId, "icao24")
+      .filter(col("callsign") =!= col("exp_cs")).count()
+    assert(badCs == 0)
+    // message counts reconcile with the raw feed
+    assert(df.agg(sum("n_msgs")).head.getLong(0) == ev.count())
+  }
+
   test("per-entity window ops are single-shuffle") {
     spark.catalog.clearCache() // earlier tests cache query results
     val plan = run("ts_latest_per_key").queryExecution.executedPlan
