@@ -460,6 +460,96 @@ object Geo {
     s"CASE midx ${whens.mkString(" ")} ELSE NULL END"
   }
 
+  /** Shared SQL fragments for ADS-B Compact Position Reporting (CPR),
+    * the airborne-position encoding every Mode S extended-squitter
+    * decoder must invert before odin_adsb sees a latitude/longitude
+    * (sbs.rs lines carry already-decoded positions; the raw-frame path in
+    * odin_adsb/src/rs1090.rs delegates this decode). Public algorithm:
+    * ICAO Annex 10 Vol III / Doc 9871 airborne CPR with Nb=17, NZ=15.
+    * All fragments are pure +,-,*,/ /floor chains except the NL zone
+    * lookup, whose acos lands on an integer via floor — identical text is
+    * evaluated by both engines.
+    */
+  private[operators] object CprK {
+    // e-notation everywhere: DuckDB types plain decimal literals DECIMAL,
+    // which would silently switch the whole chain off IEEE arithmetic
+    // (same convention as vincentyCtes / UtmK)
+    val P17 = "131072.0e0" // 2^17 (Nb = 17)
+    /** Always-positive modulus (SQL % is sign-of-dividend). */
+    def MOD(x: String, y: String) = s"(($x) - ($y)*floor(($x)/($y)))"
+    /** Longitude zone count NL(lat) — Doc 9871 transition-latitude form. */
+    def NL(lat: String): String =
+      s"""CASE WHEN abs($lat) > 87.0e0 THEN 1 WHEN abs($lat) = 87.0e0 THEN 2
+              WHEN abs($lat) < 1.0e-9 THEN 59
+              ELSE CAST(floor(2.0e0*pi()/acos(1.0e0 - (1.0e0-cos(pi()/30.0e0))
+                /(cos(radians($lat))*cos(radians($lat))))) AS INT) END"""
+    def dlat(i: Int): String = if (i == 0) "6.0e0" else "(360.0e0/59.0e0)"
+    /** 17-bit latitude code for format i over truth column tlat. */
+    def yz(i: Int): String = {
+      val d = dlat(i)
+      s"CAST(${MOD(s"floor($P17*${MOD("tlat", d)}/$d + 0.5e0)", P17)} AS BIGINT)"
+    }
+    /** Encoder's quantized latitude (what the airborne sender uses for
+      * its own NL) for format i, given yz$i. */
+    def rlatEnc(i: Int): String =
+      s"(${dlat(i)}*(yz$i/$P17 + floor(tlat/${dlat(i)})))"
+    /** 17-bit longitude code for format i, given nl$i (zone count at the
+      * encoder's quantized latitude). */
+    def xz(i: Int): String = {
+      val d = s"(360.0e0/greatest(nl$i - $i, 1))"
+      s"CAST(${MOD(s"floor($P17*${MOD("tlon", d)}/$d + 0.5e0)", P17)} AS BIGINT)"
+    }
+    // ---- global-decode fragments (identical text, both engines) ----
+    val J = s"floor((59.0e0*yz0 - 60.0e0*yz1)/$P17 + 0.5e0)"
+    val RLAT0R = s"6.0e0*(${MOD("j", "60.0e0")} + yz0/$P17)"
+    val RLAT1R = s"(360.0e0/59.0e0)*(${MOD("j", "59.0e0")} + yz1/$P17)"
+    def ADJLAT(c: String) =
+      s"CASE WHEN ${c}r >= 270.0e0 THEN ${c}r - 360.0e0 ELSE ${c}r END"
+    val M =
+      s"floor((xz0*CAST(dnl0 - 1 AS DOUBLE) - xz1*CAST(dnl0 AS DOUBLE))/$P17 + 0.5e0)"
+    val RLONR = s"(360.0e0/ni)*(${MOD("m", "CAST(ni AS DOUBLE)")} + xz0/$P17)"
+    val RLON = "CASE WHEN rlonr >= 180.0e0 THEN rlonr - 360.0e0 ELSE rlonr END"
+    val NLOUT = "CASE WHEN zone_ok THEN dnl0 ELSE -1 END"
+    val LONOUT = "CASE WHEN zone_ok THEN round(rlon, 6) ELSE -999.0e0 END"
+    val LATERR = "CAST(round(abs(rlat0 - tlat)*1000000.0e0) AS BIGINT)"
+    val LONERR =
+      s"""CASE WHEN zone_ok THEN CAST(round(abs(${MOD("rlon - tlon + 180.0e0", "360.0e0")}
+         - 180.0e0)*1000000.0e0) AS BIGINT) ELSE -1 END"""
+  }
+
+  /** Encode-then-globally-decode CPR over a frame of (event_id, tlat,
+    * tlon) truth positions — the pipeline behind geo_cpr_decode, exposed
+    * so specs can sweep adversarial latitudes (zone transitions, high
+    * bands) beyond what the test tables carry.
+    */
+  private[graft] def cprDecode(t: DataFrame): DataFrame = {
+    import CprK._
+    t.withColumn("yz0", expr(yz(0))).withColumn("yz1", expr(yz(1)))
+      .withColumn("nl0", expr(NL(rlatEnc(0))))
+      .withColumn("nl1", expr(NL(rlatEnc(1))))
+      .withColumn("xz0", expr(xz(0))).withColumn("xz1", expr(xz(1)))
+      .withColumn("j", expr(J))
+      .withColumn("rlat0r", expr(RLAT0R))
+      .withColumn("rlat1r", expr(RLAT1R))
+      .withColumn("rlat0", expr(ADJLAT("rlat0")))
+      .withColumn("rlat1", expr(ADJLAT("rlat1")))
+      .withColumn("dnl0", expr(NL("rlat0")))
+      .withColumn("dnl1", expr(NL("rlat1")))
+      .withColumn("zone_ok", expr("dnl0 = dnl1"))
+      .withColumn("m", expr(M))
+      .withColumn("ni", expr("greatest(dnl0, 1)"))
+      .withColumn("rlonr", expr(RLONR))
+      .withColumn("rlon", expr(RLON))
+      .select(col("event_id"), col("yz0"), col("xz0"), col("yz1"), col("xz1"),
+        col("zone_ok"),
+        expr(NLOUT).as("nl"),
+        expr("round(rlat0, 6)").as("lat_dec"),
+        expr(LONOUT).as("lon_dec"),
+        expr(LATERR).as("lat_err_udeg"),
+        expr(LONERR).as("lon_err_udeg"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -689,6 +779,50 @@ object Geo {
           .orderBy(col("s_suppkey"), col("sat_id"))
       },
       oracle = Some(overpassOracle)),
+
+    // ----- geo_cpr_decode: ADS-B CPR airborne position decode ------------
+    // The encode→decode round trip of Compact Position Reporting — the
+    // 17-bit even/odd frame-pair scheme every 1090ES decoder inverts
+    // before odin_adsb sees a position (odin_adsb/src/rs1090.rs delegates
+    // this to its frame decoder; sbs.rs receives the result). Per event:
+    // encode the truth position as both formats (the encoder uses NL at
+    // its own quantized latitude, Doc 9871 §C.2.6), then globally decode
+    // the pair — zone index j from the two latitude codes, NL agreement
+    // check (no fix when the pair straddles a zone transition, as a real
+    // decoder rejects), longitude from the even code. Everything is
+    // rational IEEE arithmetic except the NL floor(acos) zone lookup,
+    // shared-text on both engines; decode error vs truth is emitted in
+    // micro-degrees and spec-bounded by the CPR quantization step.
+    // Scale shape: pure per-row column math, no shuffle but the output
+    // ORDER BY.
+    "geo_cpr_decode" -> Q(
+      build = (s, d) =>
+        cprDecode(evPts(s, d).select(col("event_id"),
+          col("lat").as("tlat"), col("lon").as("tlon"))),
+      oracle = Some({
+        import CprK._
+        s"""
+        WITH t AS (SELECT event_id, $LAT AS tlat, $LON AS tlon FROM events),
+        e1 AS (SELECT *, ${yz(0)} AS yz0, ${yz(1)} AS yz1 FROM t),
+        e2 AS (SELECT *, ${NL(rlatEnc(0))} AS nl0, ${NL(rlatEnc(1))} AS nl1 FROM e1),
+        e3 AS (SELECT *, ${xz(0)} AS xz0, ${xz(1)} AS xz1 FROM e2),
+        d1 AS (SELECT *, $J AS j FROM e3),
+        d2 AS (SELECT *, $RLAT0R AS rlat0r, $RLAT1R AS rlat1r FROM d1),
+        d3 AS (SELECT *, ${ADJLAT("rlat0")} AS rlat0, ${ADJLAT("rlat1")} AS rlat1
+               FROM d2),
+        d4 AS (SELECT *, ${NL("rlat0")} AS dnl0, ${NL("rlat1")} AS dnl1 FROM d3),
+        d5 AS (SELECT *, (dnl0 = dnl1) AS zone_ok, $M AS m,
+                 greatest(dnl0, 1) AS ni FROM d4),
+        d6 AS (SELECT *, $RLONR AS rlonr FROM d5),
+        d7 AS (SELECT *, $RLON AS rlon FROM d6)
+        SELECT event_id, yz0, xz0, yz1, xz1, zone_ok,
+               $NLOUT AS nl,
+               round(rlat0, 6) AS lat_dec,
+               $LONOUT AS lon_dec,
+               $LATERR AS lat_err_udeg,
+               $LONERR AS lon_err_udeg
+        FROM d7 ORDER BY event_id"""
+      })),
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
     "geo_bbox" -> Q(
