@@ -550,6 +550,39 @@ object Geo {
       .orderBy(col("event_id"))
   }
 
+  /** Shared SQL fragments for the Sentinel-2 tile codec + catalog
+    * (odin_orbital/src/copernicus.rs:21 tile_enc / :33 tile_dec). The
+    * 5-char tile id is zone (2 digits) + latitude band + 2 square letters
+    * (MGRS alphabet, I/O excluded); centers derive from part keys. Byte
+    * shifts are 0/8/16/32/40 — the reference's layout, byte 3 unused.
+    * Shifts are spelled as exact double divisions (< 2^53) so the text
+    * runs identically on both engines.
+    */
+  private[operators] object TileK {
+    private val B = "'CDEFGHJKLMNPQRSTUVWX'"  // 20 latitude bands
+    private val S = "'ABCDEFGHJKLMNPQRSTUVWXYZ'" // 24 square letters
+    val tileId: String =
+      s"""concat(lpad(CAST(p_partkey % 60 + 1 AS STRING), 2, '0'),
+         substr($B, CAST(p_partkey % 20 AS INT) + 1, 1),
+         substr($S, CAST(CAST(floor(p_partkey/20.0e0) AS BIGINT) % 24 AS INT) + 1, 1),
+         substr($S, CAST(CAST(floor(p_partkey/480.0e0) AS BIGINT) % 24 AS INT) + 1, 1))"""
+    val enc: String =
+      """ascii(substr(tile_id, 1, 1)) + ascii(substr(tile_id, 2, 1))*256
+         + ascii(substr(tile_id, 3, 1))*65536
+         + ascii(substr(tile_id, 4, 1))*4294967296
+         + ascii(substr(tile_id, 5, 1))*1099511627776"""
+    val dec: String =
+      """concat(chr(CAST(enc % 256 AS INT)),
+         chr(CAST(CAST(floor(enc/256.0e0) AS BIGINT) % 256 AS INT)),
+         chr(CAST(CAST(floor(enc/65536.0e0) AS BIGINT) % 256 AS INT)),
+         chr(CAST(CAST(floor(enc/4294967296.0e0) AS BIGINT) % 256 AS INT)),
+         chr(CAST(CAST(floor(enc/1099511627776.0e0) AS BIGINT) % 256 AS INT)))"""
+    val tlat =
+      "CAST(p_partkey*53 % 160 - 80 AS DOUBLE) + CAST(p_partkey % 7 AS DOUBLE)/10.0e0"
+    val tlon =
+      "CAST(p_partkey*97 % 360 - 180 AS DOUBLE) + CAST(p_partkey % 11 AS DOUBLE)/20.0e0"
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -823,6 +856,64 @@ object Geo {
                $LONERR AS lon_err_udeg
         FROM d7 ORDER BY event_id"""
       })),
+
+    // ----- geo_overpass_tiles: tile-id codec + track→tile radius query ---
+    // odin_orbital/src/copernicus.rs: tile_enc (:21) packs the 5-char
+    // Sentinel-2 tile id into a u64 at byte shifts 0/8/16/32/40 (byte 3
+    // unused — mirrored exactly), tile_dec (:33) inverts it, and
+    // get_overpass_tiles (:51) walks the overpass ground track collecting
+    // the DISTINCT tiles within a fixed radius of any track point (a
+    // HashSet over kd-tree hits). Re-expressed: the tile catalog (id,
+    // center) derives from part keys and is broadcast — the kd-tree's
+    // role; the radius search is the same ±1 latitude-band bucketed
+    // equi-join geo_overpass uses (a 300 km hit is never >3° of latitude
+    // away), so no track×catalog cross product at any scale; the distinct
+    // is a groupBy on (track=user, tile). The emitted tile_id is DECODED
+    // from the packed code, so the oracle hash-checks the codec round
+    // trip, and the oracle's unpruned cross join proves the band prune
+    // lossless.
+    "geo_overpass_tiles" -> Q(
+      build = (s, d) => {
+        val tiles = Tables.t(s, d, "part").select(col("p_partkey"))
+          .withColumn("tile_id", expr(TileK.tileId))
+          .withColumn("enc", expr(TileK.enc))
+          .withColumn("t_lat", expr(TileK.tlat))
+          .withColumn("t_lon", expr(TileK.tlon))
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("band", floor(col("t_lat") / 10.0).cast(LongType) + col("di"))
+        val track = evPts(s, d)
+          .select(col("user_id"), col("lat"), col("lon"))
+          .withColumn("band", floor(col("lat") / 10.0).cast(LongType))
+        track.join(broadcast(tiles), Seq("band"))
+          .withColumn("dist_q",
+            floor(havC(col("lat"), col("lon"), col("t_lat"), col("t_lon")) * 1024.0)
+              .cast(LongType))
+          .filter(col("dist_q") <= 307200L) // within 300 km
+          .groupBy(col("user_id"), col("enc"))
+          .agg(count(lit(1)).as("n_track_pts"), min(col("dist_q")).as("min_q"))
+          .select(col("user_id"), col("enc").as("tile_enc"),
+            expr(TileK.dec).as("tile_id"), col("n_track_pts"),
+            expr("round(min_q/1024.0e0, 3)").as("min_dist_km"))
+          .orderBy(col("user_id"), col("tile_enc"))
+      },
+      oracle = Some(s"""
+        WITH tiles AS (
+          SELECT ${TileK.tileId} AS tile_id, ${TileK.tlat} AS t_lat,
+                 ${TileK.tlon} AS t_lon
+          FROM part),
+        enc AS (SELECT *, ${TileK.enc} AS enc FROM tiles),
+        trk AS (SELECT user_id, $LAT AS lat, $LON AS lon FROM events),
+        hits AS (
+          SELECT k.user_id, e.enc,
+                 CAST(FLOOR((${havS("k.lat", "k.lon", "e.t_lat", "e.t_lon")})
+                   * 1024.0e0) AS BIGINT) AS dist_q
+          FROM trk k CROSS JOIN enc e)
+        SELECT user_id, enc AS tile_enc, ${TileK.dec} AS tile_id,
+               CAST(COUNT(*) AS BIGINT) AS n_track_pts,
+               round(MIN(dist_q)/1024.0e0, 3) AS min_dist_km
+        FROM hits WHERE dist_q <= 307200
+        GROUP BY user_id, enc
+        ORDER BY user_id, tile_enc""")),
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
     "geo_bbox" -> Q(

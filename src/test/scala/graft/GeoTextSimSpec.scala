@@ -45,6 +45,21 @@ class GeoSpec extends SparkSpecBase {
       }
     }
   }
+  test("geo_overpass_tiles: codec round-trips and every hit is within radius") {
+    val df = run("geo_overpass_tiles").cache()
+    assert(df.count() > 0)
+    // decoded id is 5 chars, zone 01-60, band from the MGRS alphabet
+    assert(df.filter(length(col("tile_id")) =!= 5).count() == 0)
+    assert(df.filter(!col("tile_id").rlike(
+      "^(0[1-9]|[1-5][0-9]|60)[C-HJ-NP-X][A-HJ-NP-Z]{2}$")).count() == 0)
+    // re-encoding the decoded id reproduces the packed code
+    val reenc = df.withColumn("enc2", expr(
+      """ascii(substr(tile_id,1,1)) + ascii(substr(tile_id,2,1))*256
+         + ascii(substr(tile_id,3,1))*65536 + ascii(substr(tile_id,4,1))*4294967296
+         + ascii(substr(tile_id,5,1))*1099511627776"""))
+    assert(reenc.filter(col("enc2") =!= col("tile_enc")).count() == 0)
+    assert(df.filter(col("min_dist_km") > 300.0).count() == 0)
+  }
 }
 
 class TextSpec extends SparkSpecBase {
