@@ -230,6 +230,95 @@ object Multimodal {
           AND c.wsum - pv.wsum >= 16 AND c.gsum - pv.gsum >= 1
         ORDER BY p.doc_id, c.tile_id""")),
 
+    // ----- mm_hist_compare: frame-pair histogram similarity --------------
+    // odin_image/src/lib.rs:241 gray_histogram_compare — the camera-feed
+    // change detector comparing consecutive frames' gray histograms
+    // (image-compare histogram metrics; OpenCV's HISTCMP_CORREL /
+    // HISTCMP_INTERSECT forms). Re-expressed: per-frame byte histogram
+    // (mm_contrast_stretch's decode stage), per-camera consecutive-frame
+    // pairing (mm_smoke_diff's lag scheme), then Pearson correlation of
+    // the two 256-bin vectors — zero bins enter only through the exact
+    // integer marginals (n, Σh²), so the cross term needs just the
+    // common-bin equi-join, never a 256-row densify — plus the
+    // intersection Σmin. All sums integer; the one division/sqrt chain is
+    // identical IEEE on both engines, so the output hash-matches unrounded.
+    "mm_hist_compare" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents").filter(length(col("text")) >= 16)
+        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = frames.select(col("source"), col("doc_id"))
+          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+          .filter(col("prev_doc_id").isNotNull)
+        val hist = frames
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hist.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cnt")).as("sxx"))
+        val ph = hist.select(col("doc_id").as("prev_doc_id"), col("b"),
+          col("cnt").as("pcnt"))
+        val cross = pairs.join(hist, Seq("doc_id"))
+          .join(ph, Seq("prev_doc_id", "b"))
+          .groupBy(col("doc_id"), col("prev_doc_id"))
+          .agg(sum(col("cnt") * col("pcnt")).as("sxy"),
+            sum(least(col("cnt"), col("pcnt"))).as("smin"))
+        pairs
+          .join(cross, Seq("doc_id", "prev_doc_id"), "left")
+          .na.fill(0L, Seq("sxy", "smin"))
+          .join(stats, Seq("doc_id"))
+          .join(stats.select(col("doc_id").as("prev_doc_id"),
+            col("n").as("np"), col("sxx").as("sxxp")), Seq("prev_doc_id"))
+          .select(col("doc_id"), col("prev_doc_id"),
+            col("n").as("n_cur"), col("np").as("n_prev"),
+            col("sxy"), col("smin"),
+            expr("""CASE WHEN 256*sxx - n*n > 0 AND 256*sxxp - np*np > 0
+               THEN CAST(256*sxy - n*np AS DOUBLE)
+                 / sqrt(CAST(256*sxx - n*n AS DOUBLE)*CAST(256*sxxp - np*np AS DOUBLE))
+               ELSE 0.0e0 END""").as("corr"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
+        pairs AS (
+          SELECT source, doc_id,
+                 lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_doc_id
+          FROM frames),
+        px AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM frames),
+        hist AS (
+          SELECT doc_id, ascii(substr(text, pos, 1)) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM px GROUP BY 1, 2),
+        stats AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt*cnt) AS BIGINT) AS sxx
+          FROM hist GROUP BY 1),
+        cross_t AS (
+          SELECT p.doc_id, p.prev_doc_id,
+                 CAST(SUM(h.cnt*ph.cnt) AS BIGINT) AS sxy,
+                 CAST(SUM(least(h.cnt, ph.cnt)) AS BIGINT) AS smin
+          FROM pairs p
+          JOIN hist h ON h.doc_id = p.doc_id
+          JOIN hist ph ON ph.doc_id = p.prev_doc_id AND ph.b = h.b
+          GROUP BY 1, 2)
+        SELECT p.doc_id, p.prev_doc_id, s.n AS n_cur, sp.n AS n_prev,
+               COALESCE(c.sxy, 0) AS sxy, COALESCE(c.smin, 0) AS smin,
+               CASE WHEN 256*s.sxx - s.n*s.n > 0 AND 256*sp.sxx - sp.n*sp.n > 0
+                    THEN CAST(256*COALESCE(c.sxy, 0) - s.n*sp.n AS DOUBLE)
+                      / sqrt(CAST(256*s.sxx - s.n*s.n AS DOUBLE)
+                             *CAST(256*sp.sxx - sp.n*sp.n AS DOUBLE))
+                    ELSE 0.0e0 END AS corr
+        FROM pairs p
+        LEFT JOIN cross_t c ON c.doc_id = p.doc_id AND c.prev_doc_id = p.prev_doc_id
+        JOIN stats s ON s.doc_id = p.doc_id
+        JOIN stats sp ON sp.doc_id = p.prev_doc_id
+        WHERE p.prev_doc_id IS NOT NULL
+        ORDER BY p.doc_id""")),
+
     // ----- mm_contrast_stretch: percentile contrast bounds ---------------
     // odin_image/src/lib.rs:1171 upper_percentile_bounds /:1179
     // lower_percentile_bounds: per-channel histogram percentile cuts that

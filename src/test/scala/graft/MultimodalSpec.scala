@@ -80,6 +80,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(f2(7) - 8.0 * 255.0 / 56.0) < 1e-12)
   }
 
+  test("mm_hist_compare: correlation bounded, intersection below both marginals") {
+    val df = run("mm_hist_compare").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("corr") > 1.0 + 1e-12 || col("corr") < -1.0 - 1e-12).count() == 0)
+    assert(df.filter(col("smin") > least(col("n_cur"), col("n_prev"))).count() == 0)
+    // identical frames must correlate at exactly 1: compare a frame to itself
+    // through the same arithmetic
+    val hist = Tables.t(spark, sf, "documents").filter(length(col("text")) >= 16)
+      .limit(1).select(col("doc_id"),
+        explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+      .select(expr("ascii(substring(text, pos, 1))").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val r = hist.agg(
+      (lit(256) * sum(col("cnt") * col("cnt")) - sum(col("cnt")) * sum(col("cnt")))
+        .cast("double").as("num"),
+      sqrt((lit(256) * sum(col("cnt") * col("cnt")) - sum(col("cnt")) * sum(col("cnt")))
+        .cast("double") * (lit(256) * sum(col("cnt") * col("cnt"))
+        - sum(col("cnt")) * sum(col("cnt"))).cast("double")).as("den"))
+      .selectExpr("num/den AS corr").head.getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("mm_feature_extract decode survives a corrupt payload (flagged, not thrown)") {
     import graft.functions.ImageCodec
     assert(ImageCodec.decode(Array[Byte](1, 2, 3, 4)) == null)
