@@ -267,4 +267,58 @@ object Streams {
           out.iterator
       }
   }
+
+  /** One parsed SBS message — the typed result of sbs.rs:151 parse_msg;
+    * each transmission type populates only its own fields.
+    */
+  case class SbsMsg(icao24: String, ts_sec: Long, event_id: Long, mt: Int,
+      callsign: Option[String], lat: Option[Double], lon: Option[Double],
+      alt_ft: Option[Long], gs_kt: Option[Long], track_deg: Option[Long],
+      vrate_fpm: Option[Long])
+
+  /** Live per-aircraft state — the DashMap<String,Aircraft> entry of
+    * odin_adsb/src/sbs.rs:69 process_msgs.
+    */
+  case class AircraftState(icao24: String, callsign: Option[String],
+      lat: Option[Double], lon: Option[Double], alt_ft: Option[Long],
+      gs_kt: Option[Long], track_deg: Option[Long], vrate_fpm: Option[Long],
+      last_update_sec: Long, last_pos_sec: Option[Long],
+      n_msgs: Long, n_pos: Long)
+
+  /** stream_sbs_state: live SBS feed → per-aircraft state store — the
+    * streaming twin of ts_sbs_merge and the direct re-expression of the
+    * reference's ingest loop (odin_adsb/src/sbs.rs:97 process_next_line →
+    * adsb.rs:128 AdsbData::update): each field keeps the latest message
+    * that carried it; only position messages advance the store timestamp
+    * (adsb.rs:139). State is sharded by icao24 in Spark's state store —
+    * the DashMap scaled horizontally.
+    */
+  def sbsStateStream(msgs: Dataset[SbsMsg]): Dataset[AircraftState] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.icao24)
+      .mapGroupsWithState[AircraftState, AircraftState](GroupStateTimeout.NoTimeout) {
+        (icao, batch, state: GroupState[AircraftState]) =>
+          val prev = state.getOption.getOrElse(AircraftState(icao, None, None,
+            None, None, None, None, None, Long.MinValue, None, 0L, 0L))
+          // fold in event-time order with event-id tiebreak (replay-safe,
+          // matching the batch twin's window order)
+          val next = batch.toSeq.sortBy(m => (m.ts_sec, m.event_id))
+            .foldLeft(prev) { (st, m) =>
+              val hasPos = m.lat.isDefined && m.lon.isDefined
+              st.copy(
+                callsign = m.callsign.orElse(st.callsign),
+                lat = m.lat.orElse(st.lat), lon = m.lon.orElse(st.lon),
+                alt_ft = m.alt_ft.orElse(st.alt_ft),
+                gs_kt = m.gs_kt.orElse(st.gs_kt),
+                track_deg = m.track_deg.orElse(st.track_deg),
+                vrate_fpm = m.vrate_fpm.orElse(st.vrate_fpm),
+                last_update_sec = math.max(st.last_update_sec, m.ts_sec),
+                last_pos_sec = if (hasPos) Some(m.ts_sec) else st.last_pos_sec,
+                n_msgs = st.n_msgs + 1,
+                n_pos = st.n_pos + (if (hasPos) 1L else 0L))
+            }
+          state.update(next)
+          next
+      }
+  }
 }

@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.getAs[Int]("next_minute") == 1)
   }
 
+  test("stream_sbs_state: fields merge from their own message types; only positions advance the store time") {
+    import spark.implicits._
+    import graft.streaming.Streams.SbsMsg
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SbsMsg]
+    val q = Streams.sbsStateStream(in.toDS())
+      .writeStream.format("memory").queryName("sbs_out")
+      .outputMode("update").start()
+    def msg(ts: Long, eid: Long, mt: Int, cs: Option[String] = None,
+        lat: Option[Double] = None, lon: Option[Double] = None,
+        alt: Option[Long] = None, gs: Option[Long] = None): SbsMsg =
+      SbsMsg("A1B2C3", ts, eid, mt, cs, lat, lon, alt, gs, None, None)
+    in.addData(
+      msg(100, 1, 1, cs = Some("UAL814")),
+      msg(110, 2, 3, lat = Some(37.17), lon = Some(-122.03), alt = Some(11025)))
+    q.processAllAvailable()
+    in.addData(
+      msg(120, 3, 4, gs = Some(316)),          // velocity: position untouched
+      msg(130, 4, 3, alt = Some(12000)))       // position msg WITHOUT position
+    q.processAllAvailable()
+    val st = spark.table("sbs_out").orderBy(col("n_msgs").desc).head
+    q.stop()
+    assert(st.getAs[String]("callsign") == "UAL814")
+    assert(st.getAs[Double]("lat") == 37.17)          // still the MSG,3 fix
+    assert(st.getAs[Long]("alt_ft") == 12000)         // altitude did advance
+    assert(st.getAs[Long]("gs_kt") == 316)
+    assert(st.getAs[Long]("last_update_sec") == 130)
+    assert(st.getAs[Long]("last_pos_sec") == 110)     // only real positions count
+    assert(st.getAs[Long]("n_msgs") == 4 && st.getAs[Long]("n_pos") == 1)
+  }
+
   test("stream_windowed_agg: watermarked hourly counts") {
     import spark.implicits._
     val in = mem()
