@@ -874,17 +874,34 @@ object Geo {
     // lossless.
     "geo_overpass_tiles" -> Q(
       build = (s, d) => {
+        // 4° grid cells, tile side replicated ±1 lat cell and a
+        // latitude-aware lon span (geo_swath_cover's bucketing): a 300 km
+        // hit spans ≤2.73° of latitude, and events carry |lat| ≤ 70.2 so
+        // no tile above |lat| 74 can pair — the cos clamp there bounds
+        // replication instead of letting polar tiles explode it. The
+        // catalog grows with SF, so a latitude band alone would leave an
+        // O(points × tiles/band) join — measured 109 s at sf0.1 vs ~2 s
+        // with the 2-D bucketing; the oracle's unpruned cross join proves
+        // the prune loses nothing.
+        val cell = 4.0
         val tiles = Tables.t(s, d, "part").select(col("p_partkey"))
           .withColumn("tile_id", expr(TileK.tileId))
           .withColumn("enc", expr(TileK.enc))
           .withColumn("t_lat", expr(TileK.tlat))
           .withColumn("t_lon", expr(TileK.tlon))
+          .withColumn("dn", ceil(lit(320.0)
+            / (lit(110.0) * cos(radians(least(abs(col("t_lat")) + 4.1, lit(74.0)))))
+            / cell).cast(LongType))
           .withColumn("di", explode(expr("sequence(-1, 1)")))
-          .withColumn("band", floor(col("t_lat") / 10.0).cast(LongType) + col("di"))
+          .withColumn("dj", explode(expr("sequence(-dn, dn)")))
+          .withColumn("ci", floor(col("t_lat") / cell).cast(LongType) + col("di"))
+          .withColumn("cj",
+            (((floor(col("t_lon") / cell).cast(LongType) + col("dj") + 45) % 90 + 90) % 90) - 45)
         val track = evPts(s, d)
           .select(col("user_id"), col("lat"), col("lon"))
-          .withColumn("band", floor(col("lat") / 10.0).cast(LongType))
-        track.join(broadcast(tiles), Seq("band"))
+          .withColumn("ci", floor(col("lat") / cell).cast(LongType))
+          .withColumn("cj", floor(col("lon") / cell).cast(LongType))
+        track.join(broadcast(tiles), Seq("ci", "cj"))
           .withColumn("dist_q",
             floor(havC(col("lat"), col("lon"), col("t_lat"), col("t_lon")) * 1024.0)
               .cast(LongType))
