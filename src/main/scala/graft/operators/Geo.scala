@@ -583,6 +583,33 @@ object Geo {
       "CAST(p_partkey*97 % 360 - 180 AS DOUBLE) + CAST(p_partkey % 11 AS DOUBLE)/20.0e0"
   }
 
+  /** Shared formula chain for geo_swath_width — one (name, expression)
+    * step list evaluated in identical order by Spark withColumns and the
+    * DuckDB oracle's stacked CTEs. Mirrors compute_swath_internal
+    * (odin_orbital/src/overpass.rs:500): c0/c1/c2 naming kept.
+    */
+  private[operators] object SwathK {
+    private val A2 = "(6378137.0e0*6378137.0e0)"          // equatorial r²
+    private val B2 = "(6356752.3142451793e0*6356752.3142451793e0)" // polar r²
+    private val Scan = "radians(56.28e0)"                 // VIIRS max scan
+    val steps: Seq[(String, String)] = Seq(
+      "slat" -> "(CAST(p_partkey*53 % 160 - 80 AS DOUBLE) + CAST(p_partkey % 5 AS DOUBLE)/10.0e0)",
+      "slon" -> "CAST(p_partkey*97 % 360 - 180 AS DOUBLE)",
+      "h" -> "(700000.0e0 + CAST(p_partkey % 200 AS DOUBLE)*500.0e0)",
+      "nrad" -> s"($A2/sqrt($A2*cos(radians(slat))*cos(radians(slat)) + $B2*sin(radians(slat))*sin(radians(slat))))",
+      "x" -> "((nrad + h)*cos(radians(slat))*cos(radians(slon)))",
+      "y" -> "((nrad + h)*cos(radians(slat))*sin(radians(slon)))",
+      "z" -> s"(($B2/$A2*nrad + h)*sin(radians(slat)))",
+      "dist2" -> "(x*x + y*y + z*z)",
+      "dist" -> "sqrt(dist2)",
+      // ellipsoid-corrected local earth radius at the subpoint direction
+      "r" -> s"sqrt(1.0e0/((z*z/dist2)/$B2 + ((x*x + y*y)/dist2)/$A2))",
+      "c1s" -> "(r*r - dist2)",
+      "c2s" -> s"(dist*cos($Scan))",
+      "sat_dist" -> "(c2s - sqrt(c2s*c2s + c1s))",
+      "alpha" -> s"asin(sin($Scan)/r*sat_dist)")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -931,6 +958,49 @@ object Geo {
         FROM hits WHERE dist_q <= 307200
         GROUP BY user_id, enc
         ORDER BY user_id, tile_enc""")),
+
+    // ----- geo_swath_width: scan-geometry swath computation --------------
+    // odin_orbital/src/overpass.rs:500 compute_swath_internal: from a
+    // satellite ECEF position and the instrument's max scan angle, the
+    // ellipsoid-corrected local earth radius (WGS84 polar/equatorial mix
+    // by the position's z share), the slant range to the scan horizon
+    // point, the ground swath half-width r·α, and the orbit-normal
+    // distance tan(α)·dist. Satellite sample positions derive from part
+    // keys (geodetic → ECEF by the geo_ecef formula at 700-800 km
+    // altitude); the whole op is per-row column math in one shared
+    // formula text — VIIRS-class max scan 56.28°. Trig-bearing outputs
+    // rounded to 3 decimals (§5).
+    "geo_swath_width" -> Q(
+      build = (s, d) => {
+        val base = Tables.t(s, d, "part").select(col("p_partkey"))
+        SwathK.steps.foldLeft(base) { case (df, (name, ex)) =>
+          df.withColumn(name, expr(ex))
+        }
+          .select(col("p_partkey").as("sat_key"), col("slat"), col("slon"),
+            expr("round(h/1000.0e0, 3)").as("alt_km"),
+            expr("round(r/1000.0e0, 3)").as("r_km"),
+            expr("round(sat_dist/1000.0e0, 3)").as("sat_dist_km"),
+            expr("round(r*alpha/1000.0e0, 3)").as("swath_km"),
+            expr("round(tan(alpha)*dist/1000.0e0, 3)").as("norm_dist_km"))
+          .orderBy(col("sat_key"))
+      },
+      oracle = Some({
+        val ctes = SwathK.steps.zipWithIndex.map { case ((name, ex), i) =>
+          val prev = if (i == 0) "base" else s"c${i - 1}"
+          s"c$i AS (SELECT *, $ex AS $name FROM $prev)"
+        }.mkString(",\n        ")
+        s"""
+        WITH base AS (SELECT p_partkey FROM part),
+        $ctes
+        SELECT p_partkey AS sat_key, slat, slon,
+               round(h/1000.0e0, 3) AS alt_km,
+               round(r/1000.0e0, 3) AS r_km,
+               round(sat_dist/1000.0e0, 3) AS sat_dist_km,
+               round(r*alpha/1000.0e0, 3) AS swath_km,
+               round(tan(alpha)*dist/1000.0e0, 3) AS norm_dist_km
+        FROM c${SwathK.steps.size - 1}
+        ORDER BY sat_key"""
+      })),
 
     // ----- geo_bbox: GeoRect containment filter --------------------------
     "geo_bbox" -> Q(

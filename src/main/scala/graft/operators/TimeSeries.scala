@@ -1340,6 +1340,63 @@ object TimeSeries {
         FROM comp c JOIN nxt n USING (user_id)
         ORDER BY c.user_id, c.sched_minute""")),
 
+    // ----- ts_covering_overpass: hotspot → covering overpass window ------
+    // odin_orbital/src/firms.rs:499 find_covering_overpass / :520
+    // is_covering_overpass: each FIRMS hotspot record is filed under the
+    // overpass whose [start, end] covers its acquisition date, widened by
+    // a leeway margin for downlink latency, scanning overpasses in order
+    // and taking the FIRST cover (the reference's monotonicity
+    // assumption). Windows here are a 95-min-orbit schedule per satellite
+    // (sat = event_id % 5, epoch-anchored), with a 45-min leeway — wider
+    // than the reference's 30 so adjacent widened windows overlap and the
+    // first-cover rule is actually exercised. Scale shape: the window
+    // catalog is O(days·sats) and broadcast; records join it on sat_id,
+    // one shuffle for the final per-window rollup.
+    "ts_covering_overpass" -> Q(
+      build = (s, d) => {
+        val sats = s.range(5).select(col("id").as("sat_id"))
+        val wins = sats.crossJoin(s.range(460).select(col("id").as("k")))
+          .withColumn("w_start",
+            lit(1704067200L) + col("k") * 5700L + col("sat_id") * 780L)
+          .withColumn("w_end", col("w_start") + 540L)
+        val recs = ev(s, d).select(col("event_id"), col("ts_sec"),
+          (col("event_id") % 5).as("sat_id"))
+        val assigned = recs.join(broadcast(wins), Seq("sat_id"))
+          .filter(col("ts_sec") >= col("w_start") - 2700L
+            && col("ts_sec") <= col("w_end") + 2700L)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_id")).orderBy(col("k"))))
+          .filter(col("rn") === 1)
+        assigned.groupBy(col("sat_id"), col("k"), col("w_start"))
+          .agg(count(lit(1)).as("n_records"),
+            sum(when(col("ts_sec").between(col("w_start"), col("w_end")), 1L)
+              .otherwise(0L)).as("n_core"),
+            min(col("ts_sec")).as("first_rec_sec"),
+            max(col("ts_sec")).as("last_rec_sec"))
+          .orderBy(col("sat_id"), col("k"))
+      },
+      oracle = Some(s"""
+        WITH wins AS (
+          SELECT s.s AS sat_id, g.k AS k,
+                 1704067200 + g.k*5700 + s.s*780 AS w_start,
+                 1704067200 + g.k*5700 + s.s*780 + 540 AS w_end
+          FROM generate_series(0, 4) s(s), generate_series(0, 459) g(k)),
+        recs AS (
+          SELECT event_id, $TS AS ts_sec, event_id % 5 AS sat_id FROM events),
+        cand AS (
+          SELECT r.event_id, r.ts_sec, w.sat_id, w.k, w.w_start, w.w_end,
+                 ROW_NUMBER() OVER (PARTITION BY r.event_id ORDER BY w.k) AS rn
+          FROM recs r JOIN wins w ON w.sat_id = r.sat_id
+          WHERE r.ts_sec >= w.w_start - 2700 AND r.ts_sec <= w.w_end + 2700)
+        SELECT sat_id, k, w_start,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(CASE WHEN ts_sec BETWEEN w_start AND w_end
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+               MIN(ts_sec) AS first_rec_sec, MAX(ts_sec) AS last_rec_sec
+        FROM cand WHERE rn = 1
+        GROUP BY sat_id, k, w_start
+        ORDER BY sat_id, k""")),
+
     // ----- ts_sbs_merge: SBS feed parse + per-aircraft state merge -------
     // The ADS-B ingest path (odin_adsb/src/sbs.rs:151 parse_msg → adsb.rs
     // :128 AdsbData::update): a BaseStation CSV feed carries heterogeneous

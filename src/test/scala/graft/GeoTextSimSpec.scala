@@ -45,6 +45,18 @@ class GeoSpec extends SparkSpecBase {
       }
     }
   }
+  test("geo_swath_width: scan geometry bounded by the ellipsoid") {
+    val df = run("geo_swath_width").cache()
+    assert(df.count() > 0)
+    // local earth radius between polar and equatorial
+    assert(df.filter(col("r_km") < 6356.752 - 0.001 || col("r_km") > 6378.137 + 0.001)
+      .count() == 0)
+    // VIIRS-class half swath at 700-800 km: ~1100-1500 km ground distance
+    assert(df.filter(col("swath_km") < 1000.0 || col("swath_km") > 1700.0).count() == 0)
+    // slant range below the horizon distance, positive
+    assert(df.filter(col("sat_dist_km") <= 0.0 || col("sat_dist_km") > 4000.0).count() == 0)
+  }
+
   test("geo_overpass_tiles: codec round-trips and every hit is within radius") {
     val df = run("geo_overpass_tiles").cache()
     assert(df.count() > 0)

@@ -60,6 +60,19 @@ class TimeSeriesSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_covering_overpass: every covered record files under exactly one window") {
+    val df = run("ts_covering_overpass").cache()
+    assert(df.count() > 0)
+    // rollup reconciles: assigned records never exceed the feed, cores ≤ totals
+    assert(df.filter(col("n_core") > col("n_records")).count() == 0)
+    val assigned = df.agg(sum("n_records")).head.getLong(0)
+    val total = Tables.events(spark, sf).count()
+    assert(assigned <= total)
+    // every window's records lie inside its leeway-widened bounds
+    assert(df.filter(col("first_rec_sec") < col("w_start") - 2700 ||
+      col("last_rec_sec") > col("w_start") + 540 + 2700).count() == 0)
+  }
+
   test("ts_sbs_merge: per-aircraft state carries each field's latest message") {
     val df = run("ts_sbs_merge").cache()
     val ev = Tables.events(spark, sf)
