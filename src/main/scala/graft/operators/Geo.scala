@@ -1378,6 +1378,66 @@ object Geo {
         FROM cov WHERE rn = 1
         ORDER BY user_id, event_id""")),
 
+    // ----- geo_track_bearing: bearing to the closest track point ---------
+    // odin_orbital/src/overpass.rs:165 bearing_to_closest_track_point —
+    // the "which way is the satellite ground track from here" query the
+    // overpass UI asks per point. Same grid-bucketed closest-point search
+    // as geo_swath_cover (the track point rides along in the argmin
+    // struct behind the unique (dist, key) prefix), then the initial
+    // great-circle bearing to it, [0, 360) rounded to 3 decimals.
+    "geo_track_bearing" -> Q(
+      build = (s, d) => {
+        val cell = 4.0
+        val probes = evPts(s, d)
+          .select(col("user_id"), col("event_id"), col("lat"), col("lon"))
+          .withColumn("ci", floor(col("lat") / cell).cast(LongType))
+          .withColumn("cj", floor(col("lon") / cell).cast(LongType))
+        val track = Tables.t(s, d, "part").select(
+          col("p_partkey").as("t_key"),
+          (lit(60.0) * sin(radians((col("p_partkey") * 7 % 360).cast(DoubleType))))
+            .as("tlat"),
+          (col("p_partkey") * 23 % 360 - 180).cast(DoubleType).as("tlon"))
+        val trep = track
+          .withColumn("dn", ceil(lit(400.0)
+            / (lit(110.0) * cos(radians(least(abs(col("tlat")) + 3.7, lit(64.0)))))
+            / cell).cast(LongType))
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("dj", explode(expr("sequence(-dn, dn)")))
+          .withColumn("ci", floor(col("tlat") / cell).cast(LongType) + col("di"))
+          .withColumn("cj",
+            (((floor(col("tlon") / cell).cast(LongType) + col("dj") + 45) % 90 + 90) % 90) - 45)
+        probes.join(trep, Seq("ci", "cj"))
+          .withColumn("dist_q",
+            floor(havC(col("lat"), col("lon"), col("tlat"), col("tlon")) * 1024.0)
+              .cast(LongType))
+          .filter(col("dist_q") <= 409600L)
+          .groupBy(col("user_id"), col("event_id"), col("lat"), col("lon"))
+          .agg(min(struct(col("dist_q"), col("t_key"), col("tlat"), col("tlon"))).as("m"))
+          .select(col("user_id"), col("event_id"),
+            col("m.t_key").as("track_key"),
+            round(col("m.dist_q") / 1024.0, 3).as("dist_km"),
+            round(bearC(col("lat"), col("lon"), col("m.tlat"), col("m.tlon")), 3)
+              .as("bearing_deg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (SELECT user_id, event_id, $LAT AS lat, $LON AS lon FROM events),
+        track AS (SELECT p_partkey AS t_key,
+                         60.0e0*sin(radians(CAST(p_partkey*7 % 360 AS DOUBLE))) AS tlat,
+                         CAST(p_partkey*23 % 360 - 180 AS DOUBLE) AS tlon FROM part),
+        pairs AS (
+          SELECT user_id, event_id, lat, lon, t_key, tlat, tlon,
+                 CAST(FLOOR(${havS("lat", "lon", "tlat", "tlon")} * 1024.0e0) AS BIGINT) AS dist_q
+          FROM probes, track),
+        cov AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                             ORDER BY dist_q, t_key) AS rn
+                FROM pairs WHERE dist_q <= 409600)
+        SELECT user_id, event_id, t_key AS track_key,
+               round(dist_q/1024.0e0, 3) AS dist_km,
+               round(${bearS("lat", "lon", "tlat", "tlon")}, 3) AS bearing_deg
+        FROM cov WHERE rn = 1
+        ORDER BY user_id, event_id""")),
+
     // ----- geo_geojson: GeoJSON FeatureCollection ingest -----------------
     // odin_geolayer/src/lib.rs: GeoJSON text in, typed vertex rows out.
     // Per nation, a FeatureCollection is assembled (a Point + a pentagon
