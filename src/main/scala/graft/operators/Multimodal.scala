@@ -27,29 +27,46 @@ object Multimodal {
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- mm_blob_meta: typed metadata over binary payloads -------------
+    // Both digests are byte-defined (SHA-256, MD5), so the DuckDB oracle
+    // hash-checks them end to end over the same payload bytes.
     "mm_blob_meta" -> Q(
       build = (s, d) =>
         blobs(s, d)
           .select(col("doc_id"), col("source"),
             octet_length(col("payload")).cast(LongType).as("n_bytes"),
             sha2(col("payload"), 256).as("sha256"),
-            crc32(col("payload")).as("crc"))
+            md5(col("payload")).as("md5"))
           .orderBy(col("doc_id")),
-      oracle = None),
+      oracle = Some("""
+        SELECT doc_id, source,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               sha256(text) AS sha256, md5(text) AS md5
+        FROM documents ORDER BY doc_id""")),
 
     // ----- mm_frame_sample: deterministic frame/chunk sampling -----------
     // "Frames" are 32-byte windows every 64 bytes — the shape of sampling
-    // video keyframes / audio windows from a packed payload.
+    // video keyframes / audio windows from a packed payload. Frame ids
+    // are MD5 of the window bytes (byte-defined, so the oracle
+    // reproduces them exactly).
     "mm_frame_sample" -> Q(
       build = (s, d) =>
         blobs(s, d)
           .filter(octet_length(col("payload")) >= 32)
           .select(col("doc_id"),
             posexplode(expr("transform(sequence(0, octet_length(payload) - 32, 64), " +
-              "off -> xxhash64(substring(payload, off + 1, 32)))"))
+              "off -> md5(substring(payload, off + 1, 32)))"))
               .as(Seq("frame_idx", "frame_hash")))
           .orderBy(col("doc_id"), col("frame_idx")),
-      oracle = None),
+      oracle = Some("""
+        WITH frames AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 32, 64)) AS off,
+                 text
+          FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 32)
+        SELECT doc_id,
+               CAST((off // 64) AS INT) AS frame_idx,
+               md5(substr(text, CAST(off AS INT) + 1, 32)) AS frame_hash
+        FROM frames ORDER BY doc_id, frame_idx""")),
 
     // ----- mm_tile: model-input mosaic tiling plan -----------------------
     // odin_onnx/src/lib.rs:97 fit_mosaic: cover an image with overlapping
@@ -78,7 +95,27 @@ object Multimodal {
             col("tile_idx"), col("tl.x").as("tile_x"), col("tl.y").as("tile_y"))
           .orderBy(col("doc_id"), col("tile_idx"))
       },
-      oracle = None),
+      // tile_idx enumerates ix-major (Spark's flatten(transform(ix,
+      // transform(iy)))) — the oracle reproduces it as idx = ix*ny + iy
+      oracle = Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 octet_length(CAST(text AS BLOB)) % 1024 + 256 AS img_w,
+                 octet_length(CAST(text AS BLOB)) % 768 + 256 AS img_h
+          FROM documents),
+        grids AS (
+          SELECT doc_id, img_w, img_h,
+                 CAST(ceil((img_w - 224)/192.0e0) AS BIGINT) + 1 AS nx,
+                 CAST(ceil((img_h - 224)/192.0e0) AS BIGINT) + 1 AS ny
+          FROM dims),
+        tiles AS (
+          SELECT doc_id, img_w, img_h, nx, ny,
+                 unnest(generate_series(0, nx*ny - 1)) AS tile_idx
+          FROM grids)
+        SELECT doc_id, img_w, img_h, CAST(tile_idx AS INT) AS tile_idx,
+               least((tile_idx // ny)*192, img_w - 224) AS tile_x,
+               least((tile_idx % ny)*192, img_h - 224) AS tile_y
+        FROM tiles ORDER BY doc_id, tile_idx""")),
 
     // ----- mm_feature_extract: REAL image decode + feature extraction ----
     // The decode step is no longer a stub: per document, a deterministic
