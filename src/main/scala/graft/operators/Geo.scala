@@ -610,6 +610,59 @@ object Geo {
       "alpha" -> s"asin(sin($Scan)/r*sat_dist)")
   }
 
+  /** Shared SQL fragments for TLE synthesis + parse (geo_tle_parse).
+    * Layout per the public two-line-element format; only the checksum
+    * fold differs per engine (higher-order function names).
+    */
+  private[operators] object TleK {
+    /** zero-padded int field */
+    private def zp(v: String, w: Int) = s"lpad(CAST($v AS STRING), $w, '0')"
+    /** "III.FFFF" fixed-point field from a scaled int, int part width 3 */
+    private def fx4(v: String) =
+      s"concat(lpad(CAST(CAST(floor(($v)/10000.0e0) AS BIGINT) AS STRING), 3, ' '), '.', ${zp(s"($v) % 10000", 4)})"
+    // line-2 element fields scaled to ints (deterministic from the key)
+    val fields: Seq[(String, String)] = Seq(
+      "satnum" -> "(p_partkey % 100000)",
+      "inc4" -> "(p_partkey*137 % 1800000)",   // [0, 180) deg ×1e4
+      "raan4" -> "(p_partkey*211 % 3600000)",  // [0, 360) deg ×1e4
+      "ecc7" -> "(p_partkey*7919 % 10000000)", // implied leading 0.
+      "argp4" -> "(p_partkey*307 % 3600000)",
+      "ma4" -> "(p_partkey*401 % 3600000)",
+      "mm8" -> "(1500000000 + p_partkey % 10000000)", // [15.0, 15.1) ×1e8
+      "rev" -> "(p_partkey % 100000)",
+      "doyi" -> "(1 + p_partkey % 365)",
+      "doyf8" -> "(p_partkey*37 % 100000000)",
+      "bman5" -> "(p_partkey*7 % 100000)",     // bstar mantissa .NNNNN
+      "bexp" -> "(p_partkey % 6)")             // bstar exponent 10^-e
+    /** 68-char line 1 (before checksum): epoch + drag terms. */
+    val line1: String =
+      s"""concat('1 ', ${zp("satnum", 5)}, 'U 24001A   24', ${zp("doyi", 3)}, '.',
+         ${zp("doyf8", 8)}, '  .00001234  00000-0  ', ${zp("bman5", 5)}, '-',
+         CAST(bexp AS STRING), ' 0 ', lpad(CAST(p_partkey % 10000 AS STRING), 4, ' '))"""
+    /** 68-char line 2 (before checksum): the orbital elements. */
+    val line2: String =
+      s"""concat('2 ', ${zp("satnum", 5)}, ' ', ${fx4("inc4")}, ' ', ${fx4("raan4")},
+         ' ', ${zp("ecc7", 7)}, ' ', ${fx4("argp4")}, ' ', ${fx4("ma4")}, ' ',
+         lpad(CAST(CAST(floor(mm8/100000000.0e0) AS BIGINT) AS STRING), 2, ' '), '.',
+         ${zp("mm8 % 100000000", 8)}, ${zp("rev", 5)})"""
+    /** mod-10 checksum term for char i of `c` — digits count their value,
+      * '-' counts 1 (the TLE rule). */
+    def ckTerm(c: String, i: String): String =
+      s"""CASE WHEN substring($c, $i, 1) BETWEEN '0' AND '9'
+              THEN ascii(substring($c, $i, 1)) - 48
+              WHEN substring($c, $i, 1) = '-' THEN 1 ELSE 0 END"""
+    /** fixed-width "III.FFFF" column back to ×1e4 int */
+    def p4(c: String, start: Int): String =
+      s"CAST(replace(trim(substring($c, $start, 8)), '.', '') AS BIGINT)"
+    /** bstar: ±0.NNNNN × 10^-e decoded with exact power literals */
+    val bstarParse: String =
+      s"""(CAST(substring(l1, 55, 5) AS BIGINT)/100000.0e0) *
+          (CASE substring(l1, 61, 1) WHEN '0' THEN 1.0e0 WHEN '1' THEN 1.0e-1
+           WHEN '2' THEN 1.0e-2 WHEN '3' THEN 1.0e-3 WHEN '4' THEN 1.0e-4
+           WHEN '5' THEN 1.0e-5 ELSE 1.0e-6 END) *
+          (CASE WHEN substring(l1, 54, 1) = '-' THEN -1.0e0 ELSE 1.0e0 END)"""
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -882,6 +935,112 @@ object Geo {
                $LATERR AS lat_err_udeg,
                $LONERR AS lon_err_udeg
         FROM d7 ORDER BY event_id"""
+      })),
+
+    // ----- geo_tle_parse: TLE extraction + element parse -----------------
+    // The reference's TLE ingestion (odin_orbital/src/tle_store.rs:39
+    // TLE_LINES_RE pulls TLE_LINE1/2 out of the JSON gp responses; :187
+    // TLE::load_3line parses them): per satellite, a JSON envelope is
+    // synthesized carrying format-exact TLE lines (fixed columns, implied
+    // decimals, the bstar ±.NNNNN×10^±E drag field, mod-10 checksums with
+    // the digits+'-' rule), then the envelope is regexp-extracted and the
+    // lines parsed back to typed elements — the columns SGP4 consumes.
+    // Checksum verification folds over the 68 payload chars with a
+    // higher-order aggregate (no explode, no shuffle); everything else is
+    // shared formula text. Pure per-row column math: 1 shuffle (ORDER BY).
+    "geo_tle_parse" -> Q(
+      build = (s, d) => {
+        import TleK._
+        val base = TleK.fields.foldLeft(
+          Tables.t(s, d, "part").select(col("p_partkey"))) {
+          case (df, (n, ex)) => df.withColumn(n, expr(ex))
+        }
+        val env = base
+          .withColumn("l1b", expr(line1)).withColumn("l2b", expr(line2))
+          .withColumn("ck1", expr(
+            s"""aggregate(transform(sequence(1, 68), i -> ${ckTerm("l1b", "i")}),
+               0, (a, x) -> a + x) % 10"""))
+          .withColumn("ck2", expr(
+            s"""aggregate(transform(sequence(1, 68), i -> ${ckTerm("l2b", "i")}),
+               0, (a, x) -> a + x) % 10"""))
+          .withColumn("envelope", expr(
+            """concat('{"TLE_LINE0": "SAT-', CAST(p_partkey AS STRING),
+               '", "TLE_LINE1": "', l1b, CAST(ck1 AS STRING),
+               '", "TLE_LINE2": "', l2b, CAST(ck2 AS STRING), '"}')"""))
+        val lines = env.select(col("p_partkey").as("sat_key"),
+          expr("""regexp_extract(envelope, '"TLE_LINE1": "([^"]+)"', 1)""").as("l1"),
+          expr("""regexp_extract(envelope, '"TLE_LINE2": "([^"]+)"', 1)""").as("l2"))
+        lines
+          .withColumn("cksum1", expr(
+            s"""aggregate(transform(sequence(1, 68), i -> ${ckTerm("l1", "i")}),
+               0, (a, x) -> a + x) % 10"""))
+          .withColumn("cksum2", expr(
+            s"""aggregate(transform(sequence(1, 68), i -> ${ckTerm("l2", "i")}),
+               0, (a, x) -> a + x) % 10"""))
+          .select(col("sat_key"),
+            expr("CAST(substring(l2, 3, 5) AS BIGINT)").as("satnum"),
+            expr("2000 + CAST(substring(l1, 19, 2) AS BIGINT)").as("epoch_year"),
+            expr("""CAST(substring(l1, 21, 3) AS BIGINT)
+               + CAST(substring(l1, 25, 8) AS BIGINT)/100000000.0e0""").as("epoch_doy"),
+            expr(bstarParse).as("bstar"),
+            expr(s"${p4("l2", 9)}/10000.0e0").as("incl_deg"),
+            expr(s"${p4("l2", 18)}/10000.0e0").as("raan_deg"),
+            expr("CAST(substring(l2, 27, 7) AS BIGINT)/10000000.0e0").as("ecc"),
+            expr(s"${p4("l2", 35)}/10000.0e0").as("argp_deg"),
+            expr(s"${p4("l2", 44)}/10000.0e0").as("ma_deg"),
+            expr("""CAST(replace(trim(substring(l2, 53, 11)), '.', '') AS BIGINT)
+               /100000000.0e0""").as("mean_motion"),
+            expr("CAST(substring(l2, 64, 5) AS BIGINT)").as("rev"),
+            expr("""1440.0e0/(CAST(replace(trim(substring(l2, 53, 11)), '.', '')
+               AS BIGINT)/100000000.0e0)""").as("period_min"),
+            expr("cksum1 = CAST(substring(l1, 69, 1) AS INT)").as("ck1_ok"),
+            expr("cksum2 = CAST(substring(l2, 69, 1) AS INT)").as("ck2_ok"))
+          .orderBy(col("sat_key"))
+      },
+      oracle = Some({
+        import TleK._
+        val fieldSel = TleK.fields.map { case (n, ex) => s"$ex AS $n" }.mkString(",\n          ")
+        def ckList(c: String) =
+          s"CAST(list_sum(list_transform(generate_series(1, 68), i -> ${ckTerm(c, "i")})) AS INT) % 10"
+        s"""
+        WITH base AS (
+          SELECT p_partkey,
+          $fieldSel
+          FROM part),
+        built AS (SELECT p_partkey, $line1 AS l1b, $line2 AS l2b FROM base),
+        ck AS (SELECT *, ${ckList("l1b")} AS ck1, ${ckList("l2b")} AS ck2 FROM built),
+        env AS (
+          SELECT p_partkey, concat('{"TLE_LINE0": "SAT-', CAST(p_partkey AS STRING),
+                 '", "TLE_LINE1": "', l1b, CAST(ck1 AS STRING),
+                 '", "TLE_LINE2": "', l2b, CAST(ck2 AS STRING), '"}') AS envelope
+          FROM ck),
+        lines AS (
+          SELECT p_partkey AS sat_key,
+                 regexp_extract(envelope, '"TLE_LINE1": "([^"]+)"', 1) AS l1,
+                 regexp_extract(envelope, '"TLE_LINE2": "([^"]+)"', 1) AS l2
+          FROM env),
+        parsed AS (
+          SELECT *, ${ckList("l1")} AS cksum1, ${ckList("l2")} AS cksum2 FROM lines)
+        SELECT sat_key,
+               CAST(substring(l2, 3, 5) AS BIGINT) AS satnum,
+               2000 + CAST(substring(l1, 19, 2) AS BIGINT) AS epoch_year,
+               CAST(substring(l1, 21, 3) AS BIGINT)
+                 + CAST(substring(l1, 25, 8) AS BIGINT)/100000000.0e0 AS epoch_doy,
+               $bstarParse AS bstar,
+               ${p4("l2", 9)}/10000.0e0 AS incl_deg,
+               ${p4("l2", 18)}/10000.0e0 AS raan_deg,
+               CAST(substring(l2, 27, 7) AS BIGINT)/10000000.0e0 AS ecc,
+               ${p4("l2", 35)}/10000.0e0 AS argp_deg,
+               ${p4("l2", 44)}/10000.0e0 AS ma_deg,
+               CAST(replace(trim(substring(l2, 53, 11)), '.', '') AS BIGINT)
+                 /100000000.0e0 AS mean_motion,
+               CAST(substring(l2, 64, 5) AS BIGINT) AS rev,
+               1440.0e0/(CAST(replace(trim(substring(l2, 53, 11)), '.', '')
+                 AS BIGINT)/100000000.0e0) AS period_min,
+               (cksum1 = CAST(substring(l1, 69, 1) AS INT)) AS ck1_ok,
+               (cksum2 = CAST(substring(l2, 69, 1) AS INT)) AS ck2_ok
+        FROM parsed
+        ORDER BY sat_key"""
       })),
 
     // ----- geo_overpass_tiles: tile-id codec + track→tile radius query ---

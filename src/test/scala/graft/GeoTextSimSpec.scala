@@ -45,6 +45,26 @@ class GeoSpec extends SparkSpecBase {
       }
     }
   }
+  test("geo_tle_parse: checksums verify and elements round-trip the format") {
+    val df = run("geo_tle_parse").cache()
+    assert(df.count() > 0)
+    // every synthesized line passes its own mod-10 checksum
+    assert(df.filter(!col("ck1_ok") || !col("ck2_ok")).count() == 0)
+    // element ranges: inclination [0,180), angles [0,360), ecc [0,1)
+    assert(df.filter(col("incl_deg") < 0 || col("incl_deg") >= 180.0).count() == 0)
+    assert(df.filter(col("raan_deg") >= 360.0 || col("argp_deg") >= 360.0
+      || col("ma_deg") >= 360.0).count() == 0)
+    assert(df.filter(col("ecc") < 0.0 || col("ecc") >= 1.0).count() == 0)
+    // parsed elements reconstruct the synthesis formulas exactly
+    val bad = df.filter(
+      expr("CAST(round(incl_deg*10000) AS BIGINT) <> sat_key*137 % 1800000") ||
+        expr("CAST(round(ecc*10000000) AS BIGINT) <> sat_key*7919 % 10000000") ||
+        expr("satnum <> sat_key % 100000")).count()
+    assert(bad == 0)
+    // bstar decodes the implied-decimal drag field: |bstar| < 1
+    assert(df.filter(abs(col("bstar")) >= 1.0).count() == 0)
+  }
+
   test("geo_swath_width: scan geometry bounded by the ellipsoid") {
     val df = run("geo_swath_width").cache()
     assert(df.count() > 0)
