@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,6 +19,19 @@ import org.apache.spark.sql.types._
   * records out.
   */
 object Multimodal {
+
+  /** SSIM from the 16-sample tile's exact integer sums — one shared
+    * formula text for both engines. Standard stabilizers for 8-bit
+    * dynamic range: C1=(0.01·255)², C2=(0.03·255)².
+    */
+  private object SsimK {
+    val formula: String =
+      """((2.0e0*(sx/16.0e0)*(sy/16.0e0) + 6.5025e0)
+          * (2.0e0*(sxy/16.0e0 - (sx/16.0e0)*(sy/16.0e0)) + 58.5225e0))
+         / (((sx/16.0e0)*(sx/16.0e0) + (sy/16.0e0)*(sy/16.0e0) + 6.5025e0)
+            * ((sxx/16.0e0 - (sx/16.0e0)*(sx/16.0e0))
+               + (syy/16.0e0 - (sy/16.0e0)*(sy/16.0e0)) + 58.5225e0))"""
+  }
 
   private def blobs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
@@ -355,6 +368,110 @@ object Multimodal {
         JOIN stats sp ON sp.doc_id = p.prev_doc_id
         WHERE p.prev_doc_id IS NOT NULL
         ORDER BY p.doc_id""")),
+
+    // ----- mm_ssim: tiled structural similarity between frames -----------
+    // odin_image/src/lib.rs:234 gray_structure_compare (RMS/MSSIM
+    // algorithms of the image-compare crate): the camera-feed structural
+    // change detector. Per camera, consecutive frames pair via lag; per
+    // 16-byte tile, SSIM from exact integer sums (n, Σx, Σy, Σx², Σy²,
+    // Σxy) with the standard C1/C2 stabilizers; the per-pair mean SSIM
+    // quantizes each tile's score to 2^-20 fixed point BEFORE summing
+    // (Det.qsum discipline) so the rollup is order-free and
+    // hash-matches. Tile stats map-side combine; the pair join is a
+    // co-partitioned equi-join on (prev_doc, tile).
+    "mm_ssim" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents").filter(length(col("text")) >= 16)
+        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = frames.select(col("source"), col("doc_id"))
+          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+          .filter(col("prev_doc_id").isNotNull)
+        val tiles = frames
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"),
+            expr("ascii(substring(text, pos, 1))").as("b"))
+          .groupBy(col("doc_id"), col("tile_id"))
+          .agg(sum(col("b")).as("sx"),
+            sum((col("b") * col("b")).cast(LongType)).as("sxx"))
+        val cur = tiles
+        val prevT = frames
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"), col("pos"),
+            expr("ascii(substring(text, pos, 1))").as("b"))
+        // Σxy needs positional alignment: join per (doc-pair, tile, pos)
+        val curP = prevT.select(col("doc_id"), col("tile_id"), col("pos"), col("b"))
+        val prvP = prevT.select(col("doc_id").as("prev_doc_id"), col("tile_id"),
+          col("pos"), col("b").as("pb"))
+        val sxyT = pairs.join(curP, Seq("doc_id"))
+          .join(prvP, Seq("prev_doc_id", "tile_id", "pos"))
+          .groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"))
+          .agg(sum((col("b") * col("pb")).cast(LongType)).as("sxy"))
+        val prevStats = cur.select(col("doc_id").as("prev_doc_id"), col("tile_id"),
+          col("sx").as("sy"), col("sxx").as("syy"))
+        val perTile = sxyT
+          .join(cur, Seq("doc_id", "tile_id"))
+          .join(prevStats, Seq("prev_doc_id", "tile_id"))
+          .withColumn("ssim", expr(SsimK.formula))
+        perTile.groupBy(col("doc_id"), col("prev_doc_id"))
+          .agg(count(lit(1)).as("n_tiles"),
+            Det.qsum(col("ssim")).as("ssim_sum"),
+            min(col("ssim")).as("min_ssim"))
+          .select(col("doc_id"), col("prev_doc_id"), col("n_tiles"),
+            (col("ssim_sum") / col("n_tiles")).as("mean_ssim"),
+            round(col("min_ssim"), 6).as("min_ssim"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
+        pairs AS (
+          SELECT source, doc_id,
+                 lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_doc_id
+          FROM frames),
+        px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, CAST(floor(length(text)/16)*16 AS INT))) AS pos,
+                 text
+          FROM frames),
+        cells AS (
+          SELECT doc_id, CAST(floor((pos-1)/16) AS BIGINT) AS tile_id, pos,
+                 ascii(substr(text, CAST(pos AS INT), 1)) AS b
+          FROM px),
+        tiles AS (
+          SELECT doc_id, tile_id, CAST(SUM(b) AS BIGINT) AS sx,
+                 CAST(SUM(b*b) AS BIGINT) AS sxx
+          FROM cells GROUP BY 1, 2),
+        sxy AS (
+          SELECT p.doc_id, p.prev_doc_id, c.tile_id,
+                 CAST(SUM(c.b * pv.b) AS BIGINT) AS sxy
+          FROM pairs p
+          JOIN cells c ON c.doc_id = p.doc_id
+          JOIN cells pv ON pv.doc_id = p.prev_doc_id
+            AND pv.tile_id = c.tile_id AND pv.pos = c.pos
+          WHERE p.prev_doc_id IS NOT NULL
+          GROUP BY 1, 2, 3),
+        per_tile0 AS (
+          SELECT s.doc_id, s.prev_doc_id, s.tile_id, s.sxy,
+                 c.sx AS sx, c.sxx AS sxx, pv.sx AS sy, pv.sxx AS syy
+          FROM sxy s
+          JOIN tiles c ON c.doc_id = s.doc_id AND c.tile_id = s.tile_id
+          JOIN tiles pv ON pv.doc_id = s.prev_doc_id AND pv.tile_id = s.tile_id),
+        per_tile AS (SELECT *, ${SsimK.formula} AS ssim FROM per_tile0)
+        SELECT doc_id, prev_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tiles,
+               ${Det.QSUM("ssim")} / COUNT(*) AS mean_ssim,
+               round(MIN(ssim), 6) AS min_ssim
+        FROM per_tile
+        GROUP BY doc_id, prev_doc_id
+        ORDER BY doc_id""")),
 
     // ----- mm_contrast_stretch: percentile contrast bounds ---------------
     // odin_image/src/lib.rs:1171 upper_percentile_bounds /:1179

@@ -102,6 +102,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r == 1.0)
   }
 
+  test("mm_ssim: identical tiles score 1; scores bounded") {
+    val df = run("mm_ssim").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("mean_ssim") > 1.0 + 1e-9).count() == 0)
+    assert(df.filter(col("min_ssim") > 1.0 + 1e-9).count() == 0)
+    // SSIM of a tile against itself is exactly 1 by the formula
+    val one = spark.sql(
+      """SELECT ((2.0e0*(sx/16.0e0)*(sy/16.0e0) + 6.5025e0)
+            * (2.0e0*(sxy/16.0e0 - (sx/16.0e0)*(sy/16.0e0)) + 58.5225e0))
+           / (((sx/16.0e0)*(sx/16.0e0) + (sy/16.0e0)*(sy/16.0e0) + 6.5025e0)
+              * ((sxx/16.0e0 - (sx/16.0e0)*(sx/16.0e0))
+                 + (syy/16.0e0 - (sy/16.0e0)*(sy/16.0e0)) + 58.5225e0)) AS s
+         FROM (SELECT 1600L AS sx, 1600L AS sy, 164000L AS sxx,
+                      164000L AS syy, 164000L AS sxy)""").head.getDouble(0)
+    assert(one == 1.0)
+  }
+
   test("mm_feature_extract decode survives a corrupt payload (flagged, not thrown)") {
     import graft.functions.ImageCodec
     assert(ImageCodec.decode(Array[Byte](1, 2, 3, 4)) == null)
