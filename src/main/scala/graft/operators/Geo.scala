@@ -509,6 +509,20 @@ object Geo {
       s"floor((xz0*CAST(dnl0 - 1 AS DOUBLE) - xz1*CAST(dnl0 AS DOUBLE))/$P17 + 0.5e0)"
     val RLONR = s"(360.0e0/ni)*(${MOD("m", "CAST(ni AS DOUBLE)")} + xz0/$P17)"
     val RLON = "CASE WHEN rlonr >= 180.0e0 THEN rlonr - 360.0e0 ELSE rlonr END"
+    // ---- local (single-frame vs reference) decode fragments ----
+    val LJ = s"(floor(ref_lat/6.0e0) + floor(0.5e0 + ${MOD("ref_lat", "6.0e0")}/6.0e0 - yz0/$P17))"
+    val LRLAT = s"(6.0e0*(jl + yz0/$P17))"
+    val LM =
+      s"(floor(ref_lon/(360.0e0/ni)) + floor(0.5e0 + ${MOD("ref_lon", "(360.0e0/ni)")}/(360.0e0/ni) - xz0/$P17))"
+    val LRLON = s"((360.0e0/ni)*(ml + xz0/$P17))"
+    val LATERRL = "CAST(round(abs(rlat - tlat)*1000000.0e0) AS BIGINT)"
+    val LONERRL =
+      s"CAST(round(abs(${MOD("rlon - tlon + 180.0e0", "360.0e0")} - 180.0e0)*1000000.0e0) AS BIGINT)"
+    // structural validity: reference within a half zone of truth (and for
+    // longitude, the decoder's zone count agreeing with the encoder's)
+    val INLAT = "(abs(tlat - ref_lat) < 3.0e0)"
+    val INLON =
+      s"((abs(${MOD("tlon - ref_lon + 180.0e0", "360.0e0")} - 180.0e0) < (360.0e0/ni)/2.0e0) AND nl0 = dnl)"
     val NLOUT = "CASE WHEN zone_ok THEN dnl0 ELSE -1 END"
     val LONOUT = "CASE WHEN zone_ok THEN round(rlon, 6) ELSE -999.0e0 END"
     val LATERR = "CAST(round(abs(rlat0 - tlat)*1000000.0e0) AS BIGINT)"
@@ -1041,6 +1055,76 @@ object Geo {
                (cksum2 = CAST(substring(l2, 69, 1) AS INT)) AS ck2_ok
         FROM parsed
         ORDER BY sat_key"""
+      })),
+
+    // ----- geo_cpr_local: single-frame CPR decode vs last known fix ------
+    // The second half of the CPR algorithm (Doc 9871 §C.2.6.7, the path
+    // odin_adsb's decoder takes after a first global fix): one even frame
+    // plus a reference position decode locally by picking the zone index
+    // nearest the reference. The reference here is the aircraft's
+    // previous fix (lag over the track — exactly the state a live
+    // decoder holds). Local decode is structurally valid only within a
+    // half zone of the reference; the emitted in-zone flags make that
+    // boundary first-class, and the spec asserts decode error is at
+    // quantization level exactly when the flags hold. Per-entity lag is
+    // the only shuffle besides the output ORDER BY.
+    "geo_cpr_local" -> Q(
+      build = (s, d) => {
+        import CprK._
+        val t = evPts(s, d)
+          .withColumn("ref_lat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("ref_lon", lag(col("lon"), 1).over(wTrack))
+          .filter(col("ref_lat").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            col("lat").as("tlat"), col("lon").as("tlon"),
+            col("ref_lat"), col("ref_lon"))
+        t.withColumn("yz0", expr(yz(0)))
+          .withColumn("nl0", expr(NL(rlatEnc(0))))
+          .withColumn("xz0", expr(xz(0)))
+          .withColumn("jl", expr(LJ))
+          .withColumn("rlat", expr(LRLAT))
+          .withColumn("dnl", expr(NL("rlat")))
+          .withColumn("ni", expr("greatest(dnl, 1)"))
+          .withColumn("ml", expr(LM))
+          .withColumn("rlon", expr(LRLON))
+          .select(col("user_id"), col("event_id"), col("yz0"), col("xz0"),
+            expr("round(rlat, 6)").as("lat_dec"),
+            expr("round(rlon, 6)").as("lon_dec"),
+            expr(LATERRL).as("lat_err_udeg"),
+            expr(LONERRL).as("lon_err_udeg"),
+            expr(INLAT).as("in_lat_zone"),
+            expr(INLON).as("in_lon_zone"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some({
+        import CprK._
+        s"""
+        WITH pts AS (
+          SELECT user_id, event_id, $LAT AS tlat, $LON AS tlon,
+                 lag($LAT) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS ref_lat,
+                 lag($LON) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS ref_lon
+          FROM events),
+        t AS (SELECT * FROM pts WHERE ref_lat IS NOT NULL),
+        e1 AS (SELECT *, ${yz(0)} AS yz0 FROM t),
+        e2 AS (SELECT *, ${NL(rlatEnc(0))} AS nl0 FROM e1),
+        e3 AS (SELECT *, ${xz(0)} AS xz0 FROM e2),
+        d1 AS (SELECT *, $LJ AS jl FROM e3),
+        d2 AS (SELECT *, $LRLAT AS rlat FROM d1),
+        d3 AS (SELECT *, ${NL("rlat")} AS dnl FROM d2),
+        d4 AS (SELECT *, greatest(dnl, 1) AS ni FROM d3),
+        d5 AS (SELECT *, $LM AS ml FROM d4),
+        d6 AS (SELECT *, $LRLON AS rlon FROM d5)
+        SELECT user_id, event_id, yz0, xz0,
+               round(rlat, 6) AS lat_dec,
+               round(rlon, 6) AS lon_dec,
+               $LATERRL AS lat_err_udeg,
+               $LONERRL AS lon_err_udeg,
+               $INLAT AS in_lat_zone,
+               $INLON AS in_lon_zone
+        FROM d6
+        ORDER BY user_id, event_id"""
       })),
 
     // ----- geo_overpass_tiles: tile-id codec + track→tile radius query ---

@@ -40,6 +40,22 @@ class CprSpec extends SparkSpecBase {
     assert(lonBad == 0)
   }
 
+  test("geo_cpr_local: decode exact whenever the reference is in zone") {
+    val df = run("geo_cpr_local").cache()
+    assert(df.count() > 0)
+    // latitude: in-half-zone reference ⇒ quantization-level error
+    assert(df.filter(col("in_lat_zone") && col("lat_err_udeg") > 24).count() == 0)
+    // longitude: needs both the half-zone reference and NL agreement
+    assert(df.filter(col("in_lat_zone") && col("in_lon_zone")
+      && col("lon_err_udeg") > 80).count() == 0)
+    // the ambiguity boundary is real: out-of-zone references must exist in
+    // this data (longitude jumps between consecutive events) and their
+    // errors are whole zone widths, not quantization noise
+    val out = df.filter(!col("in_lon_zone"))
+    assert(out.count() > 0)
+    assert(out.filter(col("lon_err_udeg") > 100000).count() > 0)
+  }
+
   test("CPR zone transitions: pairs straddling an NL boundary reject, not mis-fix") {
     // closed-form transition latitude for zone count NL (Doc 9871):
     // lat_t = acos(sqrt((1 - cos(pi/(2*NZ))) / (1 - cos(2*pi/NL))))
