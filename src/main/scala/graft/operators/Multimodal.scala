@@ -309,14 +309,25 @@ object Multimodal {
           .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cnt")).as("sxx"))
         val ph = hist.select(col("doc_id").as("prev_doc_id"), col("b"),
           col("cnt").as("pcnt"))
+        // chi² and Hellinger need only the common bins plus marginals:
+        // bins exclusive to one histogram contribute their full count to
+        // chi² ((x-0)²/x = x) and x to the Hellinger square sum, so
+        // chi² = Σ_common[(x-y)²/(x+y) - x - y] + n_cur + n_prev and
+        // H² = (n_cur + n_prev - 2Σ_common√(xy)) — no 256-row densify.
+        // The rational/irrational per-bin terms quantize to 2^-20 fixed
+        // point before summing (qsum) so the rollup stays order-free.
         val cross = pairs.join(hist, Seq("doc_id"))
           .join(ph, Seq("prev_doc_id", "b"))
           .groupBy(col("doc_id"), col("prev_doc_id"))
           .agg(sum(col("cnt") * col("pcnt")).as("sxy"),
-            sum(least(col("cnt"), col("pcnt"))).as("smin"))
+            sum(least(col("cnt"), col("pcnt"))).as("smin"),
+            Det.qsum(expr("""(CAST(cnt - pcnt AS DOUBLE)*CAST(cnt - pcnt AS DOUBLE))
+              /CAST(cnt + pcnt AS DOUBLE) - cnt - pcnt""")).as("chi_common"),
+            Det.qsum(expr("sqrt(CAST(cnt AS DOUBLE)*CAST(pcnt AS DOUBLE))"))
+              .as("sqxy"))
         pairs
           .join(cross, Seq("doc_id", "prev_doc_id"), "left")
-          .na.fill(0L, Seq("sxy", "smin"))
+          .na.fill(0L, Seq("sxy", "smin")).na.fill(0.0, Seq("chi_common", "sqxy"))
           .join(stats, Seq("doc_id"))
           .join(stats.select(col("doc_id").as("prev_doc_id"),
             col("n").as("np"), col("sxx").as("sxxp")), Seq("prev_doc_id"))
@@ -326,10 +337,16 @@ object Multimodal {
             expr("""CASE WHEN 256*sxx - n*n > 0 AND 256*sxxp - np*np > 0
                THEN CAST(256*sxy - n*np AS DOUBLE)
                  / sqrt(CAST(256*sxx - n*n AS DOUBLE)*CAST(256*sxxp - np*np AS DOUBLE))
-               ELSE 0.0e0 END""").as("corr"))
+               ELSE 0.0e0 END""").as("corr"),
+            expr("round(chi_common + n + np, 6)").as("chi2"),
+            expr("round(n + np - 2.0e0*sqxy, 6)").as("hellinger_sq"))
           .orderBy(col("doc_id"))
       },
-      oracle = Some("""
+      oracle = Some({
+        val chiTerm = "(CAST(h.cnt - ph.cnt AS DOUBLE)*CAST(h.cnt - ph.cnt AS DOUBLE))" +
+          "/CAST(h.cnt + ph.cnt AS DOUBLE) - h.cnt - ph.cnt"
+        val sqTerm = "sqrt(CAST(h.cnt AS DOUBLE)*CAST(ph.cnt AS DOUBLE))"
+        s"""
         WITH frames AS (
           SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
         pairs AS (
@@ -350,7 +367,9 @@ object Multimodal {
         cross_t AS (
           SELECT p.doc_id, p.prev_doc_id,
                  CAST(SUM(h.cnt*ph.cnt) AS BIGINT) AS sxy,
-                 CAST(SUM(least(h.cnt, ph.cnt)) AS BIGINT) AS smin
+                 CAST(SUM(least(h.cnt, ph.cnt)) AS BIGINT) AS smin,
+                 ${Det.QSUM(chiTerm)} AS chi_common,
+                 ${Det.QSUM(sqTerm)} AS sqxy
           FROM pairs p
           JOIN hist h ON h.doc_id = p.doc_id
           JOIN hist ph ON ph.doc_id = p.prev_doc_id AND ph.b = h.b
@@ -361,13 +380,16 @@ object Multimodal {
                     THEN CAST(256*COALESCE(c.sxy, 0) - s.n*sp.n AS DOUBLE)
                       / sqrt(CAST(256*s.sxx - s.n*s.n AS DOUBLE)
                              *CAST(256*sp.sxx - sp.n*sp.n AS DOUBLE))
-                    ELSE 0.0e0 END AS corr
+                    ELSE 0.0e0 END AS corr,
+               round(COALESCE(c.chi_common, 0.0e0) + s.n + sp.n, 6) AS chi2,
+               round(s.n + sp.n - 2.0e0*COALESCE(c.sqxy, 0.0e0), 6) AS hellinger_sq
         FROM pairs p
         LEFT JOIN cross_t c ON c.doc_id = p.doc_id AND c.prev_doc_id = p.prev_doc_id
         JOIN stats s ON s.doc_id = p.doc_id
         JOIN stats sp ON sp.doc_id = p.prev_doc_id
         WHERE p.prev_doc_id IS NOT NULL
-        ORDER BY p.doc_id""")),
+        ORDER BY p.doc_id"""
+      })),
 
     // ----- mm_ssim: tiled structural similarity between frames -----------
     // odin_image/src/lib.rs:234 gray_structure_compare (RMS/MSSIM
