@@ -679,6 +679,109 @@ object Relational {
                       WHERE dim.s_suppkey = f.l_suppkey
                         AND dim.ver_day <= f.fact_day
                       ORDER BY ver_day DESC LIMIT 1) d ON TRUE
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- q30_nation_flows: nation-pair trade volume (TPC-H Q7 shape) ---
+    // Revenue flowing supplier-nation → customer-nation per ship year,
+    // cross-border only. Two broadcast nation lookups on either side of
+    // the fact chain; revenue in exact DECIMAL.
+    "q30_nation_flows" -> Q(
+      build = (s, d) =>
+        sup(s, d)
+          .join(broadcast(nat(s, d)).select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation")), col("s_nationkey") === col("sk"))
+          .join(li(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat(s, d)).select(col("n_nationkey").as("ck"),
+            col("n_name").as("cust_nation")), col("c_nationkey") === col("ck"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year")),
+      oracle = Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM supplier, nation sn, lineitem, orders, customer, nation cn
+        WHERE s_nationkey = sn.n_nationkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = cn.n_nationkey AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ----- q31_market_share: one nation's share per year (Q8 shape) ------
+    // NATION_3's share of supplier revenue into ASIA customers, per order
+    // year. The conditional numerator stays in exact DECIMAL (the CASE
+    // zeroes extendedprice BEFORE the cast), one double division at the
+    // end.
+    "q31_market_share" -> Q(
+      build = (s, d) =>
+        reg(s, d).filter(col("r_name") === "ASIA")
+          .join(broadcast(nat(s, d)).select(col("n_regionkey").as("crk"),
+            col("n_nationkey").as("ck")), col("r_regionkey") === col("crk"))
+          .join(cust(s, d), col("ck") === col("c_nationkey"))
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+          .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(sup(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, d)).select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation")), col("s_nationkey") === col("sk"))
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg(
+            sum(decP(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice")).otherwise(lit(0.0)))
+              * decR(lit(1.0) - col("l_discount"))).cast(DoubleType).as("nation_rev"),
+            sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+              .cast(DoubleType).as("total_rev"))
+          .select(col("o_year"), col("nation_rev"), col("total_rev"),
+            (col("nation_rev") / col("total_rev")).as("mkt_share"))
+          .orderBy(col("o_year")),
+      oracle = Some("""
+        WITH agg AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN l_extendedprice ELSE 0 END AS DECIMAL(12,2))
+                   * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS nation_rev,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_rev
+          FROM region, nation cn, customer, orders, lineitem, supplier, nation sn
+          WHERE r_name = 'ASIA' AND r_regionkey = cn.n_regionkey
+            AND cn.n_nationkey = c_nationkey AND c_custkey = o_custkey
+            AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+            AND s_nationkey = sn.n_nationkey
+          GROUP BY 1)
+        SELECT o_year, nation_rev, total_rev, nation_rev/total_rev AS mkt_share
+        FROM agg ORDER BY o_year""")),
+
+    // ----- q32_product_profit: profit by nation and year (Q9 shape) ------
+    // Revenue minus a retail-price-proportional cost term for a part
+    // subset, rolled up by supplier nation and ship year. Both sums stay
+    // exact DECIMAL; the cost scale-down and subtraction happen once in
+    // doubles.
+    "q32_product_profit" -> Q(
+      build = (s, d) =>
+        pt(s, d).filter(col("p_size") % 5 === 0)
+          .join(li(s, d), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg((sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType)
+            - sum(decP(col("p_retailprice")) * decP(col("l_quantity")))
+              .cast(DoubleType) / lit(100.0)).as("profit"))
+          .orderBy(col("nation"), col("l_year")),
+      oracle = Some("""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/100.0 AS profit
+        FROM part, lineitem, supplier, nation
+        WHERE p_size % 5 = 0 AND p_partkey = l_partkey
+          AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
