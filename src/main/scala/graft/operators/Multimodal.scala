@@ -391,6 +391,64 @@ object Multimodal {
         ORDER BY p.doc_id"""
       })),
 
+    // ----- mm_mask_ops: tile-mask algebra per payload --------------------
+    // odin_image/src/mask.rs: boolean masks gate which tiles the image
+    // pipeline touches (is_masked at lib.rs:411), and masks compose via
+    // union (:173) / intersection (:186). Re-expressed per payload: two
+    // derived masks over the byte stream (brightness-style and
+    // gray-band-style predicates), one pass of conditional counts —
+    // union/intersection/xor cardinalities by inclusion-exclusion, the
+    // Jaccard overlap, and per-mask coverage. Map-side combinable single
+    // aggregation; no second explode.
+    "mm_mask_ops" -> Q(
+      build = (s, d) => {
+        val bits = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+          .select(col("doc_id"),
+            expr("ascii(substring(text, pos, 1)) > 109").as("a"),
+            expr("ascii(substring(text, pos, 1)) BETWEEN 97 AND 122").as("b"))
+        bits.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bits"),
+            sum(when(col("a"), 1L).otherwise(0L)).as("a_count"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("b_count"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("inter_count"))
+          .select(col("doc_id"), col("n_bits"), col("a_count"), col("b_count"),
+            col("inter_count"),
+            (col("a_count") + col("b_count") - col("inter_count")).as("union_count"),
+            (col("a_count") + col("b_count") - lit(2L) * col("inter_count")).as("xor_count"),
+            expr("""CASE WHEN a_count + b_count - inter_count > 0
+               THEN round(CAST(inter_count AS DOUBLE)
+                 /CAST(a_count + b_count - inter_count AS DOUBLE), 6)
+               ELSE 1.0e0 END""").as("jaccard"),
+            expr("round(CAST(a_count AS DOUBLE)/CAST(n_bits AS DOUBLE), 6)").as("coverage_a"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM documents WHERE length(text) >= 16),
+        bits AS (
+          SELECT doc_id, ascii(substr(text, pos, 1)) > 109 AS a,
+                 ascii(substr(text, pos, 1)) BETWEEN 97 AND 122 AS b
+          FROM px),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+                 CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_count,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+                 CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS inter_count
+          FROM bits GROUP BY 1)
+        SELECT doc_id, n_bits, a_count, b_count, inter_count,
+               a_count + b_count - inter_count AS union_count,
+               a_count + b_count - 2*inter_count AS xor_count,
+               CASE WHEN a_count + b_count - inter_count > 0
+                    THEN round(CAST(inter_count AS DOUBLE)
+                      /CAST(a_count + b_count - inter_count AS DOUBLE), 6)
+                    ELSE 1.0e0 END AS jaccard,
+               round(CAST(a_count AS DOUBLE)/CAST(n_bits AS DOUBLE), 6) AS coverage_a
+        FROM agg ORDER BY doc_id""")),
+
     // ----- mm_ssim: tiled structural similarity between frames -----------
     // odin_image/src/lib.rs:234 gray_structure_compare (RMS/MSSIM
     // algorithms of the image-compare crate): the camera-feed structural
