@@ -1681,6 +1681,68 @@ object Geo {
         FROM cov WHERE rn = 1
         ORDER BY user_id, event_id""")),
 
+    // ----- geo_turn_rate: normalized turn angle per track segment --------
+    // odin_common/src/angle.rs:28 normalize_180 applied to the change of
+    // consecutive segment bearings (bearing_from at geo.rs:102) — the
+    // track-QC turn metric an aircraft display derives per update. Both
+    // bearings are rounded to 3 decimals BEFORE the difference (§5: the
+    // rounded values are the cross-engine-stable quantities, so their
+    // difference and the (-180, 180] normalization are exact), then the
+    // turn rate divides by the segment duration. Two consecutive lag
+    // windows share one per-entity shuffle.
+    "geo_turn_rate" -> Q(
+      build = (s, d) => {
+        val seg = evPts(s, d)
+          .withColumn("plat", lag(col("lat"), 1).over(wTrack))
+          .withColumn("plon", lag(col("lon"), 1).over(wTrack))
+          .withColumn("pts", lag(col("ts_sec"), 1).over(wTrack))
+          .filter(col("plat").isNotNull)
+          .withColumn("brg",
+            round(bearC(col("plat"), col("plon"), col("lat"), col("lon")), 3))
+        seg
+          .withColumn("pbrg", lag(col("brg"), 1).over(wTrack))
+          .filter(col("pbrg").isNotNull && col("ts_sec") > col("pts"))
+          .select(col("user_id"), col("event_id"),
+            col("brg").as("bearing_deg"),
+            // normalize_180: wrap the bearing change into (-180, 180]
+            expr("brg - pbrg - 360.0e0*floor((brg - pbrg + 180.0e0)/360.0e0)")
+              .as("turn_deg"),
+            (col("ts_sec") - col("pts")).as("dt_sec"))
+          .withColumn("turn_rate_dps",
+            expr("round(turn_deg/CAST(dt_sec AS DOUBLE), 6) + 0.0e0")) // +0.0 folds -0.0 (signed-zero drift)
+          .withColumn("sharp", abs(col("turn_deg")) > 90.0)
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, event_id, $LAT AS lat, $LON AS lon,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events),
+        lagged AS (
+          SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                 lag(ts_sec) OVER w AS pts
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        seg AS (
+          SELECT user_id, event_id, ts_sec, pts,
+                 round(${bearS("plat", "plon", "lat", "lon")}, 3) AS brg
+          FROM lagged WHERE plat IS NOT NULL),
+        turns AS (
+          SELECT user_id, event_id, ts_sec, pts, brg,
+                 lag(brg) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS pbrg
+          FROM seg)
+        SELECT user_id, event_id, brg AS bearing_deg,
+               brg - pbrg - 360.0e0*floor((brg - pbrg + 180.0e0)/360.0e0) AS turn_deg,
+               ts_sec - pts AS dt_sec,
+               round((brg - pbrg - 360.0e0*floor((brg - pbrg + 180.0e0)/360.0e0))
+                 /CAST(ts_sec - pts AS DOUBLE), 6) + 0.0e0 AS turn_rate_dps,
+               abs(brg - pbrg - 360.0e0*floor((brg - pbrg + 180.0e0)/360.0e0))
+                 > 90.0e0 AS sharp
+        FROM turns
+        WHERE pbrg IS NOT NULL AND ts_sec > pts
+        ORDER BY user_id, event_id""")),
+
     // ----- geo_geojson: GeoJSON FeatureCollection ingest -----------------
     // odin_geolayer/src/lib.rs: GeoJSON text in, typed vertex rows out.
     // Per nation, a FeatureCollection is assembled (a Point + a pentagon
