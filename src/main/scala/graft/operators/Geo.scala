@@ -71,6 +71,36 @@ object Geo {
   private val SLAT = "CAST(s_suppkey*53 % 140 - 70 AS DOUBLE)"
   private val SLON = "CAST(s_suppkey*97 % 360 - 180 AS DOUBLE)"
 
+  /** Shared formula text for the shoelace centroid of each station's
+    * irregular pentagon (odin_bushfire/src/lib.rs:220 get_centroid via
+    * the geo crate's area-weighted Centroid). One string, both engines:
+    * Spark parses it with `expr`, the DuckDB oracle embeds it verbatim,
+    * and since it is pure +,-,*,/ over rational inputs the doubles are
+    * bit-identical with no quantization needed. The per-vertex radial
+    * scale (1 + (s_suppkey+k)%7 / 10) keeps the polygon irregular but
+    * star-shaped (simple, non-degenerate) for every station.
+    */
+  private object CentroidK {
+    private val dx = Seq(0.0, 0.38, 0.24, -0.24, -0.38)
+    private val dy = Seq(0.4, 0.1, -0.3, -0.3, 0.1)
+    private def w(k: Int) =
+      s"(1.0e0 + CAST((s_suppkey + $k) % 7 AS DOUBLE)/10.0e0)"
+    private def x(k: Int) = s"(s_lon + ${dx(k)}e0*${w(k)})"
+    private def y(k: Int) = s"(s_lat + ${dy(k)}e0*${w(k)})"
+    private def cross(k: Int): String = {
+      val k2 = (k + 1) % 5
+      s"(${x(k)}*${y(k2)} - ${x(k2)}*${y(k)})"
+    }
+    private val a2 = (0 until 5).map(cross).mkString("(", " + ", ")")
+    val lonF: String =
+      (0 until 5).map(k => s"((${x(k)} + ${x((k + 1) % 5)})*${cross(k)})")
+        .mkString("(", " + ", ")") + s" / (3.0e0*$a2)"
+    val latF: String =
+      (0 until 5).map(k => s"((${y(k)} + ${y((k + 1) % 5)})*${cross(k)})")
+        .mkString("(", " + ", ")") + s" / (3.0e0*$a2)"
+    val areaF: String = s"abs($a2) / 2.0e0"
+  }
+
   private val wTrack = Window.partitionBy(col("user_id"))
     .orderBy(col("ts_sec"), col("event_id"))
 
@@ -1857,6 +1887,70 @@ object Geo {
                  AS poly_area_km2,
                round(pi() * r_km * r_km, 3) AS circle_area_km2
         FROM q ORDER BY s_suppkey""")),
+
+    // ----- geo_polygon_centroid: planar shoelace centroid ----------------
+    // odin_bushfire/src/lib.rs:220 get_centroid: every bushfire perimeter
+    // feature gets the area-weighted (shoelace) centroid of its polygon
+    // via the geo crate's Centroid. Re-expressed as shared-formula column
+    // math over each station's irregular pentagon (per-vertex radial
+    // scale derived from the station key, so the shoelace is
+    // non-trivial): the IDENTICAL formula text evaluates on both engines,
+    // and it is pure +,-,*,/ on rational inputs — IEEE-deterministic, no
+    // trig hazard — so the raw doubles hash-match unrounded. Scale shape:
+    // a narrow per-row map over the scan, no shuffle.
+    "geo_polygon_centroid" -> Q(
+      build = (s, d) =>
+        stations(s, d).select(col("s_suppkey"),
+          expr(CentroidK.lonF).as("centroid_lon"),
+          expr(CentroidK.latF).as("centroid_lat"),
+          expr(CentroidK.areaF).as("area_deg2"))
+          .orderBy(col("s_suppkey")),
+      oracle = Some(s"""
+        WITH st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier)
+        SELECT s_suppkey, ${CentroidK.lonF} AS centroid_lon,
+               ${CentroidK.latF} AS centroid_lat,
+               ${CentroidK.areaF} AS area_deg2
+        FROM st ORDER BY s_suppkey""")),
+
+    // ----- geo_multipoly_centroid: MultiPolygon area-weighted merge ------
+    // odin_bushfire/src/lib.rs:227: a MultiPolygon's centroid is the
+    // area-weighted combination of its parts' centroids. Parts here are
+    // the per-station pentagons grouped per nation; each part emits
+    // fixed-point (centroid·area, area) terms — floor at 2^-20 makes the
+    // per-nation SUM integer-exact and order-free — and the merged
+    // centroid is one integer-ratio division at the end. Scale shape:
+    // map-side-combinable partial aggregation keyed on the group; this is
+    // exactly how a perimeter-set centroid merge distributes at 100 TB
+    // (no part list ever materializes on one node).
+    "geo_multipoly_centroid" -> Q(
+      build = (s, d) =>
+        Tables.t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),
+          (col("s_suppkey") * 53 % 140 - 70).cast(DoubleType).as("s_lat"),
+          (col("s_suppkey") * 97 % 360 - 180).cast(DoubleType).as("s_lon"))
+          .select(col("s_nationkey"),
+            expr(s"CAST(FLOOR((${CentroidK.lonF}) * (${CentroidK.areaF}) * 1048576.0e0) AS BIGINT)").as("qwx"),
+            expr(s"CAST(FLOOR((${CentroidK.latF}) * (${CentroidK.areaF}) * 1048576.0e0) AS BIGINT)").as("qwy"),
+            expr(s"CAST(FLOOR((${CentroidK.areaF}) * 1048576.0e0) AS BIGINT)").as("qa"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("qwx")).cast(DoubleType) / sum(col("qa")).cast(DoubleType)).as("centroid_lon"),
+            (sum(col("qwy")).cast(DoubleType) / sum(col("qa")).cast(DoubleType)).as("centroid_lat"),
+            (sum(col("qa")).cast(DoubleType) / lit(1048576.0)).as("area_deg2"))
+          .orderBy(col("s_nationkey")),
+      oracle = Some(s"""
+        WITH st AS (SELECT s_suppkey, s_nationkey, $SLAT AS s_lat, $SLON AS s_lon
+                    FROM supplier),
+        parts AS (
+          SELECT s_nationkey,
+                 CAST(FLOOR((${CentroidK.lonF}) * (${CentroidK.areaF}) * 1048576.0e0) AS BIGINT) AS qwx,
+                 CAST(FLOOR((${CentroidK.latF}) * (${CentroidK.areaF}) * 1048576.0e0) AS BIGINT) AS qwy,
+                 CAST(FLOOR((${CentroidK.areaF}) * 1048576.0e0) AS BIGINT) AS qa
+          FROM st)
+        SELECT s_nationkey, COUNT(*) AS n_parts,
+               CAST(SUM(qwx) AS DOUBLE)/CAST(SUM(qa) AS DOUBLE) AS centroid_lon,
+               CAST(SUM(qwy) AS DOUBLE)/CAST(SUM(qa) AS DOUBLE) AS centroid_lat,
+               CAST(SUM(qa) AS DOUBLE)/1048576.0e0 AS area_deg2
+        FROM parts GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // ----- geo_grid_stencil: raster slope/aspect (DEM gradient) ----------
     // The stencil computation odin_dem/odin_wind run on elevation/wind

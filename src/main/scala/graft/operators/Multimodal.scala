@@ -37,6 +37,64 @@ object Multimodal {
     Tables.t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
 
+  /** Exact round-trip double literal for DuckDB (e-notation so the parser
+    * types it DOUBLE, not DECIMAL — see geo_geodesic's oracle note).
+    * Double.toString round-trips bit-exactly, so no rounding step is
+    * needed anywhere in the image-feature oracle chain.
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+
+  /** The decode→featurize chain evaluated once per doc_id residue class.
+    * syntheticImage's channels are (doc_id * k + …) % 256 — periodic in
+    * doc_id % 256 — and the width is periodic in doc_id % 3, so every
+    * output of mm_feature_extract / mm_batch_infer repeats with period
+    * lcm(256, 3) = 768. Runs the SAME ImageCodec path the executors run
+    * (identical JVM ⇒ identical PNG bytes and feature doubles).
+    */
+  private lazy val featureLutLocal: IndexedSeq[(Int, Int, Array[Double])] = {
+    import graft.functions.ImageCodec
+    (0 until 768).map { m =>
+      val png = ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))
+      val img = ImageCodec.decode(png)
+      (m, png.length, ImageCodec.features(img))
+    }
+  }
+
+  private lazy val featureExtractOracle: String = {
+    val rows = featureLutLocal.map { case (m, len, f) =>
+      s"($m,$len,${f.map(dlit).mkString(",")})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, png_bytes, f0, f1, f2, f3, f4, f5, f6, f7)
+          AS (VALUES $rows)
+        SELECT d.doc_id, l.png_bytes, TRUE AS decoded,
+               l.f0, l.f1, l.f2, l.f3, l.f4, l.f5, l.f6, l.f7
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
+  private lazy val batchInferOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = featureLutLocal.map { case (m, _, f) =>
+      val lg = ImageCodec.stubLogits(f)
+      s"($m,${lg.map(dlit).mkString(",")},${lg.indexOf(lg.max)})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, logit0, logit1, logit2, logit3, pred_class)
+          AS (VALUES $rows),
+        b AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id // 32) AS INT) AS batch_n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 32 ORDER BY doc_id) - 1 AS INT) AS batch_pos
+          FROM documents)
+        SELECT b.doc_id, b.batch_n, b.batch_pos,
+               l.logit0, l.logit1, l.logit2, l.logit3, l.pred_class
+        FROM b JOIN lut l ON b.doc_id % 768 = l.mod_id
+        ORDER BY b.doc_id"""
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- mm_blob_meta: typed metadata over binary payloads -------------
@@ -139,6 +197,14 @@ object Multimodal {
     // inference. mapPartitions keeps the encode/decode batched per
     // executor partition (the shape a native codec session needs); the
     // features are flat schema-stable scalar columns.
+    //
+    // Oracle: the synthetic pixel pattern depends on doc_id only through
+    // doc_id % 256 (per-channel multiplies mod 256) and the width through
+    // doc_id % 3, so the whole decode→featurize chain has period
+    // lcm(256,3) = 768. featureLut() runs the SAME JVM codec path for
+    // each residue and emits the raw doubles as exact e-notation
+    // literals (Double.toString round-trips), giving a bitwise
+    // hash-checkable DuckDB oracle — the geo_overpass VALUES technique.
     "mm_feature_extract" -> Q(
       build = (s, d) => {
         val spark = s
@@ -156,60 +222,57 @@ object Multimodal {
             }
           }.toDF("doc_id", "png_bytes", "decoded", "features")
           .select(col("doc_id") +: col("png_bytes") +: col("decoded") +:
-            (0 until 8).map(k => round(col("features")(k), 6).as(s"f$k")): _*)
+            (0 until 8).map(k => col("features")(k).as(s"f$k")): _*)
           .orderBy(col("doc_id"))
       },
-      oracle = None),
+      oracle = Some(featureExtractOracle)),
 
     // ----- mm_batch_infer: fixed-batch model-inference plumbing ----------
-    // odin_onnx runs the model on FIXED-SIZE batches; mapPartitions with
-    // `grouped(32)` reproduces that shape: per executor partition, images
-    // are decoded (real ImageIO), featurized, buffered into batch
-    // tensors, "inferred" together, and re-flattened with their ids. The
-    // model itself is the remaining stub (a fixed 8x4 linear layer over
-    // the REAL decoded features — no model weights ship in this
-    // container); the decode, batching, id bookkeeping, and tail-batch
-    // handling are the production plumbing an ONNX session needs.
+    // odin_onnx runs the model on FIXED-SIZE batches. Batch assembly is
+    // DETERMINISTIC: the batch key is doc_id / 32, so every run — and
+    // every re-run after a task retry — builds bit-identical batches
+    // (replayable inference, the property a production scoring pipeline
+    // needs for caching and debugging). groupByKey shuffles once on the
+    // batch key; per group, images are decoded (real ImageIO),
+    // featurized, buffered into one batch tensor, "inferred" together
+    // (one session run per batch), and re-flattened with their ids. The
+    // model itself is the remaining stub (ImageCodec.stubLogits, a fixed
+    // 8x4 linear layer over the REAL decoded features — no model weights
+    // ship in this container); decode, batch assembly, id bookkeeping,
+    // and tail-batch handling are the production plumbing an ONNX
+    // session needs. Deterministic batches also make the op
+    // oracle-checkable: batch_n/batch_pos are window math over
+    // doc_id / 32, logits come from the period-768 feature LUT.
     "mm_batch_infer" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
         import graft.functions.ImageCodec
-        val batchSize = 32
+        val batchSize = 32L
         Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions { it =>
-            it.grouped(batchSize).flatMap { batch =>
-              // one "session run" per batch of <= 32 decoded images
-              val feats = batch.map { id =>
-                val img = ImageCodec.decode(ImageCodec.toPng(
-                  ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
-                // mirror mm_feature_extract's decode-failure guard: a null
-                // decode yields a zero feature vector instead of an NPE
-                // that would fail the whole partition (ADVICE r3)
-                if (img == null) new Array[Double](8) else ImageCodec.features(img)
-              }
-              val logits = feats.map { f =>
-                // stub model: fixed deterministic linear layer over the
-                // real decoded features, softmax-free margins
-                Array.tabulate(4) { k =>
-                  var acc = 0.0
-                  var j = 0
-                  while (j < 8) { acc += f(j) * (((k * 8 + j) % 5) - 2) / 510.0; j += 1 }
-                  acc
-                }
-              }
-              batch.zip(logits).zipWithIndex.map { case ((id, lg), i) =>
-                (id, batch.size, i, lg, lg.indexOf(lg.max))
-              }
+          .groupByKey(id => id / batchSize)
+          .flatMapGroups { (_, ids) =>
+            // one "session run" per batch of <= 32 decoded images
+            val batch = ids.toArray.sorted
+            val feats = batch.map { id =>
+              val img = ImageCodec.decode(ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+              // a null decode yields a zero feature vector instead of an
+              // NPE that would fail the whole partition (ADVICE r3)
+              if (img == null) new Array[Double](8) else ImageCodec.features(img)
             }
+            val logits = feats.map(ImageCodec.stubLogits)
+            batch.zip(logits).zipWithIndex.map { case ((id, lg), i) =>
+              (id, batch.length, i, lg, lg.indexOf(lg.max))
+            }.iterator
           }
           .toDF("doc_id", "batch_n", "batch_pos", "logits", "pred_class")
           .select(col("doc_id") +: col("batch_n") +: col("batch_pos") +:
-            (0 until 4).map(k => round(col("logits")(k), 6).as(s"logit$k")) :+
+            (0 until 4).map(k => col("logits")(k).as(s"logit$k")) :+
             col("pred_class"): _*)
           .orderBy(col("doc_id"))
       },
-      oracle = None),
+      oracle = Some(batchInferOracle)),
 
     // ----- mm_smoke_diff: consecutive-frame tiled smoke detection --------
     // odin_image/src/smoke.rs:70 get_gw_smoke_diff: fire-camera smoke

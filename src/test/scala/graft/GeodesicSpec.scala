@@ -68,6 +68,60 @@ class GeodesicSpec extends SparkSpecBase {
     }
   }
 
+  test("geo_polygon_centroid: matches an independent shoelace evaluation") {
+    val dx = Seq(0.0, 0.38, 0.24, -0.24, -0.38)
+    val dy = Seq(0.4, 0.1, -0.3, -0.3, 0.1)
+    run("geo_polygon_centroid").collect().foreach { r =>
+      val key = r.getAs[Long]("s_suppkey")
+      val lon = (key * 97 % 360 - 180).toDouble
+      val lat = (key * 53 % 140 - 70).toDouble
+      val vs = (0 until 5).map { k =>
+        val w = 1.0 + ((key + k) % 7) / 10.0
+        (lon + dx(k) * w, lat + dy(k) * w)
+      }
+      var a2 = 0.0; var cx = 0.0; var cy = 0.0
+      for (k <- 0 until 5) {
+        val (x1, y1) = vs(k); val (x2, y2) = vs((k + 1) % 5)
+        val c = x1 * y2 - x2 * y1
+        a2 += c; cx += (x1 + x2) * c; cy += (y1 + y2) * c
+      }
+      assert(math.abs(r.getAs[Double]("centroid_lon") - cx / (3 * a2)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("centroid_lat") - cy / (3 * a2)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("area_deg2") - math.abs(a2) / 2) < 1e-9)
+      // the centroid of a simple polygon lies inside its bounding box
+      assert(r.getAs[Double]("centroid_lon") >= vs.map(_._1).min &&
+        r.getAs[Double]("centroid_lon") <= vs.map(_._1).max)
+      assert(r.getAs[Double]("centroid_lat") >= vs.map(_._2).min &&
+        r.getAs[Double]("centroid_lat") <= vs.map(_._2).max)
+    }
+  }
+
+  test("geo_multipoly_centroid: area-weighted merge of the part centroids") {
+    val parts = run("geo_polygon_centroid").collect().map { r =>
+      val key = r.getAs[Long]("s_suppkey")
+      (key, r.getAs[Double]("centroid_lon"), r.getAs[Double]("centroid_lat"),
+        r.getAs[Double]("area_deg2"))
+    }
+    // nationkey of each supplier from the table itself
+    val nat = Tables.t(spark, sf, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    val merged = run("geo_multipoly_centroid").collect()
+    assert(merged.map(_.getAs[Long]("n_parts")).sum == parts.length)
+    merged.foreach { r =>
+      val nk = r.getAs[Number]("s_nationkey").longValue
+      val mine = parts.filter(p => nat(p._1) == nk)
+      val wa = mine.map(_._4).sum
+      val wx = mine.map(p => p._2 * p._4).sum / wa
+      val wy = mine.map(p => p._3 * p._4).sum / wa
+      // fixed-point (2^-20) quantized merge vs exact float combine
+      assert(math.abs(r.getAs[Double]("centroid_lon") - wx) < 1e-3)
+      assert(math.abs(r.getAs[Double]("centroid_lat") - wy) < 1e-3)
+      assert(math.abs(r.getAs[Double]("area_deg2") - wa) < 1e-3)
+    }
+  }
+
   test("geodesic_km SQL function registered via GeoFunctions.register") {
     graft.functions.GeoFunctions.register(spark)
     val km = spark.sql(
