@@ -729,6 +729,71 @@ object TimeSeries {
         ORDER BY user_id, burst_id"""),
       bench = false),
 
+    // ----- ts_alarm_evidence: evidence-set alarm dedup -------------------
+    // odin_sentinel/src/alarm.rs:199 check_new_alarm / :224
+    // is_reported_alarm: an alarm is suppressed only when a previously
+    // reported alarm exists for the SAME device and sensor with the SAME
+    // evidence sensor set (same_evidence_sensors, alarm.rs:60) within
+    // new_alarm_duration — alarms whose evidence differs are ALWAYS new
+    // ("we don't treat alarms by different cameras of the same device as
+    // the same alarm"). Re-expressed: device = user_id, sensor =
+    // props.k % 8, an alarm = an 'error' event, and its evidence set =
+    // the distinct sensors of the device's 3 preceding events (the
+    // cameras that captured supporting footage). The dedup is the
+    // debounce lag pattern with the evidence signature IN THE PARTITION
+    // KEY — which is precisely what distinguishes check_new_alarm from a
+    // plain time debounce. Bounded windows only; shuffles on device.
+    "ts_alarm_evidence" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val sens = ev(s, d)
+          .withColumn("sensor",
+            get_json_object(col("props"), "$.k").cast(LongType) % 8)
+        val sig = sens.withColumn("ev_sig",
+          concat_ws("-", transform(
+            array_sort(array_distinct(array(
+              coalesce(lag(col("sensor"), 1).over(w), lit(-1L)),
+              coalesce(lag(col("sensor"), 2).over(w), lit(-1L)),
+              coalesce(lag(col("sensor"), 3).over(w), lit(-1L))))),
+            x => x.cast(StringType))))
+        val alarms = sig.filter(col("event_type") === "error")
+        val wk = Window.partitionBy(col("user_id"), col("sensor"), col("ev_sig"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        alarms
+          .withColumn("prev_ts", lag(col("ts_sec"), 1).over(wk))
+          .withColumn("is_new",
+            col("prev_ts").isNull || col("ts_sec") - col("prev_ts") > 3600L)
+          .groupBy(col("user_id"), col("sensor"), col("ev_sig"))
+          .agg(count(lit(1)).as("n_alarms"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+            min(col("ts_sec")).as("first_alarm"),
+            max(col("ts_sec")).as("last_alarm"))
+          .orderBy(col("user_id"), col("sensor"), col("ev_sig"))
+      },
+      oracle = Some(s"""
+        WITH sens AS (
+          SELECT event_id, user_id, event_type, $TS AS ts_sec,
+                 CAST(json_extract(props, '$$.k') AS BIGINT) % 8 AS sensor
+          FROM events),
+        sig AS (
+          SELECT *, array_to_string(list_sort(list_distinct([
+                   COALESCE(LAG(sensor, 1) OVER w, -1),
+                   COALESCE(LAG(sensor, 2) OVER w, -1),
+                   COALESCE(LAG(sensor, 3) OVER w, -1)])), '-') AS ev_sig
+          FROM sens
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        alarms AS (SELECT * FROM sig WHERE event_type = 'error'),
+        ded AS (
+          SELECT *, LAG(ts_sec, 1) OVER (PARTITION BY user_id, sensor, ev_sig
+                      ORDER BY ts_sec, event_id) AS prev_ts
+          FROM alarms)
+        SELECT user_id, sensor, ev_sig, COUNT(*) AS n_alarms,
+               CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 3600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               MIN(ts_sec) AS first_alarm, MAX(ts_sec) AS last_alarm
+        FROM ded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      bench = false),
+
     // ----- ts_threshold_alarm: upward threshold crossings ----------------
     "ts_threshold_alarm" -> Q(
       build = (s, d) => {

@@ -99,6 +99,46 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(df.agg(sum("n_msgs")).head.getLong(0) == ev.count())
   }
 
+  test("ts_alarm_evidence: brute-force check_new_alarm replay matches") {
+    // replay alarm.rs:224 is_reported_alarm driver-side: an alarm is new
+    // unless the previous alarm with the SAME (device, sensor, evidence
+    // signature) is within 3600 s — different evidence is always new
+    val events = Tables.events(spark, sf)
+      .withColumn("sensor",
+        org.apache.spark.sql.functions.get_json_object(col("props"), "$.k")
+          .cast("long") % 8)
+      .select("user_id", "event_id", "ts_sec", "event_type", "sensor")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_sec"), r.getAs[String]("event_type"),
+        r.getAs[Long]("sensor")))
+    val expected = events.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sigs = sorted.zipWithIndex.map { case (e, i) =>
+        val prev3 = (1 to 3).map(j =>
+          if (i - j >= 0) sorted(i - j)._5 else -1L)
+        (e, prev3.distinct.sorted.mkString("-"))
+      }
+      sigs.filter(_._1._4 == "error")
+        .groupBy { case (e, sig) => (e._5, sig) }
+        .map { case ((sensor, sig), alarms) =>
+          val ts = alarms.map(_._1._3).sorted
+          val nNew = 1 + ts.sliding(2).count(p =>
+            p.length == 2 && p(1) - p(0) > 3600)
+          ((uid, sensor, sig), (alarms.length.toLong, nNew.toLong))
+        }
+    }
+    val got = run("ts_alarm_evidence").collect().map { r =>
+      ((r.getAs[Long]("user_id"), r.getAs[Long]("sensor"),
+        r.getAs[String]("ev_sig")),
+        (r.getAs[Long]("n_alarms"), r.getAs[Long]("n_new")))
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"group $k: got ${got(k)} want $v")
+    }
+  }
+
   test("per-entity window ops are single-shuffle") {
     spark.catalog.clearCache() // earlier tests cache query results
     val plan = run("ts_latest_per_key").queryExecution.executedPlan
