@@ -180,6 +180,62 @@ object TextOps {
         FROM documents GROUP BY 1 ORDER BY content_hash"""),
       bench = true),
 
+    // ----- doc_paragraph_dedup: paragraph-level exact dedup --------------
+    // The C4/Dolma corpus op between whole-document and n-gram dedup:
+    // documents are split into paragraphs, every paragraph that already
+    // occurred anywhere earlier in the corpus (first occurrence = lowest
+    // (doc_id, para_idx)) is dropped, and each document is re-assembled
+    // from its surviving paragraphs. Paragraphs here are deterministic
+    // 10-word chunks (the corpus has no newlines). Scale shape: explode
+    // → ROW_NUMBER windowed on the paragraph key (one shuffle keyed on
+    // paragraph content — how production paragraph dedup distributes;
+    // at 100 TB you'd key on md5(para) to bound key width, identical
+    // plan) → per-doc re-assembly (second shuffle on doc_id). No
+    // all-pairs anywhere.
+    "doc_paragraph_dedup" -> Q(
+      build = (s, d) => {
+        val paras = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
+                " i -> array_join(slice(ws, i*10 + 1, 10), ' '))"))
+              .as(Seq("para_idx", "para")))
+        val wFirst = Window.partitionBy(col("para"))
+          .orderBy(col("doc_id"), col("para_idx"))
+        paras
+          .withColumn("is_dup", row_number().over(wFirst) > 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+            (sum(when(col("is_dup"), 1L).otherwise(0L)).cast(DoubleType)
+              / count(lit(1))).as("dup_ratio"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN NOT is_dup THEN" +
+                " struct(para_idx, para) END)), p -> p.para)"))
+              .as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        p AS (
+          SELECT doc_id, i AS para_idx,
+                 array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS para
+          FROM w, LATERAL unnest(generate_series(0,
+                 CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS t(i)),
+        m AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY para
+                      ORDER BY doc_id, para_idx) > 1 AS is_dup
+          FROM p)
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*)
+                 AS dup_ratio,
+               COALESCE(string_agg(CASE WHEN NOT is_dup THEN para END, ' '
+                 ORDER BY para_idx), '') AS clean_text
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true),
+
     // ----- doc_token_count: whitespace tokenization ----------------------
     "doc_token_count" -> Q(
       build = (s, d) =>

@@ -7,6 +7,40 @@ import org.apache.spark.sql.functions._
   */
 class DocPipelineSpec extends SparkSpecBase {
 
+  test("doc_paragraph_dedup: conservation + first-occurrence-kept") {
+    val rows = run("doc_paragraph_dedup").collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == docs.size)
+    // recompute paragraphs driver-side
+    def paras(t: String): Seq[String] =
+      t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val all = docs.toSeq.flatMap { case (id, t) =>
+      paras(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+    }
+    val nDistinct = all.map(_._3).distinct.size
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_paras"), r.getAs[Long]("n_dup"),
+        r.getAs[String]("clean_text"))).toMap
+    // global conservation: dropped = total - distinct
+    assert(got.values.map(_._1).sum == all.size)
+    assert(got.values.map(_._2).sum == all.size - nDistinct)
+    // kept paragraph = the one with the lowest (doc_id, para_idx)
+    val firstOwner = all.groupBy(_._3).map { case (p, os) =>
+      p -> os.map(o => (o._1, o._2)).min
+    }
+    got.foreach { case (id, (_, nDup, clean)) =>
+      val mine = paras(docs(id))
+      val kept = mine.zipWithIndex
+        .filter { case (p, i) => firstOwner(p) == (id, i) }.map(_._1)
+      assert(clean == kept.mkString(" "), s"doc $id reassembly")
+      assert(nDup == mine.size - kept.size)
+      // an undeduped doc round-trips to its original text
+      if (nDup == 0) assert(clean == docs(id))
+    }
+  }
+
   test("doc_span_dedup: dup spans bounded by totals, fractions in range") {
     val rows = run("doc_span_dedup").collect()
     assert(rows.nonEmpty)
