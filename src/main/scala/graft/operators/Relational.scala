@@ -782,6 +782,150 @@ object Relational {
         FROM part, lineitem, supplier, nation
         WHERE p_size % 5 = 0 AND p_partkey = l_partkey
           AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- q33_important_parts: Q11 shape — agg + global-fraction filter -
+    // Per-part value vs a scalar-subquery global total (no partsupp table
+    // in this dataset, so value = lineitem revenue per part — the plan
+    // shape is what Q11 exercises: one map-side-combinable agg, one
+    // broadcast scalar, a filter over the agg output). Both the per-part
+    // and global sums are the SAME exact decimal total, so the 0.05 %
+    // threshold compare is on identical doubles in both engines.
+    "q33_important_parts" -> Q(
+      build = (s, d) => {
+        val value = li(s, d).groupBy(col("l_partkey"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("value"))
+        val total = li(s, d)
+          .agg((sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType) * lit(0.0005)).as("cutoff"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value") > col("cutoff"))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      oracle = Some("""
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS value
+        FROM lineitem GROUP BY 1
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE)*0.0005e0
+          FROM lineitem)
+        ORDER BY value DESC, l_partkey""")),
+
+    // ----- q34_top_supplier: Q15 shape — revenue view + max join ---------
+    // Quarterly supplier revenue, then the supplier(s) achieving the
+    // maximum — the classic "create view + join on max" plan: one agg,
+    // one broadcast max scalar, equality filter on identical
+    // decimal-derived doubles.
+    "q34_top_supplier" -> Q(
+      build = (s, d) => {
+        val rev = li(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("max_revenue"))
+          .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ----- q35_disjunctive: Q19 shape — OR-of-ANDs pushdown --------------
+    // Three disjunctive (brand, size-range, quantity-range) branches in
+    // one scan — the plan Q19 exercises: Catalyst folds the OR into one
+    // partial filter pushed to both scans and a broadcast hash join, not
+    // three unions.
+    "q35_disjunctive" -> Q(
+      build = (s, d) =>
+        li(s, d).join(broadcast(pt(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)
+              && col("l_quantity").between(20, 30)))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items")),
+      oracle = Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ----- q36_waiting_suppliers: Q21 shape — exists + anti self-joins ---
+    // Suppliers whose lineitem was "late" (shipped > 90 days after the
+    // order date) in multi-supplier orders where NO other supplier was
+    // late. Two self-joins on the order key: a semi (another supplier
+    // exists) and an anti (no other late supplier) — the Q21 plan. Late
+    // is a pure date-diff predicate; counts are exact.
+    "q36_waiting_suppliers" -> Q(
+      build = (s, d) => {
+        val l = li(s, d)
+          .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+        val l1 = l.filter(col("late"))
+          .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+        val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+          .distinct()
+        val lateOthers = l.filter(col("late"))
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+          .distinct()
+        l1
+          .join(others, col("k1") === col("k2") && col("sk1") =!= col("sk2"),
+            "left_semi")
+          .join(lateOthers, col("k1") === col("k3") && col("sk1") =!= col("sk3"),
+            "left_anti")
+          .join(broadcast(sup(s, d)), col("sk1") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) > 90 AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey"""))
   )
 }

@@ -70,4 +70,42 @@ class RelationalSpec extends SparkSpecBase {
     val v = run("q16_scalar_subquery").head.getAs[Double]("avg_yearly")
     assert(!v.isNaN && v > 0)
   }
+
+  test("q33_important_parts: every kept part clears the global cutoff") {
+    val total = Tables.t(spark, sf, "lineitem")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+        * (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+        .cast("double")).head.getDouble(0)
+    val rows = run("q33_important_parts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("value") > total * 0.0005))
+  }
+
+  test("q34_top_supplier: winners carry the max revenue, plan broadcasts") {
+    val rows = run("q34_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1) // all winners tie at the max by construction
+    val plan = run("q34_top_supplier").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"))
+  }
+
+  test("q35_disjunctive: one joined scan, no union of branches") {
+    val plan = run("q35_disjunctive").queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"))
+    // lineitem + part, each scanned once (plan string is AQE-wrapped, so
+    // count scan nodes textually)
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 2)
+    val rows = run("q35_disjunctive").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_items") > 0)
+  }
+
+  test("q36_waiting_suppliers: semi+anti pair present, counts positive") {
+    val plan = run("q36_waiting_suppliers").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+    val rows = run("q36_waiting_suppliers").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+  }
 }
