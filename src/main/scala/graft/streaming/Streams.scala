@@ -321,4 +321,56 @@ object Streams {
           next
       }
   }
+
+  case class SensorEv(event_id: Long, ts_sec: Long, user_id: Long,
+      sensor: Long, is_alarm: Boolean)
+  case class EvAlarmState(last3: Seq[Long], reported: Map[String, Long])
+  case class NewAlarm(user_id: Long, event_id: Long, ts_sec: Long,
+      sensor: Long, ev_sig: String)
+
+  /** stream_alarm_evidence: the live form of ts_alarm_evidence —
+    * odin_sentinel/src/alarm.rs:199 check_new_alarm run as per-device
+    * state. The reference keeps a VecDeque of ReportedAlarms per monitor;
+    * here the state store holds, per device, the last 3 observed sensors
+    * (the evidence the next alarm will cite) and a map of reported
+    * (sensor, evidence-signature) -> reported ts. An incoming alarm is
+    * emitted unless the SAME sensor+evidence pair was reported within
+    * `newAlarmSec` (reference semantics: the stored time is the REPORTED
+    * alarm's, so a long burst re-alarms once per window, and differing
+    * evidence always alarms); entries older than `oldAlarmSec` are
+    * retained out, bounding state exactly like the reference's
+    * retain_mut cleanup. State per device = 3 longs + a small map.
+    */
+  def alarmEvidence(events: Dataset[SensorEv], newAlarmSec: Long = 3600L,
+      oldAlarmSec: Long = 7200L): Dataset[NewAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EvAlarmState, NewAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[EvAlarmState]) =>
+          var st = state.getOption.getOrElse(EvAlarmState(Nil, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NewAlarm]
+          batch.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            // evidence = the 3 events preceding this one (batch-twin parity)
+            val sig = (st.last3.padTo(3, -1L)).distinct.sorted.mkString("-")
+            if (e.is_alarm) {
+              val key = s"${e.sensor}|$sig"
+              // clean up old reported alarms first (alarm.rs retain_mut)
+              val live = st.reported.filter {
+                case (_, ts) => e.ts_sec - ts < oldAlarmSec
+              }
+              val dup = live.get(key).exists(ts =>
+                e.ts_sec - ts < newAlarmSec)
+              if (!dup) {
+                out += NewAlarm(uid, e.event_id, e.ts_sec, e.sensor, sig)
+                st = st.copy(reported = live + (key -> e.ts_sec))
+              } else st = st.copy(reported = live)
+            }
+            st = st.copy(last3 = (e.sensor +: st.last3).take(3))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

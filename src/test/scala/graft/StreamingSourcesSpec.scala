@@ -123,6 +123,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.length == 2) // two distinct hours
   }
 
+  test("stream_alarm_evidence: same evidence suppressed, new evidence alarms") {
+    import spark.implicits._
+    import Streams.SensorEv
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SensorEv]
+    val q = Streams.alarmEvidence(in.toDS())
+      .writeStream.format("memory").queryName("evalarm_out")
+      .outputMode("append").start()
+    // device 5: three context events establish evidence {1,2,3}, then an
+    // alarm from sensor 1; a repeat 100 s later with identical evidence
+    // must be suppressed
+    in.addData(
+      SensorEv(1, 10, 5, 1, is_alarm = false),
+      SensorEv(2, 20, 5, 2, is_alarm = false),
+      SensorEv(3, 30, 5, 3, is_alarm = false),
+      SensorEv(4, 40, 5, 1, is_alarm = true))
+    q.processAllAvailable()
+    // state persists across micro-batches
+    in.addData(SensorEv(5, 140, 5, 1, is_alarm = true)) // evidence now {1,2,3}->{1,3,1}... recompute
+    q.processAllAvailable()
+    val afterTwo = spark.table("evalarm_out").orderBy("event_id").collect()
+    // second alarm: its evidence is sensors of events 2,3,4 = {2,3,1} —
+    // the same signature "1-2-3", same sensor, within the hour: suppressed
+    assert(afterTwo.map(_.getAs[Long]("event_id")).toSeq == Seq(4L))
+    // an alarm whose evidence DIFFERS is always new (alarm.rs: different
+    // cameras of the same device), even seconds later
+    in.addData(
+      SensorEv(6, 150, 5, 7, is_alarm = false), // changes evidence set
+      SensorEv(7, 160, 5, 1, is_alarm = true))
+    q.processAllAvailable()
+    val afterDiff = spark.table("evalarm_out").orderBy("event_id").collect()
+    assert(afterDiff.map(_.getAs[Long]("event_id")).toSeq == Seq(4L, 7L))
+    // after the new-alarm window passes, the same pair re-alarms
+    in.addData(
+      SensorEv(8, 4000, 5, 2, is_alarm = false),
+      SensorEv(9, 4010, 5, 3, is_alarm = false),
+      SensorEv(10, 4020, 5, 1, is_alarm = false),
+      SensorEv(11, 4030, 5, 1, is_alarm = true))
+    q.processAllAvailable()
+    val finalRows = spark.table("evalarm_out").orderBy("event_id").collect()
+    q.stop()
+    assert(finalRows.map(_.getAs[Long]("event_id")).toSeq == Seq(4L, 7L, 11L))
+    assert(finalRows.last.getAs[String]("ev_sig") == "1-2-3")
+  }
+
   test("stream_threshold: alarm fires only on upward crossing") {
     import spark.implicits._
     val in = mem()
