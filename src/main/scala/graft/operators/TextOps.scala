@@ -191,7 +191,12 @@ object TextOps {
     // paragraph content — how production paragraph dedup distributes;
     // at 100 TB you'd key on md5(para) to bound key width, identical
     // plan) → per-doc re-assembly (second shuffle on doc_id). No
-    // all-pairs anywhere.
+    // all-pairs anywhere. The first-occurrence winner comes from a
+    // map-side-combinable groupBy-min + equi-join rather than a
+    // row_number window: a boilerplate paragraph repeated millions of
+    // times would make one giant sorted window partition (and AQE cannot
+    // split a window), while the min-struct aggregate combines on the
+    // map side and the probe join is AQE-skew-splittable.
     "doc_paragraph_dedup" -> Q(
       build = (s, d) => {
         val paras = docs(s, d)
@@ -201,10 +206,14 @@ object TextOps {
               "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
                 " i -> array_join(slice(ws, i*10 + 1, 10), ' '))"))
               .as(Seq("para_idx", "para")))
-        val wFirst = Window.partitionBy(col("para"))
-          .orderBy(col("doc_id"), col("para_idx"))
+        val keepers = paras
+          .groupBy(col("para"))
+          .agg(min(struct(col("doc_id"), col("para_idx"))).as("keeper"))
         paras
-          .withColumn("is_dup", row_number().over(wFirst) > 1)
+          .join(keepers, "para")
+          .withColumn("is_dup",
+            col("doc_id") =!= col("keeper.doc_id")
+              || col("para_idx") =!= col("keeper.para_idx"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_paras"),
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
