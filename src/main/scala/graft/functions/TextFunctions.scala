@@ -9,44 +9,58 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass text fingerprinting kernels. The composed-expression form
-  * (sequence → transform(xxhash64(substring)) → sliding array_min)
-  * allocates O(len·w) intermediate arrays per row; these kernels do one
-  * scan over the UTF8 bytes with two reusable buffers. Rolling-hash
-  * winnowing per the standard document-fingerprinting scheme
-  * (re-expresses odin-style record digesting for the dedup pipeline).
+  * (sequence → transform(hash(substring)) → sliding array_min) allocates
+  * O(len·w) intermediate arrays per row; these kernels do one scan over
+  * the UTF8 bytes with two reusable buffers. Rolling-hash winnowing per
+  * the standard document-fingerprinting scheme (re-expresses odin-style
+  * record digesting for the dedup pipeline).
+  *
+  * All arithmetic is Karp-Rabin modular hashing mod P = 2^31-1 (Mersenne
+  * prime): two independent polynomial hashes (bases B1/B2) per k-gram or
+  * token, combined as g1·2^31 + g2 into a collision-resistant 62-bit
+  * value. Every intermediate fits a signed 64-bit integer with NO
+  * wraparound, so a SQL engine with strict BIGINT overflow (the DuckDB
+  * oracle) can replay the exact arithmetic — that is what upgrades the
+  * fingerprint/minhash/simhash queries from rows-only to hash-matched.
   */
 object TextHashKernels {
 
-  /** xxh64-style avalanche of a k-byte window hash chain; cheap rolling
-    * base hash (polynomial) + finalizer, deterministic across JVMs.
-    */
-  private def mix(h0: Long): Long = {
-    var h = h0
-    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
-    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
-  }
+  val P = 2147483647L // 2^31 - 1
+  val B1 = 1000003L
+  val B2 = 1000033L
+  val SHIFT = 2147483648L // 2^31: combine (g1, g2) -> g1*SHIFT + g2
 
-  /** Winnowed fingerprints: k-gram rolling hashes, min per w-window,
-    * distinct, sorted. One pass, no per-window allocation.
+  /** MinHash permutation constants: v_i = (a_i*g1 + b_i*g2 + c_i) mod P.
+    * a_i·g1 < P·P < 2^62 — no overflow. Same formulas are interpolated
+    * into the DuckDB oracle SQL.
+    */
+  def permA(i: Int): Long = ((i + 1L) * 2654435761L) % P
+  def permB(i: Int): Long = ((i + 1L) * 1779033703L) % P
+  def permC(i: Int): Long = ((i + 1L) * 1013904242L) % P
+
+  /** Winnowed fingerprints: 62-bit k-gram rolling hashes, min per
+    * w-window, distinct, sorted. One pass, no per-window allocation.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
     val n = bytes.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
-    // rolling polynomial hash: h_i = h_{i-1}*B + b, with B^k removal
-    val B = 1000003L
-    var bk = 1L
+    // rolling Karp-Rabin mod P: h = (h*B + b_in - b_out*B^k) mod P
+    var bk1 = 1L; var bk2 = 1L
     var i = 0
-    while (i < k) { bk *= B; i += 1 }
+    while (i < k) { bk1 = bk1 * B1 % P; bk2 = bk2 * B2 % P; i += 1 }
     val gram = new Array[Long](nGrams)
-    var h = 0L
+    var h1 = 0L; var h2 = 0L
     i = 0
     while (i < n) {
-      h = h * B + (bytes(i) & 0xFF)
-      if (i >= k) h -= bk * (bytes(i - k) & 0xFF)
-      if (i >= k - 1) gram(i - k + 1) = mix(h)
+      h1 = (h1 * B1 + (bytes(i) & 0xFF)) % P
+      h2 = (h2 * B2 + (bytes(i) & 0xFF)) % P
+      if (i >= k) {
+        h1 = (h1 - bk1 * (bytes(i - k) & 0xFF) % P + P) % P
+        h2 = (h2 - bk2 * (bytes(i - k) & 0xFF) % P + P) % P
+      }
+      if (i >= k - 1) gram(i - k + 1) = h1 * SHIFT + h2
       i += 1
     }
     // sliding min over w grams; collect distinct mins
@@ -66,8 +80,8 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
-  /** MinHash signature over k-gram rolling hashes with stride: nPerm
-    * values derived from two base hashes (h1 XOR rotl(h2, i)).
+  /** MinHash signature over strided k-grams: nPerm mins of the linear
+    * permutations (a_i·g1 + b_i·g2 + c_i) mod P.
     */
   def minhash(text: UTF8String, k: Int, stride: Int, nPerm: Int): ArrayData = {
     val bytes = text.getBytes
@@ -75,23 +89,26 @@ object TextHashKernels {
     val sig = new Array[Long](nPerm)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (n < k) return new GenericArrayData(sig)
-    val B = 1000003L
-    var bk = 1L
+    val pa = Array.tabulate(nPerm)(permA)
+    val pb = Array.tabulate(nPerm)(permB)
+    val pc = Array.tabulate(nPerm)(permC)
+    var bk1 = 1L; var bk2 = 1L
     var i = 0
-    while (i < k) { bk *= B; i += 1 }
-    var h = 0L
+    while (i < k) { bk1 = bk1 * B1 % P; bk2 = bk2 * B2 % P; i += 1 }
+    var h1 = 0L; var h2 = 0L
     i = 0
     while (i < n) {
-      h = h * B + (bytes(i) & 0xFF)
-      if (i >= k) h -= bk * (bytes(i - k) & 0xFF)
+      h1 = (h1 * B1 + (bytes(i) & 0xFF)) % P
+      h2 = (h2 * B2 + (bytes(i) & 0xFF)) % P
+      if (i >= k) {
+        h1 = (h1 - bk1 * (bytes(i - k) & 0xFF) % P + P) % P
+        h2 = (h2 - bk2 * (bytes(i - k) & 0xFF) % P + P) % P
+      }
       val pos = i - k + 1
       if (pos >= 0 && pos % stride == 0) {
-        val h1 = mix(h)
-        val h2 = mix(h1 ^ 0x9e3779b97f4a7c15L)
         var p = 0
         while (p < nPerm) {
-          val hp = if (p == 0) h1 ^ h2
-            else h1 ^ ((h2 << p) | (h2 >>> (64 - p)))
+          val hp = ((pa(p) * h1 + pb(p) * h2) % P + pc(p)) % P
           if (hp < sig(p)) sig(p) = hp
           p += 1
         }
@@ -101,19 +118,21 @@ object TextHashKernels {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit votes from each
-    * token's hash, one pass, no tokenizer allocation beyond the scan.
+  /** 62-bit SimHash over space-separated tokens: per-bit votes from each
+    * token's combined hash, one pass, no tokenizer allocation beyond the
+    * scan. Bits 62-63 are always 0.
     */
   def simhash64(text: UTF8String): Long = {
     val bytes = text.getBytes
     val n = bytes.length
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](62)
     var i = 0
-    var h = 0L
+    var h1 = 0L; var h2 = 0L
     var inTok = false
-    def vote(th: Long): Unit = {
+    def vote(): Unit = {
+      val th = h1 * SHIFT + h2
       var j = 0
-      while (j < 64) {
+      while (j < 62) {
         if (((th >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -121,17 +140,18 @@ object TextHashKernels {
     while (i < n) {
       val b = bytes(i)
       if (b == ' ') {
-        if (inTok) { vote(mix(h)); h = 0L; inTok = false }
+        if (inTok) { vote(); h1 = 0L; h2 = 0L; inTok = false }
       } else {
-        h = h * 1000003L + (b & 0xFF)
+        h1 = (h1 * B1 + (b & 0xFF)) % P
+        h2 = (h2 * B2 + (b & 0xFF)) % P
         inTok = true
       }
       i += 1
     }
-    if (inTok) vote(mix(h))
+    if (inTok) vote()
     var sim = 0L
     var j = 0
-    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    while (j < 62) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
     sim
   }
 }

@@ -926,6 +926,222 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM l l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-        GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey"""))
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""")),
+
+    // ----- q37_returned_items: TPC-H Q10 shape — returned-item revenue ---
+    // Fact-side filters (date window, returnflag) reach the scans; nation
+    // broadcasts; one fact-keyed aggregate; top-20 by exact decimal sum.
+    "q37_returned_items" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .join(ord(s, d).filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(li(s, d).filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      bench = true),
+
+    // ----- q38_late_priority: TPC-H Q12 shape (shipmode → priority) ------
+    // The generated schema has no l_shipmode/l_receiptdate; the Q12 plan
+    // shape (fact join + conditional counts) is kept with lateness =
+    // shipdate > orderdate + 90d and the priority split as the CASE pair.
+    "q38_late_priority" -> Q(
+      build = (s, d) =>
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+          .groupBy(col("l_linestatus"))
+          .agg(
+            count(when(col("o_orderpriority") === "1-URGENT"
+              || col("o_orderpriority") === "2-HIGH", 1)).as("high_line_count"),
+            count(when(col("o_orderpriority") =!= "1-URGENT"
+              && col("o_orderpriority") =!= "2-HIGH", 1)).as("low_line_count"))
+          .orderBy(col("l_linestatus")),
+      oracle = Some("""
+        SELECT l_linestatus,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 90
+        GROUP BY 1 ORDER BY l_linestatus""")),
+
+    // ----- q39_customer_distribution: TPC-H Q13 shape --------------------
+    // LEFT join so zero-order customers survive with c_count = 0; two
+    // aggregates (per-customer, then histogram). COUNT(o_orderkey) skips
+    // the null-extended rows on both engines.
+    "q39_customer_distribution" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      oracle = Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) cc
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ----- q40_promo_revenue: TPC-H Q14 shape — promo revenue share ------
+    // Single-row global aggregate; both sums are exact decimals cast to
+    // DOUBLE, so the final IEEE division is bit-identical on both engines.
+    "q40_promo_revenue" -> Q(
+      build = (s, d) => {
+        def rev = decP(col("l_extendedprice")) * decR(lit(1.0) - col("l_discount"))
+        li(s, d)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(pt(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType)
+              / sum(rev).cast(DoubleType)).as("promo_pct"),
+            sum(rev).cast(DoubleType).as("total_revenue"))
+      },
+      oracle = Some("""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0-l_discount AS DECIMAL(4,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_pct,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'""")),
+
+    // ----- q41_small_qty_rev: TPC-H Q17 shape — small-quantity revenue ---
+    // Correlated avg re-expressed as a broadcast self-aggregate join; the
+    // qty < 0.2·avg predicate is cross-multiplied (qty·5·cnt < sumq) so the
+    // comparison is exact decimal·integer arithmetic, no division.
+    "q41_small_qty_rev" -> Q(
+      build = (s, d) => {
+        val bparts = pt(s, d).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))
+        val lb = li(s, d)
+          .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+        val partAgg = lb.groupBy(col("l_partkey"))
+          .agg(sum(decP(col("l_quantity"))).as("sumq"), count(lit(1)).as("cnt"))
+        lb.join(broadcast(partAgg), Seq("l_partkey"))
+          .filter(decP(col("l_quantity")) * lit(5) * col("cnt") < col("sumq"))
+          .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      oracle = Some(s"""
+        WITH lb AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'),
+        pa AS (
+          SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sumq,
+                 COUNT(*) AS cnt
+          FROM lb GROUP BY l_partkey)
+        SELECT ${DSUM("l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lb JOIN pa USING (l_partkey)
+        WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sumq""")),
+
+    // ----- q42_big_orders: TPC-H Q18 shape — large-volume orders ---------
+    // The HAVING subquery is a pre-aggregated join (map-side partials on
+    // l_orderkey), not a window — the canonical large-order scan at scale.
+    "q42_big_orders" -> Q(
+      build = (s, d) =>
+        cust(s, d)
+          .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+          .join(li(s, d).groupBy(col("l_orderkey"))
+              .agg(sum(decP(col("l_quantity"))).as("ord_qty"))
+              .filter(col("ord_qty") > 250),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            col("ord_qty").cast(DoubleType).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      oracle = Some("""
+        WITH bk AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ord_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(ord_qty AS DOUBLE) AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN bk ON o_orderkey = l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      bench = true),
+
+    // ----- q43_part_supply: TPC-H Q20 shape (lineitem as supply relation) -
+    // No partsupp table in the generated schema; "suppliers with excess
+    // availqty" becomes "suppliers who shipped > 60 units of one STANDARD
+    // part since 1997" — same semi-join-on-aggregate plan shape.
+    "q43_part_supply" -> Q(
+      build = (s, d) => {
+        val fparts = pt(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))
+        val bigSupp = li(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(fparts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(decP(col("l_quantity"))).as("shipped"))
+          .filter(col("shipped") > 60)
+          .select(col("l_suppkey"))
+        sup(s, d)
+          .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some("""
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'STANDARD' AND l_shipdate >= TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 60)
+        ORDER BY s_suppkey""")),
+
+    // ----- q44_supplier_kinds: TPC-H Q16 shape — supplier variety --------
+    // countDistinct over a broadcast-filtered dim join; the distinct is
+    // the only extra exchange (partial-aggregate on (brand,type,size,supp)
+    // first, so the shuffle carries pre-deduped pairs).
+    "q44_supplier_kinds" -> Q(
+      build = (s, d) =>
+        li(s, d)
+          .join(broadcast(pt(s, d)
+            .filter(col("p_brand") =!= "Brand#1"
+              && col("p_size").isin(1, 9, 14, 19, 23, 29, 36, 49))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size")),
+      oracle = Some("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1,9,14,19,23,29,36,49)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
   )
 }

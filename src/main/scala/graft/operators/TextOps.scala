@@ -27,6 +27,29 @@ object TextOps {
   private def occS(x: String, w: String): String =
     s"CAST((length($x) - length(replace($x, '$w', ''))) / ${w.length} AS BIGINT)"
 
+  /** DuckDB fragments replaying TextHashKernels' Karp-Rabin arithmetic
+    * (mod P = 2^31-1, bases B1/B2): the k-gram polynomial hash at 1-based
+    * position `i` as an explicit 20-term sum. Every term < 2^39, the sum
+    * < 2^44 — strict-BIGINT safe, so the oracle computes the exact value
+    * the codegen kernel computes.
+    */
+  private val HP = graft.functions.TextHashKernels.P
+  private def powMod(b: Long, e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r = r * b % HP; i += 1 }
+    r
+  }
+  private def gramSum(base: Long): String =
+    (0 until 20)
+      .map(j => s"CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * ${powMod(base, 19 - j)}")
+      .mkString(" + ")
+  /** Rolling token hash (list_reduce) — same recurrence as the kernel. */
+  private def tokSum(base: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(generate_series(1, CAST(len(t) AS INT)),
+       |              j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))),
+       |            (acc, x) -> (acc * $base + x) % $HP)""".stripMargin
+
   // char shingles: k=20, stride 4 (both engines generate identical sets)
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -666,10 +689,12 @@ object TextOps {
          AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 40
         ORDER BY doc_a, doc_b""")),
 
-    // ----- doc_minhash_lsh: MinHash signatures + LSH banding (rows-only) -
+    // ----- doc_minhash_lsh: MinHash signatures + LSH banding -------------
     // Signature computed by the one-pass rolling-hash kernel
     // (graft.functions.MinHashSignature): no shingle explode, no shuffle
-    // until the band join.
+    // until the band join. Bands join on the 4 raw signature values (no
+    // band-hash collision risk, and the DuckDB oracle can replay the
+    // whole pipeline — the kernel's mod-2^31-1 arithmetic is the reason).
     "doc_minhash_lsh" -> Q(
       build = (s, d) => {
         val bands = 8 // 4 rows per band over a 32-perm signature
@@ -679,20 +704,55 @@ object TextOps {
             graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
         val bandCols = (0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((b * 4 until (b + 1) * 4).map(i =>
-              element_at(col("sig"), i + 1)): _*).as("sig"))
+            element_at(col("sig"), b * 4 + 1).as("s0"),
+            element_at(col("sig"), b * 4 + 2).as("s1"),
+            element_at(col("sig"), b * 4 + 3).as("s2"),
+            element_at(col("sig"), b * 4 + 4).as("s3"))
         }
         val banded = sigs.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+          .select(col("doc_id"), col("bs.band").as("band"),
+            col("bs.s0").as("s0"), col("bs.s1").as("s1"),
+            col("bs.s2").as("s2"), col("bs.s3").as("s3"))
         banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+            col("x.band") === col("y.band") && col("x.s0") === col("y.s0")
+              && col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2")
+              && col("x.s3") === col("y.s3")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      oracle = None,
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 20),
+        pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, n - 19)) AS i FROM d),
+        sp AS (
+          SELECT doc_id,
+                 (${gramSum(graft.functions.TextHashKernels.B1)}) % $HP AS g1,
+                 (${gramSum(graft.functions.TextHashKernels.B2)}) % $HP AS g2
+          FROM pos WHERE (i - 1) % 4 = 0),
+        pm AS (
+          SELECT doc_id, p,
+                 MIN((((((p+1)*2654435761) % $HP) * g1
+                     + (((p+1)*1779033703) % $HP) * g2) % $HP
+                     + ((p+1)*1013904242) % $HP) % $HP) AS s
+          FROM sp, (SELECT unnest(generate_series(0, 31)) AS p) pp
+          GROUP BY doc_id, p),
+        bands AS (
+          SELECT doc_id, p // 4 AS band,
+                 MAX(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+                 MAX(CASE WHEN p % 4 = 3 THEN s END) AS s3
+          FROM pm GROUP BY doc_id, p // 4)
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+         AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+        ORDER BY doc_a, doc_b"""),
       bench = true),
 
     // ----- doc_simhash: 64-bit SimHash + hamming candidate pairs ---------
@@ -720,7 +780,35 @@ object TextOps {
           .filter(col("hamming") <= 6)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+        th AS (
+          SELECT doc_id,
+                 ${tokSum(graft.functions.TextHashKernels.B1)} * 2147483648
+               + ${tokSum(graft.functions.TextHashKernels.B2)} AS h
+          FROM tok WHERE len(t) > 0),
+        votes AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(generate_series(0, 61)) AS j) jj
+          GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN v > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                     ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id),
+        keyed AS (
+          SELECT doc_id, simhash, c, (simhash >> CAST(c * 16 AS INT)) & 65535 AS ck
+          FROM sh, (SELECT unnest(generate_series(0, 3)) AS c) cc)
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM keyed x JOIN keyed y
+          ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+        ORDER BY doc_a, doc_b""")),
 
     // ----- doc_fingerprint: winnowed rolling-hash fingerprints -----------
     // Winnowing (k=20, w=5) in one pass per row via the codegen kernel
@@ -735,7 +823,26 @@ object TextOps {
           .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fingerprints"),
             element_at(col("fps"), 1).as("min_fp")) // kernel emits sorted
           .orderBy(col("doc_id")),
-      oracle = None),
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 24),
+        pos AS (
+          SELECT doc_id, text, n, unnest(generate_series(1, n - 19)) AS i FROM d),
+        g AS (
+          SELECT doc_id, n, i,
+                 ((${gramSum(graft.functions.TextHashKernels.B1)}) % $HP) * 2147483648
+               + ((${gramSum(graft.functions.TextHashKernels.B2)}) % $HP) AS fp
+          FROM pos),
+        wmin AS (
+          SELECT doc_id, n, i,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+          FROM g),
+        fps AS (SELECT DISTINCT doc_id, m FROM wmin WHERE i <= n - 23)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               MIN(m) AS min_fp
+        FROM fps GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----- doc_sim_histogram: pair-similarity distribution ---------------
     // Where should the dedup threshold sit? The histogram of exact-Jaccard
