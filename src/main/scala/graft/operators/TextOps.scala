@@ -844,6 +844,74 @@ object TextOps {
                MIN(m) AS min_fp
         FROM fps GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ----- doc_winnow_overlap: MOSS-style fingerprint-overlap pairs ------
+    // The consumer of the winnowed fingerprints: pairwise containment
+    // (shared fingerprints / smaller fingerprint set) over an exploded
+    // fp self-join. Fingerprints held by > 50 documents are dropped
+    // before pairing (broadcast anti-join) — the stopword-shingle cap
+    // that bounds any fp bucket at 50² pairs, so the join stays skew-safe
+    // when one boilerplate line appears in millions of documents.
+    "doc_winnow_overlap" -> Q(
+      build = (s, d) => {
+        val fps = docs(s, d)
+          .filter(length(col("text")) >= 24)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.winnow_fingerprints(col("text")))
+              .as("fp")) // kernel emits distinct fps per doc
+        val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+        val common = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 50).select(col("fp"))
+        val rare = fps.join(broadcast(common), Seq("fp"), "left_anti")
+        rare.as("a").join(rare.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 8)
+          .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+            Seq("doc_a"))
+          .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+            Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("shared").cast(DoubleType)
+              / least(col("nfp_a"), col("nfp_b")).cast(DoubleType))
+              .as("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 24),
+        pos AS (
+          SELECT doc_id, text, n, unnest(generate_series(1, n - 19)) AS i FROM d),
+        g AS (
+          SELECT doc_id, n, i,
+                 ((${gramSum(graft.functions.TextHashKernels.B1)}) % $HP) * 2147483648
+               + ((${gramSum(graft.functions.TextHashKernels.B2)}) % $HP) AS fp
+          FROM pos),
+        wmin AS (
+          SELECT doc_id, n, i,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+          FROM g),
+        fps AS (SELECT DISTINCT doc_id, m FROM wmin WHERE i <= n - 23),
+        nf AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+        rare AS (
+          SELECT a.doc_id, a.m FROM fps a
+          JOIN (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= 50) r
+            ON r.m = a.m),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM rare a JOIN rare b ON a.m = b.m AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.shared,
+               CAST(p.shared AS DOUBLE)
+                 / CAST(least(na.nfp, nb.nfp) AS DOUBLE) AS containment
+        FROM pairs p
+        JOIN nf na ON na.doc_id = p.doc_a
+        JOIN nf nb ON nb.doc_id = p.doc_b
+        WHERE p.shared >= 8
+        ORDER BY doc_a, doc_b""")),
+
     // ----- doc_sim_histogram: pair-similarity distribution ---------------
     // Where should the dedup threshold sit? The histogram of exact-Jaccard
     // scores over all shingle-sharing pairs answers it (the knee between
