@@ -132,6 +132,7 @@ object TextOps {
     var converged = false
     var iter = 0
     val maxIter = 30 // O(log² n): 30 rounds is deep headroom for any scale
+    var prevCnt = e.count()
     while (!converged && iter < maxIter) {
       // large-star: every neighbor v > u re-attaches to u's closed-
       // neighborhood min
@@ -154,7 +155,13 @@ object TextOps {
         ss.union(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
           .join(e.withColumn("old", lit(1)), Seq("u", "v"), "left")
           .select(col("u"), col("v"), col("old").isNull.as("fresh")))
-      converged = e2f.count() == e.count() && e2f.filter(col("fresh")).isEmpty
+      // one action per round: (count, fresh-count) in a single agg over the
+      // materialized checkpoint; previous round's count is carried, so the
+      // per-round driver latency is 2 jobs (checkpoint + agg), not 4
+      val st = e2f.agg(count(lit(1)), count(when(col("fresh"), 1))).head()
+      val cnt = st.getLong(0)
+      converged = cnt == prevCnt && st.getLong(1) == 0L
+      prevCnt = cnt
       e = e2f.select(col("u"), col("v"))
       iter += 1
       if (sys.env.contains("GRAFT_CC_TRACE"))
