@@ -1537,6 +1537,244 @@ object TextOps {
                CAST(g.qw AS DOUBLE)/CAST(t.tq AS DOUBLE) AS share,
                (100000 * g.qw)//t.tq AS target_docs
         FROM g CROSS JOIN tot t
-        ORDER BY g.source"""))
+        ORDER BY g.source""")),
+
+    // ----- doc_dsir: hashed-ngram importance weights (DSIR) --------------
+    // Data Selection via Importance Resampling (Xie et al. 2023, public):
+    // score every raw doc by how target-like its hashed-bigram feature
+    // distribution is. Features: bigrams hashed into 256 buckets (first
+    // md5 hex byte — the same cross-engine hashing doc_sample_hash uses).
+    // Raw model = bucket counts over the whole corpus; target model =
+    // bucket counts over the lang='en' subset; both Laplace-smoothed.
+    // Per-doc weight = mean log-likelihood ratio over its bigrams.
+    // Scale shape: the model is 256 rows regardless of corpus size — the
+    // per-bigram join is a broadcast, and the only real shuffles are the
+    // two model groupBys and the per-doc agg. Surprisal rounds to 6
+    // decimals before the DECIMAL-exact sum (order-free, cross-engine),
+    // exactly the doc_unigram_logprob convention.
+    "doc_dsir" -> Q(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = toks
+          .withColumn("nxt", lead(col("term"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            substring(md5(concat(col("term"), lit(" "), col("nxt"))
+              .cast(BinaryType)), 1, 2).as("bkt"))
+        val raw = bg.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+        val tgt = bg.filter(col("lang") === "en")
+          .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+        val model = raw.join(tgt, Seq("bkt"), "left")
+          .na.fill(0L, Seq("tc"))
+          .crossJoin(broadcast(raw.agg(sum(col("rc")).as("rt"))))
+          .crossJoin(broadcast(tgt.agg(sum(col("tc")).as("tt"))))
+          .withColumn("llr",
+            round(log((col("tc") + 1).cast(DoubleType) / (col("tt") + 256))
+              - log((col("rc") + 1).cast(DoubleType) / (col("rt") + 256)), 6)
+              .cast(DecimalType(18, 6)))
+          .select(col("bkt"), col("llr"))
+        bg.join(broadcast(model), Seq("bkt"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("llr")).cast(DoubleType) / count(lit(1))).as("mean_llr"))
+          .withColumn("keep", col("mean_llr") > 0.0)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, lang, ws[i] AS term, i AS pos
+          FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+          WHERE ws[i] <> ''),
+        bg AS (
+          SELECT doc_id, lang,
+                 substr(md5(term || ' ' ||
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos)), 1, 2)
+                   AS bkt
+          FROM toks
+          QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NOT NULL),
+        raw AS (SELECT bkt, COUNT(*) AS rc FROM bg GROUP BY 1),
+        tgt AS (SELECT bkt, COUNT(*) AS tc FROM bg WHERE lang = 'en'
+                GROUP BY 1),
+        rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM raw),
+        tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM tgt),
+        model AS (
+          SELECT r.bkt,
+                 CAST(round(ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE)
+                                / (tt.tt + 256))
+                          - ln(CAST(r.rc + 1 AS DOUBLE) / (rt.rt + 256)), 6)
+                      AS DECIMAL(18,6)) AS llr
+          FROM raw r LEFT JOIN tgt t ON t.bkt = r.bkt, rt, tt)
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(m.llr) AS DOUBLE)/COUNT(*) AS mean_llr,
+               CAST(SUM(m.llr) AS DOUBLE)/COUNT(*) > 0.0 AS keep
+        FROM bg b JOIN model m ON m.bkt = b.bkt
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ----- doc_line_dedup: corpus-frequency line removal (CCNet) ---------
+    // The CCNet/RefinedWeb hash-of-line filter: unlike doc_paragraph_dedup
+    // (which keeps the FIRST occurrence), boilerplate removal drops EVERY
+    // occurrence of a line whose corpus frequency exceeds a threshold —
+    // nav bars and cookie banners should vanish from the keeper doc too.
+    // Lines are the same deterministic 10-word chunks. Scale shape: one
+    // groupBy keyed on the line (map-side combinable counts; key would be
+    // md5(line) at 100 TB), a broadcast-able frequency join only for
+    // over-threshold lines, and a per-doc re-assembly shuffle.
+    "doc_line_dedup" -> Q(
+      build = (s, d) => {
+        val lines = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS INT) - 1)," +
+                " i -> array_join(slice(ws, i*10 + 1, 10), ' '))"))
+              .as(Seq("line_idx", "line")))
+        val hot = lines.groupBy(col("line"))
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= 3)
+        lines.join(broadcast(hot), Seq("line"), "left")
+          .withColumn("drop", col("freq").isNotNull)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN NOT drop THEN" +
+                " struct(line_idx, line) END)), p -> p.line)"))
+              .as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        p AS (
+          SELECT doc_id, i AS line_idx,
+                 array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS line
+          FROM w, LATERAL unnest(generate_series(0,
+                 CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS t(i)),
+        hot AS (SELECT line, COUNT(*) AS freq FROM p GROUP BY 1
+                HAVING COUNT(*) >= 3),
+        m AS (SELECT p.*, h.freq IS NOT NULL AS dropped
+              FROM p LEFT JOIN hot h ON h.line = p.line)
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, ' '
+                 ORDER BY line_idx), '') AS clean_text
+        FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----- doc_url_normalize: URL canonicalization + dedup ---------------
+    // The CommonCrawl-pipeline URL dedup step: canonicalize (lowercase
+    // scheme/host, strip default port, www. prefix, fragment, tracking
+    // params; sort surviving query params; strip trailing slash) and
+    // dedup on the canonical form. The corpus has no URL column, so a
+    // messy URL is synthesized deterministically per doc (4 variants of
+    // the same logical URL — CASE on doc_id % 4) and the canonicalizer
+    // must collapse them. Pure narrow string map (higher-order
+    // filter/array_sort for the query params — no UDF) + one groupBy on
+    // the canonical key: the exact-dedup scale shape.
+    "doc_url_normalize" -> Q(
+      build = (s, d) => {
+        val raw = docs(s, d).withColumn("raw_url", expr(
+          """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN concat('HTTPS://WWW.', upper(source),
+               '.Example.COM:443/docs/', CAST(doc_id div 4 AS STRING),
+               '/?utm_source=feed&id=7&ref=rss#frag')
+             WHEN 1 THEN concat('https://', source, '.example.com/docs/',
+               CAST(doc_id div 4 AS STRING), '?id=7')
+             WHEN 2 THEN concat('https://www.', source,
+               '.example.com/docs/', CAST(doc_id div 4 AS STRING),
+               '/?id=7&utm_medium=email')
+             ELSE concat('HTTPS://', upper(source), '.EXAMPLE.COM/docs/',
+               CAST(doc_id div 4 AS STRING), '?ref=social&id=7#top') END"""))
+        raw
+          .withColumn("nofrag", expr("element_at(split(raw_url, '#'), 1)"))
+          .withColumn("scheme", expr(
+            "lower(element_at(split(nofrag, '://'), 1))"))
+          .withColumn("rest", expr("element_at(split(nofrag, '://'), 2)"))
+          .withColumn("hostport", expr("element_at(split(rest, '/'), 1)"))
+          .withColumn("host", expr(
+            """CASE WHEN lower(hostport) LIKE 'www.%'
+               THEN substring(lower(element_at(split(hostport, ':'), 1)), 5)
+               ELSE lower(element_at(split(hostport, ':'), 1)) END"""))
+          .withColumn("pathq", expr(
+            "substring(rest, length(hostport) + 1)"))
+          .withColumn("path", expr(
+            """CASE WHEN element_at(split(pathq, '\\?'), 1) LIKE '%/'
+               AND length(element_at(split(pathq, '\\?'), 1)) > 1
+               THEN substring(element_at(split(pathq, '\\?'), 1), 1,
+                 length(element_at(split(pathq, '\\?'), 1)) - 1)
+               ELSE element_at(split(pathq, '\\?'), 1) END"""))
+          .withColumn("qparams", expr(
+            """array_join(array_sort(filter(
+                 split(coalesce(element_at(split(pathq, '\\?'), 2), ''), '&'),
+                 x -> x != '' AND NOT startswith(x, 'utm_')
+                   AND NOT startswith(x, 'ref='))),
+               '&')"""))
+          .withColumn("canon_url", expr(
+            """concat(scheme, '://', host, path,
+               CASE WHEN qparams != '' THEN concat('?', qparams)
+                    ELSE '' END)"""))
+          .groupBy(col("canon_url"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("canon_url"))
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'HTTPS://WWW.' || upper(source) ||
+              '.Example.COM:443/docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+              '/?utm_source=feed&id=7&ref=rss#frag'
+            WHEN 1 THEN 'https://' || source || '.example.com/docs/' ||
+              CAST(doc_id // 4 AS VARCHAR) || '?id=7'
+            WHEN 2 THEN 'https://www.' || source || '.example.com/docs/' ||
+              CAST(doc_id // 4 AS VARCHAR) || '/?id=7&utm_medium=email'
+            ELSE 'HTTPS://' || upper(source) || '.EXAMPLE.COM/docs/' ||
+              CAST(doc_id // 4 AS VARCHAR) || '?ref=social&id=7#top'
+            END AS raw_url
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, string_split(raw_url, '#')[1] AS nofrag FROM raw),
+        s2 AS (
+          SELECT doc_id,
+                 lower(string_split(nofrag, '://')[1]) AS scheme,
+                 string_split(nofrag, '://')[2] AS rest
+          FROM s1),
+        s3 AS (
+          SELECT *, string_split(rest, '/')[1] AS hostport FROM s2),
+        s4 AS (
+          SELECT *,
+            CASE WHEN lower(hostport) LIKE 'www.%'
+                 THEN substr(lower(string_split(hostport, ':')[1]), 5)
+                 ELSE lower(string_split(hostport, ':')[1]) END AS host,
+            substr(rest, length(hostport) + 1) AS pathq
+          FROM s3),
+        s5 AS (
+          SELECT *,
+            CASE WHEN string_split(pathq, '?')[1] LIKE '%/'
+                  AND length(string_split(pathq, '?')[1]) > 1
+                 THEN substr(string_split(pathq, '?')[1], 1,
+                   length(string_split(pathq, '?')[1]) - 1)
+                 ELSE string_split(pathq, '?')[1] END AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(COALESCE(string_split(pathq, '?')[2], ''), '&'),
+              x -> x <> '' AND NOT starts_with(x, 'utm_')
+                AND NOT starts_with(x, 'ref='))), '&') AS qparams
+          FROM s4),
+        canon AS (
+          SELECT doc_id,
+                 scheme || '://' || host || path ||
+                 CASE WHEN qparams <> '' THEN '?' || qparams ELSE '' END
+                   AS canon_url
+          FROM s5)
+        SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_variants
+        FROM canon GROUP BY 1 ORDER BY canon_url"""))
   )
 }
