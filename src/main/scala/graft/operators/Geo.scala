@@ -2901,6 +2901,156 @@ object Geo {
                  AS growth_km2_h
         FROM lagd
         WHERE prev_qarea IS NOT NULL AND ts_sec > prev_ts
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ----- geo_cpa: closest-point-of-approach prediction -----------------
+    // The predictive half of encounter detection (odin_adsb's closing-rate
+    // monitoring, gpshub track state): from each entity's latest fix and
+    // finite-difference velocity, solve the linear-motion CPA for every
+    // grid-bucketed candidate pair — t* = clamp(-(dp·dv)/|dv|², 0, 30 min),
+    // d* = |dp + dv·t*|. Velocities come from one lag window per entity
+    // (shuffle keyed on user_id); pairing reuses the 3×3-replicated
+    // 1-degree grid bucket join of geo_proximity_pairs — O(n·9) candidate
+    // rows, never all-pairs, the only shape that survives 100 TB of track
+    // data. Determinism: the sole transcendental input (cos of the pair
+    // midpoint latitude) is rounded to 6 decimals immediately; everything
+    // downstream is IEEE +,-,*,/,sqrt on identical doubles, so both
+    // engines agree bit-for-bit and the final round(.,3) is display-only.
+    "geo_cpa" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        // hub-converging tracks (rational arithmetic only — bit-exact
+        // cross-engine): entities share one of 8 "airports" and drift
+        // linearly; evPts' per-event longitudes never co-locate two
+        // entities, which would make every CPA vacuous
+        val fixes = Tables.events(s, d)
+          .withColumn("hub", col("user_id") % 8)
+          .withColumn("lat",
+            (col("hub") * 13 % 120 - 60).cast(DoubleType)
+              + ((col("user_id") % 17) - 8) / lit(20.0)
+              + (col("ts_sec") % 3600) / lit(3600.0)
+                * ((col("user_id") % 5) - 2) / lit(10.0))
+          .withColumn("lon",
+            (col("hub") * 29 % 340 - 170).cast(DoubleType)
+              + ((col("user_id") % 23) - 11) / lit(20.0)
+              + (col("ts_sec") % 3600) / lit(3600.0)
+                * ((col("user_id") % 7) - 3) / lit(10.0))
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("lat"), col("lon"))
+          .withColumn("plat", lag(col("lat"), 1).over(w))
+          .withColumn("plon", lag(col("lon"), 1).over(w))
+          .withColumn("pts", lag(col("ts_sec"), 1).over(w))
+          .filter(col("pts").isNotNull && col("ts_sec") > col("pts"))
+          .withColumn("vlat",
+            (col("lat") - col("plat")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
+          .withColumn("vlon",
+            (col("lon") - col("plon")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
+          .withColumn("tb", expr("ts_sec div 1800"))
+        val latest = fixes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"), col("tb"))
+              .orderBy(col("ts_sec").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("tb"), col("lat"), col("lon"),
+            col("vlat"), col("vlon"),
+            floor(col("lat")).cast(LongType).as("cl"),
+            floor(col("lon")).cast(LongType).as("cn"))
+        val probe = latest
+          .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("user_id"), col("tb"), col("lat"), col("lon"),
+            col("vlat"), col("vlon"),
+            (col("cl") + col("dlat")).as("cl"), (col("cn") + col("dlon")).as("cn"))
+        latest.as("a").join(probe.as("b"),
+            col("a.tb") === col("b.tb")
+              && col("a.cl") === col("b.cl") && col("a.cn") === col("b.cn")
+              && col("a.user_id") < col("b.user_id"))
+          .withColumn("kx",
+            round(cos(radians((col("a.lat") + col("b.lat")) / 2.0)), 6) * 111.195)
+          .withColumn("dx", (col("b.lon") - col("a.lon")) * col("kx"))
+          .withColumn("dy", (col("b.lat") - col("a.lat")) * 111.195)
+          .withColumn("dvx", (col("b.vlon") - col("a.vlon")) * col("kx"))
+          .withColumn("dvy", (col("b.vlat") - col("a.vlat")) * 111.195)
+          .withColumn("den", col("dvx") * col("dvx") + col("dvy") * col("dvy"))
+          .withColumn("tc",
+            when(col("den") <= 1e-12, 0.0).otherwise(
+              least(greatest(-(col("dx") * col("dvx") + col("dy") * col("dvy"))
+                / col("den"), lit(0.0)), lit(30.0))))
+          .withColumn("dc",
+            sqrt(pow(col("dx") + col("dvx") * col("tc"), 2)
+              + pow(col("dy") + col("dvy") * col("tc"), 2)))
+          .filter(col("dc") <= 100.0)
+          .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+            col("a.tb").as("tb"),
+            round(col("tc"), 3).as("t_cpa_min"),
+            round(col("dc"), 3).as("d_cpa_km"))
+          .orderBy(col("user_a"), col("user_b"), col("tb"))
+      },
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 user_id % 8 AS hub
+          FROM events),
+        pts AS (
+          SELECT user_id, event_id, ts_sec,
+                 CAST(hub*13 % 120 - 60 AS DOUBLE)
+                   + ((user_id % 17) - 8) / 20.0
+                   + (ts_sec % 3600) / 3600.0 * ((user_id % 5) - 2) / 10.0
+                   AS lat,
+                 CAST(hub*29 % 340 - 170 AS DOUBLE)
+                   + ((user_id % 23) - 11) / 20.0
+                   + (ts_sec % 3600) / 3600.0 * ((user_id % 7) - 3) / 10.0
+                   AS lon
+          FROM raw),
+        fixes AS (
+          SELECT *,
+                 (lat - lag(lat) OVER w)
+                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlat,
+                 (lon - lag(lon) OVER w)
+                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlon,
+                 lag(ts_sec) OVER w AS prev_ts,
+                 ts_sec // 1800 AS tb
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+          QUALIFY prev_ts IS NOT NULL AND ts_sec > prev_ts),
+        latest AS (
+          SELECT user_id, tb, lat, lon, vlat, vlon,
+                 CAST(floor(lat) AS BIGINT) AS cl,
+                 CAST(floor(lon) AS BIGINT) AS cn
+          FROM fixes
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tb
+                    ORDER BY ts_sec DESC, event_id DESC) = 1),
+        probe AS (
+          SELECT user_id, tb, lat, lon, vlat, vlon,
+                 cl + g1.d AS cl, cn + g2.d AS cn
+          FROM latest, generate_series(-1, 1) AS g1(d),
+               generate_series(-1, 1) AS g2(d)),
+        cand AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b, a.tb AS tb,
+                 round(cos(radians((a.lat + b.lat) / 2.0)), 6) * 111.195 AS kx,
+                 b.lat - a.lat AS dlat, b.lon - a.lon AS dlon,
+                 b.vlat - a.vlat AS dvlat, b.vlon - a.vlon AS dvlon
+          FROM latest a JOIN probe b
+            ON a.tb = b.tb AND a.cl = b.cl AND a.cn = b.cn
+           AND a.user_id < b.user_id),
+        cpa AS (
+          SELECT user_a, user_b, tb,
+                 dlon * kx AS dx, dlat * 111.195 AS dy,
+                 dvlon * kx AS dvx, dvlat * 111.195 AS dvy
+          FROM cand),
+        solved AS (
+          SELECT user_a, user_b, tb, dx, dy, dvx, dvy,
+                 CASE WHEN dvx*dvx + dvy*dvy <= 1e-12 THEN 0.0
+                      ELSE least(greatest(-(dx*dvx + dy*dvy)
+                             / (dvx*dvx + dvy*dvy), 0.0), 30.0) END AS tc
+          FROM cpa)
+        SELECT user_a, user_b, tb,
+               round(tc, 3) AS t_cpa_min,
+               round(sqrt(pow(dx + dvx*tc, 2) + pow(dy + dvy*tc, 2)), 3)
+                 AS d_cpa_km
+        FROM solved
+        WHERE sqrt(pow(dx + dvx*tc, 2) + pow(dy + dvy*tc, 2)) <= 100.0
+        ORDER BY user_a, user_b, tb"""))
   )
 }

@@ -1561,7 +1561,64 @@ object TimeSeries {
         SELECT icao24, callsign, lat, lon, alt_ft, gs_kt, track_deg,
                vrate_fpm, tsp AS last_update_sec, last_pos_sec, n_msgs, n_pos
         FROM state WHERE rn = 1
-        ORDER BY icao24"""))
+        ORDER BY icao24""")),
+
+    // ----- ts_quantile_sketch: mergeable histogram quantiles -------------
+    // The approximate-quantile shape that actually scales: a fixed-
+    // boundary histogram sketch (bin = floor(value·8), ~1/8-unit
+    // resolution) whose bin counts are a map-side-combinable groupBy —
+    // the sketch merges associatively across 1000 executors, unlike an
+    // exact percentile sort. Quantiles read off the cumulative histogram
+    // (window over the per-type bin axis — thousands of rows, not the
+    // data). Deterministic by construction (integer bins, integer
+    // counts), so unlike t-digest the same sketch emerges on every
+    // engine: the DuckDB oracle replays it exactly. Resolution is the
+    // bin width — the error bound a production pipeline actually wants
+    // stated, not a t-digest's data-dependent one.
+    "ts_quantile_sketch" -> Q(
+      build = (s, d) => {
+        val hist = ev(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 8.0).cast(LongType).as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+        val tot = hist.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_total"))
+        cum.join(tot, Seq("event_type"))
+          .withColumn("q", explode(array(lit(0.5), lit(0.95), lit(0.99))))
+          .filter(col("cum") >= ceil(col("q") * col("n_total")))
+          .groupBy(col("event_type"), col("q"), col("n_total"))
+          .agg(min(col("bin")).as("qbin"))
+          .select(col("event_type"), col("q"), col("n_total"),
+            (col("qbin") / 8.0).as("q_value"))
+          .orderBy(col("event_type"), col("q"))
+      },
+      oracle = Some("""
+        WITH hist AS (
+          SELECT event_type, CAST(floor(value * 8.0) AS BIGINT) AS bin,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        tot AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_total
+          FROM hist GROUP BY 1),
+        qs AS (
+          SELECT c.event_type, t.n_total, CAST(q.q AS DOUBLE) AS q,
+                 MIN(c.bin) AS qbin
+          FROM cum c
+          JOIN tot t ON t.event_type = c.event_type
+          CROSS JOIN (VALUES (0.5), (0.95), (0.99)) q(q)
+          WHERE c.cum >= ceil(CAST(q.q AS DOUBLE) * t.n_total)
+          GROUP BY 1, 2, 3)
+        SELECT event_type, q, n_total, qbin / 8.0 AS q_value
+        FROM qs ORDER BY event_type, q"""))
   )
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by
