@@ -373,4 +373,52 @@ object Streams {
           out.iterator
       }
   }
+
+  case class EvT(event_id: Long, ts_sec: Long, user_id: Long,
+      event_type: String, value: Double, ts: java.sql.Timestamp)
+
+  case class OfflineAlarm(user_id: Long, last_event_id: Long,
+      last_ts_sec: Long, deadline_sec: Long)
+
+  /** stream_gap_alarm: device-offline detection via EVENT-TIME state
+    * timeout — the streaming form of ts_heartbeat_uptime's gap scan
+    * (odin_n5/odin_sentinel device monitors: "no report for N minutes →
+    * raise"). Unlike every polling re-expression, nothing scans idle
+    * state: the state store itself fires the group callback when the
+    * watermark passes last_seen + gap, so a fleet of 10M mostly-silent
+    * devices costs zero per-batch work until a deadline actually lapses
+    * — the only offline-detector shape that scales. State is removed on
+    * alarm (re-registration restarts the clock).
+    */
+  def gapAlarm(events: Dataset[Ev], gapSec: Long = 1800L,
+      lateness: String = "10 minutes"): Dataset[OfflineAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .as[EvT]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EntityState, OfflineAlarm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state: GroupState[EntityState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(OfflineAlarm(uid, st.last_event_id,
+              st.last_ts_sec, st.last_ts_sec + gapSec))
+          } else {
+            val prev = state.getOption
+              .getOrElse(EntityState(uid, -1L, Long.MinValue, 0.0, 0L))
+            val next = batch.foldLeft(prev) { (st, e) =>
+              if (e.ts_sec > st.last_ts_sec ||
+                (e.ts_sec == st.last_ts_sec && e.event_id > st.last_event_id))
+                EntityState(uid, e.event_id, e.ts_sec, e.value, st.n_seen + 1)
+              else st.copy(n_seen = st.n_seen + 1)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp((next.last_ts_sec + gapSec) * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_seen") == 3)
   }
 
+  test("stream_gap_alarm: event-time timeout fires for the silent device only") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.gapAlarm(in.toDS(), gapSec = 1800L, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode("append").start()
+    // device 7 reports once; device 8 keeps reporting
+    in.addData(Ev(1, 100, 7, "hb", 1.0), Ev(2, 100, 8, "hb", 1.0))
+    q.processAllAvailable()
+    // watermark advances to 3000 - 600 = 2400 > 7's deadline (1900)...
+    in.addData(Ev(3, 3000, 8, "hb", 1.0))
+    q.processAllAvailable()
+    // ...and the timeout fires on the following trigger
+    in.addData(Ev(4, 3100, 8, "hb", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("gap_out").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("user_id") == 7L)
+    assert(r.getAs[Long]("last_event_id") == 1L)
+    assert(r.getAs[Long]("deadline_sec") == 1900L)
+  }
+
   test("stream_schedule: histogram state accumulates, compaction + next-poll predict") {
     import spark.implicits._
     val in = mem()
