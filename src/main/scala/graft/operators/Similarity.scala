@@ -880,5 +880,76 @@ object Similarity {
                CAST(qsum AS BIGINT) AS qsum,
                round(CAST(qsum AS DOUBLE)/67108864.0, 6) AS gram
         FROM cells ORDER BY i, j"""))
+  ,
+
+    // ----- emb_quantize_int8: scalar int8 index compression --------------
+    // The 4× index-compression pass every production vector store ships
+    // (FAISS SQ8, pgvector halfvec/int8): per-dimension global [min,max]
+    // → 8-bit code floor((x-min)/scale) with midpoint dequantization,
+    // plus per-vector reconstruction error. Scale shape: the dim stats
+    // are ONE combinable shuffle of 64 groups (emb_dim_stats' plan), the
+    // codes come from a broadcast join of those 64 rows — no second
+    // full-corpus shuffle beyond the per-vector agg. Determinism: floor
+    // (not round — no tie-break hazard) on IEEE-exact arithmetic, error
+    // sums in fixed point (order-free), constant dims guarded before the
+    // division can produce Inf.
+    "emb_quantize_int8" -> Q(
+      build = (s, d) => {
+        val q = 1073741824.0 // 2^30
+        val el = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"),
+            (col("pos") + 1).cast(LongType).as("dim"),
+            col("x").cast(DoubleType).as("v"))
+        val stats = el.groupBy(col("dim"))
+          .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+          .withColumn("scale",
+            when(col("vmax") > col("vmin"),
+              (col("vmax") - col("vmin")) / 255.0).otherwise(lit(0.0)))
+        el.join(broadcast(stats), Seq("dim"))
+          .withColumn("code",
+            when(col("scale") === 0.0, 0L).otherwise(
+              least(lit(255L),
+                floor((col("v") - col("vmin")) / col("scale")).cast(LongType))))
+          .withColumn("xhat",
+            col("vmin") + (col("code").cast(DoubleType) + 0.5) * col("scale"))
+          .withColumn("err",
+            when(col("scale") === 0.0, 0.0).otherwise(col("v") - col("xhat")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(count(lit(1)).as("n_dims"),
+            round(sum(floor(col("err") * col("err") * q).cast(LongType))
+              .cast(DoubleType) / q / count(lit(1)), 9).as("mse"),
+            round(max(abs(col("err"))), 9).as("max_abs_err"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some("""
+        WITH el AS (
+          SELECT vec_id, label, i AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings e,
+               LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+        stats AS (
+          SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax,
+                 CASE WHEN MAX(v) > MIN(v)
+                      THEN (MAX(v) - MIN(v)) / 255.0 ELSE 0.0 END AS scale
+          FROM el GROUP BY 1),
+        coded AS (
+          SELECT e.vec_id, e.label, e.v, s.vmin, s.scale,
+                 CASE WHEN s.scale = 0.0 THEN 0
+                      ELSE least(255, CAST(floor((e.v - s.vmin) / s.scale)
+                                           AS BIGINT)) END AS code
+          FROM el e JOIN stats s ON s.dim = e.dim),
+        errs AS (
+          SELECT vec_id, label,
+                 CASE WHEN scale = 0.0 THEN 0.0
+                      ELSE v - (vmin + (CAST(code AS DOUBLE) + 0.5) * scale)
+                 END AS err
+          FROM coded)
+        SELECT vec_id, label, COUNT(*) AS n_dims,
+               round(CAST(SUM(CAST(FLOOR(err * err * 1073741824.0) AS BIGINT))
+                     AS DOUBLE) / 1073741824.0 / COUNT(*), 9) AS mse,
+               round(MAX(abs(err)), 9) AS max_abs_err
+        FROM errs GROUP BY 1, 2 ORDER BY vec_id"""))
   )
 }

@@ -1776,5 +1776,71 @@ object TextOps {
           FROM s5)
         SELECT canon_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_variants
         FROM canon GROUP BY 1 ORDER BY canon_url"""))
+  ,
+
+    // ----- doc_pii_scan: PII detection census ----------------------------
+    // The detection half of the PII story (doc_mask is the redaction
+    // half): count emails / phone numbers / IPv4 literals per document
+    // and surface the first email domain — the audit report a corpus
+    // release pipeline publishes before and after scrubbing. The corpus
+    // text carries no PII, so a contact blob is synthesized
+    // deterministically for 2 of every 3 docs (pure string concat, both
+    // engines identical) and the scanner must find exactly it. All
+    // regexes are in the RE2-safe subset (character classes + bounded
+    // repetition, no lookaround) so Java and RE2 agree. Pure narrow map
+    // — no shuffle at all until the ORDER BY.
+    "doc_pii_scan" -> Q(
+      build = (s, d) => {
+        val withPii = docs(s, d).withColumn("body", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN text
+             ELSE concat(text, ' reach user', CAST(doc_id AS STRING),
+               '@mail', CAST(doc_id % 7 AS STRING), '.com or 555-',
+               CAST(1000 + doc_id % 9000 AS STRING), ' at 10.0.',
+               CAST(doc_id % 256 AS STRING), '.',
+               CAST(doc_id * 7 % 256 AS STRING)) END"""))
+        withPii.select(col("doc_id"),
+            size(regexp_extract_all(col("body"),
+              lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0)))
+              .cast(LongType).as("n_emails"),
+            size(regexp_extract_all(col("body"),
+              lit("555-[0-9]{4}"), lit(0)))
+              .cast(LongType).as("n_phones"),
+            size(regexp_extract_all(col("body"),
+              lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0)))
+              .cast(LongType).as("n_ipv4"),
+            regexp_extract(col("body"),
+              "[a-z0-9]+@([a-z0-9]+\\.[a-z]+)", 1).as("email_domain"))
+          .withColumn("has_pii",
+            col("n_emails") + col("n_phones") + col("n_ipv4") > 0L)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH body AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN text
+            ELSE text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+              '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com or 555-' ||
+              CAST(1000 + doc_id % 9000 AS VARCHAR) || ' at 10.0.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              CAST(doc_id * 7 % 256 AS VARCHAR) END AS body
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(body,
+                 '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(body,
+                 '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(body,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                 AS BIGINT) AS n_ipv4,
+               COALESCE(regexp_extract(body,
+                 '[a-z0-9]+@([a-z0-9]+\.[a-z]+)', 1), '') AS email_domain,
+               CAST(len(regexp_extract_all(body,
+                 '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+               + CAST(len(regexp_extract_all(body,
+                 '555-[0-9]{4}')) AS BIGINT)
+               + CAST(len(regexp_extract_all(body,
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                 AS BIGINT) > 0 AS has_pii
+        FROM body ORDER BY doc_id"""))
   )
 }
