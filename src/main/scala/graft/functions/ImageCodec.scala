@@ -105,4 +105,74 @@ object ImageCodec {
       minLum.toDouble, maxLum.toDouble,
       edge.toDouble / math.max(1, n - h)) // h rows × (w-1) diffs; max guards w<=1 (ADVICE r3)
   }
+
+  /** 64-bit perceptual hash (classic pHash): integer luminance →
+    * 32×32 box-resample → 2-D DCT-II → low-frequency 8×8 block →
+    * median threshold. Near-identical images land within a few bits of
+    * hamming distance; the banded hamming join upstairs turns that into
+    * image near-dup detection. Deterministic: identical JVM math on
+    * executors and on the driver that builds the oracle LUT.
+    */
+  def phash64(img: BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = Array.ofDim[Double](N, N)
+    var i = 0
+    while (i < N) {
+      var j = 0
+      while (j < N) {
+        val x0 = j * w / N; val x1 = math.max(x0 + 1, (j + 1) * w / N)
+        val y0 = i * h / N; val y1 = math.max(y0 + 1, (i + 1) * h / N)
+        var s = 0L; var cnt = 0
+        var y = y0
+        while (y < h && y < y1) {
+          var x = x0
+          while (x < w && x < x1) {
+            val p = img.getRGB(x, y)
+            s += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
+              + 114L * (p & 0xFF)) / 1000L
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        lum(i)(j) = if (cnt == 0) 0.0 else s.toDouble / cnt
+        j += 1
+      }
+      i += 1
+    }
+    // 8×8 low-frequency DCT-II block (only 64 coefficients needed)
+    val cos = Array.tabulate(8, N)((k, x) =>
+      math.cos(math.Pi / N * (x + 0.5) * k))
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var ii = 0
+        while (ii < N) {
+          var jj = 0
+          while (jj < N) {
+            acc += lum(ii)(jj) * cos(u)(ii) * cos(v)(jj)
+            jj += 1
+          }
+          ii += 1
+        }
+        coef(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+    val med = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (coef(k) > med) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
 }

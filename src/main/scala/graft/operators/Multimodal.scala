@@ -76,6 +76,38 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  /** Driver-side pHash LUT over the doc_id period (lcm(256,3) = 768) —
+    * same JVM codec path the executors run, so the VALUES literals are
+    * bit-identical to the distributed result.
+    */
+  private lazy val phashLutLocal: IndexedSeq[(Int, Long)] = {
+    import graft.functions.ImageCodec
+    (0 until 768).map { m =>
+      val img = ImageCodec.decode(ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)))
+      (m, ImageCodec.phash64(img))
+    }
+  }
+
+  private lazy val phashPairsOracle: String = {
+    val rows = phashLutLocal.map { case (m, ph) => s"($m,CAST($ph AS BIGINT))" }
+      .mkString(",")
+    s"""WITH lut(mod_id, ph) AS (VALUES $rows),
+        sigs AS (
+          SELECT d.doc_id, l.ph FROM documents d
+          JOIN lut l ON d.doc_id % 768 = l.mod_id),
+        chunks AS (
+          SELECT doc_id, ph, g.c, (ph >> (g.c * 16)) & 65535 AS ck
+          FROM sigs, generate_series(0, 3) AS g(c)),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
+          FROM chunks x JOIN chunks y
+            ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.ph, y.ph)) <= 6)
+        SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b"""
+  }
+
   private lazy val batchInferOracle: String = {
     import graft.functions.ImageCodec
     val rows = featureLutLocal.map { case (m, _, f) =>
@@ -941,6 +973,45 @@ object Multimodal {
           .withColumn("fractal_slope", round(col("fractal_slope"), 6))
           .orderBy(col("doc_id"))
       },
-      oracle = None)
+      oracle = None),
+
+    // ----- mm_phash_pairs: perceptual-hash image near-dup ----------------
+    // The image half of the corpus dedup story (exact/MinHash/SimHash/
+    // SemDeDup cover text; training sets dedup images with pHash): per
+    // document the synthetic image is PNG-encoded, REALLY decoded
+    // (javax.imageio), 64-bit pHashed (32×32 DCT, ImageCodec.phash64),
+    // and near-dup pairs come from the SimHash banding trick — exact
+    // match on any 16-bit hash chunk, then hamming ≤ 6 re-rank. O(n·4)
+    // candidate shuffle rows, never all-pairs: the 100 TB image-dedup
+    // shape. Oracle: the hash depends on doc_id only mod 768 (same
+    // period argument as mm_feature_extract), so the driver-computed
+    // 768-entry LUT + the same chunk join replays the whole pipeline in
+    // DuckDB, hash-checked end to end.
+    "mm_phash_pairs" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        val sigs = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = ImageCodec.decode(ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+              (id, if (img == null) 0L else ImageCodec.phash64(img))
+            }
+          }.toDF("doc_id", "ph")
+        val chunks = sigs
+          .withColumn("c", explode(expr("sequence(0, 3)")))
+          .withColumn("ck", expr("shiftright(ph, c * 16) & 65535"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.ck") === col("y.ck")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= 6L)
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      oracle = Some(phashPairsOracle))
   )
 }

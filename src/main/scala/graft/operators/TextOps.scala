@@ -1842,5 +1842,85 @@ object TextOps {
                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
                  AS BIGINT) > 0 AS has_pii
         FROM body ORDER BY doc_id"""))
+  ,
+
+    // ----- doc_zipf_fit: corpus Zipf-law slope ---------------------------
+    // The one-number corpus health check (natural text has rank-frequency
+    // slope ≈ −1; boilerplate-heavy or synthetic corpora drift off):
+    // least-squares fit of ln(freq) on ln(rank) over the top 100 terms.
+    // Scale shape: term counts are one combinable shuffle; the top-100 is
+    // TakeOrdered (distributed partial top-k, NOT a global window rank —
+    // q22's lesson); the regression runs over 100 rows. Tie-break on
+    // (count desc, term) makes the rank deterministic; ln()s round to 6
+    // decimals before the DECIMAL-exact moment sums.
+    "doc_zipf_fit" -> Q(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(100)
+        val ranked = top.withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term")))) // 100 rows only
+          .withColumn("x",
+            round(log(col("rank").cast(DoubleType)), 6)
+              .cast(DecimalType(18, 6)))
+          .withColumn("y",
+            round(log(col("cnt").cast(DoubleType)), 6)
+              .cast(DecimalType(18, 6)))
+        ranked.agg(count(lit(1)).as("n_terms"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(28, 12))).as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(28, 12))).as("sxx"))
+          .select(col("n_terms"),
+            round((col("n_terms") * col("sxy").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+              / (col("n_terms") * col("sxx").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6)
+              .as("zipf_slope"),
+            round((col("sy").cast(DoubleType)
+              - ((col("n_terms") * col("sxy").cast(DoubleType)
+                  - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+                / (col("n_terms") * col("sxx").cast(DoubleType)
+                  - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+                * col("sx").cast(DoubleType)) / col("n_terms"), 6)
+              .as("zipf_intercept"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT t.term FROM documents,
+               LATERAL unnest(string_split(text, ' ')) AS t(term)
+          WHERE t.term <> ''),
+        top AS (
+          SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+          ORDER BY cnt DESC, term LIMIT 100),
+        ranked AS (
+          SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER
+                   (ORDER BY cnt DESC, term) AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS x,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS y
+          FROM top),
+        moments AS (
+          SELECT COUNT(*) AS n_terms,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+          FROM ranked)
+        SELECT n_terms,
+               round((n_terms * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_terms * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                 - ((n_terms * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n_terms * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / n_terms, 6)
+                 AS zipf_intercept
+        FROM moments"""))
   )
 }

@@ -1618,7 +1618,65 @@ object TimeSeries {
           WHERE c.cum >= ceil(CAST(q.q AS DOUBLE) * t.n_total)
           GROUP BY 1, 2, 3)
         SELECT event_type, q, n_total, qbin / 8.0 AS q_value
-        FROM qs ORDER BY event_type, q"""))
+        FROM qs ORDER BY event_type, q""")),
+
+    // ----- ts_anomaly_mad: robust per-entity anomaly scores --------------
+    // The outlier detector ops teams actually deploy: median + MAD (not
+    // mean + stddev — one spike shouldn't move its own threshold), score
+    // = 0.6745·|x−med|/MAD (the standard consistency constant so MAD
+    // estimates σ under normality), flag > 3.5 (Iglewicz-Hodgkin).
+    // Determinism without trusting cross-engine quantile interpolation:
+    // the 2-decimal values are EXACT in integer cents, and both engines'
+    // median interpolation on integers is (a+b)/2 — exact in doubles —
+    // so med/MAD/score are bit-identical with no quantization at all.
+    // Scale shape: two per-entity sort-aggregations (per-key series are
+    // session-bounded) + a broadcast-able stats join back to the rows.
+    "ts_anomaly_mad" -> Q(
+      build = (s, d) => {
+        val cents = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            round(col("value") * 100.0).cast(LongType).as("c"))
+        val med = cents.groupBy(col("user_id"))
+          .agg(expr("percentile(c, 0.5D)").as("med_c"),
+            count(lit(1)).as("n_events"))
+        val dev = cents.join(med, "user_id")
+          .withColumn("adev", abs(col("c") - col("med_c")))
+        val mad = dev.groupBy(col("user_id"))
+          .agg(expr("percentile(adev, 0.5D)").as("mad_c"))
+        dev.join(mad, "user_id")
+          .withColumn("score",
+            when(col("mad_c") === 0.0, 0.0)
+              .otherwise(lit(0.6745) * col("adev") / col("mad_c")))
+          .select(col("user_id"), col("event_id"), col("value"),
+            (col("med_c") / 100.0).as("median_value"),
+            round(col("score"), 6).as("mad_score"),
+            (col("score") > 3.5).as("is_anomaly"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some("""
+        WITH cents AS (
+          SELECT user_id, event_id, value,
+                 CAST(round(value * 100.0) AS BIGINT) AS c
+          FROM events),
+        med AS (
+          SELECT user_id, median(c) AS med_c, COUNT(*) AS n_events
+          FROM cents GROUP BY 1),
+        dev AS (
+          SELECT c.user_id, c.event_id, c.value, c.c, m.med_c,
+                 abs(c.c - m.med_c) AS adev
+          FROM cents c JOIN med m ON m.user_id = c.user_id),
+        mad AS (
+          SELECT user_id, median(adev) AS mad_c FROM dev GROUP BY 1),
+        scored AS (
+          SELECT d.user_id, d.event_id, d.value, d.med_c,
+                 CASE WHEN m.mad_c = 0.0 THEN 0.0
+                      ELSE 0.6745 * d.adev / m.mad_c END AS score
+          FROM dev d JOIN mad m ON m.user_id = d.user_id)
+        SELECT user_id, event_id, value,
+               med_c / 100.0 AS median_value,
+               round(score, 6) AS mad_score,
+               score > 3.5 AS is_anomaly
+        FROM scored ORDER BY user_id, event_id"""))
   )
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by

@@ -97,6 +97,27 @@ class ImageOpsSpec extends SparkSpecBase {
     assert(flat < 16 && mixed > 200)
   }
 
+  test("mm_phash_pairs: hash invariants and pair semantics") {
+    import graft.functions.ImageCodec
+    // identical images → identical hash (hamming 0)
+    def ph(id: Long): Long = ImageCodec.phash64(ImageCodec.decode(
+      ImageCodec.toPng(ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))))
+    assert(ph(7L) == ph(7L))
+    assert(ph(7L) == ph(7L + 768L)) // doc_id period: lcm(256,3)
+    // median threshold → balanced hash: 31..33 set bits of 64
+    val bits = java.lang.Long.bitCount(ph(7L))
+    assert(bits >= 25 && bits <= 39)
+    // a solid-color image differs from a gradient one
+    assert(ph(0L) != ph(123L))
+    // every reported pair is within the hamming bound and canonical order
+    val rows = run("mm_phash_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 6L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
   test("mm_fractal_dim: slope positive for real text, exact on a known kernel") {
     val rows = run("mm_fractal_dim").collect()
     assert(rows.nonEmpty)
