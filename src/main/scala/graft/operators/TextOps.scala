@@ -1560,15 +1560,21 @@ object TextOps {
             posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
           .filter(col("term") =!= "")
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val bg = toks
+        // ONE corpus tokenize pass: per-(doc, bucket) counts first; both
+        // models and the per-doc weights derive from this frame, which is
+        // ≤ 256 rows per doc — at 100 TB the corpus is scanned and
+        // shuffled once, not three times
+        val docBkt = toks
           .withColumn("nxt", lead(col("term"), 1).over(w))
           .filter(col("nxt").isNotNull)
           .select(col("doc_id"), col("lang"),
             substring(md5(concat(col("term"), lit(" "), col("nxt"))
               .cast(BinaryType)), 1, 2).as("bkt"))
-        val raw = bg.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
-        val tgt = bg.filter(col("lang") === "en")
-          .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+          .groupBy(col("doc_id"), col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+        val raw = docBkt.groupBy(col("bkt")).agg(sum(col("cnt")).as("rc"))
+        val tgt = docBkt.filter(col("lang") === "en")
+          .groupBy(col("bkt")).agg(sum(col("cnt")).as("tc"))
         val model = raw.join(tgt, Seq("bkt"), "left")
           .na.fill(0L, Seq("tc"))
           .crossJoin(broadcast(raw.agg(sum(col("rc")).as("rt"))))
@@ -1578,10 +1584,12 @@ object TextOps {
               - log((col("rc") + 1).cast(DoubleType) / (col("rt") + 256)), 6)
               .cast(DecimalType(18, 6)))
           .select(col("bkt"), col("llr"))
-        bg.join(broadcast(model), Seq("bkt"))
+        docBkt.join(broadcast(model), Seq("bkt"))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("llr")).cast(DoubleType) / count(lit(1))).as("mean_llr"))
+          .agg(sum(col("cnt")).as("n_bigrams"),
+            (sum((col("cnt").cast(DecimalType(18, 0)) * col("llr"))
+              .cast(DecimalType(30, 6))).cast(DoubleType)
+              / sum(col("cnt"))).as("mean_llr"))
           .withColumn("keep", col("mean_llr") > 0.0)
           .orderBy(col("doc_id"))
       },
@@ -1600,9 +1608,13 @@ object TextOps {
           FROM toks
           QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
                   IS NOT NULL),
-        raw AS (SELECT bkt, COUNT(*) AS rc FROM bg GROUP BY 1),
-        tgt AS (SELECT bkt, COUNT(*) AS tc FROM bg WHERE lang = 'en'
-                GROUP BY 1),
+        docbkt AS (
+          SELECT doc_id, lang, bkt, COUNT(*) AS cnt
+          FROM bg GROUP BY 1, 2, 3),
+        raw AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS rc
+                FROM docbkt GROUP BY 1),
+        tgt AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS tc
+                FROM docbkt WHERE lang = 'en' GROUP BY 1),
         rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM raw),
         tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM tgt),
         model AS (
@@ -1612,10 +1624,14 @@ object TextOps {
                           - ln(CAST(r.rc + 1 AS DOUBLE) / (rt.rt + 256)), 6)
                       AS DECIMAL(18,6)) AS llr
           FROM raw r LEFT JOIN tgt t ON t.bkt = r.bkt, rt, tt)
-        SELECT b.doc_id, COUNT(*) AS n_bigrams,
-               CAST(SUM(m.llr) AS DOUBLE)/COUNT(*) AS mean_llr,
-               CAST(SUM(m.llr) AS DOUBLE)/COUNT(*) > 0.0 AS keep
-        FROM bg b JOIN model m ON m.bkt = b.bkt
+        SELECT b.doc_id, CAST(SUM(b.cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(CAST(b.cnt AS DECIMAL(18,0)) * m.llr
+                             AS DECIMAL(30,6))) AS DOUBLE)
+                 / SUM(b.cnt) AS mean_llr,
+               CAST(SUM(CAST(CAST(b.cnt AS DECIMAL(18,0)) * m.llr
+                             AS DECIMAL(30,6))) AS DOUBLE)
+                 / SUM(b.cnt) > 0.0 AS keep
+        FROM docbkt b JOIN model m ON m.bkt = b.bkt
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
 
     // ----- doc_line_dedup: corpus-frequency line removal (CCNet) ---------
