@@ -1143,5 +1143,49 @@ object Relational {
         WHERE p_brand <> 'Brand#1' AND p_size IN (1,9,14,19,23,29,36,49)
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+  ,
+
+    // ----- q45_window_suite: full ranked-window function battery ---------
+    // The remaining ANSI window functions in one per-customer pass:
+    // ntile / percent_rank / cume_dist / lag / lead / first_value — the
+    // order-history "customer journey" projection every BI layer emits.
+    // One shuffle keyed on the entity; partitions are per-customer order
+    // counts (bounded), so no global window anywhere. percent_rank and
+    // cume_dist are exact integer ratios — IEEE division is bit-identical
+    // cross-engine, no rounding needed.
+    "q45_window_suite" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("first_price", first(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("o_orderdate")
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               LAG(o_totalprice, 1) OVER w AS prev_price,
+               LEAD(o_totalprice, 1) OVER w AS next_price,
+               FIRST_VALUE(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn"""))
   )
 }

@@ -1677,6 +1677,59 @@ object TimeSeries {
                round(score, 6) AS mad_score,
                score > 3.5 AS is_anomaly
         FROM scored ORDER BY user_id, event_id"""))
+  ,
+
+    // ----- ts_retention: cohort retention matrix -------------------------
+    // The product-analytics staple over an entity/event stream: cohort =
+    // the entity's first-seen day, age = days since cohort, cell =
+    // distinct entities from that cohort active at that age (+ the exact
+    // retained fraction). Scale shape: first-seen is one combinable
+    // min-groupBy on the entity; activity is a distinct on (entity, day);
+    // the cohort join is keyed on the entity (no window, no all-days
+    // explode); the matrix agg groups by (cohort, age) — thousands of
+    // cells however big the stream. Fractions are exact integer ratios.
+    "ts_retention" -> Q(
+      build = (s, d) => {
+        val firstSeen = ev(s, d).groupBy(col("user_id"))
+          .agg(min(col("ts_sec")).as("first_ts"))
+          .withColumn("cohort_day", expr("first_ts div 86400"))
+        val activity = ev(s, d)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val cohortSize = firstSeen.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("cohort_n"))
+        activity.join(firstSeen, "user_id")
+          .withColumn("age_day", col("day") - col("cohort_day"))
+          .groupBy(col("cohort_day"), col("age_day"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(cohortSize, "cohort_day")
+          .withColumn("retention",
+            col("n_active").cast(DoubleType) / col("cohort_n"))
+          .select(col("cohort_day"), col("age_day"), col("n_active"),
+            col("cohort_n"), col("retention"))
+          .orderBy(col("cohort_day"), col("age_day"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events),
+        first_seen AS (
+          SELECT user_id, MIN(ts_sec) // 86400 AS cohort_day
+          FROM ev GROUP BY 1),
+        cohort_size AS (
+          SELECT cohort_day, COUNT(*) AS cohort_n
+          FROM first_seen GROUP BY 1),
+        activity AS (
+          SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM ev),
+        cells AS (
+          SELECT f.cohort_day, a.day - f.cohort_day AS age_day,
+                 COUNT(DISTINCT a.user_id) AS n_active
+          FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+          GROUP BY 1, 2)
+        SELECT c.cohort_day, c.age_day, c.n_active, s.cohort_n,
+               CAST(c.n_active AS DOUBLE) / s.cohort_n AS retention
+        FROM cells c JOIN cohort_size s ON s.cohort_day = c.cohort_day
+        ORDER BY c.cohort_day, c.age_day"""))
   )
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by
