@@ -195,6 +195,64 @@ object TextOps {
       JOIN sizes b ON b.doc_id = p.doc_b),
     jpairs AS (SELECT * FROM jpairs_all WHERE jaccard >= 0.5)"""
 
+  /** MinHash signature + band CTEs (DuckDB), shared by the
+    * doc_minhash_lsh oracle and the doc_lsh_recall evaluation oracle.
+    */
+  private lazy val MINHASH_CTES: String = s"""d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 20),
+        pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, n - 19)) AS i FROM d),
+        sp AS (
+          SELECT doc_id,
+                 (${gramSum(graft.functions.TextHashKernels.B1)}) % $HP AS g1,
+                 (${gramSum(graft.functions.TextHashKernels.B2)}) % $HP AS g2
+          FROM pos WHERE (i - 1) % 4 = 0),
+        pm AS (
+          SELECT doc_id, p,
+                 MIN((((((p+1)*2654435761) % $HP) * g1
+                     + (((p+1)*1779033703) % $HP) * g2) % $HP
+                     + ((p+1)*1013904242) % $HP) % $HP) AS s
+          FROM sp, (SELECT unnest(generate_series(0, 31)) AS p) pp
+          GROUP BY doc_id, p),
+        bands AS (
+          SELECT doc_id, p // 4 AS band,
+                 MAX(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+                 MAX(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+                 MAX(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+                 MAX(CASE WHEN p % 4 = 3 THEN s END) AS s3
+          FROM pm GROUP BY doc_id, p // 4)"""
+
+  /** MinHash-LSH candidate pairs (distinct, doc_a < doc_b) — the band
+    * join shared by doc_minhash_lsh and the doc_lsh_recall evaluation.
+    */
+  private def minhashBandPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = 8 // 4 rows per band over a 32-perm signature
+    val sigs = docs(s, d)
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        element_at(col("sig"), b * 4 + 1).as("s0"),
+        element_at(col("sig"), b * 4 + 2).as("s1"),
+        element_at(col("sig"), b * 4 + 3).as("s2"),
+        element_at(col("sig"), b * 4 + 4).as("s3"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.s0").as("s0"), col("bs.s1").as("s1"),
+        col("bs.s2").as("s2"), col("bs.s3").as("s3"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.s0") === col("y.s0")
+          && col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2")
+          && col("x.s3") === col("y.s3")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- doc_exact_dedup: content-hash dedup ---------------------------
@@ -703,58 +761,9 @@ object TextOps {
     // band-hash collision risk, and the DuckDB oracle can replay the
     // whole pipeline — the kernel's mod-2^31-1 arithmetic is the reason).
     "doc_minhash_lsh" -> Q(
-      build = (s, d) => {
-        val bands = 8 // 4 rows per band over a 32-perm signature
-        val sigs = docs(s, d)
-          .filter(length(col("text")) >= 20)
-          .select(col("doc_id"),
-            graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
-        val bandCols = (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            element_at(col("sig"), b * 4 + 1).as("s0"),
-            element_at(col("sig"), b * 4 + 2).as("s1"),
-            element_at(col("sig"), b * 4 + 3).as("s2"),
-            element_at(col("sig"), b * 4 + 4).as("s3"))
-        }
-        val banded = sigs.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"),
-            col("bs.s0").as("s0"), col("bs.s1").as("s1"),
-            col("bs.s2").as("s2"), col("bs.s3").as("s3"))
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.s0") === col("y.s0")
-              && col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2")
-              && col("x.s3") === col("y.s3")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      build = (s, d) => minhashBandPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       oracle = Some(s"""
-        WITH d AS (
-          SELECT doc_id, text, length(text) AS n FROM documents
-          WHERE length(text) >= 20),
-        pos AS (
-          SELECT doc_id, text, unnest(generate_series(1, n - 19)) AS i FROM d),
-        sp AS (
-          SELECT doc_id,
-                 (${gramSum(graft.functions.TextHashKernels.B1)}) % $HP AS g1,
-                 (${gramSum(graft.functions.TextHashKernels.B2)}) % $HP AS g2
-          FROM pos WHERE (i - 1) % 4 = 0),
-        pm AS (
-          SELECT doc_id, p,
-                 MIN((((((p+1)*2654435761) % $HP) * g1
-                     + (((p+1)*1779033703) % $HP) * g2) % $HP
-                     + ((p+1)*1013904242) % $HP) % $HP) AS s
-          FROM sp, (SELECT unnest(generate_series(0, 31)) AS p) pp
-          GROUP BY doc_id, p),
-        bands AS (
-          SELECT doc_id, p // 4 AS band,
-                 MAX(CASE WHEN p % 4 = 0 THEN s END) AS s0,
-                 MAX(CASE WHEN p % 4 = 1 THEN s END) AS s1,
-                 MAX(CASE WHEN p % 4 = 2 THEN s END) AS s2,
-                 MAX(CASE WHEN p % 4 = 3 THEN s END) AS s3
-          FROM pm GROUP BY doc_id, p // 4)
+        WITH $MINHASH_CTES
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
@@ -1938,5 +1947,46 @@ object TextOps {
                    * CAST(sx AS DOUBLE)) / n_terms, 6)
                  AS zipf_intercept
         FROM moments"""))
+  ,
+
+    // ----- doc_lsh_recall: LSH quality evaluation ------------------------
+    // The calibration report a production dedup pipeline publishes before
+    // trusting its LSH stage: precision/recall of the MinHash-LSH
+    // candidate pairs against the exact Jaccard ≥ 0.5 ground truth. Both
+    // sides already run at corpus scale (band join / shingle join); the
+    // comparison is one equi-join on the pair key plus three broadcast
+    // scalars — the candidate set, not the corpus, is what's being
+    // measured. Exact integer-ratio doubles, no rounding.
+    "doc_lsh_recall" -> Q(
+      build = (s, d) => {
+        val exact = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val cand = minhashBandPairs(s, d)
+        val nEx = exact.agg(count(lit(1)).as("n_exact"))
+        val nCd = cand.agg(count(lit(1)).as("n_candidates"))
+        val nHit = exact.join(cand, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        nEx.crossJoin(broadcast(nCd)).crossJoin(broadcast(nHit))
+          .select(col("n_exact"), col("n_candidates"), col("n_hits"),
+            (col("n_hits").cast(DoubleType) / col("n_candidates"))
+              .as("precision"),
+            (col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
+      },
+      oracle = Some(s"""
+        WITH $JPAIRS,
+        $MINHASH_CTES,
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+           AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id),
+        nex AS (SELECT COUNT(*) AS n_exact FROM jpairs),
+        ncd AS (SELECT COUNT(*) AS n_candidates FROM cand),
+        nhit AS (SELECT COUNT(*) AS n_hits
+                 FROM jpairs j JOIN cand c
+                   ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+        SELECT n_exact, n_candidates, n_hits,
+               CAST(n_hits AS DOUBLE) / n_candidates AS precision,
+               CAST(n_hits AS DOUBLE) / n_exact AS recall
+        FROM nex, ncd, nhit"""))
   )
 }
