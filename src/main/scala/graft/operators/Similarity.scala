@@ -882,6 +882,98 @@ object Similarity {
         FROM cells ORDER BY i, j"""))
   ,
 
+    // ----- emb_pca_power: dominant principal component -------------------
+    // The PCA pass index builders run before whitening/OPQ: dominant
+    // eigenvector of the Gram matrix by 8 power iterations. Scale split:
+    // the corpus-sized work is the Gram fold (GramMatrix aggregator —
+    // map-side d² buffers, shuffle O(partitions·d²)); the iteration then
+    // runs over a 64×64 matrix — broadcast joins over 64-row frames, no
+    // corpus access at all, fully declarative (no driver-side linear
+    // algebra). Determinism: every matvec/norm/dot sums in fixed-point
+    // BIGINT (order-free), iterates are quantized to 9 decimals, and the
+    // DuckDB oracle replays the identical 8 unrolled iterations.
+    "emb_pca_power" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val q30 = 1073741824.0 // 2^30
+        val gram = emb(s, d).select(col("embedding")).as[Seq[Float]]
+          .select(graft.functions.GramMatrix(64).toColumn.name("g"))
+          .select(posexplode(col("g")).as(Seq("k", "qsum")))
+          .select(expr("CAST(k DIV 64 + 1 AS BIGINT)").as("i"),
+            expr("CAST(k % 64 + 1 AS BIGINT)").as("j"),
+            round(col("qsum").cast(DoubleType) / 67108864.0, 6).as("gram"))
+        var v = gram.select(col("j")).distinct()
+          .select(col("j"), lit(0.125).as("vj"))
+        for (_ <- 1 to 8) {
+          val w = gram.join(broadcast(v), Seq("j"))
+            .groupBy(col("i"))
+            .agg(sum(floor(col("gram") * col("vj") * q30).cast(LongType))
+              .as("qw"))
+            .select(col("i"), (col("qw").cast(DoubleType) / q30).as("w"))
+          val n = w.agg(sum(floor(col("w") * col("w") * q30).cast(LongType))
+            .as("nq"))
+          v = w.crossJoin(broadcast(n))
+            .select(col("i").as("j"),
+              round(col("w") / sqrt(col("nq").cast(DoubleType) / q30), 9)
+                .as("vj"))
+        }
+        val wFin = gram.join(broadcast(v), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum(floor(col("gram") * col("vj") * q30).cast(LongType)).as("qw"))
+          .select(col("i").as("j"), (col("qw").cast(DoubleType) / q30).as("w"))
+        val lam = v.join(broadcast(wFin), Seq("j"))
+          .agg(sum(floor(col("vj") * col("w") * q30).cast(LongType)).as("ql"))
+          .select(round(col("ql").cast(DoubleType) / q30, 6).as("eigenvalue"))
+        v.crossJoin(broadcast(lam))
+          .select(col("j").as("dim"), col("vj").as("loading"),
+            col("eigenvalue"))
+          .orderBy(col("dim"))
+      },
+      oracle = Some {
+        val q30 = "1073741824.0"
+        val iters = (1 to 8).map { k =>
+          s"""w$k AS (
+               SELECT g.i,
+                      SUM(CAST(FLOOR(g.gram * v.vj * $q30) AS BIGINT)) AS qw
+               FROM g JOIN v${k - 1} v ON v.j = g.j GROUP BY g.i),
+             n$k AS (
+               SELECT SUM(CAST(FLOOR((CAST(qw AS DOUBLE)/$q30)
+                 * (CAST(qw AS DOUBLE)/$q30) * $q30) AS BIGINT)) AS nq
+               FROM w$k),
+             v$k AS (
+               SELECT w.i AS j,
+                      round((CAST(w.qw AS DOUBLE)/$q30)
+                        / sqrt(CAST(n.nq AS DOUBLE)/$q30), 9) AS vj
+               FROM w$k w, n$k n)"""
+        }.mkString(",\n")
+        s"""
+        WITH cells AS (
+          SELECT i, j,
+                 SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                   * CAST(embedding[j] AS DOUBLE) * 67108864) AS BIGINT)) AS qsum
+          FROM embeddings, generate_series(1, 64) t(i), generate_series(1, 64) u(j)
+          GROUP BY i, j),
+        g AS (
+          SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 round(CAST(qsum AS DOUBLE)/67108864.0, 6) AS gram
+          FROM cells),
+        v0 AS (SELECT DISTINCT j, 0.125 AS vj FROM g),
+        $iters,
+        wf AS (
+          SELECT g.i AS j,
+                 CAST(SUM(CAST(FLOOR(g.gram * v.vj * $q30) AS BIGINT))
+                   AS DOUBLE)/$q30 AS w
+          FROM g JOIN v8 v ON v.j = g.j GROUP BY g.i),
+        lam AS (
+          SELECT round(CAST(SUM(CAST(FLOOR(v.vj * w.w * $q30) AS BIGINT))
+                   AS DOUBLE)/$q30, 6) AS eigenvalue
+          FROM v8 v JOIN wf w ON w.j = v.j)
+        SELECT v.j AS dim, v.vj AS loading, l.eigenvalue
+        FROM v8 v, lam l ORDER BY dim"""
+      })
+  ,
+
     // ----- emb_quantize_int8: scalar int8 index compression --------------
     // The 4× index-compression pass every production vector store ships
     // (FAISS SQ8, pgvector halfvec/int8): per-dimension global [min,max]
