@@ -1186,6 +1186,35 @@ object Relational {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)
-        ORDER BY o_custkey, rn"""))
+        ORDER BY o_custkey, rn""")),
+
+    // ----- q46_cube: full CUBE with grouping_id --------------------------
+    // Completes the grouping-operator family (q12 ROLLUP, q13 GROUPING
+    // SETS): all 4 aggregation levels of (status, priority) in one pass,
+    // with GROUPING() flags distinguishing data NULLs from subtotal rows
+    // — the OLAP cube every BI cache materializes. One combinable shuffle
+    // (Spark expands the grouping sets map-side).
+    "q46_cube" -> Q(
+      build = (s, d) =>
+        ord(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"),
+            grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+              .cast(LongType).as("gid"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("gid"), col("n_orders"), col("total_price"))
+          .orderBy(col("gid"), col("status"), col("priority")),
+      oracle = Some(s"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ${DSUM("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority"""))
   )
 }
