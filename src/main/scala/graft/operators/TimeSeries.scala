@@ -1730,6 +1730,61 @@ object TimeSeries {
                CAST(c.n_active AS DOUBLE) / s.cohort_n AS retention
         FROM cells c JOIN cohort_size s ON s.cohort_day = c.cohort_day
         ORDER BY c.cohort_day, c.age_day"""))
+  ,
+
+    // ----- ts_attribution: last-touch conversion attribution -------------
+    // The funnel-analytics companion to ts_funnel: each conversion
+    // (purchase) is attributed to the user's most recent preceding
+    // non-conversion touch within a 7-day window — IGNORE-NULLS
+    // last_value over the per-entity event order, the one-shuffle shape
+    // (no per-conversion lookback join, which would be a range self-join
+    // at 100 TB). Emits the row-level attribution (channel + touch age).
+    "ts_attribution" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .withColumn("attr_type",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .withColumn("attr_ts",
+            last(when(col("event_type") =!= "purchase", col("ts_sec")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            when(col("attr_ts").isNotNull
+              && col("ts_sec") - col("attr_ts") <= 604800L, col("attr_type"))
+              .otherwise("none").as("channel"),
+            when(col("attr_ts").isNotNull
+              && col("ts_sec") - col("attr_ts") <= 604800L,
+              col("ts_sec") - col("attr_ts")).otherwise(-1L)
+              .as("touch_age_sec"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events),
+        tagged AS (
+          SELECT user_id, event_id, event_type, ts_sec,
+                 LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS) OVER w
+                   AS attr_type,
+                 LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                 THEN ts_sec END IGNORE NULLS) OVER w
+                   AS attr_ts
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id, ts_sec,
+               CASE WHEN attr_ts IS NOT NULL AND ts_sec - attr_ts <= 604800
+                    THEN attr_type ELSE 'none' END AS channel,
+               CASE WHEN attr_ts IS NOT NULL AND ts_sec - attr_ts <= 604800
+                    THEN ts_sec - attr_ts ELSE -1 END AS touch_age_sec
+        FROM tagged WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id"""))
   )
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by
