@@ -71,6 +71,27 @@ object Geo {
   private val SLAT = "CAST(s_suppkey*53 % 140 - 70 AS DOUBLE)"
   private val SLON = "CAST(s_suppkey*97 % 360 - 180 AS DOUBLE)"
 
+  // -- geohash shared-formula fragments (identical text both engines;
+  //    FLOOR-then-CAST everywhere because DuckDB's CAST(double AS BIGINT)
+  //    rounds while Spark's truncates) --
+  private val GhLatBits =
+    "CAST(LEAST(FLOOR((lat + 90.0) / 180.0 * 1048576.0), 1048575.0) AS BIGINT)"
+  private val GhLonBits =
+    "CAST(LEAST(FLOOR((lon + 180.0) / 360.0 * 1048576.0), 1048575.0) AS BIGINT)"
+  private val GhInterleave: String =
+    (0 until 20).flatMap { k =>
+      val div = 1L << (19 - k)
+      Seq(
+        s"(CAST(FLOOR(ilon / $div.0) AS BIGINT) % 2) * ${1L << (39 - 2 * k)}",
+        s"(CAST(FLOOR(ilat / $div.0) AS BIGINT) % 2) * ${1L << (38 - 2 * k)}")
+    }.mkString(" + ")
+  private val GhChars: String =
+    "concat(" + (0 until 8).map { i =>
+      val div = 1L << (35 - 5 * i)
+      s"substring('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(CAST(FLOOR(v / $div.0) AS BIGINT) % 32 + 1 AS INT), 1)"
+    }.mkString(", ") + ")"
+
   /** Shared formula text for the shoelace centroid of each station's
     * irregular pentagon (odin_bushfire/src/lib.rs:220 get_centroid via
     * the geo crate's area-weighted Centroid). One string, both engines:
@@ -2902,6 +2923,50 @@ object Geo {
         FROM lagd
         WHERE prev_qarea IS NOT NULL AND ts_sec > prev_ts
         ORDER BY user_id, event_id""")),
+
+    // ----- geo_geohash: base32 geohash cell encoding ---------------------
+    // The interop cell index every geo stack speaks (complements the
+    // integer lat/lon grid the hotspot ops use): 40-bit lon/lat bit
+    // interleave → 8 base32 characters, plus a 5-char-prefix rollup.
+    // The interleave is one generated shared-formula expression — pure
+    // integer multiplies/divides, identical text both engines, so the
+    // string is hash-exact with no quantization. Narrow map + one
+    // combinable groupBy for the rollup.
+    "geo_geohash" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d)
+          .select(col("event_id"), col("lat"), col("lon"))
+          .withColumn("ilat", expr(GhLatBits))
+          .withColumn("ilon", expr(GhLonBits))
+          .withColumn("v", expr(GhInterleave))
+          .withColumn("geohash8", expr(GhChars))
+        val cells = pts
+          .groupBy(expr("substring(geohash8, 1, 5)").as("geohash5"))
+          .agg(count(lit(1)).as("n_in_cell"))
+        pts.join(cells, expr("substring(geohash8, 1, 5)") === col("geohash5"))
+          .select(col("event_id"), col("lat"), col("lon"),
+            col("geohash8"), col("geohash5"), col("n_in_cell"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT event_id, $LAT AS lat, $LON AS lon FROM events),
+        bits AS (
+          SELECT event_id, lat, lon,
+                 $GhLatBits AS ilat,
+                 $GhLonBits AS ilon
+          FROM pts),
+        enc AS (
+          SELECT event_id, lat, lon, $GhInterleave AS v FROM bits),
+        g AS (
+          SELECT event_id, lat, lon, $GhChars AS geohash8 FROM enc),
+        cells AS (
+          SELECT substring(geohash8, 1, 5) AS geohash5, COUNT(*) AS n_in_cell
+          FROM g GROUP BY 1)
+        SELECT g.event_id, g.lat, g.lon, g.geohash8, c.geohash5, c.n_in_cell
+        FROM g JOIN cells c ON c.geohash5 = substring(g.geohash8, 1, 5)
+        ORDER BY g.event_id"""))
+  ,
 
     // ----- geo_cpa: closest-point-of-approach prediction -----------------
     // The predictive half of encounter detection (odin_adsb's closing-rate
