@@ -1649,7 +1649,11 @@ object TimeSeries {
               .otherwise(lit(0.6745) * col("adev") / col("mad_c")))
           .select(col("user_id"), col("event_id"), col("value"),
             (col("med_c") / 100.0).as("median_value"),
-            round(col("score"), 6).as("mad_score"),
+            // floor-quantize, not round: Spark rounds the shortest decimal
+            // repr (BigDecimal.valueOf) while DuckDB rounds the binary
+            // double, so a score landing on a .5e-6 tie flips between
+            // engines; floor has no ties
+            (floor(col("score") * 1000000.0) / 1000000.0).as("mad_score"),
             (col("score") > 3.5).as("is_anomaly"))
           .orderBy(col("user_id"), col("event_id"))
       },
@@ -1674,7 +1678,7 @@ object TimeSeries {
           FROM dev d JOIN mad m ON m.user_id = d.user_id)
         SELECT user_id, event_id, value,
                med_c / 100.0 AS median_value,
-               round(score, 6) AS mad_score,
+               FLOOR(score * 1000000.0) / 1000000.0 AS mad_score,
                score > 3.5 AS is_anomaly
         FROM scored ORDER BY user_id, event_id"""))
   ,
