@@ -78,13 +78,36 @@ object Geo {
     "CAST(LEAST(FLOOR((lat + 90.0) / 180.0 * 1048576.0), 1048575.0) AS BIGINT)"
   private val GhLonBits =
     "CAST(LEAST(FLOOR((lon + 180.0) / 360.0 * 1048576.0), 1048575.0) AS BIGINT)"
-  private val GhInterleave: String =
-    (0 until 20).flatMap { k =>
-      val div = 1L << (19 - k)
-      Seq(
-        s"(CAST(FLOOR(ilon / $div.0) AS BIGINT) % 2) * ${1L << (39 - 2 * k)}",
-        s"(CAST(FLOOR(ilat / $div.0) AS BIGINT) % 2) * ${1L << (38 - 2 * k)}")
-    }.mkString(" + ")
+  /** Morton bit-spread steps (interleave a 20-bit axis into even bit
+    * positions): 5 masked shift-or stages, each tiny — NOT the naive
+    * 40-term per-bit sum, whose expression tree blew whole-stage codegen
+    * out and cost 13 s at sf0.1.
+    */
+  private val GhSpreadSteps: Seq[(Long, Long)] = Seq(
+    (65536L, 281470681808895L),          // (x | x<<16) & 0x0000FFFF0000FFFF
+    (256L, 71777214294589695L),          // (x | x<<8)  & 0x00FF00FF00FF00FF
+    (16L, 1085102592571150095L),         // (x | x<<4)  & 0x0F0F0F0F0F0F0F0F
+    (4L, 3689348814741910323L),          // (x | x<<2)  & 0x3333333333333333
+    (2L, 6148914691236517205L))          // (x | x<<1)  & 0x5555555555555555
+  private def ghStep(prev: String, mul: Long, mask: Long): String =
+    s"((($prev * $mul) | $prev) & $mask)"
+
+  /** Narrow-map half of geo_geohash (exposed for the dev probe). */
+  private[graft] def geohashPts(s: SparkSession, d: String): DataFrame = {
+    var pts = evPts(s, d)
+      .select(col("event_id"), col("lat"), col("lon"))
+      .withColumn("sa", expr(GhLatBits))
+      .withColumn("sb", expr(GhLonBits))
+    GhSpreadSteps.foreach { case (m, mask) =>
+      pts = pts
+        .withColumn("sa", expr(ghStep("sa", m, mask)))
+        .withColumn("sb", expr(ghStep("sb", m, mask)))
+    }
+    pts
+      .withColumn("v", expr("sb * 2 + sa"))
+      .withColumn("geohash8", expr(GhChars))
+      .withColumn("geohash5", expr("substring(geohash8, 1, 5)"))
+  }
   private val GhChars: String =
     "concat(" + (0 until 8).map { i =>
       val div = 1L << (35 - 5 * i)
@@ -2934,38 +2957,45 @@ object Geo {
     // combinable groupBy for the rollup.
     "geo_geohash" -> Q(
       build = (s, d) => {
-        val pts = evPts(s, d)
-          .select(col("event_id"), col("lat"), col("lon"))
-          .withColumn("ilat", expr(GhLatBits))
-          .withColumn("ilon", expr(GhLonBits))
-          .withColumn("v", expr(GhInterleave))
-          .withColumn("geohash8", expr(GhChars))
-        val cells = pts
-          .groupBy(expr("substring(geohash8, 1, 5)").as("geohash5"))
-          .agg(count(lit(1)).as("n_in_cell"))
-        pts.join(cells, expr("substring(geohash8, 1, 5)") === col("geohash5"))
+        // cell counts via a partition-only window, NOT a self-join: the
+        // encode chain is evaluated once and travels through the one
+        // shuffle as a materialized column — a cells self-join fused
+        // both sides' full chains into one codegen stage and ran 7 s at
+        // sf0.1 (JIT gives up on the huge fused method)
+        geohashPts(s, d)
+          .withColumn("n_in_cell",
+            count(lit(1)).over(Window.partitionBy(col("geohash5"))))
           .select(col("event_id"), col("lat"), col("lon"),
             col("geohash8"), col("geohash5"), col("n_in_cell"))
           .orderBy(col("event_id"))
       },
-      oracle = Some(s"""
+      oracle = Some {
+        val chain = GhSpreadSteps.zipWithIndex.map { case ((m, mask), k) =>
+          s"""s${k + 1} AS (
+               SELECT event_id, lat, lon,
+                      ${ghStep("sa", m, mask)} AS sa,
+                      ${ghStep("sb", m, mask)} AS sb
+               FROM s$k)"""
+        }.mkString(",\n")
+        s"""
         WITH pts AS (
           SELECT event_id, $LAT AS lat, $LON AS lon FROM events),
-        bits AS (
+        s0 AS (
           SELECT event_id, lat, lon,
-                 $GhLatBits AS ilat,
-                 $GhLonBits AS ilon
+                 $GhLatBits AS sa,
+                 $GhLonBits AS sb
           FROM pts),
+        $chain,
         enc AS (
-          SELECT event_id, lat, lon, $GhInterleave AS v FROM bits),
+          SELECT event_id, lat, lon, sb * 2 + sa AS v FROM s5),
         g AS (
-          SELECT event_id, lat, lon, $GhChars AS geohash8 FROM enc),
-        cells AS (
-          SELECT substring(geohash8, 1, 5) AS geohash5, COUNT(*) AS n_in_cell
-          FROM g GROUP BY 1)
-        SELECT g.event_id, g.lat, g.lon, g.geohash8, c.geohash5, c.n_in_cell
-        FROM g JOIN cells c ON c.geohash5 = substring(g.geohash8, 1, 5)
-        ORDER BY g.event_id"""))
+          SELECT event_id, lat, lon, $GhChars AS geohash8,
+                 substring($GhChars, 1, 5) AS geohash5
+          FROM enc)
+        SELECT event_id, lat, lon, geohash8, geohash5,
+               COUNT(*) OVER (PARTITION BY geohash5) AS n_in_cell
+        FROM g ORDER BY event_id"""
+      })
   ,
 
     // ----- geo_cpa: closest-point-of-approach prediction -----------------

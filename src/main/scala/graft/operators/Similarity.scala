@@ -897,12 +897,16 @@ object Similarity {
         val spark = s
         import spark.implicits._
         val q30 = 1073741824.0 // 2^30
-        val gram = emb(s, d).select(col("embedding")).as[Seq[Float]]
-          .select(graft.functions.GramMatrix(64).toColumn.name("g"))
-          .select(posexplode(col("g")).as(Seq("k", "qsum")))
-          .select(expr("CAST(k DIV 64 + 1 AS BIGINT)").as("i"),
-            expr("CAST(k % 64 + 1 AS BIGINT)").as("j"),
-            round(col("qsum").cast(DoubleType) / 67108864.0, 6).as("gram"))
+        // materialize the corpus Gram fold ONCE (4096 rows): the 8
+        // iterations reference it 9 times, and without the checkpoint
+        // each reference re-runs the full corpus aggregation
+        val gram = graft.operators.TextOps.checkpointReset(
+          emb(s, d).select(col("embedding")).as[Seq[Float]]
+            .select(graft.functions.GramMatrix(64).toColumn.name("g"))
+            .select(posexplode(col("g")).as(Seq("k", "qsum")))
+            .select(expr("CAST(k DIV 64 + 1 AS BIGINT)").as("i"),
+              expr("CAST(k % 64 + 1 AS BIGINT)").as("j"),
+              round(col("qsum").cast(DoubleType) / 67108864.0, 6).as("gram")))
         var v = gram.select(col("j")).distinct()
           .select(col("j"), lit(0.125).as("vj"))
         for (_ <- 1 to 8) {
@@ -913,10 +917,14 @@ object Similarity {
             .select(col("i"), (col("qw").cast(DoubleType) / q30).as("w"))
           val n = w.agg(sum(floor(col("w") * col("w") * q30).cast(LongType))
             .as("nq"))
-          v = w.crossJoin(broadcast(n))
-            .select(col("i").as("j"),
-              round(col("w") / sqrt(col("nq").cast(DoubleType) / q30), 9)
-                .as("vj"))
+          // checkpoint each 64-row iterate: keeps the logical plan O(1)
+          // deep (8 nested join+agg rounds otherwise multiply planning
+          // and re-execution cost — measured 60 s at sf0.1 without this)
+          v = graft.operators.TextOps.checkpointReset(
+            w.crossJoin(broadcast(n))
+              .select(col("i").as("j"),
+                round(col("w") / sqrt(col("nq").cast(DoubleType) / q30), 9)
+                  .as("vj")))
         }
         val wFin = gram.join(broadcast(v), Seq("j"))
           .groupBy(col("i"))
