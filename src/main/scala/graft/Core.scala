@@ -49,19 +49,28 @@ object Det {
 
 /** Schema'd loaders for the driver-generated test tables.
   *
-  * `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-  * reader rejects; we read it as raw nanos (legacy.parquet.nanosAsLong) and
-  * do ALL event-time math on floored epoch seconds (`ts_sec` BIGINT), which
-  * DuckDB reproduces exactly via floor(epoch(ts)).
+  * ALL event-time math runs on floored epoch seconds (`ts_sec` BIGINT),
+  * which DuckDB reproduces exactly via floor(epoch(ts)). The driver has
+  * shipped `events.ts` in two physical forms across rounds —
+  * nanosecond-precision INT64 (which Spark's vectorized reader only
+  * accepts as raw nanos via legacy.parquet.nanosAsLong) and plain
+  * timestamp[us] (TIMESTAMP_NTZ) — so the loader derives `ts_sec` from
+  * whichever type the file actually carries.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts_sec` (epoch seconds, BIGINT) replacing the raw nanos. */
+  /** events with `ts_sec` (epoch seconds, BIGINT) derived from `ts`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos (nanosAsLong)
+        df.withColumn("ts_sec", expr("ts div 1000000000"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ: session TZ is UTC everywhere
+        df.withColumn("ts_sec",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+    }
   }
 }

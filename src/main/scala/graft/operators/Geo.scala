@@ -3146,6 +3146,235 @@ object Geo {
                  AS d_cpa_km
         FROM solved
         WHERE sqrt(pow(dx + dvx*tc, 2) + pow(dy + dvy*tc, 2)) <= 100.0
-        ORDER BY user_a, user_b, tb"""))
+        ORDER BY user_a, user_b, tb""")),
+
+    // ----- geo_viirs_ingest: FIRMS VIIRS hotspot CSV ingest --------------
+    // The raw-record decode of the FIRMS VIIRS active-fire product
+    // (odin_orbital/src/firms.rs:117 RawViirsHotspot field order, :134
+    // get_confidence l/n/h mapping, :145 get_sat_id NORAD lookup, :532
+    // get_acq_utc_datetime [H]HMM reconstruction, :181 Kelvin/MW unit
+    // wrap). A 13-field CSV line is synthesized per event (integer-scaled
+    // numerics so the text is engine-stable), then parsed back exactly the
+    // way the reference decodes a downloaded FIRMS file: split, typed
+    // casts, confidence/satellite enum mapping, date+[H]HMM -> epoch.
+    // Rows whose satellite or confidence code is unknown are dropped, as
+    // to_hotspot's Option chain drops them (firms.rs:437). Scale shape:
+    // pure per-row string/column math, no shuffle but the output ORDER BY.
+    "geo_viirs_ingest" -> Q(
+      build = (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"), col("ts_sec"))
+        base
+          .withColumn("line", expr(ViirsK.line(
+            "from_unixtime(ts_sec, 'yyyy-MM-dd')")))
+          .select(col("event_id"), col("line"))
+          .withColumn("acq_epoch", expr(ViirsK.acqEpoch(
+            "unix_timestamp(split_part(line, ',', 6), 'yyyy-MM-dd')")))
+          .selectExpr("event_id" +: ViirsK.parsed: _*)
+          .filter(col("sat_id").isNotNull && col("conf").isNotNull)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        lines AS (
+          SELECT event_id,
+                 ${ViirsK.line("strftime(to_timestamp(ts_sec), '%Y-%m-%d')")} AS line
+          FROM base),
+        withEpoch AS (
+          SELECT event_id, line,
+                 ${ViirsK.acqEpoch(
+                   "CAST(floor(epoch(strptime(split_part(line, ',', 6), '%Y-%m-%d'))) AS BIGINT)")}
+                   AS acq_epoch
+          FROM lines),
+        parsed AS (
+          SELECT event_id, ${ViirsK.parsed.mkString(", ")} FROM withEpoch)
+        SELECT * FROM parsed
+        WHERE sat_id IS NOT NULL AND conf IS NOT NULL
+        ORDER BY event_id""")),
+
+    // ----- geo_hotspot_footprint: hotspot ground-footprint quad ----------
+    // compute_footprint (odin_orbital/src/firms.rs:477): the ECEF pixel
+    // footprint every ingested VIIRS hotspot gets — local east/north unit
+    // frame at the point (odin_common/src/cartesian3.rs:283 en_units),
+    // corners at +-track/2 (east) and +-scan/2 (north), rotated around
+    // the local up axis by MINUS the bearing to the closest ground-track
+    // point (firms.rs:490 passes -alpha; rotate_all at cartesian3.rs:311
+    // is the half-angle Rodrigues form), then rounded to integer meters
+    // (round_all n_digits=0). The closest-track-point bearing reuses the
+    // geo_track_bearing machinery: 4-degree grid-bucketed candidate join
+    // + struct-min argmin (vs the oracle's brute-force pairs), bearing
+    // rounded to 3 decimals BEFORE the trig re-entry so the rotation
+    // angle is cross-engine-stable. Scale: O(n) bucketed candidates,
+    // one argmin shuffle — never event x track pairs.
+    "geo_hotspot_footprint" -> Q(
+      build = (s, d) => {
+        val cell = 4.0
+        val probes = evPts(s, d)
+          .select(col("user_id"), col("event_id"), col("lat"), col("lon"))
+          .withColumn("ci", floor(col("lat") / cell).cast(LongType))
+          .withColumn("cj", floor(col("lon") / cell).cast(LongType))
+        val track = Tables.t(s, d, "part").select(
+          col("p_partkey").as("t_key"),
+          (lit(60.0) * sin(radians((col("p_partkey") * 7 % 360).cast(DoubleType))))
+            .as("tlat"),
+          (col("p_partkey") * 23 % 360 - 180).cast(DoubleType).as("tlon"))
+        val trep = track
+          .withColumn("dn", ceil(lit(400.0)
+            / (lit(110.0) * cos(radians(least(abs(col("tlat")) + 3.7, lit(64.0)))))
+            / cell).cast(LongType))
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("dj", explode(expr("sequence(-dn, dn)")))
+          .withColumn("ci", floor(col("tlat") / cell).cast(LongType) + col("di"))
+          .withColumn("cj",
+            (((floor(col("tlon") / cell).cast(LongType) + col("dj") + 45) % 90 + 90) % 90) - 45)
+        probes.join(trep, Seq("ci", "cj"))
+          .withColumn("dist_q",
+            floor(havC(col("lat"), col("lon"), col("tlat"), col("tlon")) * 1024.0)
+              .cast(LongType))
+          .filter(col("dist_q") <= 409600L)
+          .groupBy(col("user_id"), col("event_id"), col("lat"), col("lon"))
+          .agg(min(struct(col("dist_q"), col("t_key"), col("tlat"), col("tlon"))).as("m"))
+          .select(col("user_id"), col("event_id"), col("lat"), col("lon"),
+            col("m.t_key").as("track_key"),
+            round(bearC(col("lat"), col("lon"), col("m.tlat"), col("m.tlon")), 3)
+              .as("brg3"))
+          .withColumn("track_m", expr(FootK.trackM))
+          .withColumn("scan_m", expr(FootK.scanM))
+          .selectExpr(Seq("event_id", "track_key") ++ FootK.chain: _*)
+          .selectExpr(Seq("event_id", "track_key") ++ FootK.out: _*)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (SELECT user_id, event_id, $LAT AS lat, $LON AS lon FROM events),
+        track AS (SELECT p_partkey AS t_key,
+                         60.0e0*sin(radians(CAST(p_partkey*7 % 360 AS DOUBLE))) AS tlat,
+                         CAST(p_partkey*23 % 360 - 180 AS DOUBLE) AS tlon FROM part),
+        pairs AS (
+          SELECT user_id, event_id, lat, lon, t_key, tlat, tlon,
+                 CAST(FLOOR(${havS("lat", "lon", "tlat", "tlon")} * 1024.0e0) AS BIGINT) AS dist_q
+          FROM probes, track),
+        cov AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+                                             ORDER BY dist_q, t_key) AS rn
+                FROM pairs WHERE dist_q <= 409600),
+        best AS (
+          SELECT user_id, event_id, lat, lon, t_key AS track_key,
+                 round(${bearS("lat", "lon", "tlat", "tlon")}, 3) AS brg3,
+                 ${FootK.trackM} AS track_m, ${FootK.scanM} AS scan_m
+          FROM cov WHERE rn = 1),
+        chain AS (
+          SELECT event_id, track_key, ${FootK.chain.mkString(", ")} FROM best)
+        SELECT event_id, track_key, ${FootK.out.mkString(", ")}
+        FROM chain ORDER BY event_id"""))
   )
+
+  /** Engine-shared fragments for the FIRMS VIIRS CSV round trip
+    * (firms.rs:117 field order). Numeric fields ride the line as
+    * integer-scaled text (micro-degrees, deci-Kelvin, meters, centi-MW)
+    * so synthesis never formats a raw double; the parse applies the
+    * reference's unit conversions.
+    */
+  private object ViirsK {
+    /** 13-field raw VIIRS CSV line (integer-scaled numerics). */
+    def line(dateF: String): String = s"""concat_ws(',',
+      CAST(CAST(floor((CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0)
+        * 100000.0) AS BIGINT) AS STRING),
+      CAST(CAST(floor((CAST(event_id*73 % 360 - 180 AS DOUBLE) + value/2000.0)
+        * 100000.0) AS BIGINT) AS STRING),
+      CAST(2950 + event_id % 500 AS STRING),
+      CAST(375 + event_id*7 % 225 AS STRING),
+      CAST(375 + user_id*11 % 225 AS STRING),
+      $dateF,
+      CAST(CAST(floor((ts_sec % 86400) / 3600.0) AS BIGINT) * 100
+           + CAST(floor((ts_sec % 3600) / 60.0) AS BIGINT) AS STRING),
+      CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'N20'
+           WHEN 2 THEN 'N21' ELSE 'X' END,
+      CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'l' WHEN 1 THEN 'n'
+           WHEN 2 THEN 'h' ELSE 'x' END,
+      '2.0NRT',
+      CAST(2750 + user_id % 400 AS STRING),
+      CAST(CAST(round(value * 100.0) AS BIGINT) AS STRING),
+      CASE WHEN (ts_sec % 86400) >= 21600 AND (ts_sec % 86400) < 64800
+           THEN 'D' ELSE 'N' END)"""
+
+    /** acq datetime: date epoch + [H]HMM offset (firms.rs:532). */
+    def acqEpoch(dateEpochF: String): String = s"""($dateEpochF
+      + CAST(floor(CAST(split_part(line, ',', 7) AS BIGINT) / 100.0) AS BIGINT) * 3600
+      + (CAST(split_part(line, ',', 7) AS BIGINT) % 100) * 60)"""
+
+    /** Typed decode of the line (identical text both engines). */
+    val parsed: Seq[String] = Seq(
+      "CAST(split_part(line, ',', 1) AS BIGINT) / 100000.0 AS lat",
+      "CAST(split_part(line, ',', 2) AS BIGINT) / 100000.0 AS lon",
+      "CAST(split_part(line, ',', 3) AS BIGINT) / 10.0 AS bright_ti4_k",
+      "CAST(split_part(line, ',', 4) AS BIGINT) AS scan_m",
+      "CAST(split_part(line, ',', 5) AS BIGINT) AS track_m",
+      "acq_epoch",
+      """CASE split_part(line, ',', 8) WHEN 'N21' THEN 54234
+         WHEN 'N20' THEN 43013 WHEN 'N' THEN 37849 END AS sat_id""",
+      """CASE split_part(line, ',', 9) WHEN 'l' THEN 'Low' WHEN 'n' THEN 'Medium'
+         WHEN 'h' THEN 'High' END AS conf""",
+      "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0 AS bright_ti5_k",
+      "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0 AS frp_mw",
+      "split_part(line, ',', 13) = 'D' AS is_day")
+  }
+
+  /** Engine-shared fragments for compute_footprint (firms.rs:477):
+    * geodetic -> ECEF (h=0), en_units local frame (cartesian3.rs:283),
+    * corner offsets, half-angle Rodrigues rotation by -bearing
+    * (cartesian3.rs:311), integer-meter rounding (round_all 0).
+    * Emitted as one flat select chain; every fragment is identical text
+    * on both engines so the double-op sequence matches bit for bit (the
+    * only libm calls are sin/cos of the PRE-ROUNDED bearing and of the
+    * derived latitudes, whose 1-ulp spread is 9 orders of magnitude
+    * below the integer-meter rounding boundary).
+    */
+  private object FootK {
+    val trackM = "CAST(375 + event_id*7 % 225 AS DOUBLE)"
+    val scanM = "CAST(375 + user_id*11 % 225 AS DOUBLE)"
+    private val A2 = "40680631590769.0"             // 6378137^2
+    private val B2 = "40408299984661.453"           // 6356752.3142451793^2
+    /** Stage-1 select list: everything up to the rotated corners. */
+    val chain: Seq[String] = {
+      val n = s"($A2 / sqrt($A2*cos(radians(lat))*cos(radians(lat)) + $B2*sin(radians(lat))*sin(radians(lat))))"
+      val px = s"($n*cos(radians(lat))*cos(radians(lon)))"
+      val py = s"($n*cos(radians(lat))*sin(radians(lon)))"
+      val pz = s"($B2/$A2*$n*sin(radians(lat)))"
+      Seq(s"$px AS px", s"$py AS py", s"$pz AS pz",
+        s"sqrt($px*$px + $py*$py + $pz*$pz) AS len",
+        "track_m", "scan_m", "brg3")
+    }
+    /** Stage-2 select list: unit frame, corners, rotation, rounding. */
+    val out: Seq[String] = {
+      val ux = "(px/len)"; val uy = "(py/len)"; val uz = "(pz/len)"
+      // north = unit((0,0,len/uz) - p); east = u x north
+      val nx0 = "(0.0 - px)"; val ny0 = "(0.0 - py)"; val nz0 = "(len/(pz/len) - pz)"
+      val nlen = s"sqrt($nx0*$nx0 + $ny0*$ny0 + $nz0*$nz0)"
+      val nx = s"($nx0/$nlen)"; val ny = s"($ny0/$nlen)"; val nz = s"($nz0/$nlen)"
+      val ex = s"($uy*$nz - $uz*$ny)"
+      val ey = s"($uz*$nx - $ux*$nz)"
+      val ez = s"($ux*$ny - $uy*$nx)"
+      // rotation by -brg3 (half-angle Rodrigues coefficients)
+      val a2 = "(0.0 - radians(brg3))/2.0"
+      val rb = s"(2.0*cos($a2)*sin($a2))"
+      val rc = s"(2.0*sin($a2)*sin($a2))"
+      val names = Seq("ws", "es", "en", "wn")
+      val signs = Seq(("-", "-"), ("+", "-"), ("+", "+"), ("-", "+"))
+      names.zip(signs).flatMap { case (nm, (sw, sh)) =>
+        val vx = s"(px $sw $ex*track_m/2.0 $sh $nx*scan_m/2.0)"
+        val vy = s"(py $sw $ey*track_m/2.0 $sh $ny*scan_m/2.0)"
+        val vz = s"(pz $sw $ez*track_m/2.0 $sh $nz*scan_m/2.0)"
+        val cx = s"($uy*$vz - $uz*$vy)"
+        val cy = s"($uz*$vx - $ux*$vz)"
+        val cz = s"($ux*$vy - $uy*$vx)"
+        val ccx = s"($uy*$cz - $uz*$cy)"
+        val ccy = s"($uz*$cx - $ux*$cz)"
+        val ccz = s"($ux*$cy - $uy*$cx)"
+        Seq(
+          s"CAST(round($vx + $cx*$rb + $ccx*$rc, 0) AS BIGINT) AS ${nm}_x",
+          s"CAST(round($vy + $cy*$rb + $ccy*$rc, 0) AS BIGINT) AS ${nm}_y",
+          s"CAST(round($vz + $cz*$rb + $ccz*$rc, 0) AS BIGINT) AS ${nm}_z")
+      }
+    }
+  }
 }
