@@ -1050,6 +1050,89 @@ object Similarity {
                round(CAST(SUM(CAST(FLOOR(err * err * 1073741824.0) AS BIGINT))
                      AS DOUBLE) / 1073741824.0 / COUNT(*), 9) AS mse,
                round(MAX(abs(err)), 9) AS max_abs_err
-        FROM errs GROUP BY 1, 2 ORDER BY vec_id"""))
+        FROM errs GROUP BY 1, 2 ORDER BY vec_id""")),
+
+    // ----- emb_mrl_recall: truncated-dimension recall audit --------------
+    // The Matryoshka-representation question every index operator asks
+    // before shipping a shorter embedding: how much of the exact top-k
+    // survives if only the FIRST 16 of 64 dimensions are kept (MRL-style
+    // prefix truncation — a 4x index-size/bandwidth cut)? Ground truth is
+    // the full-dim exact top-5 (emb_cosine_topk's arithmetic); candidate
+    // is the same brute-force top-5 over the prefix slice. Both sides use
+    // the exact BIGINT fixed-point dot, so the per-query recall is
+    // engine-stable. Same broadcast-probe shape as emb_recall_at_k —
+    // O(n·|probes|), no all-pairs.
+    "emb_mrl_recall" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+          .withColumn("emb16", expr("slice(embedding, 1, 16)"))
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+          .withColumn("nq16", qdot(col("emb16"), col("emb16")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("emb16").as("q_emb16"), col("nq").as("q_nq"),
+            col("nq16").as("q_nq16"))
+        val joined = e.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("cos_full",
+            qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+              / (sqrt(col("q_nq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+          .withColumn("cos_16",
+            qdot(col("q_emb16"), col("emb16")).cast(DoubleType)
+              / (sqrt(col("q_nq16").cast(DoubleType)) * sqrt(col("nq16").cast(DoubleType))))
+        val wf = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val wt = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_16").desc, col("vec_id"))
+        val ranked = joined
+          .withColumn("rn_full", row_number().over(wf))
+          .withColumn("rn_16", row_number().over(wt))
+        val exact = ranked.filter(col("rn_full") <= 5)
+          .select(col("q_vec_id"), col("vec_id"))
+        val trunc = ranked.filter(col("rn_16") <= 5)
+          .select(col("q_vec_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(trunc, Seq("q_vec_id", "vec_id"), "left")
+          .groupBy(col("q_vec_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast(DoubleType) / col("k"))
+          .orderBy(col("q_vec_id"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+                 SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq,
+                 SUM(CASE WHEN i <= 16
+                     THEN ${qterm("embedding[i]", "embedding[i]")} END) AS nq16
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+                 SUM(${qterm("q.embedding[i]", "e.embedding[i]")}) AS dot,
+                 SUM(CASE WHEN i <= 16
+                     THEN ${qterm("q.embedding[i]", "e.embedding[i]")} END) AS dot16
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings e ON e.vec_id <> q.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT d.q_vec_id, d.n_vec_id,
+                 CAST(d.dot AS DOUBLE)/(sqrt(CAST(nq1.nq AS DOUBLE))*sqrt(CAST(nq2.nq AS DOUBLE))) AS cos_full,
+                 CAST(d.dot16 AS DOUBLE)/(sqrt(CAST(nq1.nq16 AS DOUBLE))*sqrt(CAST(nq2.nq16 AS DOUBLE))) AS cos_16
+          FROM dots d
+          JOIN n nq1 ON nq1.vec_id = d.q_vec_id
+          JOIN n nq2 ON nq2.vec_id = d.n_vec_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                   ORDER BY cos_full DESC, n_vec_id) AS rn_full,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                   ORDER BY cos_16 DESC, n_vec_id) AS rn_16
+          FROM sims)
+        SELECT e.q_vec_id, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(t.n_vec_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(t.n_vec_id) AS DOUBLE)/COUNT(*) AS recall
+        FROM (SELECT q_vec_id, n_vec_id FROM ranked WHERE rn_full <= 5) e
+        LEFT JOIN (SELECT q_vec_id, n_vec_id FROM ranked WHERE rn_16 <= 5) t
+          ON t.q_vec_id = e.q_vec_id AND t.n_vec_id = e.n_vec_id
+        GROUP BY e.q_vec_id ORDER BY e.q_vec_id"""))
   )
 }

@@ -1987,6 +1987,320 @@ object TextOps {
         SELECT n_exact, n_candidates, n_hits,
                CAST(n_hits AS DOUBLE) / n_candidates AS precision,
                CAST(n_hits AS DOUBLE) / n_exact AS recall
-        FROM nex, ncd, nhit"""))
+        FROM nex, ncd, nhit""")),
+
+    // ----- doc_gopher_repetition: the full Gopher repetition battery -----
+    // The complete repetition-signal set from Gopher/RefinedWeb (top
+    // n-gram character fraction for n=2..4, duplicated n-gram character
+    // fraction for n=5..7) that doc_repetition's single bigram score
+    // abbreviates. "Character fraction" is count*len(gram)/n_chars (the
+    // standard approximation — overlaps uncounted), an exact
+    // BIGINT/BIGINT division. One tokenize + one (doc, n, gram) explode
+    // feeds all six signals; per-doc work is O(words * 6). Argmax grams
+    // tie-break on (count, len, gram) so both engines pick identically.
+    "doc_gopher_repetition" -> Q(
+      build = (s, d) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(2, 7)")).as("n"))
+          .filter(size(col("w")) >= col("n"))
+          .select(col("doc_id"), col("n"),
+            explode(expr("transform(sequence(1, size(w) - n + 1), " +
+              "i -> array_join(slice(w, i, n), ' '))")).as("gram"))
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("glen", length(col("gram")).cast(LongType))
+        val stats = grams
+          .groupBy(col("doc_id"), col("n"))
+          .agg(
+            max(struct(col("cnt"), col("glen"), col("gram"))).as("top"),
+            sum(when(col("cnt") >= 2, col("cnt") * col("glen"))
+              .otherwise(0L)).as("dup_chars"))
+          .select(col("doc_id"), col("n"),
+            (col("top.cnt") * col("top.glen")).as("top_chars"),
+            col("dup_chars"))
+        val pivoted = stats.groupBy(col("doc_id"))
+          .agg(
+            coalesce(max(when(col("n") === 2, col("top_chars"))), lit(0L)).as("t2"),
+            coalesce(max(when(col("n") === 3, col("top_chars"))), lit(0L)).as("t3"),
+            coalesce(max(when(col("n") === 4, col("top_chars"))), lit(0L)).as("t4"),
+            coalesce(max(when(col("n") === 5, col("dup_chars"))), lit(0L)).as("d5"),
+            coalesce(max(when(col("n") === 6, col("dup_chars"))), lit(0L)).as("d6"),
+            coalesce(max(when(col("n") === 7, col("dup_chars"))), lit(0L)).as("d7"))
+        docs(s, d).select(col("doc_id"), col("n_chars"))
+          .join(pivoted, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("t2", "t3", "t4", "d5", "d6", "d7"))
+          .select(col("doc_id"),
+            (col("t2").cast(DoubleType) / col("n_chars")).as("top2_frac"),
+            (col("t3").cast(DoubleType) / col("n_chars")).as("top3_frac"),
+            (col("t4").cast(DoubleType) / col("n_chars")).as("top4_frac"),
+            (col("d5").cast(DoubleType) / col("n_chars")).as("dup5_frac"),
+            (col("d6").cast(DoubleType) / col("n_chars")).as("dup6_frac"),
+            (col("d7").cast(DoubleType) / col("n_chars")).as("dup7_frac"))
+          .withColumn("passes",
+            col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18
+              && col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15
+              && col("dup6_frac") <= 0.14 && col("dup7_frac") <= 0.13)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH wl AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+                    FROM documents),
+        grams AS (
+          SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram,
+                 COUNT(*) AS cnt
+          FROM wl, generate_series(2, 7) AS s(n),
+               generate_series(1, 1024) AS g(i)
+          WHERE len(w) >= n AND i <= len(w) - n + 1
+          GROUP BY 1, 2, 3),
+        gl AS (SELECT doc_id, n, gram, cnt,
+                      CAST(length(gram) AS BIGINT) AS glen FROM grams),
+        tops AS (
+          SELECT doc_id, n, cnt * glen AS top_chars
+          FROM gl
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                    ORDER BY cnt DESC, glen DESC, gram DESC) = 1),
+        dups AS (
+          SELECT doc_id, n,
+                 CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+                   AS BIGINT) AS dup_chars
+          FROM gl GROUP BY 1, 2),
+        piv AS (
+          SELECT t.doc_id,
+                 COALESCE(MAX(CASE WHEN t.n = 2 THEN top_chars END), 0) AS t2,
+                 COALESCE(MAX(CASE WHEN t.n = 3 THEN top_chars END), 0) AS t3,
+                 COALESCE(MAX(CASE WHEN t.n = 4 THEN top_chars END), 0) AS t4,
+                 COALESCE(MAX(CASE WHEN u.n = 5 THEN dup_chars END), 0) AS d5,
+                 COALESCE(MAX(CASE WHEN u.n = 6 THEN dup_chars END), 0) AS d6,
+                 COALESCE(MAX(CASE WHEN u.n = 7 THEN dup_chars END), 0) AS d7
+          FROM tops t FULL JOIN dups u ON t.doc_id = u.doc_id AND t.n = u.n
+          GROUP BY 1),
+        fr AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(t2, 0) AS DOUBLE)/n_chars AS top2_frac,
+                 CAST(COALESCE(t3, 0) AS DOUBLE)/n_chars AS top3_frac,
+                 CAST(COALESCE(t4, 0) AS DOUBLE)/n_chars AS top4_frac,
+                 CAST(COALESCE(d5, 0) AS DOUBLE)/n_chars AS dup5_frac,
+                 CAST(COALESCE(d6, 0) AS DOUBLE)/n_chars AS dup6_frac,
+                 CAST(COALESCE(d7, 0) AS DOUBLE)/n_chars AS dup7_frac
+          FROM documents d LEFT JOIN piv p ON d.doc_id = p.doc_id)
+        SELECT doc_id, top2_frac, top3_frac, top4_frac,
+               dup5_frac, dup6_frac, dup7_frac,
+               top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+                 AND dup5_frac <= 0.15 AND dup6_frac <= 0.14
+                 AND dup7_frac <= 0.13 AS passes
+        FROM fr ORDER BY doc_id""")),
+
+    // ----- doc_containment_pairs: asymmetric shingle containment ---------
+    // Subset/superset near-dup detection: containment
+    // |A∩B| / min(|A|,|B|) catches a short document wholly embedded in a
+    // long one, which symmetric Jaccard dilutes below threshold. Same
+    // single shingle-keyed shuffle as the Jaccard family (never doc x doc
+    // pairs); emits pairs at containment >= 0.9 with their Jaccard so the
+    // report shows what the Jaccard path would have missed.
+    "doc_containment_pairs" -> Q(
+      build = (s, d) =>
+        jaccardAll(s, d)
+          .withColumn("containment", col("n_common").cast(DoubleType)
+            / least(col("n_a"), col("n_b")))
+          .filter(col("containment") >= 0.9)
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            col("containment"), col("jaccard"),
+            (col("jaccard") < 0.5).as("jaccard_missed"))
+          .orderBy(col("doc_a"), col("doc_b")),
+      oracle = Some(s"""
+        WITH sh AS ($SHINGLES),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        cpairs AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT p.doc_a, p.doc_b, p.n_common,
+                 CAST(p.n_common AS DOUBLE)/least(a.n_sh, b.n_sh) AS containment,
+                 CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common) AS jaccard
+          FROM cpairs p
+          JOIN sizes a ON a.doc_id = p.doc_a
+          JOIN sizes b ON b.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, n_common, containment, jaccard,
+               jaccard < 0.5 AS jaccard_missed
+        FROM scored WHERE containment >= 0.9
+        ORDER BY doc_a, doc_b""")),
+
+    // ----- doc_bloom_dedup: Bloom-filter membership pre-filter -----------
+    // The streaming-backfill shape of incremental dedup at 100 TB: the
+    // existing corpus is folded into a 2^20-bit Bloom filter (16384
+    // BIGINT words, k=3 probes — ~1% false positives at this load), a
+    // map-side-combinable bit_or aggregation that yields a ~128 KB
+    // broadcastable summary instead of a corpus-wide anti-join. Incoming
+    // docs probe the filter; definite-new docs skip the expensive exact
+    // check entirely, and the emitted false-positive flag audits the
+    // filter against the exact answer. Each probe position is 20 bits of
+    // the content md5 (5 hex chars), so both engines compute identical
+    // positions with pure integer math.
+    "doc_bloom_dedup" -> Q(
+      build = (s, d) => {
+        val hashed = docs(s, d)
+          .withColumn("h", md5(col("text").cast(BinaryType)))
+        def pos(j: Int): Column =
+          expr(s"CAST(conv(substring(h, ${j * 5 + 1}, 5), 16, 10) AS BIGINT)")
+        def positions(df: DataFrame): DataFrame = df
+          .withColumn("p", explode(array(pos(0), pos(1), pos(2))))
+          .withColumn("word_idx", expr("p div 32"))
+          .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"))
+        val corpus = hashed.filter(col("source") =!= "src0")
+        val incoming = hashed.filter(col("source") === "src0")
+        val words = positions(corpus.select(col("h")))
+          .groupBy(col("word_idx"))
+          .agg(expr("bit_or(mask)").as("word"))
+        val probes = positions(incoming.select(col("doc_id"), col("h")))
+          .join(broadcast(words), Seq("word_idx"), "left")
+          .withColumn("hit",
+            col("word").isNotNull && expr("(word & mask) = mask"))
+          .groupBy(col("doc_id"), col("h"))
+          .agg(min(col("hit")).as("maybe_dup"))
+        val exact = incoming
+          .join(corpus.select(col("h")).distinct(), Seq("h"), "left_semi")
+          .select(col("doc_id")).withColumn("is_dup", lit(true))
+        probes.join(exact, Seq("doc_id"), "left")
+          .na.fill(false, Seq("is_dup"))
+          .select(col("doc_id"), col("maybe_dup"), col("is_dup"),
+            (col("maybe_dup") && !col("is_dup")).as("false_positive"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id, source, md5(text) AS h FROM documents),
+        hx(c, v) AS (VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),
+          ('6',6),('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+          ('d',13),('e',14),('f',15)),
+        pos AS (
+          SELECT doc_id, source, h, j,
+                 CAST(h0.v*65536 + h1.v*4096 + h2.v*256 + h3.v*16 + h4.v
+                   AS BIGINT) AS p
+          FROM hashed, generate_series(0, 2) AS s(j),
+               hx h0, hx h1, hx h2, hx h3, hx h4
+          WHERE h0.c = substr(h, j*5 + 1, 1) AND h1.c = substr(h, j*5 + 2, 1)
+            AND h2.c = substr(h, j*5 + 3, 1) AND h3.c = substr(h, j*5 + 4, 1)
+            AND h4.c = substr(h, j*5 + 5, 1)),
+        pm AS (SELECT doc_id, source, h, p // 32 AS word_idx,
+                      CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+               FROM pos),
+        words AS (
+          SELECT word_idx, bit_or(mask) AS word
+          FROM pm WHERE source <> 'src0' GROUP BY 1),
+        probes AS (
+          SELECT i.doc_id, i.h,
+                 MIN(w.word_idx IS NOT NULL
+                     AND (w.word & i.mask) = i.mask) AS maybe_dup
+          FROM pm i LEFT JOIN words w ON i.word_idx = w.word_idx
+          WHERE i.source = 'src0'
+          GROUP BY 1, 2)
+        SELECT p.doc_id, p.maybe_dup,
+               EXISTS (SELECT 1 FROM hashed c
+                       WHERE c.source <> 'src0' AND c.h = p.h) AS is_dup,
+               p.maybe_dup AND NOT EXISTS (SELECT 1 FROM hashed c
+                       WHERE c.source <> 'src0' AND c.h = p.h)
+                 AS false_positive
+        FROM probes p ORDER BY p.doc_id""")),
+
+    // ----- doc_char_lid: character-trigram language identification -------
+    // The Cavnar–Trenkle-style char-n-gram LID every pretraining pipeline
+    // runs (fastText's cheap cousin), self-trained on the corpus's own
+    // lang labels: per-language Laplace-smoothed trigram models, per-doc
+    // log-likelihood under each language, argmax prediction, agreement
+    // flag against the stored label. Log-probs are quantized to 6
+    // decimals and summed in DECIMAL (the doc_dsir determinism scheme),
+    // so the cross-engine argmax is exact. Scale shape: the model is a
+    // (trigram, lang) frame shuffled once and broadcast to score; the
+    // corpus is tokenized exactly once.
+    "doc_char_lid" -> Q(
+      build = (s, d) => {
+        val tri = docs(s, d)
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(1, length(t) - 2), " +
+              "i -> substring(t, i, 3))")).as("tri"))
+        val docTri = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
+          .agg(count(lit(1)).as("cnt"))
+        val model = docTri.groupBy(col("tri"), col("lang").as("mlang"))
+          .agg(sum(col("cnt")).as("c"))
+        val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
+        val vocab = model.select(col("tri")).distinct().agg(count(lit(1)).as("v"))
+        val langs = totals.crossJoin(broadcast(vocab))
+          .withColumn("fb",
+            round(log(lit(1.0) / (col("tot") + col("v")).cast(DoubleType)), 6)
+              .cast(DecimalType(18, 6)))
+        val scoredModel = model
+          .join(broadcast(totals.withColumnRenamed("mlang", "tlang")),
+            col("mlang") === col("tlang"))
+          .drop("tlang")
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
+              .cast(DecimalType(18, 6)))
+          .select(col("tri"), col("mlang"), col("lp"))
+        val crossed = docTri
+          .crossJoin(broadcast(langs.select(col("mlang"), col("fb"))))
+          .join(broadcast(scoredModel), Seq("tri", "mlang"), "left")
+          .withColumn("term",
+            (col("cnt").cast(DecimalType(18, 0))
+              * coalesce(col("lp"), col("fb"))).cast(DecimalType(30, 6)))
+        val perLang = crossed.groupBy(col("doc_id"), col("lang"), col("mlang"))
+          .agg(sum(col("term")).cast(DecimalType(32, 6)).as("score"))
+        perLang.groupBy(col("doc_id"), col("lang"))
+          .agg(max(struct(col("score"), col("mlang"))).as("best"))
+          .select(col("doc_id"), col("lang"),
+            col("best.mlang").as("pred_lang"),
+            col("best.score").cast(DoubleType).as("score"),
+            (col("best.mlang") === col("lang")).as("agree"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+                    WHERE length(text) >= 3),
+        tri AS (
+          SELECT doc_id, lang, substr(t, i, 3) AS tri
+          FROM t0, generate_series(1, 1024) AS g(i)
+          WHERE i <= length(t) - 2),
+        doctri AS (
+          SELECT doc_id, lang, tri, COUNT(*) AS cnt
+          FROM tri GROUP BY 1, 2, 3),
+        model AS (
+          SELECT tri, lang AS mlang, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM doctri GROUP BY 1, 2),
+        totals AS (SELECT mlang, CAST(SUM(c) AS BIGINT) AS tot
+                   FROM model GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT tri) AS v FROM model),
+        langs AS (
+          SELECT mlang, tot,
+                 CAST(round(ln(1.0 / (tot + v)), 6) AS DECIMAL(18,6)) AS fb
+          FROM totals, vocab),
+        sm AS (
+          SELECT m.tri, m.mlang,
+                 CAST(round(ln(CAST(m.c + 1 AS DOUBLE) / (t.tot + v.v)), 6)
+                   AS DECIMAL(18,6)) AS lp
+          FROM model m JOIN totals t ON m.mlang = t.mlang, vocab v),
+        crossed AS (
+          SELECT d.doc_id, d.lang, l.mlang,
+                 CAST(CAST(d.cnt AS DECIMAL(18,0))
+                   * COALESCE(s.lp, l.fb) AS DECIMAL(30,6)) AS term
+          FROM doctri d
+          CROSS JOIN langs l
+          LEFT JOIN sm s ON s.tri = d.tri AND s.mlang = l.mlang),
+        perlang AS (
+          SELECT doc_id, lang, mlang,
+                 CAST(SUM(term) AS DECIMAL(32,6)) AS score
+          FROM crossed GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, lang, mlang AS pred_lang,
+                 CAST(score AS DOUBLE) AS score
+          FROM perlang
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, mlang DESC) = 1)
+        SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
+        FROM best ORDER BY doc_id"""))
   )
 }

@@ -1788,7 +1788,188 @@ object TimeSeries {
                CASE WHEN attr_ts IS NOT NULL AND ts_sec - attr_ts <= 604800
                     THEN ts_sec - attr_ts ELSE -1 END AS touch_age_sec
         FROM tagged WHERE event_type = 'purchase'
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ----- ts_acf: per-entity autocorrelation function -------------------
+    // The sample ACF at lags 1..4 over each entity's value series — the
+    // standard seasonality/memory diagnostic run before picking smoothing
+    // or changepoint windows (complements ts_ewma / ts_changepoint). Kept
+    // EXACT across engines by clearing denominators: with S = Σv and n
+    // the series length (v in integer cents), every residual term
+    // (n·v_t − S) is an integer, so numerator and denominator are
+    // integer sums of products — accumulated as DECIMAL(38,0) since
+    // (n·v)² overflows BIGINT at sf ≥ 0.1 — and only the final ratio
+    // goes through one double division. One shuffle keyed on the entity;
+    // the 4 lags ride the same per-entity window.
+    "ts_acf" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val p = Window.partitionBy(col("user_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+          .withColumn("n", count(lit(1)).over(p))
+          .withColumn("sv", sum(col("v")).over(p))
+          .withColumn("r", col("n") * col("v") - col("sv"))
+        val lagged = (1 to 4).foldLeft(base) { (df, k) =>
+          df.withColumn(s"r$k", lead(col("r"), k).over(w))
+        }
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        lagged.groupBy(col("user_id"))
+          .agg(
+            max(col("n")).as("n"),
+            sum(dec(col("r") * col("r"))).as("den"),
+            sum(when(col("r1").isNotNull, dec(col("r") * col("r1")))).as("n1"),
+            sum(when(col("r2").isNotNull, dec(col("r") * col("r2")))).as("n2"),
+            sum(when(col("r3").isNotNull, dec(col("r") * col("r3")))).as("n3"),
+            sum(when(col("r4").isNotNull, dec(col("r") * col("r4")))).as("n4"))
+          .filter(col("den") > 0)
+          .select(col("user_id"), col("n"),
+            (col("n1").cast(DoubleType) / col("den").cast(DoubleType)).as("acf1"),
+            (col("n2").cast(DoubleType) / col("den").cast(DoubleType)).as("acf2"),
+            (col("n3").cast(DoubleType) / col("den").cast(DoubleType)).as("acf3"),
+            (col("n4").cast(DoubleType) / col("den").cast(DoubleType)).as("acf4"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS v
+          FROM events),
+        st AS (
+          SELECT user_id, ts_sec, event_id, v,
+                 COUNT(*) OVER p AS n, CAST(SUM(v) OVER p AS BIGINT) AS sv
+          FROM base WINDOW p AS (PARTITION BY user_id)),
+        r0 AS (
+          SELECT user_id, n, n*v - sv AS r,
+                 lead(n*v - sv, 1) OVER w AS r1, lead(n*v - sv, 2) OVER w AS r2,
+                 lead(n*v - sv, 3) OVER w AS r3, lead(n*v - sv, 4) OVER w AS r4
+          FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        agg AS (
+          SELECT user_id, MAX(n) AS n,
+                 SUM(CAST(r*r AS DECIMAL(38,0))) AS den,
+                 SUM(CASE WHEN r1 IS NOT NULL THEN CAST(r*r1 AS DECIMAL(38,0)) END) AS n1,
+                 SUM(CASE WHEN r2 IS NOT NULL THEN CAST(r*r2 AS DECIMAL(38,0)) END) AS n2,
+                 SUM(CASE WHEN r3 IS NOT NULL THEN CAST(r*r3 AS DECIMAL(38,0)) END) AS n3,
+                 SUM(CASE WHEN r4 IS NOT NULL THEN CAST(r*r4 AS DECIMAL(38,0)) END) AS n4
+          FROM r0 GROUP BY 1)
+        SELECT user_id, n,
+               CAST(n1 AS DOUBLE)/CAST(den AS DOUBLE) AS acf1,
+               CAST(n2 AS DOUBLE)/CAST(den AS DOUBLE) AS acf2,
+               CAST(n3 AS DOUBLE)/CAST(den AS DOUBLE) AS acf3,
+               CAST(n4 AS DOUBLE)/CAST(den AS DOUBLE) AS acf4
+        FROM agg WHERE den > 0 ORDER BY user_id""")),
+
+    // ----- ts_benford: first-digit distribution audit --------------------
+    // Benford's-law conformance of the value column per event type — the
+    // classic data-quality / fraud screen over any money-like feed. The
+    // first significant digit is taken from the decimal text of the
+    // integer cents (pure string math, engine-exact); expected Benford
+    // shares are inlined as identical literals in both plans, so the
+    // chi-square statistic is the same double arithmetic on exact integer
+    // counts both sides.
+    "ts_benford" -> Q(
+      build = (s, d) => {
+        val expected = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+        val expArr = s"array(${expected.map(_.toString + "e0").mkString(", ")})"
+        ev(s, d)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+          .filter(col("cents") > 0)
+          .withColumn("digit",
+            expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
+          .groupBy(col("event_type"), col("digit"))
+          .agg(count(lit(1)).as("obs"))
+          .withColumn("n",
+            sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("expected",
+            expr(s"element_at($expArr, digit)") * col("n"))
+          .withColumn("chi_term",
+            (col("obs") - col("expected")) * (col("obs") - col("expected"))
+              / col("expected"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            count(lit(1)).as("n_digits"),
+            qsum(col("chi_term")).as("chi2"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some {
+        val expected = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+        val expRows = (1 to 9).map(dd => s"($dd,${expected(dd - 1)}e0)").mkString(",")
+        s"""
+        WITH exp_t(digit, share) AS (VALUES $expRows),
+        cents AS (
+          SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+          FROM events WHERE CAST(round(value * 100.0) AS BIGINT) > 0),
+        digits AS (
+          SELECT event_type,
+                 CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS obs
+          FROM cents GROUP BY 1, 2),
+        wn AS (
+          SELECT event_type, digit, obs,
+                 CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM digits),
+        terms AS (
+          SELECT w.event_type, w.n,
+                 (w.obs - e.share*w.n)*(w.obs - e.share*w.n)/(e.share*w.n)
+                   AS chi_term
+          FROM wn w JOIN exp_t e ON w.digit = e.digit)
+        SELECT event_type, MAX(n) AS n, COUNT(*) AS n_digits,
+               ${QSUM("chi_term")} AS chi2
+        FROM terms GROUP BY 1 ORDER BY event_type"""
+      }),
+
+    // ----- ts_forecast_cycle: forecast-run timeline expansion ------------
+    // The odin_openmeteo update-cycle algebra (lib.rs:183 base_date —
+    // floor to the model's update interval after subtracting the
+    // availability delay; :178 next_update; :188 forecasts — the step
+    // expansion to cover a requested duration): per (event hour, model
+    // config) emit the effective base run, the next-update instant, and
+    // the covered step count. Model configs are a 4-row broadcast derived
+    // from the region table (interval 1..4 h, delay 10..40 min). All
+    // integer epoch math — no floats anywhere.
+    "ts_forecast_cycle" -> Q(
+      build = (s, d) => {
+        val models = Tables.t(s, d, "region")
+          .select(col("r_regionkey").cast(LongType).as("model_id"),
+            ((col("r_regionkey") % 4 + 1) * 3600L).as("upd_sec"),
+            ((col("r_regionkey") % 4 + 1) * 600L).as("delay_sec"))
+        val hours = ev(s, d)
+          .select((col("ts_sec") - col("ts_sec") % 3600).as("hour_sec"))
+          .distinct()
+        hours.crossJoin(broadcast(models))
+          .withColumn("base_sec",
+            (col("hour_sec") - col("delay_sec"))
+              - ((col("hour_sec") - col("delay_sec")) % col("upd_sec")))
+          .withColumn("next_update_sec",
+            col("base_sec") + col("upd_sec") + col("delay_sec"))
+          .withColumn("n_steps",
+            ((lit(172800L) - (col("hour_sec") - col("base_sec"))) / lit(3600L))
+              .cast(LongType))
+          .select(col("hour_sec"), col("model_id"), col("base_sec"),
+            col("next_update_sec"), col("n_steps"))
+          .orderBy(col("hour_sec"), col("model_id"))
+      },
+      oracle = Some(s"""
+        WITH models AS (
+          SELECT CAST(r_regionkey AS BIGINT) AS model_id,
+                 CAST((r_regionkey % 4 + 1) * 3600 AS BIGINT) AS upd_sec,
+                 CAST((r_regionkey % 4 + 1) * 600 AS BIGINT) AS delay_sec
+          FROM region),
+        hours AS (
+          SELECT DISTINCT $TS - $TS % 3600 AS hour_sec FROM events),
+        cyc AS (
+          SELECT hour_sec, model_id, upd_sec, delay_sec,
+                 (hour_sec - delay_sec) - ((hour_sec - delay_sec) % upd_sec)
+                   AS base_sec
+          FROM hours, models)
+        SELECT hour_sec, model_id, base_sec,
+               base_sec + upd_sec + delay_sec AS next_update_sec,
+               CAST((172800 - (hour_sec - base_sec)) / 3600 AS BIGINT)
+                 AS n_steps
+        FROM cyc ORDER BY hour_sec, model_id"""))
   )
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic specs for the round-6 operator batch: FIRMS ingest/footprint,
+  * the full Gopher repetition battery, containment pairs, Bloom dedup,
+  * char-trigram LID, ACF, Benford audit, forecast-cycle expansion, and
+  * the Matryoshka truncation recall audit.
+  */
+class R6OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("geo_viirs_ingest: units, enums, and acq-time reconstruction") {
+    val rows = run("geo_viirs_ingest").cache()
+    assert(rows.count() > 0)
+    // only known satellite/confidence codes survive (Option-chain drop)
+    assert(rows.filter(!$"sat_id".isin(37849L, 43013L, 54234L)).count() == 0)
+    assert(rows.filter(!$"conf".isin("Low", "Medium", "High")).count() == 0)
+    // Kelvin range of the synthesized TI4/TI5 brightness temps
+    assert(rows.filter($"bright_ti4_k" < 295.0 || $"bright_ti4_k" >= 345.0).count() == 0)
+    // acq epoch is minute-aligned (the [H]HMM reconstruction)
+    assert(rows.filter($"acq_epoch" % 60 =!= 0).count() == 0)
+    rows.unpersist()
+  }
+
+  test("geo_hotspot_footprint: quads are centered and sized like scan x track") {
+    val rows = run("geo_hotspot_footprint").cache()
+    assert(rows.count() > 0)
+    // opposite corners average to the same midpoint (parallelogram):
+    // ws+en == es+wn within rounding slack
+    val off = rows.filter(
+      abs(($"ws_x" + $"en_x") - ($"es_x" + $"wn_x")) > 4
+        || abs(($"ws_y" + $"en_y") - ($"es_y" + $"wn_y")) > 4
+        || abs(($"ws_z" + $"en_z") - ($"es_z" + $"wn_z")) > 4).count()
+    assert(off == 0)
+    // footprint diagonal ~ sqrt(track^2 + scan^2) <= sqrt(2)*600m + slack
+    val bad = rows.filter(
+      sqrt(pow($"en_x" - $"ws_x", 2) + pow($"en_y" - $"ws_y", 2)
+        + pow($"en_z" - $"ws_z", 2)) > 860.0).count()
+    assert(bad == 0)
+    rows.unpersist()
+  }
+
+  test("doc_gopher_repetition: fractions bounded; passes == conjunction") {
+    val rows = run("doc_gopher_repetition").cache()
+    assert(rows.count() == Tables.t(spark, sf, "documents").count())
+    val fracs = Seq("top2_frac", "top3_frac", "top4_frac",
+      "dup5_frac", "dup6_frac", "dup7_frac")
+    fracs.foreach { c =>
+      assert(rows.filter(col(c) < 0.0 || col(c) > 1.5).count() == 0, c)
+    }
+    val bad = rows.filter($"passes" =!=
+      ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 && $"top4_frac" <= 0.16
+        && $"dup5_frac" <= 0.15 && $"dup6_frac" <= 0.14
+        && $"dup7_frac" <= 0.13)).count()
+    assert(bad == 0)
+    rows.unpersist()
+  }
+
+  test("doc_containment_pairs: containment >= jaccard and >= 0.9") {
+    val rows = run("doc_containment_pairs").collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 0.9 && c <= 1.0 + 1e-12)
+      assert(c >= j - 1e-12) // containment dominates Jaccard
+      assert(r.getAs[Boolean]("jaccard_missed") == (j < 0.5))
+    }
+  }
+
+  test("doc_bloom_dedup: no false negatives, FP flag consistent") {
+    val rows = run("doc_bloom_dedup").cache()
+    // a Bloom filter never misses a real member
+    assert(rows.filter($"is_dup" && !$"maybe_dup").count() == 0)
+    assert(rows.filter($"false_positive" =!= ($"maybe_dup" && !$"is_dup")).count() == 0)
+    // covers the whole incoming batch
+    val incoming = Tables.t(spark, sf, "documents")
+      .filter($"source" === "src0").count()
+    assert(rows.count() == incoming)
+    rows.unpersist()
+  }
+
+  test("doc_char_lid: predictions drawn from the label set; strong self-agreement") {
+    val rows = run("doc_char_lid").cache()
+    val langs = Tables.t(spark, sf, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    assert(rows.filter(!$"pred_lang".isin(langs.toSeq: _*)).count() == 0)
+    // the synthetic corpus's "languages" share one vocabulary, so
+    // perfect LID is impossible — but the trigram model must still beat
+    // the predict-the-majority-class baseline
+    val n = rows.count().toDouble
+    val agree = rows.filter($"agree").count().toDouble
+    val majority = Tables.t(spark, sf, "documents")
+      .groupBy("lang").count().agg(max("count")).as[Long].head.toDouble / n
+    assert(agree / n > majority, s"agreement ${agree / n} <= majority $majority")
+    rows.unpersist()
+  }
+
+  test("ts_acf: coefficients in [-1, 1]") {
+    val rows = run("ts_acf").cache()
+    assert(rows.count() > 0)
+    Seq("acf1", "acf2", "acf3", "acf4").foreach { c =>
+      assert(rows.filter(abs(col(c)) > 1.0 + 1e-9).count() == 0, c)
+    }
+    rows.unpersist()
+  }
+
+  test("ts_benford: chi2 >= 0, at most 9 digit bins, counts reconcile") {
+    val rows = run("ts_benford").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Long]("n_digits") <= 9)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("ts_forecast_cycle: base aligned to the update interval, update in the future") {
+    val rows = run("ts_forecast_cycle")
+      .join(
+        Tables.t(spark, sf, "region").select(
+          $"r_regionkey".cast("long").as("model_id"),
+          (($"r_regionkey" % 4 + 1) * 3600L).as("upd_sec"),
+          (($"r_regionkey" % 4 + 1) * 600L).as("delay_sec")),
+        "model_id").cache()
+    assert(rows.count() > 0)
+    assert(rows.filter($"base_sec" % $"upd_sec" =!= 0).count() == 0)
+    assert(rows.filter($"base_sec" > $"hour_sec" - $"delay_sec").count() == 0)
+    assert(rows.filter($"next_update_sec" <= $"base_sec").count() == 0)
+    // the covered horizon shrinks as the run ages: 0 < n_steps <= 48
+    assert(rows.filter($"n_steps" <= 0 || $"n_steps" > 48).count() == 0)
+    rows.unpersist()
+  }
+
+  test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
+    val rows = run("emb_mrl_recall").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // 16 of 64 prefix dims should retain some of the neighborhood
+    assert(rows.map(_.getAs[Double]("recall")).sum > 0.0)
+  }
+}
