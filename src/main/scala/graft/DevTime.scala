@@ -30,23 +30,41 @@ object DevTime {
       val n = f
       println(f"[probe] $tag n=$n ${(System.nanoTime - t0) / 1e9}%.2f s")
     }
-    val base = graft.operators.Geo.geohashPts(spark, d)
-    time("narrow-map") { base.count() }
-    time("narrow-map+agg") {
-      base.groupBy(col("geohash5")).agg(count(lit(1))).count()
+    val base = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts_sec"))
+    time("events-scan") { base.count() }
+    time("date-format") {
+      base.select(expr("from_unixtime(ts_sec, 'yyyy-MM-dd')")).count()
     }
-    val cells = base.groupBy(col("geohash5"))
-      .agg(count(lit(1)).as("n_in_cell"))
-    time("join-only") { base.join(cells, Seq("geohash5")).count() }
-    time("join+project") {
-      base.join(cells, Seq("geohash5"))
-        .select(col("event_id"), col("geohash8"), col("n_in_cell")).count()
+    val line = base.withColumn("line",
+      expr("concat_ws(',', CAST(event_id AS STRING), from_unixtime(ts_sec, 'yyyy-MM-dd'))"))
+    time("line-mini") { line.count() }
+    time("date-parse") {
+      line.select(expr("unix_timestamp(split_part(line, ',', 2), 'yyyy-MM-dd')")).count()
     }
-    time("join+sort") {
-      base.join(cells, Seq("geohash5"))
-        .select(col("event_id"), col("geohash8"), col("n_in_cell"))
+    import graft.operators.Geo.{ViirsK => VK}
+    val vline = base.withColumn("line", expr(VK.line("from_unixtime(ts_sec, 'yyyy-MM-dd')")))
+    time("line-full") { vline.count() }
+    time("line-forced") { vline.filter(length(col("line")) > 0).count() }
+    time("parse-1col") {
+      vline.selectExpr("CAST(split_part(line, ',', 3) AS BIGINT) / 10.0 AS b").count()
+    }
+    time("parse-all") {
+      vline.withColumn("acq_epoch", expr(VK.acqEpoch(
+        "unix_timestamp(split_part(line, ',', 6), 'yyyy-MM-dd')")))
+        .selectExpr("event_id" +: VK.parsed: _*).count()
+    }
+    val parsedAll = vline.withColumn("acq_epoch", expr(VK.acqEpoch(
+        "unix_timestamp(split_part(line, ',', 6), 'yyyy-MM-dd')")))
+        .selectExpr("event_id" +: VK.parsed: _*)
+    time("parse+filter") {
+      parsedAll.filter(col("sat_id").isNotNull && col("conf").isNotNull).count()
+    }
+    time("parse+sort") { parsedAll.orderBy(col("event_id")).count() }
+    time("parse+filter+sort") {
+      parsedAll.filter(col("sat_id").isNotNull && col("conf").isNotNull)
         .orderBy(col("event_id")).count()
     }
-    time("full") { SparkEntry.queries("geo_geohash")(spark, d).count() }
+    time("full") { SparkEntry.queries("geo_viirs_ingest")(spark, d).count() }
   }
 }

@@ -3164,6 +3164,14 @@ object Geo {
       build = (s, d) => {
         val base = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("value"), col("ts_sec"))
+          // the reference drops records whose satellite or confidence code
+          // is unknown (firms.rs:437 Option chain); those are exactly the
+          // 'X'/'x' synthesis arms, so the drop is applied on the RAW id
+          // columns where it pushes down to the scan — filtering on the
+          // parsed CASE columns instead would inline the whole line
+          // synthesis (per-row datetime formatter included) into a
+          // non-codegen predicate, measured 30x slower at sf0.1
+          .filter(col("event_id") % 4 =!= 3 && col("user_id") % 4 =!= 3)
         base
           .withColumn("line", expr(ViirsK.line(
             "from_unixtime(ts_sec, 'yyyy-MM-dd')")))
@@ -3171,7 +3179,6 @@ object Geo {
           .withColumn("acq_epoch", expr(ViirsK.acqEpoch(
             "unix_timestamp(split_part(line, ',', 6), 'yyyy-MM-dd')")))
           .selectExpr("event_id" +: ViirsK.parsed: _*)
-          .filter(col("sat_id").isNotNull && col("conf").isNotNull)
           .orderBy(col("event_id"))
       },
       oracle = Some(s"""
@@ -3274,7 +3281,7 @@ object Geo {
     * so synthesis never formats a raw double; the parse applies the
     * reference's unit conversions.
     */
-  private object ViirsK {
+  private[graft] object ViirsK {
     /** 13-field raw VIIRS CSV line (integer-scaled numerics). */
     def line(dateF: String): String = s"""concat_ws(',',
       CAST(CAST(floor((CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0)

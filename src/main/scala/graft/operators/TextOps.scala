@@ -2172,18 +2172,10 @@ object TextOps {
       oracle = Some("""
         WITH hashed AS (
           SELECT doc_id, source, md5(text) AS h FROM documents),
-        hx(c, v) AS (VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),
-          ('6',6),('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
-          ('d',13),('e',14),('f',15)),
         pos AS (
           SELECT doc_id, source, h, j,
-                 CAST(h0.v*65536 + h1.v*4096 + h2.v*256 + h3.v*16 + h4.v
-                   AS BIGINT) AS p
-          FROM hashed, generate_series(0, 2) AS s(j),
-               hx h0, hx h1, hx h2, hx h3, hx h4
-          WHERE h0.c = substr(h, j*5 + 1, 1) AND h1.c = substr(h, j*5 + 2, 1)
-            AND h2.c = substr(h, j*5 + 3, 1) AND h3.c = substr(h, j*5 + 4, 1)
-            AND h4.c = substr(h, j*5 + 5, 1)),
+                 CAST((ascii(substr(h, j*5 + 1, 1)) - CASE WHEN ascii(substr(h, j*5 + 1, 1)) >= 97 THEN 87 ELSE 48 END)*65536 + (ascii(substr(h, j*5 + 2, 1)) - CASE WHEN ascii(substr(h, j*5 + 2, 1)) >= 97 THEN 87 ELSE 48 END)*4096 + (ascii(substr(h, j*5 + 3, 1)) - CASE WHEN ascii(substr(h, j*5 + 3, 1)) >= 97 THEN 87 ELSE 48 END)*256 + (ascii(substr(h, j*5 + 4, 1)) - CASE WHEN ascii(substr(h, j*5 + 4, 1)) >= 97 THEN 87 ELSE 48 END)*16 + (ascii(substr(h, j*5 + 5, 1)) - CASE WHEN ascii(substr(h, j*5 + 5, 1)) >= 97 THEN 87 ELSE 48 END)*1 AS BIGINT) AS p
+          FROM hashed, generate_series(0, 2) AS s(j)),
         pm AS (SELECT doc_id, source, h, p // 32 AS word_idx,
                       CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
                FROM pos),
@@ -2301,6 +2293,76 @@ object TextOps {
           QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, mlang DESC) = 1)
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
-        FROM best ORDER BY doc_id"""))
+        FROM best ORDER BY doc_id""")),
+
+    // ----- doc_pagerank: link-graph authority scores ---------------------
+    // The web-graph quality signal modern pretraining curation ranks
+    // sources by: PageRank over the document link graph (damping 0.85,
+    // 8 power-iteration rounds). The synthetic graph gives every doc
+    // exactly 3 md5-derived out-links into the contiguous id space, so
+    // both engines build the identical graph. All rank mass is INTEGER
+    // (10^15 units): contributions floor-divide by out-degree, damping is
+    // (17·x) div 20 — no float drift anywhere, any iteration count, any
+    // engine. Spark iterates 8 checkpointed rounds (emb_kmeans shape:
+    // O(1) plan depth, one join + one groupBy per round); the oracle
+    // unrolls the same recurrence as 8 CTE stages. Scale: edge list is
+    // shuffled on dst once per round — the canonical distributed
+    // PageRank; no adjacency collected anywhere.
+    "doc_pagerank" -> Q(
+      build = (s, d) => {
+        val TOT = 1000000000000000L // 10^15 rank units
+        val n = broadcast(docs(s, d).agg(count(lit(1)).as("n")))
+        val nodes = docs(s, d).select(col("doc_id"))
+        val edges = checkpointReset(
+          nodes.crossJoin(n)
+            .select(col("doc_id").as("src"), col("n"),
+              explode(expr("sequence(1, 3)")).as("j"))
+            .withColumn("dst", expr(
+              "CAST(conv(substring(md5(concat(CAST(src AS STRING), ':pr', " +
+                "CAST(j AS STRING))), 1, 5), 16, 10) AS BIGINT) % n"))
+            .select(col("src"), col("dst")))
+        val base = nodes.crossJoin(n)
+          .select(col("doc_id"),
+            expr(s"($TOT * 3 div 20) div n").as("b"))
+        var ranks = nodes.crossJoin(n)
+          .select(col("doc_id"), expr(s"$TOT div n").as("r"))
+        for (_ <- 1 to 8) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("r div 3")).as("cs"))
+          ranks = checkpointReset(
+            base.join(contrib.withColumnRenamed("dst", "doc_id"),
+              Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                (col("b") + expr("(17 * coalesce(cs, CAST(0 AS BIGINT))) div 20")).as("r")))
+        }
+        ranks
+          .select(col("doc_id"), col("r").as("pr_units"),
+            (col("r").cast(DoubleType) / lit(1.0e15)).as("pr"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val rounds = (1 to 8).map { k =>
+          s"""c$k AS (
+            SELECT e.dst, CAST(SUM(r.r // 3) AS BIGINT) AS cs
+            FROM edges e JOIN r${k - 1} r ON r.doc_id = e.src GROUP BY 1),
+          r$k AS (
+            SELECT d.doc_id, b.b + (17 * COALESCE(c.cs, 0)) // 20 AS r
+            FROM documents d LEFT JOIN c$k c ON d.doc_id = c.dst, base b)"""
+        }.mkString(",\n          ")
+        s"""
+        WITH n1 AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT src, CAST((ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN 87 ELSE 48 END)*65536 + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN 87 ELSE 48 END)*4096 + (ascii(substr(h, 3, 1)) - CASE WHEN ascii(substr(h, 3, 1)) >= 97 THEN 87 ELSE 48 END)*256 + (ascii(substr(h, 4, 1)) - CASE WHEN ascii(substr(h, 4, 1)) >= 97 THEN 87 ELSE 48 END)*16 + (ascii(substr(h, 5, 1)) - CASE WHEN ascii(substr(h, 5, 1)) >= 97 THEN 87 ELSE 48 END)*1 AS BIGINT) % n AS dst
+          FROM (SELECT d.doc_id AS src,
+                       md5(CAST(d.doc_id AS VARCHAR) || ':pr' || j) AS h, n1.n
+                FROM documents d, generate_series(1, 3) AS s(j), n1)),
+        base AS (SELECT (1000000000000000 * 3 // 20) // n AS b FROM n1),
+        r0 AS (SELECT doc_id, 1000000000000000 // n AS r FROM documents, n1),
+        $rounds
+        SELECT doc_id, r AS pr_units, CAST(r AS DOUBLE) / 1.0e15 AS pr
+        FROM r8 ORDER BY doc_id"""
+      })
   )
 }

@@ -1969,8 +1969,94 @@ object TimeSeries {
                base_sec + upd_sec + delay_sec AS next_update_sec,
                CAST((172800 - (hour_sec - base_sec)) / 3600 AS BIGINT)
                  AS n_steps
-        FROM cyc ORDER BY hour_sec, model_id"""))
+        FROM cyc ORDER BY hour_sec, model_id""")),
+
+    // ----- ts_holt: finite-window Holt trend smoother --------------------
+    // Holt's double-exponential (level+trend) smoother — the trend-aware
+    // upgrade of ts_ewma every forecasting pipeline reaches for next.
+    // The recursion is a LINEAR filter, so the 8-step finite-horizon
+    // state (init: level = oldest value, trend = 0 — exactly ts_ewma's
+    // finite-horizon scheme) is a fixed 9-tap convolution; the taps are
+    // unrolled at build time into shared double literals. Per row: 8 lag
+    // taps on integer cents + one fixed-order dot product — identical
+    // IEEE arithmetic both engines, one per-entity window shuffle, no
+    // recursion in the plan. Forecast = level + trend (h=1).
+    "ts_holt" -> Q(
+      build = (s, d) => {
+        val (lc, bc) = HoltK.taps
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v0"))
+        val lagged = (1 to 8).foldLeft(base) { (df, k) =>
+          df.withColumn(s"v$k", lag(col("v0"), k).over(w))
+        }
+        lagged.filter(col("v8").isNotNull)
+          .withColumn("level_c", expr(HoltK.dot(lc)))
+          .withColumn("trend_c", expr(HoltK.dot(bc)))
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            (col("v0") / lit(100.0)).as("value"),
+            (col("level_c") / lit(100.0)).as("level"),
+            (col("trend_c") / lit(100.0)).as("trend"),
+            ((col("level_c") + col("trend_c")) / lit(100.0)).as("forecast_1"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      oracle = Some {
+        val (lc, bc) = HoltK.taps
+        s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS v0
+          FROM events),
+        lagged AS (
+          SELECT *,
+                 ${(1 to 8).map(k =>
+                   s"lag(v0, $k) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS v$k")
+                   .mkString(", ")}
+          FROM base),
+        sm AS (
+          SELECT user_id, ts_sec, event_id, v0,
+                 ${HoltK.dot(lc)} AS level_c, ${HoltK.dot(bc)} AS trend_c
+          FROM lagged WHERE v8 IS NOT NULL)
+        SELECT user_id, ts_sec, event_id,
+               v0 / 100.0 AS value,
+               level_c / 100.0 AS level,
+               trend_c / 100.0 AS trend,
+               (level_c + trend_c) / 100.0 AS forecast_1
+        FROM sm ORDER BY user_id, ts_sec, event_id"""
+      })
   )
+
+  /** Holt finite-window tap coefficients (alpha=0.5, beta=0.3): the
+    * impulse response of 8 recursion steps from (level = y[oldest],
+    * trend = 0). taps._1(i) / taps._2(i) multiply v_i (lag i, i=0 the
+    * current row), emitted as shared `e0` double literals so both
+    * engines run the identical fixed-order dot product.
+    */
+  private object HoltK {
+    val taps: (Seq[Double], Seq[Double]) = {
+      val alpha = 0.5; val beta = 0.3
+      // impulse at lag position j (j=8 oldest .. 0 newest)
+      val l = Array.fill(9)(0.0); val b = Array.fill(9)(0.0)
+      for (j <- 8 to 0 by -1) {
+        val y = Array.fill(9)(0.0); y(j) = 1.0
+        var lv = y(8); var bv = 0.0 // state at the oldest sample
+        for (i <- 7 to 0 by -1) {   // consume newer samples in time order
+          val lPrev = lv
+          lv = alpha * y(i) + (1.0 - alpha) * (lv + bv)
+          bv = beta * (lv - lPrev) + (1.0 - beta) * bv
+        }
+        l(j) = lv; b(j) = bv
+      }
+      (l.toSeq, b.toSeq)
+    }
+    /** Fixed-order 9-term dot product over v0..v8 (identical text both
+      * engines; v columns are exact integer cents).
+      */
+    def dot(c: Seq[Double]): String =
+      (0 to 8).map(i => s"v$i * ${c(i)}e0").mkString("(", " + ", ")")
+  }
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by
     * Spark (`expr`) and DuckDB so synthesis, parse, and state fold follow

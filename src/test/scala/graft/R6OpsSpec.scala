@@ -132,6 +132,49 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("doc_pagerank: mass conserved (minus floor leak), floor = teleport share") {
+    val rows = run("doc_pagerank").cache()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.count() == nDocs)
+    val total = rows.agg(sum($"pr_units")).as[Long].head
+    val TOT = 1000000000000000L
+    // floors leak at most ~1 unit per edge per round plus damping floor
+    assert(total <= TOT && total > TOT - 100L * nDocs * 8)
+    val base = (TOT * 3 / 20) / nDocs
+    assert(rows.filter($"pr_units" < base).count() == 0)
+    // the graph is irregular, so ranks must actually differentiate
+    assert(rows.select("pr_units").distinct().count() > 10)
+    rows.unpersist()
+  }
+
+  test("ts_holt: matches a driver-side Holt recursion on one entity") {
+    val rows = run("ts_holt").filter($"user_id" === 7)
+      .orderBy($"ts_sec", $"event_id").collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sf)
+      .filter($"user_id" === 7)
+      .orderBy($"ts_sec", $"event_id")
+      .select(expr("CAST(round(value * 100.0) AS BIGINT)"))
+      .as[Long].collect()
+    val (alpha, beta) = (0.5, 0.3)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val t = i + 8 // row i corresponds to series position i+8
+      val win = series.slice(t - 8, t + 1)
+      var lv = win(0).toDouble; var bv = 0.0
+      win.drop(1).foreach { y =>
+        val lp = lv
+        lv = alpha * y + (1 - alpha) * (lv + bv)
+        bv = beta * (lv - lp) + (1 - beta) * bv
+      }
+      assert(math.abs(r.getAs[Double]("level") - lv / 100.0) < 1e-6,
+        s"row $i level")
+      assert(math.abs(r.getAs[Double]("trend") - bv / 100.0) < 1e-6,
+        s"row $i trend")
+      assert(math.abs(r.getAs[Double]("forecast_1")
+        - (r.getAs[Double]("level") + r.getAs[Double]("trend"))) < 1e-9)
+    }
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
