@@ -2025,7 +2025,72 @@ object TimeSeries {
                trend_c / 100.0 AS trend,
                (level_c + trend_c) / 100.0 AS forecast_1
         FROM sm ORDER BY user_id, ts_sec, event_id"""
-      })
+      }),
+
+    // ----- ts_seasonal_decompose: trend + diurnal + residual split -------
+    // Classical seasonal decomposition of the hourly feed-volume series
+    // per event type (the STL-lite every capacity/anomaly dashboard
+    // draws): trend = centered 24-hour moving average, seasonal = mean
+    // hour-of-day deviation from trend, residual = remainder. All three
+    // components are derived from INTEGER quantities scaled by 24 (the
+    // moving-average denominator cleared), so each emitted double is one
+    // exact-integer division — engine-stable with no quantization. Rows
+    // without a full 24-hour window are dropped (the standard edge
+    // convention). Shapes: one groupBy to the hourly grid, one per-type
+    // window, one (type, hour-of-day) aggregation joined back.
+    "ts_seasonal_decompose" -> Q(
+      build = (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(col("event_type"),
+            (col("ts_sec") - col("ts_sec") % 3600).as("hour_sec"))
+          .agg(count(lit(1)).as("v"))
+        val w24 = Window.partitionBy(col("event_type"))
+          .orderBy(col("hour_sec")).rowsBetween(-12, 11)
+        val full = hourly
+          .withColumn("t24", sum(col("v")).over(w24))
+          .withColumn("wn", count(lit(1)).over(w24))
+          .filter(col("wn") === 24)
+          .withColumn("d24", lit(24) * col("v") - col("t24"))
+          .withColumn("hod", expr("(hour_sec div 3600) % 24"))
+        val seasonal = full.groupBy(col("event_type"), col("hod"))
+          .agg(sum(col("d24")).as("s24"), count(lit(1)).as("sn"))
+        full.join(seasonal, Seq("event_type", "hod"))
+          .select(col("event_type"), col("hour_sec"), col("v"),
+            (col("t24").cast(DoubleType) / 24.0).as("trend"),
+            (col("s24").cast(DoubleType) / (lit(24.0) * col("sn"))).as("seasonal"),
+            (col("d24").cast(DoubleType) / 24.0
+              - col("s24").cast(DoubleType) / (lit(24.0) * col("sn")))
+              .as("residual"))
+          .orderBy(col("event_type"), col("hour_sec"))
+      },
+      oracle = Some(s"""
+        WITH hourly AS (
+          SELECT event_type, $TS - $TS % 3600 AS hour_sec, COUNT(*) AS v
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, hour_sec, v,
+                 CAST(SUM(v) OVER w AS BIGINT) AS t24,
+                 COUNT(*) OVER w AS wn
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+                       ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        full_w AS (
+          SELECT event_type, hour_sec, v, t24,
+                 24*v - t24 AS d24,
+                 (hour_sec // 3600) % 24 AS hod
+          FROM win WHERE wn = 24),
+        seas AS (
+          SELECT event_type, hod, CAST(SUM(d24) AS BIGINT) AS s24,
+                 COUNT(*) AS sn
+          FROM full_w GROUP BY 1, 2)
+        SELECT f.event_type, f.hour_sec, f.v,
+               CAST(t24 AS DOUBLE)/24.0 AS trend,
+               CAST(s24 AS DOUBLE)/(24.0*sn) AS seasonal,
+               CAST(d24 AS DOUBLE)/24.0 - CAST(s24 AS DOUBLE)/(24.0*sn)
+                 AS residual
+        FROM full_w f JOIN seas s
+          ON f.event_type = s.event_type AND f.hod = s.hod
+        ORDER BY f.event_type, f.hour_sec"""))
   )
 
   /** Holt finite-window tap coefficients (alpha=0.5, beta=0.3): the

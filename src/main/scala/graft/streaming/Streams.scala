@@ -421,4 +421,44 @@ object Streams {
           }
       }
   }
+
+  case class HoltState(level: Double, trend: Double, n: Long)
+  case class Smoothed(user_id: Long, event_id: Long, ts_sec: Long,
+      value: Double, level: Double, trend: Double, forecast_1: Double)
+
+  /** stream_holt: live Holt level+trend smoothing per entity — the
+    * infinite-horizon streaming twin of ts_holt (which unrolls a finite
+    * window for the batch/oracle path). State per entity is the exact
+    * (level, trend) recursion pair: each arrival folds in time order
+    * within the micro-batch, emitting the smoothed state and one-step
+    * forecast per event. O(1) state per key — the same per-entity
+    * sharding as every keyed stream here; late events within a batch are
+    * ordered, across batches they extend the recursion as received
+    * (streaming semantics: the smoother consumes the feed order).
+    */
+  def holtStream(events: Dataset[Ev], alpha: Double = 0.5,
+      beta: Double = 0.3): Dataset[Smoothed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, Smoothed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[HoltState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
+          val out = sorted.map { e =>
+            st = if (st.n == 0L) HoltState(e.value, 0.0, 1L)
+            else {
+              val lPrev = st.level
+              val l = alpha * e.value + (1.0 - alpha) * (st.level + st.trend)
+              val b = beta * (l - lPrev) + (1.0 - beta) * st.trend
+              HoltState(l, b, st.n + 1)
+            }
+            Smoothed(uid, e.event_id, e.ts_sec, e.value,
+              st.level, st.trend, st.level + st.trend)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.getAs[Long]("last_event_id") == 2 && st.getAs[Long]("n_seen") == 3)
   }
 
+  test("stream_holt: state carries the exact recursion across batches") {
+    import spark.implicits._
+    val in = mem()
+    val q = Streams.holtStream(in.toDS())
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    in.addData(Ev(1, 100, 7, "t", 10.0), Ev(2, 200, 7, "t", 12.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, 300, 7, "t", 14.0))
+    q.processAllAvailable()
+    val rows = spark.table("holt_out").orderBy(col("event_id")).collect()
+    q.stop()
+    assert(rows.length == 3)
+    // replicate the recursion: init (l=10, b=0)
+    var (l, b) = (10.0, 0.0)
+    assert(math.abs(rows(0).getAs[Double]("level") - l) < 1e-12)
+    Seq(12.0, 14.0).zip(rows.drop(1)).foreach { case (y, r) =>
+      val lp = l
+      l = 0.5 * y + 0.5 * (l + b)
+      b = 0.3 * (l - lp) + 0.7 * b
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-12)
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-12)
+      assert(math.abs(r.getAs[Double]("forecast_1") - (l + b)) < 1e-12)
+    }
+  }
+
   test("stream_cusum: drift alarms once at the first threshold crossing") {
     import spark.implicits._
     val in = mem()
@@ -363,4 +389,5 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"),
       s"scan reads more columns than projected:\n$plan")
   }
+
 }
