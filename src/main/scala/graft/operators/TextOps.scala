@@ -2295,6 +2295,158 @@ object TextOps {
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
 
+    // ----- doc_quality_logreg: trained quality-filter classifier ---------
+    // The model-based quality filter stage (the fastText/logreg
+    // classifier pipelines train to imitate curated corpora, cf. CCNet /
+    // DSIR's discriminative cousin): logistic regression over 16 hashed
+    // bigram-fraction features + bias, trained with 4 full-batch
+    // gradient-descent rounds against the lang=='en' target, reporting
+    // the learned weights and train accuracy. Distributed-training
+    // shape: features are a (doc, bucket) frame shuffled once; each
+    // round is one broadcast of the 17 weights, one per-doc DECIMAL dot
+    // product, one 17-group gradient aggregation — the canonical
+    // data-parallel GD step, no driver-side vectors. Determinism: x and
+    // w live in DECIMAL(18,9)/(18,6) (exact products, order-free sums);
+    // the only libm call is exp() in the sigmoid, rounded to 6 decimals
+    // at each use (the doc_dsir ln-quantization scheme).
+    "doc_quality_logreg" -> Q(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+          .withColumn("nxt", lead(col("term"), 1).over(wDoc))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            substring(md5(concat(col("term"), lit(" "), col("nxt"))
+              .cast(BinaryType)), 1, 1).as("bkt"))
+        val counts = bg.groupBy(col("doc_id"), col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n_bg",
+            sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+        val feats = counts
+          .select(col("doc_id"), col("lang"), col("bkt"),
+            expr("CAST(round(CAST(cnt AS DOUBLE) / n_bg, 9) AS DECIMAL(18,9))")
+              .as("x"))
+          .union(counts.select(col("doc_id"), col("lang")).distinct()
+            .select(col("doc_id"), col("lang"), lit("B").as("bkt"),
+              expr("CAST(1.0 AS DECIMAL(18,9))").as("x")))
+          .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
+        val featsCk = checkpointReset(feats)
+        val n = featsCk.select(col("doc_id")).distinct().count()
+        val buckets = (0 to 9).map(_.toString) ++ Seq("a", "b", "c", "d", "e", "f", "B")
+        var w = featsCk.sparkSession
+          .createDataFrame(buckets.map(b => Tuple1(b)))
+          .toDF("bkt")
+          .withColumn("w", expr("CAST(0.0 AS DECIMAL(18,9))"))
+        for (_ <- 1 to 4) {
+          val sig = featsCk.join(broadcast(w), Seq("bkt"))
+            .groupBy(col("doc_id"), col("y"))
+            .agg(sum(expr("CAST(x * w AS DECIMAL(38,18))")).as("z"))
+            .withColumn("sigma", expr(
+              "CAST(round(1.0 / (1.0 + exp(0.0 - CAST(z AS DOUBLE))), 6) AS DECIMAL(18,6))"))
+          val grad = featsCk.join(sig.select(col("doc_id"), col("sigma"), col("y").as("yy")),
+              Seq("doc_id"))
+            .groupBy(col("bkt"))
+            .agg(sum(expr("CAST((sigma - yy) * x AS DECIMAL(38,15))")).as("g"))
+            .withColumn("gd", expr(s"CAST(g AS DOUBLE) / $n"))
+          w = checkpointReset(
+            w.join(grad.select(col("bkt"), col("gd")), Seq("bkt"), "left")
+              .select(col("bkt"), expr(
+                "CAST(w - CAST(round(2.0 * coalesce(gd, 0.0), 9) AS DECIMAL(18,9)) AS DECIMAL(18,9))")
+                .as("w")))
+        }
+        val scored = featsCk.join(broadcast(w), Seq("bkt"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(expr("CAST(x * w AS DECIMAL(38,18))")).as("z"))
+          .withColumn("pred", (col("z") >= 0).cast("int"))
+        val acc = scored
+          .agg((sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1))).as("accuracy"))
+        w.crossJoin(broadcast(acc))
+          .select(col("bkt"), col("w").cast(DoubleType).as("weight"),
+            col("accuracy"))
+          .orderBy(col("bkt"))
+      },
+      oracle = Some {
+        val rounds = (1 to 4).map { k =>
+          s"""z$k AS (
+            SELECT f.doc_id, f.y,
+              SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS z
+            FROM feats f JOIN w${k - 1} w ON f.bkt = w.bkt
+            GROUP BY 1, 2),
+          s$k AS (
+            SELECT doc_id, y,
+              CAST(round(1.0 / (1.0 + exp(0.0 - CAST(z AS DOUBLE))), 6)
+                AS DECIMAL(18,6)) AS sigma
+            FROM z$k),
+          g$k AS (
+            SELECT f.bkt,
+              CAST(SUM(CAST((s.sigma - s.y) * f.x AS DECIMAL(38,15)))
+                AS DOUBLE) / nn.n AS gd
+            FROM feats f JOIN s$k s ON f.doc_id = s.doc_id, nn
+            GROUP BY 1, nn.n),
+          w$k AS (
+            SELECT w.bkt,
+              CAST(w.w - CAST(round(2.0 * COALESCE(g.gd, 0.0), 9)
+                AS DECIMAL(18,9)) AS DECIMAL(18,9)) AS w
+            FROM w${k - 1} w LEFT JOIN g$k g ON w.bkt = g.bkt)"""
+        }.mkString(",\n          ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang, ws[i] AS term, i AS pos
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents) t,
+               LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+          WHERE ws[i] <> ''),
+        bg AS (
+          SELECT doc_id, lang,
+                 substr(md5(term || ' ' ||
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos)), 1, 1)
+                   AS bkt
+          FROM toks
+          QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NOT NULL),
+        counts AS (
+          SELECT doc_id, lang, bkt, COUNT(*) AS cnt,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_bg
+          FROM bg GROUP BY 1, 2, 3),
+        feats0 AS (
+          SELECT doc_id, lang, bkt,
+                 CAST(round(CAST(cnt AS DOUBLE) / n_bg, 9) AS DECIMAL(18,9))
+                   AS x
+          FROM counts
+          UNION ALL
+          SELECT DISTINCT doc_id, lang, 'B' AS bkt,
+                 CAST(1.0 AS DECIMAL(18,9)) AS x
+          FROM counts),
+        feats AS (
+          SELECT doc_id, bkt, x,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM feats0),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM feats),
+        w0 AS (
+          SELECT unnest(['0','1','2','3','4','5','6','7','8','9',
+                         'a','b','c','d','e','f','B']) AS bkt,
+                 CAST(0.0 AS DECIMAL(18,9)) AS w),
+        $rounds,
+        scored AS (
+          SELECT f.doc_id, f.y,
+                 SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS z
+          FROM feats f JOIN w4 w ON f.bkt = w.bkt
+          GROUP BY 1, 2),
+        acc AS (
+          SELECT CAST(SUM(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = y
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS accuracy
+          FROM scored)
+        SELECT w.bkt, CAST(w.w AS DOUBLE) AS weight, a.accuracy
+        FROM w4 w, acc a ORDER BY w.bkt"""
+      }),
+
     // ----- doc_pagerank: link-graph authority scores ---------------------
     // The web-graph quality signal modern pretraining curation ranks
     // sources by: PageRank over the document link graph (damping 0.85,

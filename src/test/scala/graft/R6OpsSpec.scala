@@ -175,6 +175,21 @@ class R6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("doc_quality_logreg: 17 finite weights; accuracy at least the majority baseline") {
+    val rows = run("doc_quality_logreg").collect()
+    assert(rows.length == 17)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(!w.isNaN && !w.isInfinite && math.abs(w) < 100.0)
+    }
+    val acc = rows.head.getAs[Double]("accuracy")
+    val docs = Tables.t(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val majority = math.max(en, n - en) / n
+    assert(acc >= majority - 1e-9, s"acc $acc < majority $majority")
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
