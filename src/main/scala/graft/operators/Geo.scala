@@ -981,6 +981,73 @@ object Geo {
       },
       oracle = Some(overpassOracle)),
 
+    // ----- geo_orbit_nodes: equator/pole crossing interpolation ----------
+    // The orbit-characterization pass odin_orbital runs over every
+    // propagated trajectory (orbitinfo.rs:223 interpolate_node — the
+    // ascending-node time/longitude from the track pair straddling the
+    // equator; :244 interpolate_pole — the max-latitude instant from the
+    // latitude-rate sign flip, vz re-expressed as the track's
+    // per-minute latitude difference since the column track carries
+    // positions, not TEME velocities). Both formulas are applied as
+    // IDENTICAL text on both engines over track samples that are
+    // bit-identical by construction (OverpassSpec proves the driver twin
+    // == the column pipeline), so every interpolated crossing matches
+    // with no rounding. Scale shape: one per-satellite window over the
+    // track, crossings filtered in-stream — no joins.
+    "geo_orbit_nodes" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("sat_id")).orderBy(col("t1"))
+        val tr = sgp4Track(s)
+          .select(col("sat_id"), col("minute").cast(DoubleType).as("t1"),
+            col("tlat").as("lat1"), col("tlon").as("lon1"))
+          .withColumn("lat2", lead(col("lat1"), 1).over(w))
+          .withColumn("lon2", lead(col("lon1"), 1).over(w))
+          .withColumn("lat0", lag(col("lat1"), 1).over(w))
+          .withColumn("lat3", lead(col("lat1"), 2).over(w))
+          .filter(col("lat2").isNotNull)
+        val nodes = tr
+          .filter(col("lat1") < 0.0 && col("lat2") >= 0.0
+            && abs(col("lon2") - col("lon1")) < 180.0)
+          .selectExpr("sat_id", "'node' AS kind", OrbitNodeK.nodeT,
+            OrbitNodeK.nodeV)
+        val poles = tr
+          .filter(col("lat0").isNotNull && col("lat3").isNotNull)
+          .selectExpr("sat_id", "t1", "lat1", "lat2",
+            "(lat2 - lat0) / 2.0 AS vz1", "(lat3 - lat1) / 2.0 AS vz2")
+          .filter(col("vz1") > 0.0 && col("vz2") <= 0.0
+            && col("vz1") =!= col("vz2"))
+          .selectExpr("sat_id", "'pole' AS kind", OrbitNodeK.poleT,
+            OrbitNodeK.poleV)
+        nodes.union(poles).orderBy(col("sat_id"), col("kind"), col("t"))
+      },
+      oracle = Some {
+        val rows = sgp4TrackLocal
+          .map { case (s, m, la, lo) => s"($s,$m,${dlit(la)},${dlit(lo)})" }
+          .mkString(",")
+        s"""WITH track(sat_id, minute, tlat, tlon) AS (VALUES $rows),
+        tr AS (
+          SELECT sat_id, CAST(minute AS DOUBLE) AS t1,
+                 tlat AS lat1, tlon AS lon1,
+                 lead(tlat, 1) OVER w AS lat2, lead(tlon, 1) OVER w AS lon2,
+                 lag(tlat, 1) OVER w AS lat0, lead(tlat, 2) OVER w AS lat3
+          FROM track WINDOW w AS (PARTITION BY sat_id ORDER BY minute)
+          QUALIFY lat2 IS NOT NULL),
+        nodes AS (
+          SELECT sat_id, 'node' AS kind, ${OrbitNodeK.nodeT}, ${OrbitNodeK.nodeV}
+          FROM tr
+          WHERE lat1 < 0.0 AND lat2 >= 0.0 AND abs(lon2 - lon1) < 180.0),
+        pv AS (
+          SELECT sat_id, t1, lat1, lat2,
+                 (lat2 - lat0) / 2.0 AS vz1, (lat3 - lat1) / 2.0 AS vz2
+          FROM tr WHERE lat0 IS NOT NULL AND lat3 IS NOT NULL),
+        poles AS (
+          SELECT sat_id, 'pole' AS kind, ${OrbitNodeK.poleT}, ${OrbitNodeK.poleV}
+          FROM pv
+          WHERE vz1 > 0.0 AND vz2 <= 0.0 AND vz1 <> vz2)
+        SELECT * FROM nodes UNION ALL SELECT * FROM poles
+        ORDER BY sat_id, kind, t"""
+      }),
+
     // ----- geo_cpr_decode: ADS-B CPR airborne position decode ------------
     // The encode→decode round trip of Compact Position Reporting — the
     // 17-bit even/odd frame-pair scheme every 1090ES decoder inverts
@@ -3324,6 +3391,24 @@ object Geo {
       "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0 AS bright_ti5_k",
       "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0 AS frp_mw",
       "split_part(line, ',', 13) = 'D' AS is_day")
+  }
+
+  /** Engine-shared formula fragments for the orbit-crossing
+    * interpolations (orbitinfo.rs:223 interpolate_node / :244
+    * interpolate_pole, dt = 1 minute step, latitude-rate standing in for
+    * vz). Identical text on both engines over bit-identical track
+    * samples — no rounding needed anywhere.
+    */
+  private object OrbitNodeK {
+    private val dlon = "(lon2 - lon1)"
+    private val dlat = "(lat2 - lat1)"
+    private val lonOff = s"(0.0 - (lat1 * $dlon / $dlat))"
+    val nodeV = s"lon1 + $lonOff AS v"
+    val nodeT = s"t1 + 1.0 * sqrt(lat1*lat1 + $lonOff*$lonOff)" +
+      s" / sqrt($dlon*$dlon + $dlat*$dlat) AS t"
+    private val aFrac = "((1.0 / (vz2 - vz1)) * (0.0 - vz1))"
+    val poleT = s"t1 + $aFrac AS t"
+    val poleV = s"lat1 + (lat2 - lat1) * $aFrac AS v"
   }
 
   /** Engine-shared fragments for compute_footprint (firms.rs:477):

@@ -132,6 +132,28 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("geo_orbit_nodes: node/pole counts match the orbit, poles sit at inclination") {
+    val rows = run("geo_orbit_nodes").cache()
+    (0 until 5).foreach { sat =>
+      val nodes = rows.filter($"sat_id" === sat && $"kind" === "node").collect()
+      val poles = rows.filter($"sat_id" === sat && $"kind" === "pole").collect()
+      // ~15.2 rev/day: one ascending node and one north-pole pass per rev
+      assert(nodes.length >= 13 && nodes.length <= 17, s"sat $sat nodes ${nodes.length}")
+      assert(poles.length >= 13 && poles.length <= 17, s"sat $sat poles ${poles.length}")
+      nodes.foreach { r =>
+        val v = r.getAs[Double]("v"); val t = r.getAs[Double]("t")
+        assert(v >= -180.0 && v <= 180.0 && t >= 0.0 && t <= 1440.0)
+      }
+      // max latitude == inclination for a circular-ish orbit
+      val inc = 51.6 + sat * 2.0
+      poles.foreach { r =>
+        assert(math.abs(r.getAs[Double]("v") - inc) < 1.5,
+          s"sat $sat pole lat ${r.getAs[Double]("v")} vs inc $inc")
+      }
+    }
+    rows.unpersist()
+  }
+
   test("doc_pagerank: mass conserved (minus floor leak), floor = teleport share") {
     val rows = run("doc_pagerank").cache()
     val nDocs = Tables.t(spark, sf, "documents").count()
