@@ -180,6 +180,15 @@ object TextOps {
   }
 
   // Matching DuckDB CTE list (embed after WITH / WITH RECURSIVE).
+  /** Engine-shared Jelinek–Mercer fragment: interpolated bigram
+    * probability over exact counts, ln quantized at 6 decimals.
+    */
+  private object LmK {
+    val nll: String =
+      "CAST(round(0.0 - ln(0.7e0 * CAST(c12 AS DOUBLE) / c1" +
+        " + 0.3e0 * CAST(c2 AS DOUBLE) / nn), 6) AS DECIMAL(18,6)) AS nll"
+  }
+
   private val JPAIRS = s"""
     sh AS ($SHINGLES),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -2294,6 +2303,80 @@ object TextOps {
                     ORDER BY score DESC, mlang DESC) = 1)
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
+
+    // ----- doc_ngram_lm_interp: interpolated bigram LM scoring -----------
+    // Jelinek–Mercer interpolation — the standard fix for the bigram
+    // sparsity that makes doc_bigram_surprisal's raw conditional blow up
+    // on unseen pairs: P(w2|w1) = λ·c12/c1 + (1−λ)·c2/N with λ = 0.7,
+    // self-trained on the corpus. Per-doc mean negative log-likelihood is
+    // the quality score (CCNet's perplexity filter shape). Determinism:
+    // every probability is a double chain over exact BIGINT counts with
+    // λ as a shared e0 literal; ln is quantized to 6 decimals and the
+    // per-doc mean runs in DECIMAL (the doc_dsir scheme). Scale: ONE
+    // corpus tokenize pass; the three model frames aggregate from the
+    // same (doc, w1, w2) counts; scoring is one bigram-keyed join.
+    "doc_ngram_lm_interp" -> Q(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val docBg = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+          .withColumn("nxt", lead(col("term"), 1).over(wDoc))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+        val docBgCk = checkpointReset(docBg)
+        val c12 = docBgCk.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("cnt")).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+        val nTot = c12.agg(sum(col("c12")).as("nn"))
+        val model = c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
+          .crossJoin(broadcast(nTot))
+          .selectExpr("w1", "w2", LmK.nll)
+        docBgCk.join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_bigrams"),
+            (sum((col("cnt").cast(DecimalType(18, 0)) * col("nll"))
+              .cast(DecimalType(30, 6))).cast(DoubleType)
+              / sum(col("cnt"))).as("mean_nll"))
+          .withColumn("keep", col("mean_nll") <= 6.0)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ws[i] AS term, i AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) t,
+               LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+          WHERE ws[i] <> ''),
+        bg AS (
+          SELECT doc_id, term AS w1,
+                 lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM toks
+          QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NOT NULL),
+        docbg AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+                FROM docbg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        nt AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM c12),
+        model AS (
+          SELECT m.w1, m.w2, ${LmK.nll}
+          FROM c12 m JOIN c1 USING (w1) JOIN c2 USING (w2), nt),
+        scored AS (
+          SELECT d.doc_id, d.cnt, m.nll
+          FROM docbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2)
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(CAST(cnt AS DECIMAL(18,0)) * nll
+                    AS DECIMAL(30,6))) AS DOUBLE) / SUM(cnt) AS mean_nll,
+               CAST(SUM(CAST(CAST(cnt AS DECIMAL(18,0)) * nll
+                    AS DECIMAL(30,6))) AS DOUBLE) / SUM(cnt) <= 6.0 AS keep
+        FROM scored GROUP BY 1 ORDER BY doc_id""")),
 
     // ----- doc_quality_logreg: trained quality-filter classifier ---------
     // The model-based quality filter stage (the fastText/logreg

@@ -2027,6 +2027,64 @@ object TimeSeries {
         FROM sm ORDER BY user_id, ts_sec, event_id"""
       }),
 
+    // ----- ts_sax: symbolic aggregate approximation ------------------------
+    // SAX (Lin/Keogh) — the time-series-mining workhorse that turns each
+    // entity's series into a short symbol string: z-normalize, piecewise
+    // aggregate over 8-reading frames, map each frame mean to one of 4
+    // breakpoint symbols, concatenate in frame order. Downstream, SAX
+    // words feed motif/anomaly search as plain string keys (exact-dedup
+    // family machinery applies directly). Determinism: per-entity stats
+    // and frame sums stay DECIMAL-exact; each frame's z value is ONE
+    // shared-text double chain, so the breakpoint CASE and the word are
+    // engine-identical. One entity shuffle + one frame groupBy.
+    "ts_sax" -> Q(
+      build = (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("wi", expr("(rn - 1) div 8"))
+        val stats = ev(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(decP(col("value"))).as("sumd"),
+            sum(decP(col("value")) * decP(col("value"))).as("sumsq"))
+        val frames = base.groupBy(col("user_id"), col("wi"))
+          .agg(count(lit(1)).as("wn"), sum(decP(col("value"))).as("paa_sum"))
+          .filter(col("wn") === 8)
+        frames.join(stats, Seq("user_id"))
+          .selectExpr("user_id", "wi", SaxK.zp)
+          .selectExpr("user_id", "wi", SaxK.sym)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            array_join(expr("transform(array_sort(collect_list(struct(wi, sym)))," +
+              " x -> x.sym)"), "").as("sax_word"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, value,
+                 (ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY $TS, event_id) - 1) // 8 AS wi
+          FROM events),
+        stats AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS sumd,
+                 SUM(CAST(value AS DECIMAL(12,2))
+                     * CAST(value AS DECIMAL(12,2))) AS sumsq
+          FROM events GROUP BY 1),
+        frames AS (
+          SELECT user_id, wi, COUNT(*) AS wn,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS paa_sum
+          FROM base GROUP BY 1, 2
+          HAVING COUNT(*) = 8),
+        zp AS (
+          SELECT f.user_id, f.wi, ${SaxK.zp}
+          FROM frames f JOIN stats USING (user_id)),
+        syms AS (SELECT user_id, wi, ${SaxK.sym} FROM zp)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               string_agg(sym, '' ORDER BY wi) AS sax_word
+        FROM syms GROUP BY 1 ORDER BY user_id""")),
+
     // ----- ts_seasonal_decompose: trend + diurnal + residual split -------
     // Classical seasonal decomposition of the hourly feed-volume series
     // per event type (the STL-lite every capacity/anomaly dashboard
@@ -2092,6 +2150,19 @@ object TimeSeries {
           ON f.event_type = s.event_type AND f.hod = s.hod
         ORDER BY f.event_type, f.hour_sec"""))
   )
+
+  /** Engine-shared SAX fragments: the frame z value as one double chain
+    * over DECIMAL-exact inputs, and the 4-symbol breakpoint CASE
+    * (Gaussian quartiles ±0.6745). Identical text both engines.
+    */
+  private object SaxK {
+    private val mean = "(CAST(sumd AS DOUBLE)/n)"
+    private val sd =
+      s"sqrt(greatest(CAST(sumsq AS DOUBLE)/n - $mean*$mean, 1.0e-12))"
+    val zp = s"(CAST(paa_sum AS DOUBLE)/8.0 - $mean)/$sd AS zp"
+    val sym = "CASE WHEN zp < -0.6745e0 THEN 'a' WHEN zp < 0.0e0 THEN 'b' " +
+      "WHEN zp < 0.6745e0 THEN 'c' ELSE 'd' END AS sym"
+  }
 
   /** Holt finite-window tap coefficients (alpha=0.5, beta=0.3): the
     * impulse response of 8 recursion steps from (level = y[oldest],

@@ -212,6 +212,32 @@ class R6OpsSpec extends SparkSpecBase {
     assert(acc >= majority - 1e-9, s"acc $acc < majority $majority")
   }
 
+  test("ts_sax: word length matches full frames; alphabet is a-d") {
+    val rows = run("ts_sax").cache()
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+    val joined = rows.join(perUser, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val word = r.getAs[String]("sax_word")
+      val nw = r.getAs[Long]("n_windows")
+      assert(word.length == nw)
+      assert(word.forall(c => c >= 'a' && c <= 'd'))
+      assert(nw == r.getAs[Long]("count") / 8)
+    }
+    rows.unpersist()
+  }
+
+  test("doc_ngram_lm_interp: positive NLL, keep flag consistent") {
+    val rows = run("doc_ngram_lm_interp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("mean_nll")
+      assert(nll > 0.0 && nll < 20.0) // -ln of probs in (0,1), corpus-scale
+      assert(r.getAs[Boolean]("keep") == (nll <= 6.0))
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
