@@ -100,4 +100,45 @@ object Sources {
       .repartition(files.toInt).write.mode(SaveMode.Overwrite).parquet(outPath)
     files
   }
+
+  /** snk_stats: file-statistics manifest for data skipping — the
+    * Iceberg/Delta-style sidecar a 100 TB table needs so a point/range
+    * query opens only the files that can match. `writeWithManifest`
+    * range-partitions on the stats column (so per-file ranges are tight,
+    * the same reason Z-order exists) and derives a per-file (min, max,
+    * rows) manifest from the written data itself via `_metadata.file_path`
+    * — one distributed aggregation, no footer reads on the driver.
+    * `prunedRead` consults the manifest FIRST and hands Spark only the
+    * surviving file list: at cluster scale that is the difference between
+    * listing+opening 10^6 footers and reading a 10^3-row manifest.
+    */
+  def writeWithManifest(df: DataFrame, path: String, statsCol: String,
+      nFiles: Int): DataFrame = {
+    df.repartitionByRange(nFiles, col(statsCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val manifest = spark.read.parquet(path)
+      .select(col(statsCol), col("_metadata.file_path").as("file_path"))
+      .groupBy(col("file_path"))
+      .agg(min(col(statsCol)).as("stat_min"), max(col(statsCol)).as("stat_max"),
+        count(lit(1)).as("n_rows"))
+    manifest.write.mode(SaveMode.Overwrite).parquet(s"$path.manifest")
+    manifest
+  }
+
+  /** Manifest-pruned range read: returns (dataframe, filesScanned). */
+  def prunedRead(spark: SparkSession, path: String, statsCol: String,
+      lo: Any, hi: Any): (DataFrame, Long) = {
+    val manifest = spark.read.parquet(s"$path.manifest")
+    val keep = manifest
+      .filter(col("stat_max") >= lit(lo) && col("stat_min") <= lit(hi))
+      .select(col("file_path"))
+      .collect().map(_.getString(0)) // file list: manifest-sized, not data-sized
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)),
+      keep.length.toLong)
+  }
 }

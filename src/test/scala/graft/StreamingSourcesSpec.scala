@@ -343,6 +343,31 @@ class SourcesSpec extends SparkSpecBase {
       == Tables.events(spark, sf).count())
   }
 
+  test("snk_stats: manifest prunes files; pruned read returns exact rows") {
+    val path = s"$tmp/manifested"
+    val data = Tables.t(spark, sf, "lineitem")
+    val manifest = Sources.writeWithManifest(data, path, "l_orderkey", nFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(manifest.count() == files)
+    // manifest totals reconcile with the table
+    assert(manifest.agg(sum("n_rows")).head.getLong(0) == data.count())
+    // a narrow key range must open a strict subset of files...
+    val keys = data.agg(min("l_orderkey"), max("l_orderkey")).head
+    val lo = keys.getLong(0)
+    val hi = lo + (keys.getLong(1) - lo) / 16
+    val (pruned, scanned) = Sources.prunedRead(spark, path, "l_orderkey", lo, hi)
+    assert(scanned < files, s"no pruning: $scanned of $files files")
+    // ...and still return exactly the rows a full-scan filter returns
+    val expect = data
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi).count()
+    assert(pruned.count() == expect)
+    // an out-of-range probe opens nothing
+    val (empty, zero) = Sources.prunedRead(spark, path, "l_orderkey",
+      hi * 1000, hi * 1000 + 1)
+    assert(zero == 0 && empty.count() == 0)
+  }
+
   test("snk_zorder: morton code interleaves bits; files cover disjoint ranges") {
     import spark.implicits._
     // reference interleave in plain Scala
