@@ -1012,6 +1012,90 @@ object Multimodal {
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      oracle = Some(phashPairsOracle))
+      oracle = Some(phashPairsOracle)),
+
+    // ----- mm_motion_tiles: per-tile motion estimation -------------------
+    // Block-matching motion search between consecutive frames of the same
+    // camera — the ego-motion/pan screen a video-dedup pipeline runs
+    // before trusting frame-diff detectors (odin_image's smoke diff
+    // assumes a static camera; this measures that assumption). Per
+    // 16-sample tile, the displacement in {-2..2} minimizing the sum of
+    // absolute differences wins (argmin struct, ties to the smaller
+    // shift); tiles with SAD too high even at the best shift are flagged
+    // as scene changes. All arithmetic is integer SAD over the byte
+    // streams — engine-exact. Scale shape: bytes explode once per frame,
+    // the shift candidates ride a 5-way explode joined on (prev_frame,
+    // shifted position) — O(len·5) shuffle rows per frame, grouped
+    // map-side; never frame x frame.
+    "mm_motion_tiles" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 36) // >= 2 interior-safe tiles
+        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = frames
+          .select(col("source"), col("doc_id"))
+          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+          .filter(col("prev_doc_id").isNotNull)
+        val bytes = frames
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, length(text))")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
+        val prevBytes = bytes.select(col("doc_id").as("prev_doc_id"),
+          col("pos").as("ppos"), col("b").as("pb"))
+        val sads = pairs.join(bytes, Seq("doc_id"))
+          // interior tiles only, so every shift sees all 16 samples
+          .withColumn("tile_id", expr("CAST((pos - 1) div 16 AS BIGINT)"))
+          .withColumn("shift", explode(expr("sequence(-2, 2)")))
+          .withColumn("ppos", col("pos") + col("shift"))
+          .join(prevBytes, Seq("prev_doc_id", "ppos"))
+          .groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"),
+            col("shift"))
+          .agg(count(lit(1)).as("n_cmp"), sum(abs(col("b") - col("pb"))).as("sad"))
+          .filter(col("n_cmp") === 16)
+        sads.groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"))
+          .agg(min(struct(col("sad"), col("shift"))).as("m"),
+            count(lit(1)).as("n_shifts"))
+          .filter(col("n_shifts") === 5)
+          .select(col("doc_id"), col("prev_doc_id"), col("tile_id"),
+            col("m.shift").as("best_shift"), col("m.sad").as("best_sad"),
+            (col("m.sad") > 320L).as("scene_change"))
+          .orderBy(col("doc_id"), col("tile_id"))
+      },
+      oracle = Some("""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 36),
+        pairs AS (
+          SELECT doc_id, lag(doc_id) OVER (PARTITION BY source
+                   ORDER BY doc_id) AS prev_doc_id
+          FROM frames
+          QUALIFY prev_doc_id IS NOT NULL),
+        bytes AS (
+          SELECT doc_id, g.pos,
+                 CAST(ascii(substr(text, g.pos, 1)) AS BIGINT) AS b
+          FROM frames, generate_series(1, 1024) AS g(pos)
+          WHERE g.pos <= length(text)),
+        sads AS (
+          SELECT p.doc_id, p.prev_doc_id,
+                 CAST((c.pos - 1) // 16 AS BIGINT) AS tile_id, s.shift,
+                 COUNT(*) AS n_cmp, CAST(SUM(abs(c.b - pv.b)) AS BIGINT) AS sad
+          FROM pairs p
+          JOIN bytes c ON c.doc_id = p.doc_id
+          CROSS JOIN generate_series(-2, 2) AS s(shift)
+          JOIN bytes pv ON pv.doc_id = p.prev_doc_id
+                       AND pv.pos = c.pos + s.shift
+          GROUP BY 1, 2, 3, 4
+          HAVING COUNT(*) = 16),
+        best AS (
+          SELECT doc_id, prev_doc_id, tile_id, shift AS best_shift,
+                 sad AS best_sad,
+                 COUNT(*) OVER (PARTITION BY doc_id, tile_id) AS n_shifts,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, tile_id
+                   ORDER BY sad, shift) AS rn
+          FROM sads)
+        SELECT doc_id, prev_doc_id, tile_id, best_shift, best_sad,
+               best_sad > 320 AS scene_change
+        FROM best WHERE rn = 1 AND n_shifts = 5
+        ORDER BY doc_id, tile_id"""))
   )
 }

@@ -238,6 +238,22 @@ class R6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_motion_tiles: best shift beats or ties every other shift (spot check)") {
+    val rows = run("mm_motion_tiles").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val s = r.getAs[Int]("best_shift")
+      assert(s >= -2 && s <= 2)
+      assert(r.getAs[Long]("best_sad") >= 0)
+      assert(r.getAs[Boolean]("scene_change") == (r.getAs[Long]("best_sad") > 320L))
+    }
+    // identical consecutive frames would give sad=0 at shift 0; with
+    // independent random text the best SAD should still never exceed the
+    // worst possible 16 x 255
+    assert(rows.filter($"best_sad" > 16L * 255L).count() == 0)
+    rows.unpersist()
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
