@@ -981,6 +981,126 @@ object Geo {
       },
       oracle = Some(overpassOracle)),
 
+    // ----- geo_line_of_sight: DEM terrain visibility ---------------------
+    // The fire-camera viewshed question odin_dem exists to answer: can
+    // station S see point P, or does terrain block the sight line? Each
+    // (station, sampled event) pair probes the synthetic DEM at 9 points
+    // along the line (the geo_dem_bilinear 4-corner interpolation, same
+    // fixed summand order), compares terrain against the linearly
+    // interpolated sight line between the 20 m observer mast and the
+    // 10 m target, and reports the worst obstruction. Determinism: every
+    // probe is the proven bilinear double chain; the obstruction max and
+    // the visibility flag derive from those values with no new rounding.
+    // Scale shape: targets sample 1-in-37 (the realistic probe-set
+    // shape), 9 probes per pair join the broadcastable grid on the cell
+    // key — O(pairs·9), no grid scan per pair.
+    "geo_line_of_sight" -> Q(
+      build = (s, d) => {
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            (((col("gi") * 31 + col("gj") * 17) % 500 + 500) % 500 + lit(100.0))
+              .as("elev"))
+        val targets = evPts(s, d)
+          .filter(col("event_id") % 37 === 0)
+          .select(col("event_id"), col("lat").as("tlat"), col("lon").as("tlon"))
+        val pairs = stations(s, d).crossJoin(targets)
+          .filter(abs(col("s_lat") - col("tlat")) < 15.0
+            && abs(col("s_lon") - col("tlon")) < 15.0)
+        val samples = pairs
+          .withColumn("k", explode(expr("sequence(0, 8)")))
+          .withColumn("f", expr("CAST(k AS DOUBLE)/8.0"))
+          .withColumn("plat", expr("s_lat + (tlat - s_lat)*f"))
+          .withColumn("plon", expr("s_lon + (tlon - s_lon)*f"))
+          .withColumn("i", floor(col("plat")).cast(LongType))
+          .withColumn("j", floor(col("plon")).cast(LongType))
+          .withColumn("di", col("plat") - col("i"))
+          .withColumn("dj", col("plon") - col("j"))
+        val corners = samples
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val probed = corners
+          .join(grid, corners("i") + corners("ci") === grid("gi")
+            && corners("j") + corners("cj") === grid("gj"))
+          .withColumn("w",
+            (when(col("ci") === 0L, lit(1.0) - col("di")).otherwise(col("di")))
+              * (when(col("cj") === 0L, lit(1.0) - col("dj")).otherwise(col("dj"))))
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+          .groupBy(col("s_suppkey"), col("event_id"), col("k"))
+          .agg(
+            sum(when(col("ord") === 0, col("w") * col("elev")).otherwise(0.0)).as("t00"),
+            sum(when(col("ord") === 1, col("w") * col("elev")).otherwise(0.0)).as("t01"),
+            sum(when(col("ord") === 2, col("w") * col("elev")).otherwise(0.0)).as("t10"),
+            sum(when(col("ord") === 3, col("w") * col("elev")).otherwise(0.0)).as("t11"))
+          .select(col("s_suppkey"), col("event_id"), col("k"),
+            (col("t00") + col("t01") + col("t10") + col("t11")).as("terr"))
+        val wide = probed.groupBy(col("s_suppkey"), col("event_id"))
+          .agg(sum(when(col("k") === 0, col("terr")).otherwise(0.0)).as("t0"),
+            (1 to 8).map(k =>
+              sum(when(col("k") === k, col("terr")).otherwise(0.0)).as(s"t$k")): _*)
+          .filter(expr("t0 > 0.0 AND t8 > 0.0")) // both ends on the grid
+        val obsK = (1 to 7).map(k =>
+          s"(t$k - ((t0 + 20.0) + ((t8 + 10.0) - (t0 + 20.0))*(CAST($k AS DOUBLE)/8.0)))")
+        wide.selectExpr("s_suppkey", "event_id",
+            "t0 + 20.0 AS h_obs", "t8 + 10.0 AS h_tgt",
+            s"greatest(${obsK.mkString(", ")}) AS max_obstruction")
+          .withColumn("visible", col("max_obstruction") <= 0.0)
+          .orderBy(col("s_suppkey"), col("event_id"))
+      },
+      oracle = Some {
+        val obsK = (1 to 7).map(k =>
+          s"(t$k - ((t0 + 20.0) + ((t8 + 10.0) - (t0 + 20.0))*(CAST($k AS DOUBLE)/8.0)))")
+        val tK = (0 to 8).map(k =>
+          s"SUM(CASE WHEN k = $k THEN terr ELSE 0.0 END) AS t$k").mkString(", ")
+        s"""
+        WITH grid AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 CAST(((gi.i*31 + gj.j*17) % 500 + 500) % 500 AS DOUBLE) + 100.0 AS elev
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        targets AS (
+          SELECT event_id, $LAT AS tlat, $LON AS tlon FROM events
+          WHERE event_id % 37 = 0),
+        st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier),
+        pairs AS (
+          SELECT * FROM st s CROSS JOIN targets t
+          WHERE abs(s.s_lat - t.tlat) < 15.0 AND abs(s.s_lon - t.tlon) < 15.0),
+        samples AS (
+          SELECT s_suppkey, event_id, g.k, CAST(g.k AS DOUBLE)/8.0 AS f,
+                 s_lat + (tlat - s_lat)*(CAST(g.k AS DOUBLE)/8.0) AS plat,
+                 s_lon + (tlon - s_lon)*(CAST(g.k AS DOUBLE)/8.0) AS plon
+          FROM pairs, generate_series(0, 8) AS g(k)),
+        cells AS (
+          SELECT *, CAST(floor(plat) AS BIGINT) AS i,
+                 CAST(floor(plon) AS BIGINT) AS j,
+                 plat - CAST(floor(plat) AS BIGINT) AS di,
+                 plon - CAST(floor(plon) AS BIGINT) AS dj
+          FROM samples),
+        probed AS (
+          SELECT s_suppkey, event_id, k,
+                 SUM(CASE WHEN c.ci = 0 AND c.cj = 0
+                     THEN (1.0 - di)*(1.0 - dj)*g.elev ELSE 0.0 END)
+               + SUM(CASE WHEN c.ci = 0 AND c.cj = 1
+                     THEN (1.0 - di)*dj*g.elev ELSE 0.0 END)
+               + SUM(CASE WHEN c.ci = 1 AND c.cj = 0
+                     THEN di*(1.0 - dj)*g.elev ELSE 0.0 END)
+               + SUM(CASE WHEN c.ci = 1 AND c.cj = 1
+                     THEN di*dj*g.elev ELSE 0.0 END) AS terr
+          FROM cells, (SELECT a.ci, b.cj FROM generate_series(0, 1) a(ci),
+                       generate_series(0, 1) b(cj)) c
+          JOIN grid g ON g.gi = cells.i + c.ci AND g.gj = cells.j + c.cj
+          GROUP BY 1, 2, 3),
+        wide AS (
+          SELECT s_suppkey, event_id, $tK
+          FROM probed GROUP BY 1, 2
+          HAVING SUM(CASE WHEN k = 0 THEN terr ELSE 0.0 END) > 0.0
+             AND SUM(CASE WHEN k = 8 THEN terr ELSE 0.0 END) > 0.0)
+        SELECT s_suppkey, event_id, t0 + 20.0 AS h_obs, t8 + 10.0 AS h_tgt,
+               greatest(${obsK.mkString(", ")}) AS max_obstruction,
+               greatest(${obsK.mkString(", ")}) <= 0.0 AS visible
+        FROM wide ORDER BY s_suppkey, event_id"""
+      }),
+
     // ----- geo_orbit_nodes: equator/pole crossing interpolation ----------
     // The orbit-characterization pass odin_orbital runs over every
     // propagated trajectory (orbitinfo.rs:223 interpolate_node — the
@@ -1577,7 +1697,7 @@ object Geo {
     // both sides first (see SURVEY §4).
     "geo_nearest" -> Q(
       build = (s, d) => {
-        val pts = evPts(s, d).filter(col("event_id") % 97 === 0)
+        val pts = evPts(s, d).filter(col("event_id") % 37 === 0)
           .select(col("event_id"), col("lat"), col("lon"))
         val joined = pts.crossJoin(broadcast(stations(s, d)))
           .withColumn("dist_km",
@@ -1599,7 +1719,7 @@ object Geo {
                    ORDER BY round(${havS("e.lat", "e.lon", "s.s_lat", "s.s_lon")}, 3),
                             s.s_suppkey) AS rn
           FROM (SELECT event_id, $LAT AS lat, $LON AS lon FROM events
-                WHERE event_id % 97 = 0) e
+                WHERE event_id % 37 = 0) e
           CROSS JOIN (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier) s)
         WHERE rn = 1 ORDER BY event_id""")),
 

@@ -2027,6 +2027,50 @@ object TimeSeries {
         FROM sm ORDER BY user_id, ts_sec, event_id"""
       }),
 
+    // ----- ts_entropy: per-entity behavioral entropy ---------------------
+    // Shannon entropy of each entity's event-type mix — the behavioral
+    // diversity screen (bots/stuck sensors emit near-zero entropy, mixed
+    // interactive use sits near ln k). ln is quantized at 6 decimals and
+    // the weighted sum runs in DECIMAL (doc_dsir scheme), so the score is
+    // engine-exact. One combinable (entity, type) shuffle.
+    "ts_entropy" -> Q(
+      build = (s, d) => {
+        val byType = ev(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy(col("user_id"))))
+        byType
+          .withColumn("lp", expr(
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / n), 6) AS DECIMAL(18,6))"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"), count(lit(1)).as("n_types"),
+            sum(expr("CAST(CAST(cnt AS DECIMAL(18,0)) * lp AS DECIMAL(30,6))"))
+              .as("wsum"))
+          .selectExpr("user_id", "n", "n_types",
+            "0.0 - CAST(wsum AS DOUBLE) / n AS entropy")
+          .withColumn("degenerate", col("entropy") < 0.1)
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH bt AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        lp AS (
+          SELECT user_id, cnt, n,
+                 CAST(round(ln(CAST(cnt AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM bt),
+        agg AS (
+          SELECT user_id, MAX(n) AS n, COUNT(*) AS n_types,
+                 SUM(CAST(CAST(cnt AS DECIMAL(18,0)) * lp AS DECIMAL(30,6)))
+                   AS wsum
+          FROM lp GROUP BY 1)
+        SELECT user_id, n, n_types,
+               0.0 - CAST(wsum AS DOUBLE) / n AS entropy,
+               0.0 - CAST(wsum AS DOUBLE) / n < 0.1 AS degenerate
+        FROM agg ORDER BY user_id""")),
+
     // ----- ts_sax: symbolic aggregate approximation ------------------------
     // SAX (Lin/Keogh) — the time-series-mining workhorse that turns each
     // entity's series into a short symbol string: z-normalize, piecewise

@@ -254,6 +254,30 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("geo_line_of_sight: obstruction consistent with visibility; heights on the DEM") {
+    val rows = run("geo_line_of_sight").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mo = r.getAs[Double]("max_obstruction")
+      assert(r.getAs[Boolean]("visible") == (mo <= 0.0))
+      // DEM range is 100..600 plus masts
+      assert(r.getAs[Double]("h_obs") >= 120.0 && r.getAs[Double]("h_obs") <= 620.0)
+      assert(r.getAs[Double]("h_tgt") >= 110.0 && r.getAs[Double]("h_tgt") <= 610.0)
+      // obstruction bounded by the DEM relief
+      assert(mo < 520.0 && mo > -620.0)
+    }
+  }
+
+  test("ts_entropy: bounds [0, ln k]; single-type entities are degenerate") {
+    val rows = run("ts_entropy").cache()
+    assert(rows.count() > 0)
+    val bad = rows.filter($"entropy" < -1e-9
+      || $"entropy" > log($"n_types".cast("double")) + 1e-6).count()
+    assert(bad == 0)
+    assert(rows.filter($"n_types" === 1 && !$"degenerate").count() == 0)
+    rows.unpersist()
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
