@@ -2304,6 +2304,76 @@ object TextOps {
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
 
+    // ----- doc_dedup_decision: the end-to-end corpus pruning verdict -----
+    // The single artifact a production dedup run actually ships: one row
+    // per document with its keep/drop DECISION and the keeper it defers
+    // to, composed from the family's stages in the canonical order —
+    // exact dedup first (content-hash groups, min-id keeper), then
+    // near-dup closure among the exact survivors (shingle-Jaccard >= 0.5
+    // pairs -> connected components, min-id keeper per component).
+    // Every stage is the already-proven machinery (hash groupBy, shingle
+    // join, LS/SS CC); this op is their composition plus the decision
+    // rules, so the 100 TB story is inherited: hash-keyed shuffles, edge
+    // lists never materialize doc x doc, iterative closure checkpointed.
+    "doc_dedup_decision" -> Q(
+      build = (s, d) => {
+        val hashed = docs(s, d)
+          .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+        val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+        val exact = hashed.join(keepers, Seq("h"))
+        val exactDups = exact.filter(col("doc_id") =!= col("keeper"))
+          .select(col("doc_id"), lit("exact_dup").as("status"),
+            col("keeper").as("keeper_id"))
+        val surv = exact.filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id"))
+        val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+          .join(surv.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+          .join(surv.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val cc = connectedComponents(surv.select(col("doc_id").as("node")), edges)
+        val nearDecided = cc.select(col("node").as("doc_id"),
+          when(col("label") =!= col("node"), lit("near_dup"))
+            .otherwise(lit("kept")).as("status"),
+          col("label").as("keeper_id"))
+        // resolve keeper chains: an exact-dup whose hash-group keeper was
+        // itself near-dropped defers to THAT keeper's component root, so
+        // every emitted keeper_id is a kept document
+        val exactResolved = exactDups
+          .join(nearDecided.select(col("doc_id").as("keeper_id"),
+            col("keeper_id").as("root_id")), Seq("keeper_id"))
+          .select(col("doc_id"), col("status"), col("root_id").as("keeper_id"))
+        exactResolved.union(nearDecided).orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE hashed AS (
+          SELECT doc_id, md5(text) AS h FROM documents),
+        ek AS (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY 1),
+        exact AS (SELECT d.doc_id, e.keeper FROM hashed d JOIN ek e USING (h)),
+        surv AS (SELECT doc_id FROM exact WHERE doc_id = keeper),
+        $JPAIRS,
+        sp AS (
+          SELECT doc_a, doc_b FROM jpairs
+          WHERE doc_a IN (SELECT doc_id FROM surv)
+            AND doc_b IN (SELECT doc_id FROM surv)),
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM sp
+                  UNION ALL SELECT doc_b, doc_a FROM sp),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM surv
+          UNION
+          SELECT w.node, e.t FROM walk w JOIN edges e ON e.s = w.lbl),
+        cc AS (SELECT node, MIN(lbl) AS lbl FROM walk GROUP BY 1)
+        SELECT doc_id, status, keeper_id FROM (
+          SELECT e.doc_id, 'exact_dup' AS status, c.lbl AS keeper_id
+          FROM exact e JOIN cc c ON c.node = e.keeper
+          WHERE e.doc_id <> e.keeper
+          UNION ALL
+          SELECT node AS doc_id,
+                 CASE WHEN lbl <> node THEN 'near_dup' ELSE 'kept' END AS status,
+                 lbl AS keeper_id
+          FROM cc)
+        ORDER BY doc_id""")),
+
     // ----- doc_ngram_lm_interp: interpolated bigram LM scoring -----------
     // Jelinek–Mercer interpolation — the standard fix for the bigram
     // sparsity that makes doc_bigram_surprisal's raw conditional blow up

@@ -278,6 +278,24 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("doc_dedup_decision: total coverage, keepers kept, no keeper chains") {
+    val rows = run("doc_dedup_decision").cache()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.count() == nDocs) // one verdict per document
+    // every keeper a dropped doc defers to must itself be kept
+    val keepers = rows.filter($"status" === "kept")
+      .select($"doc_id".as("keeper_id"))
+    val dangling = rows.filter($"status" =!= "kept")
+      .join(keepers, Seq("keeper_id"), "left_anti").count()
+    assert(dangling == 0, s"$dangling dropped docs defer to a non-kept keeper")
+    // keepers defer to themselves; dropped docs never do
+    assert(rows.filter($"status" === "kept" && $"keeper_id" =!= $"doc_id").count() == 0)
+    assert(rows.filter($"status" =!= "kept" && $"keeper_id" === $"doc_id").count() == 0)
+    // a keeper has the smallest id in its group
+    assert(rows.filter($"keeper_id" > $"doc_id").count() == 0)
+    rows.unpersist()
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
