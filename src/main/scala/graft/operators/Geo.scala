@@ -981,6 +981,120 @@ object Geo {
       },
       oracle = Some(overpassOracle)),
 
+    // ----- geo_track_simplify: bounded Douglas-Peucker -------------------
+    // Track polyline simplification — what a serving layer runs before
+    // shipping a 10k-point aircraft track to a display (the tracks
+    // odin_adsb assembles and odin_cesium renders). Douglas-Peucker with
+    // a BOUNDED 3 split rounds: each round every segment finds its
+    // max-deviation interior point (argmax struct, quantized squared
+    // perpendicular deviation) and splits where deviation exceeds the
+    // 0.05-degree tolerance. Segments carry their endpoint coordinates,
+    // so a round is ONE segment x interior-point range join + one argmax
+    // groupBy — no per-track recursion, plan depth O(1) per round via
+    // checkpoint. The oracle unrolls the identical 3 rounds as CTE
+    // stages. Output: the simplified polyline's kept points.
+    "geo_track_simplify" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val pts = graft.operators.TextOps.checkpointReset(
+          evPts(s, d)
+            .select(col("user_id"), col("ts_sec"), col("event_id"),
+              col("lat"), col("lon"))
+            .withColumn("rn", row_number().over(w))
+            .select(col("user_id"), col("rn"), col("lat"), col("lon")))
+        val ends = pts.groupBy(col("user_id"))
+          .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+        val p1 = pts.select(col("user_id"), col("rn").as("lo"),
+          col("lat").as("x1"), col("lon").as("y1"))
+        val p2 = pts.select(col("user_id"), col("rn").as("hi"),
+          col("lat").as("x2"), col("lon").as("y2"))
+        var segs = ends.join(p1, Seq("user_id", "lo"))
+          .join(p2, Seq("user_id", "hi"))
+          .select(col("user_id"), col("lo"), col("hi"),
+            col("x1"), col("y1"), col("x2"), col("y2"))
+        for (_ <- 1 to 3) {
+          val cand = segs.join(pts, Seq("user_id"))
+            .filter(col("rn") > col("lo") && col("rn") < col("hi"))
+            .withColumn("devq", expr(DpK.devq))
+          val best = cand
+            .groupBy(col("user_id"), col("lo"), col("hi"))
+            .agg(max(struct(col("devq"), col("rn"), col("lat"), col("lon")))
+              .as("b"))
+            .select(col("user_id"), col("lo"), col("hi"),
+              col("b.devq").as("maxdev"), col("b.rn").as("m"),
+              col("b.lat").as("mlat"), col("b.lon").as("mlon"))
+          val joined = segs.join(best, Seq("user_id", "lo", "hi"), "left")
+          val keeps = joined
+            .filter(col("maxdev").isNull || col("maxdev") <= DpK.epsQ)
+            .select(col("user_id"), col("lo"), col("hi"),
+              col("x1"), col("y1"), col("x2"), col("y2"))
+          val splits = joined.filter(col("maxdev") > DpK.epsQ)
+          val lefts = splits.select(col("user_id"), col("lo"),
+            col("m").as("hi"), col("x1"), col("y1"),
+            col("mlat").as("x2"), col("mlon").as("y2"))
+          val rights = splits.select(col("user_id"), col("m").as("lo"),
+            col("hi"), col("mlat").as("x1"), col("mlon").as("y1"),
+            col("x2"), col("y2"))
+          segs = graft.operators.TextOps.checkpointReset(
+            keeps.union(lefts).union(rights))
+        }
+        segs.select(col("user_id"), col("lo").as("rn"),
+            col("x1").as("lat"), col("y1").as("lon"))
+          .union(segs.select(col("user_id"), col("hi").as("rn"),
+            col("x2").as("lat"), col("y2").as("lon")))
+          .distinct()
+          .orderBy(col("user_id"), col("rn"))
+      },
+      oracle = Some {
+        def round(k: Int): String = s"""cand$k AS (
+          SELECT s.user_id, s.lo, s.hi, p.rn, p.lat, p.lon, ${DpK.devq}
+          FROM seg${k - 1} s JOIN pts p ON p.user_id = s.user_id
+            AND p.rn > s.lo AND p.rn < s.hi),
+        best$k AS (
+          SELECT user_id, lo, hi, devq AS maxdev, rn AS m,
+                 lat AS mlat, lon AS mlon
+          FROM cand$k
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, lo, hi
+            ORDER BY devq DESC, rn DESC, lat DESC, lon DESC) = 1),
+        seg$k AS (
+          SELECT s.user_id, s.lo, s.hi, s.x1, s.y1, s.x2, s.y2
+          FROM seg${k - 1} s LEFT JOIN best$k b
+            ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
+          WHERE b.maxdev IS NULL OR b.maxdev <= ${DpK.epsQ}
+          UNION ALL
+          SELECT s.user_id, s.lo, b.m, s.x1, s.y1, b.mlat, b.mlon
+          FROM seg${k - 1} s JOIN best$k b
+            ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
+          WHERE b.maxdev > ${DpK.epsQ}
+          UNION ALL
+          SELECT s.user_id, b.m, s.hi, b.mlat, b.mlon, s.x2, s.y2
+          FROM seg${k - 1} s JOIN best$k b
+            ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
+          WHERE b.maxdev > ${DpK.epsQ})"""
+        s"""
+        WITH pts AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn,
+                 $LAT AS lat, $LON AS lon
+          FROM events),
+        ends AS (SELECT user_id, MIN(rn) AS lo, MAX(rn) AS hi
+                 FROM pts GROUP BY 1),
+        seg0 AS (
+          SELECT e.user_id, e.lo, e.hi, a.lat AS x1, a.lon AS y1,
+                 b.lat AS x2, b.lon AS y2
+          FROM ends e
+          JOIN pts a ON a.user_id = e.user_id AND a.rn = e.lo
+          JOIN pts b ON b.user_id = e.user_id AND b.rn = e.hi),
+        ${round(1)}, ${round(2)}, ${round(3)}
+        SELECT DISTINCT user_id, rn, lat, lon FROM (
+          SELECT user_id, lo AS rn, x1 AS lat, y1 AS lon FROM seg3
+          UNION ALL
+          SELECT user_id, hi AS rn, x2 AS lat, y2 AS lon FROM seg3)
+        ORDER BY user_id, rn"""
+      }),
+
     // ----- geo_line_of_sight: DEM terrain visibility ---------------------
     // The fire-camera viewshed question odin_dem exists to answer: can
     // station S see point P, or does terrain block the sight line? Each
@@ -3511,6 +3625,23 @@ object Geo {
       "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0 AS bright_ti5_k",
       "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0 AS frp_mw",
       "split_part(line, ',', 13) = 'D' AS is_day")
+  }
+
+  /** Engine-shared Douglas-Peucker fragments: quantized squared
+    * perpendicular deviation of point (lat,lon) from chord
+    * (x1,y1)-(x2,y2) (planar cross product over the chord length;
+    * degenerate chords fall back to endpoint distance), and the
+    * 0.05-degree tolerance in the same 2^20 fixed-point domain.
+    */
+  private object DpK {
+    private val dx = "(x2 - x1)"; private val dy = "(y2 - y1)"
+    private val len2 = s"($dx*$dx + $dy*$dy)"
+    private val cross = s"($dx*(lon - y1) - (lat - x1)*$dy)"
+    val devq: String =
+      s"""CAST(FLOOR(CASE WHEN $len2 = 0.0
+         THEN (lat - x1)*(lat - x1) + (lon - y1)*(lon - y1)
+         ELSE $cross*$cross / $len2 END * 1048576.0) AS BIGINT) AS devq"""
+    val epsQ = 2621L // floor(0.05^2 * 2^20)
   }
 
   /** Engine-shared formula fragments for the orbit-crossing

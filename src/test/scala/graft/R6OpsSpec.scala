@@ -296,6 +296,36 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("geo_track_simplify: endpoints kept, points genuine, tracks shrink") {
+    val rows = run("geo_track_simplify").cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_sec", $"event_id")
+    val pts = Tables.events(spark, sf)
+      .withColumn("lat", ($"user_id" * 37 % 140 - 70).cast("double") + $"value" / 1000.0)
+      .withColumn("lon", ($"event_id" * 73 % 360 - 180).cast("double") + $"value" / 2000.0)
+      .withColumn("rn", row_number().over(w))
+      .select($"user_id", $"rn", $"lat", $"lon")
+    // every kept point is a real track point with its original coords
+    val fake = rows.join(pts, Seq("user_id", "rn"), "left")
+      .filter(pts("lat").isNull
+        || abs(rows("lat") - pts("lat")) > 1e-12
+        || abs(rows("lon") - pts("lon")) > 1e-12).count()
+    assert(fake == 0)
+    // first/last of every track survive; tracks actually shrank
+    val perUser = pts.groupBy("user_id").agg(min("rn").as("lo"),
+      max("rn").as("hi"), count(lit(1)).as("n"))
+    val missingEnds = perUser.join(rows, Seq("user_id"))
+      .groupBy($"user_id", $"lo", $"hi", $"n")
+      .agg(sum(when($"rn" === $"lo", 1).otherwise(0)).as("hasLo"),
+        sum(when($"rn" === $"hi", 1).otherwise(0)).as("hasHi"),
+        count(lit(1)).as("kept"))
+      .filter($"hasLo" === 0 || $"hasHi" === 0 || $"kept" > $"n").count()
+    assert(missingEnds == 0)
+    assert(rows.count() < pts.count()) // 3 rounds keep at most 9 pts/track
+    rows.unpersist()
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
