@@ -1052,6 +1052,72 @@ object Similarity {
                round(MAX(abs(err)), 9) AS max_abs_err
         FROM errs GROUP BY 1, 2 ORDER BY vec_id""")),
 
+    // ----- emb_centroid_drift: embedding-distribution drift monitor ------
+    // The drift check every embedding-backed index/pipeline runs between
+    // ingestion batches: split the corpus into two deterministic halves
+    // (vec_id parity standing in for batch A/B), compute per-label
+    // centroids of each half with the exact fixed-point arithmetic of
+    // emb_centroids, and report the squared centroid displacement per
+    // label. A label whose halves disagree is drifting (or the split is
+    // too small — n_a/n_b ride along for that call). Exact: quantized
+    // coordinate sums, counts, and ONE double chain per dimension summed
+    // in the fixed 64-dim order via the aggregate HOF.
+    "emb_centroid_drift" -> Q(
+      build = (s, d) => {
+        def half(filter: Column, na: String, ca: String) = emb(s, d)
+          .filter(filter)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+              .as("sq"))
+          .groupBy(col("label"))
+          .agg(max(col("cnt")).as(na),
+            array_sort(collect_list(struct(col("pos"),
+              (col("sq").cast(DoubleType) / (lit(16384.0) * col("cnt"))).as("c"))))
+              .as("ps"))
+          .select(col("label"), col(na),
+            expr("transform(ps, p -> p.c)").as(ca))
+        val a = half(col("vec_id") % 2 === 0, "n_a", "cent_a")
+        val b = half(col("vec_id") % 2 === 1, "n_b", "cent_b")
+        a.join(b, Seq("label"))
+          .withColumn("drift2", expr(
+            """aggregate(zip_with(cent_a, cent_b, (x, y) ->
+               CAST(FLOOR((x - y)*(x - y)*1073741824.0) AS BIGINT)),
+               CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+          .select(col("label"), col("n_a"), col("n_b"),
+            (col("drift2").cast(DoubleType) / 1073741824.0).as("drift_sq"),
+            (col("drift2") > floor(lit(0.01) * 1073741824.0).cast(LongType))
+              .as("drifted"))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH el AS (
+          SELECT vec_id, label, t.i AS pos,
+                 CAST(embedding[t.i] AS DOUBLE) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        ha AS (
+          SELECT label, pos, COUNT(*) AS cnt,
+                 CAST(SUM(CAST(FLOOR(x*16384.0) AS BIGINT)) AS BIGINT) AS sq
+          FROM el WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        hb AS (
+          SELECT label, pos, COUNT(*) AS cnt,
+                 CAST(SUM(CAST(FLOOR(x*16384.0) AS BIGINT)) AS BIGINT) AS sq
+          FROM el WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        dims AS (
+          SELECT a.label, a.pos, a.cnt AS n_a, b.cnt AS n_b,
+                 CAST(FLOOR((CAST(a.sq AS DOUBLE)/(16384.0*a.cnt)
+                       - CAST(b.sq AS DOUBLE)/(16384.0*b.cnt))
+                     *(CAST(a.sq AS DOUBLE)/(16384.0*a.cnt)
+                       - CAST(b.sq AS DOUBLE)/(16384.0*b.cnt))
+                     *1073741824.0) AS BIGINT) AS d2
+          FROM ha a JOIN hb b ON a.label = b.label AND a.pos = b.pos)
+        SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+               CAST(CAST(SUM(d2) AS BIGINT) AS DOUBLE)/1073741824.0 AS drift_sq,
+               CAST(SUM(d2) AS BIGINT)
+                 > CAST(FLOOR(0.01*1073741824.0) AS BIGINT) AS drifted
+        FROM dims GROUP BY 1 ORDER BY label""")),
+
     // ----- emb_mrl_recall: truncated-dimension recall audit --------------
     // The Matryoshka-representation question every index operator asks
     // before shipping a shorter embedding: how much of the exact top-k

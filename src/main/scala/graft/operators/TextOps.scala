@@ -2304,6 +2304,78 @@ object TextOps {
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
 
+    // ----- doc_drift_kl: corpus-mix drift via hashed-vocab KL ------------
+    // The distribution-shift alarm a continuously-ingesting corpus needs:
+    // KL(incoming ‖ corpus) over a 256-bucket hashed vocabulary (the
+    // doc_dsir feature space), per language — when a source starts
+    // sending different text, the divergence jumps long before any
+    // exact-dedup signal moves. Laplace-smoothed bucket distributions,
+    // ln quantized at 6 decimals, weighted sum in DECIMAL (engine-exact);
+    // one corpus tokenize pass, 256-bucket frames only after the first
+    // aggregation.
+    "doc_drift_kl" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .select(col("lang"), (col("source") === "src0").as("incoming"),
+            substring(md5(col("term").cast(BinaryType)), 1, 2).as("bkt"))
+          .groupBy(col("lang"), col("incoming"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+        val inc = toks.filter(col("incoming"))
+          .select(col("lang"), col("bkt"), col("cnt").as("pc"))
+        val base = toks.filter(!col("incoming"))
+          .select(col("lang"), col("bkt"), col("cnt").as("qc"))
+        val tot = inc.groupBy(col("lang")).agg(sum(col("pc")).as("pt"))
+          .join(base.groupBy(col("lang")).agg(sum(col("qc")).as("qt")), Seq("lang"))
+        inc.join(base, Seq("lang", "bkt"), "full")
+          .na.fill(0L, Seq("pc", "qc"))
+          .join(broadcast(tot), Seq("lang"))
+          .withColumn("term_d", expr(
+            """CAST(CAST(pc + 1 AS DECIMAL(18,0))
+               * CAST(round(ln((CAST(pc + 1 AS DOUBLE)/(pt + 256))
+                              / (CAST(qc + 1 AS DOUBLE)/(qt + 256))), 6)
+                      AS DECIMAL(18,6)) AS DECIMAL(30,6))"""))
+          .groupBy(col("lang"))
+          .agg(max(col("pt")).as("n_incoming"), max(col("qt")).as("n_corpus"),
+            (sum(col("term_d")).cast(DoubleType)
+              / (max(col("pt")) + lit(256))).as("kl_nats"))
+          .withColumn("drifted", col("kl_nats") > 0.05)
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT lang, source = 'src0' AS incoming,
+                 substr(md5(t.term), 1, 2) AS bkt, COUNT(*) AS cnt
+          FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS term
+                FROM documents) t
+          WHERE t.term <> ''
+          GROUP BY 1, 2, 3),
+        inc AS (SELECT lang, bkt, cnt AS pc FROM toks WHERE incoming),
+        base AS (SELECT lang, bkt, cnt AS qc FROM toks WHERE NOT incoming),
+        tot AS (
+          SELECT i.lang, i.pt, b.qt
+          FROM (SELECT lang, CAST(SUM(pc) AS BIGINT) AS pt FROM inc GROUP BY 1) i
+          JOIN (SELECT lang, CAST(SUM(qc) AS BIGINT) AS qt FROM base GROUP BY 1) b
+            ON i.lang = b.lang),
+        merged AS (
+          SELECT COALESCE(i.lang, b.lang) AS lang,
+                 COALESCE(i.bkt, b.bkt) AS bkt,
+                 COALESCE(i.pc, 0) AS pc, COALESCE(b.qc, 0) AS qc
+          FROM inc i FULL JOIN base b ON i.lang = b.lang AND i.bkt = b.bkt),
+        terms AS (
+          SELECT m.lang, t.pt, t.qt,
+                 CAST(CAST(m.pc + 1 AS DECIMAL(18,0))
+                   * CAST(round(ln((CAST(m.pc + 1 AS DOUBLE)/(t.pt + 256))
+                                  / (CAST(m.qc + 1 AS DOUBLE)/(t.qt + 256))), 6)
+                          AS DECIMAL(18,6)) AS DECIMAL(30,6)) AS term_d
+          FROM merged m JOIN tot t ON m.lang = t.lang)
+        SELECT lang, MAX(pt) AS n_incoming, MAX(qt) AS n_corpus,
+               CAST(SUM(term_d) AS DOUBLE) / (MAX(pt) + 256) AS kl_nats,
+               CAST(SUM(term_d) AS DOUBLE) / (MAX(pt) + 256) > 0.05 AS drifted
+        FROM terms GROUP BY 1 ORDER BY lang""")),
+
     // ----- doc_dedup_decision: the end-to-end corpus pruning verdict -----
     // The single artifact a production dedup run actually ships: one row
     // per document with its keep/drop DECISION and the keeper it defers

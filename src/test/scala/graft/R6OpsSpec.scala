@@ -326,6 +326,30 @@ class R6OpsSpec extends SparkSpecBase {
     rows.unpersist()
   }
 
+  test("emb_centroid_drift: per-label halves, drift flag consistent") {
+    val rows = run("emb_centroid_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+      val dsq = r.getAs[Double]("drift_sq")
+      assert(dsq >= 0.0)
+      assert(r.getAs[Boolean]("drifted") == (dsq > 0.01 + 1e-12)
+        || math.abs(dsq - 0.01) < 1e-6) // flag computed in the quantized domain
+    }
+  }
+
+  test("doc_drift_kl: KL non-negative-ish, one row per lang with both sides") {
+    val rows = run("doc_drift_kl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // quantized Laplace KL can dip epsilon-negative; bound it
+      val kl = r.getAs[Double]("kl_nats")
+      assert(kl > -0.01 && kl < 10.0)
+      assert(r.getAs[Boolean]("drifted") == (kl > 0.05))
+      assert(r.getAs[Long]("n_incoming") > 0 && r.getAs[Long]("n_corpus") > 0)
+    }
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
