@@ -2329,7 +2329,15 @@ object TextOps {
           .select(col("lang"), col("bkt"), col("cnt").as("qc"))
         val tot = inc.groupBy(col("lang")).agg(sum(col("pc")).as("pt"))
           .join(base.groupBy(col("lang")).agg(sum(col("qc")).as("qt")), Seq("lang"))
-        inc.join(base, Seq("lang", "bkt"), "full")
+        // densify over ALL 256 buckets: the unseen-bucket Laplace terms
+        // are systematically positive when pt != qt, and dropping them
+        // (an observed-support-only sum) can push the "KL" negative
+        val dom = tot.select(col("lang"))
+          .crossJoin(broadcast(
+            docs(s, d).sparkSession.range(256).select(
+              expr("lpad(lower(hex(id)), 2, '0')").as("bkt"))))
+        dom.join(inc, Seq("lang", "bkt"), "left")
+          .join(base, Seq("lang", "bkt"), "left")
           .na.fill(0L, Seq("pc", "qc"))
           .join(broadcast(tot), Seq("lang"))
           .withColumn("term_d", expr(
@@ -2359,11 +2367,15 @@ object TextOps {
           FROM (SELECT lang, CAST(SUM(pc) AS BIGINT) AS pt FROM inc GROUP BY 1) i
           JOIN (SELECT lang, CAST(SUM(qc) AS BIGINT) AS qt FROM base GROUP BY 1) b
             ON i.lang = b.lang),
+        dom AS (
+          SELECT t.lang, lpad(lower(hex(g.i)), 2, '0') AS bkt
+          FROM tot t, generate_series(0, 255) AS g(i)),
         merged AS (
-          SELECT COALESCE(i.lang, b.lang) AS lang,
-                 COALESCE(i.bkt, b.bkt) AS bkt,
+          SELECT d.lang, d.bkt,
                  COALESCE(i.pc, 0) AS pc, COALESCE(b.qc, 0) AS qc
-          FROM inc i FULL JOIN base b ON i.lang = b.lang AND i.bkt = b.bkt),
+          FROM dom d
+          LEFT JOIN inc i ON i.lang = d.lang AND i.bkt = d.bkt
+          LEFT JOIN base b ON b.lang = d.lang AND b.bkt = d.bkt),
         terms AS (
           SELECT m.lang, t.pt, t.qt,
                  CAST(CAST(m.pc + 1 AS DECIMAL(18,0))

@@ -342,9 +342,10 @@ class R6OpsSpec extends SparkSpecBase {
     val rows = run("doc_drift_kl").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // quantized Laplace KL can dip epsilon-negative; bound it
+      // Gibbs: smoothed KL over the full 256-bucket support is >= 0
+      // up to the 1e-6 ln quantization
       val kl = r.getAs[Double]("kl_nats")
-      assert(kl > -0.01 && kl < 10.0)
+      assert(kl > -1e-4 && kl < 10.0)
       assert(r.getAs[Boolean]("drifted") == (kl > 0.05))
       assert(r.getAs[Long]("n_incoming") > 0 && r.getAs[Long]("n_corpus") > 0)
     }
