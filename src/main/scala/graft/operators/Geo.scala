@@ -1047,33 +1047,38 @@ object Geo {
           .orderBy(col("user_id"), col("rn"))
       },
       oracle = Some {
-        def round(k: Int): String = s"""cand$k AS (
+        // every CTE is MATERIALIZED and referenced at most twice per
+        // round (cand + the split/keep pass), so DuckDB cannot inline
+        // the round chain exponentially (it OOM'd at sf0.1 on the naive
+        // three-branch form)
+        def round(k: Int): String = s"""cand$k AS MATERIALIZED (
           SELECT s.user_id, s.lo, s.hi, p.rn, p.lat, p.lon, ${DpK.devq}
           FROM seg${k - 1} s JOIN pts p ON p.user_id = s.user_id
             AND p.rn > s.lo AND p.rn < s.hi),
-        best$k AS (
+        best$k AS MATERIALIZED (
           SELECT user_id, lo, hi, devq AS maxdev, rn AS m,
                  lat AS mlat, lon AS mlon
           FROM cand$k
           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, lo, hi
             ORDER BY devq DESC, rn DESC, lat DESC, lon DESC) = 1),
-        seg$k AS (
-          SELECT s.user_id, s.lo, s.hi, s.x1, s.y1, s.x2, s.y2
-          FROM seg${k - 1} s LEFT JOIN best$k b
+        seg$k AS MATERIALIZED (
+          SELECT s.user_id,
+                 CASE WHEN part.p = 2 THEN b.m ELSE s.lo END AS lo,
+                 CASE WHEN b.maxdev > ${DpK.epsQ} AND part.p = 1
+                      THEN b.m ELSE s.hi END AS hi,
+                 CASE WHEN part.p = 2 THEN b.mlat ELSE s.x1 END AS x1,
+                 CASE WHEN part.p = 2 THEN b.mlon ELSE s.y1 END AS y1,
+                 CASE WHEN b.maxdev > ${DpK.epsQ} AND part.p = 1
+                      THEN b.mlat ELSE s.x2 END AS x2,
+                 CASE WHEN b.maxdev > ${DpK.epsQ} AND part.p = 1
+                      THEN b.mlon ELSE s.y2 END AS y2
+          FROM seg${k - 1} s
+          LEFT JOIN best$k b
             ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
-          WHERE b.maxdev IS NULL OR b.maxdev <= ${DpK.epsQ}
-          UNION ALL
-          SELECT s.user_id, s.lo, b.m, s.x1, s.y1, b.mlat, b.mlon
-          FROM seg${k - 1} s JOIN best$k b
-            ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
-          WHERE b.maxdev > ${DpK.epsQ}
-          UNION ALL
-          SELECT s.user_id, b.m, s.hi, b.mlat, b.mlon, s.x2, s.y2
-          FROM seg${k - 1} s JOIN best$k b
-            ON s.user_id = b.user_id AND s.lo = b.lo AND s.hi = b.hi
-          WHERE b.maxdev > ${DpK.epsQ})"""
+          CROSS JOIN generate_series(1, 2) AS part(p)
+          WHERE part.p = 1 OR (b.maxdev IS NOT NULL AND b.maxdev > ${DpK.epsQ}))"""
         s"""
-        WITH pts AS (
+        WITH pts AS MATERIALIZED (
           SELECT user_id,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn,
@@ -1081,7 +1086,7 @@ object Geo {
           FROM events),
         ends AS (SELECT user_id, MIN(rn) AS lo, MAX(rn) AS hi
                  FROM pts GROUP BY 1),
-        seg0 AS (
+        seg0 AS MATERIALIZED (
           SELECT e.user_id, e.lo, e.hi, a.lat AS x1, a.lon AS y1,
                  b.lat AS x2, b.lon AS y2
           FROM ends e
