@@ -422,6 +422,60 @@ object Streams {
       }
   }
 
+  case class DocEv(doc_id: Long, lang: String, text: String)
+  case class DriftState(counts: Seq[Long], n_base: Long)
+  case class DriftReport(lang: String, n_base: Long, n_batch: Long,
+      kl_nats: Double, drifted: Boolean)
+
+  /** stream_drift: live corpus-mix drift alarm — the streaming twin of
+    * doc_drift_kl. Per language, the state store holds the cumulative
+    * 256-bucket hashed-vocabulary histogram; each micro-batch scores
+    * KL(batch ‖ history) with Laplace smoothing over the full bucket
+    * domain BEFORE folding its tokens in, so a feed that suddenly ships
+    * different text alarms on the batch that changed. State is O(256)
+    * longs per language — the same bounded-state shape as the schedule
+    * learner. The first batch per language seeds the baseline and emits
+    * no score.
+    */
+  def driftStream(docs: Dataset[DocEv], threshold: Double = 0.05)
+      : Dataset[DriftReport] = {
+    import docs.sparkSession.implicits._
+    def bucket(term: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(term.getBytes("UTF-8"))(0) & 0xFF)
+    }
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[DriftState, DriftReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang, batch, state: GroupState[DriftState]) =>
+          val bc = new Array[Long](256)
+          var nBatch = 0L
+          batch.foreach(_.text.split(" ").iterator.filter(_.nonEmpty)
+            .foreach { t => bc(bucket(t)) += 1; nBatch += 1 })
+          val out = state.getOption match {
+            case Some(st) if nBatch > 0 =>
+              val nb = st.n_base
+              var kl = 0.0
+              var i = 0
+              while (i < 256) {
+                val p = (bc(i) + 1.0) / (nBatch + 256.0)
+                val q = (st.counts(i) + 1.0) / (nb + 256.0)
+                kl += p * math.log(p / q)
+                i += 1
+              }
+              Iterator.single(
+                DriftReport(lang, nb, nBatch, kl, kl > threshold))
+            case _ => Iterator.empty
+          }
+          val prev = state.getOption.getOrElse(DriftState(Vector.fill(256)(0L), 0L))
+          state.update(DriftState(
+            prev.counts.zipWithIndex.map { case (c, i) => c + bc(i) },
+            prev.n_base + nBatch))
+          out
+      }
+  }
+
   case class HoltState(level: Double, trend: Double, n: Long)
   case class Smoothed(user_id: Long, event_id: Long, ts_sec: Long,
       value: Double, level: Double, trend: Double, forecast_1: Double)

@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.getAs[Long]("last_event_id") == 2 && st.getAs[Long]("n_seen") == 3)
   }
 
+  test("stream_drift: same-mix batches score low, a vocabulary shift alarms") {
+    import spark.implicits._
+    import Streams.DocEv
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val q = Streams.driftStream(in.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    in.addData(DocEv(1, "en", base), DocEv(2, "en", base)) // seeds baseline
+    q.processAllAvailable()
+    in.addData(DocEv(3, "en", base)) // same mix: low KL
+    q.processAllAvailable()
+    in.addData(DocEv(4, "en", "xx1 xx2 xx3 xx4 xx5 xx6 xx7 xx8 " * 8)) // shift
+    q.processAllAvailable()
+    val rows = spark.table("drift_out").orderBy(col("n_base")).collect()
+    q.stop()
+    assert(rows.length == 2) // first batch seeded silently
+    assert(!rows(0).getAs[Boolean]("drifted"),
+      s"same-mix batch alarmed: ${rows(0)}")
+    assert(rows(1).getAs[Boolean]("drifted"),
+      s"vocab shift missed: ${rows(1)}")
+    assert(rows(1).getAs[Double]("kl_nats") > rows(0).getAs[Double]("kl_nats"))
+  }
+
   test("stream_holt: state carries the exact recursion across batches") {
     import spark.implicits._
     val in = mem()
