@@ -1014,6 +1014,99 @@ object Multimodal {
       },
       oracle = Some(phashPairsOracle)),
 
+    // ----- mm_scene_segments: shot-boundary segmentation -----------------
+    // Scene/shot segmentation of each camera's frame stream — the
+    // clip-level grouping a video dedup pipeline needs before comparing
+    // anything across clips. Per consecutive frame pair: total absolute
+    // byte distance; a transition is a CUT when its distance exceeds the
+    // corpus-median pair distance (adaptive, exact integer selection at
+    // rank (n+1)/2 — no magic constants); gaps-and-islands over the cut
+    // flags yields the segments. The median rank-selection rides a
+    // single-partition window over the ~|frames| distance rows — a stats
+    // scalar, TakeOrdered-sized at any SF, not a data-path window.
+    "mm_scene_segments" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = frames
+          .select(col("source"), col("doc_id"))
+          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+          .filter(col("prev_doc_id").isNotNull)
+        val bytes = frames
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"),
+            col("text"))
+          .select(col("doc_id"), col("pos"),
+            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
+        val dist = pairs.join(bytes, Seq("doc_id"))
+          .join(bytes.select(col("doc_id").as("prev_doc_id"),
+            col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
+          .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
+          .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
+        val med = dist
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("fdist"), col("doc_id"))))
+          .withColumn("nn", count(lit(1)).over(
+            Window.partitionBy()))
+          .filter(col("rn") === expr("(nn + 1) div 2"))
+          .select(col("fdist").as("med"))
+        val cuts = dist.crossJoin(broadcast(med))
+          .withColumn("cut", (col("fdist") > col("med")).cast("long"))
+          .withColumn("seg_id", sum(col("cut")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cuts.groupBy(col("source"), col("seg_id"))
+          .agg(min(col("prev_doc_id")).as("first_doc_id"),
+            max(col("doc_id")).as("last_doc_id"),
+            (count(lit(1)) + 1).as("n_frames"),
+            (sum(col("fdist")).cast(DoubleType) / count(lit(1)))
+              .as("mean_dist"))
+          .orderBy(col("source"), col("seg_id"))
+      },
+      oracle = Some("""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
+        pairs AS (
+          SELECT source, doc_id,
+                 lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS prev_doc_id
+          FROM frames
+          QUALIFY prev_doc_id IS NOT NULL),
+        bytes AS (
+          SELECT doc_id, g.pos,
+                 CAST(ascii(substr(text, g.pos, 1)) AS BIGINT) AS b
+          FROM frames, generate_series(1, 1024) AS g(pos)
+          WHERE g.pos <= length(text)),
+        dist AS (
+          SELECT p.source, p.doc_id, p.prev_doc_id,
+                 CAST(SUM(abs(c.b - pv.b)) AS BIGINT) AS fdist
+          FROM pairs p
+          JOIN bytes c ON c.doc_id = p.doc_id
+          JOIN bytes pv ON pv.doc_id = p.prev_doc_id AND pv.pos = c.pos
+          GROUP BY 1, 2, 3),
+        med AS (
+          SELECT fdist AS med FROM (
+            SELECT fdist,
+                   ROW_NUMBER() OVER (ORDER BY fdist, doc_id) AS rn,
+                   COUNT(*) OVER () AS nn
+            FROM dist)
+          WHERE rn = (nn + 1) // 2),
+        cuts AS (
+          SELECT d.source, d.doc_id, d.prev_doc_id, d.fdist,
+                 CAST(d.fdist > m.med AS BIGINT) AS cut
+          FROM dist d, med m),
+        segs AS (
+          SELECT *, CAST(SUM(cut) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS seg_id
+          FROM cuts)
+        SELECT source, seg_id,
+               MIN(prev_doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id,
+               COUNT(*) + 1 AS n_frames,
+               CAST(SUM(fdist) AS DOUBLE)/COUNT(*) AS mean_dist
+        FROM segs GROUP BY 1, 2 ORDER BY source, seg_id""")),
+
     // ----- mm_motion_tiles: per-tile motion estimation -------------------
     // Block-matching motion search between consecutive frames of the same
     // camera — the ego-motion/pan screen a video-dedup pipeline runs

@@ -1052,6 +1052,100 @@ object Similarity {
                round(MAX(abs(err)), 9) AS max_abs_err
         FROM errs GROUP BY 1, 2 ORDER BY vec_id""")),
 
+    // ----- emb_knn_graph: approximate kNN-graph construction -------------
+    // The index-build step graph-based ANN (HNSW/NN-descent families)
+    // starts from: a k-nearest-neighbor graph, here approximated by
+    // exact top-4 cosine WITHIN each random-hyperplane LSH bucket (the
+    // emb_lsh_ann signature — O(Σ n_b²) pair work instead of n²). The
+    // emitted per-vector report carries the graph-quality signals an
+    // index builder watches: degree (bucket too small → underlinked) and
+    // the reciprocal-edge count (symmetric neighborhoods → good bucket
+    // geometry). Exact fixed-point sims, vec_id tie-breaks — the graph
+    // is engine-identical edge for edge.
+    "emb_knn_graph" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val xq = transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+        val sig = (0 until LshPlanes).map { p =>
+          val plane = typedLit((0 until 64).map(c => lshSign(p, c)))
+          val dot = aggregate(
+            zip_with(xq, plane, (x, pl) => x * pl), lit(0L), (acc, x) => acc + x)
+          when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+        val keyed = e.select(col("vec_id"), col("embedding"), col("nq"),
+          sig.as("bucket"))
+        val a = keyed.select(col("bucket"), col("vec_id"),
+          col("embedding").as("emb_a"), col("nq").as("nq_a"))
+        val b = keyed.select(col("bucket"), col("vec_id").as("n_vec_id"),
+          col("embedding").as("emb_b"), col("nq").as("nq_b"))
+        val ranked = a.join(b, Seq("bucket"))
+          .filter(col("vec_id") =!= col("n_vec_id"))
+          .withColumn("simq", qdot(col("emb_a"), col("emb_b")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("simq").desc, col("n_vec_id"))))
+          .filter(col("rn") <= 4)
+          .select(col("vec_id"), col("n_vec_id"))
+        val edges = ranked.cache()
+        val recip = edges
+          .join(edges.select(col("vec_id").as("n_vec_id"),
+            col("n_vec_id").as("vec_id")), Seq("vec_id", "n_vec_id"), "left_semi")
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_reciprocal"))
+        edges.groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+          .join(recip, Seq("vec_id"), "left")
+          .na.fill(0L, Seq("n_reciprocal"))
+          .withColumn("well_linked",
+            col("degree") === 4 && col("n_reciprocal") >= 2)
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some {
+        val planeRows = (for {
+          p <- 0 until LshPlanes
+          c <- 0 until 64
+        } yield s"($p,${1L << p},${c + 1},${lshSign(p, c)})").mkString(",")
+        s"""
+        WITH planes(p, w, i, s) AS (VALUES $planeRows),
+        xq AS (
+          SELECT vec_id, t.i AS i,
+                 CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1048576) AS BIGINT) AS xq
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        dots AS (
+          SELECT x.vec_id, p.p, p.w, CAST(SUM(x.xq*p.s) AS BIGINT) AS dp
+          FROM xq x JOIN planes p ON x.i = p.i GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dp >= 0 THEN w ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM dots GROUP BY 1),
+        sims AS (
+          SELECT a.vec_id, b.vec_id AS n_vec_id,
+                 SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS simq
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        edges AS MATERIALIZED (
+          SELECT vec_id, n_vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY simq DESC, n_vec_id) AS rn
+            FROM sims) WHERE rn <= 4),
+        recip AS (
+          SELECT e.vec_id, COUNT(*) AS n_reciprocal
+          FROM edges e
+          WHERE EXISTS (SELECT 1 FROM edges r
+                        WHERE r.vec_id = e.n_vec_id AND r.n_vec_id = e.vec_id)
+          GROUP BY 1)
+        SELECT d.vec_id, d.degree, COALESCE(r.n_reciprocal, 0) AS n_reciprocal,
+               d.degree = 4 AND COALESCE(r.n_reciprocal, 0) >= 2
+                 AS well_linked
+        FROM (SELECT vec_id, COUNT(*) AS degree FROM edges GROUP BY 1) d
+        LEFT JOIN recip r ON d.vec_id = r.vec_id
+        ORDER BY d.vec_id"""
+      }),
+
     // ----- emb_centroid_drift: embedding-distribution drift monitor ------
     // The drift check every embedding-backed index/pipeline runs between
     // ingestion batches: split the corpus into two deterministic halves

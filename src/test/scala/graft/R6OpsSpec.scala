@@ -351,6 +351,41 @@ class R6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_scene_segments: segments tile each camera's stream without overlap") {
+    val rows = run("mm_scene_segments").cache()
+    assert(rows.count() > 0)
+    rows.collect().groupBy(_.getAs[String]("source")).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_.getAs[Long]("seg_id"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("first_doc_id") < r.getAs[Long]("last_doc_id")
+          || r.getAs[Long]("n_frames") == 2)
+        assert(r.getAs[Double]("mean_dist") >= 0.0)
+      }
+      // consecutive segments don't overlap (first of next > first of prev)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(y.getAs[Long]("first_doc_id") >= x.getAs[Long]("last_doc_id")
+            - 1) // the cut frame starts the next segment
+        case _ =>
+      }
+    }
+    rows.unpersist()
+  }
+
+  test("emb_knn_graph: degree <= 4, reciprocity bounded by degree") {
+    val rows = run("emb_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      val rec = r.getAs[Long]("n_reciprocal")
+      assert(deg >= 1 && deg <= 4)
+      assert(rec >= 0 && rec <= deg)
+      assert(r.getAs[Boolean]("well_linked") == (deg == 4 && rec >= 2))
+    }
+    // bucketed top-4 should link most of the corpus
+    assert(rows.length > 100)
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
