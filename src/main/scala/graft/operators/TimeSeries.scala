@@ -2129,6 +2129,78 @@ object TimeSeries {
                string_agg(sym, '' ORDER BY wi) AS sax_word
         FROM syms GROUP BY 1 ORDER BY user_id""")),
 
+    // ----- ts_forecast_eval: one-step-ahead backtest ---------------------
+    // The forecast-quality audit that closes the smoothing loop: ts_holt's
+    // one-step forecast is scored against the NEXT actual reading per
+    // entity (walk-forward backtest), reporting MAE and bias alongside
+    // the naive last-value baseline — the standard "does the trend term
+    // earn its keep" comparison. Errors aggregate with qsum (order-free
+    // fixed point); the per-entity skill flag is exact. Same single
+    // entity-keyed window as ts_holt, one extra lead.
+    "ts_forecast_eval" -> Q(
+      build = (s, d) => {
+        val (lc, bc) = HoltK.taps
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v0"))
+        val lagged = (1 to 8).foldLeft(base) { (df, k) =>
+          df.withColumn(s"v$k", lag(col("v0"), k).over(w))
+        }
+        lagged
+          .withColumn("nxt", lead(col("v0"), 1).over(w))
+          .filter(col("v8").isNotNull && col("nxt").isNotNull)
+          .withColumn("fc",
+            (expr(HoltK.dot(lc)) + expr(HoltK.dot(bc))) / lit(100.0))
+          .withColumn("actual", col("nxt") / lit(100.0))
+          .withColumn("naive", col("v0") / lit(100.0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_evals"),
+            qsum(abs(col("fc") - col("actual"))).as("mae_holt_q"),
+            qsum(abs(col("naive") - col("actual"))).as("mae_naive_q"),
+            qsum(col("fc") - col("actual")).as("bias_q"))
+          .select(col("user_id"), col("n_evals"),
+            (col("mae_holt_q") / col("n_evals")).as("mae_holt"),
+            (col("mae_naive_q") / col("n_evals")).as("mae_naive"),
+            (col("bias_q") / col("n_evals")).as("bias"),
+            (col("mae_holt_q") < col("mae_naive_q")).as("beats_naive"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some {
+        val (lc, bc) = HoltK.taps
+        s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS v0
+          FROM events),
+        lagged AS (
+          SELECT *,
+                 ${(1 to 8).map(k =>
+                   s"lag(v0, $k) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS v$k")
+                   .mkString(", ")},
+                 lead(v0, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS nxt
+          FROM base),
+        scored AS (
+          SELECT user_id,
+                 (${HoltK.dot(lc)} + ${HoltK.dot(bc)}) / 100.0 AS fc,
+                 nxt / 100.0 AS actual, v0 / 100.0 AS naive
+          FROM lagged WHERE v8 IS NOT NULL AND nxt IS NOT NULL),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_evals,
+                 ${QSUM("abs(fc - actual)")} AS mae_holt_q,
+                 ${QSUM("abs(naive - actual)")} AS mae_naive_q,
+                 ${QSUM("fc - actual")} AS bias_q
+          FROM scored GROUP BY 1)
+        SELECT user_id, n_evals,
+               mae_holt_q / n_evals AS mae_holt,
+               mae_naive_q / n_evals AS mae_naive,
+               bias_q / n_evals AS bias,
+               mae_holt_q < mae_naive_q AS beats_naive
+        FROM agg ORDER BY user_id"""
+      }),
+
     // ----- ts_seasonal_decompose: trend + diurnal + residual split -------
     // Classical seasonal decomposition of the hourly feed-volume series
     // per event type (the STL-lite every capacity/anomaly dashboard

@@ -386,6 +386,20 @@ class R6OpsSpec extends SparkSpecBase {
     assert(rows.length > 100)
   }
 
+  test("ts_forecast_eval: MAEs non-negative, flag consistent, evals counted") {
+    val rows = run("ts_forecast_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mh = r.getAs[Double]("mae_holt")
+      val mn = r.getAs[Double]("mae_naive")
+      assert(mh >= 0.0 && mn >= 0.0)
+      assert(r.getAs[Boolean]("beats_naive") == (mh < mn)
+        || math.abs(mh - mn) < 1e-9)
+      assert(math.abs(r.getAs[Double]("bias")) <= mh + 1e-9)
+      assert(r.getAs[Long]("n_evals") > 0)
+    }
+  }
+
   test("emb_mrl_recall: recall in [0,1] over k=5, and not degenerate") {
     val rows = run("emb_mrl_recall").collect()
     assert(rows.length == 10)
