@@ -2265,6 +2265,229 @@ object TimeSeries {
         FROM full_w f JOIN seas s
           ON f.event_type = s.event_type AND f.hod = s.hod
         ORDER BY f.event_type, f.hour_sec"""))
+  ) ++ Seq(
+
+    // ----- ts_m4: error-free series downsampling (M4) --------------------
+    // M4 downsampling (Jugel et al., VLDB 2014): per entity and per
+    // 16-sample frame keep first/last/min/max — the exact set of points a
+    // pixel-width-bounded line rendering needs, and the standard way a
+    // dashboard reads a 100 TB series store without scanning raw points
+    // into the client. Reference adjacency: ODIN's track/sensor UIs plot
+    // decimated histories (e.g. odin_sentinel record ring buffers);
+    // this is the store-side decimation that keeps those plots exact.
+    // Shape: one entity-keyed window for frame ids, then one (entity,
+    // frame) groupBy whose four argmin/argmax fold map-side as struct
+    // min/max — constant state per frame, no second pass. All selection
+    // math on exact integer cents + row numbers, so engine-identical.
+    "ts_m4" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("wi", expr("(rn - 1) div 16"))
+        base.groupBy(col("user_id"), col("wi"))
+          .agg(
+            min(struct(col("rn"), col("ts_sec"), col("vc"))).as("f"),
+            max(struct(col("rn"), col("ts_sec"), col("vc"))).as("l"),
+            min(struct(col("vc"), col("rn"), col("ts_sec"))).as("mn"),
+            max(struct(col("vc"), col("rn"), col("ts_sec"))).as("mx"),
+            count(lit(1)).as("n_pts"))
+          .select(col("user_id"), col("wi"), col("n_pts"),
+            col("f.ts_sec").as("t_first"),
+            (col("f.vc") / 100.0).as("v_first"),
+            col("l.ts_sec").as("t_last"),
+            (col("l.vc") / 100.0).as("v_last"),
+            col("mn.ts_sec").as("t_min"),
+            (col("mn.vc") / 100.0).as("v_min"),
+            col("mx.ts_sec").as("t_max"),
+            (col("mx.vc") / 100.0).as("v_max"))
+          .orderBy(col("user_id"), col("wi"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS rn
+          FROM events),
+        fr AS (SELECT *, (rn - 1) // 16 AS wi FROM base),
+        pick AS (
+          SELECT user_id, wi, ts_sec, vc, rn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, wi
+                   ORDER BY rn) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, wi
+                   ORDER BY rn DESC) AS rl,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, wi
+                   ORDER BY vc, rn) AS rmn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, wi
+                   ORDER BY vc DESC, rn DESC) AS rmx,
+                 COUNT(*) OVER (PARTITION BY user_id, wi) AS n_pts
+          FROM fr)
+        SELECT user_id, wi, n_pts,
+               MAX(CASE WHEN rf = 1 THEN ts_sec END) AS t_first,
+               MAX(CASE WHEN rf = 1 THEN vc / 100.0 END) AS v_first,
+               MAX(CASE WHEN rl = 1 THEN ts_sec END) AS t_last,
+               MAX(CASE WHEN rl = 1 THEN vc / 100.0 END) AS v_last,
+               MAX(CASE WHEN rmn = 1 THEN ts_sec END) AS t_min,
+               MAX(CASE WHEN rmn = 1 THEN vc / 100.0 END) AS v_min,
+               MAX(CASE WHEN rmx = 1 THEN ts_sec END) AS t_max,
+               MAX(CASE WHEN rmx = 1 THEN vc / 100.0 END) AS v_max
+        FROM pick GROUP BY 1, 2, 3
+        ORDER BY user_id, wi""")),
+
+    // ----- ts_peak_prominence: bounded-window peak detection -------------
+    // Local-maximum detection with a prominence floor — the alarm-grade
+    // "is this spike real" test (a strict max over ±3 neighbors whose
+    // height clears the higher of the two flanking minima by >= 0.5).
+    // Reference adjacency: sentinel threshold alarms fire on raw
+    // crossings (odin_sentinel/src/alarm.rs); peak prominence is the
+    // standard refinement that suppresses ripple retriggers. Entirely
+    // integer-cent math over one entity-keyed window — deterministic by
+    // construction, no float compare anywhere.
+    "ts_peak_prominence" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+        val withN = (1 to 3).foldLeft(base) { (df, k) =>
+          df.withColumn(s"l$k", lag(col("vc"), k).over(w))
+            .withColumn(s"r$k", lead(col("vc"), k).over(w))
+        }
+        withN
+          .filter((1 to 3).map(k =>
+            col(s"l$k").isNotNull && col(s"r$k").isNotNull &&
+              col("vc") > col(s"l$k") && col("vc") > col(s"r$k"))
+            .reduce(_ && _))
+          .withColumn("prom_c",
+            col("vc") - greatest(
+              least(col("l1"), col("l2"), col("l3")),
+              least(col("r1"), col("r2"), col("r3"))))
+          .filter(col("prom_c") >= 50)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            (col("vc") / 100.0).as("peak_value"),
+            (col("prom_c") / 100.0).as("prominence"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc
+          FROM events),
+        nb AS (
+          SELECT *,
+                 ${(1 to 3).map(k =>
+                   s"lag(vc, $k) OVER w AS l$k, lead(vc, $k) OVER w AS r$k")
+                   .mkString(", ")}
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        SELECT user_id, ts_sec, event_id,
+               vc / 100.0 AS peak_value,
+               (vc - greatest(least(l1, l2, l3), least(r1, r2, r3))) / 100.0
+                 AS prominence
+        FROM nb
+        WHERE ${(1 to 3).map(k =>
+          s"l$k IS NOT NULL AND r$k IS NOT NULL AND vc > l$k AND vc > r$k")
+          .mkString(" AND ")}
+          AND vc - greatest(least(l1, l2, l3), least(r1, r2, r3)) >= 50
+        ORDER BY user_id, ts_sec, event_id""")),
+
+    // ----- ts_spc_rules: Western-Electric control-chart audit ------------
+    // The four classic SPC run rules per entity: (1) a point beyond
+    // 3 sigma; (2) nine consecutive points on one side of the mean;
+    // (3) six consecutive points strictly rising or falling; (4)
+    // fourteen consecutive points alternating up/down. This is the
+    // process-health battery a monitoring plane runs next to raw
+    // threshold alarms (odin_sentinel/src/alarm.rs thresholds catch
+    // rule 1; rules 2-4 catch drifts and oscillation the threshold
+    // misses). Mean/sigma come from exact integer-cent sums and the z
+    // chain is ONE shared formula text, so the 3-sigma compare is
+    // engine-identical; rules 2-4 are pure integer window sums.
+    "ts_spc_rules" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+        val stats = base.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sumc"),
+            sum(col("vc") * col("vc")).as("sumsq"))
+        base.join(stats, Seq("user_id"))
+          .withColumn("z", expr(SpcK.z))
+          .withColumn("side", expr(SpcK.side))
+          .withColumn("dv", col("vc") - lag(col("vc"), 1).over(w))
+          .withColumn("inc", expr(
+            "CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END"))
+          .withColumn("s9",
+            sum(col("side")).over(w.rowsBetween(-8, 0)))
+          .withColumn("up5", sum(when(col("inc") === 1, 1).otherwise(0))
+            .over(w.rowsBetween(-4, 0)))
+          .withColumn("dn5", sum(when(col("inc") === -1, 1).otherwise(0))
+            .over(w.rowsBetween(-4, 0)))
+          .withColumn("alt", when(col("inc") * lag(col("inc"), 1).over(w)
+            === -1, 1).otherwise(0))
+          .withColumn("a13", sum(col("alt")).over(w.rowsBetween(-12, 0)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(abs(col("z")) > 3.0, 1).otherwise(0)).as("r1_beyond3"),
+            sum(when(abs(col("s9")) === 9, 1).otherwise(0)).as("r2_run9"),
+            sum(when(col("up5") === 5 || col("dn5") === 5, 1).otherwise(0))
+              .as("r3_trend6"),
+            sum(when(col("a13") === 13, 1).otherwise(0)).as("r4_alt14"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc
+          FROM events),
+        stats AS (
+          SELECT user_id, COUNT(*) AS n, SUM(vc) AS sumc,
+                 SUM(vc * vc) AS sumsq
+          FROM base GROUP BY 1),
+        scored AS (
+          SELECT b.*, ${SpcK.z} AS z
+          FROM base b JOIN stats USING (user_id)),
+        flagged AS (
+          SELECT *, ${SpcK.side} AS side,
+                 vc - lag(vc, 1) OVER w AS dv
+          FROM scored
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        runs AS (
+          SELECT *,
+                 CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END
+                   AS inc
+          FROM flagged),
+        wind AS (
+          SELECT *,
+                 SUM(side) OVER (w ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+                   AS s9,
+                 SUM(CASE WHEN inc = 1 THEN 1 ELSE 0 END)
+                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS up5,
+                 SUM(CASE WHEN inc = -1 THEN 1 ELSE 0 END)
+                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS dn5,
+                 CASE WHEN inc * lag(inc, 1) OVER w = -1 THEN 1 ELSE 0 END
+                   AS alt
+          FROM runs
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        wind2 AS (
+          SELECT *,
+                 SUM(alt) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id
+                   ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS a13
+          FROM wind)
+        SELECT user_id, COUNT(*) AS n_points,
+               SUM(CASE WHEN abs(z) > 3.0e0 THEN 1 ELSE 0 END) AS r1_beyond3,
+               SUM(CASE WHEN abs(s9) = 9 THEN 1 ELSE 0 END) AS r2_run9,
+               SUM(CASE WHEN up5 = 5 OR dn5 = 5 THEN 1 ELSE 0 END)
+                 AS r3_trend6,
+               SUM(CASE WHEN a13 = 13 THEN 1 ELSE 0 END) AS r4_alt14
+        FROM wind2 GROUP BY 1 ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
@@ -2278,6 +2501,19 @@ object TimeSeries {
     val zp = s"(CAST(paa_sum AS DOUBLE)/8.0 - $mean)/$sd AS zp"
     val sym = "CASE WHEN zp < -0.6745e0 THEN 'a' WHEN zp < 0.0e0 THEN 'b' " +
       "WHEN zp < 0.6745e0 THEN 'c' ELSE 'd' END AS sym"
+  }
+
+  /** Engine-shared SPC fragments: mean/sigma in integer cents from exact
+    * integer sums, the z value as ONE shared double chain (the SaxK
+    * technique), and the side-of-mean sign on that z.
+    */
+  private object SpcK {
+    private val mean = "(CAST(sumc AS DOUBLE)/n)"
+    private val sd =
+      s"sqrt(greatest(CAST(sumsq AS DOUBLE)/n - $mean*$mean, 1.0e-9))"
+    val z: String = s"(CAST(vc AS DOUBLE) - $mean)/$sd"
+    val side: String =
+      "CASE WHEN z > 0.0e0 THEN 1 WHEN z < 0.0e0 THEN -1 ELSE 0 END"
   }
 
   /** Holt finite-window tap coefficients (alpha=0.5, beta=0.3): the
