@@ -3579,6 +3579,140 @@ object Geo {
           SELECT event_id, track_key, ${FootK.chain.mkString(", ")} FROM best)
         SELECT event_id, track_key, ${FootK.out.mkString(", ")}
         FROM chain ORDER BY event_id"""))
+  ) ++ Seq(
+
+    // ----- geo_tile_pyramid: all-zoom-level tile rollup in one pass ------
+    // The map-tile heat pyramid behind every slippy-map overlay: Cesium's
+    // GeographicTilingScheme (plate carree, 2^(z+1) x 2^z tiles at level
+    // z — the scheme odin_cesium imagery layers address) aggregated for
+    // levels 4..10 in ONE aggregation: the finest-level tile id is
+    // computed once with exact linear floor math, coarser ids are integer
+    // bit-shifts of it (floor-nesting identity), and a 7-level explode
+    // feeds a single groupBy. At 100 TB this builds the whole pyramid
+    // with one shuffle instead of one scan per zoom level; counts and
+    // 2-decimal sums aggregate exactly.
+    "geo_tile_pyramid" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d).select(col("value"),
+          expr(PyrK.t10x).as("t10x"), expr(PyrK.t10y).as("t10y"))
+        pts
+          .withColumn("z", explode(expr("sequence(4, 10)")))
+          .withColumn("tx", expr("shiftright(t10x, CAST(10 - z AS INT))"))
+          .withColumn("ty", expr("shiftright(t10y, CAST(10 - z AS INT))"))
+          .groupBy(col("z"), col("tx"), col("ty"))
+          .agg(count(lit(1)).as("n_points"), dsum(col("value")).as("val_sum"))
+          .orderBy(col("z"), col("tx"), col("ty"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT value, $LAT AS lat, $LON AS lon FROM events),
+        t10 AS (
+          SELECT value, ${PyrK.t10x} AS t10x, ${PyrK.t10y} AS t10y
+          FROM pts),
+        lv AS (
+          SELECT value, g.z AS z,
+                 t10x >> CAST(10 - g.z AS INT) AS tx,
+                 t10y >> CAST(10 - g.z AS INT) AS ty
+          FROM t10 CROSS JOIN generate_series(4, 10) AS g(z))
+        SELECT z, tx, ty, COUNT(*) AS n_points,
+               ${DSUM("value")} AS val_sum
+        FROM lv GROUP BY 1, 2, 3 ORDER BY z, tx, ty""")),
+
+    // ----- geo_rhumb: loxodrome legs between consecutive fixes -----------
+    // Rhumb-line (constant-bearing) distance and course per track leg —
+    // what a navigation display shows next to the great-circle numbers
+    // (odin_common/geo.rs carries the gc pair; the loxodrome is its
+    // constant-heading complement). Mercator-stretched latitude via
+    // ln(tan(pi/4 + phi/2)), the E-W degenerate case handled by the
+    // standard q -> cos(phi) limit, antimeridian-crossing dlon folded to
+    // [-pi, pi]. Every stage is ONE shared formula text evaluated by both
+    // engines, outputs rounded to 3 decimals — the geo_geodesic scheme.
+    "geo_rhumb" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        evPts(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            col("lat"), col("lon"))
+          .withColumn("plat", lag(col("lat"), 1).over(w))
+          .withColumn("plon", lag(col("lon"), 1).over(w))
+          .filter(col("plat").isNotNull)
+          .withColumn("dphi", expr(RhumbK.dphi))
+          .withColumn("dpsi", expr(RhumbK.dpsi))
+          .withColumn("dl0", expr(RhumbK.dl0))
+          .withColumn("q", expr(RhumbK.q))
+          .withColumn("dl", expr(RhumbK.dl))
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr(s"round(${RhumbK.dist}, 3)").as("rhumb_km"),
+            expr(s"round(${RhumbK.brg}, 3)").as("rhumb_brg"),
+            expr(s"round(${havS("plat", "plon", "lat", "lon")}, 3)")
+              .as("gc_km"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 event_id, $LAT AS lat, $LON AS lon
+          FROM events),
+        legs AS (
+          SELECT *,
+                 lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+          QUALIFY plat IS NOT NULL),
+        s1 AS (
+          SELECT *, ${RhumbK.dphi} AS dphi, ${RhumbK.dpsi} AS dpsi,
+                 ${RhumbK.dl0} AS dl0
+          FROM legs),
+        s2 AS (
+          SELECT *, ${RhumbK.q} AS q, ${RhumbK.dl} AS dl FROM s1)
+        SELECT user_id, ts_sec, event_id,
+               round(${RhumbK.dist}, 3) AS rhumb_km,
+               round(${RhumbK.brg}, 3) AS rhumb_brg,
+               round(${havS("plat", "plon", "lat", "lon")}, 3) AS gc_km
+        FROM s2 ORDER BY user_id, ts_sec, event_id""")),
+
+    // ----- geo_idw: inverse-distance-weighted field interpolation --------
+    // Shepard/IDW interpolation of a sparse station field at every
+    // observation point — the classic station-to-grid estimator behind
+    // wind/temperature surfaces (odin_wind consumes exactly such
+    // station-interpolated fields). The 10-station dimension broadcasts
+    // (never shuffles the fact side); per-probe weights 1/(d^2 + eps)
+    // are floor-quantized to 2^-40 BIGINTs so the weighted sums are
+    // order-free integer math, and the final estimate is one IEEE
+    // division rounded to 3 decimals. At scale: K stations means xK
+    // row replication under a broadcast — for large K swap in the
+    // geo_nearest grid-bucketed K-NN path instead.
+    "geo_idw" -> Q(
+      build = (s, d) => {
+        val st = stations(s, d)
+          .withColumn("s_val", expr("CAST(s_suppkey*31 % 100 AS BIGINT)"))
+        evPts(s, d)
+          .select(col("event_id"), col("lat"), col("lon"))
+          .crossJoin(broadcast(st))
+          .withColumn("wq", expr(IdwK.wq))
+          .groupBy(col("event_id"))
+          .agg(sum(col("wq") * col("s_val")).as("num"),
+            sum(col("wq")).as("den"), count(lit(1)).as("n_stations"))
+          .select(col("event_id"), col("n_stations"),
+            expr("round(CAST(num AS DOUBLE)/CAST(den AS DOUBLE), 3)")
+              .as("idw_est"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH probes AS (
+          SELECT event_id, $LAT AS lat, $LON AS lon FROM events),
+        st AS (
+          SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon,
+                 CAST(s_suppkey*31 % 100 AS BIGINT) AS s_val
+          FROM supplier),
+        pairs AS (
+          SELECT event_id, s_val, ${IdwK.wq} AS wq
+          FROM probes CROSS JOIN st)
+        SELECT event_id, COUNT(*) AS n_stations,
+               round(CAST(SUM(wq * s_val) AS DOUBLE)
+                     / CAST(SUM(wq) AS DOUBLE), 3) AS idw_est
+        FROM pairs GROUP BY 1 ORDER BY event_id"""))
   )
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip
@@ -3677,6 +3811,43 @@ object Geo {
     * derived latitudes, whose 1-ulp spread is 9 orders of magnitude
     * below the integer-meter rounding boundary).
     */
+  /** Shared plate-carree tiling fragments (Cesium GeographicTilingScheme,
+    * level 10 = 2048 x 1024): exact linear floor math, clamped at the
+    * +180/+90 edge. Coarser levels derive by integer shifts.
+    */
+  private object PyrK {
+    val t10x: String =
+      "CAST(LEAST(FLOOR((lon + 180.0)/360.0*2048.0), 2047.0) AS BIGINT)"
+    val t10y: String =
+      "CAST(LEAST(FLOOR((90.0 - lat)/180.0*1024.0), 1023.0) AS BIGINT)"
+  }
+
+  /** Shared rhumb-line fragments over (plat, plon) -> (lat, lon): each
+    * stage is one formula text evaluated by both engines.
+    */
+  private object RhumbK {
+    val dphi = "(radians(lat) - radians(plat))"
+    val dpsi = "ln(tan(pi()/4.0 + radians(lat)/2.0)" +
+      " / tan(pi()/4.0 + radians(plat)/2.0))"
+    val dl0 = "(radians(lon) - radians(plon))"
+    val q = "CASE WHEN abs(dpsi) > 1.0e-12 THEN dphi/dpsi" +
+      " ELSE cos(radians(plat)) END"
+    val dl = "CASE WHEN dl0 > pi() THEN dl0 - 2.0*pi()" +
+      " WHEN dl0 < -pi() THEN dl0 + 2.0*pi() ELSE dl0 END"
+    val dist = "sqrt(dphi*dphi + q*q*dl*dl) * 6371.0"
+    val brg = "(degrees(atan2(dl, dpsi)) + 360.0) % 360.0"
+  }
+
+  /** IDW weight 1/(d_km^2 + 25) floor-quantized to 2^-40 (order-free
+    * integer sums; min station weight ~2.5e-9 still carries ~2.7e3
+    * quanta). One shared text both engines.
+    */
+  private object IdwK {
+    val wq: String = "CAST(FLOOR(1.0/(" +
+      s"pow(${havS("lat", "lon", "s_lat", "s_lon")}, 2) + 25.0)" +
+      " * 1099511627776.0) AS BIGINT)"
+  }
+
   private object FootK {
     val trackM = "CAST(375 + event_id*7 % 225 AS DOUBLE)"
     val scanM = "CAST(375 + user_id*11 % 225 AS DOUBLE)"
