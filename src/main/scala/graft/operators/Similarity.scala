@@ -1294,5 +1294,164 @@ object Similarity {
         LEFT JOIN (SELECT q_vec_id, n_vec_id FROM ranked WHERE rn_16 <= 5) t
           ON t.q_vec_id = e.q_vec_id AND t.n_vec_id = e.n_vec_id
         GROUP BY e.q_vec_id ORDER BY e.q_vec_id"""))
+  ) ++ Seq(
+
+    // ----- emb_rank_fusion: reciprocal-rank fusion of two retrievers -----
+    // RRF (Cormack et al. 2009) — the standard way hybrid search merges
+    // ranked lists without score calibration: fuse the cosine retriever
+    // with the euclidean retriever, score = sum over lists of
+    // 1/(60 + rank) for ranks <= 10. Both input rankings come from the
+    // SAME exact BIGINT kernels (quantized dot; L2^2 = nq_a + nq_b -
+    // 2*dot is pure integer algebra), and the RRF score is integer-
+    // scaled 10^12 div (60 + r), so fusion, ordering, and the final
+    // top-5 are engine-identical. Shape: probe-set broadcast against
+    // the store, two per-query rank windows, one fused window — never
+    // an all-pairs join.
+    "emb_rank_fusion" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"))
+        val wC = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val wE = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("l2q"), col("vec_id"))
+        val wF = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("rrf_q").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("dot", qdot(col("q_emb"), col("embedding")))
+          .withColumn("cos_sim", col("dot").cast(DoubleType)
+            / (sqrt(col("q_nq").cast(DoubleType))
+              * sqrt(col("nq").cast(DoubleType))))
+          .withColumn("l2q", col("q_nq") + col("nq") - lit(2L) * col("dot"))
+          .withColumn("rc", row_number().over(wC))
+          .withColumn("re", row_number().over(wE))
+          .withColumn("rrf_q",
+            when(col("rc") <= 10, expr("1000000000000 div (60 + rc)"))
+              .otherwise(0L)
+              + when(col("re") <= 10, expr("1000000000000 div (60 + re)"))
+              .otherwise(0L))
+          .filter(col("rrf_q") > 0)
+          .withColumn("rn", row_number().over(wF))
+          .filter(col("rn") <= 5)
+          .select(col("q_vec_id"), col("rn").cast(IntegerType).as("rn"),
+            col("vec_id").as("n_vec_id"), col("rrf_q"),
+            col("rc").cast(IntegerType).as("rank_cos"),
+            col("re").cast(IntegerType).as("rank_l2"))
+          .orderBy(col("q_vec_id"), col("rn"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id,
+                 SUM(${qterm("q.embedding[i]", "e.embedding[i]")}) AS dot
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings e ON e.vec_id <> q.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT d.q_vec_id, d.vec_id,
+                 CAST(d.dot AS DOUBLE)
+                   /(sqrt(CAST(nq1.nq AS DOUBLE))*sqrt(CAST(nq2.nq AS DOUBLE)))
+                   AS cos_sim,
+                 nq1.nq + nq2.nq - 2*d.dot AS l2q
+          FROM dots d
+          JOIN n nq1 ON nq1.vec_id = d.q_vec_id
+          JOIN n nq2 ON nq2.vec_id = d.vec_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                   ORDER BY cos_sim DESC, vec_id) AS rc,
+                 ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                   ORDER BY l2q, vec_id) AS re
+          FROM sims),
+        fused AS (
+          SELECT *,
+                 (CASE WHEN rc <= 10 THEN 1000000000000 // (60 + rc)
+                       ELSE 0 END)
+                 + (CASE WHEN re <= 10 THEN 1000000000000 // (60 + re)
+                         ELSE 0 END) AS rrf_q
+          FROM ranked)
+        SELECT q_vec_id, CAST(rn AS INT) AS rn, vec_id AS n_vec_id, rrf_q,
+               CAST(rc AS INT) AS rank_cos, CAST(re AS INT) AS rank_l2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                ORDER BY rrf_q DESC, vec_id) AS rn
+              FROM fused WHERE rrf_q > 0)
+        WHERE rn <= 5
+        ORDER BY q_vec_id, rn""")),
+
+    // ----- emb_hard_negatives: contrastive-training pair mining ----------
+    // The mining step behind every contrastive embedding fine-tune: per
+    // anchor, the hardest positive (most-similar vector of the SAME
+    // label) and the hardest negative (most-similar vector of a
+    // DIFFERENT label), with the triplet margin between them. A negative
+    // margin marks label noise / boundary anchors — the rows a curation
+    // pass escalates. Anchor set broadcasts against the store; both
+    // argmaxes are single struct-min folds over exact quantized-cosine
+    // doubles (map-side combinable, no sort, no pair materialization).
+    "emb_hard_negatives" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val anchors = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+            col("nq").as("a_nq"), col("label").as("a_label"))
+        val scored = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+          .withColumn("cos_sim",
+            qdot(col("a_emb"), col("embedding")).cast(DoubleType)
+              / (sqrt(col("a_nq").cast(DoubleType))
+                * sqrt(col("nq").cast(DoubleType))))
+          .withColumn("m",
+            struct((-col("cos_sim")).as("nc"), col("vec_id").as("vid")))
+        scored
+          .groupBy(col("a_id"), col("a_label"))
+          .agg(
+            min(when(col("label") === col("a_label"), col("m"))).as("p"),
+            min(when(col("label") =!= col("a_label"), col("m"))).as("ng"))
+          .filter(col("p").isNotNull && col("ng").isNotNull)
+          .select(col("a_id"), col("a_label"),
+            col("p.vid").as("pos_id"), (-col("p.nc")).as("pos_sim"),
+            col("ng.vid").as("neg_id"), (-col("ng.nc")).as("neg_sim"),
+            (col("ng.nc") - col("p.nc")).as("margin"))
+          .orderBy(col("a_id"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS a_id, a.label AS a_label,
+                 e.vec_id, e.label,
+                 SUM(${qterm("a.embedding[i]", "e.embedding[i]")}) AS dot
+          FROM (SELECT * FROM embeddings WHERE vec_id < 50) a
+          JOIN embeddings e ON e.vec_id <> a.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2, 3, 4),
+        sims AS (
+          SELECT d.a_id, d.a_label, d.vec_id, d.label,
+                 CAST(d.dot AS DOUBLE)
+                   /(sqrt(CAST(n1.nq AS DOUBLE))*sqrt(CAST(n2.nq AS DOUBLE)))
+                   AS cos_sim
+          FROM dots d
+          JOIN n n1 ON n1.vec_id = d.a_id
+          JOIN n n2 ON n2.vec_id = d.vec_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY a_id,
+                     (label = a_label)
+                   ORDER BY cos_sim DESC, vec_id) AS r
+          FROM sims),
+        pos AS (SELECT a_id, a_label, vec_id AS pos_id, cos_sim AS pos_sim
+                FROM ranked WHERE label = a_label AND r = 1),
+        neg AS (SELECT a_id, vec_id AS neg_id, cos_sim AS neg_sim
+                FROM ranked WHERE label <> a_label AND r = 1)
+        SELECT p.a_id, p.a_label, p.pos_id, p.pos_sim,
+               g.neg_id, g.neg_sim, p.pos_sim - g.neg_sim AS margin
+        FROM pos p JOIN neg g ON g.a_id = p.a_id
+        ORDER BY p.a_id"""))
   )
 }

@@ -2752,6 +2752,108 @@ object TextOps {
         $rounds
         SELECT doc_id, r AS pr_units, CAST(r AS DOUBLE) / 1.0e15 AS pr
         FROM r8 ORDER BY doc_id"""
-      })
+      }),
+
+    // ----- doc_perplexity_prune: CCNet head/middle/tail bucketing --------
+    // The CCNet pruning stage on top of the doc_unigram_logprob scorer:
+    // per-language perplexity deciles split the corpus into head (keep),
+    // middle (maybe), tail (drop) — the published 1/3-2/3 recipe
+    // (Wenzek et al. 2019) with the same 6-decimal-rounded DECIMAL-exact
+    // surprisal sums, so the ordering key is engine-identical and ties
+    // break on doc_id. The per-language ntile is a per-lang sort: at
+    // 100 TB swap in the q22_distribution range-partitioned rank — the
+    // decile boundary only needs a percentile sketch, not a total order.
+    "doc_perplexity_prune" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("n_total"))
+        val perDoc = toks.join(model, "term")
+          .crossJoin(broadcast(total))
+          .withColumn("nll",
+            round(-log(col("cnt").cast(DoubleType) / col("n_total")), 6)
+              .cast(DecimalType(18, 6)))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("mean_nll"))
+        perDoc
+          .withColumn("decile", ntile(10).over(Window.partitionBy(col("lang"))
+            .orderBy(col("mean_nll"), col("doc_id"))))
+          .withColumn("bucket",
+            when(col("decile") <= 3, "head")
+              .when(col("decile") <= 7, "middle").otherwise("tail"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("mean_nll"), col("decile"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        toks_f AS (SELECT * FROM toks WHERE term <> ''),
+        model AS (SELECT term, COUNT(*) AS cnt FROM toks_f GROUP BY 1),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model),
+        perdoc AS (
+          SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+                 CAST(SUM(CAST(round(-ln(CAST(m.cnt AS DOUBLE) / n_total), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_nll
+          FROM toks_f t JOIN model m ON t.term = m.term, total
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ntile(10) OVER (PARTITION BY lang
+                   ORDER BY mean_nll, doc_id) AS decile
+          FROM perdoc)
+        SELECT doc_id, lang, n_tokens, mean_nll, decile,
+               CASE WHEN decile <= 3 THEN 'head'
+                    WHEN decile <= 7 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM ranked ORDER BY doc_id""")),
+
+    // ----- doc_tokenizer_fertility: tokenizer audit per lang/source ------
+    // The tokenizer-fit audit every multilingual corpus needs before
+    // training: fertility (subword tokens per whitespace word) and
+    // compression (chars per token) per (lang, source), using the same
+    // GPT-2-style pre-tokenizer as doc_bpe_tokens. High fertility marks
+    // languages the tokenizer serves poorly (the standard tokenizer-
+    // parity metric). Pure column math into one tiny groupBy; ratios are
+    // single IEEE divisions of exact integer sums.
+    "doc_tokenizer_fertility" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("lang"), col("source"), col("n_chars"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))")
+              .cast(LongType).as("n_words"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+              .cast(LongType).as("n_toks"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"))
+          .withColumn("fertility",
+            col("n_tokens").cast(DoubleType) / col("n_words"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast(DoubleType) / col("n_tokens"))
+          .orderBy(col("lang"), col("source")),
+      oracle = Some("""
+        WITH per AS (
+          SELECT lang, source, n_chars,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(text,
+                      '[a-z]+|[0-9]|[^a-z0-9 ]', 0)) AS BIGINT) AS n_toks
+          FROM documents),
+        g AS (
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          FROM per GROUP BY 1, 2)
+        SELECT lang, source, n_docs, n_words, n_tokens, n_chars,
+               CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+               CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+        FROM g ORDER BY lang, source"""))
   )
 }
