@@ -3713,6 +3713,102 @@ object Geo {
                round(CAST(SUM(wq * s_val) AS DOUBLE)
                      / CAST(SUM(wq) AS DOUBLE), 3) AS idw_est
         FROM pairs GROUP BY 1 ORDER BY event_id"""))
+  ) ++ Seq(
+
+    // ----- geo_route_snap: linear referencing along a route polyline -----
+    // Map-matching's core primitive (and the multi-segment generalization
+    // of geo_closest_point / odin_common geo.rs:179): snap every
+    // observation to its closest segment of a 20-segment reference route,
+    // reporting the segment, the clamped projection fraction, the
+    // along-route distance (cumulative segment starts + t*seglen) and the
+    // cross-track offset. The route is a broadcast dimension (its
+    // 21-row build may use a global window; the fact side never
+    // shuffles); the per-point argmin is a struct-min fold over pure
+    // +,-,*,/,sqrt doubles — bit-identical cross-engine, no rounding
+    // needed. Cumulative route length is integer-quantized so the
+    // prefix sum is order-free.
+    "geo_route_snap" -> Q(
+      build = (s, d) => {
+        val wOrd = Window.orderBy(col("t_key"))
+        val verts = Tables.t(s, d, "part")
+          .filter(col("p_partkey") <= 21)
+          .select(col("p_partkey").as("t_key"))
+          .withColumn("vx", expr(RouteK.vx))
+          .withColumn("vy", expr(RouteK.vy))
+        val segs = verts
+          .withColumn("ex", lead(col("vx"), 1).over(wOrd))
+          .withColumn("ey", lead(col("vy"), 1).over(wOrd))
+          .filter(col("ex").isNotNull)
+          .select(col("t_key").as("seg_i"), col("vx").as("ax"),
+            col("vy").as("ay"), col("ex"), col("ey"))
+          .withColumn("dx", expr("ex - ax"))
+          .withColumn("dy", expr("ey - ay"))
+          .withColumn("len2", expr("dx*dx + dy*dy"))
+          .withColumn("seglen", expr("sqrt(len2)"))
+          .withColumn("slq", expr("CAST(FLOOR(seglen * 1048576.0) AS BIGINT)"))
+          .withColumn("start_q", coalesce(sum(col("slq")).over(
+            Window.orderBy(col("seg_i"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val pts = evPts(s, d)
+          .select(col("event_id"),
+            expr(RouteK.px).as("px"), expr(RouteK.py).as("py"))
+        pts.crossJoin(broadcast(segs))
+          .withColumn("traw", expr(RouteK.traw))
+          .withColumn("tt", expr(RouteK.tt))
+          .withColumn("fx", expr("ax + tt*dx"))
+          .withColumn("fy", expr("ay + tt*dy"))
+          .withColumn("d2", expr("(px - fx)*(px - fx) + (py - fy)*(py - fy)"))
+          .withColumn("along", expr(RouteK.along))
+          .withColumn("m", struct(col("d2"), col("seg_i").as("si"),
+            col("tt").as("tv"), col("along").as("al")))
+          .groupBy(col("event_id"))
+          .agg(min(col("m")).as("m"))
+          .select(col("event_id"), col("m.si").as("seg_i"),
+            col("m.tv").as("t_frac"), col("m.al").as("along_m"),
+            expr("sqrt(m.d2)").as("cross_m"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH verts AS (
+          SELECT p_partkey AS t_key, ${RouteK.vx} AS vx, ${RouteK.vy} AS vy
+          FROM part WHERE p_partkey <= 21),
+        segs0 AS (
+          SELECT *, lead(vx) OVER (ORDER BY t_key) AS ex,
+                 lead(vy) OVER (ORDER BY t_key) AS ey
+          FROM verts),
+        segs1 AS (
+          SELECT t_key AS seg_i, vx AS ax, vy AS ay, ex, ey,
+                 ex - vx AS dx, ey - vy AS dy
+          FROM segs0 WHERE ex IS NOT NULL),
+        segs2 AS (
+          SELECT *, dx*dx + dy*dy AS len2, sqrt(dx*dx + dy*dy) AS seglen,
+                 CAST(FLOOR(sqrt(dx*dx + dy*dy) * 1048576.0) AS BIGINT) AS slq
+          FROM segs1),
+        segs AS (
+          SELECT *, COALESCE(SUM(slq) OVER (ORDER BY seg_i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_q
+          FROM segs2),
+        pts AS (
+          SELECT event_id, $LAT AS lat, $LON AS lon FROM events),
+        pts2 AS (
+          SELECT event_id, ${RouteK.px} AS px, ${RouteK.py} AS py FROM pts),
+        proj0 AS (
+          SELECT p.event_id, s.*, p.px, p.py, ${RouteK.traw} AS traw
+          FROM pts2 p CROSS JOIN segs s),
+        proj1 AS (SELECT *, ${RouteK.tt} AS tt FROM proj0),
+        proj2 AS (
+          SELECT *, (px - (ax + tt*dx))*(px - (ax + tt*dx))
+                  + (py - (ay + tt*dy))*(py - (ay + tt*dy)) AS d2,
+                 ${RouteK.along} AS along
+          FROM proj1),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                   ORDER BY d2, seg_i) AS rn
+          FROM proj2)
+        SELECT event_id, seg_i, tt AS t_frac, along AS along_m,
+               sqrt(d2) AS cross_m
+        FROM ranked WHERE rn = 1 ORDER BY event_id"""))
   )
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip
@@ -3811,6 +3907,21 @@ object Geo {
     * derived latitudes, whose 1-ulp spread is 9 orders of magnitude
     * below the integer-meter rounding boundary).
     */
+  /** Shared route-snap fragments: synthetic 21-vertex route from part
+    * keys (monotone x, deterministic meander y), planar point mapping,
+    * and the projection chain — each stage one formula text evaluated
+    * by both engines; everything is +,-,*,/ and sqrt, so no rounding.
+    */
+  private object RouteK {
+    val vx = "CAST(t_key*3 AS DOUBLE)"
+    val vy = "CAST((t_key*t_key*7) % 40 - 20 AS DOUBLE)"
+    val px = "((lon + 180.0)/360.0*60.0 + 1.5)"
+    val py = "(lat/3.5)"
+    val traw = "((px - ax)*dx + (py - ay)*dy)/len2"
+    val tt = "LEAST(GREATEST(traw, 0.0), 1.0)"
+    val along = "(CAST(start_q AS DOUBLE)/1048576.0 + tt*seglen)"
+  }
+
   /** Shared plate-carree tiling fragments (Cesium GeographicTilingScheme,
     * level 10 = 2048 x 1024): exact linear floor math, clamped at the
     * +180/+90 edge. Coarser levels derive by integer shifts.

@@ -2487,7 +2487,172 @@ object TimeSeries {
                SUM(CASE WHEN up5 = 5 OR dn5 = 5 THEN 1 ELSE 0 END)
                  AS r3_trend6,
                SUM(CASE WHEN a13 = 13 THEN 1 ELSE 0 END) AS r4_alt14
-        FROM wind2 GROUP BY 1 ORDER BY user_id"""))
+        FROM wind2 GROUP BY 1 ORDER BY user_id""")),
+
+    // ----- ts_theil_sen: robust trend via banded median slope ------------
+    // The Theil–Sen estimator — the robust replacement for an OLS trend
+    // when sensor series carry outliers — bounded to pairs at most 16
+    // readings apart, which keeps the pair count O(16 n) instead of
+    // O(n^2) (the classic banding that survives 100 TB; full Theil–Sen
+    // needs every pair and cannot). The band rides IN the join key
+    // (rn div 16 bucket, self + successor — the doc_edit_distance
+    // pattern), never as a post-join filter over an n^2 blowup. Slopes
+    // are one exact-integer division each; the median picks elements by
+    // exact rank (even counts average the two middles — one add, one
+    // halving, both deterministic).
+    "ts_theil_sen" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("bk", expr("(rn - 1) div 16"))
+        val a = base.select(col("user_id"), col("rn").as("rn_a"),
+          col("bk").as("bk_a"), col("ts_sec").as("t_a"), col("vc").as("v_a"))
+        val b = base.select(col("user_id"), col("rn").as("rn_b"),
+          explode(array(col("bk"), col("bk") - 1)).as("bk_a"),
+          col("ts_sec").as("t_b"), col("vc").as("v_b"))
+        val slopes = a.join(b, Seq("user_id", "bk_a"))
+          .filter(col("rn_b") > col("rn_a")
+            && col("rn_b") - col("rn_a") <= 16
+            && col("t_b") > col("t_a"))
+          .withColumn("slope",
+            ((col("v_b") - col("v_a")) * lit(36L)).cast(DoubleType)
+              / (col("t_b") - col("t_a")))
+        val wS = Window.partitionBy(col("user_id"))
+          .orderBy(col("slope"), col("rn_a"), col("rn_b"))
+        slopes
+          .withColumn("r", row_number().over(wS))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .filter(col("r") === expr("(n + 1) div 2")
+            || col("r") === expr("n div 2 + 1"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_pairs"),
+            (sum(col("slope")) / count(lit(1))).as("trend_per_hour"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS rn
+          FROM events),
+        slopes AS (
+          SELECT a.user_id, a.rn AS rn_a, b.rn AS rn_b,
+                 CAST((b.vc - a.vc) * 36 AS DOUBLE)
+                   / (b.ts_sec - a.ts_sec) AS slope
+          FROM base a JOIN base b
+            ON b.user_id = a.user_id
+           AND b.rn BETWEEN a.rn + 1 AND a.rn + 16
+           AND b.ts_sec > a.ts_sec),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY slope, rn_a, rn_b) AS r,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM slopes)
+        SELECT user_id, MAX(n) AS n_pairs,
+               SUM(slope) / COUNT(*) AS trend_per_hour
+        FROM ranked
+        WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+        GROUP BY 1 ORDER BY user_id""")),
+
+    // ----- ts_motif_discord: matrix-profile motif/discord discovery ------
+    // The matrix-profile pair (Yeh et al., ICDM 2016) over non-overlapping
+    // 8-reading PAA frames: for every frame, the distance to its nearest
+    // other frame of the same entity; the globally closest pair is the
+    // MOTIF (a repeated behavior), the frame whose nearest neighbor is
+    // farthest is the DISCORD (the anomaly a threshold never catches).
+    // Frame count is n/8 per entity, so the frame-pair join is
+    // O((n/8)^2) per entity — the standard frame-level profile that
+    // scales where the raw-window O(n^2) profile cannot. Distances are
+    // exact integer cent^2 sums (zip_with fold), every argmin/argmax a
+    // struct fold.
+    "ts_motif_discord" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val frames = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("wi", expr("(rn - 1) div 8"))
+          .withColumn("p", expr("(rn - 1) % 8"))
+          .groupBy(col("user_id"), col("wi"))
+          .agg(count(lit(1)).as("wn"),
+            expr("transform(array_sort(collect_list(struct(p, vc))), x -> x.vc)")
+              .as("vec"))
+          .filter(col("wn") === 8)
+        val pa = frames.select(col("user_id"), col("wi").as("wi_a"),
+          col("vec").as("vec_a"))
+        val pb = frames.select(col("user_id"), col("wi").as("wi_b"),
+          col("vec").as("vec_b"))
+        val pairs = pa.join(pb, Seq("user_id"))
+          .filter(col("wi_a") =!= col("wi_b"))
+          .withColumn("d2", aggregate(
+            zip_with(col("vec_a"), col("vec_b"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x))
+        val profile = pairs
+          .groupBy(col("user_id"), col("wi_a"))
+          .agg(min(struct(col("d2"), col("wi_b"))).as("nn"))
+        profile
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            min(struct(col("nn.d2").as("d2"), col("wi_a").as("wa"),
+              col("nn.wi_b").as("wb"))).as("motif"),
+            max(struct(col("nn.d2").as("d2"), col("wi_a").as("wa"))).as("disc"))
+          .select(col("user_id"), col("n_frames"),
+            least(col("motif.wa"), col("motif.wb")).as("motif_a"),
+            greatest(col("motif.wa"), col("motif.wb")).as("motif_b"),
+            col("motif.d2").as("motif_d2"),
+            col("disc.wa").as("discord_wi"), col("disc.d2").as("discord_d2"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS rn
+          FROM events),
+        fr AS (
+          SELECT user_id, (rn - 1) // 8 AS wi, COUNT(*) AS wn,
+                 list(vc ORDER BY rn) AS vec
+          FROM base GROUP BY 1, 2 HAVING COUNT(*) = 8),
+        pairs AS (
+          SELECT a.user_id, a.wi AS wi_a, b.wi AS wi_b,
+                 SUM((a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])) AS d2
+          FROM fr a JOIN fr b
+            ON b.user_id = a.user_id AND b.wi <> a.wi
+          CROSS JOIN generate_series(1, 8) AS t(i)
+          GROUP BY 1, 2, 3),
+        profile AS (
+          SELECT user_id, wi_a, d2, wi_b,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, wi_a
+                   ORDER BY d2, wi_b) AS r
+          FROM pairs),
+        nn AS (SELECT user_id, wi_a, d2, wi_b FROM profile WHERE r = 1),
+        pick AS (
+          SELECT user_id, wi_a, d2, wi_b,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY d2, wi_a, wi_b) AS r_motif,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY d2 DESC, wi_a DESC) AS r_disc,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_frames
+          FROM nn)
+        SELECT m.user_id, m.n_frames,
+               LEAST(m.wi_a, m.wi_b) AS motif_a,
+               GREATEST(m.wi_a, m.wi_b) AS motif_b,
+               m.d2 AS motif_d2,
+               d.wi_a AS discord_wi, d.d2 AS discord_d2
+        FROM (SELECT * FROM pick WHERE r_motif = 1) m
+        JOIN (SELECT * FROM pick WHERE r_disc = 1) d
+          ON d.user_id = m.user_id
+        ORDER BY m.user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

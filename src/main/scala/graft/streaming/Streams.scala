@@ -515,4 +515,51 @@ object Streams {
           out.iterator
       }
   }
+
+  case class SsCounter(user_id: Long, est: Long, err: Long)
+  case class TopKState(counters: Seq[SsCounter], n_seen: Long)
+  case class TopKOut(event_type: String, n_seen: Long,
+      top_users: Seq[Long], top_counts: Seq[Long], top_errs: Seq[Long])
+
+  /** stream_topk: bounded-memory heavy hitters per event type via the
+    * SpaceSaving summary (Metwally et al. 2005) held in
+    * mapGroupsWithState — the streaming answer to "who dominates this
+    * feed right now" that never stores more than `capacity` counters
+    * per key no matter how many distinct entities flow past (the
+    * property that matters on an unbounded 100 TB/day feed; an exact
+    * groupBy state would grow without bound). Any entity with true
+    * frequency > n_seen/capacity is guaranteed present; `err` bounds
+    * each estimate's overcount. Batches fold in (ts, event_id) order so
+    * replay is deterministic; emits the current top-5 per type after
+    * each batch.
+    */
+  def topkStream(events: Dataset[Ev], capacity: Int = 16): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TopKState, TopKOut](GroupStateTimeout.NoTimeout) {
+        (etype, batch, state: GroupState[TopKState]) =>
+          var st = state.getOption.getOrElse(TopKState(Seq.empty, 0L))
+          var cs = st.counters.toVector
+          batch.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            val i = cs.indexWhere(_.user_id == e.user_id)
+            if (i >= 0) cs = cs.updated(i, cs(i).copy(est = cs(i).est + 1))
+            else if (cs.size < capacity) cs :+= SsCounter(e.user_id, 1L, 0L)
+            else {
+              // evict the min-estimate counter (largest user_id on ties:
+              // deterministic) and inherit its estimate as the error bound
+              val victim = cs.minBy(c => (c.est, -c.user_id))
+              val j = cs.indexOf(victim)
+              cs = cs.updated(j,
+                SsCounter(e.user_id, victim.est + 1, victim.est))
+            }
+            st = st.copy(n_seen = st.n_seen + 1)
+          }
+          st = st.copy(counters = cs)
+          state.update(st)
+          val top = cs.sortBy(c => (-c.est, c.user_id)).take(5)
+          TopKOut(etype, st.n_seen, top.map(_.user_id), top.map(_.est),
+            top.map(_.err))
+      }
+  }
 }
