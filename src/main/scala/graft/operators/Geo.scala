@@ -3809,6 +3809,61 @@ object Geo {
         SELECT event_id, seg_i, tt AS t_frac, along AS along_m,
                sqrt(d2) AS cross_m
         FROM ranked WHERE rn = 1 ORDER BY event_id"""))
+  ) ++ Seq(
+
+    // ----- geo_kde_smooth: separable-kernel heatmap smoothing ------------
+    // The smoothing pass between raw grid counts (geo_grid_agg) and a
+    // rendered hotspot heatmap: convolve the 1-degree cell counts with
+    // the separable binomial 3x3 kernel (1-2-1 x 1-2-1, total weight 16
+    // — the discrete Gaussian every image pipeline uses). Re-expressed
+    // scatter-side: each non-empty cell explodes its 9 weighted
+    // contributions and ONE groupBy re-gathers them — O(9 x occupied
+    // cells), never a dense-grid scan, and pure integer weights so the
+    // result is exact. The raw count rides along as the w=4 center
+    // contribution divided back out.
+    "geo_kde_smooth" -> Q(
+      build = (s, d) => {
+        val offsets = (for { di <- -1 to 1; dj <- -1 to 1 } yield {
+          val wgt = (2 - math.abs(di)) * (2 - math.abs(dj))
+          s"named_struct('di', ${di}L, 'dj', ${dj}L, 'w', ${wgt}L)"
+        }).mkString("array(", ", ", ")")
+        val cells = evPts(s, d)
+          .select(floor(col("lon")).cast(LongType).as("cx"),
+            floor(col("lat")).cast(LongType).as("cy"))
+          .groupBy(col("cx"), col("cy"))
+          .agg(count(lit(1)).as("n"))
+        cells
+          .withColumn("o", explode(expr(offsets)))
+          .groupBy((col("cx") + col("o.di")).as("cx"),
+            (col("cy") + col("o.dj")).as("cy"))
+          .agg(sum(col("n") * col("o.w")).as("sm16"),
+            sum(when(col("o.di") === 0 && col("o.dj") === 0,
+              col("n") * col("o.w")).otherwise(0L)).as("c4"))
+          .select(col("cx"), col("cy"), expr("c4 div 4").as("n_raw"),
+            col("sm16"), (col("sm16") / 16.0).as("density"))
+          .orderBy(col("cx"), col("cy"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT CAST(FLOOR($LON) AS BIGINT) AS cx,
+                 CAST(FLOOR($LAT) AS BIGINT) AS cy
+          FROM events),
+        cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+        k(di, dj, w) AS (VALUES
+          (-1,-1,1), (-1,0,2), (-1,1,1),
+          (0,-1,2), (0,0,4), (0,1,2),
+          (1,-1,1), (1,0,2), (1,1,1)),
+        scat AS (
+          SELECT c.cx + k.di AS cx, c.cy + k.dj AS cy,
+                 c.n * k.w AS contrib,
+                 CASE WHEN k.di = 0 AND k.dj = 0 THEN c.n * k.w
+                      ELSE 0 END AS center
+          FROM cells c CROSS JOIN k)
+        SELECT cx, cy,
+               CAST(SUM(center) // 4 AS BIGINT) AS n_raw,
+               CAST(SUM(contrib) AS BIGINT) AS sm16,
+               SUM(contrib) / 16.0 AS density
+        FROM scat GROUP BY 1, 2 ORDER BY cx, cy"""))
   )
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip

@@ -1215,6 +1215,54 @@ object Relational {
                ${DSUM("o_totalprice")} AS total_price
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        ORDER BY gid, status, priority"""))
+        ORDER BY gid, status, priority""")),
+
+    // ----- q47_weighted_median: exact quantity-weighted median price -----
+    // The weighted-median staple (q26's unweighted median can't answer
+    // "the price at which half the VOLUME trades"): per (returnflag,
+    // linestatus), the smallest price whose cumulative quantity reaches
+    // half the group's total. Everything in integer cents — the
+    // cumulative window and the crossing test are exact, and the
+    // qualifying-row argmin folds map-side. The per-group cumsum window
+    // is keyed on the group (4 groups here; at scale the same two-level
+    // bucketed prefix sum as ts_concurrency applies).
+    "q47_weighted_median" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+          .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val base = li(s, d).select(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_quantity * 100.0) AS BIGINT)").as("qc"))
+        base
+          .withColumn("cum", sum(col("qc")).over(w))
+          .withColumn("tot", sum(col("qc")).over(
+            Window.partitionBy(col("l_returnflag"), col("l_linestatus"))))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg((min(col("pc")) / 100.0).as("weighted_median_price"),
+            (max(col("tot")) / 100.0).as("total_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+                 CAST(round(l_extendedprice * 100.0) AS BIGINT) AS pc,
+                 CAST(round(l_quantity * 100.0) AS BIGINT) AS qc
+          FROM lineitem),
+        cums AS (
+          SELECT *,
+                 SUM(qc) OVER (PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY pc, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(qc) OVER (PARTITION BY l_returnflag, l_linestatus)
+                   AS tot
+          FROM base)
+        SELECT l_returnflag, l_linestatus,
+               MIN(pc) / 100.0 AS weighted_median_price,
+               MAX(tot) / 100.0 AS total_qty
+        FROM cums WHERE cum * 2 >= tot
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

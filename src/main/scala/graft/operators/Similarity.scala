@@ -1453,5 +1453,79 @@ object Similarity {
                g.neg_id, g.neg_sim, p.pos_sim - g.neg_sim AS margin
         FROM pos p JOIN neg g ON g.a_id = p.a_id
         ORDER BY p.a_id"""))
+  ) ++ Seq(
+
+    // ----- emb_cluster_purity: cluster-quality audit ---------------------
+    // The evaluation op that closes the clustering loop: assign every
+    // vector to its nearest label-centroid cell (the IVF coarse
+    // quantizer) and audit the assignment against the true labels —
+    // per-cell size, majority label, and purity, the standard external
+    // cluster-quality metrics a curation pipeline tracks per ingest
+    // batch. Centroids are exact fixed-point means; the cell argmax is
+    // an integer-quantized dot with label tie-break (struct-min fold,
+    // map-side combinable); purity is one IEEE division of exact counts.
+    "emb_cluster_purity" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+          .select(col("label").as("cell"),
+            expr("transform(ps, p -> p.c)").as("centroid"))
+        val dotq = aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) =>
+            floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("m", struct((-dotq).as("nd"), col("cell").as("cl")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(col("m")).as("m"))
+          .select(col("vec_id"), col("label"), col("m.cl").as("cell"))
+        val conf = assigned.groupBy(col("cell"), col("label"))
+          .agg(count(lit(1)).as("nl"))
+        conf.groupBy(col("cell"))
+          .agg(sum(col("nl")).as("n_vecs"),
+            max(struct(col("nl"), (-col("label")).as("neg_l"))).as("mj"))
+          .select(col("cell"), col("n_vecs"),
+            (-col("mj.neg_l")).as("major_label"),
+            col("mj.nl").as("n_major"),
+            (col("mj.nl").cast(DoubleType) / col("n_vecs")).as("purity"))
+          .orderBy(col("cell"))
+      },
+      oracle = Some(s"""
+        WITH cent AS (
+          SELECT label AS cell, i AS pos,
+                 CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384)
+                      AS BIGINT)) AS DOUBLE) / (16384.0*COUNT(*)) AS c
+          FROM embeddings, generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        dots AS (
+          SELECT e.vec_id, e.label, c.cell,
+                 SUM(CAST(FLOOR(CAST(e.embedding[c.pos] AS DOUBLE)
+                      * c.c * 1048576) AS BIGINT)) AS dq
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY 1, 2, 3),
+        assigned AS (
+          SELECT vec_id, label, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dq DESC, cell) AS r
+          FROM dots),
+        conf AS (
+          SELECT cell, label, COUNT(*) AS nl
+          FROM assigned WHERE r = 1 GROUP BY 1, 2),
+        pick AS (
+          SELECT cell, nl, label,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY nl DESC, label) AS rm,
+                 SUM(nl) OVER (PARTITION BY cell) AS n_vecs
+          FROM conf)
+        SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+               label AS major_label, nl AS n_major,
+               CAST(nl AS DOUBLE) / n_vecs AS purity
+        FROM pick WHERE rm = 1 ORDER BY cell"""))
   )
 }
