@@ -1263,6 +1263,63 @@ object Relational {
                MIN(pc) / 100.0 AS weighted_median_price,
                MAX(tot) / 100.0 AS total_qty
         FROM cums WHERE cum * 2 >= tot
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----- q48_basket_lift: market-basket association mining -------------
+    // Association-rule lift over order baskets: which part brands co-occur
+    // in one order more often than independence predicts. The pair join is
+    // keyed on the ORDER and each basket holds at most 25 distinct brands
+    // (a 7-line order ceiling in the data, 25-brand domain), so the
+    // self-join is O(orders * basket^2) — linear in the fact table, never
+    // all-pairs across it. Lift is the log-free exact ratio
+    // c_ab*N/(c_a*c_b) (BIGINTs into one IEEE division — hash-stable, no
+    // libm). Top-30 via TakeOrdered, not a global sort.
+    "q48_basket_lift" -> Q(
+      build = (s, d) => {
+        val baskets = Tables.t(s, d, "lineitem")
+          .join(Tables.t(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+        val nOrd = baskets.select(col("okey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val single = baskets.groupBy(col("brand"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = baskets.as("a")
+          .join(baskets.as("b"), Seq("okey"))
+          .filter(col("a.brand") < col("b.brand"))
+          .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3)
+        pairs
+          .join(broadcast(single.withColumnRenamed("brand", "brand_a")
+            .withColumnRenamed("c", "c_a")), "brand_a")
+          .join(broadcast(single.withColumnRenamed("brand", "brand_b")
+            .withColumnRenamed("c", "c_b")), "brand_b")
+          .crossJoin(broadcast(nOrd))
+          .withColumn("lift",
+            (col("c_ab") * col("n_orders")).cast(DoubleType)
+              / (col("c_a") * col("c_b")))
+          .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"),
+            col("c_b"), col("lift"))
+          .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+          .limit(30)
+      },
+      oracle = Some("""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+        single AS (SELECT brand, COUNT(*) AS c FROM baskets GROUP BY 1),
+        pairs AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS c_ab
+          FROM baskets a JOIN baskets b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT p.brand_a, p.brand_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+               CAST(p.c_ab * n.n_orders AS DOUBLE) / (sa.c * sb.c) AS lift
+        FROM pairs p JOIN single sa ON p.brand_a = sa.brand
+                     JOIN single sb ON p.brand_b = sb.brand, n
+        ORDER BY lift DESC, p.brand_a, p.brand_b LIMIT 30"""))
   )
 }

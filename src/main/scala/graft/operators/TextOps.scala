@@ -2854,6 +2854,66 @@ object TextOps {
         SELECT lang, source, n_docs, n_words, n_tokens, n_chars,
                CAST(n_tokens AS DOUBLE) / n_words AS fertility,
                CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
-        FROM g ORDER BY lang, source"""))
+        FROM g ORDER BY lang, source""")),
+
+    // ----- doc_collocations: corpus-level PMI phrase mining --------------
+    // The phrase-detection pass tokenizer pipelines run before merging
+    // multi-word units (word2vec's phrase pass, Mikolov et al. 2013):
+    // score every bigram by pointwise mutual information against the
+    // corpus bigram model and keep the top collocations. The PMI value is
+    // emitted as the LOG-FREE likelihood ratio c12*N/(c1*c2) — every term
+    // an exact BIGINT, the single division correctly-rounded IEEE on both
+    // engines — so the output is hash-stable with no transcendental in
+    // sight. Two groupBys over one bigram pass; the top-50 is
+    // orderBy+limit (TakeOrdered — per-partition heaps then one k-row
+    // merge, never a global sort shuffle).
+    "doc_collocations" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = docs(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "term")
+          .filter(col("term") =!= "")
+          .withColumn("prev", lag(col("term"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("w1"), col("term").as("w2"))
+        val pair = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val lft = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val rgt = pair.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+        val n = pair.agg(sum(col("c12")).as("n_big"))
+        pair.filter(col("c12") >= 5)
+          .join(lft, "w1").join(rgt, "w2")
+          .crossJoin(broadcast(n))
+          .withColumn("lift",
+            (col("c12") * col("n_big")).cast(DoubleType)
+              / (col("c1") * col("c2")))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            col("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, g.i AS pos, l[g.i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+               generate_series(1, 2048) AS g(i)
+          WHERE g.i <= len(l) AND l[g.i] <> ''),
+        big AS (
+          SELECT w1, w2 FROM (
+            SELECT doc_id, term AS w2,
+                   LAG(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+            FROM toks)
+          WHERE w1 IS NOT NULL),
+        pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+        rgt AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM pair GROUP BY 1),
+        n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM pair)
+        SELECT p.w1, p.w2, p.c12, l.c1, r.c2,
+               CAST(p.c12 * n.n_big AS DOUBLE) / (l.c1 * r.c2) AS lift
+        FROM pair p JOIN lft l ON p.w1 = l.w1
+                    JOIN rgt r ON p.w2 = r.w2, n
+        WHERE p.c12 >= 5
+        ORDER BY lift DESC, p.w1, p.w2 LIMIT 50"""))
   )
 }

@@ -2652,7 +2652,101 @@ object TimeSeries {
         FROM (SELECT * FROM pick WHERE r_motif = 1) m
         JOIN (SELECT * FROM pick WHERE r_disc = 1) d
           ON d.user_id = m.user_id
-        ORDER BY m.user_id"""))
+        ORDER BY m.user_id""")),
+
+    // ----- ts_pattern_match: MATCH_RECOGNIZE-style sequence detection ----
+    // The event-pattern query every funnel/alerting engine exposes (SQL
+    // MATCH_RECOGNIZE, Flink CEP): find each occurrence of the exact
+    // consecutive sequence view -> click -> purchase within a per-entity
+    // stream, bounded to 48 hours end-to-end. Two LEADs over the
+    // (user_id)-partitioned sequence — one shuffle, no joins, and the
+    // pattern test is pure column comparison inside codegen. At 100 TB the
+    // window state is two rows per entity stream, the same shape as
+    // ts_delta.
+    "ts_pattern_match" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .withColumn("id2", lead(col("event_id"), 1).over(w))
+          .withColumn("id3", lead(col("event_id"), 2).over(w))
+          .withColumn("ts3", lead(col("ts_sec"), 2).over(w))
+          .filter(col("event_type") === "view" && col("t2") === "click"
+            && col("t3") === "purchase"
+            && col("ts3") - col("ts_sec") <= 172800L)
+          .select(col("user_id"), col("event_id").as("e_view"),
+            col("id2").as("e_click"), col("id3").as("e_purchase"),
+            col("ts_sec").as("t_start"),
+            (col("ts3") - col("ts_sec")).as("dur_sec"))
+          .orderBy(col("user_id"), col("t_start"), col("e_view"))
+      },
+      oracle = Some(s"""
+        WITH seq AS (
+          SELECT user_id, event_id, $TS AS ts_sec, event_type,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3,
+                 LEAD(event_id, 1) OVER w AS id2,
+                 LEAD(event_id, 2) OVER w AS id3,
+                 LEAD($TS, 2) OVER w AS ts3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $TS, event_id))
+        SELECT user_id, event_id AS e_view, id2 AS e_click,
+               id3 AS e_purchase, ts_sec AS t_start,
+               ts3 - ts_sec AS dur_sec
+        FROM seq
+        WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+          AND ts3 - ts_sec <= 172800
+        ORDER BY user_id, t_start, e_view""")),
+
+    // ----- ts_streaks: longest same-value run per entity -----------------
+    // Gaps-and-islands keyed on VALUE change (ts_sessionize islands on
+    // time gaps; this is the orthogonal classic): rn - rn_within_type is
+    // constant exactly while event_type repeats, so grouping on that
+    // difference labels each run with no join and no iteration. Emits each
+    // entity's longest streak (ties: earliest start, then event_type) —
+    // two window passes + one aggregate, all keyed on user_id, shuffle
+    // count 1.
+    "ts_streaks" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val wt = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("event_type"))
+          .withColumn("grp",
+            row_number().over(w) - row_number().over(wt))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("ts_sec")).as("t_start"))
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("len"), (-col("t_start")).as("nts"),
+            col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_type").as("event_type"),
+            col("m.len").as("streak_len"), (-col("m.nts")).as("t_start"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH seq AS (
+          SELECT user_id, event_id, $TS AS ts_sec, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY $TS, event_id) AS grp
+          FROM events),
+        runs AS (
+          SELECT user_id, event_type, grp, COUNT(*) AS len,
+                 MIN(ts_sec) AS t_start
+          FROM seq GROUP BY 1, 2, 3),
+        best AS (
+          SELECT user_id, event_type, len, t_start,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY len DESC, t_start, event_type DESC) AS r
+          FROM runs)
+        SELECT user_id, event_type, len AS streak_len, t_start
+        FROM best WHERE r = 1 ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
