@@ -3863,7 +3863,211 @@ object Geo {
                CAST(SUM(center) // 4 AS BIGINT) AS n_raw,
                CAST(SUM(contrib) AS BIGINT) AS sm16,
                SUM(contrib) / 16.0 AS density
-        FROM scat GROUP BY 1, 2 ORDER BY cx, cy"""))
+        FROM scat GROUP BY 1, 2 ORDER BY cx, cy""")),
+
+    // ----- geo_solar_angles: solar position + day/night flag -------------
+    // The day/night discriminator every satellite fire/cloud product
+    // applies per pixel (GOES-R ABI fire detection masks by solar zenith;
+    // odin_goesr's hotspot pipeline consumes day-night-flagged pixels).
+    // Simplified NOAA model: declination from the annual cosine (no
+    // equation-of-time), hour angle from the UTC day fraction plus
+    // longitude. The whole formula is ONE shared text both engines
+    // evaluate — pure column math, no join, no shuffle; trig rounds to 3
+    // decimals per §5.
+    "geo_solar_angles" -> Q(
+      build = (s, d) => {
+        // phase reduced mod 360 BEFORE the trig: double fmod is an EXACT
+        // operation on both engines, while cos of a ~19,000-degree raw
+        // phase hits each libm's large-argument reduction, which differs
+        // at ~1e-6 — far above the 3-decimal round guard.
+        def decl(dayT: String) =
+          s"-23.44 * cos(radians((($dayT + 10.0) * (360.0e0/365.25e0)) % 360.0))"
+        val day = "(CAST(ts_sec div 86400 AS DOUBLE) + CAST(ts_sec % 86400 AS DOUBLE)/86400.0)"
+        val ha = "(CAST(ts_sec % 86400 AS DOUBLE)/86400.0*360.0 - 180.0 + lon)"
+        val dc = decl(day)
+        val el = s"""degrees(asin(
+          sin(radians(lat))*sin(radians($dc))
+          + cos(radians(lat))*cos(radians($dc))*cos(radians($ha))))"""
+        evPts(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("lat"), col("lon"))
+          .withColumn("ha_deg", expr(ha))
+          .withColumn("decl_deg", expr(s"round($dc, 3)"))
+          .withColumn("elev_deg", expr(s"round($el, 3)"))
+          .withColumn("daylight", expr(s"round($el, 3) > 0.0"))
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("ha_deg"), col("decl_deg"), col("elev_deg"), col("daylight"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some {
+        val ts = "CAST(floor(epoch(ts)) AS BIGINT)"
+        val day = s"(CAST($ts // 86400 AS DOUBLE) + CAST($ts % 86400 AS DOUBLE)/86400.0)"
+        val dc = s"-23.44 * cos(radians((($day + 10.0) * (360.0e0/365.25e0)) % 360.0))"
+        val ha = s"(CAST($ts % 86400 AS DOUBLE)/86400.0*360.0 - 180.0 + $LON)"
+        val el = s"""degrees(asin(
+          sin(radians($LAT))*sin(radians($dc))
+          + cos(radians($LAT))*cos(radians($dc))*cos(radians($ha))))"""
+        s"""
+        SELECT event_id, user_id, $ts AS ts_sec,
+               $ha AS ha_deg,
+               round($dc, 3) AS decl_deg,
+               round($el, 3) AS elev_deg,
+               round($el, 3) > 0.0 AS daylight
+        FROM events ORDER BY event_id"""
+      }),
+
+    // ----- geo_brightness_temp: IR radiance -> brightness temperature ----
+    // The Planck inversion every GOES-R/Himawari IR channel runs before
+    // any fire/cloud threshold (ABI L1b radiances -> Tb, PUG vol. 3 eq.
+    // 3-5: Tb = (fk2/ln(fk1/L + 1) - bc1)/bc2, representative band-13
+    // longwave constants). Pure per-row column math inside codegen; the
+    // one transcendental (ln) rounds to 2 decimals; the hot-pixel flag
+    // compares the ROUNDED value so both engines flag identically.
+    "geo_brightness_temp" -> Q(
+      build = (s, d) => {
+        val tb = "(3698.19 / ln(202263.0/(20.0 + value) + 1.0) - 0.5) / 0.9991"
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("radiance", lit(20.0) + col("value"))
+          .withColumn("tb_k", expr(s"round($tb, 2)"))
+          .withColumn("is_hot", expr(s"round($tb, 2) > 408.0"))
+          .select(col("event_id"), col("user_id"), col("radiance"),
+            col("tb_k"), col("is_hot"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some {
+        val tb = "(3698.19 / ln(202263.0/(20.0 + value) + 1.0) - 0.5) / 0.9991"
+        s"""
+        SELECT event_id, user_id, 20.0 + value AS radiance,
+               round($tb, 2) AS tb_k,
+               round($tb, 2) > 408.0 AS is_hot
+        FROM events ORDER BY event_id"""
+      }),
+
+    // ----- geo_parallax_correct: cloud-height parallax shift -------------
+    // Geostationary pixel geolocation assigns a cloud to the surface point
+    // UNDER the slant ray; correcting by cloud height moves it
+    // height/tan(elevation) away from the sub-satellite point (the
+    // standard GEO parallax correction applied before comparing satellite
+    // cloud/fire pixels with ground truth). Elevation from the
+    // great-circle angle to the sub-satellite point (spherical, GOES-East
+    // at 75.0W); the shift is applied planar (km -> degrees at the pixel
+    // latitude), valid for the <=7 km cloud heights synthesized here. One
+    // pass of column math, no shuffle; satellite-visibility filter keeps
+    // tan(el) well away from 0.
+    "geo_parallax_correct" -> Q(
+      build = (s, d) => {
+        val cpsi = "(cos(radians(lat))*cos(radians(lon - (-75.0))))"
+        val el = s"atan2($cpsi - 6371.0e0/42157.0e0, sqrt(1.0 - $cpsi*$cpsi))"
+        val dkm = s"((value/50.0) * cos($el)/sin($el))"
+        // bearing pixel -> sub-satellite point, then shift the OPPOSITE way
+        val brg = s"""atan2(sin(radians((-75.0) - lon))*cos(0.0),
+          cos(radians(lat))*sin(0.0)
+          - sin(radians(lat))*cos(0.0)*cos(radians((-75.0) - lon)))"""
+        evPts(s, d)
+          .select(col("event_id"), col("user_id"), col("lat"), col("lon"),
+            col("value"))
+          .withColumn("cloud_km", col("value") / 50.0)
+          .withColumn("elev_deg", expr(s"round(degrees($el), 3)"))
+          .filter(expr(s"round(degrees($el), 3) > 15.0"))
+          .withColumn("shift_km", expr(s"round($dkm, 3)"))
+          .withColumn("lat_c", expr(
+            s"round(lat - $dkm*cos($brg)/111.195, 4)"))
+          .withColumn("lon_c", expr(
+            s"round(lon - $dkm*sin($brg)/(111.195*cos(radians(lat))), 4)"))
+          .select(col("event_id"), col("user_id"), col("cloud_km"),
+            col("elev_deg"), col("shift_km"), col("lat_c"), col("lon_c"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some {
+        val cpsi = s"(cos(radians($LAT))*cos(radians($LON - (-75.0))))"
+        val el = s"atan2($cpsi - 6371.0e0/42157.0e0, sqrt(1.0 - $cpsi*$cpsi))"
+        val dkm = s"((value/50.0) * cos($el)/sin($el))"
+        val brg = s"""atan2(sin(radians((-75.0) - $LON))*cos(0.0),
+          cos(radians($LAT))*sin(0.0)
+          - sin(radians($LAT))*cos(0.0)*cos(radians((-75.0) - $LON)))"""
+        s"""
+        SELECT event_id, user_id, value/50.0 AS cloud_km,
+               round(degrees($el), 3) AS elev_deg,
+               round($dkm, 3) AS shift_km,
+               round($LAT - $dkm*cos($brg)/111.195, 4) AS lat_c,
+               round($LON - $dkm*sin($brg)/(111.195*cos(radians($LAT))), 4)
+                 AS lon_c
+        FROM events
+        WHERE round(degrees($el), 3) > 15.0
+        ORDER BY event_id"""
+      }),
+
+    // ----- geo_fence_crossings: exact segment-fence intersection ---------
+    // Geofence/airspace boundary crossing detection (the alerting join
+    // behind "track entered the fire perimeter"): each consecutive track
+    // segment is tested against 25 fence segments derived from nation
+    // keys. The intersection predicate is four exact-integer orientation
+    // tests on 1e-5-degree fixed-point coordinates — cross products of
+    // BIGINTs, no floating point anywhere, so the result is hash-exact by
+    // construction. Fences broadcast (tiny dimension); cost is one
+    // column-math pass over segments x 25 — linear in the fact table.
+    "geo_fence_crossings" -> Q(
+      build = (s, d) => {
+        val seg = evPts(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            expr("CAST(FLOOR(lon*100000.0) AS BIGINT)").as("px"),
+            expr("CAST(FLOOR(lat*100000.0) AS BIGINT)").as("py"))
+          .withColumn("e2", lead(col("event_id"), 1).over(wTrack))
+          .withColumn("qx", lead(col("px"), 1).over(wTrack))
+          .withColumn("qy", lead(col("py"), 1).over(wTrack))
+          .filter(col("e2").isNotNull)
+        val fences = Tables.t(s, d, "nation").select(
+          col("n_nationkey").as("fence"),
+          expr("(n_nationkey*41 % 140 - 70) * 100000").as("ax"),
+          expr("(n_nationkey*89 % 360 - 180) * 100000").as("ay"),
+          expr("(n_nationkey*59 % 140 - 70) * 100000").as("bx"),
+          expr("(n_nationkey*67 % 360 - 180) * 100000").as("by"))
+        def o(ax: String, ay: String, bx: String, by: String,
+            cx: String, cy: String) =
+          s"sign(($bx-$ax)*($cy-$ay) - ($by-$ay)*($cx-$ax))"
+        seg.crossJoin(broadcast(fences))
+          .filter(expr(
+            s"${o("px", "py", "qx", "qy", "ax", "ay")} * ${o("px", "py", "qx", "qy", "bx", "by")} < 0 AND " +
+            s"${o("ax", "ay", "bx", "by", "px", "py")} * ${o("ax", "ay", "bx", "by", "qx", "qy")} < 0"))
+          .select(col("user_id"), col("event_id").as("e_from"),
+            col("e2").as("e_to"), col("fence"), col("ts_sec"))
+          .orderBy(col("user_id"), col("e_from"), col("fence"))
+      },
+      oracle = Some {
+        val ts = "CAST(floor(epoch(ts)) AS BIGINT)"
+        def o(ax: String, ay: String, bx: String, by: String,
+            cx: String, cy: String) =
+          s"sign(($bx-$ax)*($cy-$ay) - ($by-$ay)*($cx-$ax))"
+        s"""
+        WITH pts AS (
+          SELECT user_id, event_id, $ts AS ts_sec,
+                 CAST(FLOOR($LON*100000.0) AS BIGINT) AS px,
+                 CAST(FLOOR($LAT*100000.0) AS BIGINT) AS py
+          FROM events),
+        seg AS (
+          SELECT user_id, event_id, ts_sec, px, py,
+                 LEAD(event_id, 1) OVER w AS e2,
+                 LEAD(px, 1) OVER w AS qx,
+                 LEAD(py, 1) OVER w AS qy
+          FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        fences AS (
+          SELECT n_nationkey AS fence,
+                 (n_nationkey*41 % 140 - 70) * 100000 AS ax,
+                 (n_nationkey*89 % 360 - 180) * 100000 AS ay,
+                 (n_nationkey*59 % 140 - 70) * 100000 AS bx,
+                 (n_nationkey*67 % 360 - 180) * 100000 AS by
+          FROM nation)
+        SELECT s.user_id, s.event_id AS e_from, s.e2 AS e_to,
+               f.fence, s.ts_sec
+        FROM seg s CROSS JOIN fences f
+        WHERE s.e2 IS NOT NULL
+          AND ${o("s.px", "s.py", "s.qx", "s.qy", "f.ax", "f.ay")}
+            * ${o("s.px", "s.py", "s.qx", "s.qy", "f.bx", "f.by")} < 0
+          AND ${o("f.ax", "f.ay", "f.bx", "f.by", "s.px", "s.py")}
+            * ${o("f.ax", "f.ay", "f.bx", "f.by", "s.qx", "s.qy")} < 0
+        ORDER BY s.user_id, e_from, f.fence"""
+      })
   )
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip
