@@ -1189,6 +1189,54 @@ object Multimodal {
         SELECT doc_id, prev_doc_id, tile_id, best_shift, best_sad,
                best_sad > 320 AS scene_change
         FROM best WHERE rn = 1 AND n_shifts = 5
-        ORDER BY doc_id, tile_id"""))
+        ORDER BY doc_id, tile_id""")),
+
+    // ----- mm_integral_image: summed-area table ---------------------------
+    // The integral image (Viola-Jones / box-filter primitive): I(x,y) =
+    // sum of all pixels with x'<=x, y'<=y, making any box sum four lookups
+    // — the preprocessing behind fast blur/feature windows on satellite
+    // tiles. Payload-as-image (width 32, same layout as mm_focus_measure);
+    // the two nested prefix sums are exactly two window cumsums — row
+    // cumsum within (doc, y), then column cumsum within (doc, x) over the
+    // row-cummed values. All exact integers. Emitting every 8th pixel of
+    // each axis keeps output bounded while the spec checks box sums
+    // against brute force.
+    "mm_integral_image" -> Q(
+      build = (s, d) => {
+        val px = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 256)
+          .select(col("doc_id"),
+            explode(expr("sequence(0, 255)")).as("p"), col("text"))
+          .select(col("doc_id"), expr("p % 16").as("x"),
+            expr("p div 16").as("y"),
+            expr("ascii(substring(text, p + 1, 1))").cast(LongType).as("v"))
+        val rowCum = px.withColumn("rc",
+          sum(col("v")).over(Window.partitionBy(col("doc_id"), col("y"))
+            .orderBy(col("x"))))
+        rowCum.withColumn("ii",
+          sum(col("rc")).over(Window.partitionBy(col("doc_id"), col("x"))
+            .orderBy(col("y"))))
+          .filter(col("x") % 4 === 3 && col("y") % 4 === 3)
+          .select(col("doc_id"), col("x"), col("y"), col("ii"))
+          .orderBy(col("doc_id"), col("y"), col("x"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id, p % 16 AS x, p // 16 AS y,
+                 CAST(ascii(substr(text, CAST(p + 1 AS INT), 1)) AS BIGINT)
+                   AS v
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(0, 255)) AS p
+                FROM documents WHERE length(text) >= 256)),
+        rc AS (
+          SELECT doc_id, x, y,
+                 SUM(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS rc
+          FROM px)
+        SELECT doc_id, x, y,
+               CAST(SUM(rc) OVER (PARTITION BY doc_id, x ORDER BY y)
+                 AS BIGINT) AS ii
+        FROM rc
+        QUALIFY x % 4 = 3 AND y % 4 = 3
+        ORDER BY doc_id, y, x"""))
   )
 }

@@ -2914,6 +2914,40 @@ object TextOps {
         FROM pair p JOIN lft l ON p.w1 = l.w1
                     JOIN rgt r ON p.w2 = r.w2, n
         WHERE p.c12 >= 5
-        ORDER BY lift DESC, p.w1, p.w2 LIMIT 50"""))
+        ORDER BY lift DESC, p.w1, p.w2 LIMIT 50""")),
+
+    // ----- doc_compress_ratio: DEFLATE compressibility quality signal ----
+    // The compression-ratio filter production corpus pipelines run
+    // alongside the Gopher rules: machine-generated boilerplate deflates
+    // far below natural text, random gibberish barely deflates at all, so
+    // both tails of the ratio distribution are drop candidates. The codec
+    // is the in-JDK Deflater behind graft.functions.Compress (fixed level,
+    // raw stream); like the image codecs, the byte count is a pure
+    // function of input for a given zlib but not cross-engine — rows-only
+    // by declared design (Compress.scala header), semantics pinned by
+    // spec. mapPartitions batches the native calls; everything else stays
+    // columnar.
+    "doc_compress_ratio" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.Compress
+        docs(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (id, bytes.length.toLong, Compress.deflateLen(bytes).toLong)
+            }
+          }.toDF("doc_id", "n_bytes", "n_deflate")
+          .withColumn("ratio",
+            col("n_deflate").cast(DoubleType) / col("n_bytes"))
+          .withColumn("flag",
+            when(col("ratio") < 0.25, "boilerplate")
+              .when(col("ratio") > 0.9, "gibberish")
+              .otherwise("ok"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = None)
   )
 }

@@ -2746,7 +2746,102 @@ object TimeSeries {
                    ORDER BY len DESC, t_start, event_type DESC) AS r
           FROM runs)
         SELECT user_id, event_type, len AS streak_len, t_start
-        FROM best WHERE r = 1 ORDER BY user_id"""))
+        FROM best WHERE r = 1 ORDER BY user_id""")),
+
+    // ----- ts_lttb: largest-triangle downsampling ------------------------
+    // The visual downsampler dashboards actually use (Steinarsson's LTTB,
+    // bucket size 30) in its parallel fixed-anchor form: each bucket keeps
+    // the point forming the largest triangle with the NEIGHBOR BUCKET
+    // AVERAGES (the sequential previous-selected-point chain would
+    // serialize the whole series; anchoring on bucket means every bucket
+    // decides independently — embarrassingly parallel, and the standard
+    // practical approximation). First/last buckets pin the series
+    // endpoints. Times are rebased per entity before any product so the
+    // area arithmetic stays well inside double exactness; every division
+    // is one correctly-rounded IEEE op shared textually with the oracle.
+    "ts_lttb" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val pts = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("t0", min(col("ts_sec")).over(byUser))
+          .withColumn("t", (col("ts_sec") - col("t0")).cast(DoubleType))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("bucket", expr("(rn - 1) div 30"))
+        val bk = pts.groupBy(col("user_id"), col("bucket"))
+          .agg(sum(col("t")).as("st"), sum(col("vc")).as("sv"),
+            count(lit(1)).as("n"))
+        val wb = byUser.orderBy(col("bucket"))
+        val anchors = bk
+          .withColumn("stP", lag(col("st"), 1).over(wb))
+          .withColumn("svP", lag(col("sv"), 1).over(wb))
+          .withColumn("nP", lag(col("n"), 1).over(wb))
+          .withColumn("stN", lead(col("st"), 1).over(wb))
+          .withColumn("svN", lead(col("sv"), 1).over(wb))
+          .withColumn("nN", lead(col("n"), 1).over(wb))
+          .withColumn("nb", count(lit(1)).over(byUser))
+        val area =
+          """abs((stP/nP - stN/nN) * (CAST(vc AS DOUBLE) - svP/nP)
+             - (stP/nP - t) * (svN/nN - svP/nP))"""
+        val wbk = Window.partitionBy(col("user_id"), col("bucket"))
+        val joined = pts.join(anchors, Seq("user_id", "bucket"))
+          .withColumn("rnb", row_number().over(
+            wbk.orderBy(col("ts_sec"), col("event_id"))))
+          .withColumn("cntb", count(lit(1)).over(wbk))
+          .withColumn("ra", row_number().over(wbk.orderBy(
+            expr(area).desc, col("ts_sec"), col("event_id"))))
+        joined.filter(
+          (col("bucket") === 0 && col("rnb") === 1)
+            || (col("bucket") === col("nb") - 1 && col("rnb") === col("cntb"))
+            || (col("bucket") > 0 && col("bucket") < col("nb") - 1
+              && col("ra") === 1))
+          .select(col("user_id"), col("bucket"), col("event_id"),
+            col("ts_sec"), (col("vc").cast(DoubleType) / 100.0).as("value_c"))
+          .orderBy(col("user_id"), col("bucket"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, event_id, $TS AS ts_sec,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 CAST($TS - MIN($TS) OVER (PARTITION BY user_id) AS DOUBLE)
+                   AS t,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS rn
+          FROM events),
+        pts2 AS (SELECT *, (rn - 1) // 30 AS bucket FROM pts),
+        bk AS (
+          SELECT user_id, bucket, SUM(t) AS st,
+                 CAST(SUM(vc) AS BIGINT) AS sv, COUNT(*) AS n
+          FROM pts2 GROUP BY 1, 2),
+        anchors AS (
+          SELECT user_id, bucket, st, sv, n,
+                 LAG(st, 1) OVER wb AS stP, LAG(sv, 1) OVER wb AS svP,
+                 LAG(n, 1) OVER wb AS nP,
+                 LEAD(st, 1) OVER wb AS stN, LEAD(sv, 1) OVER wb AS svN,
+                 LEAD(n, 1) OVER wb AS nN,
+                 COUNT(*) OVER (PARTITION BY user_id) AS nb
+          FROM bk WINDOW wb AS (PARTITION BY user_id ORDER BY bucket)),
+        joined AS (
+          SELECT p.user_id, p.bucket, p.event_id, p.ts_sec, p.vc,
+                 a.nb,
+                 ROW_NUMBER() OVER (PARTITION BY p.user_id, p.bucket
+                   ORDER BY p.ts_sec, p.event_id) AS rnb,
+                 COUNT(*) OVER (PARTITION BY p.user_id, p.bucket) AS cntb,
+                 ROW_NUMBER() OVER (PARTITION BY p.user_id, p.bucket
+                   ORDER BY abs((a.stP/a.nP - a.stN/a.nN)
+                         * (CAST(p.vc AS DOUBLE) - a.svP/a.nP)
+                       - (a.stP/a.nP - p.t) * (a.svN/a.nN - a.svP/a.nP))
+                     DESC, p.ts_sec, p.event_id) AS ra
+          FROM pts2 p JOIN anchors a
+            ON p.user_id = a.user_id AND p.bucket = a.bucket)
+        SELECT user_id, bucket, event_id, ts_sec,
+               CAST(vc AS DOUBLE) / 100.0 AS value_c
+        FROM joined
+        WHERE (bucket = 0 AND rnb = 1)
+           OR (bucket = nb - 1 AND rnb = cntb)
+           OR (bucket > 0 AND bucket < nb - 1 AND ra = 1)
+        ORDER BY user_id, bucket, event_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

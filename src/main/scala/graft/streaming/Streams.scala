@@ -521,6 +521,37 @@ object Streams {
   case class TopKOut(event_type: String, n_seen: Long,
       top_users: Seq[Long], top_counts: Seq[Long], top_errs: Seq[Long])
 
+  /** stream_interval_join: watermarked stream-stream event-time join —
+    * command events matched to acknowledgement events of the same entity
+    * arriving within `horizonSec`. The time-range predicate plus BOTH
+    * watermarks lets Spark expire join state (a cmd older than watermark -
+    * horizon can never match again), so state is bounded per entity even
+    * on an unbounded feed — the canonical two-feed correlation ODIN's
+    * importers do imperatively (live track updates joined to the archive
+    * replay of the matching window).
+    */
+  def intervalJoinStream(cmds: Dataset[Ev], acks: Dataset[Ev],
+      horizonSec: Long = 600L, lateness: String = "10 minutes"): DataFrame = {
+    val c = cmds.toDF()
+      .select(col("user_id").as("c_user"), col("event_id").as("cmd_id"),
+        timestamp_seconds(col("ts_sec")).as("cmd_ts"),
+        col("value").as("cmd_value"))
+      .withWatermark("cmd_ts", lateness)
+    val a = acks.toDF()
+      .select(col("user_id").as("a_user"), col("event_id").as("ack_id"),
+        timestamp_seconds(col("ts_sec")).as("ack_ts"),
+        col("value").as("ack_value"))
+      .withWatermark("ack_ts", lateness)
+    c.join(a, expr(
+      s"""c_user = a_user
+          AND ack_ts >= cmd_ts
+          AND ack_ts <= cmd_ts + interval $horizonSec seconds"""))
+      .select(col("c_user").as("user_id"), col("cmd_id"), col("ack_id"),
+        col("cmd_ts"), col("ack_ts"), col("cmd_value"), col("ack_value"),
+        (unix_timestamp(col("ack_ts")) - unix_timestamp(col("cmd_ts")))
+          .as("latency_sec"))
+  }
+
   /** stream_topk: bounded-memory heavy hitters per event type via the
     * SpaceSaving summary (Metwally et al. 2005) held in
     * mapGroupsWithState — the streaming answer to "who dominates this
