@@ -4067,8 +4067,68 @@ object Geo {
           AND ${o("f.ax", "f.ay", "f.bx", "f.by", "s.px", "s.py")}
             * ${o("f.ax", "f.ay", "f.bx", "f.by", "s.qx", "s.qy")} < 0
         ORDER BY s.user_id, e_from, f.fence"""
+      }),
+
+    // ----- geo_hexbin: hexagonal grid binning ----------------------------
+    // The H3-style hex aggregation (hexes tile density isotropically where
+    // geo_grid_agg's squares bias along axes): pointy-top axial coords
+    // q = (x/sqrt(3) - y/3)/h, r = (2y/3)/h, then cube rounding (round
+    // each axis, re-derive the one with the largest rounding error from
+    // the other two so q+r+s = 0 holds). sqrt and all divisions are
+    // exact-deterministic IEEE; the integer round is FLOOR(x+0.5) (exact)
+    // so the bin id needs no quantization guard at all. One map +
+    // map-side-combinable groupBy — the planetary-scale heatmap shape.
+    "geo_hexbin" -> Q(
+      build = (s, d) => {
+        val q0 = "((lon / sqrt(3.0e0) - lat / 3.0e0) / 2.5e0)"
+        val r0 = "((2.0e0 * lat / 3.0e0) / 2.5e0)"
+        val hex = hexRound(q0, r0)
+        evPts(s, d)
+          .select(col("event_id"),
+            expr(hex._1).as("hq"), expr(hex._2).as("hr"),
+            expr("CAST(FLOOR(lat*100000.0) AS BIGINT)").as("latq"),
+            expr("CAST(FLOOR(lon*100000.0) AS BIGINT)").as("lonq"))
+          .groupBy(col("hq"), col("hr"))
+          .agg(count(lit(1)).as("n_points"),
+            (sum(col("latq")).cast(DoubleType) / (count(lit(1)) * 100000.0))
+              .as("mean_lat"),
+            (sum(col("lonq")).cast(DoubleType) / (count(lit(1)) * 100000.0))
+              .as("mean_lon"))
+          .orderBy(col("hq"), col("hr"))
+      },
+      oracle = Some {
+        val q0 = s"(($LON / sqrt(3.0e0) - $LAT / 3.0e0) / 2.5e0)"
+        val r0 = s"((2.0e0 * $LAT / 3.0e0) / 2.5e0)"
+        val hex = hexRound(q0, r0)
+        s"""
+        WITH b AS (
+          SELECT event_id, ${hex._1} AS hq, ${hex._2} AS hr,
+                 CAST(FLOOR($LAT*100000.0) AS BIGINT) AS latq,
+                 CAST(FLOOR($LON*100000.0) AS BIGINT) AS lonq
+          FROM events)
+        SELECT hq, hr, COUNT(*) AS n_points,
+               CAST(SUM(latq) AS DOUBLE) / (COUNT(*) * 100000.0) AS mean_lat,
+               CAST(SUM(lonq) AS DOUBLE) / (COUNT(*) * 100000.0) AS mean_lon
+        FROM b GROUP BY 1, 2 ORDER BY hq, hr"""
       })
   )
+
+  /** Cube rounding for axial hex coords as one shared formula pair: round
+    * q, r, s=-q-r to integers (FLOOR(x+0.5) — exact), then re-derive the
+    * axis with the largest rounding error from the other two. Returns the
+    * (hq, hr) SQL fragments.
+    */
+  private def hexRound(q0: String, r0: String): (String, String) = {
+    val s0 = s"(-($q0) - ($r0))"
+    def R(x: String) = s"CAST(FLOOR(($x) + 0.5e0) AS BIGINT)"
+    val (rq, rr, rs) = (R(q0), R(r0), R(s0))
+    val dq = s"abs(CAST($rq AS DOUBLE) - ($q0))"
+    val dr = s"abs(CAST($rr AS DOUBLE) - ($r0))"
+    val ds = s"abs(CAST($rs AS DOUBLE) - ($s0))"
+    val hq = s"CASE WHEN $dq > $dr AND $dq > $ds THEN -($rr) - ($rs) ELSE $rq END"
+    val hr = s"CASE WHEN $dq > $dr AND $dq > $ds THEN $rr WHEN $dr > $ds THEN -($rq) - ($rs) ELSE $rr END"
+    (hq, hr)
+  }
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip
     * (firms.rs:117 field order). Numeric fields ride the line as

@@ -2948,6 +2948,62 @@ object TextOps {
               .otherwise("ok"))
           .orderBy(col("doc_id"))
       },
-      oracle = None)
+      oracle = None),
+
+    // ----- doc_ngram_novelty: ingestion-order novelty score --------------
+    // How much genuinely NEW text does each document add to the corpus so
+    // far? Per doc, the fraction of its distinct 5-gram word shingles
+    // whose first corpus occurrence (min doc_id — ingestion order) is this
+    // document. The memorization/freshness metric curators watch as a
+    // crawl ages: novelty falling toward 0 means the crawl is re-reading
+    // itself. One shingle-keyed groupBy for first-owner, one semi-join
+    // back — the exact shingle-join shape of doc_contamination, linear in
+    // corpus size at any SF.
+    "doc_ngram_novelty" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val sh = docs(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "term")
+          .filter(col("term") =!= "")
+          .withColumn("g", concat_ws(" ", col("term"),
+            lead(col("term"), 1).over(w), lead(col("term"), 2).over(w),
+            lead(col("term"), 3).over(w), lead(col("term"), 4).over(w)))
+          .withColumn("k", lead(col("term"), 4).over(w))
+          .filter(col("k").isNotNull)
+          .select(col("doc_id"), col("g")).distinct()
+        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+        sh.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast(DoubleType) / col("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, g.i AS pos, l[g.i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+               generate_series(1, 2048) AS g(i)
+          WHERE g.i <= len(l) AND l[g.i] <> ''),
+        sh AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   concat_ws(' ', term, LEAD(term, 1) OVER w,
+                     LEAD(term, 2) OVER w, LEAD(term, 3) OVER w,
+                     LEAD(term, 4) OVER w) AS g,
+                   LEAD(term, 4) OVER w AS k
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+          WHERE k IS NOT NULL),
+        first AS (SELECT g, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS novelty
+        FROM sh s JOIN first f ON s.g = f.g
+        GROUP BY 1 ORDER BY s.doc_id"""))
   )
 }

@@ -2841,7 +2841,170 @@ object TimeSeries {
         WHERE (bucket = 0 AND rnb = 1)
            OR (bucket = nb - 1 AND rnb = cntb)
            OR (bucket > 0 AND bucket < nb - 1 AND ra = 1)
-        ORDER BY user_id, bucket, event_id"""))
+        ORDER BY user_id, bucket, event_id""")),
+
+    // ----- ts_ar2_forecast: Yule-Walker AR(2) fit + one-step forecast ----
+    // The classic autoregressive step up from ts_holt's exponential
+    // smoothing: phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) from
+    // the lag-1/lag-2 autocorrelations (Yule-Walker), then the one-step
+    // forecast mean + phi1*(v_n - mean) + phi2*(v_{n-1} - mean). The ACF
+    // numerators/denominator reuse ts_acf's cleared-denominator integer
+    // sums (DECIMAL(38,0) — exact, order-free); r1/r2 and everything after
+    // are single IEEE divisions/products in one shared expression order,
+    // so no rounding is needed anywhere. One entity-keyed shuffle.
+    "ts_ar2_forecast" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val p = byUser
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+          .withColumn("n", count(lit(1)).over(p))
+          .withColumn("sv", sum(col("v")).over(p))
+          .withColumn("r", col("n") * col("v") - col("sv"))
+          .withColumn("r1l", lead(col("r"), 1).over(w))
+          .withColumn("r2l", lead(col("r"), 2).over(w))
+          .withColumn("rnk", row_number().over(
+            byUser.orderBy(col("ts_sec").desc, col("event_id").desc)))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        base.groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"), max(col("sv")).as("sv"),
+            sum(dec(col("r") * col("r"))).as("den"),
+            sum(when(col("r1l").isNotNull, dec(col("r") * col("r1l"))))
+              .as("a"),
+            sum(when(col("r2l").isNotNull, dec(col("r") * col("r2l"))))
+              .as("b"),
+            max(when(col("rnk") === 1, col("v"))).as("vn"),
+            max(when(col("rnk") === 2, col("v"))).as("vn1"))
+          .filter(col("den") > 0 && col("n") >= 5)
+          .withColumn("r1", col("a").cast(DoubleType) / col("den").cast(DoubleType))
+          .withColumn("r2", col("b").cast(DoubleType) / col("den").cast(DoubleType))
+          .withColumn("phi1",
+            expr("r1 * (1.0e0 - r2) / (1.0e0 - r1 * r1)"))
+          .withColumn("phi2",
+            expr("(r2 - r1 * r1) / (1.0e0 - r1 * r1)"))
+          .withColumn("mean_c",
+            expr("CAST(sv AS DOUBLE) / n"))
+          .withColumn("forecast_c", expr(
+            "mean_c + phi1 * (CAST(vn AS DOUBLE) - mean_c) + phi2 * (CAST(vn1 AS DOUBLE) - mean_c)"))
+          .select(col("user_id"), col("n"), col("r1"), col("r2"),
+            col("phi1"), col("phi2"), col("forecast_c"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS v
+          FROM events),
+        st AS (
+          SELECT user_id, ts_sec, event_id, v,
+                 COUNT(*) OVER p AS n, CAST(SUM(v) OVER p AS BIGINT) AS sv
+          FROM base WINDOW p AS (PARTITION BY user_id)),
+        r0 AS (
+          SELECT user_id, n, sv, v, n*v - sv AS r,
+                 lead(n*v - sv, 1) OVER w AS r1l,
+                 lead(n*v - sv, 2) OVER w AS r2l,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_sec DESC, event_id DESC) AS rnk
+          FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        agg AS (
+          SELECT user_id, MAX(n) AS n, MAX(sv) AS sv,
+                 SUM(CAST(r*r AS DECIMAL(38,0))) AS den,
+                 SUM(CASE WHEN r1l IS NOT NULL
+                          THEN CAST(r*r1l AS DECIMAL(38,0)) END) AS a,
+                 SUM(CASE WHEN r2l IS NOT NULL
+                          THEN CAST(r*r2l AS DECIMAL(38,0)) END) AS b,
+                 MAX(CASE WHEN rnk = 1 THEN v END) AS vn,
+                 MAX(CASE WHEN rnk = 2 THEN v END) AS vn1
+          FROM r0 GROUP BY 1),
+        fit AS (
+          SELECT user_id, n,
+                 CAST(a AS DOUBLE)/CAST(den AS DOUBLE) AS r1,
+                 CAST(b AS DOUBLE)/CAST(den AS DOUBLE) AS r2,
+                 CAST(sv AS DOUBLE) / n AS mean_c, vn, vn1
+          FROM agg WHERE den > 0 AND n >= 5)
+        SELECT user_id, n, r1, r2,
+               r1 * (1.0e0 - r2) / (1.0e0 - r1 * r1) AS phi1,
+               (r2 - r1 * r1) / (1.0e0 - r1 * r1) AS phi2,
+               mean_c
+                 + (r1 * (1.0e0 - r2) / (1.0e0 - r1 * r1))
+                   * (CAST(vn AS DOUBLE) - mean_c)
+                 + ((r2 - r1 * r1) / (1.0e0 - r1 * r1))
+                   * (CAST(vn1 AS DOUBLE) - mean_c) AS forecast_c
+        FROM fit ORDER BY user_id""")),
+
+    // ----- ts_welch_ab: Welch's t-test per entity ------------------------
+    // The A/B significance test every experimentation pipeline runs:
+    // per entity, are 'purchase' values drawn from a different mean than
+    // 'view' values? Welch's unequal-variance t plus the
+    // Welch-Satterthwaite df. Sums and sums-of-squares are exact integer
+    // cents (map-side-combinable aggregate, one shuffle); mean/variance/
+    // t/df are IEEE divisions+sqrt in one shared expression order — fully
+    // deterministic, no rounding needed. The significance flag compares
+    // |t| to the z approximation (df > 30 here), documented as such.
+    "ts_welch_ab" -> Q(
+      build = (s, d) => {
+        val g = ev(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("ss"))
+        val a = g.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("n").as("n1"), col("s").as("s1"),
+            col("ss").as("ss1"))
+        val b = g.filter(col("event_type") === "view")
+          .select(col("user_id"), col("n").as("n2"), col("s").as("s2"),
+            col("ss").as("ss2"))
+        a.join(b, "user_id")
+          .filter(col("n1") >= 3 && col("n2") >= 3)
+          .withColumn("m1", expr("CAST(s1 AS DOUBLE) / n1"))
+          .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n2"))
+          .withColumn("var1", expr(
+            "(CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)"))
+          .withColumn("var2", expr(
+            "(CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)"))
+          .withColumn("se2", expr("var1 / n1 + var2 / n2"))
+          .withColumn("t_stat", expr("(m1 - m2) / sqrt(se2)"))
+          .withColumn("df_welch", expr(
+            """se2 * se2 / (var1 / n1 * (var1 / n1) / (n1 - 1)
+               + var2 / n2 * (var2 / n2) / (n2 - 1))"""))
+          .withColumn("significant", expr("abs(t_stat) > 1.96e0"))
+          .select(col("user_id"), col("n1"), col("n2"), col("m1"), col("m2"),
+            col("t_stat"), col("df_welch"), col("significant"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT user_id, event_type, COUNT(*) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v*v) AS BIGINT) AS ss
+          FROM (SELECT user_id, event_type,
+                       CAST(round(value * 100.0) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('purchase', 'view'))
+          GROUP BY 1, 2),
+        j AS (
+          SELECT a.user_id, a.n AS n1, a.s AS s1, a.ss AS ss1,
+                 b.n AS n2, b.s AS s2, b.ss AS ss2
+          FROM (SELECT * FROM g WHERE event_type = 'purchase') a
+          JOIN (SELECT * FROM g WHERE event_type = 'view') b
+            ON a.user_id = b.user_id
+          WHERE a.n >= 3 AND b.n >= 3),
+        c AS (
+          SELECT user_id, n1, n2,
+                 CAST(s1 AS DOUBLE) / n1 AS m1,
+                 CAST(s2 AS DOUBLE) / n2 AS m2,
+                 (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS var1,
+                 (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS var2
+          FROM j),
+        e AS (
+          SELECT *, var1 / n1 + var2 / n2 AS se2 FROM c)
+        SELECT user_id, n1, n2, m1, m2,
+               (m1 - m2) / sqrt(se2) AS t_stat,
+               se2 * se2 / (var1 / n1 * (var1 / n1) / (n1 - 1)
+                 + var2 / n2 * (var2 / n2) / (n2 - 1)) AS df_welch,
+               abs((m1 - m2) / sqrt(se2)) > 1.96e0 AS significant
+        FROM e ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
