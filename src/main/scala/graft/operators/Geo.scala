@@ -4110,6 +4110,72 @@ object Geo {
                CAST(SUM(latq) AS DOUBLE) / (COUNT(*) * 100000.0) AS mean_lat,
                CAST(SUM(lonq) AS DOUBLE) / (COUNT(*) * 100000.0) AS mean_lon
         FROM b GROUP BY 1, 2 ORDER BY hq, hr"""
+      }),
+
+    // ----- geo_gc_waypoints: great-circle route densification ------------
+    // Intermediate points along the geodesic between consecutive ground
+    // stations (the slerp form: interpolate on the unit sphere through
+    // ECEF, the route-densification every flight/overpass display runs
+    // before drawing). One window lead pairs the stations, a 4-fraction
+    // explode emits the waypoints; the whole spherical interpolation is
+    // one shared formula text, rounded to 4 decimals per §5.
+    "geo_gc_waypoints" -> Q(
+      build = (s, d) => {
+        val delta = """(2.0e0*asin(sqrt(least(1.0e0,
+          pow(sin((radians(lat2)-radians(lat1))/2),2)
+          + cos(radians(lat1))*cos(radians(lat2))
+            *pow(sin((radians(lon2)-radians(lon1))/2),2)))))"""
+        val a = s"(sin((1.0e0 - f) * $delta) / sin($delta))"
+        val b = s"(sin(f * $delta) / sin($delta))"
+        val x = s"($a*cos(radians(lat1))*cos(radians(lon1)) + $b*cos(radians(lat2))*cos(radians(lon2)))"
+        val y = s"($a*cos(radians(lat1))*sin(radians(lon1)) + $b*cos(radians(lat2))*sin(radians(lon2)))"
+        val z = s"($a*sin(radians(lat1)) + $b*sin(radians(lat2)))"
+        val w = Window.orderBy(col("s_suppkey"))
+        stationsFor(s, d)
+          .withColumn("k2", lead(col("s_suppkey"), 1).over(w))
+          .withColumn("lat2", lead(col("s_lat"), 1).over(w))
+          .withColumn("lon2", lead(col("s_lon"), 1).over(w))
+          .filter(col("k2").isNotNull)
+          .select(col("s_suppkey").as("leg"), col("k2"),
+            col("s_lat").as("lat1"), col("s_lon").as("lon1"),
+            col("lat2"), col("lon2"))
+          .withColumn("f", explode(expr(
+            "array(0.2e0, 0.4e0, 0.6e0, 0.8e0)")))
+          .filter(expr(s"$delta > 0.0e0")) // degenerate leg guard
+          .withColumn("w_lat", expr(
+            s"round(degrees(atan2($z, sqrt($x*$x + $y*$y))), 4)"))
+          .withColumn("w_lon", expr(s"round(degrees(atan2($y, $x)), 4)"))
+          .select(col("leg"), col("k2").as("leg_to"), col("f"),
+            col("w_lat"), col("w_lon"))
+          .orderBy(col("leg"), col("f"))
+      },
+      oracle = Some {
+        val delta = """(2.0e0*asin(sqrt(least(1.0e0,
+          pow(sin((radians(lat2)-radians(lat1))/2),2)
+          + cos(radians(lat1))*cos(radians(lat2))
+            *pow(sin((radians(lon2)-radians(lon1))/2),2)))))"""
+        val a = s"(sin((1.0e0 - f) * $delta) / sin($delta))"
+        val b = s"(sin(f * $delta) / sin($delta))"
+        val x = s"($a*cos(radians(lat1))*cos(radians(lon1)) + $b*cos(radians(lat2))*cos(radians(lon2)))"
+        val y = s"($a*cos(radians(lat1))*sin(radians(lon1)) + $b*cos(radians(lat2))*sin(radians(lon2)))"
+        val z = s"($a*sin(radians(lat1)) + $b*sin(radians(lat2)))"
+        s"""
+        WITH st AS (
+          SELECT s_suppkey, $SLAT AS lat, $SLON AS lon FROM supplier),
+        legs AS (
+          SELECT s_suppkey AS leg,
+                 LEAD(s_suppkey, 1) OVER w AS leg_to,
+                 lat AS lat1, lon AS lon1,
+                 LEAD(lat, 1) OVER w AS lat2, LEAD(lon, 1) OVER w AS lon2
+          FROM st WINDOW w AS (ORDER BY s_suppkey)),
+        wp AS (
+          SELECT l.*, f.f FROM legs l
+          CROSS JOIN (VALUES (0.2e0), (0.4e0), (0.6e0), (0.8e0)) AS f(f)
+          WHERE l.leg_to IS NOT NULL AND $delta > 0.0e0)
+        SELECT leg, leg_to, f,
+               round(degrees(atan2($z, sqrt($x*$x + $y*$y))), 4) AS w_lat,
+               round(degrees(atan2($y, $x)), 4) AS w_lon
+        FROM wp ORDER BY leg, f"""
       })
   )
 

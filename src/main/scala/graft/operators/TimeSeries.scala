@@ -3004,7 +3004,52 @@ object TimeSeries {
                se2 * se2 / (var1 / n1 * (var1 / n1) / (n1 - 1)
                  + var2 / n2 * (var2 / n2) / (n2 - 1)) AS df_welch,
                abs((m1 - m2) / sqrt(se2)) > 1.96e0 AS significant
-        FROM e ORDER BY user_id"""))
+        FROM e ORDER BY user_id""")),
+
+    // ----- ts_poisson_rate_test: did the event rate change? --------------
+    // The conditional binomial test for comparing two Poisson counts
+    // (Przyborowski-Wilenski shape, normal approximation): split each
+    // entity's observation span at its midpoint, compare first-half vs
+    // second-half event counts with z = (n1-n2)/sqrt(n1+n2). Exact
+    // integer counts, one sqrt — deterministic; the span split is integer
+    // arithmetic on epoch seconds. One entity-keyed aggregate: the
+    // rate-drift alarm shape for fleets of sensors.
+    "ts_poisson_rate_test" -> Q(
+      build = (s, d) =>
+        ev(s, d)
+          .select(col("user_id"), col("ts_sec"))
+          .withColumn("lo", min(col("ts_sec")).over(byUser))
+          .withColumn("hi", max(col("ts_sec")).over(byUser))
+          .withColumn("mid", expr("lo + (hi - lo) div 2"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts_sec") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("ts_sec") > col("mid"), 1L).otherwise(0L)).as("n2"))
+          .filter(col("n1") + col("n2") >= 10)
+          .withColumn("z", expr(
+            "(CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) / sqrt(CAST(n1 + n2 AS DOUBLE))"))
+          .withColumn("rate_changed", expr("abs(z) > 1.96e0"))
+          .orderBy(col("user_id")),
+      oracle = Some(s"""
+        WITH spans AS (
+          SELECT user_id, $TS AS ts_sec,
+                 MIN($TS) OVER (PARTITION BY user_id) AS lo,
+                 MAX($TS) OVER (PARTITION BY user_id) AS hi
+          FROM events),
+        counts AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN ts_sec <= lo + (hi - lo) // 2
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN ts_sec > lo + (hi - lo) // 2
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM spans GROUP BY 1)
+        SELECT user_id, n1, n2,
+               (CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                 / sqrt(CAST(n1 + n2 AS DOUBLE)) AS z,
+               abs((CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                 / sqrt(CAST(n1 + n2 AS DOUBLE))) > 1.96e0 AS rate_changed
+        FROM counts WHERE n1 + n2 >= 10
+        ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

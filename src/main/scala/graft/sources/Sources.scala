@@ -141,4 +141,91 @@ object Sources {
     (df.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)),
       keep.length.toLong)
   }
+
+  // ---- snk_versioned: transactional snapshot sink with a commit log ----
+  // The mini table-format pattern (Delta/Iceberg shape): each commit
+  // writes a fresh snapshot directory, then publishes it by atomically
+  // renaming a JSON entry into `_log/` (HDFS/posix rename is atomic, so
+  // readers never observe a half-written commit). Readers list the tiny
+  // log — never the data — pick the latest version at-or-below `asOf`,
+  // and read exactly that snapshot: time travel, concurrent-reader
+  // safety, and idempotent re-commit (a version that already exists is
+  // not overwritten — the foundation stream_upsert_sink builds on for
+  // exactly-once batches).
+
+  /** Commit `df` as the next version (or `expect`). Returns the version
+    * actually committed; a lost race (version already published) returns
+    * -1 and leaves the table unchanged. Data lands in a UNIQUE staging
+    * directory per attempt — only the atomic log rename publishes it, so
+    * a losing writer never clobbers the winner's snapshot.
+    */
+  def commitVersion(df: DataFrame, tablePath: String,
+      expect: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_log")
+    val fs = logDir.getFileSystem(conf)
+    fs.mkdirs(logDir)
+    val v = expect.getOrElse(latestVersion(spark, tablePath) + 1)
+    val fin = new org.apache.hadoop.fs.Path(logDir, s"$v.json")
+    if (fs.exists(fin)) return -1L // already published (e.g. batch replay)
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    val dirName = s"v=$v-$attempt"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$dirName")
+    val tmp = new org.apache.hadoop.fs.Path(logDir, s".$v.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"version":$v,"dir":"$dirName"}""".getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+      // lost the race after staging: discard our orphan snapshot
+      fs.delete(tmp, false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$dirName"), true)
+      -1L
+    } else v
+  }
+
+  /** Latest committed version, -1 if the table is empty. */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) -1L
+    else fs.listStatus(logDir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Snapshot read at `asOf` (default: latest). Empty table → empty df
+    * with the caller-supplied schema. The snapshot directory comes from
+    * the committed log entry, never from listing data paths.
+    */
+  def readVersion(spark: SparkSession, tablePath: String,
+      schema: StructType, asOf: Option[Long] = None): DataFrame = {
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(logDir)) Array.empty[Long]
+      else fs.listStatus(logDir)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toLong)
+        .filter(v => asOf.forall(v <= _))
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val entry = new org.apache.hadoop.fs.Path(logDir, s"${versions.max}.json")
+      val in = fs.open(entry)
+      val body = try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(0, n), "UTF-8")
+      } finally in.close()
+      val dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(body)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"corrupt log entry $entry"))
+      spark.read.schema(schema).parquet(s"$tablePath/$dir")
+    }
+  }
 }

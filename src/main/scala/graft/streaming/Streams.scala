@@ -521,6 +521,39 @@ object Streams {
   case class TopKOut(event_type: String, n_seen: Long,
       top_users: Seq[Long], top_counts: Seq[Long], top_errs: Seq[Long])
 
+  /** stream_upsert_sink: foreachBatch keyed-upsert materialization — the
+    * streaming MERGE pattern that maintains a queryable latest-state
+    * table from an event stream. Each micro-batch folds into the current
+    * snapshot (union -> struct-max latest per key) and commits through
+    * Sources.commitVersion's atomic log, with the batchId AS the version:
+    * a replayed batch after restart finds its version already published
+    * and becomes a no-op — exactly-once table state on top of
+    * at-least-once batch delivery. State lives in the table, not the
+    * driver; the fold is one keyed aggregate per batch.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, tablePath: String): Long = {
+    val spark = batch.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_sec",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val cur = graft.sources.Sources.readVersion(spark, tablePath, schema)
+    val next = cur.unionByName(
+        batch.select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("value")))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_sec"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.ts_sec").as("ts_sec"), col("m.value").as("value"))
+    // batchId as the version: replay-idempotent
+    graft.sources.Sources.commitVersion(next, tablePath, Some(batchId))
+  }
+
   /** stream_interval_join: watermarked stream-stream event-time join —
     * command events matched to acknowledgement events of the same entity
     * arriving within `horizonSec`. The time-range predicate plus BOTH
