@@ -4176,7 +4176,125 @@ object Geo {
                round(degrees(atan2($z, sqrt($x*$x + $y*$y))), 4) AS w_lat,
                round(degrees(atan2($y, $x)), 4) AS w_lon
         FROM wp ORDER BY leg, f"""
-      })
+      }),
+
+    // ----- geo_hillshade: analytic terrain shading -----------------------
+    // The hillshade render every DEM/terrain layer ships (GDAL defaults:
+    // sun azimuth 315°, altitude 45°): shade = cos(zen)cos(slope) +
+    // sin(zen)sin(slope)cos(az - aspect), scaled to 0-255 and clamped.
+    // Composes geo_grid_stencil's 4-neighbor gradient (same 3 grid-keyed
+    // equi-joins — the distributed-raster stencil shape) with one more
+    // shared-formula trig layer; the emitted shade rounds to 2, and the
+    // clamp compares the ROUNDED value so both engines clip identically.
+    "geo_hillshade" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat") / 2.0).cast(LongType).as("ci"),
+            floor(col("lon") / 2.0).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("z"))
+        def shifted(di: Int, dj: Int, as: String) = cells.select(
+          (col("ci") - di).as("ci"), (col("cj") - dj).as("cj"), col("z").as(as))
+        val slope = "atan(sqrt(dzdx*dzdx + dzdy*dzdy))"
+        val aspect = "atan2(dzdy, -dzdx)"
+        val shade =
+          s"""255.0e0 * (cos(radians(45.0e0))*cos($slope)
+              + sin(radians(45.0e0))*sin($slope)
+                *cos(radians(315.0e0) - $aspect))"""
+        cells
+          .join(shifted(0, 1, "z_e"), Seq("ci", "cj"))
+          .join(shifted(0, -1, "z_w"), Seq("ci", "cj"))
+          .join(shifted(1, 0, "z_n"), Seq("ci", "cj"))
+          .join(shifted(-1, 0, "z_s"), Seq("ci", "cj"))
+          .withColumn("dzdx", (col("z_e") - col("z_w")).cast(DoubleType) / 2.0)
+          .withColumn("dzdy", (col("z_n") - col("z_s")).cast(DoubleType) / 2.0)
+          .withColumn("shade", expr(s"greatest(0.0e0, round($shade, 2))"))
+          .select(col("ci"), col("cj"), col("dzdx"), col("dzdy"), col("shade"))
+          .orderBy(col("ci"), col("cj"))
+      },
+      oracle = Some {
+        val slope = "atan(sqrt(dzdx*dzdx + dzdy*dzdy))"
+        val aspect = "atan2(dzdy, -dzdx)"
+        val shade =
+          s"""255.0e0 * (cos(radians(45.0e0))*cos($slope)
+              + sin(radians(45.0e0))*sin($slope)
+                *cos(radians(315.0e0) - $aspect))"""
+        s"""
+        WITH cells AS (
+          SELECT CAST(FLOOR($LAT/2.0) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON/2.0) AS BIGINT) AS cj, COUNT(*) AS z
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT c.ci, c.cj,
+                 (e.z - w.z)/2.0 AS dzdx, (n_.z - s_.z)/2.0 AS dzdy
+          FROM cells c
+          JOIN cells e  ON e.ci = c.ci AND e.cj = c.cj + 1
+          JOIN cells w  ON w.ci = c.ci AND w.cj = c.cj - 1
+          JOIN cells n_ ON n_.ci = c.ci + 1 AND n_.cj = c.cj
+          JOIN cells s_ ON s_.ci = c.ci - 1 AND s_.cj = c.cj)
+        SELECT ci, cj, dzdx, dzdy,
+               greatest(0.0e0, round($shade, 2)) AS shade
+        FROM g ORDER BY ci, cj"""
+      }),
+
+    // ----- geo_coverage_gap: sensor-network coverage holes ---------------
+    // Which observed areas does no ground station serve? Every occupied 2°
+    // cell measures its nearest of the 10 broadcast stations
+    // (center-of-cell haversine); the 20 worst-served cells are the
+    // coverage gaps a network planner fills first (a RANKING, not an
+    // absolute radius, so the report stays meaningful as station density
+    // grows with SF). Argmin via quantized-distance struct-min (the
+    // geo_nearest discipline); cost is cells x stations against a
+    // broadcast dimension, then a TakeOrdered top-20 — linear in the
+    // grid, no pair blowup, no global sort.
+    "geo_coverage_gap" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat") / 2.0).cast(LongType).as("ci"),
+            floor(col("lon") / 2.0).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("clat", col("ci").cast(DoubleType) * 2.0 + 1.0)
+          .withColumn("clon", col("cj").cast(DoubleType) * 2.0 + 1.0)
+        val st = stationsFor(s, d)
+        cells.crossJoin(broadcast(st))
+          .withColumn("dq", floor(
+            havC(col("clat"), col("clon"), col("s_lat"), col("s_lon"))
+              * 1024.0).cast(LongType))
+          .groupBy(col("ci"), col("cj"))
+          .agg(max(col("n_events")).as("n_events"),
+            min(struct(col("dq"), col("s_suppkey"))).as("m"))
+          .select(col("ci"), col("cj"), col("n_events"),
+            col("m.s_suppkey").as("nearest_station"),
+            (col("m.dq").cast(DoubleType) / 1024.0).as("dist_km"))
+          .orderBy(col("dist_km").desc, col("ci"), col("cj"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT CAST(FLOOR($LAT/2.0) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON/2.0) AS BIGINT) AS cj,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        cc AS (
+          SELECT ci, cj, n_events,
+                 CAST(ci AS DOUBLE)*2.0 + 1.0 AS clat,
+                 CAST(cj AS DOUBLE)*2.0 + 1.0 AS clon
+          FROM cells),
+        st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon
+               FROM supplier),
+        dists AS (
+          SELECT c.ci, c.cj, c.n_events, s.s_suppkey,
+                 CAST(FLOOR(${havS("c.clat", "c.clon", "s.s_lat", "s.s_lon")}
+                   * 1024.0) AS BIGINT) AS dq
+          FROM cc c CROSS JOIN st s),
+        best AS (
+          SELECT ci, cj, n_events, s_suppkey, dq,
+                 ROW_NUMBER() OVER (PARTITION BY ci, cj
+                   ORDER BY dq, s_suppkey) AS rn
+          FROM dists)
+        SELECT ci, cj, n_events, s_suppkey AS nearest_station,
+               CAST(dq AS DOUBLE) / 1024.0 AS dist_km
+        FROM best WHERE rn = 1
+        ORDER BY dist_km DESC, ci, cj LIMIT 20"""))
   )
 
   /** Cube rounding for axial hex coords as one shared formula pair: round

@@ -1237,6 +1237,63 @@ object Multimodal {
                  AS BIGINT) AS ii
         FROM rc
         QUALIFY x % 4 = 3 AND y % 4 = 3
-        ORDER BY doc_id, y, x"""))
+        ORDER BY doc_id, y, x""")),
+
+    // ----- mm_audio_vad: energy-gated activity segmentation --------------
+    // Voice/signal-activity detection over the audio payload: frames (the
+    // mm_audio_features 64-sample windows) gate on energy, consecutive
+    // active frames merge into segments (the rn-difference islands trick —
+    // no iteration), and only segments >= 2 frames survive (the hangover
+    // filter that kills one-frame clicks). Everything integer-exact; the
+    // per-doc frame count is payload/64, so the window state is tiny.
+    "mm_audio_vad" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
+            (expr("ascii(substring(text, pos, 1))") - 128).as("s0"))
+          .groupBy(col("doc_id"), col("frame_id"))
+          .agg(sum((col("s0") * col("s0")).cast(LongType)).as("energy"))
+          .filter(col("energy") > 30000L)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+        frames
+          .withColumn("grp", col("frame_id") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("frame_id")).as("seg_start"),
+            max(col("frame_id")).as("seg_end"),
+            count(lit(1)).as("n_frames"),
+            sum(col("energy")).as("seg_energy"))
+          .filter(col("n_frames") >= 2)
+          .select(col("doc_id"), col("seg_start"), col("seg_end"),
+            col("n_frames"), col("seg_energy"))
+          .orderBy(col("doc_id"), col("seg_start"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, CAST(floor(length(text)/64)*64 AS INT))) AS pos,
+                 text
+          FROM documents WHERE length(text) >= 64),
+        fr AS (
+          SELECT doc_id, CAST(floor((pos-1)/64) AS BIGINT) AS frame_id,
+                 CAST(SUM(CAST((ascii(substr(text, pos, 1)) - 128)
+                   * (ascii(substr(text, pos, 1)) - 128) AS BIGINT))
+                   AS BIGINT) AS energy
+          FROM px GROUP BY 1, 2),
+        act AS (
+          SELECT doc_id, frame_id, energy,
+                 frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY frame_id) AS grp
+          FROM fr WHERE energy > 30000)
+        SELECT doc_id, MIN(frame_id) AS seg_start, MAX(frame_id) AS seg_end,
+               COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS seg_energy
+        FROM act GROUP BY doc_id, grp
+        HAVING COUNT(*) >= 2
+        ORDER BY doc_id, seg_start"""))
   )
 }

@@ -1320,6 +1320,60 @@ object Relational {
                CAST(p.c_ab * n.n_orders AS DOUBLE) / (sa.c * sb.c) AS lift
         FROM pairs p JOIN single sa ON p.brand_a = sa.brand
                      JOIN single sb ON p.brand_b = sb.brand, n
-        ORDER BY lift DESC, p.brand_a, p.brand_b LIMIT 30"""))
+        ORDER BY lift DESC, p.brand_a, p.brand_b LIMIT 30""")),
+
+    // ----- q50_incremental_agg: materialized-view maintenance ------------
+    // The incremental-refresh pattern a 100 TB pipeline lives by: the
+    // standing aggregate over the base period is NOT rescanned when a new
+    // day arrives — the delta partition aggregates alone and merges with
+    // the stored partials (counts add, sums add: the algebraic-merge
+    // property this query demonstrates end-to-end). Both legs aggregate
+    // BEFORE the full-outer merge join, so the merge moves one row per
+    // group, not per fact. DECIMAL sums keep the money math exact.
+    "q50_incremental_agg" -> Q(
+      build = (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val base = o.filter(col("o_orderdate") < "1998-01-01")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt_base"),
+            sum(decP(col("o_totalprice"))).as("rev_base"))
+        val delta = o.filter(col("o_orderdate") >= "1998-01-01"
+            && col("o_orderdate") < "1998-03-01")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt_delta"),
+            sum(decP(col("o_totalprice"))).as("rev_delta"))
+        base.join(delta, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            coalesce(col("cnt_base"), lit(0L)).as("cnt_base"),
+            coalesce(col("cnt_delta"), lit(0L)).as("cnt_delta"),
+            (coalesce(col("cnt_base"), lit(0L))
+              + coalesce(col("cnt_delta"), lit(0L))).as("cnt_total"),
+            (coalesce(col("rev_base"), lit(0).cast(DecimalType(22, 2)))
+              + coalesce(col("rev_delta"), lit(0).cast(DecimalType(22, 2))))
+              .cast(DoubleType).as("rev_total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderpriority, COUNT(*) AS cnt_base,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_base
+          FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+        delta AS (
+          SELECT o_orderpriority, COUNT(*) AS cnt_delta,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_delta
+          FROM orders
+          WHERE o_orderdate >= DATE '1998-01-01'
+            AND o_orderdate < DATE '1998-03-01' GROUP BY 1)
+        SELECT COALESCE(b.o_orderpriority, d.o_orderpriority)
+                 AS o_orderpriority,
+               COALESCE(b.cnt_base, 0) AS cnt_base,
+               COALESCE(d.cnt_delta, 0) AS cnt_delta,
+               COALESCE(b.cnt_base, 0) + COALESCE(d.cnt_delta, 0)
+                 AS cnt_total,
+               CAST(COALESCE(b.rev_base, 0) + COALESCE(d.rev_delta, 0)
+                 AS DOUBLE) AS rev_total
+        FROM base b FULL OUTER JOIN delta d
+          ON b.o_orderpriority = d.o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

@@ -43,6 +43,15 @@ object TextOps {
     (0 until 20)
       .map(j => s"CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * ${powMod(base, 19 - j)}")
       .mkString(" + ")
+
+  /** Spark-side twin of gramSum (same 20-term polynomial, Spark SQL
+    * substring syntax) for ops that need the per-position window hash as
+    * plain column math rather than through a kernel expression.
+    */
+  private def sharedGramSpark: String =
+    (0 until 20)
+      .map(j => s"CAST(ascii(substring(text, i + $j, 1)) AS BIGINT) * ${powMod(graft.functions.TextHashKernels.B1, 19 - j)}")
+      .mkString(" + ")
   /** Rolling token hash (list_reduce) — same recurrence as the kernel. */
   private def tokSum(base: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3004,6 +3013,80 @@ object TextOps {
                CAST(SUM(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END)
                  AS DOUBLE) / COUNT(*) AS novelty
         FROM sh s JOIN first f ON s.g = f.g
-        GROUP BY 1 ORDER BY s.doc_id"""))
+        GROUP BY 1 ORDER BY s.doc_id""")),
+
+    // ----- doc_cdc_chunks: content-defined chunking ----------------------
+    // The storage-dedup layer below document dedup (LBFS/FastCDC shape):
+    // cut chunk boundaries where the 20-byte Karp-Rabin window hash
+    // satisfies h % 64 == 0, so an insertion early in a document shifts
+    // ONE boundary instead of re-chunking everything after it (the whole
+    // point vs fixed-size blocks). Gear-style without the min-size
+    // suppression (that clause is inherently sequential; declared
+    // simplification). The per-position hash is the SAME 20-term
+    // polynomial both engines already share for MinHash (gramSum), chunk
+    // identity is md5 (bit-identical across engines), and cross-doc
+    // duplicate chunks fall out of one hash-keyed groupBy — linear,
+    // shuffle on the chunk hash, the production dedup-store shape.
+    "doc_cdc_chunks" -> Q(
+      build = (s, d) => {
+        val g1 = sharedGramSpark
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("cut"))
+        val cuts = docs(s, d)
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(2, length(text) - 19)")).as("i"))
+          .filter(expr(s"(($g1) % $HP) % 64 = 0"))
+          .select(col("doc_id"), col("text"), col("i").as("cut"))
+        val starts = docs(s, d)
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"), col("text"), lit(1).as("cut"))
+          .unionByName(cuts)
+        val chunks = starts
+          .withColumn("nxt", lead(col("cut"), 1).over(w))
+          .withColumn("clen",
+            coalesce(col("nxt"), length(col("text")) + 1) - col("cut"))
+          .filter(col("clen") > 0)
+          .withColumn("chunk_md5",
+            md5(expr("CAST(substring(text, cut, clen) AS BINARY)")))
+          .withColumn("chunk_idx", row_number().over(w) - 1)
+        val dups = chunks.groupBy(col("chunk_md5"))
+          .agg(count(lit(1)).as("n_copies"))
+        chunks.join(dups, "chunk_md5")
+          .select(col("doc_id"), col("chunk_idx"), col("cut").as("start"),
+            col("clen"), col("chunk_md5"), col("n_copies"),
+            (col("n_copies") > 1).as("is_dup"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+        pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(2, length(text) - 19)) AS i
+          FROM d),
+        cuts AS (
+          SELECT doc_id, text, i AS cut FROM pos
+          WHERE ((${gramSum(graft.functions.TextHashKernels.B1)}) % $HP) % 64 = 0),
+        starts AS (
+          SELECT doc_id, text, 1 AS cut FROM d
+          UNION ALL SELECT doc_id, text, cut FROM cuts),
+        chunks AS (
+          SELECT doc_id, cut,
+                 COALESCE(LEAD(cut, 1) OVER w, length(text) + 1) - cut
+                   AS clen,
+                 text,
+                 ROW_NUMBER() OVER w - 1 AS chunk_idx
+          FROM starts WINDOW w AS (PARTITION BY doc_id ORDER BY cut)),
+        hashed AS (
+          SELECT doc_id, chunk_idx, cut AS start, clen,
+                 md5(substr(text, CAST(cut AS INT), CAST(clen AS INT)))
+                   AS chunk_md5
+          FROM chunks WHERE clen > 0),
+        dups AS (
+          SELECT chunk_md5, COUNT(*) AS n_copies FROM hashed GROUP BY 1)
+        SELECT h.doc_id, h.chunk_idx, h.start, h.clen, h.chunk_md5,
+               d2.n_copies, d2.n_copies > 1 AS is_dup
+        FROM hashed h JOIN dups d2 ON h.chunk_md5 = d2.chunk_md5
+        ORDER BY h.doc_id, h.chunk_idx"""))
   )
 }
