@@ -247,6 +247,68 @@ object Similarity {
         FROM embeddings, generate_series(1, 64) AS t(i)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ----- emb_sim_calibration: does cosine predict the label? -----------
+    // The calibration report an embedding consumer reads before trusting
+    // similarity thresholds: bucket vector pairs by cosine decile and
+    // measure the same-label rate per decile — a well-calibrated space
+    // shows the rate rising monotonically with similarity. Pairs come
+    // from fixed-size blocking (vec_id div 10: 45 pairs per 10-vector
+    // block — O(4.5 n), never all-pairs); the cosine is the exact
+    // quantized-dot arithmetic of emb_near_dup, so the decile floor is
+    // cross-engine stable.
+    "emb_sim_calibration" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+          .withColumn("blk", expr("vec_id div 10"))
+        val a = e.select(col("blk"), col("vec_id").as("id_a"),
+          col("embedding").as("va"), col("nq").as("na"), col("label").as("la"))
+        val b = e.select(col("blk"), col("vec_id").as("id_b"),
+          col("embedding").as("vb"), col("nq").as("nb"), col("label").as("lb"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos",
+            qdot(col("va"), col("vb")).cast(DoubleType)
+              / (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+          .withColumn("decile",
+            expr("CAST(greatest(-10, least(9, FLOOR(cos * 10.0))) AS BIGINT)"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+              .as("n_same"))
+          .withColumn("same_rate",
+            col("n_same").cast(DoubleType) / col("n_pairs"))
+          .orderBy(col("decile"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, label, vec_id // 10 AS blk, embedding,
+                 (SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE) * 1073741824) AS BIGINT))
+                    AS BIGINT)
+                  FROM generate_series(1, 64) AS t(i)) AS nq
+          FROM embeddings),
+        pairs AS (
+          SELECT a.label AS la, b.label AS lb, a.nq AS na, b.nq AS nb,
+                 (SELECT CAST(SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE) * 1073741824) AS BIGINT))
+                    AS BIGINT)
+                  FROM generate_series(1, 64) AS t(i)) AS dot
+          FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT la, lb,
+                 CAST(GREATEST(-10, LEAST(9, FLOOR(
+                   CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                     * sqrt(CAST(nb AS DOUBLE))) * 10.0))) AS BIGINT)
+                   AS decile
+          FROM pairs)
+        SELECT decile, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_same,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS same_rate
+        FROM scored GROUP BY 1 ORDER BY decile""")),
+
     // ----- emb_pair_sim: cosine similarity between label centroids -------
     "emb_pair_sim" -> Q(
       build = (s, d) => {

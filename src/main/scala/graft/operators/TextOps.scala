@@ -271,6 +271,98 @@ object TextOps {
       .distinct()
   }
 
+  /** Shared char-trigram LID frame: per doc, (lang, pred_lang, score,
+    * agree) — the doc_char_lid pipeline, reused by doc_lid_confusion.
+    */
+  private def charLid(s: SparkSession, d: String): DataFrame = {
+        val tri = docs(s, d)
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(1, length(t) - 2), " +
+              "i -> substring(t, i, 3))")).as("tri"))
+        val docTri = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
+          .agg(count(lit(1)).as("cnt"))
+        val model = docTri.groupBy(col("tri"), col("lang").as("mlang"))
+          .agg(sum(col("cnt")).as("c"))
+        val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
+        val vocab = model.select(col("tri")).distinct().agg(count(lit(1)).as("v"))
+        val langs = totals.crossJoin(broadcast(vocab))
+          .withColumn("fb",
+            round(log(lit(1.0) / (col("tot") + col("v")).cast(DoubleType)), 6)
+              .cast(DecimalType(18, 6)))
+        val scoredModel = model
+          .join(broadcast(totals.withColumnRenamed("mlang", "tlang")),
+            col("mlang") === col("tlang"))
+          .drop("tlang")
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
+              .cast(DecimalType(18, 6)))
+          .select(col("tri"), col("mlang"), col("lp"))
+        val crossed = docTri
+          .crossJoin(broadcast(langs.select(col("mlang"), col("fb"))))
+          .join(broadcast(scoredModel), Seq("tri", "mlang"), "left")
+          .withColumn("term",
+            (col("cnt").cast(DecimalType(18, 0))
+              * coalesce(col("lp"), col("fb"))).cast(DecimalType(30, 6)))
+        val perLang = crossed.groupBy(col("doc_id"), col("lang"), col("mlang"))
+          .agg(sum(col("term")).cast(DecimalType(32, 6)).as("score"))
+        perLang.groupBy(col("doc_id"), col("lang"))
+          .agg(max(struct(col("score"), col("mlang"))).as("best"))
+          .select(col("doc_id"), col("lang"),
+            col("best.mlang").as("pred_lang"),
+            col("best.score").cast(DoubleType).as("score"),
+            (col("best.mlang") === col("lang")).as("agree"))
+          .orderBy(col("doc_id"))
+  }
+
+  /** The matching DuckDB CTE chain (through `best`), shared by the
+    * doc_char_lid and doc_lid_confusion oracles.
+    */
+  private val CHARLID_CTES: String = """
+        WITH t0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+                    WHERE length(text) >= 3),
+        tri AS (
+          SELECT doc_id, lang, substr(t, i, 3) AS tri
+          FROM t0, generate_series(1, 1024) AS g(i)
+          WHERE i <= length(t) - 2),
+        doctri AS (
+          SELECT doc_id, lang, tri, COUNT(*) AS cnt
+          FROM tri GROUP BY 1, 2, 3),
+        model AS (
+          SELECT tri, lang AS mlang, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM doctri GROUP BY 1, 2),
+        totals AS (SELECT mlang, CAST(SUM(c) AS BIGINT) AS tot
+                   FROM model GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT tri) AS v FROM model),
+        langs AS (
+          SELECT mlang, tot,
+                 CAST(round(ln(1.0 / (tot + v)), 6) AS DECIMAL(18,6)) AS fb
+          FROM totals, vocab),
+        sm AS (
+          SELECT m.tri, m.mlang,
+                 CAST(round(ln(CAST(m.c + 1 AS DOUBLE) / (t.tot + v.v)), 6)
+                   AS DECIMAL(18,6)) AS lp
+          FROM model m JOIN totals t ON m.mlang = t.mlang, vocab v),
+        crossed AS (
+          SELECT d.doc_id, d.lang, l.mlang,
+                 CAST(CAST(d.cnt AS DECIMAL(18,0))
+                   * COALESCE(s.lp, l.fb) AS DECIMAL(30,6)) AS term
+          FROM doctri d
+          CROSS JOIN langs l
+          LEFT JOIN sm s ON s.tri = d.tri AND s.mlang = l.mlang),
+        perlang AS (
+          SELECT doc_id, lang, mlang,
+                 CAST(SUM(term) AS DECIMAL(32,6)) AS score
+          FROM crossed GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, lang, mlang AS pred_lang,
+                 CAST(score AS DOUBLE) AS score
+          FROM perlang
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, mlang DESC) = 1)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- doc_exact_dedup: content-hash dedup ---------------------------
@@ -2226,92 +2318,41 @@ object TextOps {
     // (trigram, lang) frame shuffled once and broadcast to score; the
     // corpus is tokenized exactly once.
     "doc_char_lid" -> Q(
-      build = (s, d) => {
-        val tri = docs(s, d)
-          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-          .filter(length(col("t")) >= 3)
-          .select(col("doc_id"), col("lang"),
-            explode(expr("transform(sequence(1, length(t) - 2), " +
-              "i -> substring(t, i, 3))")).as("tri"))
-        val docTri = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
-          .agg(count(lit(1)).as("cnt"))
-        val model = docTri.groupBy(col("tri"), col("lang").as("mlang"))
-          .agg(sum(col("cnt")).as("c"))
-        val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
-        val vocab = model.select(col("tri")).distinct().agg(count(lit(1)).as("v"))
-        val langs = totals.crossJoin(broadcast(vocab))
-          .withColumn("fb",
-            round(log(lit(1.0) / (col("tot") + col("v")).cast(DoubleType)), 6)
-              .cast(DecimalType(18, 6)))
-        val scoredModel = model
-          .join(broadcast(totals.withColumnRenamed("mlang", "tlang")),
-            col("mlang") === col("tlang"))
-          .drop("tlang")
-          .crossJoin(broadcast(vocab))
-          .withColumn("lp",
-            round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
-              .cast(DecimalType(18, 6)))
-          .select(col("tri"), col("mlang"), col("lp"))
-        val crossed = docTri
-          .crossJoin(broadcast(langs.select(col("mlang"), col("fb"))))
-          .join(broadcast(scoredModel), Seq("tri", "mlang"), "left")
-          .withColumn("term",
-            (col("cnt").cast(DecimalType(18, 0))
-              * coalesce(col("lp"), col("fb"))).cast(DecimalType(30, 6)))
-        val perLang = crossed.groupBy(col("doc_id"), col("lang"), col("mlang"))
-          .agg(sum(col("term")).cast(DecimalType(32, 6)).as("score"))
-        perLang.groupBy(col("doc_id"), col("lang"))
-          .agg(max(struct(col("score"), col("mlang"))).as("best"))
-          .select(col("doc_id"), col("lang"),
-            col("best.mlang").as("pred_lang"),
-            col("best.score").cast(DoubleType).as("score"),
-            (col("best.mlang") === col("lang")).as("agree"))
-          .orderBy(col("doc_id"))
-      },
-      oracle = Some("""
-        WITH t0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents
-                    WHERE length(text) >= 3),
-        tri AS (
-          SELECT doc_id, lang, substr(t, i, 3) AS tri
-          FROM t0, generate_series(1, 1024) AS g(i)
-          WHERE i <= length(t) - 2),
-        doctri AS (
-          SELECT doc_id, lang, tri, COUNT(*) AS cnt
-          FROM tri GROUP BY 1, 2, 3),
-        model AS (
-          SELECT tri, lang AS mlang, CAST(SUM(cnt) AS BIGINT) AS c
-          FROM doctri GROUP BY 1, 2),
-        totals AS (SELECT mlang, CAST(SUM(c) AS BIGINT) AS tot
-                   FROM model GROUP BY 1),
-        vocab AS (SELECT COUNT(DISTINCT tri) AS v FROM model),
-        langs AS (
-          SELECT mlang, tot,
-                 CAST(round(ln(1.0 / (tot + v)), 6) AS DECIMAL(18,6)) AS fb
-          FROM totals, vocab),
-        sm AS (
-          SELECT m.tri, m.mlang,
-                 CAST(round(ln(CAST(m.c + 1 AS DOUBLE) / (t.tot + v.v)), 6)
-                   AS DECIMAL(18,6)) AS lp
-          FROM model m JOIN totals t ON m.mlang = t.mlang, vocab v),
-        crossed AS (
-          SELECT d.doc_id, d.lang, l.mlang,
-                 CAST(CAST(d.cnt AS DECIMAL(18,0))
-                   * COALESCE(s.lp, l.fb) AS DECIMAL(30,6)) AS term
-          FROM doctri d
-          CROSS JOIN langs l
-          LEFT JOIN sm s ON s.tri = d.tri AND s.mlang = l.mlang),
-        perlang AS (
-          SELECT doc_id, lang, mlang,
-                 CAST(SUM(term) AS DECIMAL(32,6)) AS score
-          FROM crossed GROUP BY 1, 2, 3),
-        best AS (
-          SELECT doc_id, lang, mlang AS pred_lang,
-                 CAST(score AS DOUBLE) AS score
-          FROM perlang
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                    ORDER BY score DESC, mlang DESC) = 1)
+      build = (s, d) => charLid(s, d),
+      oracle = Some(s"""$CHARLID_CTES
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
+
+    // ----- doc_lid_confusion: language-ID evaluation matrix --------------
+    // The evaluation layer over doc_char_lid: confusion counts between
+    // labeled and predicted language plus per-truth recall — the QA
+    // report a corpus team reads before trusting LID-based filtering.
+    // Pure composition over the shared charLid frame (one extra tiny
+    // groupBy); exact counts, one division per row.
+    "doc_lid_confusion" -> Q(
+      build = (s, d) => {
+        val conf = charLid(s, d)
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = conf.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+        conf.join(tot, "lang")
+          .select(col("lang"), col("pred_lang"), col("n_docs"), col("n_lang"),
+            (col("n_docs").cast(DoubleType) / col("n_lang")).as("frac"),
+            (col("lang") === col("pred_lang")).as("diagonal"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      oracle = Some(s"""$CHARLID_CTES ,
+        conf AS (
+          SELECT lang, pred_lang, COUNT(*) AS n_docs
+          FROM best GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+                FROM conf GROUP BY 1)
+        SELECT c.lang, c.pred_lang, c.n_docs, t.n_lang,
+               CAST(c.n_docs AS DOUBLE) / t.n_lang AS frac,
+               c.lang = c.pred_lang AS diagonal
+        FROM conf c JOIN tot t ON c.lang = t.lang
+        ORDER BY c.lang, c.pred_lang""")),
+
 
     // ----- doc_drift_kl: corpus-mix drift via hashed-vocab KL ------------
     // The distribution-shift alarm a continuously-ingesting corpus needs:

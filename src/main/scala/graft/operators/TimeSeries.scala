@@ -3049,7 +3049,53 @@ object TimeSeries {
                abs((CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
                  / sqrt(CAST(n1 + n2 AS DOUBLE))) > 1.96e0 AS rate_changed
         FROM counts WHERE n1 + n2 >= 10
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- ts_drawdown: maximum drawdown + record highs ------------------
+    // The risk metric every monitored series gets (finance drawdown,
+    // battery-degradation dip, sensor sag): per entity, the deepest drop
+    // from a running peak, plus the count of record highs (rows beating
+    // every earlier reading). Two frame-bounded running windows over the
+    // entity key — exact integer cents throughout, one shuffle.
+    "ts_drawdown" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("peak", max(col("vc")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prevmax", max(col("vc")).over(wPrev))
+          .withColumn("dd", col("peak") - col("vc"))
+          .withColumn("rec",
+            when(col("prevmax").isNull || col("vc") > col("prevmax"), 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg((max(col("dd")).cast(DoubleType) / 100.0).as("max_drawdown"),
+            sum(col("rec")).as("n_records"),
+            (max(col("peak")).cast(DoubleType) / 100.0).as("peak_value"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(round(value * 100.0) AS BIGINT) AS vc
+          FROM events),
+        runs AS (
+          SELECT user_id, vc,
+                 MAX(vc) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+                 MAX(vc) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+          FROM base)
+        SELECT user_id,
+               CAST(MAX(peak - vc) AS DOUBLE) / 100.0 AS max_drawdown,
+               CAST(SUM(CASE WHEN prevmax IS NULL OR vc > prevmax
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+               CAST(MAX(peak) AS DOUBLE) / 100.0 AS peak_value
+        FROM runs GROUP BY 1 ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

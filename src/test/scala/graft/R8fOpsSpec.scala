@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the sixth R8 batch: LID confusion matrix,
+  * drawdown/records, similarity calibration.
+  */
+class R8fOpsSpec extends SparkSpecBase {
+
+  test("doc_lid_confusion: rows partition docs; fractions sum to 1 per truth") {
+    val df = run("doc_lid_confusion").cache()
+    assert(df.count() > 0)
+    val total = df.agg(sum(col("n_docs"))).head.getLong(0)
+    val nDocs = Tables.t(spark, sf, "documents")
+      .filter(length(col("text")) >= 3).count()
+    assert(total == nDocs)
+    df.collect().groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val fsum = rows.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fsum - 1.0) < 1e-9)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("diagonal")
+          == (r.getAs[String]("lang") == r.getAs[String]("pred_lang")))
+      }
+    }
+  }
+
+  test("ts_drawdown: imperative replay of one entity") {
+    val df = run("ts_drawdown").cache()
+    assert(df.count() > 0)
+    val u = df.head.getAs[Long]("user_id")
+    val vs = Tables.events(spark, sf).filter(col("user_id") === u)
+      .orderBy(col("ts_sec"), col("event_id"))
+      .select(expr("CAST(round(value*100) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    var peak = Long.MinValue; var dd = 0L; var rec = 0L
+    vs.foreach { v =>
+      if (v > peak) { peak = v; rec += 1 }
+      dd = math.max(dd, peak - v)
+    }
+    val got = df.filter(col("user_id") === u).head
+    assert(got.getAs[Double]("max_drawdown") == dd / 100.0)
+    assert(got.getAs[Long]("n_records") == rec)
+    assert(got.getAs[Double]("peak_value") == peak / 100.0)
+  }
+
+  test("emb_sim_calibration: counts bounded by block pairing; rates valid") {
+    val df = run("emb_sim_calibration").cache()
+    assert(df.count() > 0)
+    val nPairs = df.agg(sum(col("n_pairs"))).head.getLong(0)
+    // blocks of 10 -> at most C(10,2) pairs per block
+    val nVec = Tables.t(spark, sf, "embeddings").count()
+    assert(nPairs <= (nVec / 10 + 1) * 45)
+    df.collect().foreach { r =>
+      val rate = r.getAs[Double]("same_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_same") <= r.getAs[Long]("n_pairs"))
+      val d = r.getAs[Long]("decile")
+      assert(d >= -10 && d <= 9)
+    }
+  }
+}
