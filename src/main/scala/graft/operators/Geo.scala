@@ -4294,7 +4294,73 @@ object Geo {
         SELECT ci, cj, n_events, s_suppkey AS nearest_station,
                CAST(dq AS DOUBLE) / 1024.0 AS dist_km
         FROM best WHERE rn = 1
-        ORDER BY dist_km DESC, ci, cj LIMIT 20"""))
+        ORDER BY dist_km DESC, ci, cj LIMIT 20""")),
+
+    // ----- geo_wind_rose: 16-sector movement-direction histogram ---------
+    // The wind-rose / movement-rose panel every wind and traffic display
+    // draws (odin_wind's vector field rendered as direction frequency):
+    // per entity, bin consecutive-fix bearings into 16 compass sectors
+    // and surface the dominant sector and its share. The sector floors
+    // the SAME 3-decimal-rounded bearing both engines share, so binning
+    // is cross-engine stable; one window pass + one keyed groupBy.
+    "geo_wind_rose" -> Q(
+      build = (s, d) => {
+        val p = evPts(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            col("lat"), col("lon"))
+          .withColumn("lat2", lead(col("lat"), 1).over(wTrack))
+          .withColumn("lon2", lead(col("lon"), 1).over(wTrack))
+          .filter(col("lat2").isNotNull)
+          .withColumn("brg",
+            round(bearC(col("lat"), col("lon"), col("lat2"), col("lon2")), 3))
+          .withColumn("sector",
+            expr("CAST(least(15, FLOOR(brg / 22.5e0)) AS BIGINT)"))
+        val hist = p.groupBy(col("user_id"), col("sector"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hist.groupBy(col("user_id"))
+          .agg(sum(col("n")).as("n_legs"),
+            max(struct(col("n"), col("sector"))).as("m"))
+        hist.join(tot, "user_id")
+          .select(col("user_id"), col("sector"), col("n"), col("n_legs"),
+            (col("n").cast(DoubleType) / col("n_legs")).as("share"),
+            (col("sector") === col("m.sector")).as("dominant"))
+          .orderBy(col("user_id"), col("sector"))
+      },
+      oracle = Some {
+        val brg = bearS("lat", "lon", "lat2", "lon2")
+        s"""
+        WITH pts AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 $LAT AS lat, $LON AS lon
+          FROM events),
+        legs AS (
+          SELECT user_id,
+                 lat, lon,
+                 LEAD(lat, 1) OVER w AS lat2, LEAD(lon, 1) OVER w AS lon2
+          FROM pts WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id)),
+        sect AS (
+          SELECT user_id,
+                 CAST(LEAST(15, FLOOR(round($brg, 3) / 22.5e0)) AS BIGINT)
+                   AS sector
+          FROM legs WHERE lat2 IS NOT NULL),
+        hist AS (
+          SELECT user_id, sector, COUNT(*) AS n FROM sect GROUP BY 1, 2),
+        dom AS (
+          SELECT user_id, sector AS dom_sector,
+                 CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_legs,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY n DESC, sector DESC) AS rn
+          FROM hist)
+        SELECT h.user_id, h.sector, h.n, t.n_legs,
+               CAST(h.n AS DOUBLE) / t.n_legs AS share,
+               h.sector = t.dom_sector AS dominant
+        FROM hist h JOIN (SELECT * FROM dom WHERE rn = 1) t
+          ON h.user_id = t.user_id
+        ORDER BY h.user_id, h.sector"""
+      })
   )
 
   /** Cube rounding for axial hex coords as one shared formula pair: round

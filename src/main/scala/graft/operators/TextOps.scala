@@ -3128,6 +3128,34 @@ object TextOps {
         SELECT h.doc_id, h.chunk_idx, h.start, h.clen, h.chunk_md5,
                d2.n_copies, d2.n_copies > 1 AS is_dup
         FROM hashed h JOIN dups d2 ON h.chunk_md5 = d2.chunk_md5
-        ORDER BY h.doc_id, h.chunk_idx"""))
+        ORDER BY h.doc_id, h.chunk_idx""")),
+
+    // ----- doc_prefix_dedup: shared-boilerplate prefix report ------------
+    // Web corpora accumulate documents that differ only after a common
+    // header (mirrored pages, templated articles); exact dedup misses
+    // them and MinHash may not, so pipelines also run the cheap
+    // prefix-group report: documents sharing their first 40 characters,
+    // grouped, with the earliest doc as the canonical example. One
+    // map-side-combinable groupBy on the prefix — linear, and at 100 TB
+    // the prefix key is 40 bytes regardless of document size.
+    "doc_prefix_dedup" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .filter(length(col("text")) >= 40)
+          .select(substring(col("text"), 1, 40).as("prefix"), col("doc_id"),
+            col("n_chars"))
+          .groupBy(col("prefix"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"),
+            sum(col("n_chars")).as("chars_at_stake"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("prefix")),
+      oracle = Some("""
+        SELECT substr(text, 1, 40) AS prefix, COUNT(*) AS n_docs,
+               MIN(doc_id) AS canonical_doc,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_at_stake
+        FROM documents WHERE length(text) >= 40
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY prefix"""))
   )
 }

@@ -58,4 +58,31 @@ class R8fOpsSpec extends SparkSpecBase {
       assert(d >= -10 && d <= 9)
     }
   }
+
+  test("doc_prefix_dedup: groups really share the prefix") {
+    val df = run("doc_prefix_dedup").cache()
+    assert(df.count() > 0)
+    val r = df.head
+    val pfx = r.getAs[String]("prefix")
+    val n = Tables.t(spark, sf, "documents")
+      .filter(substring(col("text"), 1, 40) === pfx).count()
+    assert(n == r.getAs[Long]("n_docs") && n >= 2)
+  }
+
+  test("geo_wind_rose: shares sum to one; dominant sector has max count") {
+    val df = run("geo_wind_rose").cache()
+    assert(df.count() > 0)
+    df.collect().groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      val maxN = rows.map(_.getAs[Long]("n")).max
+      rows.filter(_.getAs[Boolean]("dominant")).foreach { r =>
+        assert(r.getAs[Long]("n") == maxN)
+      }
+      assert(rows.count(_.getAs[Boolean]("dominant")) == 1)
+      rows.foreach { r =>
+        val sct = r.getAs[Long]("sector")
+        assert(sct >= 0 && sct <= 15)
+      }
+    }
+  }
 }
