@@ -133,7 +133,10 @@ object Similarity {
   /** IVF nprobe=1 top-5 for the probe set — emb_ivf_topk's body, shared
     * with emb_recall_at_k as the ANN side of the recall audit.
     */
-  private def ivfTopk(s: SparkSession, d: String): DataFrame = {
+  /** IVF cell assignment (vec_id, label, embedding, nq, cell) — shared
+    * by emb_ivf_topk, emb_recall_at_k, and emb_ivf_balance.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
         // codebook: quantized per-label centroid vectors (exact arithmetic)
         val cent = e
@@ -158,6 +161,11 @@ object Similarity {
           .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
           .select(col("vec_id"), col("m.lbl").as("label"), col("m.emb").as("embedding"),
             col("m.nqv").as("nq"), col("m.cell").as("cell"))
+        assigned
+  }
+
+  private def ivfTopk(s: SparkSession, d: String): DataFrame = {
+        val assigned = ivfAssigned(s, d)
         // probe: queries search only their own cell
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
@@ -174,7 +182,8 @@ object Similarity {
           .orderBy(col("q_vec_id"), col("rn"))
   }
 
-  private val ivfTopkOracle: String = s"""
+  /** DuckDB CTE chain through `assigned` — shared with emb_ivf_balance. */
+  private val IVF_ASSIGN_CTES: String = s"""
         WITH x AS (
           SELECT vec_id, label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
           FROM embeddings, generate_series(1, 64) AS t(i)),
@@ -197,7 +206,9 @@ object Similarity {
                   ORDER BY dotq DESC, c_label) AS rn FROM dots) d
           JOIN embeddings e ON e.vec_id = d.vec_id
           JOIN nq n ON n.vec_id = d.vec_id
-          WHERE d.rn = 1),
+          WHERE d.rn = 1)"""
+
+  private val ivfTopkOracle: String = s"""$IVF_ASSIGN_CTES,
         pairdot AS (
           SELECT a.vec_id AS q_vec_id, b.vec_id,
                  CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS pq
@@ -500,6 +511,34 @@ object Similarity {
         LEFT JOIN ($ivfTopkOracle) a
           ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
         GROUP BY e.q_vec_id ORDER BY e.q_vec_id""")),
+
+    // ----- emb_ivf_balance: index-health report --------------------------
+    // The balance audit run before trusting an IVF index: per-cell vector
+    // counts, share of the corpus, and the balance factor n·k/total (1.0
+    // = perfectly even; a hot cell >> 1 means its probes degrade toward
+    // brute force and its partition skews the scan). Same shared
+    // assignment frame as the probe path, one tiny groupBy on the cell.
+    "emb_ivf_balance" -> Q(
+      build = (s, d) => {
+        val cells = ivfAssigned(s, d)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        val t = cells.agg(sum(col("n_vecs")).as("tot"),
+          count(lit(1)).as("k"))
+        cells.crossJoin(broadcast(t))
+          .select(col("cell"), col("n_vecs"),
+            (col("n_vecs").cast(DoubleType) / col("tot")).as("share"),
+            (col("n_vecs").cast(DoubleType) * col("k") / col("tot"))
+              .as("balance"))
+          .orderBy(col("cell"))
+      },
+      oracle = Some(s"""$IVF_ASSIGN_CTES,
+        cells AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot, COUNT(*) AS k
+              FROM cells)
+        SELECT c.cell, c.n_vecs,
+               CAST(c.n_vecs AS DOUBLE) / t.tot AS share,
+               CAST(c.n_vecs AS DOUBLE) * t.k / t.tot AS balance
+        FROM cells c, t ORDER BY c.cell""")),
 
     // ----- emb_lsh_ann: random-hyperplane LSH buckets --------------------
     // 8 deterministic pseudo-random hyperplanes (hash-derived ±1

@@ -85,4 +85,15 @@ class R8fOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("emb_ivf_balance: shares sum to 1, balance averages to 1") {
+    val df = run("emb_ivf_balance").cache()
+    assert(df.count() > 0)
+    val rows = df.collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val meanBal = rows.map(_.getAs[Double]("balance")).sum / rows.length
+    assert(math.abs(meanBal - 1.0) < 1e-9)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.t(spark, sf, "embeddings").count())
+  }
 }
