@@ -3156,6 +3156,69 @@ object TextOps {
                CAST(SUM(n_chars) AS BIGINT) AS chars_at_stake
         FROM documents WHERE length(text) >= 40
         GROUP BY 1 HAVING COUNT(*) >= 2
-        ORDER BY prefix"""))
+        ORDER BY prefix""")),
+
+    // ----- doc_triangle_count: dup-cluster density -----------------------
+    // Triangle counting over the near-dup graph (the classic distributed
+    // graph kernel): a document in many triangles sits in a TIGHT
+    // duplicate cluster (everything similar to everything — safe to keep
+    // one), while high degree with few triangles means hub-like chained
+    // similarity (risky to collapse transitively). The id-ordered edge
+    // orientation (a<b from jaccardPairs) counts each triangle exactly
+    // once with two joins — the standard MapReduce formulation whose join
+    // fan-out is bounded by the oriented degree. Local clustering
+    // coefficient = 2t/(deg·(deg-1)), exact integers into one division.
+    "doc_triangle_count" -> Q(
+      build = (s, d) => {
+        val e = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+          .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_a")
+            && col("e3.doc_b") === col("e2.doc_b"))
+          .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+            col("e2.doc_b").as("c"))
+        val perDoc = tri.select(col("a").as("doc_id"))
+          .unionAll(tri.select(col("b").as("doc_id")))
+          .unionAll(tri.select(col("c").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+        val deg = e.select(col("doc_a").as("doc_id"))
+          .unionAll(e.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        deg.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("degree"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            when(col("degree") >= 2,
+              coalesce(col("n_triangles"), lit(0L)).cast(DoubleType) * 2.0
+                / (col("degree") * (col("degree") - 1)))
+              .otherwise(lit(0.0)).as("clustering"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $JPAIRS,
+        e AS (SELECT doc_a, doc_b FROM jpairs),
+        tri AS (
+          SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM e e1
+          JOIN e e2 ON e2.doc_a = e1.doc_b
+          JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1),
+        deg AS (
+          SELECT doc_id, COUNT(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM e
+            UNION ALL SELECT doc_b FROM e)
+          GROUP BY 1)
+        SELECT d.doc_id, d.degree,
+               CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST(COALESCE(p.n_triangles, 0) AS DOUBLE) * 2.0
+                         / (d.degree * (d.degree - 1))
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

@@ -96,4 +96,32 @@ class R8fOpsSpec extends SparkSpecBase {
     val total = rows.map(_.getAs[Long]("n_vecs")).sum
     assert(total == Tables.t(spark, sf, "embeddings").count())
   }
+
+  test("doc_triangle_count: brute-force triangle census agrees") {
+    val df = run("doc_triangle_count").cache()
+    assert(df.count() > 0)
+    // rebuild the near-dup edge set imperatively from the op's own output
+    // degrees, then recount triangles from a brute-force adjacency pass
+    val pairs = SparkEntry.queries("doc_ngram_dedup")(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      val common = adj(a).intersect(adj(b))
+      common.foreach { c =>
+        // every triangle (x<y<z) is credited exactly once: from its
+        // lowest edge (x,y) with the third vertex z greatest
+        if (a < b && b < c) {
+          triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+        }
+      }
+    }
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_triangles")
+        == triCount(r.getAs[Long]("doc_id")))
+    }
+  }
 }
