@@ -1374,6 +1374,113 @@ object Relational {
                  AS DOUBLE) AS rev_total
         FROM base b FULL OUTER JOIN delta d
           ON b.o_orderpriority = d.o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ----- q51_kmv_distinct: mergeable distinct-count sketch -------------
+    // The k-minimum-values sketch (Bar-Yossef et al.) with an EXACT
+    // cross-engine oracle: hashes are the first 12 md5 hex chars (a
+    // 48-bit space both engines compute identically), the k smallest ride
+    // a fixed-width-hex string ranking (lexicographic == numeric), and
+    // only the k-th value is decoded to an integer — so the whole sketch
+    // is hash-reproducible, unlike engine-native HLLs. The MERGE property
+    // q50_incremental_agg needs for distincts is demonstrated in-query:
+    // min-k(base ∪ delta) ⊆ min-k(base) ∪ min-k(delta), so the estimate
+    // from merged per-period sketches EQUALS the full-scan estimate (the
+    // spec asserts equality). Per-group state is k=64 12-byte values —
+    // what a 100 TB incremental distinct pipeline actually stores.
+    "q51_kmv_distinct" -> Q(
+      build = (s, d) => {
+        val k = 64
+        val o = Tables.t(s, d, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            substring(md5(col("o_custkey").cast(StringType)
+              .cast(BinaryType)), 1, 12).as("h"),
+            (col("o_orderdate") < "1998-01-01").as("is_base"))
+        def minK(df: DataFrame, parts: Seq[String]): DataFrame = {
+          val w = Window.partitionBy(parts.map(col): _*).orderBy(col("h"))
+          df.distinct()
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k)
+        }
+        // merged sketch: union the per-period min-k sets, take min-k again
+        val perPeriod = minK(o.select(col("grp"), col("h"), col("is_base")),
+          Seq("grp", "is_base"))
+        val merged = minK(perPeriod.select(col("grp"), col("h")), Seq("grp"))
+        val full = minK(o.select(col("grp"), col("h")), Seq("grp"))
+        def hex12(c: String) = (1 to 12).map { i =>
+          val a = s"ascii(substr($c, $i, 1))"
+          val mul = Seq.fill(12 - i)(16L).product
+          s"CAST(($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END) AS BIGINT) * ${mul}L"
+        }.mkString(" + ")
+        def est(df: DataFrame) = df.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+          .withColumn("kth_int", expr(hex12("kth")))
+          .withColumn("estimate", when(col("n_kept") < k,
+            col("n_kept").cast(DoubleType))
+            .otherwise(expr(s"CAST(${k - 1}L * 281474976710656L AS DOUBLE) / kth_int")))
+        val exact = Tables.t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        est(full).select(col("grp"), col("n_kept"),
+          col("estimate").as("est_full"))
+          .join(est(merged).select(col("grp"),
+            col("estimate").as("est_merged")), "grp")
+          .join(exact, "grp")
+          .select(col("grp"), col("n_kept"), col("exact_distinct"),
+            col("est_full"), col("est_merged"),
+            (col("est_full") === col("est_merged")).as("merge_lossless"))
+          .orderBy(col("grp"))
+      },
+      oracle = Some {
+        val k = 64
+        val hex12 = (1 to 12).map { i =>
+          val a = s"ascii(substr(h, $i, 1))"
+          val mul = Seq.fill(12 - i)(16L).product
+          s"CAST(($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END) AS BIGINT) * $mul"
+        }.mkString(" + ")
+        s"""
+        WITH o AS (
+          SELECT o_orderpriority AS grp,
+                 substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS h,
+                 o_orderdate < DATE '1998-01-01' AS is_base
+          FROM orders),
+        pp AS (
+          SELECT grp, h, is_base FROM (
+            SELECT DISTINCT grp, h, is_base FROM o)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY grp, is_base
+                    ORDER BY h) <= $k),
+        merged AS (
+          SELECT grp, h FROM (SELECT DISTINCT grp, h FROM pp)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) <= $k),
+        full_ AS (
+          SELECT grp, h FROM (SELECT DISTINCT grp, h FROM o)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) <= $k),
+        estf AS (
+          SELECT grp, COUNT(*) AS n_kept, MAX(h) AS h1 FROM full_ GROUP BY 1),
+        estm AS (
+          SELECT grp, COUNT(*) AS n_kept, MAX(h) AS h1 FROM merged GROUP BY 1),
+        exact AS (
+          SELECT o_orderpriority AS grp,
+                 COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY 1),
+        ef AS (
+          SELECT grp, n_kept,
+                 CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+                      ELSE CAST(${k - 1} * 281474976710656 AS DOUBLE)
+                           / (${hex12.replace("substr(h,", "substr(h1,")})
+                 END AS est_full
+          FROM estf),
+        em AS (
+          SELECT grp,
+                 CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+                      ELSE CAST(${k - 1} * 281474976710656 AS DOUBLE)
+                           / (${hex12.replace("substr(h,", "substr(h1,")})
+                 END AS est_merged
+          FROM estm)
+        SELECT ef.grp, ef.n_kept, x.exact_distinct, ef.est_full,
+               em.est_merged, ef.est_full = em.est_merged AS merge_lossless
+        FROM ef JOIN em ON ef.grp = em.grp JOIN exact x ON x.grp = ef.grp
+        ORDER BY ef.grp"""
+      })
   )
 }

@@ -124,4 +124,19 @@ class R8fOpsSpec extends SparkSpecBase {
         == triCount(r.getAs[Long]("doc_id")))
     }
   }
+
+  test("q51_kmv_distinct: merge is lossless and estimates track exact") {
+    val df = run("q51_kmv_distinct").cache()
+    assert(df.count() > 0)
+    df.collect().foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"))
+      assert(r.getAs[Double]("est_full") == r.getAs[Double]("est_merged"))
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("est_full")
+      // saturated sketch: standard error ~ 1/sqrt(k-1) ~ 13%; allow 4 sigma.
+      // unsaturated: the estimate IS the exact count
+      if (r.getAs[Long]("n_kept") < 64) assert(est == exact)
+      else assert(math.abs(est - exact) / exact < 0.52)
+    }
+  }
 }
