@@ -4360,6 +4360,70 @@ object Geo {
         FROM hist h JOIN (SELECT * FROM dom WHERE rn = 1) t
           ON h.user_id = t.user_id
         ORDER BY h.user_id, h.sector"""
+      }),
+
+    // ----- geo_error_ellipse: position-scatter covariance ellipse --------
+    // The 1-sigma error ellipse of each entity's position cloud (track
+    // confidence rendering, sensor-accuracy QA): 2x2 covariance from
+    // exact fixed-point moments, eigenvalues in CLOSED FORM
+    // ((tr ± sqrt(tr² − 4·det))/2 — no iteration), orientation from
+    // atan2(2sxy, sxx−syy)/2. Everything through the moments is integer-
+    // exact; the eigen step is sqrt/atan2 in one shared expression order,
+    // angle rounded to 3. One entity-keyed aggregate — the map-side-
+    // combinable shape.
+    "geo_error_ellipse" -> Q(
+      build = (s, d) => {
+        val m = evPts(s, d)
+          .select(col("user_id"),
+            expr("CAST(FLOOR(lat*100000.0) AS BIGINT)").as("x"),
+            expr("CAST(FLOOR(lon*100000.0) AS BIGINT)").as("y"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+          .filter(col("n") >= 3)
+        val cxx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / 1.0e10"
+        val cyy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) / 1.0e10"
+        val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 1.0e10"
+        val tr = s"($cxx + $cyy)"
+        val det = s"($cxx * $cyy - $cxy * $cxy)"
+        val disc = s"sqrt(greatest(0.0e0, $tr * $tr - 4.0e0 * $det))"
+        m.withColumn("var_major", expr(s"($tr + $disc) / 2.0e0"))
+          .withColumn("var_minor", expr(s"($tr - $disc) / 2.0e0"))
+          .withColumn("angle_deg", expr(
+            s"round(degrees(atan2(2.0e0 * $cxy, $cxx - $cyy) / 2.0e0), 3)"))
+          .select(col("user_id"), col("n"), col("var_major"),
+            col("var_minor"), col("angle_deg"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some {
+        val cxx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / 1.0e10"
+        val cyy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) / 1.0e10"
+        val cxy = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 1.0e10"
+        val tr = s"($cxx + $cyy)"
+        val det = s"($cxx * $cyy - $cxy * $cxy)"
+        val disc = s"sqrt(greatest(0.0e0, $tr * $tr - 4.0e0 * $det))"
+        s"""
+        WITH pts AS (
+          SELECT user_id,
+                 CAST(FLOOR($LAT*100000.0) AS BIGINT) AS x,
+                 CAST(FLOOR($LON*100000.0) AS BIGINT) AS y
+          FROM events),
+        m AS (
+          SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+          FROM pts GROUP BY 1 HAVING COUNT(*) >= 3)
+        SELECT user_id, n,
+               ($tr + $disc) / 2.0e0 AS var_major,
+               ($tr - $disc) / 2.0e0 AS var_minor,
+               round(degrees(atan2(2.0e0 * $cxy, $cxx - $cyy) / 2.0e0), 3)
+                 AS angle_deg
+        FROM m ORDER BY user_id"""
       })
   )
 

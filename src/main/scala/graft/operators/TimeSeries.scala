@@ -3095,7 +3095,99 @@ object TimeSeries {
                CAST(SUM(CASE WHEN prevmax IS NULL OR vc > prevmax
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
                CAST(MAX(peak) AS DOUBLE) / 100.0 AS peak_value
-        FROM runs GROUP BY 1 ORDER BY user_id"""))
+        FROM runs GROUP BY 1 ORDER BY user_id""")),
+
+    // ----- ts_survival: Kaplan-Meier time-to-event curve -----------------
+    // How long until an entity's next 'purchase'? Each purchase-to-
+    // purchase interval is an observed event; the tail interval from the
+    // last purchase to the entity's final reading is CENSORED (we only
+    // know it exceeds that span) — exactly the right-censoring the
+    // Kaplan-Meier estimator exists for, and what a naive mean-of-gaps
+    // gets wrong. Durations bucket to days; at each distinct duration t:
+    // S(t) = prod over t'<=t of (1 - d/n). The product rides a window
+    // cumulative sum of 6-decimal-quantized ln terms (the repo's ln
+    // discipline), n-at-risk is a reverse cumulative count — exact
+    // integers until the one exp at the end. Output is the survival
+    // curve: one row per distinct duration day.
+    "ts_survival" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val p = ev(s, d)
+          .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+          .withColumn("last_ts", max(col("ts_sec")).over(byUser))
+          .filter(col("is_p") === 1)
+          .withColumn("nxt", lead(col("ts_sec"), 1).over(
+            byUser.orderBy(col("ts_sec"), col("event_id"))))
+          .select(col("user_id"),
+            when(col("nxt").isNotNull,
+              expr("(nxt - ts_sec) div 86400")).otherwise(
+              expr("(last_ts - ts_sec) div 86400")).as("dur_days"),
+            col("nxt").isNotNull.as("observed"))
+        val byDur = p.groupBy(col("dur_days"))
+          .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("all_here"))
+        // windows over the duration histogram (hundreds of rows after the
+        // aggregate), never over raw events
+        val wAfter = Window.orderBy(col("dur_days"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        byDur
+          .withColumn("n_risk", sum(col("all_here")).over(wAfter))
+          // d == n_risk would be ln(0): that terminal drop-to-zero row is
+          // excluded BEFORE the log, exactly as in the oracle
+          .filter(col("d") > 0 && col("d") < col("n_risk"))
+          .withColumn("lnterm", expr(
+            "CAST(round(ln(1.0e0 - CAST(d AS DOUBLE) / n_risk), 6) AS DECIMAL(18,6))"))
+          .withColumn("lnsum",
+            sum(col("lnterm")).over(
+              Window.orderBy(col("dur_days"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("dur_days"), col("d"), col("n_risk"),
+            expr("round(exp(CAST(lnsum AS DOUBLE)), 6)").as("survival"))
+          .orderBy(col("dur_days"))
+      },
+      oracle = Some(s"""
+        WITH pur AS (
+          SELECT user_id, $TS AS ts_sec, event_id, event_type,
+                 MAX($TS) OVER (PARTITION BY user_id) AS last_ts
+          FROM events),
+        iv AS (
+          SELECT user_id,
+                 LEAD(ts_sec, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS nxt,
+                 ts_sec, last_ts
+          FROM pur WHERE event_type = 'purchase'),
+        durs AS (
+          SELECT user_id,
+                 CASE WHEN nxt IS NOT NULL THEN (nxt - ts_sec) // 86400
+                      ELSE (last_ts - ts_sec) // 86400 END AS dur_days,
+                 nxt IS NOT NULL AS observed
+          FROM iv),
+        bydur AS (
+          SELECT dur_days,
+                 CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 COUNT(*) AS all_here
+          FROM durs GROUP BY 1),
+        risk AS (
+          SELECT dur_days, d,
+                 CAST(SUM(all_here) OVER (ORDER BY dur_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk
+          FROM bydur),
+        terms AS (
+          SELECT dur_days, d, n_risk,
+                 CAST(round(ln(1.0e0 - CAST(d AS DOUBLE) / n_risk), 6)
+                   AS DECIMAL(18,6)) AS lnterm
+          FROM risk WHERE d > 0 AND d < n_risk),
+        curve AS (
+          SELECT dur_days, d, n_risk,
+                 SUM(lnterm) OVER (ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lnsum
+          FROM terms)
+        SELECT dur_days, d, n_risk,
+               round(exp(CAST(lnsum AS DOUBLE)), 6) AS survival
+        FROM curve ORDER BY dur_days"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

@@ -585,6 +585,46 @@ object Streams {
           .as("latency_sec"))
   }
 
+  case class KmvState(hashes: Vector[Long], n_seen: Long)
+  case class KmvOut(event_type: String, n_seen: Long, n_kept: Int,
+      estimate: Double)
+
+  /** stream_kmv_distinct: bounded-state streaming distinct-count — the
+    * mapGroupsWithState twin of q51_kmv_distinct. Per event type the
+    * state is the k=64 smallest 48-bit hashes of the user ids seen (12
+    * md5 hex chars, same space as the batch sketch), so cardinality
+    * estimation over an unbounded feed costs 64 longs per key — and the
+    * state UNION of two executors' sketches is again a valid sketch (the
+    * merge property the batch query proves). Emits the running estimate
+    * after each batch.
+    */
+  def kmvDistinctStream(events: Dataset[Ev], k: Int = 64): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    def hash48(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        case (etype, it, state) =>
+          var st = state.getOption.getOrElse(KmvState(Vector.empty, 0L))
+          var hs = st.hashes
+          var n = st.n_seen
+          it.foreach { e =>
+            val h = hash48(e.user_id)
+            n += 1
+            if (!hs.contains(h)) hs = (hs :+ h).sorted.take(k)
+          }
+          st = KmvState(hs, n)
+          state.update(st)
+          val est =
+            if (hs.size < k) hs.size.toDouble
+            else (k - 1).toDouble * 281474976710656.0 / hs.last
+          KmvOut(etype, n, hs.size, est)
+      }
+  }
+
   /** stream_topk: bounded-memory heavy hitters per event type via the
     * SpaceSaving summary (Metwally et al. 2005) held in
     * mapGroupsWithState — the streaming answer to "who dominates this
