@@ -3187,7 +3187,87 @@ object TimeSeries {
           FROM terms)
         SELECT dur_days, d, n_risk,
                round(exp(CAST(lnsum AS DOUBLE)), 6) AS survival
-        FROM curve ORDER BY dur_days"""))
+        FROM curve ORDER BY dur_days""")),
+
+    // ----- ts_markov_transition: behavior transition matrix --------------
+    // The first-order Markov chain over event types (what follows what):
+    // transition counts from one LEAD per entity stream, probabilities as
+    // exact count ratios, plus each state's modal successor. The
+    // behavioral fingerprint session-analysis starts from; 5x5 output at
+    // any SF, one entity-keyed window + one combinable groupBy.
+    "ts_markov_transition" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val trans = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("nxt").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        val wBest = Window.partitionBy(col("from_type"))
+          .orderBy(col("n").desc, col("to_type"))
+        trans.join(tot, "from_type")
+          .withColumn("p", col("n").cast(DoubleType) / col("n_from"))
+          .withColumn("modal", row_number().over(wBest) === 1)
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some(s"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS nxt
+          FROM events),
+        trans AS (
+          SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                FROM trans GROUP BY 1)
+        SELECT t.from_type, t.to_type, t.n, o.n_from,
+               CAST(t.n AS DOUBLE) / o.n_from AS p,
+               ROW_NUMBER() OVER (PARTITION BY t.from_type
+                 ORDER BY t.n DESC, t.to_type) = 1 AS modal
+        FROM trans t JOIN tot o ON t.from_type = o.from_type
+        ORDER BY t.from_type, t.to_type""")),
+
+    // ----- ts_sliding_distinct: trailing-window distinct users -----------
+    // Rolling 7-day active users — the DAU/WAU query that defeats naive
+    // windowing (COUNT(DISTINCT) OVER a range frame isn't supported and
+    // would be quadratic anyway). The scale shape: each DISTINCT
+    // (user, active_day) pair explodes to the <=7 report days it covers,
+    // then one exact groupBy counts distinct (user, report_day) pairs —
+    // O(7·distinct-user-days) rows total, no day x user matrix, no
+    // quadratic window. Report days are capped to the observed range so
+    // the curve has no phantom tail.
+    "ts_sliding_distinct" -> Q(
+      build = (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val maxDay = days.agg(max(col("day")).as("max_day"))
+        days
+          .withColumn("report_day",
+            explode(expr("sequence(day, day + 6)")))
+          .crossJoin(broadcast(maxDay))
+          .filter(col("report_day") <= col("max_day"))
+          .select(col("user_id"), col("report_day")).distinct()
+          .groupBy(col("report_day"))
+          .agg(count(lit(1)).as("wau"))
+          .orderBy(col("report_day"))
+      },
+      oracle = Some(s"""
+        WITH days AS (
+          SELECT DISTINCT user_id, $TS // 86400 AS day FROM events),
+        md AS (SELECT MAX(day) AS max_day FROM days),
+        cov AS (
+          SELECT DISTINCT user_id, day + g.i AS report_day
+          FROM days, generate_series(0, 6) AS g(i), md
+          WHERE day + g.i <= md.max_day)
+        SELECT report_day, COUNT(*) AS wau
+        FROM cov GROUP BY 1 ORDER BY report_day"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

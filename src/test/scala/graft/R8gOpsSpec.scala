@@ -77,4 +77,32 @@ class R8gOpsSpec extends SparkSpecBase {
     val est = last.getAs[Double]("estimate")
     assert(est > 10 && est < 160) // k=8 sketch: very coarse, but sane
   }
+
+  test("ts_markov_transition: rows are a stochastic matrix") {
+    val df = run("ts_markov_transition").cache()
+    assert(df.count() > 0)
+    df.collect().groupBy(_.getAs[String]("from_type")).foreach {
+      case (_, rows) =>
+        assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+        assert(rows.count(_.getAs[Boolean]("modal")) == 1)
+        val maxN = rows.map(_.getAs[Long]("n")).max
+        rows.filter(_.getAs[Boolean]("modal"))
+          .foreach(r => assert(r.getAs[Long]("n") == maxN))
+    }
+  }
+
+  test("ts_sliding_distinct: brute-force recount for three days") {
+    val df = run("ts_sliding_distinct").cache()
+    assert(df.count() > 0)
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = df.collect().map(r =>
+      r.getAs[Long]("report_day") -> r.getAs[Long]("wau")).toMap
+    got.keys.toSeq.sorted.take(3).foreach { rd =>
+      val brute = days.filter { case (_, d) => d >= rd - 6 && d <= rd }
+        .map(_._1).distinct.length
+      assert(got(rd) == brute)
+    }
+  }
 }
