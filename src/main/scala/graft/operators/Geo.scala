@@ -4424,6 +4424,84 @@ object Geo {
                round(degrees(atan2(2.0e0 * $cxy, $cxx - $cyy) / 2.0e0), 3)
                  AS angle_deg
         FROM m ORDER BY user_id"""
+      }),
+
+    // ----- geo_advect_step: semi-Lagrangian transport --------------------
+    // One advection step of the event-density field under the analytic
+    // u/v wind (the transport kernel behind smoke/plume forecasting —
+    // odin_wind's grids exist to drive exactly this): each cell
+    // backtracks along the wind to its departure point and bilinearly
+    // samples the density there (semi-Lagrangian = unconditionally
+    // stable, any dt). The wind components are exact quarter-integers and
+    // dt=0.5, so departure fractions are exact dyadic rationals and the
+    // interpolated density is bit-exact with NO rounding anywhere.
+    // Scale shape: 4 corner equi-joins against the density grid itself —
+    // the distributed-stencil pattern, cells never all-pairs.
+    "geo_advect_step" -> Q(
+      build = (s, d) => {
+        val cells = evPts(s, d)
+          .groupBy(floor(col("lat")).cast(LongType).as("ci"),
+            floor(col("lon")).cast(LongType).as("cj"))
+          .agg(count(lit(1)).as("z"))
+        val gu = "CAST(((ci*13 + cj*7) % 41 + 41) % 41 - 20 AS DOUBLE) / 4.0e0"
+        val gv = "CAST(((ci*5 + cj*11) % 37 + 37) % 37 - 18 AS DOUBLE) / 4.0e0"
+        val dep = cells
+          .withColumn("di", expr(s"CAST(ci AS DOUBLE) - ($gv) * 0.5e0"))
+          .withColumn("dj", expr(s"CAST(cj AS DOUBLE) - ($gu) * 0.5e0"))
+          .withColumn("fi", expr("CAST(FLOOR(di) AS BIGINT)"))
+          .withColumn("fj", expr("CAST(FLOOR(dj) AS BIGINT)"))
+          .withColumn("ri", expr("di - fi"))
+          .withColumn("rj", expr("dj - fj"))
+        val corners = dep
+          .withColumn("oi", explode(array(lit(0L), lit(1L))))
+          .withColumn("oj", explode(array(lit(0L), lit(1L))))
+          .withColumn("w", expr(
+            """(CASE WHEN oi = 0 THEN 1.0e0 - ri ELSE ri END)
+               * (CASE WHEN oj = 0 THEN 1.0e0 - rj ELSE rj END)"""))
+        val src = cells.select(col("ci").as("si"), col("cj").as("sj"),
+          col("z").as("sz"))
+        corners
+          .join(src, corners("fi") + corners("oi") === src("si")
+            && corners("fj") + corners("oj") === src("sj"), "left")
+          .groupBy(col("ci"), col("cj"))
+          .agg(max(col("z")).as("z_old"),
+            sum(col("w") * coalesce(col("sz"), lit(0L))).as("z_new"))
+          .filter(col("z_new") > 0.0)
+          .orderBy(col("ci"), col("cj"))
+      },
+      oracle = Some {
+        val gu = "CAST(((ci*13 + cj*7) % 41 + 41) % 41 - 20 AS DOUBLE) / 4.0e0"
+        val gv = "CAST(((ci*5 + cj*11) % 37 + 37) % 37 - 18 AS DOUBLE) / 4.0e0"
+        s"""
+        WITH cells AS (
+          SELECT CAST(FLOOR($LAT) AS BIGINT) AS ci,
+                 CAST(FLOOR($LON) AS BIGINT) AS cj, COUNT(*) AS z
+          FROM events GROUP BY 1, 2),
+        dep AS (
+          SELECT ci, cj, z,
+                 CAST(ci AS DOUBLE) - ($gv) * 0.5e0 AS di,
+                 CAST(cj AS DOUBLE) - ($gu) * 0.5e0 AS dj
+          FROM cells),
+        frac AS (
+          SELECT ci, cj, z, di, dj,
+                 CAST(FLOOR(di) AS BIGINT) AS fi,
+                 CAST(FLOOR(dj) AS BIGINT) AS fj,
+                 di - CAST(FLOOR(di) AS BIGINT) AS ri,
+                 dj - CAST(FLOOR(dj) AS BIGINT) AS rj
+          FROM dep),
+        corners AS (
+          SELECT f.*, o.oi, o.oj,
+                 (CASE WHEN o.oi = 0 THEN 1.0e0 - f.ri ELSE f.ri END)
+                 * (CASE WHEN o.oj = 0 THEN 1.0e0 - f.rj ELSE f.rj END) AS w
+          FROM frac f CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+            AS o(oi, oj))
+        SELECT c.ci, c.cj, MAX(c.z) AS z_old,
+               SUM(c.w * COALESCE(s.z, 0)) AS z_new
+        FROM corners c
+        LEFT JOIN cells s ON s.ci = c.fi + c.oi AND s.cj = c.fj + c.oj
+        GROUP BY 1, 2
+        HAVING SUM(c.w * COALESCE(s.z, 0)) > 0.0
+        ORDER BY c.ci, c.cj"""
       })
   )
 

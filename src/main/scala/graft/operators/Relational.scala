@@ -1481,6 +1481,50 @@ object Relational {
                em.est_merged, ef.est_full = em.est_merged AS merge_lossless
         FROM ef JOIN em ON ef.grp = em.grp JOIN exact x ON x.grp = ef.grp
         ORDER BY ef.grp"""
-      })
+      }),
+
+    // ----- q52_yoy_growth: year-over-year monthly growth -----------------
+    // The reporting staple: monthly revenue joined to the same month one
+    // year earlier (a LAG 12 over the month frame — after aggregation,
+    // so the window moves over ~80 rows, never facts). DECIMAL-exact
+    // monthly sums; growth is one division on the exact cents.
+    "q52_yoy_growth" -> Q(
+      build = (s, d) => {
+        val monthly = Tables.t(s, d, "orders")
+          .groupBy(expr("year(o_orderdate)").as("yr"),
+            expr("month(o_orderdate)").as("mo"))
+          .agg(sum(decP(col("o_totalprice"))).as("rev"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.partitionBy(col("mo")).orderBy(col("yr"))
+        monthly
+          .withColumn("rev_prev", lag(col("rev"), 1).over(w))
+          .withColumn("yr_prev", lag(col("yr"), 1).over(w))
+          .filter(col("rev_prev").isNotNull && col("yr_prev") === col("yr") - 1)
+          .select(col("yr"), col("mo"), col("n_orders"),
+            col("rev").cast(DoubleType).as("rev"),
+            col("rev_prev").cast(DoubleType).as("rev_prev"),
+            ((col("rev") - col("rev_prev")).cast(DoubleType)
+              / col("rev_prev").cast(DoubleType)).as("yoy_growth"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      oracle = Some("""
+        WITH monthly AS (
+          SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1, 2),
+        lagged AS (
+          SELECT yr, mo, n_orders, rev,
+                 LAG(rev, 1) OVER (PARTITION BY mo ORDER BY yr) AS rev_prev,
+                 LAG(yr, 1) OVER (PARTITION BY mo ORDER BY yr) AS yr_prev
+          FROM monthly)
+        SELECT yr, mo, n_orders,
+               CAST(rev AS DOUBLE) AS rev,
+               CAST(rev_prev AS DOUBLE) AS rev_prev,
+               CAST(rev - rev_prev AS DOUBLE) / CAST(rev_prev AS DOUBLE)
+                 AS yoy_growth
+        FROM lagged
+        WHERE rev_prev IS NOT NULL AND yr_prev = yr - 1
+        ORDER BY yr, mo"""))
   )
 }

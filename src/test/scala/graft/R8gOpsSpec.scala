@@ -105,4 +105,29 @@ class R8gOpsSpec extends SparkSpecBase {
       assert(got(rd) == brute)
     }
   }
+
+  test("q52_yoy_growth: growth recomputes from the two revenue columns") {
+    val df = run("q52_yoy_growth").cache()
+    assert(df.count() > 0)
+    df.collect().foreach { r =>
+      val g = (r.getAs[Double]("rev") - r.getAs[Double]("rev_prev")) /
+        r.getAs[Double]("rev_prev")
+      assert(math.abs(r.getAs[Double]("yoy_growth") - g) < 1e-9)
+      assert(r.getAs[Int]("mo") >= 1 && r.getAs[Int]("mo") <= 12)
+    }
+  }
+
+  test("geo_advect_step: mass is conserved up to boundary outflow") {
+    val df = run("geo_advect_step").cache()
+    assert(df.count() > 0)
+    // total interpolated mass can never exceed the source mass (weights
+    // per departure point sum to 1; cells outside the occupied grid
+    // contribute zero)
+    val newMass = df.agg(sum(col("z_new"))).head.getDouble(0)
+    val oldMass = df.agg(sum(col("z_old"))).head.getLong(0).toDouble
+    val totalOld = Tables.events(spark, sf).count().toDouble
+    assert(newMass <= totalOld + 1e-6)
+    assert(oldMass <= totalOld + 1e-6)
+    df.collect().foreach(r => assert(r.getAs[Double]("z_new") >= 0.0))
+  }
 }
