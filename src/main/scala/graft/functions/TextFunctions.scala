@@ -80,6 +80,35 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Content-defined chunk cut positions (1-based), one rolling-hash
+    * pass: a cut before position p (p >= 2) wherever the k-gram B1 hash
+    * starting at p satisfies h % mask1 == 0 — the SAME polynomial value
+    * the doc_cdc_chunks oracle computes term-by-term, so the kernel is
+    * a drop-in for the O(len·k·substring) expression form that turned
+    * quadratic on long documents (26 s at sf0.1 -> sub-second).
+    */
+  def cdcCuts(text: UTF8String, k: Int, mask1: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    var bk1 = 1L
+    var i = 0
+    while (i < k) { bk1 = bk1 * B1 % P; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var h1 = 0L
+    i = 0
+    while (i < n) {
+      h1 = (h1 * B1 + (bytes(i) & 0xFF)) % P
+      if (i >= k) h1 = (h1 - bk1 * (bytes(i - k) & 0xFF) % P + P) % P
+      if (i >= k - 1) {
+        val p = i - k + 2 // 1-based start position of this gram
+        if (p >= 2 && h1 % mask1 == 0) out += p.toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature over strided k-grams: nPerm mins of the linear
     * permutations (a_i·g1 + b_i·g2 + c_i) mod P.
     */
@@ -185,6 +214,20 @@ case class MinHashSignature(child: Expression, k: Int, stride: Int, nPerm: Int)
     copy(child = c)
 }
 
+/** array<long> of 1-based CDC cut positions of a string column. */
+case class CdcCuts(child: Expression, k: Int, mask1: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_cuts"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.cdcCuts(input.asInstanceOf[UTF8String], k, mask1)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.cdcCuts($c, $k, $mask1)")
+  override protected def withNewChildInternal(c: Expression): CdcCuts =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a string column (whitespace tokens, bit votes). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -204,6 +247,8 @@ object TextFunctions {
     GraftInternal.column(MinHashSignature(GraftInternal.expr(c), k, stride, nPerm))
   def simhash64(c: Column): Column =
     GraftInternal.column(SimHash64(GraftInternal.expr(c)))
+  def cdc_cuts(c: Column, k: Int = 20, mask1: Int = 64): Column =
+    GraftInternal.column(CdcCuts(GraftInternal.expr(c), k, mask1))
 
   /** SQL registration of the text kernels (default parameters). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -4254,7 +4254,10 @@ object Geo {
           .agg(count(lit(1)).as("n_events"))
           .withColumn("clat", col("ci").cast(DoubleType) * 2.0 + 1.0)
           .withColumn("clon", col("cj").cast(DoubleType) * 2.0 + 1.0)
-        val st = stationsFor(s, d)
+        // planning tier: the first 100 station keys — the dimension stays
+        // dimension-sized as supplier count grows with SF (1000 stations
+        // at sf0.1 made the cells x stations product the bench's #3 cost)
+        val st = stationsFor(s, d).filter(col("s_suppkey") <= 100)
         cells.crossJoin(broadcast(st))
           .withColumn("dq", floor(
             havC(col("clat"), col("clon"), col("s_lat"), col("s_lon"))
@@ -4280,7 +4283,7 @@ object Geo {
                  CAST(cj AS DOUBLE)*2.0 + 1.0 AS clon
           FROM cells),
         st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon
-               FROM supplier),
+               FROM supplier WHERE s_suppkey <= 100),
         dists AS (
           SELECT c.ci, c.cj, c.n_events, s.s_suppkey,
                  CAST(FLOOR(${havS("c.clat", "c.clon", "s.s_lat", "s.s_lon")}
@@ -4502,7 +4505,71 @@ object Geo {
         GROUP BY 1, 2
         HAVING SUM(c.w * COALESCE(s.z, 0)) > 0.0
         ORDER BY c.ci, c.cj"""
-      })
+      }),
+
+    // ----- geo_convoys: entities traveling together ----------------------
+    // Convoy/flock detection (the moving-object-database classic): pairs
+    // of entities whose daily last fix lands in the SAME 1° latitude
+    // corridor on >=3 CONSECUTIVE days (the corridor axis is the stable
+    // component of the synthetic tracks; real feeds would key on the full
+    // 2-D cell). Each entity contributes one fix per day (struct-max
+    // argmax), pairs form from an equi-join keyed on (day, corridor) —
+    // bounded by corridor occupancy, never all-pairs across space — and
+    // persistence is the rn-difference islands trick over each pair's day
+    // sequence. Everything integer-exact.
+    "geo_convoys" -> Q(
+      build = (s, d) => {
+        val perDay = evPts(s, d)
+          .select(col("user_id"), expr("ts_sec div 86400").as("dy"),
+            col("ts_sec"), col("event_id"),
+            expr("CAST(FLOOR(lat) AS BIGINT)").as("ci"))
+          .groupBy(col("user_id"), col("dy"))
+          .agg(max(struct(col("ts_sec"), col("event_id"), col("ci"))).as("m"))
+          .select(col("user_id"), col("dy"), col("m.ci").as("ci"))
+        val pairs = perDay.as("a")
+          .join(perDay.as("b"), col("a.dy") === col("b.dy")
+            && col("a.ci") === col("b.ci")
+            && col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
+            col("a.dy").as("dy"), col("a.ci").as("corridor"))
+        val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("dy"))
+        pairs
+          .withColumn("grp", col("dy") - row_number().over(w))
+          .groupBy(col("u1"), col("u2"), col("grp"))
+          .agg(min(col("dy")).as("start_day"), count(lit(1)).as("len_days"),
+            min(col("corridor")).as("corridor"))
+          .filter(col("len_days") >= 3)
+          .select(col("u1"), col("u2"), col("start_day"), col("len_days"),
+            col("corridor"))
+          .orderBy(col("u1"), col("u2"), col("start_day"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 event_id,
+                 CAST(FLOOR($LAT) AS BIGINT) AS ci
+          FROM events),
+        ph AS (
+          SELECT user_id, ts_sec // 86400 AS dy, ci FROM (
+            SELECT user_id, ts_sec, ci,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts_sec // 86400
+                     ORDER BY ts_sec DESC, event_id DESC) AS rn
+            FROM pts) WHERE rn = 1),
+        pairs AS (
+          SELECT a.user_id AS u1, b.user_id AS u2, a.dy, a.ci AS corridor
+          FROM ph a JOIN ph b
+            ON a.dy = b.dy AND a.ci = b.ci
+           AND a.user_id < b.user_id),
+        runs AS (
+          SELECT u1, u2, dy, corridor,
+                 dy - ROW_NUMBER() OVER (PARTITION BY u1, u2 ORDER BY dy)
+                   AS grp
+          FROM pairs)
+        SELECT u1, u2, MIN(dy) AS start_day, COUNT(*) AS len_days,
+               MIN(corridor) AS corridor
+        FROM runs GROUP BY u1, u2, grp
+        HAVING COUNT(*) >= 3
+        ORDER BY u1, u2, start_day"""))
   )
 
   /** Cube rounding for axial hex coords as one shared formula pair: round

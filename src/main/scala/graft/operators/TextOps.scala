@@ -3070,14 +3070,19 @@ object TextOps {
     // shuffle on the chunk hash, the production dedup-store shape.
     "doc_cdc_chunks" -> Q(
       build = (s, d) => {
-        val g1 = sharedGramSpark
+        // one rolling-hash pass per doc (graft.functions.CdcCuts) — the
+        // 20-term expression form recomputed substring(text, i+j) per
+        // term and turned quadratic on long documents (26 s at sf0.1);
+        // the kernel computes the identical polynomial value in O(len)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("cut"))
         val cuts = docs(s, d)
           .filter(length(col("text")) >= 20)
           .select(col("doc_id"), col("text"),
-            explode(expr("sequence(2, length(text) - 19)")).as("i"))
-          .filter(expr(s"(($g1) % $HP) % 64 = 0"))
-          .select(col("doc_id"), col("text"), col("i").as("cut"))
+            explode(graft.functions.TextFunctions.cdc_cuts(col("text")))
+              .as("cutL"))
+          .filter(col("cutL") <= length(col("text")) - 19)
+          .select(col("doc_id"), col("text"),
+            col("cutL").cast(IntegerType).as("cut"))
         val starts = docs(s, d)
           .filter(length(col("text")) >= 20)
           .select(col("doc_id"), col("text"), lit(1).as("cut"))

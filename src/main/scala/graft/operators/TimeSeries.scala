@@ -3267,7 +3267,87 @@ object TimeSeries {
           FROM days, generate_series(0, 6) AS g(i), md
           WHERE day + g.i <= md.max_day)
         SELECT report_day, COUNT(*) AS wau
-        FROM cov GROUP BY 1 ORDER BY report_day"""))
+        FROM cov GROUP BY 1 ORDER BY report_day""")),
+
+    // ----- ts_dft_power: spectral power at candidate periods -------------
+    // Which rhythm does each entity's signal actually follow? The DFT
+    // power at three physically-motivated periods (half-day, day, week)
+    // computed directly on the IRREGULAR samples — no resampling pass:
+    // P(T) = (Σ r·cos φ)² + (Σ r·sin φ)², φ = 2π·(t mod T)/T. Residuals
+    // r = n·v − Σv clear the DC term exactly (the ts_acf discipline);
+    // the mod-T reduction is exact integer math so the trig argument
+    // never exceeds one turn (the geo_solar_angles lesson); trig terms
+    // quantize at 2^10 into DECIMAL(38,0) sums — order-free. Normalized
+    // against Σr² so the output is scale-free; the dominant period is
+    // flagged per entity. One shuffle keyed on the entity x 3 periods.
+    "ts_dft_power" -> Q(
+      build = (s, d) => {
+        val p = byUser
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+          .withColumn("n", count(lit(1)).over(p))
+          .withColumn("sv", sum(col("v")).over(p))
+          .withColumn("r", (col("n") * col("v") - col("sv")).cast(DoubleType))
+          .withColumn("period",
+            explode(expr("array(43200L, 86400L, 604800L)")))
+          .withColumn("phase", expr(
+            "CAST(ts_sec % period AS DOUBLE) * (360.0e0 / period)"))
+        val dec = "DECIMAL(38,0)"
+        val scored = base.groupBy(col("user_id"), col("period"))
+          .agg(
+            sum(expr(s"CAST(FLOOR(r * cos(radians(phase)) * 1024.0e0) AS $dec)"))
+              .as("cs"),
+            sum(expr(s"CAST(FLOOR(r * sin(radians(phase)) * 1024.0e0) AS $dec)"))
+              .as("sn"),
+            sum(expr(s"CAST(FLOOR(r * r) AS $dec)")).as("den"))
+          .filter(col("den") > 0)
+          .withColumn("power", expr(
+            """(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+               / (1048576.0e0 * CAST(den AS DOUBLE))"""))
+        val wBest = Window.partitionBy(col("user_id"))
+          .orderBy(col("power").desc, col("period"))
+        scored
+          .withColumn("dominant", row_number().over(wBest) === 1)
+          .select(col("user_id"), col("period"), col("power"),
+            col("dominant"))
+          .orderBy(col("user_id"), col("period"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec,
+                 CAST(round(value * 100.0) AS BIGINT) AS v
+          FROM events),
+        st AS (
+          SELECT user_id, ts_sec, v,
+                 COUNT(*) OVER p AS n, CAST(SUM(v) OVER p AS BIGINT) AS sv
+          FROM base WINDOW p AS (PARTITION BY user_id)),
+        rp AS (
+          SELECT user_id, CAST(n*v - sv AS DOUBLE) AS r,
+                 ts_sec, t.period,
+                 CAST(ts_sec % t.period AS DOUBLE) * (360.0e0 / t.period)
+                   AS phase
+          FROM st CROSS JOIN (VALUES (43200), (86400), (604800))
+            AS t(period)),
+        agg AS (
+          SELECT user_id, period,
+                 SUM(CAST(FLOOR(r * cos(radians(phase)) * 1024.0e0)
+                   AS DECIMAL(38,0))) AS cs,
+                 SUM(CAST(FLOOR(r * sin(radians(phase)) * 1024.0e0)
+                   AS DECIMAL(38,0))) AS sn,
+                 SUM(CAST(FLOOR(r * r) AS DECIMAL(38,0))) AS den
+          FROM rp GROUP BY 1, 2),
+        pw AS (
+          SELECT user_id, period,
+                 (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                  + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                 / (1048576.0e0 * CAST(den AS DOUBLE)) AS power
+          FROM agg WHERE den > 0)
+        SELECT user_id, CAST(period AS BIGINT) AS period, power,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY power DESC, period) = 1 AS dominant
+        FROM pw ORDER BY user_id, period"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

@@ -115,6 +115,7 @@ class R8eOpsSpec extends SparkSpecBase {
             * math.pow(math.sin(math.toRadians(lon2 - lon1) / 2), 2))))
       }
       val best = Tables.t(spark, sf, "supplier")
+        .filter(col("s_suppkey") <= 100)
         .select(col("s_suppkey"),
           (col("s_suppkey") * 53 % 140 - 70).cast("double"),
           (col("s_suppkey") * 97 % 360 - 180).cast("double"))
