@@ -1525,6 +1525,78 @@ object Relational {
                  AS yoy_growth
         FROM lagged
         WHERE rev_prev IS NOT NULL AND yr_prev = yr - 1
-        ORDER BY yr, mo"""))
+        ORDER BY yr, mo""")),
+
+    // ----- q53_abc_analysis: Pareto inventory classification -------------
+    // ABC analysis (the 80/15/5 Pareto cut every inventory/catalog team
+    // runs): parts ranked by revenue, classified A while the cumulative
+    // share is within 80%, B within 95%, else C. Revenue aggregates to
+    // integer cents BEFORE any ordering, and the cumulative sum is the
+    // q22 distributed-prefix shape — range repartition, per-partition
+    // prefix, #partitions-row offset table broadcast back — so there is
+    // NO single-partition window over the part dimension (20M parts at
+    // SF100 would serialize one). Class thresholds compare exact integer
+    // cumulative cents against the exact total — no floating boundary.
+    "q53_abc_analysis" -> Q(
+      build = (s, d) => {
+        val perPart = Tables.t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("rev_c"))
+        val base = perPart
+          .repartitionByRange(32, col("rev_c").desc, col("l_partkey"))
+          .sortWithinPartitions(col("rev_c").desc, col("l_partkey"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+        val wPart = Window.partitionBy(col("pid"))
+          .orderBy(col("rev_c").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = base.groupBy(col("pid"))
+          .agg(sum(col("rev_c")).as("psum"))
+          .withColumn("offset", coalesce(sum(col("psum")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("tot_c", sum(col("psum")).over(
+            Window.orderBy(col("pid")).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val classed = base
+          .withColumn("cum_in", sum(col("rev_c")).over(wPart))
+          .join(broadcast(offsets.select(col("pid"), col("offset"),
+            col("tot_c"))), Seq("pid"))
+          .withColumn("cum_c", col("offset") + col("cum_in"))
+          .withColumn("cls",
+            when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+              .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+              .otherwise(lit("C")))
+        classed.groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("rev_c")).cast(DoubleType) / 100.0).as("revenue"),
+            (min(col("rev_c")).cast(DoubleType) / 100.0).as("min_part_rev"))
+          .orderBy(col("cls"))
+      },
+      oracle = Some("""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY 1),
+        classed AS (
+          SELECT l_partkey, rev_c,
+                 SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c,
+                 SUM(rev_c) OVER () AS tot_c
+          FROM per_part),
+        labeled AS (
+          SELECT *,
+                 CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                      WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                      ELSE 'C' END AS cls
+          FROM classed)
+        SELECT cls, COUNT(*) AS n_parts,
+               CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue,
+               CAST(MIN(rev_c) AS DOUBLE) / 100.0 AS min_part_rev
+        FROM labeled GROUP BY 1 ORDER BY cls"""))
   )
 }

@@ -3347,7 +3347,60 @@ object TimeSeries {
         SELECT user_id, CAST(period AS BIGINT) AS period, power,
                ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY power DESC, period) = 1 AS dominant
-        FROM pw ORDER BY user_id, period"""))
+        FROM pw ORDER BY user_id, period""")),
+
+    // ----- ts_var_cvar: empirical tail risk per entity -------------------
+    // Value-at-Risk and Conditional VaR (expected shortfall) of the
+    // step-to-step value CHANGES: the 5th-percentile change by exact rank
+    // (no interpolation — the q26_median discipline) and the exact mean
+    // of the changes at or below it. Integer cents throughout; one
+    // entity-keyed window pass for deltas + rank.
+    "ts_var_cvar" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        val deltas = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+          .withColumn("chg", col("vc") - lag(col("vc"), 1).over(w))
+          .filter(col("chg").isNotNull)
+        val wr = byUser.orderBy(col("chg"), col("ts_sec"), col("event_id"))
+        val ranked = deltas
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(byUser))
+          .filter(col("n") >= 20)
+          .withColumn("k", expr("greatest(1, (n * 5) div 100)"))
+        ranked.filter(col("rn") <= col("k"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_changes"),
+            (max(col("chg")).cast(DoubleType) / 100.0).as("var_5pct"),
+            (sum(col("chg")).cast(DoubleType) / (count(lit(1)) * 100.0))
+              .as("cvar_5pct"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH deltas AS (
+          SELECT user_id, ts_sec, event_id, chg FROM (
+            SELECT user_id, $TS AS ts_sec, event_id,
+                   CAST(round(value * 100.0) AS BIGINT)
+                   - LAG(CAST(round(value * 100.0) AS BIGINT), 1)
+                     OVER (PARTITION BY user_id ORDER BY $TS, event_id)
+                     AS chg
+            FROM events) WHERE chg IS NOT NULL),
+        ranked AS (
+          SELECT user_id, chg,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY chg, ts_sec, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM deltas),
+        capped AS (
+          SELECT user_id, chg, rn, n,
+                 GREATEST(1, (n * 5) // 100) AS k
+          FROM ranked WHERE n >= 20)
+        SELECT user_id, MAX(n) AS n_changes,
+               CAST(MAX(chg) AS DOUBLE) / 100.0 AS var_5pct,
+               CAST(SUM(chg) AS DOUBLE) / (COUNT(*) * 100.0) AS cvar_5pct
+        FROM capped WHERE rn <= k
+        GROUP BY 1 ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

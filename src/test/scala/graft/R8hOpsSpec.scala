@@ -68,4 +68,43 @@ class R8hOpsSpec extends SparkSpecBase {
         rows.foreach(r => assert(r.getAs[Double]("power") >= 0.0))
     }
   }
+
+  test("ts_var_cvar: tail mean never exceeds the quantile") {
+    val df = run("ts_var_cvar").cache()
+    assert(df.count() > 0)
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("cvar_5pct") <= r.getAs[Double]("var_5pct") + 1e-9)
+      assert(r.getAs[Long]("n_changes") >= 20)
+    }
+    // imperative recompute for one entity
+    val u = df.head.getAs[Long]("user_id")
+    val chgs = Tables.events(spark, sf).filter(col("user_id") === u)
+      .orderBy(col("ts_sec"), col("event_id"))
+      .select(expr("CAST(round(value*100) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+      .sliding(2).collect { case Array(a, b) => b - a }.toArray.sorted
+    val k = math.max(1, chgs.length * 5 / 100)
+    val tail = chgs.take(k)
+    val got = df.filter(col("user_id") === u).head
+    assert(got.getAs[Double]("var_5pct") == tail.max / 100.0)
+    assert(math.abs(got.getAs[Double]("cvar_5pct")
+      - tail.sum.toDouble / (k * 100.0)) < 1e-9)
+  }
+
+  test("q53_abc_analysis: classes partition parts; A holds <=80% + one part") {
+    val df = run("q53_abc_analysis").cache()
+    val rows = df.collect().map(r => r.getAs[String]("cls") ->
+      (r.getAs[Long]("n_parts"), r.getAs[Double]("revenue"))).toMap
+    val nParts = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.values.map(_._1).sum == nParts)
+    val total = rows.values.map(_._2).sum
+    // the A class stops at the first part CROSSING 80%: its revenue is
+    // at most 80% of total plus that one boundary part
+    assert(rows("A")._2 <= 0.8 * total + rows("A")._2 / rows("A")._1 + 1.0)
+    assert(rows.contains("C"))
+    // within-class revenue ordering: every A part out-earns the best C
+    assert(df.filter(col("cls") === "A").head.getAs[Double]("min_part_rev")
+      >= df.filter(col("cls") === "C").head.getAs[Double]("min_part_rev"))
+  }
 }
