@@ -1,16 +1,31 @@
 #!/usr/bin/env python3
 """Dev-loop replica of the driver's correctness gate: read Verify output
 parquet per query, run the oracle SQL in DuckDB over the same sf dir,
-compare sorted-by-column-name values. Usage: devcheck.py <sfDir> <outDir>."""
+compare sorted-by-column-name values.
+Usage: devcheck.py <sfDir> <outDir> [--tz <TimeZone>]
+
+The optional --tz runs the DuckDB session under a NON-UTC time zone: the
+driver's DuckDB session is not guaranteed UTC (round-4 geo_viirs_ingest
+went red exactly this way), so the standing gate is to pass BOTH with no
+--tz and with --tz America/Los_Angeles — any oracle whose result moves
+with the session TZ is env-sensitive and must be rewritten (naive
+make_timestamp/strptime or integer epoch math, never
+strftime(to_timestamp(...)))."""
 import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:]]
+tz = None
+if "--tz" in args:
+    i = args.index("--tz"); tz = args[i+1]; del args[i:i+2]
+sfdir, outdir = args[0], args[1]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+if tz:
+    con.execute(f"SET TimeZone='{tz}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 

@@ -13,7 +13,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the partition-less Window ops over tiny aggregated
+    // frames (all 15 audited safe — see VERDICT r4) each emit a
+    // `WindowExec: No Partition Defined` WARN per run, ~2000 chars of
+    // which drowned the driver's ~2KB capture window in r4 and cost the
+    // round its parsed bench entry (BENCH_r04 parsed:null)
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: JIT + codegen + per-table file-index/footer caches, untimed
     try {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -67,6 +72,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"queries_full":"BENCH_FULL.json"}"""
     println(line)
+    // make the JSON line the LAST thing in the combined capture: flush
+    // stdout before spark.stop() can interleave anything after it
+    System.out.flush()
     spark.stop()
   }
 }

@@ -52,6 +52,27 @@ object ImageCodec {
     try ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case _: Exception => null }
 
+  /** Row-major luminance byte stream — the raw payload the
+    * compression-feature ops (mm_tile_compress, mm_fractal_dim)
+    * consume. Same integer luminance as features(): (299r+587g+114b)/1000.
+    */
+  def lumBytes(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        out(y * w + x) = ((299L * r + 587L * g + 114L * b) / 1000L).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Stub inference model: a fixed deterministic linear layer over the
     * decoded features (no model weights ship in this container). Single
     * shared site so the executor batch loop and the driver-side oracle

@@ -86,6 +86,13 @@ object TextHashKernels {
     * the doc_cdc_chunks oracle computes term-by-term, so the kernel is
     * a drop-in for the O(len·k·substring) expression form that turned
     * quadratic on long documents (26 s at sf0.1 -> sub-second).
+    *
+    * ASCII-only contract (same as the codec kernels): the kernel hashes
+    * UTF-8 BYTES and reports BYTE offsets, while the oracle's gramSum
+    * uses per-CHARACTER ascii()/substr positions — the two agree iff
+    * every character is single-byte. Callers must normalize or filter
+    * non-ASCII text before chunking (doc_cdc_chunks' corpus is ASCII by
+    * construction).
     */
   def cdcCuts(text: UTF8String, k: Int, mask1: Int): ArrayData = {
     val bytes = text.getBytes

@@ -3492,7 +3492,8 @@ object Geo {
           SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
         lines AS (
           SELECT event_id,
-                 ${ViirsK.line("strftime(to_timestamp(ts_sec), '%Y-%m-%d')")} AS line
+                 ${ViirsK.line(
+                   "strftime(make_timestamp(ts_sec * 1000000), '%Y-%m-%d')")} AS line
           FROM base),
         withEpoch AS (
           SELECT event_id, line,
@@ -4614,7 +4615,7 @@ object Geo {
            WHEN 2 THEN 'h' ELSE 'x' END,
       '2.0NRT',
       CAST(2750 + user_id % 400 AS STRING),
-      CAST(CAST(round(value * 100.0) AS BIGINT) AS STRING),
+      CAST(CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS STRING),
       CASE WHEN (ts_sec % 86400) >= 21600 AND (ts_sec % 86400) < 64800
            THEN 'D' ELSE 'N' END)"""
 

@@ -76,6 +76,52 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  /** Driver-side tiled-DEFLATE LUT (mm_tile_compress): per residue
+    * class, the 256-byte luminance tiles' deflate lengths — same JVM
+    * zlib the executors call, so the VALUES are bit-identical.
+    */
+  private lazy val tileCompressOracle: String = {
+    import graft.functions.{Compress, ImageCodec}
+    val rows = (0 until 768).flatMap { m =>
+      val bytes = ImageCodec.lumBytes(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))
+      (0 until bytes.length / 256).map { t =>
+        val comp = Compress.deflateLen(
+          java.util.Arrays.copyOfRange(bytes, t * 256, (t + 1) * 256))
+        s"($m,$t,$comp)"
+      }
+    }.mkString(",")
+    s"""WITH lut(mod_id, tile_id, comp) AS (VALUES $rows)
+        SELECT d.doc_id, CAST(l.tile_id AS BIGINT) AS tile_id,
+               CAST(256 AS BIGINT) AS n_bytes,
+               CAST(l.comp AS BIGINT) AS comp_bytes,
+               CAST(l.comp AS DOUBLE) / 256.0 AS ratio
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id, tile_id"""
+  }
+
+  /** Driver-side fractal-dimension LUT (mm_fractal_dim): per residue
+    * class, deflate sizes at 6 decimation scales → regression slope,
+    * computed by the same Compress/ImageCodec path the executors run.
+    */
+  private lazy val fractalDimOracle: String = {
+    import graft.functions.{Compress, ImageCodec}
+    val rows = (0 until 768).map { m =>
+      val bytes = ImageCodec.lumBytes(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))
+      val ks = Array(5, 6, 7, 8, 9, 10)
+      val sizes = ks.map(k => Compress.deflateLen(Compress.decimate(bytes, k)))
+      val xs = ks.map(k => math.log(k.toDouble) / math.log(2.0))
+      val ys = sizes.map(sz => math.log(sz.toDouble) / math.log(2.0))
+      s"($m,${bytes.length},${sizes.last},${dlit(Compress.slope(xs, ys))})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, n_bytes, comp_full, fractal_slope) AS (VALUES $rows)
+        SELECT d.doc_id, CAST(l.n_bytes AS BIGINT) AS n_bytes,
+               CAST(l.comp_full AS BIGINT) AS comp_full, l.fractal_slope
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
   /** Driver-side pHash LUT over the doc_id period (lcm(256,3) = 768) —
     * same JVM codec path the executors run, so the VALUES literals are
     * bit-identical to the distributed result.
@@ -913,22 +959,26 @@ object Multimodal {
     // ----- mm_tile_compress: per-tile compressed-size texture ------------
     // odin_image/src/lib.rs:648 compressed_size (PNG-encode into a
     // counting null writer) /:680 get_tiled_comp: per-tile compressed size
-    // as the texture/complexity feature the smoke classifier consumes.
-    // Payload tiles of 256 bytes, DEFLATE length per tile via the in-JDK
-    // zlib (functions/Compress.scala) batched in mapPartitions — the same
-    // declared-codec pattern as mm_feature_extract. Rows-only by design:
-    // DuckDB cannot DEFLATE, so the spec pins exact values in-JVM.
+    // as the texture/complexity feature the smoke classifier consumes —
+    // the reference compresses IMAGE tiles, so the payload here is the
+    // synthetic image's luminance byte stream (ImageCodec.lumBytes; w*32
+    // bytes = 4/6/8 exact 256-byte tiles by width class), REAL DEFLATE
+    // per tile via the in-JDK zlib (functions/Compress.scala) batched in
+    // mapPartitions. The image is periodic in doc_id % 768 (the
+    // mm_feature_extract argument), so a driver-computed LUT replays the
+    // whole decode→tile→deflate chain for the oracle — hash-checked, not
+    // rows-only. ratio = comp/256 is exact (2^-8 scaling).
     "mm_tile_compress" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
-        import graft.functions.Compress
+        import graft.functions.{Compress, ImageCodec}
         Tables.t(s, d, "documents")
-          .filter(length(col("text")) >= 256)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id")).as[Long]
           .mapPartitions { it =>
-            it.flatMap { case (id, text) =>
-              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            it.flatMap { id =>
+              val bytes = ImageCodec.lumBytes(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))
               val nt = bytes.length / 256
               (0 until nt).iterator.map { t =>
                 val comp = Compress.deflateLen(
@@ -938,30 +988,34 @@ object Multimodal {
             }
           }
           .toDF("doc_id", "tile_id", "n_bytes", "comp_bytes", "ratio")
-          .withColumn("ratio", round(col("ratio"), 6))
           .orderBy(col("doc_id"), col("tile_id"))
       },
-      oracle = None),
+      oracle = Some(tileCompressOracle)),
 
     // ----- mm_fractal_dim: compression-based fractal dimension -----------
     // odin_image/src/lib.rs:580 fractal_dim (after Del-Pozo-Velázquez et
     // al., DSP 166, 2025): compressed size of the image at scales s_min..
     // 1.0 step 0.1, slope of log2(size) vs log2(10*s) via least squares —
-    // a smoke-texture score. Byte-stream analog: Bresenham decimation to
-    // k/10 of the payload for k=5..10, DEFLATE length per scale, exact
-    // regression slope (functions/Compress.scala). Same mapPartitions
-    // batch shape; rows-only by design (no DEFLATE in DuckDB).
+    // a smoke-texture score. The payload is the synthetic image's
+    // luminance byte stream (the reference compresses the image, not
+    // text): Bresenham decimation to k/10 of the bytes for k=5..10,
+    // REAL DEFLATE length per scale, exact regression slope
+    // (functions/Compress.scala), all in one mapPartitions batch. The
+    // chain is a pure function of doc_id % 768 (mm_feature_extract's
+    // periodicity argument), so a driver-computed 768-row LUT replays
+    // decode→decimate→deflate→slope for the oracle — hash-checked.
+    // Slope doubles round-trip through dlit literals bit-exactly.
     "mm_fractal_dim" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
-        import graft.functions.Compress
+        import graft.functions.{Compress, ImageCodec}
         Tables.t(s, d, "documents")
-          .filter(length(col("text")) >= 64)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id")).as[Long]
           .mapPartitions { it =>
-            it.map { case (id, text) =>
-              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            it.map { id =>
+              val bytes = ImageCodec.lumBytes(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))
               val ks = Array(5, 6, 7, 8, 9, 10)
               val sizes = ks.map(k => Compress.deflateLen(Compress.decimate(bytes, k)))
               val xs = ks.map(k => math.log(k.toDouble) / math.log(2.0))
@@ -970,10 +1024,9 @@ object Multimodal {
             }
           }
           .toDF("doc_id", "n_bytes", "comp_full", "fractal_slope")
-          .withColumn("fractal_slope", round(col("fractal_slope"), 6))
           .orderBy(col("doc_id"))
       },
-      oracle = None),
+      oracle = Some(fractalDimOracle)),
 
     // ----- mm_phash_pairs: perceptual-hash image near-dup ----------------
     // The image half of the corpus dedup story (exact/MinHash/SimHash/
@@ -1195,12 +1248,13 @@ object Multimodal {
     // The integral image (Viola-Jones / box-filter primitive): I(x,y) =
     // sum of all pixels with x'<=x, y'<=y, making any box sum four lookups
     // — the preprocessing behind fast blur/feature windows on satellite
-    // tiles. Payload-as-image (width 32, same layout as mm_focus_measure);
-    // the two nested prefix sums are exactly two window cumsums — row
-    // cumsum within (doc, y), then column cumsum within (doc, x) over the
-    // row-cummed values. All exact integers. Emitting every 8th pixel of
-    // each axis keeps output bounded while the spec checks box sums
-    // against brute force.
+    // tiles. Payload-as-image, 16x16 (x = p % 16, y = p div 16 — NOT the
+    // 32-wide mm_focus_measure layout; 256 chars of text cover a full
+    // square here); the two nested prefix sums are exactly two window
+    // cumsums — row cumsum within (doc, y), then column cumsum within
+    // (doc, x) over the row-cummed values. All exact integers. Emitting
+    // every 4th pixel per axis (x%4=3, y%4=3) keeps output bounded while
+    // the spec checks box sums against brute force.
     "mm_integral_image" -> Q(
       build = (s, d) => {
         val px = Tables.t(s, d, "documents")

