@@ -2652,6 +2652,128 @@ object Geo {
         GROUP BY event_id, lat, lon
         ORDER BY event_id""")),
 
+    // ----- geo_grid_resample: grid-to-grid raster warp (reproject) -------
+    // SimpleWarpBuilder::exec / warp_to_raster_info (odin_gdal/src/
+    // warp.rs:316/:751): regrid a source raster in one SRS onto a target
+    // extent/resolution in another — the HRRR-Lambert-onto-DEM-latlon
+    // overlay every raster consumer hits first. Source here is a 1 km UTM
+    // zone-10 grid (200x300 cells, ~1% nodata holes); target is a 0.05
+    // deg lat/lon grid. Per target-cell CENTER: Krüger forward (the
+    // in-tree UtmK chain, identical text both engines) -> fractional
+    // source cell -> 4-corner bilinear gather on the geo_dem_bilinear
+    // equi-join shape. Nodata semantics (warp.rs's warp_to_wgs84 note:
+    // lat/lon extents never map cleanly): corners off-grid or in holes
+    // are excluded and the remaining weights RENORMALIZE; a cell with no
+    // valid corner emits NULL + valid=false. Easting/northing are mm-
+    // rounded before the floor so a last-ulp libm wiggle cannot flip a
+    // source cell. Scale shape: target cells partition freely, the
+    // source side is a broadcast (one zone's grid; at 100x the join key
+    // (i,j) bucket-co-locates both sides), the only shuffle is the
+    // 4-row-per-cell corner agg.
+    "geo_grid_resample" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 50).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 40).select(col("id").as("tj")))
+          .withColumn("lat", expr("36.025e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-122.975e0 + tj * 0.05e0"))
+        val proj = Geo.withUtm(tgt, col("lat"), col("lon"))
+          .withColumn("fx",
+            expr("(round(utm_easting, 3) - 500000.0e0) / 1000.0e0"))
+          .withColumn("fy",
+            expr("(round(utm_northing, 3) - 4000000.0e0) / 1000.0e0"))
+          .withColumn("i", expr("CAST(floor(fx) AS BIGINT)"))
+          .withColumn("j", expr("CAST(floor(fy) AS BIGINT)"))
+          .withColumn("di", expr("fx - floor(fx)"))
+          .withColumn("dj", expr("fy - floor(fy)"))
+        val src = s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+        val corners = proj
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val wt = corners.join(broadcast(src),
+            corners("i") + corners("ci") === src("si")
+              && corners("j") + corners("cj") === src("sj"), "left")
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+          .withColumn("w", expr(
+            """(CASE WHEN ci = 0 THEN 1.0e0 - di ELSE di END)
+               * (CASE WHEN cj = 0 THEN 1.0e0 - dj ELSE dj END)"""))
+        def cw(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w")).otherwise(0.0)).as(s"w$k")
+        def cv(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w") * col("v")).otherwise(0.0)).as(s"v$k")
+        wt.groupBy(col("ti"), col("tj"), col("lat"), col("lon"))
+          .agg(cw(0), cv(0), cw(1), cv(1), cw(2), cv(2), cw(3), cv(3))
+          .withColumn("wsum", expr("((w0 + w1) + w2) + w3"))
+          .select(col("ti"), col("tj"), col("lat"), col("lon"),
+            expr("wsum > 0.0e0").as("valid"),
+            expr("""CASE WHEN wsum > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / wsum END""").as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some({
+        val (fw, last) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "rf")
+        s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 36.025e0 + ti.a * 0.05e0 AS lat,
+                 -122.975e0 + tj.b * 0.05e0 AS lon
+          FROM generate_series(0, 49) AS ti(a),
+               generate_series(0, 39) AS tj(b)),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone
+               FROM tgt),
+        $fw,
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b)),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor((round(utm_easting, 3) - 500000.0e0)
+                   / 1000.0e0) AS BIGINT) AS i,
+                 CAST(floor((round(utm_northing, 3) - 4000000.0e0)
+                   / 1000.0e0) AS BIGINT) AS j,
+                 (round(utm_easting, 3) - 500000.0e0) / 1000.0e0
+                   - floor((round(utm_easting, 3) - 500000.0e0)
+                     / 1000.0e0) AS di,
+                 (round(utm_northing, 3) - 4000000.0e0) / 1000.0e0
+                   - floor((round(utm_northing, 3) - 4000000.0e0)
+                     / 1000.0e0) AS dj
+          FROM $last),
+        corners AS (
+          SELECT c.*, ci.c AS ci, cj.c AS cj
+          FROM cells c, generate_series(0, 1) AS ci(c),
+               generate_series(0, 1) AS cj(c)),
+        wt AS (
+          SELECT c.ti, c.tj, c.lat, c.lon, c.ci*2 + c.cj AS ord, s.v,
+                 (CASE WHEN c.ci = 0 THEN 1.0e0 - c.di ELSE c.di END)
+                 * (CASE WHEN c.cj = 0 THEN 1.0e0 - c.dj ELSE c.dj END) AS w
+          FROM corners c LEFT JOIN src s
+            ON c.i + c.ci = s.si AND c.j + c.cj = s.sj),
+        agg AS (
+          SELECT ti, tj, lat, lon,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w0,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v0,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w1,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v1,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w2,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v2,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w3,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v3
+          FROM wt GROUP BY 1, 2, 3, 4)
+        SELECT ti, tj, lat, lon,
+               ((w0 + w1) + w2) + w3 > 0.0e0 AS valid,
+               CASE WHEN ((w0 + w1) + w2) + w3 > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / (((w0 + w1) + w2) + w3)
+               END AS value
+        FROM agg ORDER BY ti, tj"""
+      })),
+
     // ----- geo_wind_vector: u/v forecast grid -> speed/dir at probes -----
     // odin_wind's vector product (lib.rs:224 huvw_vector_suffix; actor.rs
     // wind_service serves per-point speed+direction derived from the

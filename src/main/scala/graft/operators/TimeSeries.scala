@@ -3412,7 +3412,80 @@ object TimeSeries {
                CAST(MAX(chg) AS DOUBLE) / 100.0 AS var_5pct,
                CAST(SUM(chg) AS DOUBLE) / (COUNT(*) * 100.0) AS cvar_5pct
         FROM capped WHERE rn <= k
-        GROUP BY 1 ORDER BY user_id"""))
+        GROUP BY 1 ORDER BY user_id""")),
+
+    // ----- fems_nfdrs_obs: per-station fire-danger observation series ----
+    // The FEMS/NFDRS feed store (odin_fems/src/lib.rs:137
+    // nfdrs_obs_for_model, :884 update_station_nfdrs_obs): each station
+    // keeps, PER FUEL MODEL (V grass / W grass-shrub / X brush / Y timber
+    // / Z slash), exactly ONE latest actual observation plus every
+    // forecast in the window, date-sorted — the retention loop at :902
+    // ("only keep the latest actual observation" + sort_in). Re-expressed
+    // over events: station = user_id, fuel model from event_id mod 5,
+    // is_forecast = after the feed's now-line (max ts - 24 h, a broadcast
+    // scalar). The actual side is one combinable max-struct groupBy on
+    // (station, model) — ts_latest_per_key's shape — the forecast side a
+    // pushed-down filter; union, no window anywhere. At 100 TB: both
+    // sides shuffle once on the (station, model) key, output is
+    // stations x 5 x (1 + window forecasts).
+    "fems_nfdrs_obs" -> Q(
+      build = (s, d) => {
+        val cut = ev(s, d).agg((max(col("ts_sec")) - 86400L).as("cutoff"))
+        val obs = ev(s, d)
+          .select(col("user_id").as("station_id"),
+            expr("""CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'V'
+                    WHEN 1 THEN 'W' WHEN 2 THEN 'X' WHEN 3 THEN 'Y'
+                    ELSE 'Z' END""").as("fuel_model"),
+            col("ts_sec"), col("event_id"),
+            expr("CAST(floor(value * 10.0 + 0.5e0) AS BIGINT) % 800").as("kbdi"),
+            col("value").as("erc"),
+            expr("value * 0.5e0").as("bi"))
+          .crossJoin(broadcast(cut))
+          .withColumn("is_forecast", col("ts_sec") > col("cutoff"))
+        val latestActual = obs.filter(!col("is_forecast"))
+          .groupBy(col("station_id"), col("fuel_model"))
+          .agg(max(struct(col("ts_sec"), col("event_id"), col("kbdi"),
+            col("erc"), col("bi"))).as("m"))
+          .select(col("station_id"), col("fuel_model"),
+            col("m.ts_sec").as("ts_sec"), col("m.event_id").as("event_id"),
+            lit(false).as("is_forecast"), col("m.kbdi").as("kbdi"),
+            col("m.erc").as("erc"), col("m.bi").as("bi"))
+        val forecasts = obs.filter(col("is_forecast"))
+          .select(col("station_id"), col("fuel_model"), col("ts_sec"),
+            col("event_id"), col("is_forecast"), col("kbdi"), col("erc"),
+            col("bi"))
+        latestActual.unionByName(forecasts)
+          .orderBy(col("station_id"), col("fuel_model"), col("ts_sec"),
+            col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id AS station_id,
+                 CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'V'
+                      WHEN 1 THEN 'W' WHEN 2 THEN 'X' WHEN 3 THEN 'Y'
+                      ELSE 'Z' END AS fuel_model,
+                 $TS AS ts_sec, event_id,
+                 CAST(floor(value * 10.0 + 0.5e0) AS BIGINT) % 800 AS kbdi,
+                 value AS erc, value * 0.5e0 AS bi
+          FROM events),
+        cut AS (SELECT MAX(ts_sec) - 86400 AS cutoff FROM base),
+        obs AS (
+          SELECT b.*, b.ts_sec > c.cutoff AS is_forecast
+          FROM base b CROSS JOIN cut c),
+        actual AS (
+          SELECT station_id, fuel_model, ts_sec, event_id,
+                 FALSE AS is_forecast, kbdi, erc, bi,
+                 ROW_NUMBER() OVER (PARTITION BY station_id, fuel_model
+                   ORDER BY ts_sec DESC, event_id DESC) AS rn
+          FROM obs WHERE NOT is_forecast)
+        SELECT station_id, fuel_model, ts_sec, event_id, is_forecast,
+               kbdi, erc, bi
+        FROM actual WHERE rn = 1
+        UNION ALL
+        SELECT station_id, fuel_model, ts_sec, event_id, is_forecast,
+               kbdi, erc, bi
+        FROM obs WHERE is_forecast
+        ORDER BY station_id, fuel_model, ts_sec, event_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Geo
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-5 additions: grid-to-grid raster warp
+  * and the FEMS/NFDRS per-station observation store.
+  */
+class R9OpsSpec extends SparkSpecBase {
+
+  test("geo_grid_resample: full target grid, renormalized nodata bilinear") {
+    val rows = run("geo_grid_resample").cache()
+    // every target cell present exactly once (left join keeps off-grid)
+    assert(rows.count() == 50L * 40L)
+    assert(rows.select(col("ti"), col("tj")).distinct().count() == 50L * 40L)
+    val collected = rows.collect()
+    // cells south of the source grid's northing origin must be nodata
+    val invalid = collected.filter(!_.getAs[Boolean]("valid"))
+    assert(invalid.nonEmpty)
+    invalid.foreach(r => assert(r.isNullAt(r.fieldIndex("value"))))
+    // valid cells: value within the synthetic raster's range [50, 550)
+    val valid = collected.filter(_.getAs[Boolean]("valid"))
+    assert(valid.nonEmpty)
+    valid.foreach { r =>
+      val v = r.getAs[Double]("value")
+      assert(v >= 50.0 && v < 550.0)
+    }
+    // bilinear sanity: recompute one valid interior cell by hand
+    val r0 = valid.maxBy(_.getAs[Long]("ti")) // far north = deep inside grid
+    val latC = r0.getAs[Double]("lat"); val lonC = r0.getAs[Double]("lon")
+    val utm = Geo.withUtm(
+      spark.range(1).select(lit(latC).as("lat"), lit(lonC).as("lon")),
+      col("lat"), col("lon")).collect()(0)
+    // Spark round(x, 3) semantics: BigDecimal HALF_UP on the double
+    def r3(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val fx = (r3(utm.getAs[Double]("utm_easting")) - 500000.0) / 1000.0
+    val fy = (r3(utm.getAs[Double]("utm_northing")) - 4000000.0) / 1000.0
+    val i = math.floor(fx).toLong; val j = math.floor(fy).toLong
+    val di = fx - math.floor(fx); val dj = fy - math.floor(fy)
+    def src(si: Long, sj: Long): Option[Double] =
+      if (si < 0 || si > 199 || sj < 0 || sj > 299) None
+      else if ((si * 7 + sj * 11) % 97 == 0) None
+      else Some(((si * 31 + sj * 17) % 500).toDouble + 50.0)
+    val terms = for {
+      ci <- Seq(0, 1); cj <- Seq(0, 1)
+      v <- src(i + ci, j + cj)
+    } yield {
+      val w = (if (ci == 0) 1.0 - di else di) * (if (cj == 0) 1.0 - dj else dj)
+      (w, w * v)
+    }
+    val wsum = terms.map(_._1).sum
+    assert(wsum > 0.0)
+    val expect = terms.map(_._2).sum / wsum
+    assert(math.abs(r0.getAs[Double]("value") - expect) < 1e-9)
+  }
+
+  test("fems_nfdrs_obs: one latest actual + all forecasts per (station, model)") {
+    val rows = run("fems_nfdrs_obs").cache()
+    assert(rows.count() > 0)
+    val cutoff = Tables.events(spark, sf)
+      .agg(max(col("ts_sec"))).collect()(0).getLong(0) - 86400L
+    // at most one actual row per (station, fuel_model), and it is the max
+    // actual timestamp for that key
+    val actuals = rows.filter(!col("is_forecast"))
+    val dupActuals = actuals.groupBy(col("station_id"), col("fuel_model"))
+      .count().filter(col("count") > 1).count()
+    assert(dupActuals == 0)
+    actuals.collect().foreach(r => assert(r.getAs[Long]("ts_sec") <= cutoff))
+    // every forecast row is after the cutoff, none dropped
+    val fc = rows.filter(col("is_forecast")).count()
+    val fcExpect = Tables.events(spark, sf)
+      .filter(col("ts_sec") > cutoff).count()
+    assert(fc == fcExpect)
+    // fuel models partition the feed: all five letters present
+    val models = rows.select(col("fuel_model")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(models == Set("V", "W", "X", "Y", "Z"))
+    // kbdi stays in the NFDRS 0..800 range
+    rows.collect().foreach { r =>
+      val k = r.getAs[Long]("kbdi")
+      assert(k >= 0 && k < 800)
+    }
+  }
+}
