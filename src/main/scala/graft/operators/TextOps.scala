@@ -296,8 +296,19 @@ object TextOps {
               "i -> substring(t, i, 3))")).as("tri"))
         val docTri = tri.groupBy(col("doc_id"), col("lang"), col("tri"))
           .agg(count(lit(1)).as("cnt"))
+        // persist the SMALL model frame (distinct trigram x lang): the
+        // vocab count, per-lang totals, and smoothed-logprob broadcasts
+        // all derive from it, and without the persist each of those
+        // materializations re-runs the corpus-wide trigram explode+groupBy
+        // lineage from scratch — a wash at sf0.1 (the corpus pass is ~2 s)
+        // but 3 saved full-corpus passes at 100 TB, for a vocabulary-sized
+        // cache. Persisting docTri itself is the wrong trade at ANY scale
+        // (measured at sf0.1: +22 s — the wide cached frame costs more to
+        // materialize+rescan than one recompute saves). Verify/Bench
+        // unpersist leftover blocks between queries.
         val model = docTri.groupBy(col("tri"), col("lang").as("mlang"))
           .agg(sum(col("cnt")).as("c"))
+          .persist()
         val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
         val vocab = model.select(col("tri")).distinct().agg(count(lit(1)).as("v"))
         val langs = totals.crossJoin(broadcast(vocab))
