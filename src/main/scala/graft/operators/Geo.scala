@@ -463,6 +463,39 @@ object Geo {
         ORDER BY s_suppkey, sat_id"""
   }
 
+  /** geo_look_angles oracle: the same VALUES track as geo_overpass,
+    * brute-force paired against every station — independently proving the
+    * Spark side's latitude-band pruning loses no visible pair — with the
+    * identical az/el/range trig text.
+    */
+  private lazy val lookAnglesOracle: String = {
+    val rows = sgp4TrackLocal
+      .map { case (s, m, la, lo) => s"($s,$m,${dlit(la)},${dlit(lo)})" }
+      .mkString(",")
+    s"""WITH track(sat_id, minute, tlat, tlon) AS (VALUES $rows),
+        st AS (SELECT s_suppkey, $SLAT AS s_lat, $SLON AS s_lon FROM supplier),
+        pairs AS (
+          SELECT s.s_suppkey, t.sat_id, t.minute,
+                 s.s_lat, s.s_lon, t.tlat, t.tlon,
+                 round(${havS("s.s_lat", "s.s_lon", "t.tlat", "t.tlon")}, 3)
+                   AS gd_km
+          FROM st s CROSS JOIN track t),
+        ang AS (
+          SELECT *, gd_km / 6371.0e0 AS theta
+          FROM pairs WHERE gd_km <= 1000.0),
+        scored AS (
+          SELECT s_suppkey, sat_id, minute, gd_km,
+                 round(${bearS("s_lat", "s_lon", "tlat", "tlon")}, 3) AS az_deg,
+                 round(degrees(atan2(cos(theta) - 6371.0e0/6921.0e0,
+                   sin(theta))), 3) AS el_deg,
+                 round(sqrt(6371.0e0*6371.0e0 + 6921.0e0*6921.0e0
+                   - 2.0e0*6371.0e0*6921.0e0*cos(theta)), 3) AS range_km
+          FROM ang)
+        SELECT s_suppkey, sat_id, minute, gd_km, az_deg, el_deg, range_km
+        FROM scored WHERE el_deg >= 25.0
+        ORDER BY s_suppkey, sat_id, minute"""
+  }
+
   /** Marching-squares case table rendered as shared SQL CASE text — the
     * contour extraction odin_wind runs on forecast grids
     * (odin_wind/src/actor.rs:306 create_contour_json /
@@ -980,6 +1013,44 @@ object Geo {
           .orderBy(col("s_suppkey"), col("sat_id"))
       },
       oracle = Some(overpassOracle)),
+
+    // ----- geo_look_angles: ground-station az/el/range schedule ----------
+    // The pointing solution behind every overpass product (odin_orbital's
+    // overpass machinery feeds antenna/sensor scheduling): for each
+    // (ground station, visible track minute), azimuth = initial great-
+    // circle bearing station -> subpoint, elevation from the spherical
+    // central angle against the constellation's nominal 550 km altitude
+    // (el = atan2(cos th - R/(R+H), sin th)), slant range by the law of
+    // cosines. Candidates come from the SAME +-1 latitude-band join as
+    // geo_overpass (O(stations x track/band), never stations x 7200),
+    // ground distance is quantized to 3 decimals BEFORE the trig chain so
+    // the el/range outputs are engine-identical, and the el >= 25 deg
+    // visibility cut compares the ROUNDED degree value on both sides.
+    "geo_look_angles" -> Q(
+      build = (s, d) => {
+        val st = stations(s, d)
+          .withColumn("band", floor(col("s_lat") / 10.0).cast(LongType))
+        val tr = sgp4Track(s)
+          .withColumn("di", explode(expr("sequence(-1, 1)")))
+          .withColumn("band", floor(col("tlat") / 10.0).cast(LongType) + col("di"))
+        st.join(broadcast(tr), Seq("band"))
+          .withColumn("gd_km",
+            round(havC(col("s_lat"), col("s_lon"), col("tlat"), col("tlon")), 3))
+          .filter(col("gd_km") <= 1000.0)
+          .withColumn("theta", expr("gd_km / 6371.0e0"))
+          .withColumn("az_deg",
+            round(bearC(col("s_lat"), col("s_lon"), col("tlat"), col("tlon")), 3))
+          .withColumn("el_deg", expr(
+            "round(degrees(atan2(cos(theta) - 6371.0e0/6921.0e0, sin(theta))), 3)"))
+          .withColumn("range_km", expr(
+            """round(sqrt(6371.0e0*6371.0e0 + 6921.0e0*6921.0e0
+               - 2.0e0*6371.0e0*6921.0e0*cos(theta)), 3)"""))
+          .filter(col("el_deg") >= 25.0)
+          .select(col("s_suppkey"), col("sat_id"), col("minute"),
+            col("gd_km"), col("az_deg"), col("el_deg"), col("range_km"))
+          .orderBy(col("s_suppkey"), col("sat_id"), col("minute"))
+      },
+      oracle = Some(lookAnglesOracle)),
 
     // ----- geo_track_simplify: bounded Douglas-Peucker -------------------
     // Track polyline simplification — what a serving layer runs before

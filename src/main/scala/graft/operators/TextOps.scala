@@ -3288,6 +3288,87 @@ object TextOps {
                          / (d.degree * (d.degree - 1))
                     ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- doc_wordlist_filter: blocklist-driven safety/policy filter ----
+    // The wordlist gate every corpus pipeline runs before the learned
+    // classifiers (the C4 badwords pass, RefinedWeb's URL/word filters):
+    // a categorized blocklist — hard terms force DROP, soft categories
+    // accumulate and only dense hits escalate — joined against the
+    // tokenized corpus. The list here is a stand-in over the synthetic
+    // vocabulary (production swaps the VALUES table); the MACHINERY is
+    // the real thing: broadcast list join (never a scan per term), exact
+    // per-category counts via one groupBy, density thresholds on exact
+    // integer ratios (hits*1000 vs n_tokens*25 — no division), action
+    // precedence drop > review > keep. Linear in corpus tokens at any
+    // scale.
+    "doc_wordlist_filter" -> Q(
+      build = (s, d) => {
+        val list = s.createDataFrame(Seq(
+          ("slow", "perf", true), ("big", "perf", false),
+          ("merge", "perf", false), ("customer", "sensitive", false),
+          ("key", "sensitive", false)))
+          .toDF("term", "category", "hard")
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType).as("n_tokens"),
+            explode(split(col("text"), " ")).as("term"))
+        val hits = toks.join(broadcast(list), Seq("term"))
+          .groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_hits"),
+            sum(when(col("hard"), 1L).otherwise(0L)).as("n_hard"),
+            sum(when(col("category") === "perf", 1L).otherwise(0L))
+              .as("n_perf"),
+            sum(when(col("category") === "sensitive", 1L).otherwise(0L))
+              .as("n_sensitive"))
+        docs(s, d)
+          .select(col("doc_id"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType).as("n_tokens"))
+          .join(hits.drop("n_tokens"), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_hits", "n_hard", "n_perf", "n_sensitive"))
+          .withColumn("action", expr(
+            """CASE WHEN n_hard > 0 THEN 'drop'
+                    WHEN n_hits * 1000 > n_tokens * 25 THEN 'review'
+                    ELSE 'keep' END"""))
+          .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+            col("n_hard"), col("n_perf"), col("n_sensitive"), col("action"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH list(term, category, hard) AS (VALUES
+          ('slow', 'perf', TRUE), ('big', 'perf', FALSE),
+          ('merge', 'perf', FALSE), ('customer', 'sensitive', FALSE),
+          ('key', 'sensitive', FALSE)),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        hits AS (
+          SELECT t.doc_id, COUNT(*) AS n_hits,
+                 CAST(SUM(CASE WHEN l.hard THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hard,
+                 CAST(SUM(CASE WHEN l.category = 'perf' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_perf,
+                 CAST(SUM(CASE WHEN l.category = 'sensitive' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_sensitive
+          FROM toks t JOIN list l ON t.term = l.term
+          GROUP BY 1),
+        base AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hard, 0) AS n_hard,
+               COALESCE(h.n_perf, 0) AS n_perf,
+               COALESCE(h.n_sensitive, 0) AS n_sensitive,
+               CASE WHEN COALESCE(h.n_hard, 0) > 0 THEN 'drop'
+                    WHEN COALESCE(h.n_hits, 0) * 1000 > b.n_tokens * 25
+                      THEN 'review'
+                    ELSE 'keep' END AS action
+        FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        ORDER BY b.doc_id"""))
   )
 }

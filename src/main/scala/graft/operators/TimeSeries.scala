@@ -3485,7 +3485,70 @@ object TimeSeries {
         SELECT station_id, fuel_model, ts_sec, event_id, is_forecast,
                kbdi, erc, bi
         FROM obs WHERE is_forecast
-        ORDER BY station_id, fuel_model, ts_sec, event_id"""))
+        ORDER BY station_id, fuel_model, ts_sec, event_id""")),
+
+    // ----- ts_alpha_beta: fixed-gain tracking filter ---------------------
+    // The alpha-beta tracker — the fixed-gain Kalman degenerate every
+    // radar/track pipeline starts from (the smoother behind the track
+    // state odin_adsb assembles per aircraft before serving it): position
+    // estimate, velocity estimate, and the last innovation (measurement
+    // minus prediction — the maneuver detector). Same finite-window tap
+    // scheme as ts_holt: the 8-step recursion from (x = oldest, v = 0)
+    // is a fixed linear map of the last 9 readings, so both engines run
+    // ONE identical 9-term dot product over exact integer cents — no
+    // recursion state, no UDAF, one entity-partitioned window. Maneuver
+    // flag: |innovation| > 20 units, compared on the exact cent integer
+    // scale.
+    "ts_alpha_beta" -> Q(
+      build = (s, d) => {
+        val (xT, vT, rT) = AlphaBetaK.taps
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("v0"))
+        val lagged = (1 to 8).foldLeft(base) { (df, k) =>
+          df.withColumn(s"v$k", lag(col("v0"), k).over(w))
+        }
+        lagged.filter(col("v8").isNotNull)
+          .withColumn("x_c", expr(AlphaBetaK.dot(xT)))
+          .withColumn("vel_c", expr(AlphaBetaK.dot(vT)))
+          .withColumn("innov_c", expr(AlphaBetaK.dot(rT)))
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            (col("v0") / lit(100.0)).as("value"),
+            (col("x_c") / lit(100.0)).as("x_est"),
+            (col("vel_c") / lit(100.0)).as("v_est"),
+            (col("innov_c") / lit(100.0)).as("innovation"),
+            (abs(col("innov_c")) > 2000.0).as("maneuver"))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      oracle = Some {
+        val (xT, vT, rT) = AlphaBetaK.taps
+        s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS v0
+          FROM events),
+        lagged AS (
+          SELECT *,
+                 ${(1 to 8).map(k =>
+                   s"lag(v0, $k) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS v$k")
+                   .mkString(", ")}
+          FROM base),
+        sm AS (
+          SELECT user_id, ts_sec, event_id, v0,
+                 ${AlphaBetaK.dot(xT)} AS x_c,
+                 ${AlphaBetaK.dot(vT)} AS vel_c,
+                 ${AlphaBetaK.dot(rT)} AS innov_c
+          FROM lagged WHERE v8 IS NOT NULL)
+        SELECT user_id, ts_sec, event_id,
+               v0 / 100.0 AS value,
+               x_c / 100.0 AS x_est,
+               vel_c / 100.0 AS v_est,
+               innov_c / 100.0 AS innovation,
+               abs(innov_c) > 2000.0 AS maneuver
+        FROM sm ORDER BY user_id, ts_sec, event_id"""
+      })
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
@@ -3549,6 +3612,39 @@ object TimeSeries {
       */
     def dot(c: Seq[Double]): String =
       (0 to 8).map(i => s"v$i * ${c(i)}e0").mkString("(", " + ", ")")
+  }
+
+  /** Alpha-beta tracker finite-window taps (alpha=0.5, beta=0.1, unit
+    * step): the impulse response of 8 recursion steps from (x = oldest
+    * sample, v = 0) for the position estimate, velocity estimate, and
+    * final-step innovation — the HoltK scheme applied to the classic
+    * fixed-gain radar smoother. Literals via dlit so sub-1e-3 taps keep
+    * valid double syntax.
+    */
+  private object AlphaBetaK {
+    val taps: (Seq[Double], Seq[Double], Seq[Double]) = {
+      val alpha = 0.5; val beta = 0.1
+      val xT = Array.fill(9)(0.0); val vT = Array.fill(9)(0.0)
+      val rT = Array.fill(9)(0.0)
+      for (j <- 8 to 0 by -1) { // impulse at lag position j (8 oldest)
+        val y = Array.fill(9)(0.0); y(j) = 1.0
+        var x = y(8); var v = 0.0; var r = 0.0
+        for (i <- 7 to 0 by -1) { // consume newer samples in time order
+          val xp = x + v
+          r = y(i) - xp
+          x = xp + alpha * r
+          v = v + beta * r
+        }
+        xT(j) = x; vT(j) = v; rT(j) = r
+      }
+      (xT.toSeq, vT.toSeq, rT.toSeq)
+    }
+    private def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E")) s.replace("E", "e") else s + "e0"
+    }
+    def dot(c: Seq[Double]): String =
+      (0 to 8).map(i => s"v$i * ${dlit(c(i))}").mkString("(", " + ", ")")
   }
 
   /** Shared SQL fragments for the SBS feed — identical text evaluated by

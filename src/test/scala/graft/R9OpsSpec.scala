@@ -56,6 +56,67 @@ class R9OpsSpec extends SparkSpecBase {
     assert(math.abs(r0.getAs[Double]("value") - expect) < 1e-9)
   }
 
+  test("ts_alpha_beta: tap invariants and maneuver flag consistency") {
+    // steady-state unbiasedness: a constant series is reproduced exactly
+    // (position taps sum to 1, velocity and innovation taps to 0)
+    val rows = run("ts_alpha_beta").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val innov = r.getAs[Double]("innovation")
+      assert(r.getAs[Boolean]("maneuver") == (math.abs(innov) > 20.0))
+    }
+    // direct kernel check through the public query on a synthetic
+    // constant-valued entity is impossible (fixed input tables), so
+    // assert the linear-map invariants numerically via a scalar fold
+    val alpha = 0.5; val beta = 0.1
+    var x = 1.0; var v = 0.0; var rr = 0.0
+    for (_ <- 0 until 8) { val xp = x + v; rr = 1.0 - xp; x = xp + alpha * rr; v += beta * rr }
+    assert(math.abs(x - 1.0) < 1e-12) // constant in -> constant out
+    assert(math.abs(v) < 1e-12 && math.abs(rr) < 1e-12)
+  }
+
+  test("geo_look_angles: geometry ranges and a hand-checked elevation") {
+    val rows = run("geo_look_angles").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val el = r.getAs[Double]("el_deg"); val az = r.getAs[Double]("az_deg")
+      val rng = r.getAs[Double]("range_km"); val gd = r.getAs[Double]("gd_km")
+      assert(el >= 25.0 && el <= 90.0)
+      assert(az >= 0.0 && az < 360.0)
+      assert(gd <= 1000.0)
+      // slant range bracketed by the straight-up and horizon extremes
+      assert(rng >= 550.0 - 1e-9 && rng <= 1300.0)
+      // elevation from the central angle, recomputed directly
+      val th = gd / 6371.0
+      val elRef = math.toDegrees(
+        math.atan2(math.cos(th) - 6371.0 / 6921.0, math.sin(th)))
+      assert(math.abs(el - elRef) < 5e-3)
+    }
+  }
+
+  test("doc_wordlist_filter: category accounting and action precedence") {
+    val rows = run("doc_wordlist_filter").cache()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.count() == n) // every doc scored, hit or not
+    rows.collect().foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits == r.getAs[Long]("n_perf") + r.getAs[Long]("n_sensitive"))
+      val action = r.getAs[String]("action")
+      if (r.getAs[Long]("n_hard") > 0) assert(action == "drop")
+      else if (hits * 1000 > r.getAs[Long]("n_tokens") * 25)
+        assert(action == "review")
+      else assert(action == "keep")
+    }
+    // spot-check one document's counts against a direct scan
+    val doc = Tables.t(spark, sf, "documents")
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text")).head
+    val toks = doc.getString(1).split(" ")
+    val expect = toks.count(Set("slow", "big", "merge", "customer", "key"))
+    val got = rows.filter(col("doc_id") === doc.getLong(0))
+      .head.getAs[Long]("n_hits")
+    assert(got == expect)
+  }
+
   test("fems_nfdrs_obs: one latest actual + all forecasts per (station, model)") {
     val rows = run("fems_nfdrs_obs").cache()
     assert(rows.count() > 0)
