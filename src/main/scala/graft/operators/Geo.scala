@@ -2845,6 +2845,67 @@ object Geo {
         FROM agg ORDER BY ti, tj"""
       })),
 
+    // ----- geo_zonal_stats: raster reduction over polygon zones ---------
+    // Zonal statistics — the raster consumer's other half next to the
+    // warp (odin_gdal's dataset reductions feeding per-perimeter /
+    // per-admin-area summaries): aggregate every raster cell falling in
+    // each zone. Zones are bounded (admin areas, fire perimeters), so
+    // the scale-right join EXPLODES each zone into its covered integer
+    // cell ids and hash-joins on (gi, gj) — no range predicate, no
+    // zone x full-raster pairs; the raster side streams, the zone-cell
+    // side is broadcast. Stats stay exact: integer elevation sums,
+    // count-ratio threshold share, one final division.
+    "geo_zonal_stats" -> Q(
+      build = (s, d) => {
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            (((col("gi") * 31 + col("gj") * 17) % 500 + 500) % 500)
+              .as("elev_i"))
+        val zoneCells = Tables.t(s, d, "nation")
+          .select(col("n_nationkey"),
+            expr("CAST(n_nationkey*23 % 100 - 50 AS BIGINT)").as("lat0"),
+            expr("CAST(n_nationkey*61 % 300 - 150 AS BIGINT)").as("lon0"))
+          .withColumn("gi", explode(expr("sequence(lat0, lat0 + 9)")))
+          .withColumn("gj", explode(expr("sequence(lon0, lon0 + 9)")))
+          .select(col("n_nationkey"), col("gi"), col("gj"))
+        grid.join(broadcast(zoneCells), Seq("gi", "gj"))
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_cells"),
+            min(col("elev_i")).as("min_elev"),
+            max(col("elev_i")).as("max_elev"),
+            sum(col("elev_i")).as("sum_elev"),
+            sum(when(col("elev_i") >= 400, 1L).otherwise(0L)).as("n_high"))
+          .select(col("n_nationkey"), col("n_cells"), col("min_elev"),
+            col("max_elev"),
+            (col("sum_elev").cast(DoubleType) / col("n_cells"))
+              .as("mean_elev"),
+            col("n_high"))
+          .orderBy(col("n_nationkey"))
+      },
+      oracle = Some("""
+        WITH grid AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 ((gi.i*31 + gj.j*17) % 500 + 500) % 500 AS elev_i
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        zones AS (
+          SELECT n_nationkey,
+                 CAST(n_nationkey*23 % 100 - 50 AS BIGINT) AS lat0,
+                 CAST(n_nationkey*61 % 300 - 150 AS BIGINT) AS lon0
+          FROM nation),
+        zcells AS (
+          SELECT z.n_nationkey, z.lat0 + di.a AS gi, z.lon0 + dj.b AS gj
+          FROM zones z, generate_series(0, 9) AS di(a),
+               generate_series(0, 9) AS dj(b))
+        SELECT z.n_nationkey, COUNT(*) AS n_cells,
+               MIN(g.elev_i) AS min_elev, MAX(g.elev_i) AS max_elev,
+               CAST(SUM(g.elev_i) AS DOUBLE) / COUNT(*) AS mean_elev,
+               CAST(SUM(CASE WHEN g.elev_i >= 400 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_high
+        FROM zcells z JOIN grid g ON g.gi = z.gi AND g.gj = z.gj
+        GROUP BY 1 ORDER BY 1""")),
+
     // ----- geo_wind_vector: u/v forecast grid -> speed/dir at probes -----
     // odin_wind's vector product (lib.rs:224 huvw_vector_suffix; actor.rs
     // wind_service serves per-point speed+direction derived from the

@@ -117,6 +117,31 @@ class R9OpsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("geo_zonal_stats: exact per-zone aggregates over the raster") {
+    val rows = run("geo_zonal_stats").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val n = r.getAs[Long]("n_cells")
+      // a 10x10 zone box clipped to the raster's lat extent
+      assert(n > 0 && n <= 100)
+      val mn = r.getAs[Long]("min_elev"); val mx = r.getAs[Long]("max_elev")
+      val mean = r.getAs[Double]("mean_elev")
+      assert(mn <= mx && mean >= mn && mean <= mx)
+      assert(r.getAs[Long]("n_high") <= n)
+    }
+    // hand-check one zone against a direct scan of the synthetic raster
+    val z = rows.head
+    val key = z.getAs[Number]("n_nationkey").longValue
+    val lat0 = key * 23 % 100 - 50; val lon0 = key * 61 % 300 - 150
+    val cells = for {
+      gi <- lat0 to (lat0 + 9) if gi >= -70 && gi <= 70
+      gj <- lon0 to (lon0 + 9) if gj >= -180 && gj <= 180
+    } yield ((gi * 31 + gj * 17) % 500 + 500) % 500
+    assert(z.getAs[Long]("n_cells") == cells.length)
+    assert(z.getAs[Long]("min_elev") == cells.min)
+    assert(z.getAs[Long]("max_elev") == cells.max)
+  }
+
   test("fems_nfdrs_obs: one latest actual + all forecasts per (station, model)") {
     val rows = run("fems_nfdrs_obs").cache()
     assert(rows.count() > 0)
