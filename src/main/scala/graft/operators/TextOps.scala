@@ -3369,6 +3369,118 @@ object TextOps {
                       THEN 'review'
                     ELSE 'keep' END AS action
         FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ----- doc_quality_decision: the end-to-end keep/drop verdict --------
+    // The quality twin of doc_dedup_decision: a corpus pipeline's final
+    // per-document verdict composes independent screens with an explicit
+    // precedence — hard blocklist hit > Gopher structural fail > entropy
+    // tail (the doc_compress_ratio bound) > keep — because downstream
+    // needs ONE actionable label plus the evidence columns, not four
+    // disconnected reports. Every signal is recomputed with its home
+    // query's exact idiom (same formula text, same thresholds), so this
+    // stays consistent with the standalone screens by construction.
+    // Scale shape: three linear passes (word counts, char histogram,
+    // blocklist join) joined on doc_id — no new join wider than the
+    // corpus.
+    "doc_quality_decision" -> Q(
+      build = (s, d) => {
+        // gopher structural screen (doc_gopher_rules thresholds)
+        val tops = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+        val gopher = docs(s, d)
+          .withColumn("n_words",
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType))
+          .join(tops, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"),
+            (col("top_cnt").cast(DoubleType) / col("n_words"))
+              .as("top_word_frac"))
+        // entropy screen (doc_compress_ratio chain)
+        val cnt = docs(s, d)
+          .select(col("doc_id"),
+            least(length(col("text")), lit(2048)).as("n"), col("text"))
+          .select(col("doc_id"), col("n"),
+            explode(expr("sequence(1, n)")).as("i"), col("text"))
+          .select(col("doc_id"), col("n"),
+            expr("ascii(substr(text, i, 1))").as("b"))
+          .groupBy(col("doc_id"), col("n"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("lp", expr(
+            "CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))"))
+        val ent = cnt.groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_bytes"),
+            sum(expr("CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6))"))
+              .as("wsum"))
+          .withColumn("est_ratio", expr(EntRatioK.estRatio))
+          .select(col("doc_id"), col("est_ratio"))
+        // blocklist screen (doc_wordlist_filter hard terms)
+        val hard = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") === "slow")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hard"))
+        gopher.join(ent, Seq("doc_id"))
+          .join(hard, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_hard"))
+          .withColumn("verdict", expr(
+            """CASE WHEN n_hard > 0 THEN 'drop_blocklist'
+                    WHEN n_words < 50 OR n_words > 100000
+                      OR top_word_frac > 0.12 THEN 'drop_gopher'
+                    WHEN est_ratio < 0.49e0 OR est_ratio > 0.525e0
+                      THEN 'drop_entropy'
+                    ELSE 'keep' END"""))
+          .select(col("doc_id"), col("n_words"), col("top_word_frac"),
+            col("est_ratio"), col("n_hard"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        tops AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM wc GROUP BY 1),
+        gopher AS (
+          SELECT d.doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS n_words,
+                 CAST(t.top_cnt AS DOUBLE)
+                   / (length(text) - length(replace(text, ' ', '')) + 1)
+                   AS top_word_frac
+          FROM documents d JOIN tops t ON d.doc_id = t.doc_id),
+        chars AS (
+          SELECT doc_id, least(length(text), 2048) AS n,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS b
+          FROM documents
+          CROSS JOIN generate_series(1, 2048) AS g(i)
+          WHERE i <= least(length(text), 2048)),
+        ccnt AS (
+          SELECT doc_id, n, b, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3),
+        lp AS (
+          SELECT doc_id, n, c,
+                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM ccnt),
+        ent AS (
+          SELECT doc_id, MAX(n) AS n_bytes,
+                 SUM(CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6)))
+                   AS wsum
+          FROM lp GROUP BY 1),
+        entr AS (
+          SELECT doc_id, ${EntRatioK.estRatio} AS est_ratio FROM ent),
+        hard AS (
+          SELECT doc_id, COUNT(*) AS n_hard FROM w
+          WHERE w = 'slow' GROUP BY 1)
+        SELECT g.doc_id, g.n_words, g.top_word_frac, e.est_ratio,
+               COALESCE(h.n_hard, 0) AS n_hard,
+               CASE WHEN COALESCE(h.n_hard, 0) > 0 THEN 'drop_blocklist'
+                    WHEN g.n_words < 50 OR g.n_words > 100000
+                      OR g.top_word_frac > 0.12 THEN 'drop_gopher'
+                    WHEN e.est_ratio < 0.49e0 OR e.est_ratio > 0.525e0
+                      THEN 'drop_entropy'
+                    ELSE 'keep' END AS verdict
+        FROM gopher g JOIN entr e ON e.doc_id = g.doc_id
+        LEFT JOIN hard h ON h.doc_id = g.doc_id
+        ORDER BY g.doc_id"""))
   )
 }

@@ -666,4 +666,51 @@ object Streams {
             top.map(_.err))
       }
   }
+
+  case class FemsObs(station_id: Long, fuel_model: String, ts_sec: Long,
+      event_id: Long, is_forecast: Boolean, erc: Double)
+  case class FemsState(actual: Option[FemsObs], forecasts: Seq[FemsObs])
+  case class FemsSnapshot(station_id: Long, fuel_model: String,
+      n_obs: Long, actual_ts: Option[Long], n_forecasts: Long,
+      latest_erc: Option[Double])
+
+  /** stream_fems_obs: live FEMS/NFDRS observation store — the streaming
+    * twin of fems_nfdrs_obs, re-expressing the reference's retention loop
+    * (odin_fems/src/lib.rs:884 update_station_nfdrs_obs, :902 sort_in):
+    * per (station, fuel model), state holds exactly ONE latest actual
+    * observation plus the date-sorted forecast window; a newer actual
+    * replaces the stored one ("we only keep the latest actual
+    * observation"), an older actual is ignored, forecasts insert in date
+    * order. State is bounded: 1 + forecast-window entries per key
+    * regardless of feed length. Batches fold in (ts, event) order for
+    * replay determinism; forecasts older than the stored actual are
+    * dropped the way the reference's window re-query discards them.
+    */
+  def femsObsStream(obs: Dataset[FemsObs]): Dataset[FemsSnapshot] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(o => (o.station_id, o.fuel_model))
+      .mapGroupsWithState[FemsState, FemsSnapshot](GroupStateTimeout.NoTimeout) {
+        case ((sid, fm), batch, state: GroupState[FemsState]) =>
+          var st = state.getOption.getOrElse(FemsState(None, Nil))
+          batch.toSeq.sortBy(o => (o.ts_sec, o.event_id)).foreach { o =>
+            if (!o.is_forecast) {
+              // only keep the latest actual observation (lib.rs:899)
+              if (st.actual.forall(_.ts_sec < o.ts_sec))
+                st = st.copy(actual = Some(o),
+                  // a new actual invalidates forecasts at or before it
+                  forecasts = st.forecasts.filter(_.ts_sec > o.ts_sec))
+            } else if (st.actual.forall(_.ts_sec < o.ts_sec)) {
+              // sort_in by date (lib.rs:902), event-id tiebreak
+              st = st.copy(forecasts =
+                (st.forecasts :+ o).sortBy(f => (f.ts_sec, f.event_id)))
+            }
+          }
+          state.update(st)
+          FemsSnapshot(sid, fm,
+            st.forecasts.size.toLong + st.actual.size.toLong,
+            st.actual.map(_.ts_sec), st.forecasts.size.toLong,
+            st.forecasts.lastOption.orElse(st.actual).map(_.erc))
+      }
+  }
 }

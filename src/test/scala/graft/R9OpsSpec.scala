@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.Geo
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Semantics checks for the round-5 additions: grid-to-grid raster warp
@@ -168,5 +170,62 @@ class R9OpsSpec extends SparkSpecBase {
       val k = r.getAs[Long]("kbdi")
       assert(k >= 0 && k < 800)
     }
+  }
+  test("doc_quality_decision: verdict precedence and screen consistency") {
+    val rows = run("doc_quality_decision").cache()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(rows.count() == n)
+    rows.collect().foreach { r =>
+      val verdict = r.getAs[String]("verdict")
+      val nHard = r.getAs[Long]("n_hard")
+      val nWords = r.getAs[Long]("n_words")
+      val twf = r.getAs[Double]("top_word_frac")
+      val er = r.getAs[Double]("est_ratio")
+      val gopherFail = nWords < 50 || nWords > 100000 || twf > 0.12
+      val entFail = er < 0.49 || er > 0.525
+      // precedence: blocklist > gopher > entropy > keep
+      if (nHard > 0) assert(verdict == "drop_blocklist")
+      else if (gopherFail) assert(verdict == "drop_gopher")
+      else if (entFail) assert(verdict == "drop_entropy")
+      else assert(verdict == "keep")
+    }
+    // the composed screens agree with their standalone homes
+    val wl = run("doc_wordlist_filter").select(col("doc_id"), col("n_hard"))
+      .withColumnRenamed("n_hard", "wl_hard")
+    val both = rows.join(wl, Seq("doc_id")).collect()
+    both.foreach(r =>
+      assert(r.getAs[Long]("n_hard") == r.getAs[Long]("wl_hard")))
+  }
+
+  test("stream_fems_obs: bounded per-key state keeps one actual + sorted forecasts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.FemsObs]
+    val q = Streams.femsObsStream(in.toDS())
+      .writeStream.format("memory").queryName("fems_out")
+      .outputMode("update").start()
+    import Streams.FemsObs
+    // batch 1: two actuals (second newer -> replaces), one forecast
+    in.addData(
+      FemsObs(1L, "V", 100L, 1L, false, 10.0),
+      FemsObs(1L, "V", 200L, 2L, false, 12.0),
+      FemsObs(1L, "V", 500L, 3L, true, 14.0))
+    q.processAllAvailable()
+    // batch 2: stale actual (ignored), forecast before stored actual
+    // (dropped), two in-window forecasts arriving out of date order
+    in.addData(
+      FemsObs(1L, "V", 150L, 4L, false, 11.0),
+      FemsObs(1L, "V", 180L, 5L, true, 11.5),
+      FemsObs(1L, "V", 700L, 6L, true, 16.0),
+      FemsObs(1L, "V", 600L, 7L, true, 15.0))
+    q.processAllAvailable()
+    val out = spark.table("fems_out").orderBy(col("n_obs")).collect()
+    q.stop()
+    val last = out.last
+    assert(last.getAs[Long]("station_id") == 1L)
+    assert(last.getAs[Long]("actual_ts") == 200L)      // newest actual kept
+    assert(last.getAs[Long]("n_forecasts") == 3L)      // 500, 600, 700
+    assert(last.getAs[Long]("n_obs") == 4L)
+    assert(last.getAs[Double]("latest_erc") == 16.0)   // date-sorted tail
   }
 }
