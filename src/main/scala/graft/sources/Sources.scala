@@ -189,6 +189,43 @@ object Sources {
     } else v
   }
 
+  /** Expire all but the newest `keepLast` published versions: delete the
+    * old log entries FIRST (so no reader can resolve them anymore), then
+    * their snapshot directories — the vacuum half of the mini table
+    * format. Staging directories of in-flight commits are never touched
+    * (only dirs referenced by an expired log entry are deleted). Returns
+    * the number of versions expired.
+    */
+  def expireVersions(spark: SparkSession, tablePath: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return 0
+    val versions = fs.listStatus(logDir)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+    val expire = versions.dropRight(keepLast)
+    expire.foreach { v =>
+      val entry = new org.apache.hadoop.fs.Path(logDir, s"$v.json")
+      val in = fs.open(entry)
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      val dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+      fs.delete(entry, false) // unpublish first: readers can't resolve it
+      dir.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$d"), true))
+    }
+    expire.length
+  }
+
   /** Latest committed version, -1 if the table is empty. */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_log")
