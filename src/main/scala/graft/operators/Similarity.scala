@@ -136,18 +136,23 @@ object Similarity {
   /** IVF cell assignment (vec_id, label, embedding, nq, cell) — shared
     * by emb_ivf_topk, emb_recall_at_k, and emb_ivf_balance.
     */
+  /** Codebook: quantized per-label centroid vectors (exact arithmetic) —
+    * shared by the assignment path and the multi-probe sweep.
+    */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
+        .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("label").as("c_label"),
+        expr("transform(ps, p -> p.c)").as("centroid"))
+
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        // codebook: quantized per-label centroid vectors (exact arithmetic)
-        val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos"))
-          .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
-            .cast(DoubleType) / (lit(16384.0) * count(lit(1)))).as("c"))
-          .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
-          .select(col("label").as("c_label"),
-            expr("transform(ps, p -> p.c)").as("centroid"))
+        val cent = ivfCentroids(s, d)
         // assign every vector to its nearest centroid (10 cells: broadcast);
         // argmax of the exact BIGINT fixed-point dot via the struct-min
         // fold (map-side combinable, no per-vector sort)
@@ -511,6 +516,120 @@ object Similarity {
         LEFT JOIN ($ivfTopkOracle) a
           ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
         GROUP BY e.q_vec_id ORDER BY e.q_vec_id""")),
+
+    // ----- emb_ann_sweep: nprobe recall/cost tuning table ----------------
+    // The tuning artifact an ANN deployment is sized from: for nprobe in
+    // {1, 2, 4}, each query probes its top-nprobe centroid cells (ranked
+    // by the SAME exact fixed-point dot the assignment uses), and the
+    // sweep reports recall@5 against the brute-force truth plus the
+    // average candidate count — the recall/cost curve that decides the
+    // production nprobe before any 100 TB sweep is launched. All
+    // rankings are exact-integer; the only doubles are the final cosine
+    // (shared chain) and the two report ratios.
+    "emb_ann_sweep" -> Q(
+      build = (s, d) => {
+        val assigned = ivfAssigned(s, d)
+        val e = emb(s, d)
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val cent = ivfCentroids(s, d)
+        val dq = aggregate(
+          zip_with(col("embedding"), col("centroid"), (x, c) =>
+            floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
+          lit(0L), (acc, x) => acc + x)
+        val wCell = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("dq").desc, col("cell"))
+        val ranked = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cent))
+          .withColumn("dq", dq)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"), col("c_label").as("cell"), col("dq"))
+          .withColumn("crank", row_number().over(wCell))
+          .filter(col("crank") <= 4)
+        val probe = ranked
+          .withColumn("level", explode(array(lit(1), lit(2), lit(4))))
+          .filter(col("crank") <= col("level"))
+        val cand = assigned.join(broadcast(probe), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_vec_id"))
+        val costs = cand.groupBy(col("level"))
+          .agg(count(lit(1)).as("n_cand"),
+            countDistinct(col("q_vec_id")).as("n_queries"))
+        val wTop = Window.partitionBy(col("level"), col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val top5 = cand
+          .withColumn("cos_sim",
+            qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+              / (sqrt(col("q_nq").cast(DoubleType))
+                * sqrt(col("nq").cast(DoubleType))))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+        val ex = exactTopk(s, d)
+          .select(col("q_vec_id"), col("n_vec_id"), lit(1L).as("hit"))
+        top5
+          .join(ex, col("vec_id") === ex("n_vec_id")
+            && top5("q_vec_id") === ex("q_vec_id"), "left")
+          .groupBy(col("level"))
+          .agg(count(lit(1)).as("total_k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .join(costs, Seq("level"))
+          .select(col("level"), col("n_queries"), col("total_k"),
+            col("n_hits"),
+            (col("n_hits").cast(DoubleType) / col("total_k")).as("recall"),
+            (col("n_cand").cast(DoubleType) / col("n_queries"))
+              .as("avg_candidates"))
+          .orderBy(col("level"))
+      },
+      oracle = Some(s"""$IVF_ASSIGN_CTES,
+        qc AS (
+          SELECT d.vec_id AS q_vec_id, d.c_label AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dotq DESC, d.c_label) AS crank
+          FROM dots d WHERE d.vec_id < 10),
+        lv(level) AS (VALUES (1), (2), (4)),
+        probe AS (
+          SELECT l.level, q.q_vec_id, q.cell
+          FROM qc q CROSS JOIN lv l WHERE q.crank <= l.level),
+        cand AS (
+          SELECT p.level, p.q_vec_id, a.vec_id
+          FROM probe p JOIN assigned a ON a.cell = p.cell
+          WHERE a.vec_id <> p.q_vec_id),
+        costs AS (
+          SELECT level, CAST(COUNT(*) AS BIGINT) AS n_cand,
+                 CAST(COUNT(DISTINCT q_vec_id) AS BIGINT) AS n_queries
+          FROM cand GROUP BY 1),
+        pairdot AS (
+          SELECT c.level, c.q_vec_id, c.vec_id,
+                 CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS pq
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.q_vec_id
+          JOIN embeddings eb ON eb.vec_id = c.vec_id,
+          generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT p.level, p.q_vec_id, p.vec_id,
+                 CAST(p.pq AS DOUBLE)
+                   / (sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE)))
+                   AS cos_sim
+          FROM pairdot p
+          JOIN nq na ON na.vec_id = p.q_vec_id
+          JOIN nq nb ON nb.vec_id = p.vec_id),
+        top5 AS (
+          SELECT * FROM (
+            SELECT s.*, ROW_NUMBER() OVER (PARTITION BY level, q_vec_id
+              ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored s) WHERE rn <= 5),
+        ex AS ($exactTopkOracle),
+        hits AS (
+          SELECT t.level, CAST(COUNT(*) AS BIGINT) AS total_k,
+                 CAST(SUM(CASE WHEN e.n_vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+          FROM top5 t LEFT JOIN ex e
+            ON e.q_vec_id = t.q_vec_id AND e.n_vec_id = t.vec_id
+          GROUP BY 1)
+        SELECT h.level, c.n_queries, h.total_k, h.n_hits,
+               CAST(h.n_hits AS DOUBLE)/h.total_k AS recall,
+               CAST(c.n_cand AS DOUBLE)/c.n_queries AS avg_candidates
+        FROM hits h JOIN costs c ON c.level = h.level
+        ORDER BY h.level""")),
 
     // ----- emb_ivf_balance: index-health report --------------------------
     // The balance audit run before trusting an IVF index: per-cell vector

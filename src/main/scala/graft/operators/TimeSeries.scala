@@ -3621,7 +3621,7 @@ object TimeSeries {
     * fixed-gain radar smoother. Literals via dlit so sub-1e-3 taps keep
     * valid double syntax.
     */
-  private object AlphaBetaK {
+  private[graft] object AlphaBetaK {
     val taps: (Seq[Double], Seq[Double], Seq[Double]) = {
       val alpha = 0.5; val beta = 0.1
       val xT = Array.fill(9)(0.0); val vT = Array.fill(9)(0.0)

@@ -228,4 +228,18 @@ class R9OpsSpec extends SparkSpecBase {
     assert(last.getAs[Long]("n_obs") == 4L)
     assert(last.getAs[Double]("latest_erc") == 16.0)   // date-sorted tail
   }
+  test("emb_ann_sweep: recall and cost both rise with nprobe") {
+    val rows = run("emb_ann_sweep").orderBy(col("level")).collect()
+    assert(rows.map(_.getAs[Int]("level")).toSeq == Seq(1, 2, 4))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_k") == 5L * r.getAs[Long]("n_queries"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("total_k"))
+    }
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    val cands = rows.map(_.getAs[Double]("avg_candidates")).toSeq
+    // probing more cells can only add candidates, so recall@5 is
+    // monotone nondecreasing and the candidate cost strictly grows
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a })
+  }
 }
