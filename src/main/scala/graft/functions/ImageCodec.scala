@@ -52,6 +52,43 @@ object ImageCodec {
     try ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case _: Exception => null }
 
+  /** Parsed PNG container structure (mm_png_meta): the real chunk walk a
+    * binary-column pipeline runs before trusting a payload — signature,
+    * per-chunk CRC32 validation, IHDR decode, IDAT accounting.
+    */
+  final case class PngInfo(pngLen: Int, width: Int, height: Int,
+      bitDepth: Int, colorType: Int, nChunks: Int, idatBytes: Long,
+      crcOk: Boolean)
+
+  def pngMeta(bytes: Array[Byte]): PngInfo = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    var ok = bytes.length >= 8 &&
+      (0 until 8).forall(i => (bytes(i) & 0xFF) == (sig(i) & 0xFF))
+    var off = 8; var n = 0; var idat = 0L
+    var w = 0; var h = 0; var bd = 0; var ct = 0
+    while (ok && off + 12 <= bytes.length) {
+      val len = be32(off).toInt
+      if (len < 0 || off + 12 + len > bytes.length) ok = false
+      else {
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue != be32(off + 8 + len)) ok = false
+        if (typ == "IHDR") {
+          w = be32(off + 8).toInt; h = be32(off + 12).toInt
+          bd = bytes(off + 16) & 0xFF; ct = bytes(off + 17) & 0xFF
+        }
+        if (typ == "IDAT") idat += len
+        n += 1
+        off += 12 + len
+      }
+    }
+    PngInfo(bytes.length, w, h, bd, ct, n, idat, ok && off == bytes.length)
+  }
+
   /** Row-major luminance byte stream — the raw payload the
     * compression-feature ops (mm_tile_compress, mm_fractal_dim)
     * consume. Same integer luminance as features(): (299r+587g+114b)/1000.

@@ -122,6 +122,31 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  /** mm_png_meta oracle: the container walk replayed per residue class
+    * on the driver's identical codec path.
+    */
+  private lazy val pngMetaOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = (0 until 768).map { m =>
+      val png = ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))
+      val i = ImageCodec.pngMeta(png)
+      s"($m,${i.pngLen},${i.width},${i.height},${i.bitDepth},${i.colorType}," +
+        s"${i.nChunks},${i.idatBytes},${i.crcOk})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, png_len, width, height, bit_depth, color_type,
+                 n_chunks, idat_bytes, crc_ok) AS (VALUES $rows)
+        SELECT d.doc_id, CAST(l.png_len AS BIGINT) AS png_len,
+               CAST(l.width AS BIGINT) AS width,
+               CAST(l.height AS BIGINT) AS height,
+               CAST(l.bit_depth AS BIGINT) AS bit_depth,
+               CAST(l.color_type AS BIGINT) AS color_type,
+               CAST(l.n_chunks AS BIGINT) AS n_chunks,
+               CAST(l.idat_bytes AS BIGINT) AS idat_bytes, l.crc_ok
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
   /** Driver-side pHash LUT over the doc_id period (lcm(256,3) = 768) —
     * same JVM codec path the executors run, so the VALUES literals are
     * bit-identical to the distributed result.
@@ -191,6 +216,38 @@ object Multimodal {
                octet_length(CAST(text AS BLOB)) AS n_bytes,
                sha256(text) AS sha256, md5(text) AS md5
         FROM documents ORDER BY doc_id""")),
+
+    // ----- mm_png_meta: real PNG container walk + CRC audit --------------
+    // The structural validation a binary-column pipeline runs BEFORE
+    // decoding anything (odin_image opens payloads through the image
+    // crate, which does exactly this walk): PNG signature, every chunk's
+    // length/type/CRC32 checked, IHDR decoded (width/height/bit
+    // depth/color type), IDAT bytes accounted. A payload that fails here
+    // is quarantined without ever reaching a decoder — the cheap gate in
+    // front of the expensive one. Real encoder output (ImageIO), real
+    // java.util.zip.CRC32; pure function of doc_id % 768 so the
+    // driver-LUT oracle hash-checks the whole walk.
+    "mm_png_meta" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val png = ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))
+              val i = ImageCodec.pngMeta(png)
+              (id, i.pngLen.toLong, i.width.toLong, i.height.toLong,
+                i.bitDepth.toLong, i.colorType.toLong, i.nChunks.toLong,
+                i.idatBytes, i.crcOk)
+            }
+          }
+          .toDF("doc_id", "png_len", "width", "height", "bit_depth",
+            "color_type", "n_chunks", "idat_bytes", "crc_ok")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(pngMetaOracle)),
 
     // ----- mm_frame_sample: deterministic frame/chunk sampling -----------
     // "Frames" are 32-byte windows every 64 bytes — the shape of sampling

@@ -242,4 +242,26 @@ class R9OpsSpec extends SparkSpecBase {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
     assert(cands.zip(cands.tail).forall { case (a, b) => b > a })
   }
+  test("mm_png_meta: container walk validates real encoder output, CRC catches corruption") {
+    import graft.functions.ImageCodec
+    val rows = run("mm_png_meta").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("crc_ok"))
+      assert(r.getAs[Long]("width") == 32 + (id % 3) * 16)
+      assert(r.getAs[Long]("height") == 32)
+      assert(r.getAs[Long]("bit_depth") == 8)
+      assert(r.getAs[Long]("idat_bytes") > 0)
+      assert(r.getAs[Long]("n_chunks") >= 3) // IHDR + IDAT.. + IEND
+    }
+    // direct kernel: flipping one payload byte must fail the CRC audit
+    val png = ImageCodec.toPng(ImageCodec.syntheticImage(7L, 48, 32))
+    assert(ImageCodec.pngMeta(png).crcOk)
+    val bad = png.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x40).toByte
+    assert(!ImageCodec.pngMeta(bad).crcOk)
+    // truncation is detected, not crashed on
+    assert(!ImageCodec.pngMeta(png.take(png.length - 5)).crcOk)
+  }
 }
