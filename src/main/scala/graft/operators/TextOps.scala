@@ -3481,6 +3481,131 @@ object TextOps {
                     ELSE 'keep' END AS verdict
         FROM gopher g JOIN entr e ON e.doc_id = g.doc_id
         LEFT JOIN hard h ON h.doc_id = g.doc_id
-        ORDER BY g.doc_id"""))
+        ORDER BY g.doc_id""")),
+
+    // ----- doc_corpus_report: per-source corpus health dashboard ---------
+    // The one-row-per-source table a curation team actually reads: doc
+    // and token counts, the within-source exact-duplicate share, the
+    // Gopher structural pass rate, and the mean compressibility bound —
+    // corpus telemetry, not per-doc detail. Every ingredient uses its
+    // home screen's exact idiom; the only divisions are the final
+    // ratios, and the mean entropy ratio is aggregated as a
+    // floor-quantized integer sum (order-free) before its single
+    // division. Scale: three linear passes + per-source aggs; the md5
+    // dup groupBy is the doc_exact_dedup shape.
+    "doc_corpus_report" -> Q(
+      build = (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+              .cast(LongType).as("n_tok"),
+            md5(col("text").cast(BinaryType)).as("h"))
+        val dup = base.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+            .as("n_dup_docs"))
+        val tops = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+        val gopher = base.join(tops, Seq("doc_id"))
+          .withColumn("pass", (col("n_tok") >= 50 && col("n_tok") <= 100000
+            && col("top_cnt").cast(DoubleType) / col("n_tok") <= 0.12))
+        val ent = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            least(length(col("text")), lit(2048)).as("n"), col("text"))
+          .select(col("doc_id"), col("source"), col("n"),
+            explode(expr("sequence(1, n)")).as("i"), col("text"))
+          .select(col("doc_id"), col("source"), col("n"),
+            expr("ascii(substr(text, i, 1))").as("b"))
+          .groupBy(col("doc_id"), col("source"), col("n"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("lp", expr(
+            "CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(max(col("n")).as("n_bytes"),
+            sum(expr("CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6))"))
+              .as("wsum"))
+          .withColumn("rq", expr(
+            s"CAST(floor((${EntRatioK.estRatio}) * 1000000.0e0) AS BIGINT)"))
+        val perSrc = gopher.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_gopher_pass"))
+        val entSrc = ent.groupBy(col("source"))
+          .agg(sum(col("rq")).as("sum_rq"))
+        perSrc.join(dup, Seq("source")).join(entSrc, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_dup_docs"),
+            (col("n_dup_docs").cast(DoubleType) / col("n_docs"))
+              .as("dup_rate"),
+            col("n_gopher_pass"),
+            (col("n_gopher_pass").cast(DoubleType) / col("n_docs"))
+              .as("gopher_pass_rate"),
+            (col("sum_rq").cast(DoubleType) / lit(1000000.0) / col("n_docs"))
+              .as("mean_est_ratio"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS n_tok,
+                 md5(text) AS h
+          FROM documents),
+        dup AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+          FROM (SELECT source, h, COUNT(*) AS c FROM base GROUP BY 1, 2)
+          GROUP BY 1),
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        tops AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM wc GROUP BY 1),
+        gopher AS (
+          SELECT b.source, b.n_tok,
+                 (b.n_tok >= 50 AND b.n_tok <= 100000
+                  AND CAST(t.top_cnt AS DOUBLE) / b.n_tok <= 0.12) AS pass
+          FROM base b JOIN tops t ON t.doc_id = b.doc_id),
+        chars AS (
+          SELECT doc_id, source, least(length(text), 2048) AS n,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS b
+          FROM documents
+          CROSS JOIN generate_series(1, 2048) AS g(i)
+          WHERE i <= least(length(text), 2048)),
+        ccnt AS (
+          SELECT doc_id, source, n, b, COUNT(*) AS c
+          FROM chars GROUP BY 1, 2, 3, 4),
+        lp AS (
+          SELECT doc_id, source, n, c,
+                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM ccnt),
+        ed AS (
+          SELECT doc_id, source, MAX(n) AS n_bytes,
+                 SUM(CAST(CAST(c AS DECIMAL(18,0)) * lp AS DECIMAL(30,6)))
+                   AS wsum
+          FROM lp GROUP BY 1, 2),
+        er AS (
+          SELECT source,
+                 CAST(SUM(CAST(floor((${EntRatioK.estRatio}) * 1000000.0e0)
+                   AS BIGINT)) AS BIGINT) AS sum_rq
+          FROM ed GROUP BY 1),
+        src AS (
+          SELECT g.source, COUNT(*) AS n_docs,
+                 CAST(SUM(g.n_tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_pass
+          FROM gopher g GROUP BY 1)
+        SELECT s.source, s.n_docs, s.n_tokens, d.n_dup_docs,
+               CAST(d.n_dup_docs AS DOUBLE) / s.n_docs AS dup_rate,
+               s.n_gopher_pass,
+               CAST(s.n_gopher_pass AS DOUBLE) / s.n_docs AS gopher_pass_rate,
+               CAST(e.sum_rq AS DOUBLE) / 1000000.0 / s.n_docs
+                 AS mean_est_ratio
+        FROM src s JOIN dup d ON d.source = s.source
+        JOIN er e ON e.source = s.source
+        ORDER BY s.source"""))
   )
 }

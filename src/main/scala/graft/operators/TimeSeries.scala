@@ -3548,7 +3548,102 @@ object TimeSeries {
                innov_c / 100.0 AS innovation,
                abs(innov_c) > 2000.0 AS maneuver
         FROM sm ORDER BY user_id, ts_sec, event_id"""
-      })
+      }),
+
+    // ----- ts_haar_energy: multi-scale Haar wavelet energy ---------------
+    // The dyadic multi-resolution companion to ts_dft_power: per entity,
+    // 16-reading frames are decomposed by the unnormalized Haar
+    // transform (pairwise sums and differences, 4 levels) and each
+    // level's detail ENERGY — sum of squared coefficients — says at
+    // which time scale the signal's variation lives (level 1 =
+    // reading-to-reading jitter, level 4 = frame-scale drift). Every
+    // coefficient is an exact integer over cents, so energies are exact
+    // BIGINTs and the dominant-scale argmax is engine-identical with no
+    // rounding anywhere. Frame assembly is the ts_motif_discord
+    // struct-sort fold: one (entity, frame) groupBy, no window wider
+    // than the frame.
+    "ts_haar_energy" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val frames = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("wi", expr("(rn - 1) div 16"))
+          .withColumn("p", expr("(rn - 1) % 16"))
+          .groupBy(col("user_id"), col("wi"))
+          .agg(count(lit(1)).as("wn"),
+            expr("transform(array_sort(collect_list(struct(p, vc))), x -> x.vc)")
+              .as("v"))
+          .filter(col("wn") === 16)
+        frames
+          .withColumn("s1", expr(
+            "transform(sequence(1, 8), i -> element_at(v, 2*i-1) + element_at(v, 2*i))"))
+          .withColumn("e1", expr(
+            """aggregate(transform(sequence(1, 8),
+               i -> element_at(v, 2*i-1) - element_at(v, 2*i)),
+               0L, (a, x) -> a + x*x)"""))
+          .withColumn("s2", expr(
+            "transform(sequence(1, 4), i -> element_at(s1, 2*i-1) + element_at(s1, 2*i))"))
+          .withColumn("e2", expr(
+            """aggregate(transform(sequence(1, 4),
+               i -> element_at(s1, 2*i-1) - element_at(s1, 2*i)),
+               0L, (a, x) -> a + x*x)"""))
+          .withColumn("s3", expr(
+            "transform(sequence(1, 2), i -> element_at(s2, 2*i-1) + element_at(s2, 2*i))"))
+          .withColumn("e3", expr(
+            """aggregate(transform(sequence(1, 2),
+               i -> element_at(s2, 2*i-1) - element_at(s2, 2*i)),
+               0L, (a, x) -> a + x*x)"""))
+          .withColumn("e4", expr(
+            """(element_at(s3, 1) - element_at(s3, 2))
+               * (element_at(s3, 1) - element_at(s3, 2))"""))
+          .withColumn("approx_sum", expr("element_at(s3, 1) + element_at(s3, 2)"))
+          .withColumn("dominant_level", expr(
+            """CASE greatest(e1, e2, e3, e4)
+               WHEN e1 THEN 1 WHEN e2 THEN 2 WHEN e3 THEN 3 ELSE 4 END"""))
+          .select(col("user_id"), col("wi"), col("e1"), col("e2"),
+            col("e3"), col("e4"), col("approx_sum"), col("dominant_level"))
+          .orderBy(col("user_id"), col("wi"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) AS rn
+          FROM events),
+        fr AS (
+          SELECT user_id, (rn - 1) // 16 AS wi, COUNT(*) AS wn,
+                 list(vc ORDER BY rn) AS v
+          FROM base GROUP BY 1, 2 HAVING COUNT(*) = 16),
+        lvl AS (
+          SELECT user_id, wi,
+                 [v[2*i-1] + v[2*i] FOR i IN generate_series(1, 8)] AS s1,
+                 CAST((SELECT SUM((v[2*i-1] - v[2*i]) * (v[2*i-1] - v[2*i]))
+                       FROM generate_series(1, 8) AS t(i)) AS BIGINT) AS e1
+          FROM fr),
+        lvl2 AS (
+          SELECT user_id, wi, e1,
+                 [s1[2*i-1] + s1[2*i] FOR i IN generate_series(1, 4)] AS s2,
+                 CAST((SELECT SUM((s1[2*i-1] - s1[2*i]) * (s1[2*i-1] - s1[2*i]))
+                       FROM generate_series(1, 4) AS t(i)) AS BIGINT) AS e2
+          FROM lvl),
+        lvl3 AS (
+          SELECT user_id, wi, e1, e2,
+                 [s2[2*i-1] + s2[2*i] FOR i IN generate_series(1, 2)] AS s3,
+                 CAST((SELECT SUM((s2[2*i-1] - s2[2*i]) * (s2[2*i-1] - s2[2*i]))
+                       FROM generate_series(1, 2) AS t(i)) AS BIGINT) AS e3
+          FROM lvl2)
+        SELECT user_id, wi, e1, e2, e3,
+               CAST((s3[1] - s3[2]) * (s3[1] - s3[2]) AS BIGINT) AS e4,
+               CAST(s3[1] + s3[2] AS BIGINT) AS approx_sum,
+               CASE greatest(e1, e2, e3,
+                     CAST((s3[1] - s3[2]) * (s3[1] - s3[2]) AS BIGINT))
+                 WHEN e1 THEN 1 WHEN e2 THEN 2 WHEN e3 THEN 3
+                 ELSE 4 END AS dominant_level
+        FROM lvl3 ORDER BY user_id, wi"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain

@@ -264,4 +264,55 @@ class R9OpsSpec extends SparkSpecBase {
     // truncation is detected, not crashed on
     assert(!ImageCodec.pngMeta(png.take(png.length - 5)).crcOk)
   }
+  test("ts_haar_energy: Parseval-exact integer decomposition, hand-checked frame") {
+    val rows = run("ts_haar_energy").cache()
+    assert(rows.count() > 0)
+    // recompute one frame imperatively from the raw events
+    val r0 = rows.head
+    val u = r0.getAs[Long]("user_id")
+    val vc = Tables.events(spark, sf).filter(col("user_id") === u)
+      .orderBy(col("ts_sec"), col("event_id"))
+      .select(expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)"))
+      .collect().map(_.getLong(0)).take(16)
+    assert(vc.length == 16)
+    def pairs(a: Seq[Long]) = a.grouped(2).toSeq
+    val s1 = pairs(vc).map(p => p(0) + p(1))
+    val d1 = pairs(vc).map(p => p(0) - p(1))
+    val s2 = pairs(s1).map(p => p(0) + p(1))
+    val d2 = pairs(s1).map(p => p(0) - p(1))
+    val s3 = pairs(s2).map(p => p(0) + p(1))
+    val d3 = pairs(s2).map(p => p(0) - p(1))
+    val d4 = s3(0) - s3(1)
+    assert(r0.getAs[Long]("e1") == d1.map(x => x * x).sum)
+    assert(r0.getAs[Long]("e2") == d2.map(x => x * x).sum)
+    assert(r0.getAs[Long]("e3") == d3.map(x => x * x).sum)
+    assert(r0.getAs[Long]("e4") == d4 * d4)
+    assert(r0.getAs[Long]("approx_sum") == vc.sum)
+    // unnormalized Parseval: 16*sum(x^2) = 16*E_approx-part identity holds
+    // in the weighted form: sum over levels of 2^l-weighted energies
+    val lhs = 16L * vc.map(x => x * x).sum
+    val rhs = d1.map(x => x * x).sum * 8 + d2.map(x => x * x).sum * 4 +
+      d3.map(x => x * x).sum * 2 + d4 * d4 + vc.sum * vc.sum
+    assert(lhs == rhs)
+    val dom = r0.getAs[Int]("dominant_level")
+    assert(dom >= 1 && dom <= 4)
+  }
+
+  test("doc_corpus_report: per-source ratios are consistent and bounded") {
+    val rows = run("doc_corpus_report").cache()
+    assert(rows.count() > 0)
+    val totalDocs = rows.collect().map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.t(spark, sf, "documents").count())
+    rows.collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_dup_docs") <= n)
+      assert(r.getAs[Long]("n_gopher_pass") <= n)
+      val dr = r.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr <= 1.0)
+      val gp = r.getAs[Double]("gopher_pass_rate")
+      assert(gp >= 0.0 && gp <= 1.0)
+      val mr = r.getAs[Double]("mean_est_ratio")
+      assert(mr > 0.0 && mr < 1.0)
+    }
+  }
 }
