@@ -852,6 +852,82 @@ object Multimodal {
                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         FROM sam GROUP BY 1, 2 ORDER BY doc_id, frame_id""")),
 
+    // ----- mm_audio_pitch: autocorrelation pitch per frame ---------------
+    // The classic time-domain pitch estimator next to mm_audio_features'
+    // energy/ZCR: per 64-sample frame, the lag-l autocorrelation
+    // R(l) = sum s(i)*s(i+l) for l in 2..16; the argmax lag is the pitch
+    // period estimate and R(best)/R(0) its strength (the voiced/unvoiced
+    // score a VAD consumes next to energy). All R values are exact
+    // integer sums over centered byte samples — the argmax is a struct
+    // fold with a deterministic smallest-lag tie-break — and the single
+    // division at the end is the only double. Scale: per-frame array
+    // fold inside codegen, one (doc, frame) groupBy.
+    "mm_audio_pitch" -> Q(
+      build = (s, d) => {
+        val frames = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"),
+            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
+            expr("(pos - 1) % 64").as("p"),
+            (expr("ascii(substring(text, pos, 1))") - 128)
+              .cast(LongType).as("sv"))
+          .groupBy(col("doc_id"), col("frame_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(p, sv))), x -> x.sv)")
+            .as("v"))
+          .withColumn("r0", expr(
+            "aggregate(v, 0L, (a, x) -> a + x*x)"))
+        frames
+          .withColumn("lag", explode(expr("sequence(2, 16)")))
+          .withColumn("r", expr(
+            """aggregate(transform(sequence(1, 64 - lag),
+               i -> element_at(v, i) * element_at(v, i + lag)),
+               0L, (a, x) -> a + x)"""))
+          .groupBy(col("doc_id"), col("frame_id"))
+          .agg(max(col("r0")).as("r0"),
+            max(struct(col("r"), (-col("lag")).as("nl"))).as("best"))
+          .select(col("doc_id"), col("frame_id"),
+            (-col("best.nl")).cast(LongType).as("pitch_lag"),
+            col("best.r").as("r_best"), col("r0"),
+            when(col("r0") > 0,
+              col("best.r").cast(DoubleType) / col("r0"))
+              .otherwise(lit(0.0)).as("strength"))
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, CAST(floor(length(text)/64)*64 AS INT))) AS pos,
+                 text
+          FROM documents WHERE length(text) >= 64),
+        sam AS (
+          SELECT doc_id, CAST(floor((pos-1)/64) AS BIGINT) AS frame_id, pos,
+                 CAST(ascii(substr(text, pos, 1)) - 128 AS BIGINT) AS sv
+          FROM px),
+        fr AS (
+          SELECT doc_id, frame_id, list(sv ORDER BY pos) AS v,
+                 CAST(list_sum([x*x FOR x IN list(sv ORDER BY pos)]) AS BIGINT)
+                   AS r0
+          FROM sam GROUP BY 1, 2),
+        lagr AS (
+          SELECT f.doc_id, f.frame_id, f.r0, t.lag,
+                 CAST(list_sum([f.v[i]*f.v[i+t.lag]
+                   FOR i IN generate_series(1, 64 - t.lag)]) AS BIGINT) AS r
+          FROM fr f CROSS JOIN (SELECT unnest(generate_series(2, 16)) AS lag) t),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, frame_id
+                   ORDER BY r DESC, lag ASC) AS rn
+          FROM lagr)
+        SELECT doc_id, frame_id, CAST(lag AS BIGINT) AS pitch_lag,
+               r AS r_best, r0,
+               CASE WHEN r0 > 0 THEN CAST(r AS DOUBLE) / r0 ELSE 0.0 END
+                 AS strength
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id, frame_id""")),
+
     // ----- mm_hist_equalize: histogram-equalization LUT ------------------
     // odin_image/src/lib.rs:149 rgb_histogram_equalize /:192 compute_lut:
     // per channel, 256-bin histogram -> CDF -> lut[v] = round((cdf[v] -

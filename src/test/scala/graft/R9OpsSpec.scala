@@ -315,4 +315,29 @@ class R9OpsSpec extends SparkSpecBase {
       assert(mr > 0.0 && mr < 1.0)
     }
   }
+  test("mm_audio_pitch: exact autocorrelation argmax, hand-checked frame") {
+    val rows = run("mm_audio_pitch").cache()
+    assert(rows.count() > 0)
+    val r0 = rows.head
+    val id = r0.getAs[Long]("doc_id"); val fid = r0.getAs[Long]("frame_id")
+    val text = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === id).head.getAs[String]("text")
+    val sv = text.slice((fid * 64).toInt, (fid * 64 + 64).toInt)
+      .map(c => (c.toInt - 128).toLong)
+    assert(sv.length == 64)
+    val rr0 = sv.map(x => x * x).sum
+    val rs = (2 to 16).map(l =>
+      l -> (0 until 64 - l).map(i => sv(i) * sv(i + l)).sum)
+    val (bestLag, bestR) = rs.maxBy { case (l, r) => (r, -l) }
+    assert(r0.getAs[Long]("r0") == rr0)
+    assert(r0.getAs[Long]("pitch_lag") == bestLag)
+    assert(r0.getAs[Long]("r_best") == bestR)
+    rows.collect().foreach { r =>
+      val lag = r.getAs[Long]("pitch_lag")
+      assert(lag >= 2 && lag <= 16)
+      // Cauchy-Schwarz: |R(l)| <= R(0), so strength is in [-1, 1]
+      val st = r.getAs[Double]("strength")
+      assert(st >= -1.0 - 1e-12 && st <= 1.0 + 1e-12)
+    }
+  }
 }
