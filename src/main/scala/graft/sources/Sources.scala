@@ -126,6 +126,68 @@ object Sources {
     manifest
   }
 
+  /** snk_bloom: per-file Bloom-filter sidecar for POINT-lookup skipping —
+    * the complement of snk_stats' min/max manifest, which only prunes
+    * RANGE queries on the clustered column. A per-file Bloom filter
+    * (bit_or-aggregated longs, 2 xxhash64 probes — the
+    * doc_bloom_dedup machinery applied per file) answers "can this file
+    * contain key k?" from the manifest alone. With hash-partitioned
+    * writes each key lives in exactly one file, so a point read opens 1
+    * file instead of all of them, and a MISSING key usually opens 0 —
+    * at 10^6 files that is the entire difference between a point lookup
+    * and a table scan. Probe positions are computed with the SAME Spark
+    * xxhash64 expression at write and read time, so there is no
+    * hash-implementation drift.
+    */
+  private val BloomBits = 4096L // ~6% fill at 125 keys/file -> 0.4% FP
+
+  private def bloomProbeCols(keyCol: String) = Seq(
+    pmod(xxhash64(col(keyCol), lit(1)), lit(BloomBits)),
+    pmod(xxhash64(col(keyCol), lit(2)), lit(BloomBits)))
+
+  def writeWithBloom(df: DataFrame, path: String, keyCol: String,
+      nFiles: Int): DataFrame = {
+    df.repartition(nFiles, col(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val probes = bloomProbeCols(keyCol)
+    val manifest = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file_path"),
+        explode(array(probes: _*)).as("pos"))
+      .select(col("file_path"), (col("pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("file_path"), col("word"))
+      .agg(bit_or(col("bit")).as("bits"))
+    manifest.write.mode(SaveMode.Overwrite).parquet(s"$path.bloom")
+    manifest
+  }
+
+  /** Bloom-pruned point read: returns (dataframe, filesScanned). A file
+    * survives only if BOTH probe bits for the key are set in its filter.
+    */
+  def bloomPointRead(spark: SparkSession, path: String, keyCol: String,
+      key: Long): (DataFrame, Long) = {
+    import spark.implicits._
+    // same hash expressions as the writer, evaluated on a 1-row frame
+    val probes = Seq(key).toDF(keyCol)
+      .select(bloomProbeCols(keyCol): _*)
+      .collect()(0)
+    val positions = Seq(probes.getLong(0), probes.getLong(1))
+    val manifest = spark.read.parquet(s"$path.bloom")
+    val keep = positions
+      .map { p =>
+        manifest.filter(col("word") === p / 64
+          && (col("bits").bitwiseAND(lit(1L << (p % 64).toInt)) =!= 0L))
+          .select(col("file_path"))
+      }
+      .reduce(_.intersect(_))
+      .collect().map(_.getString(0)) // manifest-sized, never data-sized
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df.filter(col(keyCol) === key), keep.length.toLong)
+  }
+
   /** Manifest-pruned range read: returns (dataframe, filesScanned). */
   def prunedRead(spark: SparkSession, path: String, statsCol: String,
       lo: Any, hi: Any): (DataFrame, Long) = {

@@ -173,4 +173,29 @@ class R8dOpsSpec extends SparkSpecBase {
     assert(Sources.readVersion(spark, dir, schema)
       .filter(col("user_id") === 7).head.getLong(1) == 4L)
   }
+  test("snk_bloom: point lookups open one file, misses open none") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    val data = (0L until 1000L).map(k => (k, s"payload$k")).toDF("k", "v")
+    Sources.writeWithBloom(data, dir, "k", nFiles = 8)
+    // every present key: found; a key lives in ONE file and bloom false
+    // positives may open the occasional extra one (4096-bit filter, 125
+    // keys/file -> ~0.4% FP per other file)
+    val hitScans = (0L until 50L by 7L).map { k =>
+      val (df, scanned) = Sources.bloomPointRead(spark, dir, "k", k)
+      val rows = df.collect()
+      assert(rows.length == 1 && rows(0).getString(1) == s"payload$k")
+      assert(scanned >= 1L && scanned <= 3L)
+      scanned
+    }
+    assert(hitScans.count(_ == 1L) >= hitScans.length - 1)
+    // absent keys: nothing returned; almost all prune to zero files
+    val missScans = (10000L until 10040L).map { k =>
+      val (df, scanned) = Sources.bloomPointRead(spark, dir, "k", k)
+      assert(df.count() == 0)
+      scanned
+    }
+    // 4096-bit filter => ~0.4% FP per file; allow a couple of unlucky keys
+    assert(missScans.count(_ == 0L) >= 36)
+  }
 }
