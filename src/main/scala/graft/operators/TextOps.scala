@@ -2132,6 +2132,103 @@ object TextOps {
                CAST(n_hits AS DOUBLE) / n_exact AS recall
         FROM nex, ncd, nhit""")),
 
+    // ----- doc_lsh_band_tuning: bands/rows sweep over one signature -----
+    // The LSH tuning table (emb_ann_sweep's text twin): the SAME 32-perm
+    // MinHash signature banded three ways — (4 bands x 8 rows),
+    // (8 x 4), (16 x 2) — with per-config candidate count, precision and
+    // recall against the exact Jaccard >= 0.5 truth. The S-curve
+    // tradeoff (more rows per band = stricter = precision up, recall
+    // down) is what picks the production banding before a corpus-wide
+    // dedup run. Band keys are the row values joined into one string
+    // (identical decimal rendering both engines); configs with zero
+    // candidates still report (left join from the config table).
+    "doc_lsh_band_tuning" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val sigs = docs(s, d).filter(length(col("text")) >= 20)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.minhash_signature(col("text"))
+              .as("sig"))
+        def bandedFor(bands: Int, rows: Int): DataFrame = {
+          val bandCols = (0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws(":", (0 until rows).map(r =>
+                element_at(col("sig"), b * rows + r + 1).cast(StringType)): _*)
+                .as("key"))
+          }
+          sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+            .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+              col("doc_id"), col("bs.band").as("band"), col("bs.key").as("key"))
+        }
+        val banded = Seq((4, 8), (8, 4), (16, 2))
+          .map { case (b, r) => bandedFor(b, r) }.reduce(_ unionByName _)
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.bands") === col("y.bands")
+              && col("x.band") === col("y.band")
+              && col("x.key") === col("y.key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.bands").as("bands"),
+            col("x.rows_per_band").as("rows_per_band"),
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val exact = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val nEx = exact.agg(count(lit(1)).as("n_exact"))
+        val met = cand
+          .join(exact.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .groupBy(col("bands"), col("rows_per_band"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        Seq((4, 8), (8, 4), (16, 2)).toDF("bands", "rows_per_band")
+          .join(met, Seq("bands", "rows_per_band"), "left")
+          .na.fill(0L, Seq("n_candidates", "n_hits"))
+          .crossJoin(broadcast(nEx))
+          .select(col("bands"), col("rows_per_band"), col("n_exact"),
+            col("n_candidates"), col("n_hits"),
+            when(col("n_candidates") > 0,
+              col("n_hits").cast(DoubleType) / col("n_candidates"))
+              .as("precision"),
+            (col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
+          .orderBy(col("bands"))
+      },
+      oracle = Some(s"""
+        WITH $JPAIRS,
+        $MINHASH_CTES,
+        cfg(bands, rows_per_band) AS (VALUES (4, 8), (8, 4), (16, 2)),
+        bkeys AS (
+          SELECT c.bands, c.rows_per_band, m.doc_id,
+                 m.p // c.rows_per_band AS band,
+                 string_agg(CAST(m.s AS VARCHAR), ':' ORDER BY m.p) AS key
+          FROM pm m CROSS JOIN cfg c
+          GROUP BY 1, 2, 3, 4),
+        cand AS (
+          SELECT DISTINCT x.bands, x.rows_per_band,
+                 x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bkeys x JOIN bkeys y
+            ON x.bands = y.bands AND x.band = y.band AND x.key = y.key
+           AND x.doc_id < y.doc_id),
+        nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM jpairs),
+        met AS (
+          SELECT c.bands, c.rows_per_band,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 CAST(SUM(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+          FROM cand c LEFT JOIN jpairs j
+            ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          GROUP BY 1, 2)
+        SELECT f.bands, f.rows_per_band, n.n_exact,
+               COALESCE(m.n_candidates, 0) AS n_candidates,
+               COALESCE(m.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(m.n_candidates, 0) > 0
+                    THEN CAST(m.n_hits AS DOUBLE) / m.n_candidates
+               END AS precision,
+               CAST(COALESCE(m.n_hits, 0) AS DOUBLE) / n.n_exact AS recall
+        FROM cfg f
+        LEFT JOIN met m ON m.bands = f.bands
+          AND m.rows_per_band = f.rows_per_band
+        CROSS JOIN nex n
+        ORDER BY f.bands""")),
+
     // ----- doc_gopher_repetition: the full Gopher repetition battery -----
     // The complete repetition-signal set from Gopher/RefinedWeb (top
     // n-gram character fraction for n=2..4, duplicated n-gram character

@@ -340,4 +340,21 @@ class R9OpsSpec extends SparkSpecBase {
       assert(st >= -1.0 - 1e-12 && st <= 1.0 + 1e-12)
     }
   }
+  test("doc_lsh_band_tuning: looser bands never lose candidates or recall") {
+    val rows = run("doc_lsh_band_tuning").orderBy(col("bands")).collect()
+    assert(rows.map(_.getAs[Int]("bands")).toSeq == Seq(4, 8, 16))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // a band match under (b, r) implies a band match under (2b, r/2):
+    // each 2r-row band splits into two r-row bands that both still agree,
+    // so candidates and recall are monotone as rows/band shrink
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+  }
 }
