@@ -631,6 +631,95 @@ object Similarity {
         FROM hits h JOIN costs c ON c.level = h.level
         ORDER BY h.level""")),
 
+    // ----- emb_kcenter_sample: greedy max-min diverse subset -------------
+    // k-center greedy (Gonzalez): pick the seed, then 7 times the vector
+    // FARTHEST from everything already selected — the diversity sampler
+    // a curation pipeline uses to build eval/probe subsets that span the
+    // embedding space instead of oversampling its dense core. Distances
+    // are exact integers (d2 = nq_a + nq_b - 2*qdot), the argmax
+    // tie-breaks on min vec_id, and each round folds the ONE new
+    // vector's distances into the running min (never re-scoring the
+    // whole selected set) — O(k·n) total, localCheckpoint per round
+    // bounding plan depth, no driver-side collect anywhere. The oracle
+    // unrolls the identical 7 rounds as CTE stages (the emb_kmeans /
+    // doc_quality_logreg discipline).
+    "emb_kcenter_sample" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+          .withColumn("nq", qdot(col("embedding"), col("embedding")))
+        def d2To(sel: DataFrame): DataFrame =
+          e.crossJoin(broadcast(sel))
+            .withColumn("d2", col("nq") + col("sel_nq")
+              - lit(2L) * qdot(col("embedding"), col("sel_emb")))
+            .select(col("vec_id"), col("d2"))
+        val seed = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("sel_id"),
+            col("embedding").as("sel_emb"), col("nq").as("sel_nq"))
+        var md = d2To(seed).localCheckpoint(true)
+        var picks = seed
+          .select(col("sel_id").as("vec_id"), lit(0).as("sel_round"),
+            lit(0L).as("min_d2"))
+          .localCheckpoint(true)
+        for (r <- 1 to 7) {
+          val pick = md
+            .agg(max(struct(col("d2").as("d2"), (-col("vec_id")).as("nv")))
+              .as("m"))
+            .select((-col("m.nv")).as("sel_id"), col("m.d2").as("min_d2"))
+          val newSel = pick.join(e, pick("sel_id") === e("vec_id"))
+            .select(col("sel_id"), col("embedding").as("sel_emb"),
+              col("nq").as("sel_nq"), col("min_d2"))
+            .localCheckpoint(true)
+          picks = picks.unionByName(
+            newSel.select(col("sel_id").as("vec_id"),
+              lit(r).as("sel_round"), col("min_d2")))
+            .localCheckpoint(true)
+          md = md.as("m")
+            .join(d2To(newSel.drop("min_d2")).as("n"), "vec_id")
+            .select(col("vec_id"),
+              least(col("m.d2"), col("n.d2")).as("d2"))
+            .localCheckpoint(true)
+        }
+        picks.orderBy(col("sel_round"))
+      },
+      oracle = Some {
+        val nqCte = s"""nqx AS (
+          SELECT e.vec_id,
+                 CAST(SUM(${qterm("e.embedding[t.i]", "e.embedding[t.i]")}) AS BIGINT) AS nq
+          FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY 1)"""
+        def ndCte(k: Int, prevPick: String): String = s"""nd$k AS (
+          SELECT e.vec_id,
+                 nn.nq + pb.nq
+                   - 2 * CAST(SUM(${qterm("e.embedding[t.i]", "pb.embedding[t.i]")}) AS BIGINT) AS d2
+          FROM embeddings e
+          JOIN nqx nn ON nn.vec_id = e.vec_id
+          CROSS JOIN (SELECT b.embedding, q.nq FROM $prevPick x
+                      JOIN embeddings b ON b.vec_id = x.vec_id
+                      JOIN nqx q ON q.vec_id = b.vec_id) pb,
+          generate_series(1, 64) AS t(i)
+          GROUP BY e.vec_id, nn.nq, pb.nq)"""
+        val rounds = (1 to 7).map { k =>
+          val mdPrev = if (k == 1) "nd0" else s"md${k - 1}"
+          val nd = ndCte(k, s"p$k")
+          s"""p$k AS (SELECT vec_id, d2 FROM $mdPrev
+                      ORDER BY d2 DESC, vec_id LIMIT 1),
+              $nd,
+              md$k AS (SELECT m.vec_id, LEAST(m.d2, n.d2) AS d2
+                       FROM $mdPrev m JOIN nd$k n ON n.vec_id = m.vec_id)"""
+        }.mkString(",\n")
+        val sel = (1 to 7)
+          .map(k => s"SELECT $k AS sel_round, vec_id, d2 AS min_d2 FROM p$k")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH $nqCte,
+        seed AS (SELECT vec_id FROM embeddings WHERE vec_id = 0),
+        ${ndCte(0, "seed")},
+        $rounds
+        SELECT vec_id, sel_round, min_d2 FROM (
+          SELECT 0 AS sel_round, vec_id, CAST(0 AS BIGINT) AS min_d2 FROM seed
+          UNION ALL $sel)
+        ORDER BY sel_round"""
+      }),
+
     // ----- emb_ivf_balance: index-health report --------------------------
     // The balance audit run before trusting an IVF index: per-cell vector
     // counts, share of the corpus, and the balance factor n·k/total (1.0

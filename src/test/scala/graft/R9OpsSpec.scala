@@ -357,4 +357,30 @@ class R9OpsSpec extends SparkSpecBase {
     assert(cands.zip(cands.tail).forall { case (a, b) => b >= a })
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
   }
+  test("emb_kcenter_sample: greedy radii nonincreasing, round-1 hand-checked") {
+    val rows = run("emb_kcenter_sample").orderBy(col("sel_round")).collect()
+    assert(rows.length == 8)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 8)
+    // k-center theory: each new selection's distance to the selected set
+    // can only shrink round over round
+    val d2s = rows.tail.map(_.getAs[Long]("min_d2"))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => b <= a })
+    // round 1 = the vector farthest from the seed, recomputed directly
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    // same fixed-point discipline as qdot: each PRODUCT term is
+    // floor(x*y*2^30), summed exactly
+    def qd(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => math.floor(x * y * 1073741824.0).toLong }.sum
+    def d2(a: Seq[Double], b: Seq[Double]): Long =
+      qd(a, a) + qd(b, b) - 2 * qd(a, b)
+    val seed = vecs(0L)
+    val far = vecs.map { case (id, v) => (d2(seed, v), -id) }.max
+    assert(rows(1).getAs[Long]("vec_id") == -far._2)
+    assert(rows(1).getAs[Long]("min_d2") == far._1)
+  }
 }
