@@ -2129,6 +2129,84 @@ object TimeSeries {
                string_agg(sym, '' ORDER BY wi) AS sax_word
         FROM syms GROUP BY 1 ORDER BY user_id""")),
 
+    // ----- ts_motif_join: cross-entity motif discovery via SAX words -----
+    // The scalable answer to "which entities share behavior patterns":
+    // symbolize every entity's frames (the ts_sax machinery), slide a
+    // 4-frame word over the symbol stream, and HASH-JOIN identical words
+    // across entities — the standard symbolization trick that turns
+    // cross-series motif search from O(entities² · frames²) distance
+    // joins into one word-keyed groupBy (Lin/Keogh SAX motif discovery;
+    // ts_motif_discord covers the within-entity exact-distance version).
+    // The symbol chain is the SAME shared zp/sym text as ts_sax, so the
+    // words — and hence the join — are engine-identical.
+    "ts_motif_join" -> Q(
+      build = (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val base = ev(s, d)
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("wi", expr("(rn - 1) div 8"))
+        val stats = ev(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(decP(col("value"))).as("sumd"),
+            sum(decP(col("value")) * decP(col("value"))).as("sumsq"))
+        val frames = base.groupBy(col("user_id"), col("wi"))
+          .agg(count(lit(1)).as("wn"), sum(decP(col("value"))).as("paa_sum"))
+          .filter(col("wn") === 8)
+        val syms = frames.join(stats, Seq("user_id"))
+          .selectExpr("user_id", "wi", SaxK.zp)
+          .selectExpr("user_id", "wi", SaxK.sym)
+        val wSeq = Window.partitionBy(col("user_id")).orderBy(col("wi"))
+        val words = syms
+          .withColumn("s1", lead(col("sym"), 1).over(wSeq))
+          .withColumn("s2", lead(col("sym"), 2).over(wSeq))
+          .withColumn("s3", lead(col("sym"), 3).over(wSeq))
+          .filter(col("s3").isNotNull)
+          .withColumn("word",
+            concat(col("sym"), col("s1"), col("s2"), col("s3")))
+        words.groupBy(col("word"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("user_id")).as("n_entities"),
+            min(col("user_id")).as("first_user"),
+            max(col("user_id")).as("last_user"))
+          .filter(col("n_entities") >= 2)
+          .orderBy(col("word"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT user_id, value,
+                 (ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY $TS, event_id) - 1) // 8 AS wi
+          FROM events),
+        stats AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS sumd,
+                 SUM(CAST(value AS DECIMAL(12,2))
+                     * CAST(value AS DECIMAL(12,2))) AS sumsq
+          FROM events GROUP BY 1),
+        frames AS (
+          SELECT user_id, wi, COUNT(*) AS wn,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS paa_sum
+          FROM base GROUP BY 1, 2
+          HAVING COUNT(*) = 8),
+        zp AS (
+          SELECT f.user_id, f.wi, ${SaxK.zp}
+          FROM frames f JOIN stats USING (user_id)),
+        syms AS (SELECT user_id, wi, ${SaxK.sym} FROM zp),
+        words AS (
+          SELECT user_id, wi,
+                 concat(sym, lead(sym, 1) OVER w, lead(sym, 2) OVER w,
+                        lead(sym, 3) OVER w) AS word,
+                 lead(sym, 3) OVER w AS s3
+          FROM syms
+          WINDOW w AS (PARTITION BY user_id ORDER BY wi))
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+               MIN(user_id) AS first_user, MAX(user_id) AS last_user
+        FROM words WHERE s3 IS NOT NULL
+        GROUP BY word HAVING COUNT(DISTINCT user_id) >= 2
+        ORDER BY word""")),
+
     // ----- ts_forecast_eval: one-step-ahead backtest ---------------------
     // The forecast-quality audit that closes the smoothing loop: ts_holt's
     // one-step forecast is scored against the NEXT actual reading per

@@ -383,4 +383,29 @@ class R9OpsSpec extends SparkSpecBase {
     assert(rows(1).getAs[Long]("vec_id") == -far._2)
     assert(rows(1).getAs[Long]("min_d2") == far._1)
   }
+  test("ts_motif_join: shared words really occur in every reported entity") {
+    val rows = run("ts_motif_join").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      assert(r.getAs[String]("word").length == 4)
+      assert(r.getAs[String]("word").forall("abcd".contains(_)))
+      assert(r.getAs[Long]("n_entities") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_entities"))
+      assert(r.getAs[Long]("first_user") < r.getAs[Long]("last_user"))
+    }
+    // cross-check one word against the per-entity SAX words of ts_sax:
+    // every 4-gram of an entity's sax_word is a (user, word) occurrence
+    val saxWords = run("ts_sax").select(col("user_id"), col("sax_word"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val grams = saxWords.flatMap { case (u, w) =>
+      w.sliding(4).filter(_.length == 4).map(g => (g, u))
+    }
+    val byWord = grams.groupBy(_._1)
+      .map { case (g, us) => g -> (us.length.toLong, us.map(_._2).distinct.size.toLong) }
+    rows.collect().foreach { r =>
+      val (occ, ents) = byWord(r.getAs[String]("word"))
+      assert(r.getAs[Long]("n_occurrences") == occ)
+      assert(r.getAs[Long]("n_entities") == ents)
+    }
+  }
 }
