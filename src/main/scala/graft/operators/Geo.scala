@@ -2906,6 +2906,76 @@ object Geo {
         FROM zcells z JOIN grid g ON g.gi = z.gi AND g.gj = z.gj
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----- geo_terrain_indices: TRI / TPI landform classification --------
+    // The terrain indices a DEM consumer derives right after slope/aspect
+    // (geo_grid_stencil): TRI (Riley) = mean absolute elevation
+    // difference to the 8 neighbors — the ruggedness a routing/fire
+    // model weights — and TPI = cell minus neighborhood mean, whose sign
+    // classifies ridge / valley / flat. Both ride on ONE 8-offset
+    // stencil equi-join over the integer cell keys; TRI's sum and TPI
+    // scaled by 8 (8*elev - sum_neighbors) stay exact BIGINTs, so the
+    // landform CASE is engine-identical and the only double is TRI's
+    // final /8 (exact: 2^-3). Interior cells only (HAVING 8 neighbors),
+    // the same border discipline as the stencil ops.
+    "geo_terrain_indices" -> Q(
+      build = (s, d) => {
+        val grid = s.range(-70, 71).select(col("id").as("gi"))
+          .crossJoin(s.range(-180, 181).select(col("id").as("gj")))
+          .select(col("gi"), col("gj"),
+            (((col("gi") * 31 + col("gj") * 17) % 500 + 500) % 500)
+              .as("elev"))
+        val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+          (1, -1), (1, 0), (1, 1))
+        val probes = grid
+          .withColumn("o", explode(array(offs.map { case (a, b) =>
+            struct(lit(a).as("da"), lit(b).as("db")) }: _*)))
+          .select(col("gi"), col("gj"), col("elev"),
+            (col("gi") + col("o.da")).as("ni"),
+            (col("gj") + col("o.db")).as("nj"))
+        val neigh = grid.select(col("gi").as("ni"), col("gj").as("nj"),
+          col("elev").as("nelev"))
+        probes.join(neigh, Seq("ni", "nj"))
+          .groupBy(col("gi"), col("gj"), col("elev"))
+          .agg(count(lit(1)).as("nn"),
+            sum(abs(col("elev") - col("nelev"))).as("sum_abs_diff"),
+            sum(col("nelev")).as("sum_neigh"))
+          .filter(col("nn") === 8)
+          .withColumn("tri", col("sum_abs_diff").cast(DoubleType) / 8.0)
+          .withColumn("tpi8", col("elev") * 8 - col("sum_neigh"))
+          .withColumn("landform", expr(
+            """CASE WHEN tpi8 > 400 THEN 'ridge'
+                    WHEN tpi8 < -400 THEN 'valley'
+                    ELSE 'flat' END"""))
+          .select(col("gi"), col("gj"), col("elev"), col("sum_abs_diff"),
+            col("tri"), col("tpi8"), col("landform"))
+          .orderBy(col("gi"), col("gj"))
+      },
+      oracle = Some("""
+        WITH grid AS (
+          SELECT gi.i AS gi, gj.j AS gj,
+                 ((gi.i*31 + gj.j*17) % 500 + 500) % 500 AS elev
+          FROM generate_series(-70, 70) AS gi(i),
+               generate_series(-180, 180) AS gj(j)),
+        offs(da, db) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                                (1,-1), (1,0), (1,1)),
+        probes AS (
+          SELECT g.gi, g.gj, g.elev,
+                 g.gi + o.da AS ni, g.gj + o.db AS nj
+          FROM grid g CROSS JOIN offs o),
+        agg AS (
+          SELECT p.gi, p.gj, p.elev, COUNT(*) AS nn,
+                 CAST(SUM(abs(p.elev - n.elev)) AS BIGINT) AS sum_abs_diff,
+                 CAST(SUM(n.elev) AS BIGINT) AS sum_neigh
+          FROM probes p JOIN grid n ON n.gi = p.ni AND n.gj = p.nj
+          GROUP BY 1, 2, 3 HAVING COUNT(*) = 8)
+        SELECT gi, gj, CAST(elev AS BIGINT) AS elev, sum_abs_diff,
+               CAST(sum_abs_diff AS DOUBLE) / 8.0 AS tri,
+               elev * 8 - sum_neigh AS tpi8,
+               CASE WHEN elev * 8 - sum_neigh > 400 THEN 'ridge'
+                    WHEN elev * 8 - sum_neigh < -400 THEN 'valley'
+                    ELSE 'flat' END AS landform
+        FROM agg ORDER BY gi, gj""")),
+
     // ----- geo_wind_vector: u/v forecast grid -> speed/dir at probes -----
     // odin_wind's vector product (lib.rs:224 huvw_vector_suffix; actor.rs
     // wind_service serves per-point speed+direction derived from the

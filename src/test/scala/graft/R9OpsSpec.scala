@@ -408,4 +408,28 @@ class R9OpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_entities") == ents)
     }
   }
+  test("geo_terrain_indices: stencil indices hand-checked, classes consistent") {
+    val rows = run("geo_terrain_indices").cache()
+    assert(rows.count() > 0)
+    def elev(i: Long, j: Long): Long = ((i * 31 + j * 17) % 500 + 500) % 500
+    // hand-check a handful of interior cells
+    rows.limit(50).collect().foreach { r =>
+      val gi = r.getAs[Long]("gi"); val gj = r.getAs[Long]("gj")
+      val e = elev(gi, gj)
+      val neigh = for {
+        da <- Seq(-1L, 0L, 1L); db <- Seq(-1L, 0L, 1L)
+        if !(da == 0 && db == 0)
+      } yield elev(gi + da, gj + db)
+      assert(r.getAs[Long]("elev") == e)
+      assert(r.getAs[Long]("sum_abs_diff") == neigh.map(n => math.abs(e - n)).sum)
+      assert(r.getAs[Long]("tpi8") == e * 8 - neigh.sum)
+      val lf = r.getAs[String]("landform")
+      val tpi8 = r.getAs[Long]("tpi8")
+      if (tpi8 > 400) assert(lf == "ridge")
+      else if (tpi8 < -400) assert(lf == "valley")
+      else assert(lf == "flat")
+    }
+    // border cells (fewer than 8 neighbors) are excluded
+    assert(rows.filter(col("gi") === -70 || col("gi") === 70).count() == 0)
+  }
 }
