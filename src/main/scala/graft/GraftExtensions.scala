@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    // haversine-radius filters gain sargable bbox conjuncts (pushdown)
+    e.injectOptimizerRule(_ => graft.plans.HaversineBBoxRule)
     e.injectFunction((
       new FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
