@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.HaversineKm
+import graft.functions.{GeodesicKm, HaversineKm}
 
 /** Optimizer rule: derive a sargable bounding box from a haversine
   * radius predicate.
@@ -52,8 +52,9 @@ object HaversineBBoxRule extends Rule[LogicalPlan] with PredicateHelper {
       LessThanOrEqual(lon, Literal(whi, DoubleType)))
   }
 
-  private def fromHav(h: HaversineKm, r: Double): Seq[Expression] =
-    (h.first, h.second, h.third, h.fourth) match {
+  private def fromDist(args: (Expression, Expression, Expression, Expression),
+      r: Double): Seq[Expression] =
+    args match {
       case (lat, lon, Literal(latC: Double, DoubleType),
           Literal(lonC: Double, DoubleType))
           if !lat.isInstanceOf[Literal] && !lon.isInstanceOf[Literal] =>
@@ -68,15 +69,24 @@ object HaversineBBoxRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // both spherical and ellipsoidal distances: the 110.0 km/deg
+      // constant under-states every WGS84 degree length, so one bbox
+      // derivation is conservative for either metric
+      def argsOf(e: Expression): Option[(Expression, Expression, Expression, Expression)] =
+        e match {
+          case h: HaversineKm => Some((h.first, h.second, h.third, h.fourth))
+          case g: GeodesicKm => Some((g.first, g.second, g.third, g.fourth))
+          case _ => None
+        }
       val extra = conjuncts.flatMap {
-        case LessThanOrEqual(h: HaversineKm, Literal(r: Double, DoubleType)) =>
-          fromHav(h, r)
-        case LessThan(h: HaversineKm, Literal(r: Double, DoubleType)) =>
-          fromHav(h, r)
-        case GreaterThanOrEqual(Literal(r: Double, DoubleType), h: HaversineKm) =>
-          fromHav(h, r)
-        case GreaterThan(Literal(r: Double, DoubleType), h: HaversineKm) =>
-          fromHav(h, r)
+        case LessThanOrEqual(d, Literal(r: Double, DoubleType)) =>
+          argsOf(d).toSeq.flatMap(fromDist(_, r))
+        case LessThan(d, Literal(r: Double, DoubleType)) =>
+          argsOf(d).toSeq.flatMap(fromDist(_, r))
+        case GreaterThanOrEqual(Literal(r: Double, DoubleType), d) =>
+          argsOf(d).toSeq.flatMap(fromDist(_, r))
+        case GreaterThan(Literal(r: Double, DoubleType), d) =>
+          argsOf(d).toSeq.flatMap(fromDist(_, r))
         case _ => Nil
       }.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
         .foldLeft(Seq.empty[Expression]) { (acc, p) => // dedup within batch

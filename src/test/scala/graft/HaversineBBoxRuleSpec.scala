@@ -101,4 +101,22 @@ class HaversineBBoxRuleSpec extends SparkSpecBase {
     val twice = HaversineBBoxRule(once)
     assert(once.toString == twice.toString)
   }
+  test("geodesic radius predicates gain the same sargable box") {
+    ruleOn
+    // cache so ConvertToLocalRelation cannot fold the filter away before
+    // the plan is inspected (same reason the earlier tests cache)
+    val base = pts.cache()
+    base.count()
+    val g = base.filter(GeoFunctions.geodesic_km(
+      col("lat"), col("lon"), lit(37.0), lit(-122.0)) <= lit(500.0))
+    assert(rangeConjuncts(g, "lat") == 2)
+    assert(rangeConjuncts(g, "lon") == 2)
+    // soundness: optimized result equals the direct per-row evaluation
+    val exact = base.collect().filter { r =>
+      graft.functions.GeoMath.vincentyKm(
+        r.getDouble(1), r.getDouble(2), 37.0, -122.0) <= 500.0
+    }.map(_.getLong(0)).toSet
+    assert(g.collect().map(_.getLong(0)).toSet == exact)
+    assert(exact.nonEmpty)
+  }
 }
