@@ -2129,6 +2129,83 @@ object TimeSeries {
                string_agg(sym, '' ORDER BY wi) AS sax_word
         FROM syms GROUP BY 1 ORDER BY user_id""")),
 
+    // ----- ts_resample_locf: regular-grid resampling with bounded LOCF ---
+    // The resampling step every downstream model wants before it sees
+    // sensor data: project each entity's irregular readings onto an
+    // hourly grid, carrying the LAST observation forward — but only up
+    // to a staleness bound (4 h), past which the cell reports NULL and
+    // stale=true rather than a lie (the odin store answers "position as
+    // of t" the same way: latest-at-or-before, aged out). Shape: the
+    // hour grid explodes per entity from its OWN first/last hour (never
+    // a global calendar cross join), one union + one last-non-null
+    // window over (entity, time) — the ts_interpolate family's shuffle
+    // budget. Values stay exact integer cents until the final /100.
+    "ts_resample_locf" -> Q(
+      build = (s, d) => {
+        val obs = ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("vc"))
+        val span = obs.groupBy(col("user_id"))
+          .agg(expr("min(ts_sec) div 3600").as("h0"),
+            expr("max(ts_sec) div 3600").as("h1"))
+        val grid = span
+          .withColumn("hour", explode(expr("sequence(h0, h1)")))
+          .select(col("user_id"),
+            (col("hour") * 3600 + 3599).as("ts_sec"),
+            lit(null).cast(LongType).as("event_id"),
+            lit(null).cast(LongType).as("vc"),
+            lit(1).as("is_grid"))
+        val all = obs.withColumn("is_grid", lit(0)).unionByName(grid)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("is_grid"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        all
+          .withColumn("lv", last(col("vc"), ignoreNulls = true).over(w))
+          .withColumn("lt", last(when(col("vc").isNotNull, col("ts_sec")),
+            ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .withColumn("hour", expr("(ts_sec - 3599) div 3600"))
+          .withColumn("age_sec", col("ts_sec") - col("lt"))
+          .select(col("user_id"), col("hour"),
+            when(col("age_sec") <= 14400, col("lv") / lit(100.0))
+              .as("value"),
+            col("age_sec"),
+            (col("age_sec") > 14400 || col("lt").isNull).as("stale"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      oracle = Some(s"""
+        WITH obs AS (
+          SELECT user_id, $TS AS ts_sec, event_id,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS vc
+          FROM events),
+        span AS (
+          SELECT user_id, MIN(ts_sec) // 3600 AS h0, MAX(ts_sec) // 3600 AS h1
+          FROM obs GROUP BY 1),
+        grid AS (
+          SELECT s.user_id, g.h AS hour, g.h * 3600 + 3599 AS ts_sec,
+                 CAST(NULL AS BIGINT) AS event_id,
+                 CAST(NULL AS BIGINT) AS vc, 1 AS is_grid
+          FROM span s, LATERAL unnest(generate_series(s.h0, s.h1)) AS g(h)),
+        allr AS (
+          SELECT user_id, ts_sec, event_id, vc, 0 AS is_grid FROM obs
+          UNION ALL
+          SELECT user_id, ts_sec, event_id, vc, is_grid FROM grid),
+        filled AS (
+          SELECT *,
+                 last_value(vc IGNORE NULLS) OVER w AS lv,
+                 last_value(CASE WHEN vc IS NOT NULL THEN ts_sec END
+                   IGNORE NULLS) OVER w AS lt
+          FROM allr
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts_sec, is_grid, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, (ts_sec - 3599) // 3600 AS hour,
+               CASE WHEN ts_sec - lt <= 14400 THEN lv / 100.0 END AS value,
+               ts_sec - lt AS age_sec,
+               (ts_sec - lt > 14400 OR lt IS NULL) AS stale
+        FROM filled WHERE is_grid = 1
+        ORDER BY user_id, hour""")),
+
     // ----- ts_motif_join: cross-entity motif discovery via SAX words -----
     // The scalable answer to "which entities share behavior patterns":
     // symbolize every entity's frames (the ts_sax machinery), slide a

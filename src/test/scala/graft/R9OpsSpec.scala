@@ -432,4 +432,34 @@ class R9OpsSpec extends SparkSpecBase {
     // border cells (fewer than 8 neighbors) are excluded
     assert(rows.filter(col("gi") === -70 || col("gi") === 70).count() == 0)
   }
+  test("ts_resample_locf: hourly grid complete, LOCF values hand-checked") {
+    val rows = run("ts_resample_locf").cache()
+    assert(rows.count() > 0)
+    val u = rows.head.getAs[Long]("user_id")
+    val mine = rows.filter(col("user_id") === u)
+      .orderBy(col("hour")).collect()
+    // grid covers the entity's own span with no holes
+    val hours = mine.map(_.getAs[Long]("hour"))
+    assert(hours.zip(hours.tail).forall { case (a, b) => b == a + 1 })
+    val obs = Tables.events(spark, sf).filter(col("user_id") === u)
+      .select(col("ts_sec"),
+        expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    mine.foreach { r =>
+      val cutoff = r.getAs[Long]("hour") * 3600 + 3599
+      val lastObs = obs.filter(_._1 <= cutoff).lastOption
+      lastObs match {
+        case Some((t, v)) =>
+          assert(r.getAs[Long]("age_sec") == cutoff - t)
+          if (cutoff - t <= 14400) {
+            assert(!r.getAs[Boolean]("stale"))
+            assert(math.abs(r.getAs[Double]("value") - v / 100.0) < 1e-12)
+          } else {
+            assert(r.getAs[Boolean]("stale"))
+            assert(r.isNullAt(r.fieldIndex("value")))
+          }
+        case None => assert(r.getAs[Boolean]("stale"))
+      }
+    }
+  }
 }
