@@ -2906,6 +2906,82 @@ object Geo {
         FROM zcells z JOIN grid g ON g.gi = z.gi AND g.gj = z.gj
         GROUP BY 1 ORDER BY 1""")),
 
+    // ----- geo_cross_track: XTD/ATD against the entity's leg -------------
+    // The navigation pair every track conformance monitor computes
+    // (aviation XTE, maritime route adherence): for each interior fix,
+    // the signed CROSS-track distance from the great circle through the
+    // entity's first and last positions, and the ALONG-track distance of
+    // its abeam point — how far off the filed leg, and how far down it.
+    // Standard spherical forms (Ed Williams' Aviation Formulary):
+    // xtd = asin(sin(d13)·sin(θ13−θ12)), atd = acos(cos(d13)/cos(xtd)).
+    // Distance and both bearings are 3-decimal-quantized BEFORE the trig
+    // re-entry (the geo_hotspot_footprint discipline) so the chain is
+    // engine-identical. Shape: endpoints via one combinable struct
+    // min/max groupBy, broadcast back, everything else narrow.
+    "geo_cross_track" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("lat"), col("lon"))
+        val ends = pts.groupBy(col("user_id"))
+          .agg(min(struct(col("ts_sec"), col("event_id"), col("lat"),
+            col("lon"))).as("s"),
+            max(struct(col("ts_sec"), col("event_id"), col("lat"),
+              col("lon"))).as("e"))
+          .select(col("user_id"),
+            col("s.lat").as("slat"), col("s.lon").as("slon"),
+            col("s.event_id").as("sid"),
+            col("e.lat").as("elat"), col("e.lon").as("elon"),
+            col("e.event_id").as("eid"))
+          .filter(col("sid") =!= col("eid"))
+        pts.join(broadcast(ends), Seq("user_id"))
+          .filter(col("event_id") =!= col("sid")
+            && col("event_id") =!= col("eid"))
+          .withColumn("d13",
+            round(havC(col("slat"), col("slon"), col("lat"), col("lon")), 3))
+          .withColumn("t13",
+            round(bearC(col("slat"), col("slon"), col("lat"), col("lon")), 3))
+          .withColumn("t12",
+            round(bearC(col("slat"), col("slon"), col("elat"), col("elon")), 3))
+          .withColumn("xtd_km", expr(XtdK.xtd))
+          .withColumn("atd_km", expr(XtdK.atd))
+          .select(col("user_id"), col("event_id"), col("d13"),
+            col("xtd_km"), col("atd_km"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, $LAT AS lat, $LON AS lon
+          FROM events),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_sec DESC, event_id DESC) AS rl
+          FROM pts),
+        ends AS (
+          SELECT f.user_id, f.lat AS slat, f.lon AS slon, f.event_id AS sid,
+                 l.lat AS elat, l.lon AS elon, l.event_id AS eid
+          FROM (SELECT * FROM ranked WHERE rf = 1) f
+          JOIN (SELECT * FROM ranked WHERE rl = 1) l
+            ON l.user_id = f.user_id
+          WHERE f.event_id <> l.event_id),
+        q AS (
+          SELECT p.user_id, p.event_id,
+                 round(${havS("e.slat", "e.slon", "p.lat", "p.lon")}, 3)
+                   AS d13,
+                 round(${bearS("e.slat", "e.slon", "p.lat", "p.lon")}, 3)
+                   AS t13,
+                 round(${bearS("e.slat", "e.slon", "e.elat", "e.elon")}, 3)
+                   AS t12
+          FROM pts p JOIN ends e ON e.user_id = p.user_id
+          WHERE p.event_id <> e.sid AND p.event_id <> e.eid)
+        SELECT user_id, event_id, d13,
+               ${XtdK.xtd} AS xtd_km,
+               ${XtdK.atd} AS atd_km
+        FROM q ORDER BY user_id, event_id""")),
+
     // ----- geo_terrain_indices: TRI / TPI landform classification --------
     // The terrain indices a DEM consumer derives right after slope/aspect
     // (geo_grid_stencil): TRI (Riley) = mean absolute elevation
@@ -4963,6 +5039,18 @@ object Geo {
       "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0 AS bright_ti5_k",
       "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0 AS frp_mw",
       "split_part(line, ',', 13) = 'D' AS is_day")
+  }
+
+  /** Engine-shared cross/along-track fragments (geo_cross_track):
+    * spherical XTD/ATD over 3-decimal-quantized distance d13 (km) and
+    * bearings t13/t12 (deg) — identical text both engines; the acos
+    * argument is clamped against last-ulp overshoot.
+    */
+  private object XtdK {
+    private val xa = "asin(sin(d13/6371.0e0) * sin(radians(t13 - t12)))"
+    val xtd: String = s"round($xa * 6371.0e0, 3)"
+    val atd: String =
+      s"round(acos(least(1.0e0, greatest(-1.0e0, cos(d13/6371.0e0) / cos($xa)))) * 6371.0e0, 3)"
   }
 
   /** Engine-shared Douglas-Peucker fragments: quantized squared

@@ -2129,6 +2129,50 @@ object TimeSeries {
                string_agg(sym, '' ORDER BY wi) AS sax_word
         FROM syms GROUP BY 1 ORDER BY user_id""")),
 
+    // ----- ts_burstiness: inter-event burstiness + Fano factor -----------
+    // The two dimensionless cadence statistics a feed-health monitor
+    // computes per entity (Goh & Barabási burstiness B = (σ−μ)/(σ+μ) of
+    // the inter-event gaps, and the Fano factor σ²/μ): B ≈ −1 for a
+    // metronome (scheduled sensor), 0 for Poisson arrivals, → 1 for
+    // bursty human/incident traffic — the screen that separates devices
+    // on a reporting schedule from event-driven ones before schedule
+    // learning is attempted. Gap moments are exact BIGINT sums off one
+    // lag window; the two ratios are a single shared double chain.
+    "ts_burstiness" -> Q(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"))
+          .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap"),
+            sum(col("gap") * col("gap")).as("sumsq_gap"))
+          .filter(col("n_gaps") >= 2 && col("sum_gap") > 0)
+          .withColumn("burstiness", expr(BurstK.b))
+          .withColumn("fano", expr(BurstK.fano))
+          .select(col("user_id"), col("n_gaps"), col("sum_gap"),
+            col("sumsq_gap"), col("burstiness"), col("fano"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH gaps AS (
+          SELECT user_id,
+                 ts_sec - lag(ts_sec, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS gap
+          FROM (SELECT user_id, $TS AS ts_sec, event_id FROM events)),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS sum_gap,
+                 CAST(SUM(gap * gap) AS BIGINT) AS sumsq_gap
+          FROM gaps WHERE gap IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(gap) > 0)
+        SELECT user_id, n_gaps, sum_gap, sumsq_gap,
+               ${BurstK.b} AS burstiness,
+               ${BurstK.fano} AS fano
+        FROM agg ORDER BY user_id""")),
+
     // ----- ts_resample_locf: regular-grid resampling with bounded LOCF ---
     // The resampling step every downstream model wants before it sees
     // sensor data: project each entity's irregular readings onto an
@@ -3862,6 +3906,19 @@ object TimeSeries {
       */
     def dot(c: Seq[Double]): String =
       (0 to 8).map(i => s"v$i * ${c(i)}e0").mkString("(", " + ", ")")
+  }
+
+  /** Engine-shared burstiness fragments over exact gap moments
+    * (n_gaps, sum_gap, sumsq_gap): one double chain each for
+    * B = (sd - mean)/(sd + mean) and Fano = var/mean; population
+    * variance floored at 0 against FP cancellation.
+    */
+  private object BurstK {
+    private val mean = "(CAST(sum_gap AS DOUBLE)/n_gaps)"
+    private val vr =
+      s"greatest(CAST(sumsq_gap AS DOUBLE)/n_gaps - $mean*$mean, 0.0e0)"
+    val b: String = s"(sqrt($vr) - $mean)/(sqrt($vr) + $mean)"
+    val fano: String = s"($vr)/$mean"
   }
 
   /** Alpha-beta tracker finite-window taps (alpha=0.5, beta=0.1, unit

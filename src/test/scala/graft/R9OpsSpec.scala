@@ -462,4 +462,45 @@ class R9OpsSpec extends SparkSpecBase {
       }
     }
   }
+  test("ts_burstiness: exact moments, B in [-1,1), schedule vs bursty ordering") {
+    val rows = run("ts_burstiness").cache()
+    assert(rows.count() > 0)
+    val u = rows.head.getAs[Long]("user_id")
+    val ts = Tables.events(spark, sf).filter(col("user_id") === u)
+      .orderBy(col("ts_sec"), col("event_id"))
+      .select(col("ts_sec")).collect().map(_.getLong(0))
+    val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_gaps") == gaps.length)
+    assert(r0.getAs[Long]("sum_gap") == gaps.sum)
+    assert(r0.getAs[Long]("sumsq_gap") == gaps.map(g => g * g).sum)
+    rows.collect().foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b < 1.0)
+      assert(r.getAs[Double]("fano") >= 0.0)
+    }
+  }
+
+  test("geo_cross_track: abeam decomposition consistent with direct distance") {
+    val rows = run("geo_cross_track").cache()
+    assert(rows.count() > 0)
+    rows.collect().foreach { r =>
+      val d13 = r.getAs[Double]("d13")
+      val xtd = r.getAs[Double]("xtd_km")
+      val atd = r.getAs[Double]("atd_km")
+      // |xtd| and atd are legs of the spherical right triangle with
+      // hypotenuse d13: both bounded by it (small slack for the
+      // 3-decimal quantization of the inputs)
+      assert(math.abs(xtd) <= d13 + 0.01)
+      // atd's principal value lives in [0, pi*R]; it only stays below
+      // d13 for legs shorter than a quarter circumference
+      assert(atd >= -0.001 && atd <= math.Pi * 6371.0 + 0.01)
+      if (d13 <= math.Pi / 2 * 6371.0) assert(atd <= d13 + 0.01)
+      // spherical Pythagoras: cos(d13) = cos(xtd)*cos(atd)
+      val R = 6371.0
+      val lhs = math.cos(d13 / R)
+      val rhs = math.cos(xtd / R) * math.cos(atd / R)
+      assert(math.abs(lhs - rhs) < 1e-6)
+    }
+  }
 }
