@@ -720,6 +720,108 @@ object Similarity {
         ORDER BY sel_round"""
       }),
 
+    // ----- emb_knn_accuracy: leave-one-out k-NN label probe --------------
+    // The cheapest meaningful quality probe for an embedding space: if
+    // 5-NN majority vote can't recover a vector's own label, the space
+    // is not separating the classes the pipeline cares about (run before
+    // trusting any embedding-driven dedup/curation). Candidates come
+    // from the SAME LSH buckets as emb_knn_graph — O(n·bucket), never
+    // all pairs — ranked by the exact fixed-point dot; majority vote
+    // tie-breaks on the smaller label; per-label accuracy plus sample
+    // counts, all exact integers until the final ratios.
+    "emb_knn_accuracy" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val xq = transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+        val sig = (0 until LshPlanes).map { p =>
+          val plane = typedLit((0 until 64).map(c => lshSign(p, c)))
+          val dot = aggregate(
+            zip_with(xq, plane, (x, pl) => x * pl), lit(0L), (acc, x) => acc + x)
+          when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+        val keyed = e.select(col("vec_id"), col("label"), col("embedding"),
+          sig.as("bucket"))
+        val a = keyed.select(col("bucket"), col("vec_id"), col("label"),
+          col("embedding").as("emb_a"))
+        val b = keyed.select(col("bucket"), col("vec_id").as("n_vec_id"),
+          col("label").as("n_label"), col("embedding").as("emb_b"))
+        val nn = a.join(b, Seq("bucket"))
+          .filter(col("vec_id") =!= col("n_vec_id"))
+          .withColumn("simq", qdot(col("emb_a"), col("emb_b")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("simq").desc, col("n_vec_id"))))
+          .filter(col("rn") <= 5)
+        val votes = nn.groupBy(col("vec_id"), col("label"), col("n_label"))
+          .agg(count(lit(1)).as("v"))
+        val pred = votes
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(struct(col("v"), (-col("n_label")).as("nl"))).as("m"))
+          .select(col("vec_id"), col("label"),
+            (-col("m.nl")).as("pred_label"))
+        pred.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("accuracy",
+            col("n_correct").cast(DoubleType) / col("n_vecs"))
+          .orderBy(col("label"))
+      },
+      oracle = Some {
+        val planeRows = (for {
+          p <- 0 until LshPlanes
+          c <- 0 until 64
+        } yield s"($p,${1L << p},${c + 1},${lshSign(p, c)})").mkString(",")
+        s"""
+        WITH planes(p, w, i, s) AS (VALUES $planeRows),
+        xq AS (
+          SELECT vec_id, t.i AS i,
+                 CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1048576.0) AS BIGINT) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        sig AS (
+          SELECT x.vec_id,
+                 CAST(SUM(CASE WHEN pd.d >= 0 THEN pd.w ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM (SELECT vec_id FROM embeddings) x
+          JOIN (SELECT xq.vec_id, pl.p, MAX(pl.w) AS w,
+                       SUM(xq.x * pl.s) AS d
+                FROM xq JOIN planes pl ON pl.i = xq.i
+                GROUP BY 1, 2) pd ON pd.vec_id = x.vec_id
+          GROUP BY 1),
+        keyed AS (
+          SELECT e.vec_id, e.label, s.bucket
+          FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id),
+        pairs AS (
+          SELECT a.vec_id, a.label, b.vec_id AS n_vec_id, b.label AS n_label,
+                 CAST(SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS BIGINT) AS simq
+          FROM keyed a JOIN keyed b
+            ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id,
+          generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2, 3, 4),
+        nn AS (
+          SELECT * FROM (
+            SELECT p.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY simq DESC, n_vec_id) AS rn
+            FROM pairs p) WHERE rn <= 5),
+        votes AS (
+          SELECT vec_id, label, n_label, COUNT(*) AS v
+          FROM nn GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT vec_id, label, n_label AS pred_label FROM (
+            SELECT v.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY v DESC, n_label) AS pr
+            FROM votes v) WHERE pr = 1)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS accuracy
+        FROM pred GROUP BY 1 ORDER BY label"""
+      }),
+
     // ----- emb_ivf_balance: index-health report --------------------------
     // The balance audit run before trusting an IVF index: per-cell vector
     // counts, share of the corpus, and the balance factor n·k/total (1.0

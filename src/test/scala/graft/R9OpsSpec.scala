@@ -503,4 +503,20 @@ class R9OpsSpec extends SparkSpecBase {
       assert(math.abs(lhs - rhs) < 1e-6)
     }
   }
+  test("emb_knn_accuracy: per-label tallies bounded and internally consistent") {
+    val rows = run("emb_knn_accuracy").cache()
+    assert(rows.count() > 0)
+    val total = rows.collect().map(_.getAs[Long]("n_vecs")).sum
+    val nEmb = Tables.t(spark, sf, "embeddings").count()
+    // every scored vector had at least one in-bucket neighbor; isolated
+    // bucket singletons drop out, so the tally is bounded by the corpus
+    assert(total > 0 && total <= nEmb)
+    rows.collect().foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_vecs"))
+      assert(math.abs(acc - r.getAs[Long]("n_correct").toDouble
+        / r.getAs[Long]("n_vecs")) < 1e-12)
+    }
+  }
 }
