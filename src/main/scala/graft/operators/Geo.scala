@@ -5048,9 +5048,12 @@ object Geo {
     */
   private object XtdK {
     private val xa = "asin(sin(d13/6371.0e0) * sin(radians(t13 - t12)))"
-    val xtd: String = s"round($xa * 6371.0e0, 3)"
+    // + 0.0e0 folds IEEE -0.0 (DuckDB's round of a tiny negative) onto
+    // +0.0 (Spark's BigDecimal round has no signed zero) — the driver's
+    // hash is signbit-exact
+    val xtd: String = s"(round($xa * 6371.0e0, 3) + 0.0e0)"
     val atd: String =
-      s"round(acos(least(1.0e0, greatest(-1.0e0, cos(d13/6371.0e0) / cos($xa)))) * 6371.0e0, 3)"
+      s"(round(acos(least(1.0e0, greatest(-1.0e0, cos(d13/6371.0e0) / cos($xa)))) * 6371.0e0, 3) + 0.0e0)"
   }
 
   /** Engine-shared Douglas-Peucker fragments: quantized squared
