@@ -1597,6 +1597,73 @@ object Relational {
         SELECT cls, COUNT(*) AS n_parts,
                CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue,
                CAST(MIN(rev_c) AS DOUBLE) / 100.0 AS min_part_rev
-        FROM labeled GROUP BY 1 ORDER BY cls"""))
+        FROM labeled GROUP BY 1 ORDER BY cls""")),
+
+    // ----- q54_cohort_ltv: customer-cohort lifetime value matrix ---------
+    // The finance/BI staple next to ts_retention's activity matrix:
+    // customers cohorted by FIRST order month, revenue accumulated by
+    // months-since-cohort — the table LTV curves and payback windows are
+    // read from. Month index = year*12 + month (pure integer, naive
+    // timestamps both engines); money in exact integer cents; the
+    // cumulative LTV is a window over the already-aggregated cohort x
+    // age cells (hundreds of rows, never the fact table). Shape: one
+    // combinable min-groupBy for cohorts, one (cohort, age) rollup, the
+    // per-cohort cumsum window on cells.
+    "q54_cohort_ltv" -> Q(
+      build = (s, d) => {
+        val o = ord(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5e0) AS BIGINT)")
+            .as("rev_c"))
+        val cohorts = o.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("cohort_m"))
+        val cells = o.join(cohorts, Seq("o_custkey"))
+          .withColumn("age", col("m") - col("cohort_m"))
+          .groupBy(col("cohort_m"), col("age"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"), sum(col("rev_c")).as("rev_cc"))
+        val sizes = cohorts.groupBy(col("cohort_m"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy(col("cohort_m")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.join(sizes, Seq("cohort_m"))
+          .withColumn("cum_rev_c", sum(col("rev_cc")).over(w))
+          .select(col("cohort_m"), col("age"), col("cohort_size"),
+            col("n_customers"), col("n_orders"),
+            (col("rev_cc").cast(DoubleType) / 100.0).as("revenue"),
+            (col("cum_rev_c").cast(DoubleType) / 100.0
+              / col("cohort_size")).as("ltv_per_customer"))
+          .orderBy(col("cohort_m"), col("age"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                 CAST(floor(o_totalprice * 100.0 + 0.5e0) AS BIGINT)
+                   AS rev_c
+          FROM orders),
+        cohorts AS (
+          SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+        cells AS (
+          SELECT c.cohort_m, o.m - c.cohort_m AS age,
+                 CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(o.rev_c) AS BIGINT) AS rev_cc
+          FROM o JOIN cohorts c ON c.o_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        sizes AS (
+          SELECT cohort_m, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+        cum AS (
+          SELECT ce.*, s.cohort_size,
+                 CAST(SUM(ce.rev_cc) OVER (PARTITION BY ce.cohort_m
+                   ORDER BY ce.age ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+          FROM cells ce JOIN sizes s ON s.cohort_m = ce.cohort_m)
+        SELECT cohort_m, age, cohort_size, n_customers, n_orders,
+               CAST(rev_cc AS DOUBLE) / 100.0 AS revenue,
+               CAST(cum_rev_c AS DOUBLE) / 100.0 / cohort_size
+                 AS ltv_per_customer
+        FROM cum ORDER BY cohort_m, age"""))
   )
 }

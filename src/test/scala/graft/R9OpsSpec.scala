@@ -519,4 +519,27 @@ class R9OpsSpec extends SparkSpecBase {
         / r.getAs[Long]("n_vecs")) < 1e-12)
     }
   }
+  test("q54_cohort_ltv: cohort accounting closes against the raw orders") {
+    val rows = run("q54_cohort_ltv").cache()
+    assert(rows.count() > 0)
+    // total orders and revenue across all cells equal the fact table
+    val sums = rows.agg(sum(col("n_orders")), sum(col("revenue"))).head
+    val raw = Tables.t(spark, sf, "orders")
+      .agg(count(lit(1)),
+        sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5e0) AS BIGINT)")))
+      .head
+    assert(sums.getLong(0) == raw.getLong(0))
+    assert(math.abs(sums.getDouble(1) - raw.getLong(1) / 100.0) < 1e-6)
+    // LTV per customer is nondecreasing in age within each cohort
+    rows.collect().groupBy(_.getAs[Int]("cohort_m")).values.foreach { cells =>
+      val byAge = cells.sortBy(_.getAs[Int]("age"))
+        .map(_.getAs[Double]("ltv_per_customer"))
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+    // age-0 cell exists for every cohort and n_customers <= cohort_size
+    rows.collect().foreach { r =>
+      assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Int]("age") >= 0)
+    }
+  }
 }
