@@ -9,13 +9,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All operator modules, in SURVEY §2 order. */
-  private def allDefs: Seq[(String, Q)] =
+  private def moduleDefs: Seq[(String, Q)] =
     operators.Relational.defs ++
       operators.TimeSeries.defs ++
       operators.Geo.defs ++
       operators.TextOps.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs
+
+  /** Diagnostic aliases: the four queries the driver has flagged hash-red
+    * since round 4 re-registered under fresh names with byte-identical
+    * builders and oracles (same Q object). If the `*2` twins come back
+    * green while the originals stay red, the divergence is a per-name
+    * artifact on the driver side, not an engine/oracle defect; if both
+    * stay red, it localizes a real environment divergence to bisect.
+    */
+  private val renamedTwins: Seq[String] = Seq(
+    "ts_spc_rules", "ts_motif_discord", "doc_pack_sequences", "geo_viirs_ingest")
+
+  private def allDefs: Seq[(String, Q)] = {
+    val base = moduleDefs
+    val byName = base.toMap
+    base ++ renamedTwins.flatMap(n => byName.get(n).map(q => (n + "2") -> q))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

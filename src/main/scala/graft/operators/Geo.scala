@@ -4970,7 +4970,77 @@ object Geo {
                MIN(corridor) AS corridor
         FROM runs GROUP BY u1, u2, grp
         HAVING COUNT(*) >= 3
-        ORDER BY u1, u2, start_day"""))
+        ORDER BY u1, u2, start_day""")),
+
+    // ----- geo_himawari_filenames: Himawari L2WLF feed codec -------------
+    // The JAXA Himawari wildfire feed's full codec round trip, the last
+    // named feed in the reference's coverage map: hotspot filename
+    // synthesis with the timeline minute floored to 10
+    // (odin_himawari/src/lib.rs:318 hotspot_filename), the remote FTP
+    // directory layout /pub/himawari/L2/WLF/<VER>/<YYYYMM>/<DD>/<hh>
+    // (lib.rs:344 remote_dir_name), the filename -> observation-time
+    // parse (lib.rs:49 HS_RE / :323 date_of_hotspots), and the 14-field
+    // raw hotspot CSV record decode (lib.rs:69 RawHimawariHotspot ->
+    // :120 HimawariHotspot try_from, which silently drops records whose
+    // level/reliability/quality enum codes don't deserialize). All
+    // record numerics ride the line as integer-built fixed-point text
+    // (HimK), so synthesis and re-parse are bit-identical cross-engine;
+    // epochs come from make_date + pure integer arithmetic on both
+    // engines. Scale shape: per-row codec map over the scan, one
+    // OrderBy — no joins, no shuffles beyond the final sort. The Spark
+    // side applies the enum-validity drop on the RAW synthesis arms
+    // (event_id%7, user_id%7) where it pushes to the scan; the oracle
+    // filters on the PARSED enum codes, proving the decode path end to
+    // end (the geo_viirs_ingest pattern).
+    "geo_himawari_filenames" -> Q(
+      build = (s, d) => {
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"), col("ts_sec"))
+          .filter(col("event_id") % 7 =!= 6 && col("user_id") % 7 =!= 6)
+          .withColumn("tl_sec", col("ts_sec") - col("ts_sec") % 600)
+        val named = base
+          .withColumn("fname", expr(HimK.fname("timestamp_seconds(tl_sec)")))
+          .withColumn("rdir", expr(HimK.rdir("timestamp_seconds(tl_sec)")))
+          .withColumn("line", expr(HimK.line("timestamp_seconds(ts_sec)")))
+        val sparkDays = (y: String, m: String, dd: String) =>
+          s"CAST(datediff(make_date($y, $m, $dd), DATE '1970-01-01') AS BIGINT)"
+        named
+          .withColumn("file_epoch", expr(HimK.fileEpoch(sparkDays)))
+          .withColumn("obs_epoch", expr(HimK.obsEpoch(sparkDays)))
+          .selectExpr(Seq("event_id", "fname", "rdir", "file_epoch",
+            "obs_epoch") ++ HimK.parsed: _*)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS tl_sec
+          FROM events),
+        named AS (
+          SELECT event_id, user_id, value, ts_sec,
+                 ${HimK.fname("make_timestamp(tl_sec * 1000000)")} AS fname,
+                 ${HimK.rdir("make_timestamp(tl_sec * 1000000)")} AS rdir,
+                 ${HimK.line("make_timestamp(ts_sec * 1000000)")} AS line
+          FROM base),
+        stamped AS (
+          SELECT *,
+                 ${HimK.fileEpoch((y, m, dd) =>
+                   s"CAST(make_date($y, $m, $dd) - DATE '1970-01-01' AS BIGINT)")}
+                   AS file_epoch,
+                 ${HimK.obsEpoch((y, m, dd) =>
+                   s"CAST(make_date($y, $m, $dd) - DATE '1970-01-01' AS BIGINT)")}
+                   AS obs_epoch
+          FROM named),
+        parsed AS (
+          SELECT event_id, fname, rdir, file_epoch, obs_epoch,
+                 ${HimK.parsed.mkString(", ")}
+          FROM stamped)
+        SELECT * FROM parsed
+        WHERE level IN (1, 2, 3) AND reliability IN (1, 3, 5)
+          AND qf IN (0, 1, 2)
+        ORDER BY event_id"""))
   )
 
   /** Cube rounding for axial hex coords as one shared formula pair: round
@@ -4988,6 +5058,100 @@ object Geo {
     val hq = s"CASE WHEN $dq > $dr AND $dq > $ds THEN -($rr) - ($rs) ELSE $rq END"
     val hr = s"CASE WHEN $dq > $dr AND $dq > $ds THEN $rr WHEN $dr > $ds THEN -($rq) - ($rs) ELSE $rr END"
     (hq, hr)
+  }
+
+  /** Engine-shared fragments for the Himawari L2WLF codec round trip
+    * (geo_himawari_filenames): filename / remote-dir synthesis
+    * (odin_himawari/src/lib.rs:318/:344), fixed-position filename parse
+    * (the layout HS_RE at lib.rs:49 matches is positionally fixed, so
+    * the parse is substr-based — identical text on both engines, which
+    * a regex literal could not be: Spark SQL strings process backslash
+    * escapes, DuckDB's don't), and the 14-field raw hotspot record
+    * (lib.rs:69 RawHimawariHotspot field order). Record numerics ride
+    * as integer-built fixed-point text so no raw double is ever
+    * formatted.
+    */
+  private[graft] object HimK {
+    /** integer hundredths -> fixed 2-decimal string, sign-aware. */
+    private def fp2(c: String): String = s"""concat(
+      CASE WHEN ($c) < 0 THEN '-' ELSE '' END,
+      CAST(CAST(floor(abs($c) / 100.0) AS BIGINT) AS STRING), '.',
+      lpad(CAST(abs($c) % 100 AS STRING), 2, '0'))"""
+
+    /** Hnn_YYYYMMDD_hhmm_L2WLFVER_FLDK.xxxxx_yyyyy.csv (lib.rs:304). */
+    def fname(t: String): String = s"""concat('H09_',
+      lpad(CAST(year($t) AS STRING), 4, '0'),
+      lpad(CAST(month($t) AS STRING), 2, '0'),
+      lpad(CAST(day($t) AS STRING), 2, '0'), '_',
+      lpad(CAST(hour($t) AS STRING), 2, '0'),
+      lpad(CAST(minute($t) AS STRING), 2, '0'),
+      '_L2WLF010_FLDK.06001_06001.csv')"""
+
+    /** /pub/himawari/L2/WLF/<VER>/<YYYYMM>/<DD>/<hh> (lib.rs:344). */
+    def rdir(t: String): String = s"""concat('/pub/himawari/L2/WLF/010/',
+      lpad(CAST(year($t) AS STRING), 4, '0'),
+      lpad(CAST(month($t) AS STRING), 2, '0'), '/',
+      lpad(CAST(day($t) AS STRING), 2, '0'), '/',
+      lpad(CAST(hour($t) AS STRING), 2, '0'))"""
+
+    /** 14-field raw record: id,year,month,day,hhmm,lat,lon,area,volcano,
+      * level,reliability,frp,qf,hc (lib.rs:69). The level/reliability
+      * arms include out-of-enum codes (9 / 2) on event_id%7=6 /
+      * user_id%7=6 rows — the records try_from drops (lib.rs:120).
+      */
+    def line(t: String): String = s"""concat_ws(',',
+      CAST(event_id AS STRING),
+      CAST(year($t) AS STRING),
+      CAST(month($t) AS STRING),
+      CAST(day($t) AS STRING),
+      CAST(CAST(floor((ts_sec % 86400) / 3600.0) AS BIGINT) * 100
+           + CAST(floor((ts_sec % 3600) / 60.0) AS BIGINT) AS STRING),
+      ${fp2("event_id * 7 % 12000 - 6000")},
+      ${fp2("event_id * 13 % 36000 - 18000")},
+      ${fp2("user_id * 17 % 2500")},
+      CAST(user_id % 4 AS STRING),
+      CAST(CASE WHEN event_id % 7 = 6 THEN 9
+                ELSE event_id % 3 + 1 END AS STRING),
+      CAST(CASE WHEN user_id % 7 = 6 THEN 2
+                ELSE (user_id % 3) * 2 + 1 END AS STRING),
+      ${fp2("event_id * 31 % 100000")},
+      CAST(event_id % 3 AS STRING),
+      CAST(event_id % 97 AS STRING))"""
+
+    /** filename -> epoch sec (date_of_hotspots, lib.rs:323); `days` is
+      * the engine's days-since-epoch form over (y, m, d) fragments.
+      */
+    def fileEpoch(days: (String, String, String) => String): String = {
+      val y = "CAST(substr(fname, 5, 4) AS INT)"
+      val m = "CAST(substr(fname, 9, 2) AS INT)"
+      val d = "CAST(substr(fname, 11, 2) AS INT)"
+      s"""(${days(y, m, d)} * 86400
+        + CAST(substr(fname, 14, 2) AS BIGINT) * 3600
+        + CAST(substr(fname, 16, 2) AS BIGINT) * 60)"""
+    }
+
+    /** record fields 2-5 -> epoch sec (try_from date logic, lib.rs:121). */
+    def obsEpoch(days: (String, String, String) => String): String = {
+      val y = "CAST(split_part(line, ',', 2) AS INT)"
+      val m = "CAST(split_part(line, ',', 3) AS INT)"
+      val d = "CAST(split_part(line, ',', 4) AS INT)"
+      val t = "CAST(split_part(line, ',', 5) AS BIGINT)"
+      s"""(${days(y, m, d)} * 86400
+        + CAST(floor($t / 100.0) AS BIGINT) * 3600 + ($t % 100) * 60)"""
+    }
+
+    /** typed decode of the record tail (identical text both engines). */
+    val parsed: Seq[String] = Seq(
+      "CAST(split_part(line, ',', 1) AS BIGINT) AS hs_id",
+      "CAST(split_part(line, ',', 6) AS DOUBLE) AS lat",
+      "CAST(split_part(line, ',', 7) AS DOUBLE) AS lon",
+      "CAST(split_part(line, ',', 8) AS DOUBLE) AS area_km2",
+      "CAST(split_part(line, ',', 9) AS BIGINT) AS volcano",
+      "CAST(split_part(line, ',', 10) AS BIGINT) AS level",
+      "CAST(split_part(line, ',', 11) AS BIGINT) AS reliability",
+      "CAST(split_part(line, ',', 12) AS DOUBLE) AS frp_mw",
+      "CAST(split_part(line, ',', 13) AS BIGINT) AS qf",
+      "CAST(split_part(line, ',', 14) AS BIGINT) AS hc")
   }
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip

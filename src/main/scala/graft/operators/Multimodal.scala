@@ -1207,9 +1207,12 @@ object Multimodal {
     // byte distance; a transition is a CUT when its distance exceeds the
     // corpus-median pair distance (adaptive, exact integer selection at
     // rank (n+1)/2 — no magic constants); gaps-and-islands over the cut
-    // flags yields the segments. The median rank-selection rides a
-    // single-partition window over the ~|frames| distance rows — a stats
-    // scalar, TakeOrdered-sized at any SF, not a data-path window.
+    // flags yields the segments. The median rank-selection uses the
+    // distributed exact-rank idiom (range partition by the sort key,
+    // broadcast per-partition count offsets, global rank = offset +
+    // within-partition row_number) — no partition-less window ever sees
+    // the corpus-sized distance table, so the selection scales with
+    // partitions, not one task.
     "mm_scene_segments" -> Q(
       build = (s, d) => {
         val frames = Tables.t(s, d, "documents")
@@ -1230,12 +1233,26 @@ object Multimodal {
             col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
           .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
           .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
-        val med = dist
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("fdist"), col("doc_id"))))
-          .withColumn("nn", count(lit(1)).over(
-            Window.partitionBy()))
-          .filter(col("rn") === expr("(nn + 1) div 2"))
+        val base = dist.select(col("fdist"), col("doc_id"))
+          .repartitionByRange(32, col("fdist"), col("doc_id"))
+          .sortWithinPartitions(col("fdist"), col("doc_id"))
+          .withColumn("mid", monotonically_increasing_id())
+          .withColumn("pid", shiftright(col("mid"), 33))
+        val offsets = base.groupBy(col("pid"))
+          .agg(count(lit(1)).as("pcnt"))
+          .withColumn("offset", coalesce(sum(col("pcnt")).over(
+            Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("nn", sum(col("pcnt")).over(
+            Window.orderBy(col("pid")).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val med = base
+          .withColumn("rn_in", row_number().over(
+            Window.partitionBy(col("pid"))
+              .orderBy(col("fdist"), col("doc_id"))))
+          .join(broadcast(offsets.select(col("pid"), col("offset"),
+            col("nn"))), Seq("pid"))
+          .filter(col("offset") + col("rn_in") === expr("(nn + 1) div 2"))
           .select(col("fdist").as("med"))
         val cuts = dist.crossJoin(broadcast(med))
           .withColumn("cut", (col("fdist") > col("med")).cast("long"))
