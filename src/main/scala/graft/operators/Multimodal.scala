@@ -37,6 +37,60 @@ object Multimodal {
     Tables.t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("text").cast(BinaryType).as("payload"))
 
+  /** Shot-boundary cut frame shared by mm_scene_segments / mm_keyframes:
+    * one row per consecutive same-camera frame pair, carrying the total
+    * absolute byte distance, the CUT flag (distance > corpus-median pair
+    * distance — exact rank-(n+1)/2 selection via the distributed
+    * exact-rank idiom, no partition-less window over the corpus), and the
+    * gaps-and-islands segment id.
+    */
+  private[graft] def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    val frames = Tables.t(s, d, "documents")
+      .filter(length(col("text")) >= 16)
+    val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = frames
+      .select(col("source"), col("doc_id"))
+      .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+      .filter(col("prev_doc_id").isNotNull)
+    val bytes = frames
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text))")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
+    val dist = pairs.join(bytes, Seq("doc_id"))
+      .join(bytes.select(col("doc_id").as("prev_doc_id"),
+        col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
+      .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
+      .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
+    val base = dist.select(col("fdist"), col("doc_id"))
+      .repartitionByRange(32, col("fdist"), col("doc_id"))
+      .sortWithinPartitions(col("fdist"), col("doc_id"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33))
+    val offsets = base.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pcnt"))
+      .withColumn("offset", coalesce(sum(col("pcnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nn", sum(col("pcnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val med = base
+      .withColumn("rn_in", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("fdist"), col("doc_id"))))
+      .join(broadcast(offsets.select(col("pid"), col("offset"),
+        col("nn"))), Seq("pid"))
+      .filter(col("offset") + col("rn_in") === expr("(nn + 1) div 2"))
+      .select(col("fdist").as("med"))
+    dist.crossJoin(broadcast(med))
+      .withColumn("cut", (col("fdist") > col("med")).cast("long"))
+      .withColumn("seg_id", sum(col("cut")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Exact round-trip double literal for DuckDB (e-notation so the parser
     * types it DOUBLE, not DECIMAL — see geo_geodesic's oracle note).
     * Double.toString round-trips bit-exactly, so no rounding step is
@@ -1214,59 +1268,14 @@ object Multimodal {
     // the corpus-sized distance table, so the selection scales with
     // partitions, not one task.
     "mm_scene_segments" -> Q(
-      build = (s, d) => {
-        val frames = Tables.t(s, d, "documents")
-          .filter(length(col("text")) >= 16)
-        val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        val pairs = frames
-          .select(col("source"), col("doc_id"))
-          .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
-          .filter(col("prev_doc_id").isNotNull)
-        val bytes = frames
-          .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"),
-            col("text"))
-          .select(col("doc_id"), col("pos"),
-            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
-        val dist = pairs.join(bytes, Seq("doc_id"))
-          .join(bytes.select(col("doc_id").as("prev_doc_id"),
-            col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
-          .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
-          .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
-        val base = dist.select(col("fdist"), col("doc_id"))
-          .repartitionByRange(32, col("fdist"), col("doc_id"))
-          .sortWithinPartitions(col("fdist"), col("doc_id"))
-          .withColumn("mid", monotonically_increasing_id())
-          .withColumn("pid", shiftright(col("mid"), 33))
-        val offsets = base.groupBy(col("pid"))
-          .agg(count(lit(1)).as("pcnt"))
-          .withColumn("offset", coalesce(sum(col("pcnt")).over(
-            Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("nn", sum(col("pcnt")).over(
-            Window.orderBy(col("pid")).rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing)))
-        val med = base
-          .withColumn("rn_in", row_number().over(
-            Window.partitionBy(col("pid"))
-              .orderBy(col("fdist"), col("doc_id"))))
-          .join(broadcast(offsets.select(col("pid"), col("offset"),
-            col("nn"))), Seq("pid"))
-          .filter(col("offset") + col("rn_in") === expr("(nn + 1) div 2"))
-          .select(col("fdist").as("med"))
-        val cuts = dist.crossJoin(broadcast(med))
-          .withColumn("cut", (col("fdist") > col("med")).cast("long"))
-          .withColumn("seg_id", sum(col("cut")).over(
-            Window.partitionBy(col("source")).orderBy(col("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        cuts.groupBy(col("source"), col("seg_id"))
+      build = (s, d) =>
+        sceneCuts(s, d).groupBy(col("source"), col("seg_id"))
           .agg(min(col("prev_doc_id")).as("first_doc_id"),
             max(col("doc_id")).as("last_doc_id"),
             (count(lit(1)) + 1).as("n_frames"),
             (sum(col("fdist")).cast(DoubleType) / count(lit(1)))
               .as("mean_dist"))
-          .orderBy(col("source"), col("seg_id"))
-      },
+          .orderBy(col("source"), col("seg_id")),
       oracle = Some("""
         WITH frames AS (
           SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
@@ -1498,6 +1507,103 @@ object Multimodal {
                COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS seg_energy
         FROM act GROUP BY doc_id, grp
         HAVING COUNT(*) >= 2
-        ORDER BY doc_id, seg_start"""))
+        ORDER BY doc_id, seg_start""")),
+
+    // ----- mm_keyframes: per-scene representative frame ------------------
+    // The clip-level dedup/captioning prerequisite after shot
+    // segmentation: per scene segment (mm_scene_segments' cut frame,
+    // shared via sceneCuts), pick the SHARPEST member frame — the
+    // gradient-energy focus measure mm_focus_measure computes (squared
+    // 2-row vertical differences over the payload-as-image) — as the
+    // segment's representative. Candidates are the segment's non-boundary
+    // frames with a defined focus score (len >= 96); argmax by focus_sum,
+    // ties to the smaller doc_id, via the min-struct fold (map-side
+    // combine, no per-segment sort). Shape: the cut frame + one
+    // per-frame focus aggregate + one (source, seg) argmax — all linear,
+    // keyed shuffles only.
+    "mm_keyframes" -> Q(
+      build = (s, d) => {
+        val focus = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 96)
+          .select(col("doc_id"),
+            expr("CAST(floor(length(text)/32)*32 AS INT)").as("len32"),
+            col("text"))
+          .select(col("doc_id"), col("len32"),
+            explode(expr("sequence(1, len32 - 64)")).as("pos"), col("text"))
+          .select(col("doc_id"),
+            (expr("ascii(substring(text, pos + 64, 1))")
+              - expr("ascii(substring(text, pos, 1))")).as("dd"))
+          .groupBy(col("doc_id"))
+          .agg(sum((col("dd") * col("dd")).cast(LongType)).as("focus_sum"))
+        sceneCuts(s, d)
+          .select(col("source"), col("seg_id"), col("doc_id"))
+          .join(focus, Seq("doc_id"))
+          .withColumn("m", struct((-col("focus_sum")).as("nf"),
+            col("doc_id").as("kd")))
+          .groupBy(col("source"), col("seg_id"))
+          .agg(count(lit(1)).as("n_scored"), min(col("m")).as("m"))
+          .select(col("source"), col("seg_id"),
+            col("m.kd").as("key_doc_id"), (-col("m.nf")).as("focus_sum"),
+            col("n_scored"))
+          .orderBy(col("source"), col("seg_id"))
+      },
+      oracle = Some("""
+        WITH frames AS (
+          SELECT source, doc_id, text FROM documents WHERE length(text) >= 16),
+        pairs AS (
+          SELECT source, doc_id,
+                 lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS prev_doc_id
+          FROM frames
+          QUALIFY prev_doc_id IS NOT NULL),
+        bytes AS (
+          SELECT doc_id, g.pos,
+                 CAST(ascii(substr(text, g.pos, 1)) AS BIGINT) AS b
+          FROM frames, generate_series(1, 1024) AS g(pos)
+          WHERE g.pos <= length(text)),
+        dist AS (
+          SELECT p.source, p.doc_id, p.prev_doc_id,
+                 CAST(SUM(abs(c.b - pv.b)) AS BIGINT) AS fdist
+          FROM pairs p
+          JOIN bytes c ON c.doc_id = p.doc_id
+          JOIN bytes pv ON pv.doc_id = p.prev_doc_id AND pv.pos = c.pos
+          GROUP BY 1, 2, 3),
+        med AS (
+          SELECT fdist AS med FROM (
+            SELECT fdist,
+                   ROW_NUMBER() OVER (ORDER BY fdist, doc_id) AS rn,
+                   COUNT(*) OVER () AS nn
+            FROM dist)
+          WHERE rn = (nn + 1) // 2),
+        segs AS (
+          SELECT d.source, d.doc_id,
+                 CAST(SUM(CAST(d.fdist > m.med AS BIGINT))
+                   OVER (PARTITION BY d.source ORDER BY d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS seg_id
+          FROM dist d, med m),
+        focus AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(dd*dd AS BIGINT)) AS BIGINT) AS focus_sum
+          FROM (
+            SELECT doc_id,
+                   ascii(substr(text, CAST(pos + 64 AS INT), 1))
+                     - ascii(substr(text, CAST(pos AS INT), 1)) AS dd
+            FROM (
+              SELECT doc_id, CAST(floor(length(text)/32)*32 AS INT) AS len32,
+                     text
+              FROM documents WHERE length(text) >= 96),
+              generate_series(1, 960) AS g(pos)
+            WHERE pos <= len32 - 64)
+          GROUP BY 1),
+        cand AS (
+          SELECT s.source, s.seg_id, s.doc_id, f.focus_sum,
+                 ROW_NUMBER() OVER (PARTITION BY s.source, s.seg_id
+                   ORDER BY f.focus_sum DESC, s.doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY s.source, s.seg_id) AS n_scored
+          FROM segs s JOIN focus f ON f.doc_id = s.doc_id)
+        SELECT source, seg_id, doc_id AS key_doc_id, focus_sum, n_scored
+        FROM cand WHERE rk = 1
+        ORDER BY source, seg_id"""))
   )
 }

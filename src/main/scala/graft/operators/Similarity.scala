@@ -47,7 +47,7 @@ object Similarity {
     * the cell-keyed pair join with exact quantized-cosine scoring.
     * Returns (vec_a, vec_b) edges with cos_sim >= 0.3 inside a cell.
     */
-  private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semanticScoredPairs(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
     // codebook: quantized per-label mean vectors (same arithmetic as
     // emb_centroids / emb_ivf_topk — exact in both engines)
@@ -82,9 +82,12 @@ object Similarity {
     a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
         / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
-      .filter(col("cos_sim") >= 0.3)
-      .select(col("vec_a"), col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
+
+  private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame =
+    semanticScoredPairs(s, d).filter(col("cos_sim") >= 0.3)
+      .select(col("vec_a"), col("vec_b"))
 
   /** Brute-force exact cosine top-5 for the probe set (vec_id < 10) —
     * emb_cosine_topk's body, shared with emb_recall_at_k as the ANN
@@ -1937,6 +1940,94 @@ object Similarity {
         SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
                label AS major_label, nl AS n_major,
                CAST(nl AS DOUBLE) / n_vecs AS purity
-        FROM pick WHERE rm = 1 ORDER BY cell"""))
+        FROM pick WHERE rm = 1 ORDER BY cell""")),
+
+    // ----- emb_dedup_sweep: threshold sweep for semantic dedup -----------
+    // The calibration run before committing a SemDeDup pass at scale:
+    // for each candidate cosine threshold, how many pairs fire and what
+    // fraction of the corpus survives the keep-smallest-id rule
+    // (removed = vectors with ANY smaller-id neighbor at >= t — the same
+    // IVF-cell-blocked candidate pairs emb_semantic_dedup clusters, so
+    // the sweep prices exactly the dedup that would run). The curve is
+    // what picks the production threshold; emb_ann_sweep is the recall
+    // analogue for the index side. Shape: the cell-blocked pair frame
+    // once (O(Σcell²), never corpus²), a 5-way threshold explode on the
+    // already-filtered survivors, two-stage distinct on (thresh, vec_b).
+    "emb_dedup_sweep" -> Q(
+      build = (s, d) => {
+        val pairs = semanticScoredPairs(s, d)
+        val tot = emb(s, d).agg(count(lit(1)).as("n_vec"))
+        val th = s.range(1)
+          .select(explode(expr("array(0.2D, 0.3D, 0.4D, 0.5D, 0.6D)"))
+            .as("thresh"))
+        val fired = pairs
+          .filter(col("cos_sim") >= 0.2)
+          .select(col("vec_b"), col("cos_sim"),
+            explode(expr("array(0.2D, 0.3D, 0.4D, 0.5D, 0.6D)")).as("thresh"))
+          .filter(col("cos_sim") >= col("thresh"))
+          .groupBy(col("thresh"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("vec_b")).as("n_removed"))
+        // dry thresholds stay on the curve as explicit zeros
+        th.join(fired, Seq("thresh"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("thresh"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            ((col("n_vec") - coalesce(col("n_removed"), lit(0L)))
+              .cast(DoubleType) / col("n_vec").cast(DoubleType))
+              .as("kept_frac"))
+          .orderBy(col("thresh"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        cent AS (
+          SELECT label AS c_label, i,
+                 CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / (16384.0*COUNT(*)) AS c
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+        dotq AS (
+          SELECT e.vec_id, c.c_label,
+                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[c.i] AS DOUBLE)*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dq
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, c_label AS cell FROM (
+            SELECT vec_id, c_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq DESC, c_label) AS rn
+            FROM dotq) WHERE rn = 1),
+        dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
+          FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id
+          JOIN assign sb ON sb.cell = sa.cell
+          JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT d.vec_b,
+                 CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nq AS DOUBLE))*sqrt(CAST(nb.nq AS DOUBLE)))
+                   AS cos_sim
+          FROM dots d
+          JOIN n na ON na.vec_id = d.vec_a
+          JOIN n nb ON nb.vec_id = d.vec_b),
+        th AS (SELECT unnest([0.2e0, 0.3e0, 0.4e0, 0.5e0, 0.6e0]) AS thresh),
+        tot AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+        fired AS (
+          SELECT t.thresh, COUNT(*) AS n_pairs,
+                 COUNT(DISTINCT s.vec_b) AS n_removed
+          FROM sims s JOIN th t ON s.cos_sim >= t.thresh
+          GROUP BY 1)
+        SELECT t.thresh,
+               COALESCE(f.n_pairs, 0) AS n_pairs,
+               COALESCE(f.n_removed, 0) AS n_removed,
+               CAST(o.n_vec - COALESCE(f.n_removed, 0) AS DOUBLE)
+                 / o.n_vec AS kept_frac
+        FROM th t LEFT JOIN fired f ON f.thresh = t.thresh
+        CROSS JOIN tot o
+        ORDER BY t.thresh"""))
   )
 }

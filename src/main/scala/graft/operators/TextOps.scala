@@ -17,6 +17,39 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** Distributed per-group exact rank: appends `rn` (1-based rank of each
+    * row within its `grp`, ordered by (ord, tie)) and `n_grp` (group
+    * size) without ever running a window over an unbounded partition —
+    * the per-group twin of the q53 global-rank idiom. Range partition on
+    * (grp, ord, tie); per-(partition, group) counts (a partitions×groups
+    * frame) accumulate into broadcast offsets; global rank = offset +
+    * within-partition row_number over the (pid, grp) slice. A 99%-one-
+    * group corpus still ranks across all partitions in parallel.
+    */
+  private def groupRank(df: DataFrame, grp: String, ord: String,
+      tie: String): DataFrame = {
+    val base = df
+      .repartitionByRange(32, col(grp), col(ord), col(tie))
+      .sortWithinPartitions(col(grp), col(ord), col(tie))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33))
+    val offsets = base.groupBy(col("pid"), col(grp))
+      .agg(count(lit(1)).as("pcnt"))
+      .withColumn("offset", coalesce(sum(col("pcnt")).over(
+        Window.partitionBy(col(grp)).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_grp", sum(col("pcnt")).over(
+        Window.partitionBy(col(grp))))
+    base
+      .withColumn("rn_in", row_number().over(
+        Window.partitionBy(col("pid"), col(grp))
+          .orderBy(col(ord), col(tie))))
+      .join(broadcast(offsets.select(col("pid"), col(grp), col("offset"),
+        col("n_grp"))), Seq("pid", grp))
+      .withColumn("rn", col("offset") + col("rn_in"))
+      .drop("mid", "pid", "rn_in", "offset")
+  }
+
   /** BPE training rounds for doc_bpe_train (vocab-sized work per round). */
   private val BpeRounds = 8
 
@@ -2940,9 +2973,12 @@ object TextOps {
     // middle (maybe), tail (drop) — the published 1/3-2/3 recipe
     // (Wenzek et al. 2019) with the same 6-decimal-rounded DECIMAL-exact
     // surprisal sums, so the ordering key is engine-identical and ties
-    // break on doc_id. The per-language ntile is a per-lang sort: at
-    // 100 TB swap in the q22_distribution range-partitioned rank — the
-    // decile boundary only needs a percentile sketch, not a total order.
+    // break on doc_id. Deciles come from the distributed per-group exact
+    // rank (groupRank — no per-language window ever sees an unbounded
+    // partition) through NTILE's exact closed form (front-loaded tiles:
+    // the first n mod 10 tiles get the extra row), so the output is
+    // bit-identical to the oracle's ntile(10) while ranking an
+    // all-one-language corpus in parallel.
     "doc_perplexity_prune" -> Q(
       build = (s, d) => {
         val toks = docs(s, d)
@@ -2959,9 +2995,14 @@ object TextOps {
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_tokens"),
             (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("mean_nll"))
-        perDoc
-          .withColumn("decile", ntile(10).over(Window.partitionBy(col("lang"))
-            .orderBy(col("mean_nll"), col("doc_id"))))
+        groupRank(perDoc, "lang", "mean_nll", "doc_id")
+          .withColumn("decile", expr(
+            """CAST(CASE WHEN rn <= (n_grp % 10) * (n_grp div 10 + 1)
+                 THEN (rn - 1) div (n_grp div 10 + 1) + 1
+                 ELSE (n_grp % 10)
+                      + (rn - (n_grp % 10) * (n_grp div 10 + 1) - 1)
+                        div (n_grp div 10) + 1
+               END AS INT)"""))
           .withColumn("bucket",
             when(col("decile") <= 3, "head")
               .when(col("decile") <= 7, "middle").otherwise("tail"))
@@ -3703,6 +3744,177 @@ object TextOps {
                  AS mean_est_ratio
         FROM src s JOIN dup d ON d.source = s.source
         JOIN er e ON e.source = s.source
-        ORDER BY s.source"""))
+        ORDER BY s.source""")),
+
+    // ----- doc_soft_dedup: inverse-cluster-size sampling weights ---------
+    // Soft deduplication (the published alternative to hard dropping —
+    // keep every copy but downweight it so the training distribution sees
+    // each distinct content once): exact content-hash clusters, per-doc
+    // sampling weight 1/cluster_size, effective char mass n_chars/size.
+    // Unlike doc_exact_dedup (keeper per hash) / doc_dedup_keep_best
+    // (quality argmax), the output here is per-DOC — the weight column a
+    // sampler multiplies into its rates. Shape: one hash groupBy + one
+    // hash-keyed join, both map-side combinable; weights are single IEEE
+    // divisions of exact integers — bit-identical cross-engine.
+    "doc_soft_dedup" -> Q(
+      build = (s, d) => {
+        val hashed = docs(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            md5(col("text").cast(BinaryType)).as("h"))
+        val sizes = hashed.groupBy(col("h"))
+          .agg(count(lit(1)).as("cluster_size"))
+        hashed.join(sizes, "h")
+          .select(col("doc_id"), col("cluster_size"),
+            (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"),
+            (col("n_chars").cast(DoubleType)
+              / col("cluster_size").cast(DoubleType)).as("eff_chars"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+        sizes AS (SELECT h, COUNT(*) AS cluster_size FROM hashed GROUP BY 1)
+        SELECT a.doc_id, s.cluster_size,
+               1.0e0 / s.cluster_size AS weight,
+               CAST(a.n_chars AS DOUBLE) / s.cluster_size AS eff_chars
+        FROM hashed a JOIN sizes s ON s.h = a.h
+        ORDER BY a.doc_id""")),
+
+    // ----- doc_ccnet_buckets: per-language perplexity tertiles -----------
+    // The CCNet corpus layout (Wenzek et al. 2020, public): documents
+    // split per language into head/middle/tail by LM-perplexity rank —
+    // head trains, tail is held for filtering studies. Score = the
+    // doc_unigram_logprob mean surprisal (6-decimal-rounded DECIMAL-exact
+    // terms). Ranking within each language uses the two-level distributed
+    // exact-rank idiom (range partition on (lang, score, doc_id),
+    // per-(partition, lang) offsets broadcast back) — no per-language
+    // window ever sees a corpus-sized partition, so a 99%-English corpus
+    // (this one) still ranks in parallel. Bucket rule: rank*3 <= n →
+    // head, <= 2n → middle, else tail. Output is langs×buckets rows with
+    // order-free min/max cutoffs.
+    "doc_ccnet_buckets" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("n_total"))
+        val scored = toks.join(model, "term")
+          .crossJoin(broadcast(total))
+          .withColumn("nll",
+            round(-log(col("cnt").cast(DoubleType) / col("n_total")), 6)
+              .cast(DecimalType(18, 6)))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg((sum(col("nll")).cast(DoubleType) / count(lit(1)))
+            .as("mean_nll"))
+        groupRank(scored, "lang", "mean_nll", "doc_id")
+          .withColumn("bucket",
+            when(col("rn") * 3 <= col("n_grp"), "head")
+              .when(col("rn") * 3 <= col("n_grp") * 2, "middle")
+              .otherwise(lit("tail")))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("mean_nll")).as("min_nll"),
+            max(col("mean_nll")).as("max_nll"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        toks_f AS (SELECT * FROM toks WHERE term <> ''),
+        model AS (SELECT term, COUNT(*) AS cnt FROM toks_f GROUP BY 1),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model),
+        scored AS (
+          SELECT t.doc_id, t.lang,
+                 CAST(SUM(CAST(round(-ln(CAST(m.cnt AS DOUBLE) / n_total), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_nll
+          FROM toks_f t JOIN model m ON t.term = m.term, total
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY mean_nll, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM scored),
+        bucketed AS (
+          SELECT lang, mean_nll,
+                 CASE WHEN rn * 3 <= n_lang THEN 'head'
+                      WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM ranked)
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+               MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
+        FROM bucketed GROUP BY 1, 2
+        ORDER BY lang, bucket""")),
+
+    // ----- doc_token_budget: water-filling per-source token allocation ---
+    // The mixture-assembly step after doc_mixture_weights proposes shares:
+    // given a global token budget B (here total/3), find the per-source
+    // cap C such that sum(min(tokens_s, C)) = B — classic water-filling.
+    // Sources below the water level keep everything; the rest are capped
+    // at the common level. Closed form over the source aggregate: sort
+    // ascending, the level lands in the first segment where
+    // prefix + tokens·remaining >= B, C = (B - prefix) div remaining —
+    // pure integer math, bit-exact. Shape: one combinable source
+    // aggregate (sources-sized ever after), one window over that
+    // bounded frame, one broadcast scalar join back.
+    "doc_token_budget" -> Q(
+      build = (s, d) => {
+        val g = docs(s, d).groupBy(col("source"))
+          .agg(sum((length(col("text"))
+            - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast(LongType)).as("n_tokens"))
+        val tot = g.agg(count(lit(1)).as("n_src"),
+          sum(col("n_tokens")).as("tot"))
+        val w = Window.orderBy(col("n_tokens"), col("source"))
+        val ws = g
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prefix", coalesce(sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget", expr("tot div 3"))
+        val level = ws
+          .filter(col("prefix")
+            + col("n_tokens") * (col("n_src") - col("rn") + 1)
+            >= col("budget"))
+          .agg(min(struct(col("rn"), col("prefix"), col("n_src"),
+            col("budget"))).as("m"))
+          // BIGINT div, not double /: exact at any token scale
+          .select(expr(
+            "(m.budget - m.prefix) div (m.n_src - m.rn + 1)").as("cap"))
+        g.crossJoin(broadcast(level))
+          .select(col("source"), col("n_tokens"), col("cap"),
+            least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+            (col("n_tokens") > col("cap")).as("capped"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT source,
+                 CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                   AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_src, CAST(SUM(n_tokens) AS BIGINT) AS tot
+                FROM g),
+        ws AS (
+          SELECT g.source, g.n_tokens, t.n_src, t.tot // 3 AS budget,
+                 ROW_NUMBER() OVER (ORDER BY g.n_tokens, g.source) AS rn,
+                 COALESCE(SUM(g.n_tokens) OVER (
+                   ORDER BY g.n_tokens, g.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+          FROM g, tot t),
+        level AS (
+          SELECT (budget - prefix) // (n_src - rn + 1) AS cap
+          FROM ws
+          WHERE prefix + n_tokens * (n_src - rn + 1) >= budget
+          ORDER BY rn LIMIT 1)
+        SELECT g.source, g.n_tokens, l.cap,
+               least(g.n_tokens, l.cap) AS alloc_tokens,
+               g.n_tokens > l.cap AS capped
+        FROM g, level l
+        ORDER BY g.source"""))
   )
 }
