@@ -14,8 +14,10 @@ run / fork := true
 // The driver parses Bench's one-line JSON from stdout; sbt's default
 // logger would prefix every forked-run line with "[info] ", breaking a
 // line-oriented json.loads. StdoutOutput passes the child's stdout
-// through undecorated.
+// through undecorated, and suppressing the "[success] Total time" epilog
+// keeps the JSON line the LAST line of the whole sbt invocation.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
