@@ -78,6 +78,28 @@ object PipelineDemo {
       .filter(col("cap_rn") <= 100).drop("cap_rn")
     println(s"after source cap: ${capped.count()}")
 
+    // per-source token budget (water-filling level over the kept corpus):
+    // report how a global budget of total/3 tokens would be allocated
+    val srcTok = capped.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = srcTok.agg(count(lit(1)).as("n_src"),
+      sum(col("src_tokens")).as("tot"))
+    val wAsc = Window.orderBy(col("src_tokens"), col("source"))
+    val level = srcTok
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("prefix", coalesce(sum(col("src_tokens")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("prefix")
+        + col("src_tokens") * (col("n_src") - col("rn") + 1) >= expr("tot div 3"))
+      .agg(min(struct(col("rn"), col("prefix"), col("n_src"),
+        expr("tot div 3").as("budget"))).as("m"))
+      .select(expr("(m.budget - m.prefix) div (m.n_src - m.rn + 1)").as("cap"))
+    val alloc = srcTok.crossJoin(broadcast(level))
+      .select(sum(least(col("src_tokens"), col("cap"))).as("alloc"))
+      .head().getLong(0)
+    println(s"token budget (total/3) water-filled allocation: $alloc tokens")
+
     // growth-stable hash split
     val split = capped.withColumn("split",
       when(substring(md5(concat(col("doc_id").cast(StringType), lit(":s3"))
