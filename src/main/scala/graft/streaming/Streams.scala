@@ -101,6 +101,42 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("val_sum"))
 
+  case class DocIn(doc_id: Long, content_hash: String)
+  case class DocCopy(doc_id: Long, content_hash: String, copy_idx: Long)
+
+  /** stream_soft_dedup: streaming duplicate-pressure counter — the
+    * streaming form of doc_soft_dedup. Keyed by content hash, each
+    * arriving doc is emitted with its 1-based copy index (copy_idx = 1 is
+    * an exact-dedup filter; the batch soft-dedup weight for a cluster of
+    * size n is recoverable downstream from max(copy_idx)). Within a batch
+    * arrivals order by doc_id so replays are deterministic. State is one
+    * counter per hash; with `ttl` set it is expired after that idle window
+    * (ProcessingTimeTimeout), so the state store is bounded by the
+    * active-duplication horizon — the same bounded-state contract as
+    * doc_bloom_dedup's filter. `ttl = None` keeps counters forever, the
+    * deterministic mode used by the spec.
+    */
+  def softDedupStream(docs: Dataset[DocIn],
+      ttl: Option[String] = Some("1 hour")): Dataset[DocCopy] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, DocCopy](OutputMode.Append, timeoutConf) {
+        (h, batch, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.getOrElse(0L)
+            val out = batch.toSeq.sortBy(_.doc_id).map { dd =>
+              n += 1; DocCopy(dd.doc_id, h, n)
+            }
+            state.update(n)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** stream_dedup: at-least-once feed → exactly-once records, the
     * streaming form of ts_dedup (replayed ODIN archives re-deliver).
     * State is bounded by the watermark horizon.

@@ -102,4 +102,25 @@ class StreamingDedupSpec extends SparkSpecBase {
     q.stop()
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stream_soft_dedup counts copies per content hash across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.DocIn]
+    val q = Streams.softDedupStream(in.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("softdedup_out")
+      .outputMode("append").start()
+    in.addData(Streams.DocIn(1, "aaa"), Streams.DocIn(2, "bbb"),
+      Streams.DocIn(3, "aaa"))
+    q.processAllAvailable()
+    in.addData(Streams.DocIn(4, "aaa"), Streams.DocIn(5, "bbb"))
+    q.processAllAvailable()
+    val out = spark.table("softdedup_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("content_hash"),
+        r.getAs[Long]("copy_idx"))).sortBy(_._1)
+    q.stop()
+    // copy index increments within AND across batches, per hash
+    assert(out.toSeq == Seq((1L, "aaa", 1L), (2L, "bbb", 1L),
+      (3L, "aaa", 2L), (4L, "aaa", 3L), (5L, "bbb", 2L)))
+  }
 }
