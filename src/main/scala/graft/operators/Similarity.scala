@@ -42,6 +42,10 @@ object Similarity {
   private def lshSign(p: Int, c: Int): Long =
     if ((splitmix64(p * 64L + c) & 1L) == 0L) 1L else -1L
 
+  // emb_jl_sketch's ±1 projection matrix (distinct splitmix64 stream)
+  private def jlSign(dd: Int, c: Int): Long =
+    if ((splitmix64(1000003L + dd * 64L + c) & 1L) == 0L) 1L else -1L
+
   /** emb_semantic_dedup's candidate stage, exposed for plan specs: IVF
     * cell assignment (argmax quantized dot vs the codebook centroids) and
     * the cell-keyed pair join with exact quantized-cosine scoring.
@@ -2028,6 +2032,112 @@ object Similarity {
                  / o.n_vec AS kept_frac
         FROM th t LEFT JOIN fired f ON f.thresh = t.thresh
         CROSS JOIN tot o
-        ORDER BY t.thresh"""))
+        ORDER BY t.thresh""")),
+
+    // ----- emb_jl_sketch: random-projection ANN + recall probe ------------
+    // Johnson-Lindenstrauss dimensionality reduction as a search index:
+    // project 64-dim vectors to 16 dims through a deterministic ±1 sign
+    // matrix (splitmix64 parity — the emb_lsh_ann discipline, distinct
+    // seed), search top-10 by squared L2 in the PROJECTED space, and score
+    // recall against the exact quantized-L2 top-10. The scale story is the
+    // 4× distance-compute reduction (and the JL guarantee that pairwise
+    // L2 survives the projection): projections are exact BIGINTs
+    // (±-signed sums of 2^20-quantized coordinates, order-free), so every
+    // ranking — and the recall — is bit-reproducible in the oracle.
+    "emb_jl_sketch" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+        val xq = transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+        // 16 projected coordinates as one array column: y_d = Σ_j s(d,j)·xq_j
+        val proj = (0 until 16).map { dd =>
+          val signs = typedLit((0 until 64).map(c => jlSign(dd, c)))
+          aggregate(zip_with(xq, signs, (x, sg) => x * sg),
+            lit(0L), (acc, x) => acc + x)
+        }
+        val y = e.select(col("vec_id"), array(proj: _*).as("y"))
+        val qy = y.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("y").as("qy"))
+        val jlDist = y.join(broadcast(qy), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("d2", aggregate(
+            zip_with(col("qy"), col("y"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        val wJl = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("d2"), col("vec_id"))
+        val jlTop = jlDist.withColumn("rn", row_number().over(wJl))
+          .filter(col("rn") <= 10)
+          .select(col("q_vec_id"), col("vec_id"))
+        // exact ground truth: squared L2 on the same quantized coordinates
+        val ex = e.select(col("vec_id"), xq.as("xq"))
+        val qx = ex.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("xq").as("qx"))
+        val exDist = ex.join(broadcast(qx), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("d2", aggregate(
+            zip_with(col("qx"), col("xq"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        val exTop = exDist.withColumn("rn", row_number().over(wJl))
+          .filter(col("rn") <= 10)
+          .select(col("q_vec_id"), col("vec_id"))
+        qx.select(col("q_vec_id"))
+          .join(jlTop.join(exTop, Seq("q_vec_id", "vec_id"))
+            .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_overlap")),
+            Seq("q_vec_id"), "left")
+          .select(col("q_vec_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) / 10.0)
+              .as("recall_at_10"))
+          .orderBy(col("q_vec_id"))
+      },
+      oracle = Some {
+        val signRows = (for {
+          dd <- 0 until 16
+          c <- 0 until 64
+        } yield s"($dd,${c + 1},${jlSign(dd, c)})").mkString(",")
+        s"""
+        WITH signs(d, i, s) AS (VALUES $signRows),
+        xq AS (
+          SELECT vec_id, t.i AS i,
+                 CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1048576) AS BIGINT)
+                   AS xq
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        y AS (
+          SELECT x.vec_id, g.d, CAST(SUM(x.xq * g.s) AS BIGINT) AS y
+          FROM xq x JOIN signs g ON g.i = x.i GROUP BY 1, 2),
+        jl_d AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id,
+                 CAST(SUM((q.y - e.y)*(q.y - e.y)) AS BIGINT) AS d2
+          FROM (SELECT * FROM y WHERE vec_id < 10) q
+          JOIN y e ON e.d = q.d AND e.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        jl_top AS (
+          SELECT q_vec_id, vec_id FROM (
+            SELECT q_vec_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                     ORDER BY d2, vec_id) AS rn
+            FROM jl_d) WHERE rn <= 10),
+        ex_d AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id,
+                 CAST(SUM((q.xq - e.xq)*(q.xq - e.xq)) AS BIGINT) AS d2
+          FROM (SELECT * FROM xq WHERE vec_id < 10) q
+          JOIN xq e ON e.i = q.i AND e.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        ex_top AS (
+          SELECT q_vec_id, vec_id FROM (
+            SELECT q_vec_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                     ORDER BY d2, vec_id) AS rn
+            FROM ex_d) WHERE rn <= 10),
+        hit AS (
+          SELECT j.q_vec_id, COUNT(*) AS n_overlap
+          FROM jl_top j JOIN ex_top x
+            ON x.q_vec_id = j.q_vec_id AND x.vec_id = j.vec_id
+          GROUP BY 1)
+        SELECT q.vec_id AS q_vec_id,
+               COALESCE(h.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+        LEFT JOIN hit h ON h.q_vec_id = q.vec_id
+        ORDER BY q_vec_id"""
+      })
   )
 }

@@ -3931,6 +3931,111 @@ object TextOps {
                least(g.n_tokens, l.cap) AS alloc_tokens,
                g.n_tokens > l.cap AS capped
         FROM g, level l
-        ORDER BY g.source"""))
+        ORDER BY g.source""")),
+
+    // ----- doc_chunk_windows: overlapping context-window chunker ----------
+    // The other half of sequence assembly: doc_pack_sequences packs SHORT
+    // docs into fixed windows; this SPLITS long docs into overlapping
+    // 64-token windows with stride 48 (16-token overlap carries context
+    // across the cut — the standard long-document chunker in front of any
+    // fixed-context model). Chunk count is the closed form 1 +
+    // ceil((n−64)/48) for n>64 (a trailing window fully contained in the
+    // previous one is never emitted), so the explode is bounded by
+    // n_tokens/48 — linear in corpus size, keyed by doc. The chunk
+    // fingerprint is md5 of the re-joined token slice (byte-identical in
+    // both engines), the id a downstream exact-dedup consumes directly.
+    "doc_chunk_windows" -> Q(
+      build = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast(LongType))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(expr(
+              "sequence(0L, CASE WHEN n > 64 THEN (n - 17) DIV 48 ELSE 0L END)"))
+              .as("k"))
+          .select(col("doc_id"), col("k").as("chunk_idx"),
+            (col("k") * 48 + 1).as("tok_start"),
+            least(col("k") * 48 + 64, col("n")).as("tok_end"),
+            (least(col("k") * 48 + 64, col("n")) - col("k") * 48)
+              .as("n_chunk_tokens"),
+            md5(concat_ws(" ",
+              slice(col("toks"), (col("k") * 48 + 1).cast(IntegerType), lit(64))))
+              .as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        ks AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                   CASE WHEN n > 64 THEN (n - 17) // 48 ELSE 0 END)) AS k
+          FROM base)
+        SELECT doc_id, k AS chunk_idx,
+               k * 48 + 1 AS tok_start,
+               least(k * 48 + 64, n) AS tok_end,
+               least(k * 48 + 64, n) - k * 48 AS n_chunk_tokens,
+               md5(array_to_string(
+                 toks[CAST(k * 48 + 1 AS INT) :
+                      CAST(least(k * 48 + 64, n) AS INT)], ' ')) AS chunk_md5
+        FROM ks ORDER BY doc_id, chunk_idx""")),
+
+    // ----- doc_heaps_curve: vocabulary growth checkpoints -----------------
+    // Heaps'-law curve for the corpus: at 10 doc-count checkpoints, the
+    // cumulative token count N and distinct-type count V (plus the exact
+    // integer type/token ratio). The scan shape is the Heaps trick
+    // itself: V(c) needs no re-scan per checkpoint — each type carries its
+    // FIRST-SEEN doc (a min-groupBy), and both curves come from joining
+    // the 10-row broadcast checkpoint list against vocab-sized / doc-sized
+    // stats frames, never against raw text twice. Tells a data curator
+    // whether more of the same source still buys new vocabulary.
+    "doc_heaps_curve" -> Q(
+      build = (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val firstSeen = toks.groupBy(col("tok"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"))
+        val ck = docs(s, d).agg(count(lit(1)).as("n_docs"))
+          .select(col("n_docs"),
+            explode(expr("sequence(1L, 10L)")).as("ckpt"))
+          .select(col("ckpt"), expr("(ckpt * n_docs) DIV 10").as("cutoff"))
+        val nTok = broadcast(ck)
+          .join(perDoc, perDoc("doc_id") < ck("cutoff"))
+          .groupBy(col("ckpt"), col("cutoff"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+        val vTypes = broadcast(ck)
+          .join(firstSeen, firstSeen("first_doc") < ck("cutoff"))
+          .groupBy(col("ckpt"))
+          .agg(count(lit(1)).as("v_types"))
+        nTok.join(vTypes, Seq("ckpt"))
+          .select(col("ckpt"), col("cutoff"), col("n_tokens"), col("v_types"),
+            expr("(v_types * 1000000) DIV n_tokens").as("ttr_x1e6"))
+          .orderBy(col("ckpt"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        first_seen AS (
+          SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        ck AS (
+          SELECT i AS ckpt, (i * (SELECT COUNT(*) FROM documents)) // 10
+                   AS cutoff
+          FROM generate_series(1, 10) AS t(i)),
+        nt AS (
+          SELECT c.ckpt, c.cutoff, CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens
+          FROM ck c JOIN per_doc p ON p.doc_id < c.cutoff GROUP BY 1, 2),
+        vt AS (
+          SELECT c.ckpt, CAST(COUNT(*) AS BIGINT) AS v_types
+          FROM ck c JOIN first_seen f ON f.first_doc < c.cutoff GROUP BY 1)
+        SELECT n.ckpt, n.cutoff, n.n_tokens, v.v_types,
+               (v.v_types * 1000000) // n.n_tokens AS ttr_x1e6
+        FROM nt n JOIN vt v ON v.ckpt = n.ckpt
+        ORDER BY n.ckpt"""))
   )
 }

@@ -3842,7 +3842,64 @@ object TimeSeries {
                      CAST((s3[1] - s3[2]) * (s3[1] - s3[2]) AS BIGINT))
                  WHEN e1 THEN 1 WHEN e2 THEN 2 WHEN e3 THEN 3
                  ELSE 4 END AS dominant_level
-        FROM lvl3 ORDER BY user_id, wi"""))
+        FROM lvl3 ORDER BY user_id, wi""")),
+
+    // ----- ts_hampel: rolling-median outlier repair -----------------------
+    // The Hampel filter — the despiking pass sensor pipelines run before
+    // any model sees the series (odin_sentinel's per-capability record
+    // streams are exactly this shape): centered 7-sample window per
+    // entity, local median + MAD, flag |x−med| > 3·1.4826·MAD and repair
+    // by the median. ts_anomaly_mad is the GLOBAL per-entity version; this
+    // is the rolling one that survives level shifts. Integer cents make
+    // the 7-element medians exact (odd count → a sorted-array pick, no
+    // interpolation), and the 3σ test is the integer cross-multiplication
+    // |x−med|·10000 > 44478·MAD — zero doubles until the output cast.
+    // Scale: the window is 7 rows per entity (bounded), partitioned by
+    // user_id; one window pass, no joins.
+    "ts_hampel" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+          .rowsBetween(-3, 3)
+        ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"), col("value"),
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("c"))
+          .withColumn("win", collect_list(col("c")).over(w))
+          .filter(size(col("win")) === 7)
+          .withColumn("med", expr("array_sort(win)[3]"))
+          .withColumn("mad",
+            expr("array_sort(transform(win, x -> abs(x - med)))[3]"))
+          .withColumn("is_outlier",
+            abs(col("c") - col("med")) * 10000L > col("mad") * 44478L)
+          .select(col("user_id"), col("event_id"), col("value"),
+            (col("med").cast(DoubleType) / 100.0).as("local_median"),
+            col("is_outlier"),
+            (when(col("is_outlier"), col("med")).otherwise(col("c"))
+              .cast(DoubleType) / 100.0).as("repaired"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH cents AS (
+          SELECT user_id, $TS AS ts_sec, event_id, value,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS c
+          FROM events),
+        win AS (
+          SELECT user_id, event_id, value, c,
+                 list(c) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+          FROM cents),
+        stats AS (
+          SELECT user_id, event_id, value, c,
+                 list_sort(w)[4] AS med,
+                 list_sort(list_transform(w, x -> abs(x - list_sort(w)[4])))[4]
+                   AS mad
+          FROM win WHERE len(w) = 7)
+        SELECT user_id, event_id, value,
+               CAST(med AS DOUBLE) / 100.0 AS local_median,
+               abs(c - med) * 10000 > mad * 44478 AS is_outlier,
+               CAST(CASE WHEN abs(c - med) * 10000 > mad * 44478
+                         THEN med ELSE c END AS DOUBLE) / 100.0 AS repaired
+        FROM stats ORDER BY user_id, event_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
