@@ -1604,6 +1604,114 @@ object Multimodal {
           FROM segs s JOIN focus f ON f.doc_id = s.doc_id)
         SELECT source, seg_id, doc_id AS key_doc_id, focus_sum, n_scored
         FROM cand WHERE rk = 1
-        ORDER BY source, seg_id"""))
+        ORDER BY source, seg_id""")),
+
+    // ----- mm_channel_balance: gray-world white-balance gains -------------
+    // The color-cast correction pass (gray-world assumption: a scene
+    // averages to gray, so per-channel gain = overall mean / channel
+    // mean): payload bytes as interleaved RGB triples, per-channel integer
+    // sums, gains as exact integer millionths — gain = S_tot/(3·S_ch),
+    // never a double until the consumer applies it. One map-side-combined
+    // aggregation per doc; the channel pivot is three conditional sums,
+    // no joins. ASCII payloads are ≥ 32 so no zero-sum guard fires on
+    // this data, but the guard is there for real image bytes.
+    "mm_channel_balance" -> Q(
+      build = (s, d) =>
+        Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, CAST(floor(length(text)/3)*3 AS INT))"))
+              .as("pos"),
+            col("text"))
+          .select(col("doc_id"), expr("(pos - 1) % 3").as("ch"),
+            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("b")).as("s_tot"),
+            sum(when(col("ch") === 0, col("b")).otherwise(0L)).as("s_r"),
+            sum(when(col("ch") === 1, col("b")).otherwise(0L)).as("s_g"),
+            sum(when(col("ch") === 2, col("b")).otherwise(0L)).as("s_b"))
+          .select(col("doc_id"), col("s_r"), col("s_g"), col("s_b"),
+            expr("CASE WHEN s_r > 0 THEN (s_tot * 1000000) DIV (3 * s_r) END")
+              .as("gain_r_x1e6"),
+            expr("CASE WHEN s_g > 0 THEN (s_tot * 1000000) DIV (3 * s_g) END")
+              .as("gain_g_x1e6"),
+            expr("CASE WHEN s_b > 0 THEN (s_tot * 1000000) DIV (3 * s_b) END")
+              .as("gain_b_x1e6"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 unnest(generate_series(1,
+                   CAST(floor(length(text)/3)*3 AS INT))) AS pos,
+                 text
+          FROM documents WHERE length(text) >= 16),
+        ch AS (
+          SELECT doc_id, (pos - 1) % 3 AS ch,
+                 CAST(ascii(substr(text, pos, 1)) AS BIGINT) AS b
+          FROM px),
+        agg AS (
+          SELECT doc_id, CAST(SUM(b) AS BIGINT) AS s_tot,
+                 CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS s_r,
+                 CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS s_g,
+                 CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS s_b
+          FROM ch GROUP BY 1)
+        SELECT doc_id, s_r, s_g, s_b,
+               CASE WHEN s_r > 0 THEN (s_tot * 1000000) // (3 * s_r) END
+                 AS gain_r_x1e6,
+               CASE WHEN s_g > 0 THEN (s_tot * 1000000) // (3 * s_g) END
+                 AS gain_g_x1e6,
+               CASE WHEN s_b > 0 THEN (s_tot * 1000000) // (3 * s_b) END
+                 AS gain_b_x1e6
+        FROM agg ORDER BY doc_id""")),
+
+    // ----- mm_rle_mask: run-length mask codec ------------------------------
+    // Segmentation masks ship as RLE (the COCO convention) because a mask
+    // is mostly runs: threshold the payload stream to a binary mask
+    // (b ≥ 110 on this data — splits the letter range so runs break at
+    // spaces and early letters), then gaps-and-islands: consecutive mask
+    // positions share (pos − row_number) and each island is one run.
+    // Output is the codec's payload — (run_idx, start, len) per doc —
+    // exactly what a mask sink writes and a box-filter consumer reads.
+    // One window pass per doc (bounded by payload length), no joins.
+    "mm_rle_mask" -> Q(
+      build = (s, d) => {
+        val on = Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 16)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+          .filter(expr("ascii(substring(text, pos, 1)) >= 110"))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val runs = on
+          .withColumn("isl", col("pos") - row_number().over(wd))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("pos")).as("start_pos"),
+            count(lit(1)).as("run_len"))
+        val wr = Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))
+        runs.withColumn("run_idx", row_number().over(wr))
+          .select(col("doc_id"), col("run_idx").cast(LongType).as("run_idx"),
+            col("start_pos").cast(LongType).as("start_pos"), col("run_len"))
+          .orderBy(col("doc_id"), col("run_idx"))
+      },
+      oracle = Some("""
+        WITH px AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM documents WHERE length(text) >= 16),
+        on_px AS (
+          SELECT doc_id, pos FROM px
+          WHERE ascii(substr(text, pos, 1)) >= 110),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS isl
+          FROM on_px),
+        runs AS (
+          SELECT doc_id, isl, MIN(pos) AS start_pos, COUNT(*) AS run_len
+          FROM isl GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY start_pos) AS BIGINT) AS run_idx,
+               CAST(start_pos AS BIGINT) AS start_pos,
+               CAST(run_len AS BIGINT) AS run_len
+        FROM runs ORDER BY doc_id, run_idx"""))
   )
 }

@@ -2138,6 +2138,115 @@ object Similarity {
         FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
         LEFT JOIN hit h ON h.q_vec_id = q.vec_id
         ORDER BY q_vec_id"""
-      })
+      }),
+
+    // ----- emb_binary_hash: sign-binarized codes + hamming recall ---------
+    // The memory-floor leg of the compression ladder (float32 256 B → PQ
+    // 8 B → THIS: 8 B of sign bits): binarize each vector to two 32-bit
+    // sign words (bit d = embedding[d] ≥ 0 — an exact IEEE sign test, so
+    // the code is bit-reproducible with no quantization), search top-10 by
+    // hamming distance (bit_count of the XOR — two table lookups per pair
+    // at scale), score recall@10 against the exact quantized-cosine truth.
+    // Two BIGINT words, not one, so no engine ever shifts into the sign
+    // bit. The angle→hamming relation (Goemans-Williamson) is what LSH
+    // banding exploits; this is its exhaustive-scan form.
+    "emb_binary_hash" -> Q(
+      build = (s, d) => {
+        val e = emb(s, d)
+        def word(lo: Int): Column = (0 until 32).map { b =>
+          when(element_at(col("embedding"), lo + b + 1) >= 0f,
+            shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val coded = e.select(col("vec_id"),
+          word(0).as("c_lo"), word(32).as("c_hi"))
+        val q = coded.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"),
+            col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
+        val ham = coded.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("hamming",
+            bit_count(col("c_lo").bitwiseXOR(col("q_lo"))) +
+              bit_count(col("c_hi").bitwiseXOR(col("q_hi"))))
+        val wq = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("hamming"), col("vec_id"))
+        val hamTop = ham.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 10).select(col("q_vec_id"), col("vec_id"))
+        // exact truth: quantized-cosine top-10 (the emb_cosine_topk body)
+        val en = e.withColumn("nq", qdot(col("embedding"), col("embedding")))
+        val qe = en.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+            col("nq").as("q_nq"))
+        val cos = en.join(broadcast(qe), col("vec_id") =!= col("q_vec_id"))
+          .withColumn("cos_sim",
+            qdot(col("q_emb"), col("embedding")).cast(DoubleType)
+              / (sqrt(col("q_nq").cast(DoubleType))
+                * sqrt(col("nq").cast(DoubleType))))
+        val wc = Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val cosTop = cos.withColumn("rn", row_number().over(wc))
+          .filter(col("rn") <= 10).select(col("q_vec_id"), col("vec_id"))
+        qe.select(col("q_vec_id"))
+          .join(hamTop.join(cosTop, Seq("q_vec_id", "vec_id"))
+            .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_overlap")),
+            Seq("q_vec_id"), "left")
+          .select(col("q_vec_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) / 10.0)
+              .as("recall_at_10"))
+          .orderBy(col("q_vec_id"))
+      },
+      oracle = Some(s"""
+        WITH code AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN embedding[t.i] >= 0
+                   THEN (CAST(1 AS BIGINT) << (t.i - 1)) ELSE 0 END)
+                   AS BIGINT) AS c_lo,
+                 CAST(SUM(CASE WHEN embedding[t.i + 32] >= 0
+                   THEN (CAST(1 AS BIGINT) << (t.i - 1)) ELSE 0 END)
+                   AS BIGINT) AS c_hi
+          FROM embeddings, generate_series(1, 32) AS t(i) GROUP BY 1),
+        ham AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id,
+                 bit_count(xor(q.c_lo, e.c_lo))
+                   + bit_count(xor(q.c_hi, e.c_hi)) AS hamming
+          FROM (SELECT * FROM code WHERE vec_id < 10) q
+          JOIN code e ON e.vec_id <> q.vec_id),
+        ham_top AS (
+          SELECT q_vec_id, vec_id FROM (
+            SELECT q_vec_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                     ORDER BY hamming, vec_id) AS rn
+            FROM ham) WHERE rn <= 10),
+        n AS (
+          SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS q_vec_id, e.vec_id,
+                 SUM(${qterm("q.embedding[i]", "e.embedding[i]")}) AS dot
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings e ON e.vec_id <> q.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2),
+        cos_top AS (
+          SELECT q_vec_id, vec_id FROM (
+            SELECT d.q_vec_id, d.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.q_vec_id
+                     ORDER BY CAST(d.dot AS DOUBLE)
+                       / (sqrt(CAST(nq.nq AS DOUBLE))
+                          * sqrt(CAST(ne.nq AS DOUBLE))) DESC,
+                       d.vec_id) AS rn
+            FROM dots d
+            JOIN n nq ON nq.vec_id = d.q_vec_id
+            JOIN n ne ON ne.vec_id = d.vec_id) WHERE rn <= 10),
+        hit AS (
+          SELECT h.q_vec_id, COUNT(*) AS n_overlap
+          FROM ham_top h JOIN cos_top c
+            ON c.q_vec_id = h.q_vec_id AND c.vec_id = h.vec_id
+          GROUP BY 1)
+        SELECT q.vec_id AS q_vec_id,
+               COALESCE(h.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q
+        LEFT JOIN hit h ON h.q_vec_id = q.vec_id
+        ORDER BY q_vec_id"""))
   )
 }
