@@ -137,6 +137,47 @@ object Streams {
       }
   }
 
+  case class RepairedSample(user_id: Long, event_id: Long, ts_sec: Long,
+      value: Double, local_median: Double, is_outlier: Boolean,
+      repaired: Double)
+
+  /** stream_hampel: streaming despiking — the live twin of ts_hampel.
+    * Each entity buffers its last 7 samples (event-time ordered within a
+    * batch, carried across batches in the state store); when the window
+    * fills, the CENTER sample is emitted repaired (3-sample latency — the
+    * price of a centered filter on a live feed). Same integer-cents
+    * median/MAD math as the batch op: sorted-pick medians on 7 elements,
+    * |x−med|·10000 > 44478·MAD. State is ≤ 7 samples per entity —
+    * bounded, sharded by key, constant per-record work.
+    */
+  def hampelStream(events: Dataset[Ev]): Dataset[RepairedSample] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long, Double)], RepairedSample](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[Seq[(Long, Long, Long, Double)]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RepairedSample]
+          batch.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            val c = math.floor(e.value * 100.0 + 0.5).toLong
+            buf = buf :+ ((e.ts_sec, e.event_id, c, e.value))
+            if (buf.length == 7) {
+              val cs = buf.map(_._3)
+              val med = cs.sorted.apply(3)
+              val mad = cs.map(x => math.abs(x - med)).sorted.apply(3)
+              val (ts, eid, cc, v) = buf(3)
+              val outlier = math.abs(cc - med) * 10000L > mad * 44478L
+              out += RepairedSample(uid, eid, ts, v, med / 100.0, outlier,
+                (if (outlier) med else cc) / 100.0)
+              buf = buf.tail
+            }
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   /** stream_dedup: at-least-once feed → exactly-once records, the
     * streaming form of ts_dedup (replayed ODIN archives re-deliver).
     * State is bounded by the watermark horizon.

@@ -123,4 +123,28 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "aaa", 1L), (2L, "bbb", 1L),
       (3L, "aaa", 2L), (4L, "aaa", 3L), (5L, "bbb", 2L)))
   }
+
+  test("stream_hampel repairs a spike at 3-sample latency across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val q = Streams.hampelStream(in.toDS())
+      .writeStream.format("memory").queryName("hampel_out")
+      .outputMode("append").start()
+    // spike at event 4; first batch fills only 5 of the 7-slot window
+    in.addData((1 to 5).map(i =>
+      Streams.Ev(i, i * 60L, 9, "t", if (i == 4) 100.0 else 1.0)): _*)
+    q.processAllAvailable()
+    assert(spark.table("hampel_out").count() == 0) // window not full yet
+    in.addData(Streams.Ev(6, 360, 9, "t", 1.0), Streams.Ev(7, 420, 9, "t", 1.0),
+      Streams.Ev(8, 480, 9, "t", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("hampel_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("is_outlier"),
+        r.getAs[Double]("repaired"))).sortBy(_._1)
+    q.stop()
+    // windows centered at events 4 and 5 emitted; the spike is repaired
+    // to the local median, its clean neighbor passes through
+    assert(out.toSeq == Seq((4L, true, 1.0), (5L, false, 1.0)))
+  }
 }
