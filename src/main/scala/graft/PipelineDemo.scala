@@ -100,6 +100,17 @@ object PipelineDemo {
       .head().getLong(0)
     println(s"token budget (total/3) water-filled allocation: $alloc tokens")
 
+    // context-window chunking of the kept long docs (the sequence-assembly
+    // stage a fixed-context trainer consumes): 64-token windows, stride 48
+    val chunks = capped
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("clean_text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), explode(expr(
+        "sequence(0L, CASE WHEN n > 64 THEN (n - 17) DIV 48 ELSE 0L END)"))
+        .as("k"))
+    println(s"context windows (64 tok, stride 48): ${chunks.count()}")
+
     // growth-stable hash split
     val split = capped.withColumn("split",
       when(substring(md5(concat(col("doc_id").cast(StringType), lit(":s3"))
