@@ -3899,7 +3899,51 @@ object TimeSeries {
                abs(c - med) * 10000 > mad * 44478 AS is_outlier,
                CAST(CASE WHEN abs(c - med) * 10000 > mad * 44478
                          THEN med ELSE c END AS DOUBLE) / 100.0 AS repaired
-        FROM stats ORDER BY user_id, event_id"""))
+        FROM stats ORDER BY user_id, event_id""")),
+
+    // ----- ts_time_weighted: TWAP over irregular samples -------------------
+    // The duty-cycle-correct mean for irregularly sampled sensors (a value
+    // HOLDS until the next report, so a reading that stood for an hour must
+    // outweigh one replaced after a second — the plain AVG every naive
+    // dashboard gets wrong). Last-observation-carried-forward weighting:
+    // weight = seconds until the next sample; the trailing sample has no
+    // horizon and drops out. Numerator and denominator are exact BIGINTs
+    // (cents × seconds), so the single final division is the only double —
+    // identical IEEE in both engines. One lag window + one combinable
+    // aggregate per entity.
+    "ts_time_weighted" -> Q(
+      build = (s, d) => {
+        val w = byUser.orderBy(col("ts_sec"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            expr("CAST(floor(value * 100.0 + 0.5e0) AS BIGINT)").as("c"))
+          .withColumn("dur", lead(col("ts_sec"), 1).over(w) - col("ts_sec"))
+          .filter(col("dur").isNotNull && col("dur") > 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur")).as("span_sec"),
+            sum(col("c") * col("dur")).as("num_c"))
+          .select(col("user_id"), col("n_intervals"), col("span_sec"),
+            (col("num_c").cast(DoubleType)
+              / (col("span_sec").cast(DoubleType) * 100.0)).as("twap"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH held AS (
+          SELECT user_id,
+                 CAST(floor(value * 100.0 + 0.5e0) AS BIGINT) AS c,
+                 LEAD($TS, 1) OVER (PARTITION BY user_id
+                   ORDER BY $TS, event_id) - $TS AS dur
+          FROM events),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_intervals,
+                 CAST(SUM(dur) AS BIGINT) AS span_sec,
+                 CAST(SUM(c * dur) AS BIGINT) AS num_c
+          FROM held WHERE dur IS NOT NULL AND dur > 0 GROUP BY 1)
+        SELECT user_id, n_intervals, span_sec,
+               CAST(num_c AS DOUBLE) / (CAST(span_sec AS DOUBLE) * 100.0)
+                 AS twap
+        FROM agg ORDER BY user_id"""))
   )
 
   /** Engine-shared SAX fragments: the frame z value as one double chain
