@@ -96,6 +96,29 @@ class R11OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_time_weighted: TWAP equals the duration-weighted hand fold") {
+    import spark.implicits._
+    val rows = run("ts_time_weighted").collect()
+    assert(rows.nonEmpty)
+    // recompute one entity by hand from the raw events
+    val uid = rows.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(col("ts_sec"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("ts_sec"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .sortBy(t => (t._1, t._2))
+    val held = evs.zip(evs.tail).map { case ((ts, _, v), (ts2, _, _)) =>
+      (math.floor(v * 100.0 + 0.5).toLong, ts2 - ts)
+    }.filter(_._2 > 0)
+    val num = held.map { case (c, d) => c * d }.sum
+    val den = held.map(_._2).sum
+    val got = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(got.getAs[Long]("span_sec") == den)
+    assert(got.getAs[Double]("twap") == num.toDouble / (den.toDouble * 100.0))
+  }
+
   test("mm_channel_balance: gains invert channel imbalance exactly") {
     val rows = run("mm_channel_balance").collect()
     assert(rows.nonEmpty)
