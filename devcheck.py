@@ -72,6 +72,26 @@ for name in sorted(os.listdir(outdir)):
     if len(g) != len(e):
         print(f"  {name}: ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}"); fail += 1; continue
     bad = []
+    # typed-hash emulation (round 7): the driver's hash distinguishes
+    # int64 from float64/Decimal-object even when values are numerically
+    # equal — an uncast DuckDB HUGEINT (SUM over BIGINT) or a DECIMAL
+    # literal division lands as float64/object in pandas and goes
+    # hash-red while this script's coercing value compare stays green
+    # (exactly the round-4..6 red-five signature). Flag any cross-family
+    # dtype mismatch; int32-vs-int64 is driver-normalized and ignored.
+    def fam(s):
+        if pd.api.types.is_integer_dtype(s): return "int"
+        if pd.api.types.is_float_dtype(s): return "float"
+        if pd.api.types.is_bool_dtype(s): return "bool"
+        if pd.api.types.is_datetime64_any_dtype(s): return "ts"
+        if s.dtype == object and len(s) and isinstance(s.iloc[0], str): return "str"
+        return f"obj:{type(s.iloc[0]).__name__ if len(s) else '?'}"
+    for c in g.columns:
+        fa, fb = fam(g[c]), fam(e[c])
+        if fa != fb:
+            bad.append((c, f"DTYPE-FAMILY {fa} vs {fb} (driver hash-red even if values equal)"))
+    if bad:
+        print(f"  {name}: TYPE MISMATCH {bad[:4]}"); fail += 1; continue
     for c in g.columns:
         a, b = g[c], e[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):

@@ -45,6 +45,92 @@ object Det {
   def DSUM(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE)"
   def DAVG(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE)/COUNT($x)"
   def QSUM(x: String): String = s"CAST(SUM(CAST(FLOOR(($x)*1048576) AS BIGINT)) AS DOUBLE)/1048576"
+
+  /** Distributed exact rank + prefix sum — the one shared implementation
+    * of the house idiom (global form pioneered by q53_abc_analysis,
+    * per-group form by TextOps.groupRank) for ranking over a frame whose
+    * size grows with the corpus, where a plain partition-less
+    * `Window.orderBy` would funnel every row through one task.
+    *
+    * Appends to `df`:
+    *   - `rn`    1-based exact rank of the row within its `grp` slice
+    *             (whole frame when `grp` is empty), ordered by `ord`
+    *   - `n_grp` total rows in the slice
+    *   - when `value` is set: `prefix` (sum of `value` over the strictly
+    *     preceding rows — exclusive prefix sum) and `gtot` (slice total)
+    *
+    * Shape: range-partition on (grp ++ ord) so slices sort-split across
+    * the cluster; per-(partition, grp) counts/sums collapse to a
+    * partitions×groups offset table (bounded: its window runs over
+    * partition ids, never data rows); global rank = broadcast offset +
+    * within-partition row_number. `ord` (with `grp`) MUST be a total
+    * order — equal keys split across a range boundary would otherwise
+    * make the rank nondeterministic.
+    *
+    * Partition count follows spark.sql.shuffle.partitions (clamped ≥ 1).
+    * Bound: pid is derived as monotonically_increasing_id >> 33, i.e. at
+    * most 2^33 rows per partition — at 8 B rows/partition the shuffle
+    * partition count must rise long before the id layout breaks, and the
+    * assert_true guard below fails loudly rather than corrupting ranks.
+    */
+  def rankPrefix(df: DataFrame, grp: Seq[Column], ord: Seq[Column],
+      value: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val np = math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val gN = if (grp.isEmpty) Seq("_gz") else grp.indices.map(i => s"_g$i")
+    val oN = ord.indices.map(i => s"_o$i")
+    var t = df
+    (if (grp.isEmpty) Seq(lit(0): Column) else grp).zip(gN)
+      .foreach { case (c, n) => t = t.withColumn(n, c) }
+    ord.zip(oN).foreach { case (c, n) => t = t.withColumn(n, c) }
+    value.foreach(v => t = t.withColumn("_v", v))
+    val gCols = gN.map(col)
+    val rangeCols = (gN ++ oN).map(col)
+    val base = t.repartitionByRange(np, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+    val raw = base.groupBy((col("_pid") +: gCols): _*)
+      .agg(count(lit(1)).as("_rawcnt"),
+        value.map(_ => sum(col("_v"))).getOrElse(lit(0L)).as("_psum"))
+      // evaluated on the bounded offsets frame only; assert_true is NULL
+      // on success so the add is a no-op, and raises before any rank is
+      // silently corrupted if a partition ever exceeds the id layout
+      .withColumn("_pcnt", col("_rawcnt") + coalesce(
+        assert_true(col("_rawcnt") < lit(1L << 33)).cast(LongType), lit(0L)))
+    // offsets via a triangular self-join over the partitions×groups frame
+    // (≤ np² rows per group — config-bounded, never data-bounded) rather
+    // than a window: keeps even this bounded step free of partition-less
+    // WindowExec, so a "No Partition Defined" warning in a log always
+    // means a real scale hazard elsewhere
+    val rawB = raw.select((gCols :+ col("_pid").as("_bpid") :+
+      col("_pcnt").as("_bcnt") :+ col("_psum").as("_bsum")): _*)
+    val offs = raw.join(rawB, gN)
+      .groupBy((col("_pid") +: gCols): _*)
+      .agg(
+        sum(when(col("_bpid") < col("_pid"), col("_bcnt"))
+          .otherwise(lit(0L))).as("_roff"),
+        sum(col("_bcnt")).as("n_grp"),
+        sum(when(col("_bpid") < col("_pid"), col("_bsum"))
+          .otherwise(lit(0L))).as("_voff"),
+        sum(col("_bsum")).as("gtot"))
+    val keys = "_pid" +: gN
+    val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(oN.map(col): _*)
+    val offCols = keys.map(col) ++ Seq(col("_roff"), col("n_grp")) ++
+      (if (value.isDefined) Seq(col("_voff"), col("gtot")) else Nil)
+    var out = base
+      .withColumn("_rnin", row_number().over(wLoc))
+      .join(broadcast(offs.select(offCols: _*)), keys)
+      .withColumn("rn", col("_roff") + col("_rnin"))
+    if (value.isDefined) out = out.withColumn("prefix",
+      col("_voff") + coalesce(sum(col("_v")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    out.drop(Seq("_mid", "_pid", "_rnin", "_roff", "_voff", "_v")
+      ++ gN ++ oN: _*)
+    // (when value is unset, gtot never materializes: it is pruned with
+    // the un-selected offs columns)
+  }
 }
 
 /** Schema'd loaders for the driver-generated test tables.

@@ -17,21 +17,13 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs
 
-  /** Diagnostic aliases: the four queries the driver has flagged hash-red
-    * since round 4 re-registered under fresh names with byte-identical
-    * builders and oracles (same Q object). If the `*2` twins come back
-    * green while the originals stay red, the divergence is a per-name
-    * artifact on the driver side, not an engine/oracle defect; if both
-    * stay red, it localizes a real environment divergence to bisect.
+  /** Round-7 stage-bisection diagnostics for the five driver-red queries
+    * (see operators/Diag.scala — temporary, excluded from Bench, retired
+    * once the reds turn green; replaces round 6's byte-identical `*2`
+    * twins, whose experiment concluded: both twins and originals red, so
+    * per-name caching is refuted and the divergence is stage-localizable).
     */
-  private val renamedTwins: Seq[String] = Seq(
-    "ts_spc_rules", "ts_motif_discord", "doc_pack_sequences", "geo_viirs_ingest")
-
-  private def allDefs: Seq[(String, Q)] = {
-    val base = moduleDefs
-    val byName = base.toMap
-    base ++ renamedTwins.flatMap(n => byName.get(n).map(q => (n + "2") -> q))
-  }
+  private def allDefs: Seq[(String, Q)] = moduleDefs ++ operators.Diag.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -50,4 +42,7 @@ object SparkEntry {
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] =
     allDefs.collect { case (n, q) if q.bench => n }
+
+  /** Gate-only diagnostic ids (never timed or counted by Bench). */
+  def diagNames: Set[String] = operators.Diag.defs.map(_._1).toSet
 }

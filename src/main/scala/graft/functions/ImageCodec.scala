@@ -110,19 +110,6 @@ object ImageCodec {
     out
   }
 
-  /** Stub inference model: a fixed deterministic linear layer over the
-    * decoded features (no model weights ship in this container). Single
-    * shared site so the executor batch loop and the driver-side oracle
-    * LUT produce bit-identical logits.
-    */
-  def stubLogits(f: Array[Double]): Array[Double] =
-    Array.tabulate(4) { k =>
-      var acc = 0.0
-      var j = 0
-      while (j < 8) { acc += f(j) * (((k * 8 + j) % 5) - 2) / 510.0; j += 1 }
-      acc
-    }
-
   /** Per-channel statistics over decoded pixels — the 8-dim feature
     * vector the inference stage consumes: mean R/G/B, luminance
     * mean/min/max, luminance stddev, horizontal edge energy. Exact

@@ -1,0 +1,486 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal ONNX model reader/writer + executor for the smoke-classifier
+  * inference stage (mm_batch_infer).
+  *
+  * The reference runs a real ONNX image classifier through ONNX Runtime
+  * (odin_onnx/src/lib.rs: `Session::builder()...commit_from_file`, run via
+  * `ort::inputs!`). This container has no ONNX Runtime JVM binding and no
+  * network egress to fetch one, so the *execution engine* here is a small
+  * pure-JVM interpreter — but the *model artifact* is a genuine ONNX file:
+  * `src/main/resources/graft/smoke_mlp.onnx` is standard protobuf encoded
+  * against the public `onnx/onnx.proto` schema (field numbers below are
+  * from that public definition) and loads in stock onnxruntime/netron
+  * unchanged. The parser reads the protobuf wire format directly; the
+  * executor supports the operator subset the fixture's MLP needs
+  * (Gemm, Relu, MatMul, Add) with ONNX-spec semantics (Gemm:
+  * Y = alpha·A·B^T + beta·C under transB=1, unidirectional broadcast of C).
+  *
+  * All arithmetic is float32, as ONNX Runtime would compute for an f32
+  * graph; executors and the driver-side oracle LUT run the identical JVM
+  * code path, so logits are bit-identical across the plan.
+  */
+object Onnx {
+
+  // ---------- model ----------
+
+  final case class Tensor(dims: Seq[Int], data: Array[Float]) {
+    require(dims.product == data.length,
+      s"tensor dims ${dims.mkString("x")} != ${data.length} values")
+  }
+
+  final case class Node(
+      opType: String,
+      inputs: Seq[String],
+      outputs: Seq[String],
+      attrI: Map[String, Long] = Map.empty,
+      attrF: Map[String, Float] = Map.empty)
+
+  final case class Model(
+      irVersion: Long,
+      opsetVersion: Long,
+      producer: String,
+      graphName: String,
+      inputName: String,
+      inputDims: Seq[Long], // -1 = symbolic batch dim
+      outputName: String,
+      outputDims: Seq[Long],
+      nodes: Seq[Node],
+      inits: Map[String, Tensor],
+      initOrder: Seq[String])
+
+  // ---------- protobuf wire-format primitives ----------
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({
+        val b = buf(pos); pos += 1
+        v |= (b & 0x7FL) << shift; shift += 7
+        (b & 0x80) != 0
+      }) ()
+      v
+    }
+    def fixed32(): Int = {
+      val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def bytes(): (Int, Int) = { // (offset, length) view into buf
+      val len = varint().toInt; val off = pos; pos += len; (off, len)
+    }
+    def string(): String = {
+      val (off, len) = bytes(); new String(buf, off, len, "UTF-8")
+    }
+    def sub(): Reader = { val (off, len) = bytes(); new Reader(buf, off, off + len) }
+    def raw: Array[Byte] = buf
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val (_, _) = bytes()
+      case 5 => pos += 4
+      case t => throw new IllegalArgumentException(s"wire type $t unsupported")
+    }
+  }
+
+  private final class Writer {
+    private val out = new ByteArrayOutputStream()
+    def result(): Array[Byte] = out.toByteArray
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) { out.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def key(field: Int, wire: Int): Unit = varint((field.toLong << 3) | wire)
+    def i64(field: Int, v: Long): Unit = { key(field, 0); varint(v) }
+    def f32(field: Int, v: Float): Unit = {
+      key(field, 5)
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(v)
+      out.write(b.array())
+    }
+    def bytes(field: Int, v: Array[Byte]): Unit = {
+      key(field, 2); varint(v.length.toLong); out.write(v)
+    }
+    def str(field: Int, v: String): Unit = bytes(field, v.getBytes("UTF-8"))
+    def msg(field: Int)(f: Writer => Unit): Unit = {
+      val w = new Writer; f(w); bytes(field, w.result())
+    }
+    def packedF32(field: Int, vs: Array[Float]): Unit = {
+      val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putFloat); bytes(field, b.array())
+    }
+  }
+
+  // ---------- decode (public onnx.proto field numbers) ----------
+
+  /** Parse an ONNX ModelProto from bytes (subset: the fields an MLP
+    * inference graph carries; unknown fields are skipped per protobuf
+    * rules, so richer models still load as long as their ops are in the
+    * executor's subset).
+    */
+  def parse(bytesIn: Array[Byte]): Model = {
+    var irVersion = 0L; var opset = 0L; var producer = ""
+    var graph: Reader = null
+    val top = new Reader(bytesIn, 0, bytesIn.length)
+    while (top.hasMore) {
+      val k = top.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
+      field match {
+        case 1 => irVersion = top.varint() // ModelProto.ir_version
+        case 2 => producer = top.string() // ModelProto.producer_name
+        case 7 => graph = top.sub() // ModelProto.graph
+        case 8 => // ModelProto.opset_import: OperatorSetIdProto{domain=1,version=2}
+          val o = top.sub()
+          while (o.hasMore) {
+            val ok = o.varint()
+            ((ok >> 3).toInt: @unchecked) match {
+              case 2 => opset = o.varint()
+              case _ => o.skip((ok & 7).toInt)
+            }
+          }
+        case _ => top.skip(wire)
+      }
+    }
+    require(graph != null, "ModelProto.graph missing")
+
+    var graphName = ""
+    var nodes = Vector.empty[Node]
+    var inits = Map.empty[String, Tensor]
+    var initOrder = Vector.empty[String]
+    var inName = ""; var inDims = Seq.empty[Long]
+    var outName = ""; var outDims = Seq.empty[Long]
+
+    def parseValueInfo(r: Reader): (String, Seq[Long]) = {
+      var nm = ""; var dims = Seq.empty[Long]
+      while (r.hasMore) {
+        val k = r.varint()
+        ((k >> 3).toInt: @unchecked) match {
+          case 1 => nm = r.string() // ValueInfoProto.name
+          case 2 => // ValueInfoProto.type: TypeProto.tensor_type=1
+            val t = r.sub()
+            while (t.hasMore) {
+              val tk = t.varint()
+              if ((tk >> 3).toInt == 1) { // TypeProto.Tensor
+                val tt = t.sub()
+                while (tt.hasMore) {
+                  val tk2 = tt.varint()
+                  ((tk2 >> 3).toInt: @unchecked) match {
+                    case 2 => // TensorShapeProto.shape → dim=1
+                      val sh = tt.sub()
+                      while (sh.hasMore) {
+                        val sk = sh.varint()
+                        if ((sk >> 3).toInt == 1) { // Dimension
+                          val dm = sh.sub()
+                          var dv = -1L
+                          while (dm.hasMore) {
+                            val dk = dm.varint()
+                            ((dk >> 3).toInt: @unchecked) match {
+                              case 1 => dv = dm.varint() // dim_value
+                              case _ => dm.skip((dk & 7).toInt) // dim_param
+                            }
+                          }
+                          dims = dims :+ dv
+                        } else sh.skip((sk & 7).toInt)
+                      }
+                    case _ => tt.skip((tk2 & 7).toInt)
+                  }
+                }
+              } else t.skip((tk & 7).toInt)
+            }
+          case _ => r.skip((k & 7).toInt)
+        }
+      }
+      (nm, dims)
+    }
+
+    def parseTensor(r: Reader): (String, Tensor) = {
+      var nm = ""; var dims = Vector.empty[Int]; var dt = 0L
+      var data: Array[Float] = Array.emptyFloatArray
+      while (r.hasMore) {
+        val k = r.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
+        field match {
+          case 1 => // dims (packed or unpacked varints)
+            if (wire == 2) {
+              val p = r.sub()
+              while (p.hasMore) dims = dims :+ p.varint().toInt
+            } else dims = dims :+ r.varint().toInt
+          case 2 => dt = r.varint() // data_type: 1 = FLOAT
+          case 4 => // float_data (packed fixed32)
+            val p = r.sub()
+            val n = (p.end - p.pos) / 4
+            data = Array.tabulate(n)(_ => java.lang.Float
+              .intBitsToFloat(p.fixed32()))
+          case 8 => nm = r.string() // name
+          case 9 => // raw_data (little-endian f32)
+            val (off, len) = r.bytes()
+            val bb = ByteBuffer.wrap(r.raw, off, len)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            data = Array.tabulate(len / 4)(_ => bb.getFloat())
+          case _ => r.skip(wire)
+        }
+      }
+      require(dt == 1L, s"tensor $nm: only FLOAT initializers supported, got $dt")
+      (nm, Tensor(dims, data))
+    }
+
+    def parseNode(r: Reader): Node = {
+      var op = ""; var ins = Vector.empty[String]; var outs = Vector.empty[String]
+      var ai = Map.empty[String, Long]; var af = Map.empty[String, Float]
+      while (r.hasMore) {
+        val k = r.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
+        field match {
+          case 1 => ins = ins :+ r.string()
+          case 2 => outs = outs :+ r.string()
+          case 4 => op = r.string()
+          case 5 => // AttributeProto{name=1, f=2, i=3, type=20}
+            val a = r.sub()
+            var an = ""; var av = 0L; var afv = 0.0f; var at = 0L
+            while (a.hasMore) {
+              val ak = a.varint()
+              ((ak >> 3).toInt: @unchecked) match {
+                case 1 => an = a.string()
+                case 2 => afv = java.lang.Float.intBitsToFloat(a.fixed32())
+                case 3 => av = a.varint()
+                case 20 => at = a.varint()
+                case _ => a.skip((ak & 7).toInt)
+              }
+            }
+            if (at == 1L) af += (an -> afv) else ai += (an -> av)
+          case _ => r.skip(wire)
+        }
+      }
+      Node(op, ins, outs, ai, af)
+    }
+
+    while (graph.hasMore) {
+      val k = graph.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
+      field match {
+        case 1 => nodes = nodes :+ parseNode(graph.sub())
+        case 2 => graphName = graph.string()
+        case 5 =>
+          val (nm, t) = parseTensor(graph.sub())
+          inits += (nm -> t); initOrder = initOrder :+ nm
+        case 11 =>
+          val (nm, dims) = parseValueInfo(graph.sub())
+          if (!inits.contains(nm)) { inName = nm; inDims = dims }
+        case 12 =>
+          val (nm, dims) = parseValueInfo(graph.sub()); outName = nm; outDims = dims
+        case _ => graph.skip(wire)
+      }
+    }
+    Model(irVersion, opset, producer, graphName, inName, inDims, outName,
+      outDims, nodes, inits, initOrder)
+  }
+
+  // ---------- encode ----------
+
+  /** Serialize a Model back to ONNX protobuf bytes (used to generate the
+    * committed fixture; the round-trip is spec-asserted).
+    */
+  def encode(m: Model): Array[Byte] = {
+    val w = new Writer
+    w.i64(1, m.irVersion)
+    w.str(2, m.producer)
+    w.msg(7) { g =>
+      m.nodes.foreach { n =>
+        g.msg(1) { nw =>
+          n.inputs.foreach(nw.str(1, _))
+          n.outputs.foreach(nw.str(2, _))
+          nw.str(4, n.opType)
+          // deterministic attr order: ints sorted, then floats sorted
+          n.attrI.toSeq.sortBy(_._1).foreach { case (an, av) =>
+            nw.msg(5) { aw => aw.str(1, an); aw.i64(3, av); aw.i64(20, 2) }
+          }
+          n.attrF.toSeq.sortBy(_._1).foreach { case (an, av) =>
+            nw.msg(5) { aw => aw.str(1, an); aw.f32(2, av); aw.i64(20, 1) }
+          }
+        }
+      }
+      g.str(2, m.graphName)
+      m.initOrder.foreach { nm =>
+        val t = m.inits(nm)
+        g.msg(5) { tw =>
+          t.dims.foreach(d => tw.i64(1, d.toLong))
+          tw.i64(2, 1L) // FLOAT
+          tw.packedF32(4, t.data)
+          tw.str(8, nm)
+        }
+      }
+      def valueInfo(field: Int, nm: String, dims: Seq[Long]): Unit =
+        g.msg(field) { vw =>
+          vw.str(1, nm)
+          vw.msg(2) { tp =>
+            tp.msg(1) { tt =>
+              tt.i64(1, 1L) // elem_type FLOAT
+              tt.msg(2) { sh =>
+                dims.foreach { d =>
+                  sh.msg(1) { dm =>
+                    if (d >= 0) dm.i64(1, d) else dm.str(2, "N")
+                  }
+                }
+              }
+            }
+          }
+        }
+      valueInfo(11, m.inputName, m.inputDims)
+      valueInfo(12, m.outputName, m.outputDims)
+    }
+    w.msg(8) { o => o.str(1, ""); o.i64(2, m.opsetVersion) }
+    w.result()
+  }
+
+  // ---------- executor ----------
+
+  /** An inference session over a parsed model: topological (graph-order)
+    * execution of the node list, float32 throughout. One Session is built
+    * per classloader (see `smokeSession`) and reused across batches —
+    * the same lifecycle odin_onnx gives its ort::Session.
+    */
+  final class Session(val model: Model) {
+    private val hidden = model.inits
+
+    /** Run the graph on a row-major [n, inDim] batch; returns [n, outDim]. */
+    def run(batch: Array[Array[Float]]): Array[Array[Float]] = {
+      if (batch.isEmpty) return Array.empty
+      var vals: Map[String, (Int, Int, Array[Float])] =
+        hidden.map { case (nm, t) =>
+          val (r, c) = t.dims match {
+            case Seq(a, b) => (a, b)
+            case Seq(a) => (1, a)
+            case other => (other.product, 1)
+          }
+          nm -> (r, c, t.data)
+        }
+      val n = batch.length
+      val inDim = batch(0).length
+      val flat = new Array[Float](n * inDim)
+      var i = 0
+      while (i < n) { System.arraycopy(batch(i), 0, flat, i * inDim, inDim); i += 1 }
+      vals += (model.inputName -> (n, inDim, flat))
+
+      def gemm(node: Node): (Int, Int, Array[Float]) = {
+        val (ar, ac, a) = vals(node.inputs(0))
+        val (br, bc, b) = vals(node.inputs(1))
+        val alpha = node.attrF.getOrElse("alpha", 1.0f)
+        val beta = node.attrF.getOrElse("beta", 1.0f)
+        val transB = node.attrI.getOrElse("transB", 0L) == 1L
+        require(node.attrI.getOrElse("transA", 0L) == 0L, "transA unsupported")
+        val (k, m) = if (transB) (bc, br) else (br, bc)
+        require(ac == k, s"Gemm ${node.outputs.head}: inner dims $ac vs $k")
+        val out = new Array[Float](ar * m)
+        var r = 0
+        while (r < ar) {
+          var c = 0
+          while (c < m) {
+            var acc = 0.0f
+            var j = 0
+            while (j < k) {
+              val bv = if (transB) b(c * k + j) else b(j * m + c)
+              acc += a(r * ac + j) * bv
+              j += 1
+            }
+            out(r * m + c) = alpha * acc
+            c += 1
+          }
+          r += 1
+        }
+        if (node.inputs.length > 2) {
+          val (cr, cc, cd) = vals(node.inputs(2))
+          require(cc == m || (cr == 1 && cd.length == m),
+            s"Gemm bias shape ${cr}x$cc vs cols $m")
+          var r2 = 0
+          while (r2 < ar) {
+            var c2 = 0
+            while (c2 < m) {
+              out(r2 * m + c2) += beta * cd(if (cd.length == m) c2
+                else r2 * cc + c2)
+              c2 += 1
+            }
+            r2 += 1
+          }
+        }
+        (ar, m, out)
+      }
+
+      model.nodes.foreach { node =>
+        val res: (Int, Int, Array[Float]) = node.opType match {
+          case "Gemm" => gemm(node)
+          case "MatMul" => gemm(node.copy(attrF = Map.empty, attrI = Map.empty,
+            inputs = node.inputs.take(2)))
+          case "Relu" =>
+            val (r, c, a) = vals(node.inputs.head)
+            (r, c, a.map(v => if (v > 0f) v else 0f))
+          case "Add" =>
+            val (r, c, a) = vals(node.inputs(0))
+            val (br, bc, b) = vals(node.inputs(1))
+            val out =
+              if (br == r && bc == c) Array.tabulate(a.length)(i2 => a(i2) + b(i2))
+              else { // broadcast [1,c]
+                require(b.length == c, s"Add broadcast ${br}x$bc vs ${r}x$c")
+                Array.tabulate(a.length)(i2 => a(i2) + b(i2 % c))
+              }
+            (r, c, out)
+          case op => throw new UnsupportedOperationException(
+            s"ONNX op $op not in executor subset (Gemm/MatMul/Relu/Add)")
+        }
+        vals += (node.outputs.head -> res)
+      }
+      val (or, oc, o) = vals(model.outputName)
+      require(or == n, s"output rows $or != batch $n")
+      Array.tabulate(or)(r => java.util.Arrays.copyOfRange(o, r * oc, (r + 1) * oc))
+    }
+  }
+
+  // ---------- the smoke-classifier fixture ----------
+
+  /** The deterministic 8→16→4 MLP committed as smoke_mlp.onnx: integer
+    * weights from a fixed LCG-free formula (no RNG — reproducible from
+    * source), layer1 Gemm(transB)+Relu, layer2 Gemm(transB). The 4 output
+    * classes mirror the reference smoke classifier's label set
+    * (odin_onnx configs: cloud/smoke/fire/none).
+    */
+  def fixtureModel: Model = {
+    val w1 = Tensor(Seq(16, 8),
+      Array.tabulate(16 * 8)(i => (((i * 37) % 11) - 5).toFloat / 8f))
+    val b1 = Tensor(Seq(16), Array.tabulate(16)(i => ((i % 7) - 3).toFloat / 4f))
+    val w2 = Tensor(Seq(4, 16),
+      Array.tabulate(4 * 16)(i => (((i * 29) % 9) - 4).toFloat / 16f))
+    val b2 = Tensor(Seq(4), Array.tabulate(4)(i => (i - 2).toFloat / 2f))
+    Model(
+      irVersion = 8L, opsetVersion = 13L, producer = "graft",
+      graphName = "smoke_mlp",
+      inputName = "x", inputDims = Seq(-1L, 8L),
+      outputName = "logits", outputDims = Seq(-1L, 4L),
+      nodes = Seq(
+        Node("Gemm", Seq("x", "w1", "b1"), Seq("h1"),
+          attrI = Map("transB" -> 1L),
+          attrF = Map("alpha" -> 1.0f, "beta" -> 1.0f)),
+        Node("Relu", Seq("h1"), Seq("r1")),
+        Node("Gemm", Seq("r1", "w2", "b2"), Seq("logits"),
+          attrI = Map("transB" -> 1L),
+          attrF = Map("alpha" -> 1.0f, "beta" -> 1.0f))),
+      inits = Map("w1" -> w1, "b1" -> b1, "w2" -> w2, "b2" -> b2),
+      initOrder = Seq("w1", "b1", "w2", "b2"))
+  }
+
+  /** Classloader-wide session over the committed fixture — loaded once
+    * per executor JVM, shared by every batch (ort Session lifecycle).
+    */
+  lazy val smokeSession: Session = {
+    val in = getClass.getResourceAsStream("/graft/smoke_mlp.onnx")
+    require(in != null, "resource graft/smoke_mlp.onnx missing")
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    new Session(parse(bytes))
+  }
+
+  /** The mm_batch_infer entry: features (f64 stats) → f32 input → logits
+    * back as f64 (exact widening), identical on executors and in the
+    * driver-side oracle LUT.
+    */
+  def smokeLogits(features: Array[Double]): Array[Double] =
+    smokeSession.run(Array(features.map(_.toFloat))).head.map(_.toDouble)
+}

@@ -3880,10 +3880,10 @@ object Geo {
           .filter(col("event_id") % 4 =!= 3 && col("user_id") % 4 =!= 3)
         base
           .withColumn("line", expr(ViirsK.line(
-            "from_unixtime(ts_sec, 'yyyy-MM-dd')")))
+            DateK.dateStr("ts_sec", "div"))))
           .select(col("event_id"), col("line"))
           .withColumn("acq_epoch", expr(ViirsK.acqEpoch(
-            "unix_timestamp(split_part(line, ',', 6), 'yyyy-MM-dd')")))
+            DateK.epochFromDate("split_part(line, ',', 6)", "div"))))
           .selectExpr("event_id" +: ViirsK.parsed: _*)
           .orderBy(col("event_id"))
       },
@@ -3892,13 +3892,12 @@ object Geo {
           SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
         lines AS (
           SELECT event_id,
-                 ${ViirsK.line(
-                   "strftime(make_timestamp(ts_sec * 1000000), '%Y-%m-%d')")} AS line
+                 ${ViirsK.line(DateK.dateStr("ts_sec", "//"))} AS line
           FROM base),
         withEpoch AS (
           SELECT event_id, line,
                  ${ViirsK.acqEpoch(
-                   "CAST(floor(epoch(strptime(split_part(line, ',', 6), '%Y-%m-%d'))) AS BIGINT)")}
+                   DateK.epochFromDate("split_part(line, ',', 6)", "//"))}
                    AS acq_epoch
           FROM lines),
         parsed AS (
@@ -5078,7 +5077,11 @@ object Geo {
       CAST(CAST(floor(abs($c) / 100.0) AS BIGINT) AS STRING), '.',
       lpad(CAST(abs($c) % 100 AS STRING), 2, '0'))"""
 
-    /** Hnn_YYYYMMDD_hhmm_L2WLFVER_FLDK.xxxxx_yyyyy.csv (lib.rs:304). */
+    /** Hnn_YYYYMMDD_hhmm_L2WLFVER_FLDK.xxxxx_yyyyy.csv (lib.rs:304).
+      * Deliberate deviation: the reference's hotspot_filename formats the
+      * literal 'L2WLFVER_FLDK..' (VER unsubstituted, doubled dot — a bug
+      * in lib.rs:318); this synthesis emits the JAXA naming convention
+      * the reference's own HS_RE parser (lib.rs:92) actually accepts. */
     def fname(t: String): String = s"""concat('H09_',
       lpad(CAST(year($t) AS STRING), 4, '0'),
       lpad(CAST(month($t) AS STRING), 2, '0'),
@@ -5160,19 +5163,66 @@ object Geo {
     * so synthesis never formats a raw double; the parse applies the
     * reference's unit conversions.
     */
+  /** Engine-shared pure-integer civil-date fragments (Howard Hinnant's
+    * public-domain civil_from_days / days_from_civil algorithms): the
+    * 'yyyy-MM-dd' date string and its inverse epoch are computed with
+    * BIGINT div/mod only — no strftime/strptime/from_unixtime, no
+    * date/timestamp type, no session-TZ surface, and therefore no
+    * cross-engine or cross-version datetime behavior to diverge. The
+    * `div` parameter is the one non-shared token ("div" Spark, "//"
+    * DuckDB). Valid for non-negative epoch seconds (all testdata).
+    */
+  private[graft] object DateK {
+    /** 'yyyy-MM-dd' from a non-negative epoch-seconds expression. */
+    def dateStr(tsSec: String, div: String): String = {
+      val z = s"(($tsSec) $div 86400 + 719468)"
+      val era = s"($z $div 146097)"
+      val doe = s"($z - $era*146097)"
+      val yoe =
+        s"(($doe - $doe $div 1460 + $doe $div 36524 - $doe $div 146096) $div 365)"
+      val doy = s"($doe - (365*$yoe + $yoe $div 4 - $yoe $div 100))"
+      val mp = s"((5*$doy + 2) $div 153)"
+      val dd = s"($doy - (153*$mp + 2) $div 5 + 1)"
+      val mm = s"($mp + CASE WHEN $mp < 10 THEN 3 ELSE -9 END)"
+      val yy = s"($yoe + $era*400 + CASE WHEN $mm <= 2 THEN 1 ELSE 0 END)"
+      s"""concat(lpad(CAST($yy AS STRING), 4, '0'), '-',
+         lpad(CAST($mm AS STRING), 2, '0'), '-',
+         lpad(CAST($dd AS STRING), 2, '0'))"""
+    }
+
+    /** Midnight epoch seconds from a 'yyyy-MM-dd' string expression
+      * (fixed-position substr decode, pure integer days_from_civil). */
+    def epochFromDate(ds: String, div: String): String = {
+      val y = s"CAST(substr($ds, 1, 4) AS BIGINT)"
+      val m = s"CAST(substr($ds, 6, 2) AS BIGINT)"
+      val d = s"CAST(substr($ds, 9, 2) AS BIGINT)"
+      val ya = s"($y - CASE WHEN $m <= 2 THEN 1 ELSE 0 END)"
+      val era = s"($ya $div 400)"
+      val yoe = s"($ya - $era*400)"
+      val doy =
+        s"((153*($m + CASE WHEN $m > 2 THEN -3 ELSE 9 END) + 2) $div 5 + $d - 1)"
+      val doe = s"($yoe*365 + $yoe $div 4 - $yoe $div 100 + $doy)"
+      s"(($era*146097 + $doe - 719468) * 86400)"
+    }
+  }
+
   private[graft] object ViirsK {
-    /** 13-field raw VIIRS CSV line (integer-scaled numerics). */
+    /** 13-field raw VIIRS CSV line (integer-scaled numerics). All decimal
+      * literals carry the e0 suffix (§5): a bare `100000.0` is a DECIMAL
+      * literal in DuckDB, and whether int/DECIMAL arithmetic stays DECIMAL
+      * (exact, object-typed in pandas) or folds to DOUBLE is a DuckDB
+      * version detail — e0 forces DOUBLE in both engines, always. */
     def line(dateF: String): String = s"""concat_ws(',',
-      CAST(CAST(floor((CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0)
-        * 100000.0) AS BIGINT) AS STRING),
-      CAST(CAST(floor((CAST(event_id*73 % 360 - 180 AS DOUBLE) + value/2000.0)
-        * 100000.0) AS BIGINT) AS STRING),
+      CAST(CAST(floor((CAST(user_id*37 % 140 - 70 AS DOUBLE) + value/1000.0e0)
+        * 100000.0e0) AS BIGINT) AS STRING),
+      CAST(CAST(floor((CAST(event_id*73 % 360 - 180 AS DOUBLE) + value/2000.0e0)
+        * 100000.0e0) AS BIGINT) AS STRING),
       CAST(2950 + event_id % 500 AS STRING),
       CAST(375 + event_id*7 % 225 AS STRING),
       CAST(375 + user_id*11 % 225 AS STRING),
       $dateF,
-      CAST(CAST(floor((ts_sec % 86400) / 3600.0) AS BIGINT) * 100
-           + CAST(floor((ts_sec % 3600) / 60.0) AS BIGINT) AS STRING),
+      CAST(CAST(floor((ts_sec % 86400) / 3600.0e0) AS BIGINT) * 100
+           + CAST(floor((ts_sec % 3600) / 60.0e0) AS BIGINT) AS STRING),
       CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'N20'
            WHEN 2 THEN 'N21' ELSE 'X' END,
       CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'l' WHEN 1 THEN 'n'
@@ -5185,14 +5235,14 @@ object Geo {
 
     /** acq datetime: date epoch + [H]HMM offset (firms.rs:532). */
     def acqEpoch(dateEpochF: String): String = s"""($dateEpochF
-      + CAST(floor(CAST(split_part(line, ',', 7) AS BIGINT) / 100.0) AS BIGINT) * 3600
+      + CAST(floor(CAST(split_part(line, ',', 7) AS BIGINT) / 100.0e0) AS BIGINT) * 3600
       + (CAST(split_part(line, ',', 7) AS BIGINT) % 100) * 60)"""
 
     /** Typed decode of the line (identical text both engines). */
     val parsed: Seq[String] = Seq(
-      "CAST(split_part(line, ',', 1) AS BIGINT) / 100000.0 AS lat",
-      "CAST(split_part(line, ',', 2) AS BIGINT) / 100000.0 AS lon",
-      "CAST(split_part(line, ',', 3) AS BIGINT) / 10.0 AS bright_ti4_k",
+      "CAST(split_part(line, ',', 1) AS BIGINT) / 100000.0e0 AS lat",
+      "CAST(split_part(line, ',', 2) AS BIGINT) / 100000.0e0 AS lon",
+      "CAST(split_part(line, ',', 3) AS BIGINT) / 10.0e0 AS bright_ti4_k",
       "CAST(split_part(line, ',', 4) AS BIGINT) AS scan_m",
       "CAST(split_part(line, ',', 5) AS BIGINT) AS track_m",
       "acq_epoch",
@@ -5200,8 +5250,8 @@ object Geo {
          WHEN 'N20' THEN 43013 WHEN 'N' THEN 37849 END AS sat_id""",
       """CASE split_part(line, ',', 9) WHEN 'l' THEN 'Low' WHEN 'n' THEN 'Medium'
          WHEN 'h' THEN 'High' END AS conf""",
-      "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0 AS bright_ti5_k",
-      "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0 AS frp_mw",
+      "CAST(split_part(line, ',', 11) AS BIGINT) / 10.0e0 AS bright_ti5_k",
+      "CAST(split_part(line, ',', 12) AS BIGINT) / 100.0e0 AS frp_mw",
       "split_part(line, ',', 13) = 'D' AS is_day")
   }
 

@@ -63,26 +63,9 @@ object Multimodal {
         col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
       .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
       .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
-    val base = dist.select(col("fdist"), col("doc_id"))
-      .repartitionByRange(32, col("fdist"), col("doc_id"))
-      .sortWithinPartitions(col("fdist"), col("doc_id"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33))
-    val offsets = base.groupBy(col("pid"))
-      .agg(count(lit(1)).as("pcnt"))
-      .withColumn("offset", coalesce(sum(col("pcnt")).over(
-        Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("nn", sum(col("pcnt")).over(
-        Window.orderBy(col("pid")).rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-    val med = base
-      .withColumn("rn_in", row_number().over(
-        Window.partitionBy(col("pid"))
-          .orderBy(col("fdist"), col("doc_id"))))
-      .join(broadcast(offsets.select(col("pid"), col("offset"),
-        col("nn"))), Seq("pid"))
-      .filter(col("offset") + col("rn_in") === expr("(nn + 1) div 2"))
+    val med = graft.Det.rankPrefix(dist.select(col("fdist"), col("doc_id")),
+        Seq.empty, Seq(col("fdist"), col("doc_id")))
+      .filter(col("rn") === expr("(n_grp + 1) div 2"))
       .select(col("fdist").as("med"))
     dist.crossJoin(broadcast(med))
       .withColumn("cut", (col("fdist") > col("med")).cast("long"))
@@ -234,9 +217,8 @@ object Multimodal {
   }
 
   private lazy val batchInferOracle: String = {
-    import graft.functions.ImageCodec
     val rows = featureLutLocal.map { case (m, _, f) =>
-      val lg = ImageCodec.stubLogits(f)
+      val lg = graft.functions.Onnx.smokeLogits(f)
       s"($m,${lg.map(dlit).mkString(",")},${lg.indexOf(lg.max)})"
     }.mkString(",")
     s"""WITH lut(mod_id, logit0, logit1, logit2, logit3, pred_class)
@@ -423,15 +405,17 @@ object Multimodal {
     // (replayable inference, the property a production scoring pipeline
     // needs for caching and debugging). groupByKey shuffles once on the
     // batch key; per group, images are decoded (real ImageIO),
-    // featurized, buffered into one batch tensor, "inferred" together
-    // (one session run per batch), and re-flattened with their ids. The
-    // model itself is the remaining stub (ImageCodec.stubLogits, a fixed
-    // 8x4 linear layer over the REAL decoded features — no model weights
-    // ship in this container); decode, batch assembly, id bookkeeping,
-    // and tail-batch handling are the production plumbing an ONNX
-    // session needs. Deterministic batches also make the op
+    // featurized, buffered into one batch tensor, and inferred together:
+    // one Onnx.Session.run per batch against the committed
+    // smoke_mlp.onnx model (a real ONNX protobuf artifact — 8→16→4
+    // Gemm/Relu/Gemm MLP — parsed and executed in float32 by
+    // functions/Onnx.scala; ONNX Runtime itself isn't in this container,
+    // see the Onnx scaladoc). The session loads once per executor JVM
+    // and is reused across batches, the lifecycle odin_onnx gives its
+    // ort::Session. Deterministic batches also make the op
     // oracle-checkable: batch_n/batch_pos are window math over
-    // doc_id / 32, logits come from the period-768 feature LUT.
+    // doc_id / 32, logits come from the period-768 feature LUT running
+    // the identical session driver-side.
     "mm_batch_infer" -> Q(
       build = (s, d) => {
         val spark = s
@@ -450,7 +434,7 @@ object Multimodal {
               // NPE that would fail the whole partition (ADVICE r3)
               if (img == null) new Array[Double](8) else ImageCodec.features(img)
             }
-            val logits = feats.map(ImageCodec.stubLogits)
+            val logits = feats.map(graft.functions.Onnx.smokeLogits)
             batch.zip(logits).zipWithIndex.map { case ((id, lg), i) =>
               (id, batch.length, i, lg, lg.indexOf(lg.max))
             }.iterator

@@ -20,35 +20,13 @@ object TextOps {
   /** Distributed per-group exact rank: appends `rn` (1-based rank of each
     * row within its `grp`, ordered by (ord, tie)) and `n_grp` (group
     * size) without ever running a window over an unbounded partition —
-    * the per-group twin of the q53 global-rank idiom. Range partition on
-    * (grp, ord, tie); per-(partition, group) counts (a partitions×groups
-    * frame) accumulate into broadcast offsets; global rank = offset +
-    * within-partition row_number over the (pid, grp) slice. A 99%-one-
-    * group corpus still ranks across all partitions in parallel.
+    * the per-group face of the shared Det.rankPrefix idiom (q53's global
+    * rank is the other). A 99%-one-group corpus still ranks across all
+    * partitions in parallel.
     */
   private def groupRank(df: DataFrame, grp: String, ord: String,
-      tie: String): DataFrame = {
-    val base = df
-      .repartitionByRange(32, col(grp), col(ord), col(tie))
-      .sortWithinPartitions(col(grp), col(ord), col(tie))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33))
-    val offsets = base.groupBy(col("pid"), col(grp))
-      .agg(count(lit(1)).as("pcnt"))
-      .withColumn("offset", coalesce(sum(col("pcnt")).over(
-        Window.partitionBy(col(grp)).orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n_grp", sum(col("pcnt")).over(
-        Window.partitionBy(col(grp))))
-    base
-      .withColumn("rn_in", row_number().over(
-        Window.partitionBy(col("pid"), col(grp))
-          .orderBy(col(ord), col(tie))))
-      .join(broadcast(offsets.select(col("pid"), col(grp), col("offset"),
-        col("n_grp"))), Seq("pid", grp))
-      .withColumn("rn", col("offset") + col("rn_in"))
-      .drop("mid", "pid", "rn_in", "offset")
-  }
+      tie: String): DataFrame =
+    Det.rankPrefix(df, Seq(col(grp)), Seq(col(ord), col(tie)))
 
   /** BPE training rounds for doc_bpe_train (vocab-sized work per round). */
   private val BpeRounds = 8
@@ -1695,7 +1673,7 @@ object TextOps {
           SELECT source, n_tok, h,
                  SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
           FROM t)
-        SELECT source, (cum - n_tok)//2048 AS seq_id,
+        SELECT source, CAST((cum - n_tok)//2048 AS BIGINT) AS seq_id,
                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                MIN(h) AS first_h,
                CAST(SUM(n_tok) AS DOUBLE)/2048.0 AS fill_frac
@@ -3882,24 +3860,23 @@ object TextOps {
           .agg(sum((length(col("text"))
             - length(regexp_replace(col("text"), " ", "")) + 1)
             .cast(LongType)).as("n_tokens"))
-        val tot = g.agg(count(lit(1)).as("n_src"),
-          sum(col("n_tokens")).as("tot"))
-        val w = Window.orderBy(col("n_tokens"), col("source"))
-        val ws = g
-          .withColumn("rn", row_number().over(w))
-          .withColumn("prefix", coalesce(sum(col("n_tokens")).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .crossJoin(broadcast(tot))
-          .withColumn("budget", expr("tot div 3"))
+        // rank + exclusive prefix over the per-source frame via the
+        // distributed Det.rankPrefix idiom — "source" is the domain axis
+        // of a real corpus (millions of rows at 100 TB), so no
+        // partition-less window may ever see it
+        val ws = Det.rankPrefix(g,
+            Seq.empty, Seq(col("n_tokens"), col("source")),
+            Some(col("n_tokens")))
+          .withColumn("budget", expr("gtot div 3"))
         val level = ws
           .filter(col("prefix")
-            + col("n_tokens") * (col("n_src") - col("rn") + 1)
+            + col("n_tokens") * (col("n_grp") - col("rn") + 1)
             >= col("budget"))
-          .agg(min(struct(col("rn"), col("prefix"), col("n_src"),
+          .agg(min(struct(col("rn"), col("prefix"), col("n_grp"),
             col("budget"))).as("m"))
           // BIGINT div, not double /: exact at any token scale
           .select(expr(
-            "(m.budget - m.prefix) div (m.n_src - m.rn + 1)").as("cap"))
+            "(m.budget - m.prefix) div (m.n_grp - m.rn + 1)").as("cap"))
         g.crossJoin(broadcast(level))
           .select(col("source"), col("n_tokens"), col("cap"),
             least(col("n_tokens"), col("cap")).as("alloc_tokens"),
@@ -3923,12 +3900,12 @@ object TextOps {
                    AS prefix
           FROM g, tot t),
         level AS (
-          SELECT (budget - prefix) // (n_src - rn + 1) AS cap
+          SELECT CAST((budget - prefix) // (n_src - rn + 1) AS BIGINT) AS cap
           FROM ws
           WHERE prefix + n_tokens * (n_src - rn + 1) >= budget
           ORDER BY rn LIMIT 1)
         SELECT g.source, g.n_tokens, l.cap,
-               least(g.n_tokens, l.cap) AS alloc_tokens,
+               CAST(least(g.n_tokens, l.cap) AS BIGINT) AS alloc_tokens,
                g.n_tokens > l.cap AS capped
         FROM g, level l
         ORDER BY g.source""")),

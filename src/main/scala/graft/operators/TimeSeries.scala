@@ -2655,9 +2655,9 @@ object TimeSeries {
           FROM base b JOIN stats USING (user_id)),
         flagged AS (
           SELECT *, ${SpcK.side} AS side,
-                 vc - lag(vc, 1) OVER w AS dv
-          FROM scored
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+                 vc - lag(vc, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) AS dv
+          FROM scored),
         runs AS (
           SELECT *,
                  CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END
@@ -2665,16 +2665,18 @@ object TimeSeries {
           FROM flagged),
         wind AS (
           SELECT *,
-                 SUM(side) OVER (w ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
-                   AS s9,
+                 SUM(side) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS s9,
                  SUM(CASE WHEN inc = 1 THEN 1 ELSE 0 END)
-                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS up5,
+                   OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS up5,
                  SUM(CASE WHEN inc = -1 THEN 1 ELSE 0 END)
-                   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS dn5,
-                 CASE WHEN inc * lag(inc, 1) OVER w = -1 THEN 1 ELSE 0 END
+                   OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS dn5,
+                 CASE WHEN inc * lag(inc, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_sec, event_id) = -1 THEN 1 ELSE 0 END
                    AS alt
-          FROM runs
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+          FROM runs),
         wind2 AS (
           SELECT *,
                  SUM(alt) OVER (PARTITION BY user_id
@@ -2682,11 +2684,13 @@ object TimeSeries {
                    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS a13
           FROM wind)
         SELECT user_id, COUNT(*) AS n_points,
-               SUM(r1) AS r1_beyond3,
-               SUM(CASE WHEN abs(s9) = 9 THEN 1 ELSE 0 END) AS r2_run9,
-               SUM(CASE WHEN up5 = 5 OR dn5 = 5 THEN 1 ELSE 0 END)
-                 AS r3_trend6,
-               SUM(CASE WHEN a13 = 13 THEN 1 ELSE 0 END) AS r4_alt14
+               CAST(SUM(r1) AS BIGINT) AS r1_beyond3,
+               CAST(SUM(CASE WHEN abs(s9) = 9 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS r2_run9,
+               CAST(SUM(CASE WHEN up5 = 5 OR dn5 = 5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS r3_trend6,
+               CAST(SUM(CASE WHEN a13 = 13 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS r4_alt14
         FROM wind2 GROUP BY 1 ORDER BY user_id""")),
 
     // ----- ts_theil_sen: robust trend via banded median slope ------------
@@ -2835,7 +2839,8 @@ object TimeSeries {
           FROM base GROUP BY 1, 2 HAVING COUNT(*) = 8),
         pairs AS (
           SELECT a.user_id, a.wi AS wi_a, b.wi AS wi_b,
-                 SUM((a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])) AS d2
+                 CAST(SUM((a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))
+                   AS BIGINT) AS d2
           FROM fr a JOIN fr b
             ON b.user_id = a.user_id AND b.wi <> a.wi
             AND abs(b.wi - a.wi) <= 64

@@ -36,9 +36,27 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getAs[Int]("batch_pos") < n)
       val cls = r.getAs[Int]("pred_class")
       assert(cls >= 0 && cls < 4)
-      // margins from the fixed linear layer over 8 features bounded by
-      // 255 with weights in [-2,2]/510: |logit| <= 8
-      (0 until 4).foreach(k => assert(math.abs(r.getAs[Double](s"logit$k")) <= 8.0))
+      // analytic bound through the smoke_mlp.onnx MLP: features ≤ 255,
+      // |w1| ≤ 5/8 (8 in), |b1| ≤ 3/4 → relu ≤ 1276; |w2| ≤ 1/4 (16 in),
+      // |b2| ≤ 1 → |logit| ≤ 5105
+      (0 until 4).foreach(k => assert(math.abs(r.getAs[Double](s"logit$k")) <= 5105.0))
+    }
+    // executor logits ARE the committed-ONNX session outputs: recompute
+    // through decode → features → Onnx.smokeLogits locally and compare
+    // bit-exactly (doc residue class 768 = the feature period)
+    import graft.functions.{ImageCodec, Onnx}
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val m = id % 768
+      val img = ImageCodec.decode(ImageCodec.toPng(
+        ImageCodec.syntheticImage(m, 32 + (m % 3).toInt * 16, 32)))
+      val lg = Onnx.smokeLogits(ImageCodec.features(img))
+      (0 until 4).foreach { k =>
+        assert(java.lang.Double.doubleToRawLongBits(lg(k))
+          == java.lang.Double.doubleToRawLongBits(r.getAs[Double](s"logit$k")),
+          s"doc $id logit$k: ${lg(k)} vs ${r.getAs[Double](s"logit$k")}")
+      }
+      assert(r.getAs[Int]("pred_class") == lg.indexOf(lg.max))
     }
     // deterministic across runs
     val again = run("mm_batch_infer").collect()
@@ -122,5 +140,20 @@ class MultimodalSpec extends SparkSpecBase {
   test("mm_feature_extract decode survives a corrupt payload (flagged, not thrown)") {
     import graft.functions.ImageCodec
     assert(ImageCodec.decode(Array[Byte](1, 2, 3, 4)) == null)
+  }
+
+  test("oracle payload-scan caps cover the data (generate_series bounds)") {
+    // The mm_scene_segments / mm_motion_tiles / mm_keyframes oracles scan
+    // payload bytes via a hardcoded generate_series(1, 1024), and the
+    // keyframe focus window via (1, 960) over pos ≤ floor(len/32)*32-64
+    // — both exhaustive iff len ≤ 1024. If the documents table ever
+    // ships text longer than that, the oracle would silently truncate
+    // while the Spark build scans the full payload — a spurious
+    // hash-red. Fail loudly here instead.
+    val maxLen = Tables.t(spark, sf, "documents")
+      .agg(max(length(col("text")))).head.getInt(0)
+    assert(maxLen <= 1024,
+      s"documents.text max length $maxLen exceeds the 1024 oracle scan cap; " +
+        "raise the generate_series bounds in Multimodal oracles")
   }
 }
