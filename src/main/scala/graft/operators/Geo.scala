@@ -5039,7 +5039,122 @@ object Geo {
         SELECT * FROM parsed
         WHERE level IN (1, 2, 3) AND reliability IN (1, 3, 5)
           AND qf IN (0, 1, 2)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ----- geo_warp_lcc: Lambert-conformal → WGS84 raster warp -----------
+    // odin_gdal/src/warp.rs:316 (SimpleWarpBuilder) reprojects between
+    // arbitrary SRSes via PROJ; no GDAL ships in this container, so the
+    // repo covers the reference's ACTUALLY-USED raster SRSes as named
+    // pure-SQL warp paths: UTM↔WGS84 (geo_grid_resample — the DEM case)
+    // and, here, the HRRR CONUS Lambert conformal conic (the GRIB2
+    // template-3.30 grid src_grib2 decodes; odin_hrrr feeds exactly this
+    // projection to every HRRR consumer). Source: a 160×120 synthetic
+    // 3 km LCC grid (~1.1% nodata holes) anchored at fwd(35.2°,−112.3°);
+    // target: a 0.05° lat/lon grid. Per target-cell center: LccK forward
+    // (identical SQL text both engines, mm-rounded) → fractional source
+    // cell → 4-corner bilinear; corners in nodata holes drop and the
+    // remaining weights RENORMALIZE; no valid corner → NULL+valid=false.
+    // Scale shape = geo_grid_resample's: target cells partition freely,
+    // the source grid broadcasts (one shuffle for the corner agg; at
+    // 100× bucket-co-locate both sides on (i, j)).
+    "geo_warp_lcc" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 50).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 60).select(col("id").as("tj")))
+          .withColumn("lat", expr("36.0e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-111.0e0 + tj * 0.05e0"))
+        val cells = tgt
+          .withColumn("fx",
+            expr(s"(${LccK.x("lat", "lon")} - ${LccK.x0}) / 3000.0e0"))
+          .withColumn("fy",
+            expr(s"(${LccK.y("lat", "lon")} - ${LccK.y0}) / 3000.0e0"))
+          .withColumn("i", expr("CAST(floor(fx) AS BIGINT)"))
+          .withColumn("j", expr("CAST(floor(fy) AS BIGINT)"))
+          .withColumn("di", expr("fx - floor(fx)"))
+          .withColumn("dj", expr("fy - floor(fy)"))
+        val src = s.range(0, 160).select(col("id").as("si"))
+          .crossJoin(s.range(0, 120).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*13 + sj*7) % 89 = 0 THEN NULL
+               ELSE CAST((si*23 + sj*41) % 400 AS DOUBLE) / 4.0e0 + 200.0e0
+               END"""))
+        val corners = cells
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val wt = corners.join(broadcast(src),
+            corners("i") + corners("ci") === src("si")
+              && corners("j") + corners("cj") === src("sj"), "left")
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+          .withColumn("w", expr(
+            """(CASE WHEN ci = 0 THEN 1.0e0 - di ELSE di END)
+               * (CASE WHEN cj = 0 THEN 1.0e0 - dj ELSE dj END)"""))
+        def cw(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w")).otherwise(0.0)).as(s"w$k")
+        def cv(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w") * col("v")).otherwise(0.0)).as(s"v$k")
+        wt.groupBy(col("ti"), col("tj"), col("lat"), col("lon"))
+          .agg(cw(0), cv(0), cw(1), cv(1), cw(2), cv(2), cw(3), cv(3))
+          .withColumn("wsum", expr("((w0 + w1) + w2) + w3"))
+          .select(col("ti"), col("tj"), col("lat"), col("lon"),
+            expr("wsum > 0.0e0").as("valid"),
+            expr("""CASE WHEN wsum > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / wsum END""").as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some(s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 36.0e0 + ti.a * 0.05e0 AS lat,
+                 -111.0e0 + tj.b * 0.05e0 AS lon
+          FROM generate_series(0, 49) AS ti(a),
+               generate_series(0, 59) AS tj(b)),
+        fwd AS (
+          SELECT ti, tj, lat, lon,
+                 (${LccK.x("lat", "lon")} - ${LccK.x0}) / 3000.0e0 AS fx,
+                 (${LccK.y("lat", "lon")} - ${LccK.y0}) / 3000.0e0 AS fy
+          FROM tgt),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor(fx) AS BIGINT) AS i,
+                 CAST(floor(fy) AS BIGINT) AS j,
+                 fx - floor(fx) AS di,
+                 fy - floor(fy) AS dj
+          FROM fwd),
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*13 + sj.b*7) % 89 = 0 THEN NULL
+                      ELSE CAST((si.a*23 + sj.b*41) % 400 AS DOUBLE) / 4.0e0
+                           + 200.0e0
+                 END AS v
+          FROM generate_series(0, 159) AS si(a),
+               generate_series(0, 119) AS sj(b)),
+        corners AS (
+          SELECT c.*, ci.c AS ci, cj.c AS cj
+          FROM cells c, generate_series(0, 1) AS ci(c),
+               generate_series(0, 1) AS cj(c)),
+        wt AS (
+          SELECT c.ti, c.tj, c.lat, c.lon, c.ci*2 + c.cj AS ord, s.v,
+                 (CASE WHEN c.ci = 0 THEN 1.0e0 - c.di ELSE c.di END)
+                 * (CASE WHEN c.cj = 0 THEN 1.0e0 - c.dj ELSE c.dj END) AS w
+          FROM corners c LEFT JOIN src s
+            ON c.i + c.ci = s.si AND c.j + c.cj = s.sj),
+        agg AS (
+          SELECT ti, tj, lat, lon,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w0,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v0,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w1,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v1,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w2,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v2,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w3,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v3
+          FROM wt GROUP BY 1, 2, 3, 4)
+        SELECT ti, tj, lat, lon,
+               ((w0 + w1) + w2) + w3 > 0.0e0 AS valid,
+               CASE WHEN ((w0 + w1) + w2) + w3 > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / (((w0 + w1) + w2) + w3)
+               END AS value
+        FROM agg ORDER BY ti, tj"""))
   )
 
   /** Cube rounding for axial hex coords as one shared formula pair: round
@@ -5155,6 +5270,35 @@ object Geo {
       "CAST(split_part(line, ',', 12) AS DOUBLE) AS frp_mw",
       "CAST(split_part(line, ',', 13) AS BIGINT) AS qf",
       "CAST(split_part(line, ',', 14) AS BIGINT) AS hc")
+  }
+
+  /** Engine-shared Lambert-conformal-conic forward fragments (Snyder
+    * 1987 eq. 15-1..15-4, spherical, one standard parallel), fixed to
+    * the HRRR CONUS projection the GRIB2 template-3.30 reader
+    * (sources/Grib2Provider.LccMath) already decodes: latin1 = latin2 =
+    * 38.5°N → n = sin(38.5°), LoV = −97.5°, sphere R = 6371229 m.
+    * Identical SQL text on both engines; outputs are mm-rounded so a
+    * last-ulp libm wiggle cannot flip a downstream cell floor (the
+    * UtmK/geo_grid_resample idiom). Valid away from the antimeridian
+    * wrap (CONUS lons — no wrap normalization in SQL).
+    */
+  private[graft] object LccK {
+    private val N = "sin(radians(38.5e0))"
+    private val F = s"(cos(radians(38.5e0)) " +
+      s"* pow(tan(pi()/4.0e0 + radians(38.5e0)/2.0e0), $N) / $N)"
+    private def rho(phi: String) =
+      s"(6371229.0e0 * $F / pow(tan(pi()/4.0e0 + ($phi)/2.0e0), $N))"
+    private val rho0 = rho("radians(38.5e0)")
+    private def th(lon: String) =
+      s"($N * (radians($lon) - radians(-97.5e0)))"
+    /** mm-rounded easting / northing (m) from lat/lon degree exprs. */
+    def x(lat: String, lon: String): String =
+      s"round(${rho(s"radians($lat)")} * sin(${th(lon)}), 3)"
+    def y(lat: String, lon: String): String =
+      s"round($rho0 - ${rho(s"radians($lat)")} * cos(${th(lon)}), 3)"
+    /** warp-grid origin: first cell center of the synthetic 3 km grid. */
+    val x0: String = x("35.2e0", "-112.3e0")
+    val y0: String = y("35.2e0", "-112.3e0")
   }
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip

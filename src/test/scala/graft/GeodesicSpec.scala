@@ -130,4 +130,34 @@ class GeodesicSpec extends SparkSpecBase {
       .collect()(0).getDouble(0)
     assert(math.abs(m(km) - 54972.271) < 1.0)
   }
+
+  test("geo_warp_lcc: SQL LCC forward matches Grib2Provider.LccMath") {
+    // the LccK SQL fragments and the GRIB2 reader's JVM LccMath encode
+    // the same Snyder spherical LCC with the same HRRR parameters —
+    // assert they agree (mm rounding is the only permitted delta), so
+    // the warp query and the src_grib2 geolocation can never drift apart
+    import graft.sources.Grib2.{Lcc, LccMath}
+    import graft.operators.Geo.LccK
+    val cone = LccMath.cone(Lcc(38.5, 38.5, -97.5, 3000, 3000))
+    val pts = Seq((36.0, -111.0), (38.45, -108.05), (35.2, -112.3),
+      (40.0, -97.5), (30.0, -120.0))
+    val rows = pts.map { case (la, lo) =>
+      spark.sql(s"SELECT ${LccK.x(la + "e0", lo + "e0")} AS x, " +
+          s"${LccK.y(la + "e0", lo + "e0")} AS y")
+        .collect()(0)
+    }
+    pts.zip(rows).foreach { case ((la, lo), r) =>
+      val (ex, ey) = LccMath.forward(cone, la, lo)
+      assert(math.abs(r.getDouble(0) - ex) < 2e-3, s"x($la,$lo)")
+      assert(math.abs(r.getDouble(1) - ey) < 2e-3, s"y($la,$lo)")
+    }
+    // and the warp output itself: full coverage of the synthetic grid,
+    // values inside the source range, deterministic across runs
+    val out = run("geo_warp_lcc").collect()
+    assert(out.length == 3000)
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    assert(out.forall { r =>
+      val v = r.getAs[Double]("value"); v >= 200.0 && v < 300.0
+    })
+  }
 }
