@@ -4013,6 +4013,133 @@ object TextOps {
         SELECT n.ckpt, n.cutoff, n.n_tokens, v.v_types,
                (v.v_types * 1000000) // n.n_tokens AS ttr_x1e6
         FROM nt n JOIN vt v ON v.ckpt = n.ckpt
-        ORDER BY n.ckpt"""))
+        ORDER BY n.ckpt""")),
+
+    // ----- doc_shard_plan: token-balanced training-shard assignment ------
+    // The step between curation and the trainer: split the corpus into N
+    // equal-token shards so data-parallel ranks finish epochs together.
+    // Boustrophedon LPT: rank docs by tokens DESC (doc_id tiebreak) and
+    // deal them serpentine across 16 shards — the classic deterministic
+    // greedy that bounds shard skew by one max-doc. The rank comes from
+    // Det.rankPrefix (distributed exact rank — no partition-less window
+    // over the corpus-sized frame); gtot rides along for the imbalance
+    // audit, so the whole plan is two bounded shuffles + the final
+    // 16-row aggregate. Output: per-shard doc/token totals and the
+    // ppm deviation from perfect balance.
+    "doc_shard_plan" -> Q(
+      build = (s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast(LongType).as("n_tok"))
+        Det.rankPrefix(t, Seq.empty,
+            Seq((-col("n_tok")).as("neg"), col("doc_id")),
+            Some(col("n_tok")))
+          .withColumn("shard", expr(
+            """CASE WHEN ((rn - 1) div 16) % 2 = 0 THEN (rn - 1) % 16
+               ELSE 15 - (rn - 1) % 16 END"""))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            max(col("gtot")).as("gtot"))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            expr("((n_tokens * 16 - gtot) * 1000000) div gtot")
+              .as("dev_ppm"))
+          .orderBy(col("shard"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS n_tok
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tok,
+                 ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+          FROM t),
+        tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS gtot FROM t),
+        sh AS (
+          SELECT CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+                      ELSE 15 - (rn - 1) % 16 END AS shard,
+                 n_tok
+          FROM r)
+        SELECT s.shard, COUNT(*) AS n_docs,
+               CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+               CAST((CAST(SUM(s.n_tok) AS BIGINT) * 16 - t.gtot) * 1000000
+                 // t.gtot AS BIGINT) AS dev_ppm
+        FROM sh s, tot t GROUP BY s.shard, t.gtot
+        ORDER BY s.shard""")),
+
+    // ----- doc_upsample_plan: mixture-epoch materialization --------------
+    // After doc_mixture_weights proposes shares, the trainer needs an
+    // integer repeat count PER DOCUMENT: temperature-mixed token budgets
+    // (tau = 0.5 over per-source token mass, 10M-token budget) give each
+    // source B_s; every doc repeats floor(B_s / S_s) times, and the
+    // remainder B_s mod S_s is filled by one extra pass over an
+    // md5-ordered prefix of the source — the deterministic fractional-
+    // epoch rule (data recipes à la LLaMA/DoReMi materialized, not
+    // sampled). The per-source exclusive token prefix in md5 order is
+    // Det.rankPrefix's grouped value path — one range shuffle + a
+    // broadcast offset table, never a per-source sorted window. All
+    // quantities integer-exact on both engines.
+    "doc_upsample_plan" -> Q(
+      build = (s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), " ", "")) + 1)
+            .cast(LongType).as("n_tok"),
+          md5(col("doc_id").cast(StringType)).as("h"))
+        val ranked = Det.rankPrefix(t, Seq(col("source")),
+          Seq(col("h"), col("doc_id")), Some(col("n_tok")))
+        val g = ranked.groupBy(col("source"))
+          .agg(max(col("gtot")).as("s_tok"))
+          .withColumn("qw",
+            floor(sqrt(col("s_tok").cast(DoubleType)) * 1048576.0)
+              .cast(LongType))
+        val b = g.crossJoin(broadcast(g.select(sum(col("qw")).as("tq"))))
+          .select(col("source"), col("s_tok"),
+            expr("(10000000 * qw) div tq").as("bs"))
+        ranked.join(broadcast(b), Seq("source"))
+          .withColumn("base_epochs", expr("bs div s_tok"))
+          .withColumn("extra", expr("prefix + n_tok <= bs % s_tok"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("base_epochs"),
+            col("extra"),
+            expr("base_epochs + CASE WHEN extra THEN 1 ELSE 0 END")
+              .as("repeats"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        g AS (
+          SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s_tok,
+                 CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1048576.0e0)
+                   AS BIGINT) AS qw
+          FROM t GROUP BY 1),
+        tot AS (SELECT CAST(SUM(qw) AS BIGINT) AS tq FROM g),
+        b AS (
+          SELECT g.source, g.s_tok,
+                 CAST((10000000 * g.qw) // t.tq AS BIGINT) AS bs
+          FROM g, tot t),
+        w AS (
+          SELECT t.*,
+                 CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+          FROM t)
+        SELECT w.doc_id, w.source, w.n_tok,
+               CAST(b.bs // b.s_tok AS BIGINT) AS base_epochs,
+               w.prefix + w.n_tok <= b.bs % b.s_tok AS extra,
+               CAST(b.bs // b.s_tok
+                 + CASE WHEN w.prefix + w.n_tok <= b.bs % b.s_tok
+                        THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        FROM w JOIN b ON b.source = w.source
+        ORDER BY w.doc_id"""))
   )
 }
