@@ -790,4 +790,38 @@ object Streams {
             st.forecasts.lastOption.orElse(st.actual).map(_.erc))
       }
   }
+
+  case class InferIn(doc_id: Long, png: Array[Byte])
+  case class InferOut(doc_id: Long, batch_len: Int, pred_class: Int,
+      logit0: Double, logit1: Double, logit2: Double, logit3: Double)
+
+  /** stream_batch_infer: live micro-batch model scoring — the streaming
+    * twin of mm_batch_infer, and the shape the reference actually runs
+    * (odin_onnx's SmokeDetector scores a LIVE camera feed: each arriving
+    * image batch goes through one ort::Session the actor holds open).
+    * Stateless per-record transform, so it composes with any upstream
+    * watermark/dedup stage: within each micro-batch partition, records
+    * buffer into fixed-size-32 batches (tail handled), decode via the
+    * real ImageIO path, and run through the committed smoke_mlp.onnx
+    * session — loaded once per executor JVM and shared with the batch
+    * operator, the ort lifecycle. Undecodable payloads score as zero
+    * features rather than failing the stream.
+    */
+  def batchInferStream(in: Dataset[InferIn]): Dataset[InferOut] = {
+    import in.sparkSession.implicits._
+    import graft.functions.{ImageCodec, Onnx}
+    in.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        val feats = batch.map { r =>
+          val img = ImageCodec.decode(r.png)
+          if (img == null) new Array[Double](8) else ImageCodec.features(img)
+        }
+        val logits = feats.map(Onnx.smokeLogits)
+        batch.zip(logits).map { case (r, lg) =>
+          InferOut(r.doc_id, batch.length, lg.indexOf(lg.max),
+            lg(0), lg(1), lg(2), lg(3))
+        }
+      }
+    }
+  }
 }
