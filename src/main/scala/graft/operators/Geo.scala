@@ -5154,6 +5154,115 @@ object Geo {
                CASE WHEN ((w0 + w1) + w2) + w3 > 0.0e0
                     THEN (((v0 + v1) + v2) + v3) / (((w0 + w1) + w2) + w3)
                END AS value
+        FROM agg ORDER BY ti, tj""")),
+
+    // ----- geo_warp_ps: polar-stereographic → WGS84 raster warp ----------
+    // Third named SRS path (with geo_grid_resample's UTM and
+    // geo_warp_lcc's Lambert conformal), completing the GRIB grid-
+    // definition trio a weather-data consumer meets: template 3.20
+    // polar stereographic, here the NDFD Alaska convention (60°N
+    // standard parallel, LoV −150°, 5 km cells — the high-latitude grid
+    // where Lambert breaks down). Same skeleton: PsK forward (Snyder
+    // spherical, engine-shared SQL, mm-rounded) → fractional source
+    // cell → 4-corner bilinear with nodata renormalization; same
+    // broadcast-source / free-partitioning scale shape.
+    "geo_warp_ps" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 80).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 60).select(col("id").as("tj")))
+          .withColumn("lat", expr("58.0e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-160.0e0 + tj * 0.25e0"))
+        val cells = tgt
+          .withColumn("fx",
+            expr(s"(${PsK.x("lat", "lon")} - ${PsK.x0}) / 5000.0e0"))
+          .withColumn("fy",
+            expr(s"(${PsK.y("lat", "lon")} - ${PsK.y0}) / 5000.0e0"))
+          .withColumn("i", expr("CAST(floor(fx) AS BIGINT)"))
+          .withColumn("j", expr("CAST(floor(fy) AS BIGINT)"))
+          .withColumn("di", expr("fx - floor(fx)"))
+          .withColumn("dj", expr("fy - floor(fy)"))
+        val src = s.range(0, 230).select(col("id").as("si"))
+          .crossJoin(s.range(0, 110).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*17 + sj*29) % 83 = 0 THEN NULL
+               ELSE CAST((si*19 + sj*47) % 600 AS DOUBLE) / 8.0e0 - 30.0e0
+               END"""))
+        val corners = cells
+          .withColumn("ci", explode(array(lit(0L), lit(1L))))
+          .withColumn("cj", explode(array(lit(0L), lit(1L))))
+        val wt = corners.join(broadcast(src),
+            corners("i") + corners("ci") === src("si")
+              && corners("j") + corners("cj") === src("sj"), "left")
+          .withColumn("ord", col("ci") * 2 + col("cj"))
+          .withColumn("w", expr(
+            """(CASE WHEN ci = 0 THEN 1.0e0 - di ELSE di END)
+               * (CASE WHEN cj = 0 THEN 1.0e0 - dj ELSE dj END)"""))
+        def cw(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w")).otherwise(0.0)).as(s"w$k")
+        def cv(k: Int) = sum(when(col("ord") === k && col("v").isNotNull,
+          col("w") * col("v")).otherwise(0.0)).as(s"v$k")
+        wt.groupBy(col("ti"), col("tj"), col("lat"), col("lon"))
+          .agg(cw(0), cv(0), cw(1), cv(1), cw(2), cv(2), cw(3), cv(3))
+          .withColumn("wsum", expr("((w0 + w1) + w2) + w3"))
+          .select(col("ti"), col("tj"), col("lat"), col("lon"),
+            expr("wsum > 0.0e0").as("valid"),
+            expr("""CASE WHEN wsum > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / wsum END""").as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some(s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 58.0e0 + ti.a * 0.05e0 AS lat,
+                 -160.0e0 + tj.b * 0.25e0 AS lon
+          FROM generate_series(0, 79) AS ti(a),
+               generate_series(0, 59) AS tj(b)),
+        fwd AS (
+          SELECT ti, tj, lat, lon,
+                 (${PsK.x("lat", "lon")} - ${PsK.x0}) / 5000.0e0 AS fx,
+                 (${PsK.y("lat", "lon")} - ${PsK.y0}) / 5000.0e0 AS fy
+          FROM tgt),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor(fx) AS BIGINT) AS i,
+                 CAST(floor(fy) AS BIGINT) AS j,
+                 fx - floor(fx) AS di,
+                 fy - floor(fy) AS dj
+          FROM fwd),
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*17 + sj.b*29) % 83 = 0 THEN NULL
+                      ELSE CAST((si.a*19 + sj.b*47) % 600 AS DOUBLE) / 8.0e0
+                           - 30.0e0
+                 END AS v
+          FROM generate_series(0, 229) AS si(a),
+               generate_series(0, 109) AS sj(b)),
+        corners AS (
+          SELECT c.*, ci.c AS ci, cj.c AS cj
+          FROM cells c, generate_series(0, 1) AS ci(c),
+               generate_series(0, 1) AS cj(c)),
+        wt AS (
+          SELECT c.ti, c.tj, c.lat, c.lon, c.ci*2 + c.cj AS ord, s.v,
+                 (CASE WHEN c.ci = 0 THEN 1.0e0 - c.di ELSE c.di END)
+                 * (CASE WHEN c.cj = 0 THEN 1.0e0 - c.dj ELSE c.dj END) AS w
+          FROM corners c LEFT JOIN src s
+            ON c.i + c.ci = s.si AND c.j + c.cj = s.sj),
+        agg AS (
+          SELECT ti, tj, lat, lon,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w0,
+                 SUM(CASE WHEN ord = 0 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v0,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w1,
+                 SUM(CASE WHEN ord = 1 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v1,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w2,
+                 SUM(CASE WHEN ord = 2 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v2,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w ELSE 0.0e0 END) AS w3,
+                 SUM(CASE WHEN ord = 3 AND v IS NOT NULL THEN w*v ELSE 0.0e0 END) AS v3
+          FROM wt GROUP BY 1, 2, 3, 4)
+        SELECT ti, tj, lat, lon,
+               ((w0 + w1) + w2) + w3 > 0.0e0 AS valid,
+               CASE WHEN ((w0 + w1) + w2) + w3 > 0.0e0
+                    THEN (((v0 + v1) + v2) + v3) / (((w0 + w1) + w2) + w3)
+               END AS value
         FROM agg ORDER BY ti, tj"""))
   )
 
@@ -5299,6 +5408,26 @@ object Geo {
     /** warp-grid origin: first cell center of the synthetic 3 km grid. */
     val x0: String = x("35.2e0", "-112.3e0")
     val y0: String = y("35.2e0", "-112.3e0")
+  }
+
+  /** Engine-shared polar-stereographic forward fragments (Snyder 1987
+    * eq. 21-8/21-9, spherical, north polar aspect), fixed to the NDFD
+    * Alaska grid convention (GRIB2 template 3.20): standard parallel
+    * 60°N → k0 = (1+sin 60°)/2, orientation LoV = −150°, sphere
+    * R = 6371229 m. Same mm-rounding contract as LccK/UtmK.
+    */
+  private[graft] object PsK {
+    private val K0 = "((1.0e0 + sin(radians(60.0e0))) / 2.0e0)"
+    private def rho(lat: String) =
+      s"(2.0e0 * 6371229.0e0 * $K0 * tan(pi()/4.0e0 - radians($lat)/2.0e0))"
+    private def dl(lon: String) = s"(radians($lon) - radians(-150.0e0))"
+    def x(lat: String, lon: String): String =
+      s"round(${rho(lat)} * sin(${dl(lon)}), 3)"
+    def y(lat: String, lon: String): String =
+      s"round(0.0e0 - ${rho(lat)} * cos(${dl(lon)}), 3)"
+    /** warp-grid origin: first cell center of the synthetic 5 km grid. */
+    val x0: String = x("57.0e0", "-163.0e0")
+    val y0: String = y("57.0e0", "-163.0e0")
   }
 
   /** Engine-shared fragments for the FIRMS VIIRS CSV round trip

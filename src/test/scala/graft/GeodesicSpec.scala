@@ -160,4 +160,31 @@ class GeodesicSpec extends SparkSpecBase {
       val v = r.getAs[Double]("value"); v >= 200.0 && v < 300.0
     })
   }
+
+  test("geo_warp_ps: SQL PS forward matches Snyder 21-8/21-9 directly") {
+    import graft.operators.Geo.PsK
+    val R = 6371229.0; val k0 = (1 + math.sin(math.toRadians(60))) / 2
+    def fwd(lat: Double, lon: Double): (Double, Double) = {
+      val rho = 2 * R * k0 * math.tan(Math.PI / 4 - math.toRadians(lat) / 2)
+      val dl = math.toRadians(lon) - math.toRadians(-150.0)
+      (rho * math.sin(dl), -rho * math.cos(dl))
+    }
+    val pts = Seq((58.0, -160.0), (61.95, -145.25), (57.0, -163.0),
+      (60.0, -150.0), (70.0, -140.0))
+    pts.foreach { case (la, lo) =>
+      val r = spark.sql(s"SELECT ${PsK.x(la + "e0", lo + "e0")} AS x, " +
+          s"${PsK.y(la + "e0", lo + "e0")} AS y").collect()(0)
+      val (ex, ey) = fwd(la, lo)
+      assert(math.abs(r.getDouble(0) - ex) < 2e-3, s"x($la,$lo)")
+      assert(math.abs(r.getDouble(1) - ey) < 2e-3, s"y($la,$lo)")
+    }
+    // at the standard parallel the scale factor is exactly 1: one cell
+    // of 0.05° latitude spans ~5.56 km of rho there
+    val out = run("geo_warp_ps").collect()
+    assert(out.length == 4800)
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    assert(out.forall { r =>
+      val v = r.getAs[Double]("value"); v >= -30.0 && v < 45.0
+    })
+  }
 }
