@@ -87,10 +87,22 @@ object Det {
     value.foreach(v => t = t.withColumn("_v", v))
     val gCols = gN.map(col)
     val rangeCols = (gN ++ oN).map(col)
+    // localCheckpoint (eager), NOT a plain lineage: `base` feeds both the
+    // offsets aggregate and the final rank join, and rows carry a
+    // partition-derived _pid. RangePartitioner samples its bounds with a
+    // seed derived from the RDD instance, so if the two consumer branches
+    // ever RECOMPUTE the exchange instead of reusing it (observed under
+    // AQE at sf0.1: 14/5000 rows landed in different pids per branch and
+    // dropped out of the inner join), the offset table and the data rows
+    // disagree. Materializing once makes _pid a fact of the data. Same
+    // idiom as the CC family's checkpointReset; cost = one local
+    // materialization of the frame being ranked (it is consumed 2-3×
+    // anyway).
     val base = t.repartitionByRange(np, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
+      .localCheckpoint()
     val raw = base.groupBy((col("_pid") +: gCols): _*)
       .agg(count(lit(1)).as("_rawcnt"),
         value.map(_ => sum(col("_v"))).getOrElse(lit(0L)).as("_psum"))
