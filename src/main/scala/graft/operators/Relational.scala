@@ -472,31 +472,18 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // ----- q22_distribution: ntile/percent_rank/cume_dist ----------------
-    // Scale shape: NO single-partition global window. The total order
-    // comes from a range repartition + in-partition sort; each row's
-    // global rank = per-partition offset (a #partitions-row aggregate,
-    // broadcast back) + its position within the partition (decoded from
-    // monotonically_increasing_id: partition id in the high bits, row
-    // index in the low 33). ntile/percent_rank/cume_dist then derive from
-    // (rank, N) arithmetic identical to the SQL window definitions, and
-    // the result is invariant to where the range boundaries fall.
+    // Scale shape: NO single-partition global window. The global rank
+    // rides the shared Det.rankPrefix distributed-rank idiom;
+    // ntile/percent_rank/cume_dist then derive from (rank, N) arithmetic
+    // identical to the SQL window definitions, and the result is
+    // invariant to where the range boundaries fall.
     "q22_distribution" -> Q(
       build = (s, d) => {
-        val base = ord(s, d).select(col("o_orderkey"), col("o_totalprice"))
-          .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
-          .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
-          .withColumn("mid", monotonically_increasing_id())
-          .withColumn("pid", shiftright(col("mid"), 33))
-          .withColumn("lrn", col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
-        val offsets = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-          .withColumn("offset", coalesce(sum(col("cnt")).over(
-            Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .withColumn("n_total", sum(col("cnt")).over(
-            Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        base.join(broadcast(offsets.select("pid", "offset", "n_total")), Seq("pid"))
-          .withColumn("rnk", col("offset") + col("lrn"))
+        graft.Det.rankPrefix(
+            ord(s, d).select(col("o_orderkey"), col("o_totalprice")),
+            Seq.empty, Seq(col("o_totalprice"), col("o_orderkey")))
+          .withColumn("rnk", col("rn"))
+          .withColumn("n_total", col("n_grp"))
           .withColumn("quartile", expr("""
             CASE WHEN rnk <= (n_total div 4 + 1) * (n_total % 4)
                  THEN (rnk - 1) div (n_total div 4 + 1) + 1
@@ -1532,8 +1519,7 @@ object Relational {
     // runs): parts ranked by revenue, classified A while the cumulative
     // share is within 80%, B within 95%, else C. Revenue aggregates to
     // integer cents BEFORE any ordering, and the cumulative sum is the
-    // q22 distributed-prefix shape — range repartition, per-partition
-    // prefix, #partitions-row offset table broadcast back — so there is
+    // shared Det.rankPrefix distributed prefix-sum — so there is
     // NO single-partition window over the part dimension (20M parts at
     // SF100 would serialize one). Class thresholds compare exact integer
     // cumulative cents against the exact total — no floating boundary.
@@ -1544,27 +1530,13 @@ object Relational {
           .agg(sum(expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
             .as("rev_c"))
-        val base = perPart
-          .repartitionByRange(32, col("rev_c").desc, col("l_partkey"))
-          .sortWithinPartitions(col("rev_c").desc, col("l_partkey"))
-          .withColumn("mid", monotonically_increasing_id())
-          .withColumn("pid", shiftright(col("mid"), 33))
-        val wPart = Window.partitionBy(col("pid"))
-          .orderBy(col("rev_c").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offsets = base.groupBy(col("pid"))
-          .agg(sum(col("rev_c")).as("psum"))
-          .withColumn("offset", coalesce(sum(col("psum")).over(
-            Window.orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("tot_c", sum(col("psum")).over(
-            Window.orderBy(col("pid")).rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing)))
-        val classed = base
-          .withColumn("cum_in", sum(col("rev_c")).over(wPart))
-          .join(broadcast(offsets.select(col("pid"), col("offset"),
-            col("tot_c"))), Seq("pid"))
-          .withColumn("cum_c", col("offset") + col("cum_in"))
+        // rank by revenue DESC: rev_c > 0, so ordering on its negation
+        // ascending is the same total order
+        val classed = graft.Det.rankPrefix(perPart, Seq.empty,
+            Seq((-col("rev_c")).as("neg"), col("l_partkey")),
+            Some(col("rev_c")))
+          .withColumn("cum_c", col("prefix") + col("rev_c"))
+          .withColumn("tot_c", col("gtot"))
           .withColumn("cls",
             when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
               .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
