@@ -33,11 +33,7 @@ object Bench {
     // classes, runs 2-3 measure steady state). A GC between queries keeps
     // one query's shuffle-buffer collection out of the next one's timing.
     val runs = 3
-    // stage-bisection diagnostics (Diag) are gate-only: timing them would
-    // double-count their parents in total/n_queries (ADVICE r6 on the *2
-    // twins — headline numbers must reflect distinct operators)
     val results = SparkEntry.queries.toSeq
-      .filterNot { case (n, _) => SparkEntry.diagNames(n) }
       .sortBy(_._1).map { case (name, fn) =>
       // iterative queries (CC, k-means, BPE, streamline) localCheckpoint
       // per round and those blocks outlive the query; once a few such

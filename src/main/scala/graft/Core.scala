@@ -103,30 +103,38 @@ object Det {
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
       .localCheckpoint()
-    val raw = base.groupBy((col("_pid") +: gCols): _*)
+    val rawCnt = base.groupBy((col("_pid") +: gCols): _*)
       .agg(count(lit(1)).as("_rawcnt"),
         value.map(_ => sum(col("_v"))).getOrElse(lit(0L)).as("_psum"))
-      // evaluated on the bounded offsets frame only; assert_true is NULL
-      // on success so the add is a no-op, and raises before any rank is
-      // silently corrupted if a partition ever exceeds the id layout
+    // The 2^33 id-layout bound is per PARTITION, not per (partition,
+    // group): id overflow spills rows into the next _pid label even when
+    // every (pid, grp) slice stays small. Guard on the per-pid total (≤ np
+    // rows, broadcast back); assert_true is NULL on success so the add is
+    // a no-op, and raises before any rank is silently corrupted.
+    val pidTot = rawCnt.groupBy(col("_pid"))
+      .agg(sum(col("_rawcnt")).as("_ptot"))
+    val raw = rawCnt.join(broadcast(pidTot), Seq("_pid"))
       .withColumn("_pcnt", col("_rawcnt") + coalesce(
-        assert_true(col("_rawcnt") < lit(1L << 33)).cast(LongType), lit(0L)))
-    // offsets via a triangular self-join over the partitions×groups frame
-    // (≤ np² rows per group — config-bounded, never data-bounded) rather
-    // than a window: keeps even this bounded step free of partition-less
-    // WindowExec, so a "No Partition Defined" warning in a log always
-    // means a real scale hazard elsewhere
-    val rawB = raw.select((gCols :+ col("_pid").as("_bpid") :+
-      col("_pcnt").as("_bcnt") :+ col("_psum").as("_bsum")): _*)
-    val offs = raw.join(rawB, gN)
-      .groupBy((col("_pid") +: gCols): _*)
-      .agg(
-        sum(when(col("_bpid") < col("_pid"), col("_bcnt"))
-          .otherwise(lit(0L))).as("_roff"),
-        sum(col("_bcnt")).as("n_grp"),
-        sum(when(col("_bpid") < col("_pid"), col("_bsum"))
-          .otherwise(lit(0L))).as("_voff"),
-        sum(col("_bsum")).as("gtot"))
+        assert_true(col("_ptot") < lit(1L << 33)).cast(LongType), lit(0L)))
+    // offsets via a running sum over _pid WITHIN each group: the window is
+    // partitioned on grp (never partition-less), its frame holds ≤ np rows
+    // per group, and the offsets frame stays O(np × G) — G = group
+    // cardinality, so the broadcast below is data-bounded only through G.
+    // PRECONDITION: callers pass low-cardinality grp (lang, source, flag
+    // buckets — G in the tens); a high-cardinality grp would make the
+    // broadcast O(np × G) rows. For that case use an ordinary window
+    // rank (groups fit in one task) — this idiom exists for few-groups ×
+    // many-rows slices where a per-group window would hot-spot one task.
+    val wOffP = Window.partitionBy(gCols: _*).orderBy(col("_pid"))
+    val wOffAll = wOffP.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = raw
+      .withColumn("_roff", coalesce(sum(col("_pcnt")).over(
+        wOffP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_grp", sum(col("_pcnt")).over(wOffAll))
+      .withColumn("_voff", coalesce(sum(col("_psum")).over(
+        wOffP.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("gtot", sum(col("_psum")).over(wOffAll))
     val keys = "_pid" +: gN
     val wLoc = Window.partitionBy(keys.map(col): _*).orderBy(oN.map(col): _*)
     val offCols = keys.map(col) ++ Seq(col("_roff"), col("n_grp")) ++

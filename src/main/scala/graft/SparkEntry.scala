@@ -17,13 +17,13 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs
 
-  /** Round-7 stage-bisection diagnostics for the five driver-red queries
-    * (see operators/Diag.scala — temporary, excluded from Bench, retired
-    * once the reds turn green; replaces round 6's byte-identical `*2`
-    * twins, whose experiment concluded: both twins and originals red, so
-    * per-name caching is refuted and the divergence is stage-localizable).
+  /** All registered queries. (The round-6 `*2` twins and round-7 Diag
+    * stage-bisection queries are retired: CORRECTNESS_r07 showed all 339
+    * rows green — the r4–r6 "red five" was the gate's typed value hash
+    * meeting DuckDB HUGEINT/DECIMAL promotions, fixed by casting every
+    * integer SUM to BIGINT in the oracles; see SURVEY §5.)
     */
-  private def allDefs: Seq[(String, Q)] = moduleDefs ++ operators.Diag.defs
+  private def allDefs: Seq[(String, Q)] = moduleDefs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -42,7 +42,4 @@ object SparkEntry {
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] =
     allDefs.collect { case (n, q) if q.bench => n }
-
-  /** Gate-only diagnostic ids (never timed or counted by Bench). */
-  def diagNames: Set[String] = operators.Diag.defs.map(_._1).toSet
 }

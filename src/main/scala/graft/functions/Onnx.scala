@@ -150,6 +150,11 @@ object Onnx {
     var inits = Map.empty[String, Tensor]
     var initOrder = Vector.empty[String]
     var inName = ""; var inDims = Seq.empty[Long]
+    // all graph.input entries in order; the data input is resolved AFTER
+    // the scan (graph.input may precede initializers in a legal file, and
+    // pre-IR-4 exporters list initializers in graph.input too — deciding
+    // per-entry against initializers-seen-so-far mis-detects both cases)
+    var declIns = Vector.empty[(String, Seq[Long])]
     var outName = ""; var outDims = Seq.empty[Long]
 
     def parseValueInfo(r: Reader): (String, Seq[Long]) = {
@@ -264,11 +269,14 @@ object Onnx {
           inits += (nm -> t); initOrder = initOrder :+ nm
         case 11 =>
           val (nm, dims) = parseValueInfo(graph.sub())
-          if (!inits.contains(nm)) { inName = nm; inDims = dims }
+          declIns = declIns :+ (nm -> dims)
         case 12 =>
           val (nm, dims) = parseValueInfo(graph.sub()); outName = nm; outDims = dims
         case _ => graph.skip(wire)
       }
+    }
+    declIns.find { case (nm, _) => !inits.contains(nm) }.foreach {
+      case (nm, dims) => inName = nm; inDims = dims
     }
     Model(irVersion, opset, producer, graphName, inName, inDims, outName,
       outDims, nodes, inits, initOrder)

@@ -4082,6 +4082,11 @@ object TextOps {
     // Det.rankPrefix's grouped value path — one range shuffle + a
     // broadcast offset table, never a per-source sorted window. All
     // quantities integer-exact on both engines.
+    // Bound (cf. rankPrefix's documented 2^33): qw = floor(sqrt(s_tok))·2^10,
+    // so the budget product 10^7·qw stays under 2^63 until a single source
+    // holds ~7.7e17 tokens (≈ 3 PB of text) — two decades past the 100 TB
+    // design scale. (2^10, not 2^20: the wider quantization overflowed at
+    // ~7.7e11 tokens, inside the design envelope — ADVICE r7.)
     "doc_upsample_plan" -> Q(
       build = (s, d) => {
         val t = docs(s, d).select(col("doc_id"), col("source"),
@@ -4094,7 +4099,7 @@ object TextOps {
         val g = ranked.groupBy(col("source"))
           .agg(max(col("gtot")).as("s_tok"))
           .withColumn("qw",
-            floor(sqrt(col("s_tok").cast(DoubleType)) * 1048576.0)
+            floor(sqrt(col("s_tok").cast(DoubleType)) * 1024.0)
               .cast(LongType))
         val b = g.crossJoin(broadcast(g.select(sum(col("qw")).as("tq"))))
           .select(col("source"), col("s_tok"),
@@ -4118,7 +4123,7 @@ object TextOps {
           FROM documents),
         g AS (
           SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s_tok,
-                 CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1048576.0e0)
+                 CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1024.0e0)
                    AS BIGINT) AS qw
           FROM t GROUP BY 1),
         tot AS (SELECT CAST(SUM(qw) AS BIGINT) AS tq FROM g),

@@ -93,6 +93,70 @@ class OnnxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Sigmoid"))
   }
 
+  test("input resolution is order- and old-exporter-independent") {
+    // Two legal ONNX layouts our encoder never emits but real exporters
+    // do: (a) graph.input serialized BEFORE initializers; (b) pre-IR-4
+    // style, where initializers are ALSO listed in graph.input. Rebuild
+    // the committed fixture's GraphProto at the byte level into the worst
+    // combination of both and assert the data input still resolves to "x".
+    def varint(r: java.nio.ByteBuffer): Long = {
+      var x = 0L; var s = 0
+      while ({ val b = r.get(); x |= (b & 0x7FL) << s; s += 7; (b & 0x80) != 0 }) ()
+      x
+    }
+    def chunks(raw: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      // (fieldNo, full key+payload bytes) per top-level field
+      val r = java.nio.ByteBuffer.wrap(raw)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      while (r.hasRemaining) {
+        val start = r.position(); val k = varint(r)
+        (k & 7) match {
+          case 0 => varint(r)
+          case 2 => val n = varint(r); r.position(r.position() + n.toInt)
+          case 5 => r.position(r.position() + 4)
+          case 1 => r.position(r.position() + 8)
+          case w => fail(s"wire $w")
+        }
+        out += (((k >> 3).toInt,
+          java.util.Arrays.copyOfRange(raw, start, r.position())))
+      }
+      out.toSeq
+    }
+    def keyed(field: Int, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def vi(v: Long): Unit = { var x = v
+        while ((x & ~0x7FL) != 0) { o.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+        o.write(x.toInt) }
+      vi((field.toLong << 3) | 2); vi(payload.length.toLong); o.write(payload)
+      o.toByteArray
+    }
+    val top = chunks(committedBytes)
+    val graphRaw = top.collectFirst { case (7, c) =>
+      val r = java.nio.ByteBuffer.wrap(c); varint(r); val n = varint(r)
+      java.util.Arrays.copyOfRange(c, r.position(), r.position() + n.toInt)
+    }.get
+    val g = chunks(graphRaw)
+    // old-exporter valueInfo rows for every initializer: just {name=1}
+    val initInputs = Onnx.fixtureModel.initOrder.map(nm =>
+      keyed(11, keyed(1, nm.getBytes("UTF-8"))))
+    val reordered =
+      initInputs.flatten.toArray ++                         // init-named inputs first
+      g.filter(_._1 == 11).flatMap(_._2) ++                 // real input, still before inits
+      g.filterNot(c => c._1 == 11 || c._1 == 5).flatMap(_._2) ++
+      g.filter(_._1 == 5).flatMap(_._2)                     // initializers LAST
+    val rebuilt = top.flatMap { case (f, c) =>
+      if (f == 7) keyed(7, reordered).toSeq else c.toSeq
+    }.toArray
+    val m = Onnx.parse(rebuilt)
+    assert(m.inputName == "x" && m.inputDims == Seq(-1L, 8L))
+    assert(m.initOrder == Onnx.fixtureModel.initOrder)
+    // and the rebuilt bytes still execute identically
+    val x = Array.tabulate(8)(_.toFloat)
+    assert(java.util.Arrays.equals(
+      new Onnx.Session(m).run(Array(x.clone)).head,
+      new Onnx.Session(Onnx.parse(committedBytes)).run(Array(x.clone)).head))
+  }
+
   test("smokeLogits is deterministic and class-discriminating") {
     val a = Onnx.smokeLogits(Array(10.0, 20.0, 30.0, 15.0, 0.0, 255.0, 40.0, 7.0))
     val b = Onnx.smokeLogits(Array(10.0, 20.0, 30.0, 15.0, 0.0, 255.0, 40.0, 7.0))
