@@ -26,8 +26,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 con = duckdb.connect()
 if tz:
     con.execute(f"SET TimeZone='{tz}'")
+import os
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata ships single parquet files; ScaleUp dirs are Spark
+    # part-file directories — glob those
+    pat = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(pat):
+        pat = f"{pat}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 

@@ -12,6 +12,23 @@ object DevTime {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach {
       case "probe" => probe(spark, d)
+      case "semprobe" =>
+        def time(tag: String)(f: => Long): Unit = {
+          f
+          val t0 = System.nanoTime
+          val n = f
+          println(f"[probe] $tag n=$n ${(System.nanoTime - t0) / 1e9}%.2f s")
+        }
+        time("assigned") {
+          operators.Similarity.semanticAssigned(spark, d).count()
+        }
+        time("scoredPairs") {
+          operators.Similarity.semanticScoredPairs(spark, d).count()
+        }
+        time("pairs03") {
+          operators.Similarity.semanticScoredPairs(spark, d)
+            .filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.3).count()
+        }
       case q =>
         SparkEntry.queries(q)(spark, d).count() // warm
         val t0 = System.nanoTime

@@ -18,13 +18,15 @@ object Similarity {
 
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
-  /** Quantized dot product of two float arrays: BIGINT, exact. */
+  /** Quantized dot product of two float arrays: BIGINT, exact.
+    * Codegen-native (functions/SimFunctions.QDotLong) — same arithmetic
+    * as the aggregate(zip_with(...)) tree, but a fused loop that
+    * participates in whole-stage codegen: on the cell-blocked pair joins
+    * this expression is evaluated O(n·cell) times and the interpreted
+    * HOF tree was the measured bottleneck (~6× on emb_semantic_dedup).
+    */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1073741824.0))
-          .cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.SimFunctions.qdotLong(a, b)
 
   /** DuckDB equivalent per-element term (i is a 1-based series index). */
   private def qterm(ax: String, bx: String): String =
@@ -46,16 +48,54 @@ object Similarity {
   private def jlSign(dd: Int, c: Int): Long =
     if ((splitmix64(1000003L + dd * 64L + c) & 1L) == 0L) 1L else -1L
 
+  // emb_semantic_dedup's corpus-adaptive cell refinement: target mean
+  // cell size (documented IVF sizing parameter — cells multiply with the
+  // corpus so per-cell pair work stays bounded) and the refinement
+  // hyperplane budget (2^16 sub-cells per centroid max ≈ 68 B vectors
+  // per label at S=1024 before the split saturates). Distinct splitmix64
+  // stream from lshSign/jlSign.
+  private[graft] val IvfTargetCell = 1024L
+  private[graft] val IvfMaxSplit = 16
+  private def ivfSign(p: Int, c: Int): Long =
+    if ((splitmix64(3000017L + p * 64L + c) & 1L) == 0L) 1L else -1L
+
   /** emb_semantic_dedup's candidate stage, exposed for plan specs: IVF
-    * cell assignment (argmax quantized dot vs the codebook centroids) and
-    * the cell-keyed pair join with exact quantized-cosine scoring.
-    * Returns (vec_a, vec_b) edges with cos_sim >= 0.3 inside a cell.
+    * cell assignment (argmax quantized dot vs the codebook centroids),
+    * corpus-adaptive cell refinement, and the cell-keyed pair join with
+    * exact quantized-cosine scoring. Returns (vec_a, vec_b) edges with
+    * cos_sim >= 0.3 inside a refined cell.
+    *
+    * Cell sizing (the SemDeDup scale contract, and round 7's honest ×100
+    * finding): the label codebook alone is L cells regardless of corpus
+    * size, so cell-blocked pair work grows O(n²/L) — invisible at ×10,
+    * dominant at ×100. The cell key is therefore (centroid, bits mod 2^k):
+    * `bits` packs IvfMaxSplit deterministic ±1 hyperplane sign bits
+    * (splitmix64 parity, shared with the oracle as a VALUES table) of the
+    * 2^14-quantized vector, and the split depth k is the smallest value
+    * with L·IvfTargetCell·2^k ≥ n — cell count grows ∝ n, mean cell size
+    * stays ≤ IvfTargetCell, total pair work O(n·S). Exact duplicates have
+    * identical bits so dup recall is unaffected; near-dups agree on sign
+    * bits with high probability (each bit flips only if the hyperplane
+    * separates the pair). k is decided by exact integer comparisons on
+    * both engines; at the gate SFs k = 0 and the refinement is the
+    * identity (bits mod 1 = 0).
     */
-  private[graft] def semanticScoredPairs(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
+    val e0 = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
+    // refinement bits: 16 sign bits of exact BIGINT hyperplane dots,
+    // computed once per vector in one codegen'd expression (no shuffle)
+    val bitsCol = (0 until IvfMaxSplit).map { p =>
+      val signs = typedLit((0 until 64).map(c => ivfSign(p, c)))
+      val dot = aggregate(
+        zip_with(col("embedding"), signs, (x, sgn) =>
+          floor(x.cast(DoubleType) * 16384.0).cast(LongType) * sgn),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = e0.withColumn("bits", bitsCol)
     // codebook: quantized per-label mean vectors (same arithmetic as
     // emb_centroids / emb_ivf_topk — exact in both engines)
-    val cent = e
+    val cent = e0
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(floor(col("x").cast(DoubleType) * 16384.0).cast(LongType))
@@ -64,6 +104,13 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
       .select(col("label").as("c_label"),
         expr("transform(ps, p -> p.c)").as("centroid"))
+    // split depth: one row, exact integer decision, broadcast everywhere
+    val kdf = e0.agg(count(lit(1)).as("n_vec"))
+      .crossJoin(cent.agg(count(lit(1)).as("n_cells")))
+      .select(expr(s"aggregate(sequence($IvfMaxSplit, 0, -1), " +
+        s"CAST($IvfMaxSplit AS BIGINT), (acc, c) -> " +
+        s"IF(n_cells * $IvfTargetCell * shiftleft(CAST(1 AS BIGINT), c) " +
+        s">= n_vec, CAST(c AS BIGINT), acc))").as("k"))
     // assign each vector to its nearest cell: argmax of the BIGINT
     // fixed-point dot, via the argmin-struct fold (map-side combine,
     // no per-key sort); trailing struct fields ride along uncompared
@@ -71,23 +118,105 @@ object Similarity {
       zip_with(col("embedding"), col("centroid"), (x, c) =>
         floor(x.cast(DoubleType) * c * lit(1048576.0)).cast(LongType)),
       lit(0L), (acc, x) => acc + x)
-    val assigned = e.crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(cent))
       .withColumn("m", struct((-dotq).as("nd"), col("c_label").as("cell"),
-        col("embedding").as("emb"), col("nq").as("nqv")))
+        col("embedding").as("emb"), col("nq").as("nqv"),
+        col("bits").as("bitsv")))
       .groupBy(col("vec_id"))
       .agg(min(col("m")).as("m"))
+      .crossJoin(broadcast(kdf))
       .select(col("vec_id"), col("m.cell").as("cell"),
+        expr("m.bitsv % shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+          .as("subcell"),
         col("m.emb").as("embedding"), col("m.nqv").as("nq"))
-    // pair stage: join keyed on the CELL, not the label
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+  }
+
+  private[graft] def semanticScoredPairs(s: SparkSession, d: String): DataFrame = {
+    // explicit-numPartitions repartition on the cell key: the JOIN INPUT
+    // is tiny (n vectors), so AQE would coalesce the pair join to one
+    // partition — and the join's OUTPUT is the ~n·S/2-pair frame whose
+    // 64-dim scoring is the query's real work, serialized onto one core
+    // (measured 37 s vs 3 s at ×10). A user repartition with explicit
+    // count is exempt from AQE coalescing; both join branches reuse the
+    // one exchange, so this costs nothing extra.
+    val np = math.max(1, s.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    val assigned = semanticAssigned(s, d)
+      .repartition(np, col("cell"), col("subcell"))
+    // pair stage: join keyed on the refined CELL, not the label
+    val a = assigned.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nq").as("nq_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+    val b = assigned.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nq").as("nq_b"))
-    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("cell", "subcell")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", qdot(col("emb_a"), col("emb_b")).cast(DoubleType)
         / (sqrt(col("nq_a").cast(DoubleType)) * sqrt(col("nq_b").cast(DoubleType))))
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .select(col("cell"), col("subcell"),
+        col("vec_a"), col("vec_b"), col("cos_sim"))
   }
+
+  /** Oracle text for the refined IVF cell assignment — mirrors
+    * semanticScoredPairs exactly (shared by emb_semantic_dedup and
+    * emb_dedup_sweep). Splices as CTEs: cent, dotq, p16, kk, bitsq,
+    * assign(vec_id, cell, subcell).
+    */
+  private def ivfAssignSql: String = {
+    val planeRows = (for {
+      p <- 0 until IvfMaxSplit
+      c <- 0 until 64
+    } yield s"($p,${c + 1},${ivfSign(p, c)})").mkString(",")
+    s"""cent AS (
+          SELECT label AS c_label, i,
+                 CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / (16384.0*COUNT(*)) AS c
+          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
+        dotq AS (
+          SELECT e.vec_id, c.c_label,
+                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[c.i] AS DOUBLE)*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dq
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY 1, 2),
+        p16(p, i, s) AS (VALUES $planeRows),
+        kk AS (
+          SELECT COALESCE(MIN(c), $IvfMaxSplit) AS k
+          FROM generate_series(0, $IvfMaxSplit) AS t(c)
+          WHERE (SELECT COUNT(DISTINCT label) FROM embeddings)
+                * $IvfTargetCell * (CAST(1 AS BIGINT) << c)
+                >= (SELECT COUNT(*) FROM embeddings)),
+        bitsq AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << p)
+                               ELSE 0 END) AS BIGINT) AS bits
+          FROM (
+            SELECT e.vec_id, pl.p,
+                   SUM(CAST(FLOOR(CAST(e.embedding[pl.i] AS DOUBLE)*16384.0) AS BIGINT) * pl.s) AS pd
+            FROM embeddings e CROSS JOIN p16 pl
+            GROUP BY 1, 2) pdt
+          GROUP BY 1),
+        assign AS (
+          SELECT a.vec_id, a.cell,
+                 b.bits % (CAST(1 AS BIGINT) << kk.k) AS subcell
+          FROM (
+            SELECT vec_id, c_label AS cell FROM (
+              SELECT vec_id, c_label,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq DESC, c_label) AS rn
+              FROM dotq) WHERE rn = 1) a
+          JOIN bitsq b ON b.vec_id = a.vec_id
+          CROSS JOIN kk)"""
+  }
+
+  /** Oracle text for the refined-cell-blocked exact pair dots (follows
+    * ivfAssignSql's `assign`).
+    */
+  private def ivfDotsSql: String = s"""dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
+          FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id
+          JOIN assign sb ON sb.cell = sa.cell AND sb.subcell = sa.subcell
+          JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+          CROSS JOIN generate_series(1, 64) AS t(i)
+          GROUP BY 1, 2)"""
 
   private[graft] def semanticPairs(s: SparkSession, d: String): DataFrame =
     semanticScoredPairs(s, d).filter(col("cos_sim") >= 0.3)
@@ -420,23 +549,55 @@ object Similarity {
     // stays bounded.  Determinism: centroids are exact quantized means,
     // the assignment score is a per-element-floored BIGINT dot (order-
     // independent sum, identical in both engines), ties break on cell id.
-    // Closure = checkpointed pointer-jumping connectedComponents;
-    // representative = component-min vec_id.  Emits the keep/drop decision
-    // a 100 TB shard applies.  Oracle: DuckDB recursive-CTE exact CC over
-    // the identical cell-blocked quantized-cosine graph.
+    // Closure = per-cell union-find (components cannot span cells — see
+    // the build); representative = component-min vec_id.  Emits the
+    // keep/drop decision a 100 TB shard applies.  Oracle: DuckDB
+    // recursive-CTE exact CC over the identical cell-blocked
+    // quantized-cosine graph.
     "emb_semantic_dedup" -> Q(
       build = (s, d) => {
-        val e = emb(s, d).withColumn("nq", qdot(col("embedding"), col("embedding")))
-        val pairs = semanticPairs(s, d)
-        // the union references pairs twice, but ReusedExchange dedups the
-        // twin cosine-join subplans — cheaper than a forced checkpoint
-        val edges = pairs
-          .union(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-          .toDF("src", "dst")
-        val nodes = e.select(col("vec_id").as("node"))
-        TextOps.connectedComponents(nodes, edges)
-          .select(col("node").as("vec_id"), col("label").as("rep_id"))
-          .withColumn("keep", col("vec_id") === col("rep_id"))
+        import org.apache.spark.sql.{Encoders, Row}
+        // Closure: pairs are intra-cell by construction (the join is
+        // keyed on the refined cell), so components NEVER span a cell and
+        // the global CC is exactly the per-cell CC. That turns the
+        // log-diameter pointer-jumping loop (a checkpointed shuffle per
+        // round — it dominated this query's runtime) into ONE shuffle:
+        // group self-edges + pair edges by cell key, run an in-task
+        // min-root union-find over the ≤ ~IvfTargetCell node slice.
+        // Result is order-independent (the component partition and its
+        // min-id representative don't depend on edge order), so the
+        // oracle's recursive-CTE CC still matches bit-for-bit.
+        val assigned = semanticAssigned(s, d)
+        val pr = semanticScoredPairs(s, d).filter(col("cos_sim") >= 0.3)
+        val ck = concat_ws("#", col("cell"), col("subcell"))
+        val tri = assigned
+          .select(ck.as("ck"), col("vec_id").as("a"), col("vec_id").as("b"))
+          .union(pr.select(ck.as("ck"), col("vec_a").as("a"),
+            col("vec_b").as("b")))
+        val cc = tri
+          .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+          .flatMapGroups { (_: String, it: Iterator[Row]) =>
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            it.foreach { r =>
+              val a = r.getLong(1); val b = r.getLong(2)
+              if (!parent.contains(a)) parent(a) = a
+              if (!parent.contains(b)) parent(b) = b
+              val ra = find(a); val rb = find(b)
+              // union-by-min keeps every tree root = component min id
+              if (ra < rb) parent(rb) = ra
+              else if (rb < ra) parent(ra) = rb
+            }
+            parent.keys.toArray.iterator.map(v => (v, find(v)))
+          }(Encoders.product[(Long, Long)])
+          .toDF("vec_id", "rep_id")
+        cc.withColumn("keep", col("vec_id") === col("rep_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("rep_id"))))
           .orderBy(col("vec_id"))
@@ -445,29 +606,8 @@ object Similarity {
         WITH RECURSIVE n AS (
           SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
           FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
-        cent AS (
-          SELECT label AS c_label, i,
-                 CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / (16384.0*COUNT(*)) AS c
-          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
-        dotq AS (
-          SELECT e.vec_id, c.c_label,
-                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[c.i] AS DOUBLE)*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dq
-          FROM embeddings e CROSS JOIN cent c
-          GROUP BY 1, 2),
-        assign AS (
-          SELECT vec_id, c_label AS cell FROM (
-            SELECT vec_id, c_label,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq DESC, c_label) AS rn
-            FROM dotq) WHERE rn = 1),
-        dots AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
-          FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id
-          JOIN assign sb ON sb.cell = sa.cell
-          JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
-          CROSS JOIN generate_series(1, 64) AS t(i)
-          GROUP BY 1, 2),
+        $ivfAssignSql,
+        $ivfDotsSql,
         pairs AS (
           SELECT d.vec_a, d.vec_b FROM dots d
           JOIN n na ON na.vec_id = d.vec_a
@@ -1987,29 +2127,8 @@ object Similarity {
         WITH n AS (
           SELECT vec_id, SUM(${qterm("embedding[i]", "embedding[i]")}) AS nq
           FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1),
-        cent AS (
-          SELECT label AS c_label, i,
-                 CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*16384.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-                 / (16384.0*COUNT(*)) AS c
-          FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY 1, 2),
-        dotq AS (
-          SELECT e.vec_id, c.c_label,
-                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[c.i] AS DOUBLE)*c.c*1048576.0) AS BIGINT)) AS BIGINT) AS dq
-          FROM embeddings e CROSS JOIN cent c
-          GROUP BY 1, 2),
-        assign AS (
-          SELECT vec_id, c_label AS cell FROM (
-            SELECT vec_id, c_label,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq DESC, c_label) AS rn
-            FROM dotq) WHERE rn = 1),
-        dots AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 SUM(${qterm("a.embedding[i]", "b.embedding[i]")}) AS dot
-          FROM embeddings a JOIN assign sa ON sa.vec_id = a.vec_id
-          JOIN assign sb ON sb.cell = sa.cell
-          JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
-          CROSS JOIN generate_series(1, 64) AS t(i)
-          GROUP BY 1, 2),
+        $ivfAssignSql,
+        $ivfDotsSql,
         sims AS (
           SELECT d.vec_b,
                  CAST(d.dot AS DOUBLE)
