@@ -71,14 +71,16 @@ object TextOps {
        |            (acc, x) -> (acc * $base + x) % $HP)""".stripMargin
 
   // char shingles: k=20, stride 4 (both engines generate identical sets)
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .filter(length(col("text")) >= 20)
+  private def shinglesOf(dd: DataFrame): DataFrame =
+    dd.filter(length(col("text")) >= 20)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 19, 4)")).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 20)").as("sh"))
       .distinct()
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(docs(s, d))
 
   // DuckDB 1.0 can't lateral-join generate_series on a column; use a fixed
   // series (docs are < 1024 chars) + filter, which yields the same set.
@@ -91,8 +93,8 @@ object TextOps {
     * join), unfiltered — shared by the pair report, the CC edge set, and
     * the threshold-tuning histogram.
     */
-  private def jaccardAll(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  private def jaccardAllOf(dd: DataFrame): DataFrame = {
+    val sh = shinglesOf(dd)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh")
@@ -106,6 +108,9 @@ object TextOps {
       .withColumn("jaccard", col("n_common").cast(DoubleType)
         / (col("n_a") + col("n_b") - col("n_common")))
   }
+
+  private def jaccardAll(s: SparkSession, d: String): DataFrame =
+    jaccardAllOf(docs(s, d))
 
   /** Near-dup pairs at the dedup threshold (>= 0.5). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -1166,20 +1171,39 @@ object TextOps {
     // lineage each round (the GraphX/large-star pattern), so the plan stays
     // O(1) deep regardless of component diameter — the shape that survives
     // a 100 TB corpus. Oracle: DuckDB recursive CTE computing exact CC.
+    //
+    // Exact-first collapse (the production dedup ordering, and the r8 ×100
+    // finding): Jaccard depends only on the text, so byte-identical docs
+    // are interchangeable in the pair graph — but their shingle posting
+    // lists multiply the candidate self-join quadratically (a boilerplate
+    // page duplicated 10^6 times is 10^12 candidate pairs). Collapse each
+    // distinct text to its min-doc_id representative FIRST (one linear
+    // hash groupBy), run the shingle/Jaccard graph and CC over distinct
+    // texts only, then project components back through the text group.
+    // Exactly output-preserving: members of a text group share every
+    // edge their representative has, and the component min over reps IS
+    // the min over all members (rep = group min).
     "doc_cc_clusters" -> Q(
       build = (s, d) => {
-        val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val grp = docs(s, d)
+          .withColumn("rep", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text").cast(BinaryType)))))
+        val repDocs = grp.filter(col("doc_id") === col("rep"))
+        val pairs = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
         // the union references pairs twice, but ReusedExchange dedups the
         // twin shingle-join subplans — cheaper than a forced checkpoint
         val edges = pairs
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")
-        val nodes = docs(s, d).select(col("doc_id").as("node"))
-        connectedComponents(nodes, edges)
+        val nodes = repDocs.select(col("doc_id").as("node"))
+        val repCc = connectedComponents(nodes, edges)
+          .select(col("node").as("rep"), col("label").as("cluster_id"))
+        grp.select(col("doc_id"), col("rep"))
+          .join(repCc, Seq("rep"))
           .withColumn("cluster_size",
-            count(lit(1)).over(Window.partitionBy(col("label"))))
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-            col("cluster_size"))
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
           .orderBy(col("doc_id"))
       },
       oracle = Some(s"""
