@@ -289,9 +289,12 @@ object TextOps {
   /** MinHash-LSH candidate pairs (distinct, doc_a < doc_b) — the band
     * join shared by doc_minhash_lsh and the doc_lsh_recall evaluation.
     */
-  private def minhashBandPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashBandPairs(s: SparkSession, d: String): DataFrame =
+    minhashBandPairsOf(docs(s, d))
+
+  private def minhashBandPairsOf(dd: DataFrame): DataFrame = {
     val bands = 8 // 4 rows per band over a 32-perm signature
-    val sigs = docs(s, d)
+    val sigs = dd
       .filter(length(col("text")) >= 20)
       .select(col("doc_id"),
         graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
@@ -2146,19 +2149,46 @@ object TextOps {
     // ----- doc_lsh_recall: LSH quality evaluation ------------------------
     // The calibration report a production dedup pipeline publishes before
     // trusting its LSH stage: precision/recall of the MinHash-LSH
-    // candidate pairs against the exact Jaccard ≥ 0.5 ground truth. Both
-    // sides already run at corpus scale (band join / shingle join); the
-    // comparison is one equi-join on the pair key plus three broadcast
-    // scalars — the candidate set, not the corpus, is what's being
-    // measured. Exact integer-ratio doubles, no rounding.
+    // candidate pairs against the exact Jaccard ≥ 0.5 ground truth.
+    //
+    // Group-weighted pair algebra (r8, same root cause as
+    // doc_cc_clusters' collapse): both Jaccard and the MinHash signature
+    // depend only on the text, so for docs collapsed into identical-text
+    // groups of sizes m_g the three counts decompose EXACTLY —
+    //   within-group pairs: jac = 1 (≥ 0.5) and identical sigs (share
+    //     every band), so Σ m_g·(m_g−1)/2 adds to exact, candidates and
+    //     hits alike;
+    //   cross-group pairs: every (a∈g, b∈h) pair behaves as its rep pair
+    //     (r_g, r_h), contributing weight m_g·m_h.
+    // The plan therefore runs the shingle/band joins over DISTINCT texts
+    // only and never materializes the duplicate-multiplied pair set —
+    // output identical (the oracle still brute-forces the full corpus),
+    // cost linear in corpus + rep-level pair work. With all-unique texts
+    // (the gate SFs) every m = 1 and the algebra is the old plan.
     "doc_lsh_recall" -> Q(
       build = (s, d) => {
-        val exact = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val cand = minhashBandPairs(s, d)
-        val nEx = exact.agg(count(lit(1)).as("n_exact"))
-        val nCd = cand.agg(count(lit(1)).as("n_candidates"))
-        val nHit = exact.join(cand, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hits"))
+        val g = docs(s, d).filter(length(col("text")) >= 20)
+          .withColumn("rep", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text").cast(BinaryType)))))
+        val sizes = g.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+        val repDocs = g.filter(col("doc_id") === col("rep"))
+        val within = sizes
+          .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("w"))
+        val exact = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val cand = minhashBandPairsOf(repDocs)
+        val sa = sizes.select(col("rep").as("doc_a"), col("m").as("ma"))
+        val sb = sizes.select(col("rep").as("doc_b"), col("m").as("mb"))
+        def wsum(df: DataFrame, n: String): DataFrame =
+          df.join(sa, "doc_a").join(sb, "doc_b")
+            .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as(n))
+        val nEx = wsum(exact, "xw").crossJoin(broadcast(within))
+          .select((col("xw") + col("w")).as("n_exact"))
+        val nCd = wsum(cand, "cw").crossJoin(broadcast(within))
+          .select((col("cw") + col("w")).as("n_candidates"))
+        val nHit = wsum(exact.join(cand, Seq("doc_a", "doc_b")), "hw")
+          .crossJoin(broadcast(within))
+          .select((col("hw") + col("w")).as("n_hits"))
         nEx.crossJoin(broadcast(nCd)).crossJoin(broadcast(nHit))
           .select(col("n_exact"), col("n_candidates"), col("n_hits"),
             (col("n_hits").cast(DoubleType) / col("n_candidates"))
@@ -2193,11 +2223,27 @@ object TextOps {
     // dedup run. Band keys are the row values joined into one string
     // (identical decimal rendering both engines); configs with zero
     // candidates still report (left join from the config table).
+    // Scale shape (r8): same group-weighted pair algebra as
+    // doc_lsh_recall — band joins and the exact truth run over distinct
+    // texts; identical-text groups contribute m(m−1)/2 to every config's
+    // candidates AND hits (identical sigs share every band in every
+    // banding) and to the exact count (jac = 1); cross-group rep pairs
+    // carry weight m_a·m_b. Output identical, duplicate-multiplied pair
+    // frames never materialize.
     "doc_lsh_band_tuning" -> Q(
       build = (s, d) => {
         val spark = s
         import spark.implicits._
-        val sigs = docs(s, d).filter(length(col("text")) >= 20)
+        val g = docs(s, d).filter(length(col("text")) >= 20)
+          .withColumn("rep", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text").cast(BinaryType)))))
+        val sizes = g.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+        val repDocs = g.filter(col("doc_id") === col("rep"))
+        val within = sizes
+          .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("w"))
+        val sa = sizes.select(col("rep").as("doc_a"), col("m").as("ma"))
+        val sb = sizes.select(col("rep").as("doc_b"), col("m").as("mb"))
+        val sigs = repDocs
           .select(col("doc_id"),
             graft.functions.TextFunctions.minhash_signature(col("text"))
               .as("sig"))
@@ -2223,17 +2269,28 @@ object TextOps {
             col("x.rows_per_band").as("rows_per_band"),
             col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val exact = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val nEx = exact.agg(count(lit(1)).as("n_exact"))
+        val exact = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val nEx = exact
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("xw"))
+          .crossJoin(broadcast(within))
+          .select((col("xw") + col("w")).as("n_exact"))
         val met = cand
           .join(exact.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .join(sa, "doc_a").join(sb, "doc_b")
           .groupBy(col("bands"), col("rows_per_band"))
-          .agg(count(lit(1)).as("n_candidates"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .agg(sum(col("ma") * col("mb")).as("cw"),
+            sum(when(col("hit") === 1L, col("ma") * col("mb"))
+              .otherwise(lit(0L))).as("hw"))
         Seq((4, 8), (8, 4), (16, 2)).toDF("bands", "rows_per_band")
           .join(met, Seq("bands", "rows_per_band"), "left")
-          .na.fill(0L, Seq("n_candidates", "n_hits"))
+          .na.fill(0L, Seq("cw", "hw"))
           .crossJoin(broadcast(nEx))
+          .crossJoin(broadcast(within))
+          .select(col("bands"), col("rows_per_band"), col("n_exact"),
+            (col("cw") + col("w")).as("n_candidates"),
+            (col("hw") + col("w")).as("n_hits"))
           .select(col("bands"), col("rows_per_band"), col("n_exact"),
             col("n_candidates"), col("n_hits"),
             when(col("n_candidates") > 0,
