@@ -569,14 +569,17 @@ object Similarity {
         // oracle's recursive-CTE CC still matches bit-for-bit.
         val assigned = semanticAssigned(s, d)
         val pr = semanticScoredPairs(s, d).filter(col("cos_sim") >= 0.3)
-        val ck = concat_ws("#", col("cell"), col("subcell"))
+        // typed (cell, subcell) key — a string concat key could collide
+        // distinct cells if a label ever contained the separator
         val tri = assigned
-          .select(ck.as("ck"), col("vec_id").as("a"), col("vec_id").as("b"))
-          .union(pr.select(ck.as("ck"), col("vec_a").as("a"),
-            col("vec_b").as("b")))
+          .select(col("cell"), col("subcell"),
+            col("vec_id").as("a"), col("vec_id").as("b"))
+          .union(pr.select(col("cell"), col("subcell"),
+            col("vec_a").as("a"), col("vec_b").as("b")))
         val cc = tri
-          .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
-          .flatMapGroups { (_: String, it: Iterator[Row]) =>
+          .groupByKey((r: Row) => (r.getInt(0), r.getLong(1)))(
+            Encoders.product[(Int, Long)])
+          .flatMapGroups { (_: (Int, Long), it: Iterator[Row]) =>
             val parent = scala.collection.mutable.HashMap.empty[Long, Long]
             def find(x: Long): Long = {
               var r = x
@@ -586,7 +589,7 @@ object Similarity {
               r
             }
             it.foreach { r =>
-              val a = r.getLong(1); val b = r.getLong(2)
+              val a = r.getLong(2); val b = r.getLong(3)
               if (!parent.contains(a)) parent(a) = a
               if (!parent.contains(b)) parent(b) = b
               val ra = find(a); val rb = find(b)

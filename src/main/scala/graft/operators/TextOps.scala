@@ -1186,11 +1186,19 @@ object TextOps {
     // Exactly output-preserving: members of a text group share every
     // edge their representative has, and the component min over reps IS
     // the min over all members (rep = group min).
+    //
+    // Texts shorter than the shingle length (20 chars) are NOT collapsed:
+    // they have no shingles and therefore no edges in the oracle graph, so
+    // byte-identical short texts are singleton clusters there — collapsing
+    // them would merge what the graph keeps apart. Each short doc is its
+    // own rep (the "#"-prefixed doc_id key can't collide with md5 hex).
     "doc_cc_clusters" -> Q(
       build = (s, d) => {
         val grp = docs(s, d)
           .withColumn("rep", min(col("doc_id")).over(
-            Window.partitionBy(md5(col("text").cast(BinaryType)))))
+            Window.partitionBy(
+              when(length(col("text")) >= 20, md5(col("text").cast(BinaryType)))
+                .otherwise(concat(lit("#"), col("doc_id").cast(StringType))))))
         val repDocs = grp.filter(col("doc_id") === col("rep"))
         val pairs = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"))

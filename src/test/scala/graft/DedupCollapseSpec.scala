@@ -51,4 +51,30 @@ class DedupCollapseSpec extends SparkSpecBase {
       assert(rs.head.getAs[Long]("cluster_size") == rs.length)
     }
   }
+
+  test("duplicated SHORT texts stay singleton clusters (oracle parity)") {
+    import spark.implicits._
+    // texts < 20 chars have no shingles, hence no edges in the pair
+    // graph: byte-identical copies must NOT be merged by the collapse
+    val rows = Seq(
+      (1L, "tiny dup", "en", "s1", 8),
+      (2L, "tiny dup", "en", "s1", 8),
+      (3L, "tiny dup", "en", "s2", 8),
+      (4L, "another short one", "en", "s1", 17),
+      (5L, "another short one", "en", "s2", 17),
+      // and a long duplicated pair as the positive control
+      (6L, "this text is comfortably longer than twenty characters", "en", "s1", 54),
+      (7L, "this text is comfortably longer than twenty characters", "en", "s2", 54))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("shortdup").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("doc_cc_clusters")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out.size == 7)
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id) == (id, 1L), s"short doc $id not a singleton: ${out(id)}")
+    }
+    assert(out(6L) == (6L, 2L) && out(7L) == (6L, 2L))
+  }
 }
