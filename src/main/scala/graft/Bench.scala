@@ -33,7 +33,12 @@ object Bench {
     // classes, runs 2-3 measure steady state). A GC between queries keeps
     // one query's shuffle-buffer collection out of the next one's timing.
     val runs = 3
+    // opt-in subset for standalone re-timing (comma-separated names);
+    // the driver never sets this, so the per-round contract is unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1).map { case (name, fn) =>
       // iterative queries (CC, k-means, BPE, streamline) localCheckpoint
       // per round and those blocks outlive the query; once a few such
@@ -67,8 +72,10 @@ object Bench {
     // record parsed:null) — the printed line must fit the window
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
-    Files.write(Paths.get("BENCH_FULL.json"),
-      full.getBytes(StandardCharsets.UTF_8))
+    // a filtered re-timing run must not clobber the full-suite record
+    if (only.isEmpty)
+      Files.write(Paths.get("BENCH_FULL.json"),
+        full.getBytes(StandardCharsets.UTF_8))
     val headline = SparkEntry.benchQueries.toSet
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"queries_full":"BENCH_FULL.json"}"""

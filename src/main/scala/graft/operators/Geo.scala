@@ -3719,44 +3719,12 @@ object Geo {
     // engines agree bit-for-bit and the final round(.,3) is display-only.
     "geo_cpa" -> Q(
       build = (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_sec"), col("event_id"))
-        // hub-converging tracks (rational arithmetic only — bit-exact
-        // cross-engine): entities share one of 8 "airports" and drift
-        // linearly; evPts' per-event longitudes never co-locate two
-        // entities, which would make every CPA vacuous
-        val fixes = Tables.events(s, d)
-          .withColumn("hub", col("user_id") % 8)
-          .withColumn("lat",
-            (col("hub") * 13 % 120 - 60).cast(DoubleType)
-              + ((col("user_id") % 17) - 8) / lit(20.0)
-              + (col("ts_sec") % 3600) / lit(3600.0)
-                * ((col("user_id") % 5) - 2) / lit(10.0))
-          .withColumn("lon",
-            (col("hub") * 29 % 340 - 170).cast(DoubleType)
-              + ((col("user_id") % 23) - 11) / lit(20.0)
-              + (col("ts_sec") % 3600) / lit(3600.0)
-                * ((col("user_id") % 7) - 3) / lit(10.0))
-          .select(col("user_id"), col("event_id"), col("ts_sec"),
-            col("lat"), col("lon"))
-          .withColumn("plat", lag(col("lat"), 1).over(w))
-          .withColumn("plon", lag(col("lon"), 1).over(w))
-          .withColumn("pts", lag(col("ts_sec"), 1).over(w))
-          .filter(col("pts").isNotNull && col("ts_sec") > col("pts"))
-          .withColumn("vlat",
-            (col("lat") - col("plat")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
-          .withColumn("vlon",
-            (col("lon") - col("plon")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
-          .withColumn("tb", expr("ts_sec div 1800"))
-        val latest = fixes
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("user_id"), col("tb"))
-              .orderBy(col("ts_sec").desc, col("event_id").desc)))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("tb"), col("lat"), col("lon"),
-            col("vlat"), col("vlon"),
-            floor(col("lat")).cast(LongType).as("cl"),
-            floor(col("lon")).cast(LongType).as("cn"))
+        // the density cap (CpaCellCap) drops overdense cells from the
+        // pair join entirely; geo_cpa_overflow is the audit of what was
+        // dropped. At gate SFs no cell comes near the cap (max observed
+        // 9 at sf0.1 vs 64), so the output is byte-identical to the
+        // uncapped query there — spec'd in CpaCapSpec.
+        val latest = cpaLatestCapped(s, d)
         val probe = latest
           .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
           .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
