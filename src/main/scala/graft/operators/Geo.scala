@@ -784,6 +784,119 @@ object Geo {
           (CASE WHEN substring(l1, 54, 1) = '-' THEN -1.0e0 ELSE 1.0e0 END)"""
   }
 
+  /** geo_cpa per-cell density cap: a (time-bucket, 1°-cell) whose latest-
+    * fix membership exceeds this is excluded from the CPA pair join and
+    * reported by geo_cpa_overflow instead. The grid join's pair work per
+    * cell is ≤ 9·K², so the query's cost is O(n·K) regardless of how hot
+    * one airport hub gets — the guard a 100 TB track deployment ships
+    * (the r8 ×100 sweep measured Σc² growing 78× for 10× data under the
+    * hub geometry; the output itself is quadratic in cell density, so
+    * listing it unbounded is wrong at scale, not just slow). K is far
+    * above any gate-scale density (max observed: 4 at sf0.01, 9 at
+    * sf0.1), so gate outputs are byte-identical to the uncapped query.
+    */
+  private val CpaCellCap = 64L
+
+  /** Latest per-(user, 30-min bucket) fix + finite-difference velocity on
+    * the hub-converging synthetic track (rational arithmetic only — bit-
+    * exact cross-engine): entities share one of 8 "airports" and drift
+    * linearly. Shared by geo_cpa and geo_cpa_overflow.
+    */
+  private def cpaLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val fixes = Tables.events(s, d)
+      .withColumn("hub", col("user_id") % 8)
+      .withColumn("lat",
+        (col("hub") * 13 % 120 - 60).cast(DoubleType)
+          + ((col("user_id") % 17) - 8) / lit(20.0)
+          + (col("ts_sec") % 3600) / lit(3600.0)
+            * ((col("user_id") % 5) - 2) / lit(10.0))
+      .withColumn("lon",
+        (col("hub") * 29 % 340 - 170).cast(DoubleType)
+          + ((col("user_id") % 23) - 11) / lit(20.0)
+          + (col("ts_sec") % 3600) / lit(3600.0)
+            * ((col("user_id") % 7) - 3) / lit(10.0))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        col("lat"), col("lon"))
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .withColumn("pts", lag(col("ts_sec"), 1).over(w))
+      .filter(col("pts").isNotNull && col("ts_sec") > col("pts"))
+      .withColumn("vlat",
+        (col("lat") - col("plat")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
+      .withColumn("vlon",
+        (col("lon") - col("plon")) / ((col("ts_sec") - col("pts")) / lit(60.0)))
+      .withColumn("tb", expr("ts_sec div 1800"))
+    fixes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("tb"))
+          .orderBy(col("ts_sec").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("tb"), col("lat"), col("lon"),
+        col("vlat"), col("vlon"),
+        floor(col("lat")).cast(LongType).as("cl"),
+        floor(col("lon")).cast(LongType).as("cn"))
+  }
+
+  /** Per-(tb, cell) membership counts over cpaLatest. */
+  private def cpaDensity(s: SparkSession, d: String): DataFrame =
+    cpaLatest(s, d).groupBy(col("tb"), col("cl"), col("cn"))
+      .agg(count(lit(1)).as("n_entities"))
+
+  /** cpaLatest minus the members of overdense cells (the density cap). */
+  private def cpaLatestCapped(s: SparkSession, d: String): DataFrame =
+    cpaLatest(s, d).join(
+        cpaDensity(s, d).filter(col("n_entities") <= CpaCellCap)
+          .select(col("tb"), col("cl"), col("cn")),
+        Seq("tb", "cl", "cn"))
+
+  /** Oracle CTE chain up to `latest` / `dens` / `kept` — the DuckDB twin
+    * of cpaLatest/cpaDensity/cpaLatestCapped, shared by the geo_cpa and
+    * geo_cpa_overflow oracles.
+    */
+  private val CPA_LATEST_CTES = s"""
+        raw AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 user_id % 8 AS hub
+          FROM events),
+        cpa_pts AS (
+          SELECT user_id, event_id, ts_sec,
+                 CAST(hub*13 % 120 - 60 AS DOUBLE)
+                   + ((user_id % 17) - 8) / 20.0
+                   + (ts_sec % 3600) / 3600.0 * ((user_id % 5) - 2) / 10.0
+                   AS lat,
+                 CAST(hub*29 % 340 - 170 AS DOUBLE)
+                   + ((user_id % 23) - 11) / 20.0
+                   + (ts_sec % 3600) / 3600.0 * ((user_id % 7) - 3) / 10.0
+                   AS lon
+          FROM raw),
+        fixes AS (
+          SELECT *,
+                 (lat - lag(lat) OVER w)
+                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlat,
+                 (lon - lag(lon) OVER w)
+                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlon,
+                 lag(ts_sec) OVER w AS prev_ts,
+                 ts_sec // 1800 AS tb
+          FROM cpa_pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+          QUALIFY prev_ts IS NOT NULL AND ts_sec > prev_ts),
+        latest AS (
+          SELECT user_id, tb, lat, lon, vlat, vlon,
+                 CAST(floor(lat) AS BIGINT) AS cl,
+                 CAST(floor(lon) AS BIGINT) AS cn
+          FROM fixes
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tb
+                    ORDER BY ts_sec DESC, event_id DESC) = 1),
+        dens AS (
+          SELECT tb, cl, cn, COUNT(*) AS n_entities
+          FROM latest GROUP BY 1, 2, 3),
+        kept AS (
+          SELECT l.* FROM latest l
+          JOIN dens dd ON dd.tb = l.tb AND dd.cl = l.cl AND dd.cn = l.cn
+          WHERE dd.n_entities <= $CpaCellCap)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -3745,7 +3858,10 @@ object Geo {
           .withColumn("tc",
             when(col("den") <= 1e-12, 0.0).otherwise(
               least(greatest(-(col("dx") * col("dvx") + col("dy") * col("dvy"))
-                / col("den"), lit(0.0)), lit(30.0))))
+                / col("den"), lit(0.0)), lit(30.0)) + lit(0.0)))
+          // + 0.0 canonicalizes -0.0 (co-located pairs make the numerator
+          // -0.0; Spark's greatest orders -0.0 < 0.0, DuckDB's is IEEE —
+          // first divergence observed at ×100 where replicas co-locate)
           .withColumn("dc",
             sqrt(pow(col("dx") + col("dvx") * col("tc"), 2)
               + pow(col("dy") + col("dvy") * col("tc"), 2)))
@@ -3757,50 +3873,18 @@ object Geo {
           .orderBy(col("user_a"), col("user_b"), col("tb"))
       },
       oracle = Some(s"""
-        WITH raw AS (
-          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-                 user_id % 8 AS hub
-          FROM events),
-        pts AS (
-          SELECT user_id, event_id, ts_sec,
-                 CAST(hub*13 % 120 - 60 AS DOUBLE)
-                   + ((user_id % 17) - 8) / 20.0
-                   + (ts_sec % 3600) / 3600.0 * ((user_id % 5) - 2) / 10.0
-                   AS lat,
-                 CAST(hub*29 % 340 - 170 AS DOUBLE)
-                   + ((user_id % 23) - 11) / 20.0
-                   + (ts_sec % 3600) / 3600.0 * ((user_id % 7) - 3) / 10.0
-                   AS lon
-          FROM raw),
-        fixes AS (
-          SELECT *,
-                 (lat - lag(lat) OVER w)
-                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlat,
-                 (lon - lag(lon) OVER w)
-                   / ((ts_sec - lag(ts_sec) OVER w) / 60.0) AS vlon,
-                 lag(ts_sec) OVER w AS prev_ts,
-                 ts_sec // 1800 AS tb
-          FROM pts
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
-          QUALIFY prev_ts IS NOT NULL AND ts_sec > prev_ts),
-        latest AS (
-          SELECT user_id, tb, lat, lon, vlat, vlon,
-                 CAST(floor(lat) AS BIGINT) AS cl,
-                 CAST(floor(lon) AS BIGINT) AS cn
-          FROM fixes
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tb
-                    ORDER BY ts_sec DESC, event_id DESC) = 1),
+        WITH $CPA_LATEST_CTES,
         probe AS (
           SELECT user_id, tb, lat, lon, vlat, vlon,
                  cl + g1.d AS cl, cn + g2.d AS cn
-          FROM latest, generate_series(-1, 1) AS g1(d),
+          FROM kept, generate_series(-1, 1) AS g1(d),
                generate_series(-1, 1) AS g2(d)),
         cand AS (
           SELECT a.user_id AS user_a, b.user_id AS user_b, a.tb AS tb,
                  round(cos(radians((a.lat + b.lat) / 2.0)), 6) * 111.195 AS kx,
                  b.lat - a.lat AS dlat, b.lon - a.lon AS dlon,
                  b.vlat - a.vlat AS dvlat, b.vlon - a.vlon AS dvlon
-          FROM latest a JOIN probe b
+          FROM kept a JOIN probe b
             ON a.tb = b.tb AND a.cl = b.cl AND a.cn = b.cn
            AND a.user_id < b.user_id),
         cpa AS (
@@ -3812,7 +3896,8 @@ object Geo {
           SELECT user_a, user_b, tb, dx, dy, dvx, dvy,
                  CASE WHEN dvx*dvx + dvy*dvy <= 1e-12 THEN 0.0
                       ELSE least(greatest(-(dx*dvx + dy*dvy)
-                             / (dvx*dvx + dvy*dvy), 0.0), 30.0) END AS tc
+                             / (dvx*dvx + dvy*dvy), 0.0), 30.0) + 0.0
+                      END AS tc
           FROM cpa)
         SELECT user_a, user_b, tb,
                round(tc, 3) AS t_cpa_min,
@@ -3821,6 +3906,29 @@ object Geo {
         FROM solved
         WHERE sqrt(pow(dx + dvx*tc, 2) + pow(dy + dvy*tc, 2)) <= 100.0
         ORDER BY user_a, user_b, tb""")),
+
+    // ----- geo_cpa_overflow: density audit of the CPA cell cap -----------
+    // The other half of geo_cpa's production guard: every pair-capable
+    // (time-bucket, cell) with its entity count and whether it tripped
+    // the CpaCellCap exclusion. At gate SFs no cell is capped (max
+    // density 9 vs 64) so the report is all-false; at a hot-hub scale the
+    // capped rows are exactly the cells geo_cpa declined to pair —
+    // operators triage those (tighten the bucket, shrink the cell, raise
+    // the cap) instead of paying an unbounded quadratic listing. One
+    // linear groupBy over the shared latest-fix frame; no pair join.
+    "geo_cpa_overflow" -> Q(
+      build = (s, d) =>
+        cpaDensity(s, d)
+          .filter(col("n_entities") >= 2)
+          .select(col("tb"), col("cl"), col("cn"), col("n_entities"),
+            (col("n_entities") > CpaCellCap).as("capped"))
+          .orderBy(col("tb"), col("cl"), col("cn")),
+      oracle = Some(s"""
+        WITH $CPA_LATEST_CTES
+        SELECT tb, cl, cn, CAST(n_entities AS BIGINT) AS n_entities,
+               n_entities > $CpaCellCap AS capped
+        FROM dens WHERE n_entities >= 2
+        ORDER BY tb, cl, cn""")),
 
     // ----- geo_viirs_ingest: FIRMS VIIRS hotspot CSV ingest --------------
     // The raw-record decode of the FIRMS VIIRS active-fire product
