@@ -112,6 +112,49 @@ object TextOps {
   private def jaccardAll(s: SparkSession, d: String): DataFrame =
     jaccardAllOf(docs(s, d))
 
+  /** Identical-text groups over shingle-bearing docs (length >= 20):
+    * (sizes = (rep, m), repDocs = one row per distinct text, keyed by the
+    * group-min doc_id). The basis of the group-weighted pair algebra
+    * shared by doc_lsh_recall / doc_lsh_band_tuning and the grouped pair
+    * listings: pair scores depend only on the text, so m byte-identical
+    * copies contribute m·(m−1)/2 within-group pairs (score 1) and factor
+    * m_a·m_b onto every cross-group rep pair.
+    */
+  private def repGroups(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val g = docs(s, d).filter(length(col("text")) >= 20)
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast(BinaryType)))))
+    (g.groupBy(col("rep")).agg(count(lit(1)).as("m")),
+      g.filter(col("doc_id") === col("rep")))
+  }
+
+  /** Oracle CTEs for the rep-group algebra: g, mm(rep, m), rd (rep docs),
+    * gsh / gsizes / gcpairs (the shingle join over DISTINCT texts only).
+    */
+  private val GROUPED_CTES = """
+    g AS (
+      SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents WHERE length(text) >= 20),
+    mm AS (SELECT rep, COUNT(*) AS m FROM g GROUP BY 1),
+    rd AS (SELECT doc_id, text FROM g WHERE doc_id = rep),
+    gsh AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, s.i, 20) AS sh
+      FROM rd d, generate_series(1, 1024, 4) AS s(i)
+      WHERE s.i <= length(d.text) - 19),
+    gsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM gsh GROUP BY 1),
+    gcpairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM gsh x JOIN gsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    gscored AS (
+      SELECT p.doc_a, p.doc_b, p.n_common,
+             CAST(p.n_common AS DOUBLE)/(a.n_sh + b.n_sh - p.n_common)
+               AS jaccard,
+             CAST(p.n_common AS DOUBLE)/least(a.n_sh, b.n_sh) AS containment
+      FROM gcpairs p
+      JOIN gsizes a ON a.doc_id = p.doc_a
+      JOIN gsizes b ON b.doc_id = p.doc_b)"""
+
   /** Near-dup pairs at the dedup threshold (>= 0.5). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardAll(s, d).filter(col("jaccard") >= 0.5)
@@ -891,6 +934,52 @@ object TextOps {
         SELECT doc_a, doc_b, n_common, jaccard FROM jpairs
         ORDER BY doc_a, doc_b"""),
       bench = true),
+
+    // ----- doc_ngram_dedup_grouped: production-form near-dup listing -----
+    // The group-COMPRESSED twin of doc_ngram_dedup — the form a 100 TB
+    // pipeline actually ships. The exploded listing's output itself grows
+    // ~m² under duplicate multiplicity (m byte-identical copies of a text
+    // put m·(m−1)/2 jac=1 pairs in the OUTPUT — no plan beats its own
+    // output size, the r8 ×100 finding). Here identical texts collapse to
+    // their min-id rep and each row carries its pair multiplicity:
+    // cross-group rep pairs weigh m_a·m_b, within-group rows (rep_a =
+    // rep_b) weigh m·(m−1)/2 with jaccard 1. Exactly expansion-equivalent
+    // to the exploded listing (spec'd in GroupedPairListingSpec); with
+    // all-unique texts it IS the exploded listing plus no within rows.
+    // Cost: linear corpus pass + rep-level shingle join — duplicate-
+    // multiplied pair frames never materialize.
+    "doc_ngram_dedup_grouped" -> Q(
+      build = (s, d) => {
+        val (sizes, repDocs) = repGroups(s, d)
+        val sa = sizes.select(col("rep").as("doc_a"), col("m").as("ma"))
+        val sb = sizes.select(col("rep").as("doc_b"), col("m").as("mb"))
+        val cross = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+            col("n_common"), col("jaccard"),
+            (col("ma") * col("mb")).as("n_pairs"))
+        val nsh = shinglesOf(repDocs).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+        val within = sizes.filter(col("m") >= 2)
+          .join(nsh, col("rep") === col("doc_id"))
+          .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+            col("n_sh").as("n_common"), lit(1.0).as("jaccard"),
+            expr("m * (m - 1) div 2").as("n_pairs"))
+        cross.union(within).orderBy(col("rep_a"), col("rep_b"))
+      },
+      oracle = Some(s"""
+        WITH $GROUPED_CTES
+        SELECT j.doc_a AS rep_a, j.doc_b AS rep_b, j.n_common, j.jaccard,
+               ma.m * mb.m AS n_pairs
+        FROM gscored j
+        JOIN mm ma ON ma.rep = j.doc_a
+        JOIN mm mb ON mb.rep = j.doc_b
+        WHERE j.jaccard >= 0.5
+        UNION ALL
+        SELECT m.rep, m.rep, s.n_sh, 1.0e0, m.m * (m.m - 1) // 2
+        FROM mm m JOIN gsizes s ON s.doc_id = m.rep
+        WHERE m.m >= 2
+        ORDER BY rep_a, rep_b""")),
 
     // ----- doc_incremental_dedup: new batch vs existing corpus -----------
     // The backfill/ingest pattern: treat src0 as the incoming batch and
@@ -2515,6 +2604,53 @@ object TextOps {
                jaccard < 0.5 AS jaccard_missed
         FROM scored WHERE containment >= 0.9
         ORDER BY doc_a, doc_b""")),
+
+    // ----- doc_containment_grouped: production-form containment listing --
+    // Group-compressed twin of doc_containment_pairs (same algebra as
+    // doc_ngram_dedup_grouped — containment too depends only on the
+    // texts): cross-group rep pairs at containment >= 0.9 with weight
+    // m_a·m_b; within-group rows at containment = jaccard = 1 with
+    // weight m·(m−1)/2. Expansion-equivalent to the exploded listing;
+    // output stays rep-level under any duplicate multiplicity.
+    "doc_containment_grouped" -> Q(
+      build = (s, d) => {
+        val (sizes, repDocs) = repGroups(s, d)
+        val sa = sizes.select(col("rep").as("doc_a"), col("m").as("ma"))
+        val sb = sizes.select(col("rep").as("doc_b"), col("m").as("mb"))
+        val cross = jaccardAllOf(repDocs)
+          .withColumn("containment", col("n_common").cast(DoubleType)
+            / least(col("n_a"), col("n_b")))
+          .filter(col("containment") >= 0.9)
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+            col("n_common"), col("containment"), col("jaccard"),
+            (col("jaccard") < 0.5).as("jaccard_missed"),
+            (col("ma") * col("mb")).as("n_pairs"))
+        val nsh = shinglesOf(repDocs).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+        val within = sizes.filter(col("m") >= 2)
+          .join(nsh, col("rep") === col("doc_id"))
+          .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+            col("n_sh").as("n_common"), lit(1.0).as("containment"),
+            lit(1.0).as("jaccard"), lit(false).as("jaccard_missed"),
+            expr("m * (m - 1) div 2").as("n_pairs"))
+        cross.union(within).orderBy(col("rep_a"), col("rep_b"))
+      },
+      oracle = Some(s"""
+        WITH $GROUPED_CTES
+        SELECT j.doc_a AS rep_a, j.doc_b AS rep_b, j.n_common,
+               j.containment, j.jaccard, j.jaccard < 0.5 AS jaccard_missed,
+               ma.m * mb.m AS n_pairs
+        FROM gscored j
+        JOIN mm ma ON ma.rep = j.doc_a
+        JOIN mm mb ON mb.rep = j.doc_b
+        WHERE j.containment >= 0.9
+        UNION ALL
+        SELECT m.rep, m.rep, s.n_sh, 1.0e0, 1.0e0, FALSE,
+               m.m * (m.m - 1) // 2
+        FROM mm m JOIN gsizes s ON s.doc_id = m.rep
+        WHERE m.m >= 2
+        ORDER BY rep_a, rep_b""")),
 
     // ----- doc_bloom_dedup: Bloom-filter membership pre-filter -----------
     // The streaming-backfill shape of incremental dedup at 100 TB: the

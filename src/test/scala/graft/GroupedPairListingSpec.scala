@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The group-compressed pair listings (doc_ngram_dedup_grouped,
+  * doc_containment_grouped) must be exactly expansion-equivalent to
+  * their exploded twins: on any corpus, aggregating the exploded pair
+  * listing by identical-text group must reproduce every compressed row's
+  * multiplicity and scores, and vice versa. Checked on the sf corpus
+  * (all texts unique — compression is the identity) and on a 3×
+  * duplicated corpus (the ScaleUp shape, where the exploded listing is
+  * 9× larger).
+  */
+class GroupedPairListingSpec extends SparkSpecBase {
+
+  private def dupCorpus(k: Int): String = {
+    val base = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val dup = (0 until k).map(i => base.withColumn("doc_id",
+      col("doc_id") + lit(i * 1000000000L))).reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("groupedpair").toString
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** exploded listing rolled up to rep-group pairs, for comparison with
+    * the compressed listing (rep = doc_id % 10^9 on the dup corpus).
+    */
+  private def rollup(exploded: DataFrame, scoreCols: Seq[String]): Set[Row2] = {
+    val ra = col("doc_a") % 1000000000L
+    val rb = col("doc_b") % 1000000000L
+    exploded
+      .withColumn("rep_a", least(ra, rb))
+      .withColumn("rep_b", greatest(ra, rb))
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        scoreCols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
+      .collect().map { r =>
+        scoreCols.foreach(c =>
+          assert(r.getAs[Long](s"d_$c") == 1L,
+            s"group pair has inconsistent $c: $r"))
+        Row2(r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+          r.getAs[Long]("n_pairs"))
+      }.toSet
+  }
+
+  private case class Row2(a: Long, b: Long, n: Long)
+
+  private def compressed(name: String, dir: String): Set[Row2] =
+    SparkEntry.queries(name)(spark, dir).collect().map(r =>
+      Row2(r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+        r.getAs[Long]("n_pairs"))).toSet
+
+  test("unique-text corpus: compression is the identity (no within rows)") {
+    val g = run("doc_ngram_dedup_grouped").collect()
+    val e = run("doc_ngram_dedup").collect()
+    assert(g.length == e.length)
+    assert(g.forall(_.getAs[Long]("n_pairs") == 1L))
+    assert(g.forall(r => r.getAs[Long]("rep_a") != r.getAs[Long]("rep_b")))
+    val gs = g.map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+      r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSet
+    val es = e.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSet
+    assert(gs == es)
+  }
+
+  test("duplicated corpus: exploded listing rolls up to the compressed one") {
+    val dir = dupCorpus(3)
+    val exG = rollup(
+      SparkEntry.queries("doc_ngram_dedup")(spark, dir),
+      Seq("n_common", "jaccard"))
+    assert(compressed("doc_ngram_dedup_grouped", dir) == exG)
+    val exC = rollup(
+      SparkEntry.queries("doc_containment_pairs")(spark, dir),
+      Seq("n_common", "containment", "jaccard"))
+    assert(compressed("doc_containment_grouped", dir) == exC)
+    // within rows exist and carry m*(m-1)/2 = 3 pairs per duplicated text
+    val within = SparkEntry.queries("doc_ngram_dedup_grouped")(spark, dir)
+      .filter(col("rep_a") === col("rep_b")).collect()
+    assert(within.nonEmpty)
+    assert(within.forall(_.getAs[Long]("n_pairs") == 3L))
+    assert(within.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+}
