@@ -14,18 +14,24 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Minimal pure-JVM GeoTIFF (classic TIFF, little-endian, strip-
-  * organized, single-band float32; compression 1 = none or 8 = Adobe
-  * DEFLATE, GDAL's default `COMPRESS=DEFLATE`) — the raster file format
-  * the reference decodes through GDAL (odin_gdal/src/lib.rs,
-  * odin_dem/src/lib.rs DEM tiles, odin_hrrr grids). No GDAL ships in
-  * this container, so the ~200-line binary parse is done directly; the
-  * writer exists to produce fixture rasters for specs and dev data.
+/** Minimal pure-JVM GeoTIFF (classic TIFF, either byte order, strip- OR
+  * tile-organized, single-band float32; compression 1 = none, 5 = LZW,
+  * 8 = Adobe DEFLATE — the three GDAL ships by default and the set
+  * public DEMs (USGS 3DEP, Copernicus GLO-30) actually use) — the
+  * raster file format the reference decodes through GDAL
+  * (odin_gdal/src/lib.rs, odin_dem/src/lib.rs DEM tiles, odin_hrrr
+  * grids). No GDAL ships in this container, so the binary parse is done
+  * directly; the writer exists to produce fixture rasters for specs and
+  * dev data. The LZW codec follows TIFF 6.0 with libtiff's early
+  * code-width change — cross-validated both directions against the
+  * JDK's independent ImageIO TIFF plugin in LzwSpec. Predictor must be
+  * 1 (none — GDAL's default for float rasters; horizontal/FP differencing
+  * predictors 2/3 are rejected at readMeta with a clear error).
   *
   * Scale shape (what a 100 TB DEM/HRRR sweep needs, all here):
-  * - one InputPartition PER STRIP — the natural parallel unit of a
-  *   strip-organized TIFF; a reader seeks to its strip's byte range and
-  *   never touches the rest of the file;
+  * - one InputPartition PER STRIP/TILE — the natural parallel unit; a
+  *   reader seeks to its chunk's byte range and never touches the rest
+  *   of the file (tiled organization is how large public DEMs ship);
   * - column pruning (SupportsPushDownRequiredColumns) — a query that
   *   needs only `value` never materializes the georeferencing columns;
   * - georeferencing from ModelTiepoint + ModelPixelScale evaluated
@@ -49,9 +55,32 @@ object GeoTiff {
   private val TSamplesPerPixel = 277
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
+  private val TPredictor = 317
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
+
+  /** Compression codes accepted/written: none, LZW, Adobe DEFLATE. */
+  val CompNone = 1
+  val CompLzw = 5
+  val CompDeflate = 8
+
+  private def compress(comp: Int, raw: Array[Byte]): Array[Byte] = comp match {
+    case CompNone => raw
+    case CompLzw => lzwEncode(raw)
+    case CompDeflate => zlibDeflate(raw)
+  }
+
+  private def decompress(comp: Int, a: Array[Byte], expected: Int): Array[Byte] =
+    comp match {
+      case CompNone => a
+      case CompLzw => lzwDecode(a, expected)
+      case CompDeflate => zlibInflate(a, expected)
+    }
 
   /** Write a single-band float32 strip-organized GeoTIFF, uncompressed
     * or per-strip zlib DEFLATE (TIFF compression 8). Tiepoint maps pixel
@@ -60,14 +89,16 @@ object GeoTiff {
     */
   def write(path: String, width: Int, height: Int, data: Array[Float],
       originLon: Double, originLat: Double, sx: Double, sy: Double,
-      rowsPerStrip: Int = 64, deflate: Boolean = false): Unit = {
+      rowsPerStrip: Int = 64, deflate: Boolean = false,
+      lzw: Boolean = false): Unit = {
     require(data.length == width * height)
+    val comp = if (deflate) CompDeflate else if (lzw) CompLzw else CompNone
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
     val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
       val raw = ByteBuffer.allocate(rows * width * 4).order(ByteOrder.LITTLE_ENDIAN)
       (0 until rows * width).foreach(i => raw.putFloat(data(s * rowsPerStrip * width + i)))
-      if (deflate) zlibDeflate(raw.array()) else raw.array()
+      compress(comp, raw.array())
     }
     val stripBytes = strips.map(_.length)
     val dataStart = 8
@@ -102,7 +133,7 @@ object GeoTiff {
     entryInline(TImageWidth, 4, 1, width)
     entryInline(TImageLength, 4, 1, height)
     entryInline(TBitsPerSample, 3, 1, 32)
-    entryInline(TCompression, 3, 1, if (deflate) 8 else 1)
+    entryInline(TCompression, 3, 1, comp)
     entryInline(TPhotometric, 3, 1, 1)
     entryArray(TStripOffsets, 4, stripOffsets.map(_.toLong))
     entryInline(TSamplesPerPixel, 3, 1, 1)
@@ -122,6 +153,186 @@ object GeoTiff {
     if (stripBytes.size * 4 > 4) stripBytes.foreach(c => bb.putInt(c))
     doubleArrays.foreach { case (_, ds) => ds.foreach(bb.putDouble) }
     Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+  }
+
+  /** Write a single-band float32 TILE-organized GeoTIFF (the layout
+    * large public DEMs ship): tiles of tileW×tileH cells, right/bottom
+    * edge tiles zero-padded to full tile size per TIFF 6.0, each tile
+    * compressed independently (none / LZW / DEFLATE).
+    */
+  def writeTiled(path: String, width: Int, height: Int, data: Array[Float],
+      originLon: Double, originLat: Double, sx: Double, sy: Double,
+      tileW: Int = 64, tileH: Int = 64, compression: Int = CompNone): Unit = {
+    require(data.length == width * height)
+    require(tileW % 16 == 0 && tileH % 16 == 0, "TIFF tiles are multiples of 16")
+    val tilesAcross = (width + tileW - 1) / tileW
+    val tilesDown = (height + tileH - 1) / tileH
+    val tiles: Seq[Array[Byte]] = (0 until tilesDown).flatMap { tr =>
+      (0 until tilesAcross).map { tc =>
+        val raw = ByteBuffer.allocate(tileW * tileH * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var r = 0
+        while (r < tileH) {
+          var c = 0
+          while (c < tileW) {
+            val gr = tr * tileH + r; val gc = tc * tileW + c
+            raw.putFloat(
+              if (gr < height && gc < width) data(gr * width + gc) else 0f)
+            c += 1
+          }
+          r += 1
+        }
+        compress(compression, raw.array())
+      }
+    }
+    val tileBytes = tiles.map(_.length)
+    val dataStart = 8
+    val tileOffsets = tileBytes.scanLeft(dataStart)(_ + _).dropRight(1)
+    val ifdOffset = dataStart + tileBytes.sum
+    val nEntries = 13
+    val ifdSize = 2 + nEntries * 12 + 4
+    var extraOff = ifdOffset + ifdSize
+    val nTiles = tiles.size
+    val bb = ByteBuffer.allocate(ifdOffset + ifdSize + 8 * 9 + 4 * 2 * nTiles + 64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    tiles.foreach(bb.put)
+    bb.putShort(nEntries.toShort)
+    def entryInline(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value.toInt)
+    }
+    def entryArray(tag: Int, values: Seq[Long]): Unit =
+      if (values.size * 4 <= 4) entryInline(tag, 4, values.size, values.head)
+      else {
+        bb.putShort(tag.toShort).putShort(4.toShort).putInt(values.size).putInt(extraOff)
+        extraOff += values.size * 4
+      }
+    entryInline(TImageWidth, 4, 1, width)
+    entryInline(TImageLength, 4, 1, height)
+    entryInline(TBitsPerSample, 3, 1, 32)
+    entryInline(TCompression, 3, 1, compression)
+    entryInline(TPhotometric, 3, 1, 1)
+    entryInline(TSamplesPerPixel, 3, 1, 1)
+    entryInline(TTileWidth, 4, 1, tileW)
+    entryInline(TTileLength, 4, 1, tileH)
+    entryArray(TTileOffsets, tileOffsets.map(_.toLong))
+    entryArray(TTileByteCounts, tileBytes.map(_.toLong))
+    entryInline(TSampleFormat, 3, 1, 3)
+    bb.putShort(TModelPixelScale.toShort).putShort(12.toShort).putInt(3).putInt(extraOff)
+    val scaleAt = extraOff; extraOff += 24
+    bb.putShort(TModelTiepoint.toShort).putShort(12.toShort).putInt(6).putInt(extraOff)
+    extraOff += 48
+    bb.putInt(0) // next IFD
+    if (tileOffsets.size * 4 > 4) tileOffsets.foreach(o => bb.putInt(o))
+    if (tileBytes.size * 4 > 4) tileBytes.foreach(c => bb.putInt(c))
+    require(bb.position() == scaleAt)
+    Seq(sx, sy, 0.0).foreach(bb.putDouble)
+    Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0).foreach(bb.putDouble)
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+  }
+
+  /** TIFF 6.0 LZW encoder (MSB-first bit packing, Clear=256, EOI=257,
+    * first entry 258, code widths 9→12; the width grows when the next
+    * free entry reaches 2^w — the libtiff convention, pinned EMPIRICALLY
+    * in LzwSpec against the JDK ImageIO TIFF plugin's independent codec
+    * in both directions, since published descriptions of the "early
+    * change" off-by-one contradict each other). Table resets at 4093
+    * entries.
+    */
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var acc = 0L; var nAcc = 0; var bits = 9
+    def put(code: Int): Unit = {
+      acc = (acc << bits) | code; nAcc += bits
+      while (nAcc >= 8) { out.write(((acc >> (nAcc - 8)) & 0xFF).toInt); nAcc -= 8 }
+    }
+    var table = new java.util.HashMap[Integer, Integer](8192)
+    var nextCode = 258
+    put(256) // leading Clear per spec
+    var prev = -1
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xFF
+      if (prev < 0) prev = b
+      else {
+        val key = Integer.valueOf((prev << 8) | b)
+        val hit = table.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          table.put(key, Integer.valueOf(nextCode)); nextCode += 1
+          if (nextCode >= 4093) {
+            put(256)
+            table = new java.util.HashMap[Integer, Integer](8192)
+            nextCode = 258; bits = 9
+          } else if (nextCode == (1 << bits) && bits < 12) bits += 1
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(257) // EOI
+    if (nAcc > 0) out.write(((acc << (8 - nAcc)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Inverse of [[lzwEncode]]; `expected` is the known raw chunk size.
+    * Width change mirrors the encoder one entry early (the decoder's
+    * table runs one entry behind the encoder's, so it widens when its
+    * next free entry reaches 2^w−1).
+    */
+  def lzwDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected); var outPos = 0
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    val strLen = new Array[Int](4096); val first = new Array[Byte](4096)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; strLen(i) = 1; first(i) = i.toByte
+      i += 1
+    }
+    var nextCode = 258; var bits = 9
+    var acc = 0L; var nAcc = 0; var pos = 0
+    def read(): Int = {
+      while (nAcc < bits) {
+        if (pos >= in.length) return 257
+        acc = (acc << 8) | (in(pos) & 0xFF); pos += 1; nAcc += 8
+      }
+      val c = ((acc >> (nAcc - bits)) & ((1 << bits) - 1)).toInt
+      nAcc -= bits
+      c
+    }
+    def writeStr(code: Int): Unit = {
+      val l = strLen(code)
+      require(outPos + l <= expected, s"LZW overrun at $outPos + $l")
+      var c = code; var p = outPos + l - 1
+      while (c >= 0) { out(p) = suffix(c); c = prefix(c); p -= 1 }
+      outPos += l
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) { nextCode = 258; bits = 9; prev = -1 }
+      else {
+        require(code <= nextCode, s"LZW bad code $code (next $nextCode)")
+        if (prev < 0) { writeStr(code); prev = code }
+        else {
+          // add prev + first(code == nextCode ? prev : code)
+          val f = if (code == nextCode) first(prev) else first(code)
+          prefix(nextCode) = prev; suffix(nextCode) = f
+          strLen(nextCode) = strLen(prev) + 1; first(nextCode) = first(prev)
+          nextCode += 1
+          writeStr(code); prev = code
+          if (nextCode == (1 << bits) - 1 && bits < 12) bits += 1
+        }
+      }
+    }
+    require(outPos == expected, s"LZW short decode: $outPos of $expected")
+    out
   }
 
   /** zlib-wrapped DEFLATE (what TIFF compression 8 stores per strip). */
@@ -149,31 +360,46 @@ object GeoTiff {
     } finally inf.end()
   }
 
+  /** Raster layout: strip-organized (tileW = 0) or tiled. chunkOffsets /
+    * chunkByteCounts are strips top-to-bottom, or tiles row-major.
+    */
   final case class Meta(width: Int, height: Int, rowsPerStrip: Int,
-      compression: Int, stripOffsets: Array[Long], stripByteCounts: Array[Long],
-      originLon: Double, originLat: Double, sx: Double, sy: Double)
+      tileW: Int, tileH: Int, compression: Int, bigEndian: Boolean,
+      chunkOffsets: Array[Long], chunkByteCounts: Array[Long],
+      originLon: Double, originLat: Double, sx: Double, sy: Double) {
+    def tiled: Boolean = tileW > 0
+  }
 
-  /** Parse header + IFD of a classic little-endian uncompressed
-    * float32 GeoTIFF; validates the assumptions this reader makes.
+  /** Parse header + IFD of a classic TIFF (either byte order), strip- or
+    * tile-organized float32 GeoTIFF; validates the assumptions this
+    * reader makes (single band, float32, predictor none, compression
+    * none/LZW/DEFLATE).
     */
   def readMeta(path: String): Meta = {
     val raf = new RandomAccessFile(path, "r")
     try {
+      val ordBytes = new Array[Byte](2)
+      raf.seek(0); raf.readFully(ordBytes)
+      val order = (ordBytes(0).toChar, ordBytes(1).toChar) match {
+        case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+        case ('M', 'M') => ByteOrder.BIG_ENDIAN
+        case _ => throw new IllegalArgumentException("not a TIFF byte-order mark")
+      }
       def readBytes(off: Long, n: Int): ByteBuffer = {
         val a = new Array[Byte](n)
         raf.seek(off); raf.readFully(a)
-        ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+        ByteBuffer.wrap(a).order(order)
       }
-      val head = readBytes(0, 8)
-      require(head.get() == 'I' && head.get() == 'I', "not little-endian TIFF")
+      val head = readBytes(2, 6)
       require(head.getShort() == 42, "not classic TIFF")
       val ifdOff = head.getInt() & 0xFFFFFFFFL
       val nEntries = readBytes(ifdOff, 2).getShort() & 0xFFFF
       val entries = readBytes(ifdOff + 2, nEntries * 12)
       var width = 0; var height = 0; var rps = 0
-      var bits = 0; var comp = 1; var fmt = 1
-      var soOff = 0L; var soCount = 0; var soInline = 0L
-      var scOff = 0L; var scCount = 0; var scInline = 0L
+      var bits = 0; var comp = 1; var fmt = 1; var pred = 1
+      var tw = 0; var th = 0
+      // offset/bytecount arrays: (type, count, inline-or-offset)
+      var so = (0, 0, 0L); var sc = (0, 0, 0L)
       var scaleOff = -1L; var tieOff = -1L
       (0 until nEntries).foreach { _ =>
         val tag = entries.getShort() & 0xFFFF
@@ -190,28 +416,55 @@ object GeoTiff {
           case TCompression => comp = value.toInt
           case TRowsPerStrip => rps = value.toInt
           case TSampleFormat => fmt = value.toInt
-          case TStripOffsets => soCount = count; if (count == 1) soInline = value else soOff = value
-          case TStripByteCounts => scCount = count; if (count == 1) scInline = value else scOff = value
+          case TPredictor => pred = value.toInt
+          case TTileWidth => tw = value.toInt
+          case TTileLength => th = value.toInt
+          case TStripOffsets | TTileOffsets => so = (typ, count, value)
+          case TStripByteCounts | TTileByteCounts => sc = (typ, count, value)
           case TModelPixelScale => scaleOff = value
           case TModelTiepoint => tieOff = value
           case _ =>
         }
       }
-      require(comp == 1 || comp == 8,
-        s"compression $comp unsupported (only none=1 / DEFLATE=8)")
+      require(comp == CompNone || comp == CompLzw || comp == CompDeflate,
+        s"compression $comp unsupported (only none=1 / LZW=5 / DEFLATE=8)")
+      require(pred == 1,
+        s"predictor $pred unsupported (only 1 = none; re-export without " +
+          "horizontal/floating-point differencing)")
       require(bits == 32 && fmt == 3, s"expect float32 band (bits=$bits fmt=$fmt)")
-      if (rps == 0) rps = height
-      val so = if (soCount == 1) Array(soInline)
-        else { val b = readBytes(soOff, soCount * 4); Array.fill(soCount)(b.getInt() & 0xFFFFFFFFL) }
-      val sc = if (scCount == 1) Array(scInline)
-        else { val b = readBytes(scOff, scCount * 4); Array.fill(scCount)(b.getInt() & 0xFFFFFFFFL) }
+      require((tw == 0) == (th == 0), "TileWidth/TileLength must pair")
+      if (rps == 0 && tw == 0) rps = height
+      // SHORT (2-byte) or LONG (4-byte) arrays, inline when they fit
+      def longArray(spec: (Int, Int, Long)): Array[Long] = {
+        val (typ, count, v) = spec
+        val w = if (typ == 3) 2 else 4
+        if (count * w <= 4) {
+          // inline: re-split the raw 4-byte value field is not needed for
+          // count==1; count==2 SHORT inline is not produced by writers we
+          // accept (offsets/bytecounts of a 2-chunk raster exceed SHORT)
+          require(count == 1, s"unsupported inline array count=$count typ=$typ")
+          Array(v)
+        } else {
+          val b = readBytes(v, count * w)
+          if (typ == 3) Array.fill(count)(b.getShort() & 0xFFFFL)
+          else Array.fill(count)(b.getInt() & 0xFFFFFFFFL)
+        }
+      }
+      val offs = longArray(so)
+      val cnts = longArray(sc)
+      if (tw > 0) {
+        val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
+        require(offs.length == expect, s"expect $expect tiles, got ${offs.length}")
+      }
       require(scaleOff >= 0 && tieOff >= 0, "missing georeferencing tags")
       val sb = readBytes(scaleOff, 24)
       val sx = sb.getDouble(); val sy = sb.getDouble()
       val tb = readBytes(tieOff, 48)
       tb.getDouble(); tb.getDouble(); tb.getDouble() // pixel-space tiepoint (0,0,0)
       val originLon = tb.getDouble(); val originLat = tb.getDouble()
-      Meta(width, height, rps, comp, so, sc, originLon, originLat, sx, sy)
+      Meta(width, height, rps, tw, th, comp,
+        order == ByteOrder.BIG_ENDIAN, offs, cnts,
+        originLon, originLat, sx, sy)
     } finally raf.close()
   }
 }
@@ -248,9 +501,15 @@ class GeoTiffScanBuilder(path: String) extends ScanBuilder
   override def build(): Scan = new GeoTiffScan(path, required)
 }
 
-final case class GeoTiffStripPartition(path: String, stripIdx: Int,
-    offset: Long, byteCount: Long, startRow: Int, rows: Int, width: Int,
-    compression: Int, originLon: Double, originLat: Double,
+/** One strip or one tile: a contiguous byte range decoding to
+  * chunkRows×chunkCols cells anchored at (startRow, startCol). Tile
+  * chunks may overhang the image edge (TIFF pads tiles); the reader
+  * skips padding cells.
+  */
+final case class GeoTiffChunkPartition(path: String, offset: Long,
+    byteCount: Long, startRow: Int, startCol: Int, chunkRows: Int,
+    chunkCols: Int, imgWidth: Int, imgHeight: Int, compression: Int,
+    bigEndian: Boolean, originLon: Double, originLat: Double,
     sx: Double, sy: Double)
   extends InputPartition
 
@@ -259,12 +518,24 @@ class GeoTiffScan(path: String, required: StructType) extends Scan with Batch {
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val m = GeoTiff.readMeta(path)
-    m.stripOffsets.indices.map { i =>
-      val startRow = i * m.rowsPerStrip
-      GeoTiffStripPartition(path, i, m.stripOffsets(i), m.stripByteCounts(i),
-        startRow, math.min(m.rowsPerStrip, m.height - startRow), m.width,
-        m.compression, m.originLon, m.originLat, m.sx, m.sy)
-    }.toArray
+    val bigEndian = m.bigEndian
+    if (m.tiled) {
+      val tilesAcross = (m.width + m.tileW - 1) / m.tileW
+      m.chunkOffsets.indices.map { i =>
+        GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
+          (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
+          m.tileH, m.tileW, m.width, m.height, m.compression, bigEndian,
+          m.originLon, m.originLat, m.sx, m.sy)
+      }.toArray
+    } else {
+      m.chunkOffsets.indices.map { i =>
+        val startRow = i * m.rowsPerStrip
+        GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
+          startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
+          m.width, m.width, m.height, m.compression, bigEndian,
+          m.originLon, m.originLat, m.sx, m.sy)
+      }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoTiffReaderFactory(required)
@@ -272,30 +543,43 @@ class GeoTiffScan(path: String, required: StructType) extends Scan with Batch {
 
 class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GeoTiffStripReader(partition.asInstanceOf[GeoTiffStripPartition], required)
+    new GeoTiffChunkReader(partition.asInstanceOf[GeoTiffChunkPartition], required)
 }
 
-/** Reads exactly one strip's byte range (seek + readFully — never the
-  * whole file), inflating DEFLATE strips in-JDK, and emits its cells.
+/** Reads exactly one chunk's byte range (seek + readFully — never the
+  * whole file), inflating LZW/DEFLATE chunks in-JDK, and emits its
+  * in-image cells (tile padding beyond the image edge is skipped).
   */
-class GeoTiffStripReader(p: GeoTiffStripPartition, required: StructType)
+class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val floats: ByteBuffer = {
     val raf = new RandomAccessFile(p.path, "r")
     try {
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
-      val raw = if (p.compression == 8)
-        GeoTiff.zlibInflate(a, p.rows * p.width * 4) else a
-      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val expected = p.chunkRows * p.chunkCols * 4
+      val raw = p.compression match {
+        case GeoTiff.CompLzw => GeoTiff.lzwDecode(a, expected)
+        case GeoTiff.CompDeflate => GeoTiff.zlibInflate(a, expected)
+        case _ => a
+      }
+      ByteBuffer.wrap(raw).order(
+        if (p.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     } finally raf.close()
   }
-  private val nCells = p.rows * p.width
+  private val nCells = p.chunkRows * p.chunkCols
   private var i = -1
-  override def next(): Boolean = { i += 1; i < nCells }
+  private def inImage(j: Int): Boolean =
+    p.startRow + j / p.chunkCols < p.imgHeight &&
+      p.startCol + j % p.chunkCols < p.imgWidth
+  override def next(): Boolean = {
+    i += 1
+    while (i < nCells && !inImage(i)) i += 1
+    i < nCells
+  }
   override def get(): InternalRow = {
-    val row = p.startRow + i / p.width
-    val colI = i % p.width
+    val row = p.startRow + i / p.chunkCols
+    val colI = p.startCol + i % p.chunkCols
     val v = floats.getFloat(i * 4).toDouble
     val out = new GenericInternalRow(required.size)
     var f = 0

@@ -63,7 +63,7 @@ class GeoTiffSpec extends SparkSpecBase {
     assert(java.nio.file.Files.size(f) < w.toLong * h * 4)
     val m = GeoTiff.readMeta(f.toString)
     assert(m.compression == 8)
-    assert(m.stripByteCounts.sum < w.toLong * h * 4)
+    assert(m.chunkByteCounts.sum < w.toLong * h * 4)
     val df = spark.read.format("graft.sources.GeoTiffProvider")
       .option("path", f.toString).load()
     assert(df.rdd.getNumPartitions == (h + 15) / 16) // still strip-parallel
@@ -115,5 +115,90 @@ class GeoTiffSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Double]("interp") - exp) < 1e-9,
         s"bilinear mismatch at probe ${r.getAs[Long]("id")}")
     }
+  }
+
+  // ---- tiled organization (r9): the layout public DEMs actually ship ----
+
+  private def tiledRoundTrip(compression: Int): Unit = {
+    // deliberately NOT multiples of the 48x32 tile: edge tiles padded
+    val f = java.nio.file.Files.createTempDirectory("gtifft")
+      .resolve(s"tiled$compression.tif")
+    GeoTiff.writeTiled(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      tileW = 48, tileH = 32, compression = compression)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.tiled && m.tileW == 48 && m.tileH == 32)
+    assert(m.compression == compression)
+    val tilesExpected = ((w + 47) / 48) * ((h + 31) / 32)
+    assert(m.chunkOffsets.length == tilesExpected)
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load()
+    // one partition per tile
+    assert(df.rdd.getNumPartitions == tilesExpected)
+    val got = df.collect()
+    assert(got.length == w * h, s"padding cells leaked: ${got.length}")
+    got.foreach { r =>
+      val row = r.getAs[Int]("row"); val col = r.getAs[Int]("col")
+      assert(row < h && col < w)
+      assert(r.getAs[Double]("value") == z(row, col).toDouble,
+        s"value mismatch at ($row,$col) compression=$compression")
+      assert(r.getAs[Double]("lon") == -120.0 + col * 0.01)
+      assert(r.getAs[Double]("lat") == 45.0 - row * 0.01)
+    }
+  }
+
+  test("tiled uncompressed round-trips; padding never leaks") {
+    tiledRoundTrip(GeoTiff.CompNone)
+  }
+
+  test("tiled LZW round-trips (the public-DEM default)") {
+    tiledRoundTrip(GeoTiff.CompLzw)
+  }
+
+  test("tiled DEFLATE round-trips") {
+    tiledRoundTrip(GeoTiff.CompDeflate)
+  }
+
+  test("strip-organized LZW round-trips") {
+    val f = java.nio.file.Files.createTempDirectory("gtiffl").resolve("lzw.tif")
+    GeoTiff.write(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, lzw = true)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.compression == GeoTiff.CompLzw && !m.tiled)
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load().collect()
+    assert(df.length == w * h)
+    df.foreach { r =>
+      assert(r.getAs[Double]("value") ==
+        z(r.getAs[Int]("row"), r.getAs[Int]("col")).toDouble)
+    }
+  }
+
+  test("unsupported predictor is rejected with a clear error") {
+    // hand-patch a predictor=2 tag into a copy of the strip fixture —
+    // readMeta must refuse rather than emit silently wrong values
+    val src = java.nio.file.Paths.get(path)
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    // overwrite the Photometric entry (262, irrelevant to this reader)
+    // with Predictor=2 (readMeta scans tags without requiring order)
+    val target = (0 until n).find { e =>
+      (bb.getShort(ifd + 2 + e * 12) & 0xFFFF) == 262
+    }.get
+    val p = ifd + 2 + target * 12
+    bb.putShort(p, 317.toShort); bb.putShort(p + 2, 3.toShort)
+    bb.putInt(p + 4, 1); bb.putShort(p + 8, 2.toShort)
+    val f = java.nio.file.Files.createTempDirectory("gtiffp").resolve("pred.tif")
+    java.nio.file.Files.write(f, bytes)
+    val ex = intercept[IllegalArgumentException] {
+      GeoTiff.readMeta(f.toString)
+    }
+    assert(ex.getMessage.contains("predictor"))
   }
 }
