@@ -25,8 +25,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * grid definition templates 3.0 (regular lat/lon) and 3.30 (Lambert
   * conformal conic — the actual HRRR CONUS projection, geolocated per
   * cell via the spherical Snyder inverse), product definition template
-  * 4.0, data representation templates 5.0 (simple packing), 5.2
-  * (complex/group packing) and 5.3 (complex + order-1/2 spatial
+  * 4.0, data representation templates 5.0 (simple packing), 5.41 (PNG
+  * packing, decoded with the JDK's ImageIO PNG codec; 5.40 JPEG2000 is
+  * excluded — no JPEG2000 codec exists in the JDK or this container —
+  * see SURVEY §2.H), 5.2 (complex/group packing) and 5.3 (complex +
+  * order-1/2 spatial
   * differencing — what NOMADS actually ships for HRRR), optional
   * bitmap (section 6), any number of messages per file.
   *
@@ -83,9 +86,11 @@ object Grib2 {
       values: Array[Double],
       decScale: Int = 2, nBits: Int = 16,
       lcc: Option[Lcc] = None,
-      packing: Int = 0) { // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing)
+      packing: Int = 0) { // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing), 41 = PNG 5.41
     require(values.length == ni * nj, s"expect ${ni * nj} values")
-    require(packing == 0 || packing == 2 || packing == 3, s"packing $packing")
+    require(packing == 0 || packing == 2 || packing == 3 || packing == 41,
+      s"packing $packing")
+    require(packing != 41 || nBits <= 16, "PNG packing: depth 8 or 16 only")
   }
 
   /** Spherical Lambert conformal conic (Snyder 1987, eq. 15-1..15-5),
@@ -269,7 +274,7 @@ object Grib2 {
         var k = 2; while (k < n0) { a(k) = d2(k) - gmin; k += 1 }; a
       case _ => Array.emptyLongArray
     }
-    val ng = if (f.packing == 0) 0 else (n0 + G - 1) / G
+    val ng = if (f.packing == 0 || f.packing == 41) 0 else (n0 + G - 1) / G
     val grpRef = new Array[Long](ng); val grpWidth = new Array[Int](ng)
     var gi = 0
     while (gi < ng) {
@@ -282,6 +287,9 @@ object Grib2 {
     val refBits = if (ng == 0) f.nBits else math.max(1, bitsFor(grpRef.max))
     val lastLen = if (ng == 0) 0 else n0 - (ng - 1) * G
 
+    // PNG depth: 8-bit gray for narrow fields, 16-bit gray otherwise
+    // (what g2clib's pngpack chooses for nbits <= 16)
+    val pngDepth = if (f.nBits <= 8) 8 else 16
     val s5 =
       if (f.packing == 0) sec(5, bb => {
         bb.putInt(nPresent).putShort(0) // template 5.0
@@ -289,6 +297,13 @@ object Grib2 {
         bb.putShort(signMag16(0).toShort) // binary scale E = 0
         bb.putShort(signMag16(f.decScale).toShort)
         bb.put(f.nBits.toByte).put(0.toByte) // original field: float
+      }, 16)
+      else if (f.packing == 41) sec(5, bb => {
+        bb.putInt(nPresent).putShort(41) // template 5.41: PNG
+        bb.putFloat(rRef.toFloat)
+        bb.putShort(signMag16(0).toShort)
+        bb.putShort(signMag16(f.decScale).toShort)
+        bb.put(pngDepth.toByte).put(0.toByte)
       }, 16)
       else sec(5, bb => {
         bb.putInt(nPresent).putShort(f.packing.toShort) // template 5.2 / 5.3
@@ -320,7 +335,25 @@ object Grib2 {
         if (nb > 0) bb.put((acc << (8 - nb)).toByte)
       }, 1 + (n + 7) / 8)
     val s7 =
-      if (f.packing == 0) {
+      if (f.packing == 41) {
+        // PNG packing: scaled integers as a grayscale PNG — full grid
+        // (Ni x Nj) without a bitmap, present-points x 1 with one (the
+        // g2clib pngpack/addfield layout)
+        val (iw, ih) = if (hasBitmap) (nPresent, 1) else (f.ni, f.nj)
+        val img = new java.awt.image.BufferedImage(iw, ih,
+          if (pngDepth == 8) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+        val r = img.getRaster
+        var k = 0
+        while (k < xs.length) {
+          r.setSample(k % iw, k / iw, 0, xs(k))
+          k += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", baos), "PNG encode")
+        val data = baos.toByteArray
+        sec(7, bb => bb.put(data), data.length)
+      } else if (f.packing == 0) {
         val packedLen = (nPresent * f.nBits + 7) / 8
         sec(7, bb => {
           var acc = 0L; var nb = 0
@@ -493,8 +526,10 @@ object Grib2 {
         case 5 =>
           nPoints = bb.getInt()
           tmpl5 = bb.getShort()
-          require(tmpl5 == 0 || tmpl5 == 2 || tmpl5 == 3,
-            s"data representation 5.0/5.2/5.3 only, got $tmpl5")
+          require(tmpl5 == 0 || tmpl5 == 2 || tmpl5 == 3 || tmpl5 == 41,
+            s"data representation 5.0/5.2/5.3/5.41 only, got $tmpl5 " +
+              "(5.40 JPEG2000 needs a codec this container lacks — " +
+              "see SURVEY 2.H)")
           rRef = bb.getFloat()
           eScale = sm16(bb.getShort() & 0xFFFF)
           dScale = sm16(bb.getShort() & 0xFFFF)
@@ -530,7 +565,21 @@ object Grib2 {
     // unpack nBits-wide big-endian integers; Y = (R + X·2^E) / 10^D
     val binF = math.pow(2, eScale); val decF = math.pow(10, dScale)
     val vals = new Array[Double](nPoints)
-    if (tmpl5 == 0) {
+    if (tmpl5 == 41) {
+      // PNG packing: section 7 is a grayscale PNG of the scaled ints
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(packed))
+      require(img != null, "5.41: PNG decode failed")
+      val r = img.getRaster
+      val iw = img.getWidth
+      require(iw.toLong * img.getHeight >= nPoints,
+        s"5.41: ${iw}x${img.getHeight} PNG holds < $nPoints points")
+      var vi = 0
+      while (vi < nPoints) {
+        vals(vi) = (rRef + r.getSample(vi % iw, vi / iw, 0) * binF) / decF
+        vi += 1
+      }
+    } else if (tmpl5 == 0) {
       if (nBits == 0) java.util.Arrays.fill(vals, rRef / decF)
       else {
         var acc = 0L; var nb = 0; var bi = 0; var vi = 0

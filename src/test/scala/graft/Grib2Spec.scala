@@ -116,6 +116,41 @@ class Grib2Spec extends SparkSpecBase {
       s"5.3 (${msgs(2).length} B) not smaller than 5.0 (${msgs(0).length} B)")
   }
 
+  test("PNG packing (5.41) round-trips at depths 8 and 16, with a bitmap") {
+    // 5.41 stores the scaled ints as a grayscale PNG (many NCEP MRMS /
+    // NDFD products ship this); 5.40 JPEG2000 is the argued exclusion
+    def field(vals: Array[Double], bits: Int) = Grib2.Field(
+      discipline = 0, category = 2, parameter = 2, levelType = 103, level = 10,
+      year = 2026, month = 8, day = 12, hour = 6, forecastHour = 2,
+      ni = ni, nj = nj, la1Deg = 44.0, lo1Deg = -124.0,
+      diDeg = 0.1, djDeg = 0.1, values = vals, nBits = bits, packing = 41)
+    val full16 = Array.tabulate(nj * ni)(i => u10(i / ni, i % ni))
+    val narrow8 = Array.tabulate(nj * ni)(i => (i % 101) / 100.0) // < 2^8 scaled
+    val gappy = Array.tabulate(nj * ni)(i =>
+      if (i % 7 == 3) Double.NaN else u10(i / ni, i % ni)) // bitmap path
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("png.grib2")
+    Grib2.write(f.toString,
+      Seq(field(full16, 16), field(narrow8, 8), field(gappy, 16)))
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", f.toString).load()
+      .select("msg", "row", "col", "value").collect()
+    val expected = Seq(full16, narrow8, gappy)
+    assert(rows.length == 3 * ni * nj)
+    rows.foreach { r =>
+      val m = r.getAs[Int]("msg")
+      val i = r.getAs[Int]("row") * ni + r.getAs[Int]("col")
+      if (expected(m)(i).isNaN)
+        assert(r.isNullAt(3), s"msg $m cell $i: bitmap miss not null")
+      else
+        assert(r.getAs[Double]("value") == expected(m)(i),
+          s"msg $m at cell $i")
+    }
+    // PNG's DEFLATE actually compresses the smooth field
+    val msgs = Grib2.scanMessages(f.toString)
+    assert(msgs(0).length < 16L + ni.toLong * nj * 2 + 200,
+      s"PNG message not compressed: ${msgs(0).length} B")
+  }
+
   test("Lambert conformal grid (template 3.30): the real HRRR projection") {
     // HRRR CONUS parameters: tangent cone at 38.5N, LoV 262.5E, 3 km
     val lcc = Grib2.Lcc(latin1Deg = 38.5, latin2Deg = 38.5,
