@@ -1,0 +1,800 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal pure-JVM HDF5 reader for the subset netCDF-4 files contain
+  * when written by netcdf-c with DEFAULT property lists — which is what
+  * real GOES-R / Himawari L2 products are (netCDF-4 classic model on
+  * HDF5 1.8; the reference opens them through GDAL at
+  * odin_goesr/src/lib.rs:527-538). That subset, per the public HDF5 File
+  * Format Specification (version 3, the 1.8 format):
+  *
+  * - superblock version 0 (the libhdf5 default; v1-3 rejected with a
+  *   clear error — netcdf-c only emits those under explicit
+  *   H5Pset_libver_bounds, which no production GOES-R writer sets),
+  * - version-1 object headers with continuation blocks,
+  * - old-style groups (symbol-table B-tree v1 + local heap + SNOD),
+  * - dataspace ≤ 2 dims; datatypes: fixed-point 1/2/4 bytes (either
+  *   signedness, either endianness) and IEEE float32/64,
+  * - data layouts v3: compact, contiguous, and chunked (B-tree v1 chunk
+  *   index) with the gzip (deflate, filter id 1) and shuffle (id 2)
+  *   filters — the exact pipeline netcdf-c applies for
+  *   `nc_def_var_deflate(..., shuffle, deflate, level)`,
+  * - compact attribute messages v1-3 (scale_factor / add_offset /
+  *   _FillValue are decoded; reference-typed system attributes like
+  *   DIMENSION_LIST are skipped by name).
+  *
+  * The fixture writer below emits the same subset. CAVEAT, recorded
+  * honestly: no independent HDF5 implementation exists in this
+  * container (no GDAL, h5py, or netcdf binaries), so unlike the GeoTIFF
+  * LZW codec (pinned against the JDK's ImageIO), reader and writer here
+  * are a matched pair validated against the format SPECIFICATION, not
+  * against libhdf5 bytes. Structure offsets, signatures, and message
+  * layouts follow the spec document directly, and the spec suite checks
+  * binary-level invariants (signatures at the right offsets, sorted
+  * symbol tables, 8-byte message alignment) beyond round-tripping.
+  */
+object Hdf5 {
+
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1A.toByte, '\n'.toByte)
+
+  def isHdf5(path: String): Boolean = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      if (raf.length() < 8) false
+      else {
+        val a = new Array[Byte](8); raf.readFully(a)
+        java.util.Arrays.equals(a, Signature)
+      }
+    } finally raf.close()
+  }
+
+  /** One chunk of a chunked dataset: logical start cell per dim + raw
+    * byte range (post-filter size).
+    */
+  final case class ChunkRef(start: Array[Int], addr: Long, size: Int)
+
+  /** A dataset, mapped onto the Netcdf type-id vocabulary so the
+    * NetcdfProvider surface is identical for classic and HDF5 files.
+    */
+  final case class H5Var(name: String, dims: Array[Int], ncType: Int,
+      signed: Boolean, littleEndian: Boolean,
+      contiguous: Option[(Long, Long)], compact: Option[Array[Byte]],
+      chunkDims: Array[Int], chunks: Seq[ChunkRef],
+      gzip: Boolean, shuffle: Boolean,
+      scale: Double, offset: Double, fill: Option[Double]) {
+    def nCells: Int = if (dims.isEmpty) 1 else dims.product
+    def elemSize: Int = Netcdf.typeSize(ncType)
+  }
+
+  // ---- read ----------------------------------------------------------
+
+  private final class Reader(path: String) {
+    val bytes: Array[Byte] = Files.readAllBytes(Paths.get(path))
+    def bb(off: Long): ByteBuffer = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(off.toInt); b
+    }
+  }
+
+  def readVars(path: String): Seq[H5Var] = {
+    val r = new Reader(path)
+    val sb = r.bb(0)
+    val sig = new Array[Byte](8); sb.get(sig)
+    require(java.util.Arrays.equals(sig, Signature), "not an HDF5 file")
+    val sbVersion = sb.get() & 0xFF
+    require(sbVersion == 0,
+      s"HDF5 superblock version $sbVersion unsupported (netcdf-c default " +
+        "is 0; re-export without H5Pset_libver_bounds)")
+    sb.get(); sb.get(); sb.get(); sb.get() // fs ver, root ver, res, shared ver
+    val sizeOff = sb.get() & 0xFF; val sizeLen = sb.get() & 0xFF
+    require(sizeOff == 8 && sizeLen == 8, s"offset/length sizes $sizeOff/$sizeLen")
+    sb.get() // reserved
+    sb.getShort(); sb.getShort() // leaf k, internal k
+    sb.getInt() // consistency flags
+    val base = sb.getLong()
+    require(base == 0L, s"nonzero base address $base")
+    sb.getLong(); sb.getLong(); sb.getLong() // free space, EOF, driver info
+    // root group symbol table entry
+    sb.getLong() // link name offset
+    val rootHdr = sb.getLong()
+    val out = ArrayBuffer.empty[H5Var]
+    val rootMsgs = readObjectHeader(r, rootHdr)
+    val stm = rootMsgs.find(_._1 == 0x0011).getOrElse(
+      throw new IllegalArgumentException("root group has no symbol table " +
+        "(new-style groups unsupported; netcdf-c default is old-style)"))
+    val stb = ByteBuffer.wrap(stm._2).order(ByteOrder.LITTLE_ENDIAN)
+    val btreeAddr = stb.getLong(); val heapAddr = stb.getLong()
+    // local heap data segment
+    val hb = r.bb(heapAddr)
+    val hsig = new Array[Byte](4); hb.get(hsig)
+    require(new String(hsig, StandardCharsets.US_ASCII) == "HEAP", "bad heap")
+    hb.get(); hb.get(); hb.get(); hb.get() // version + reserved
+    hb.getLong(); hb.getLong()
+    val heapData = hb.getLong()
+    def heapName(off: Long): String = {
+      var p = (heapData + off).toInt
+      val s = p
+      while (r.bytes(p) != 0) p += 1
+      new String(r.bytes, s, p - s, StandardCharsets.UTF_8)
+    }
+    // walk the group B-tree down to SNOD leaves
+    def walkGroupNode(addr: Long): Unit = {
+      val nb = r.bb(addr)
+      val nsig = new Array[Byte](4); nb.get(nsig)
+      new String(nsig, StandardCharsets.US_ASCII) match {
+        case "TREE" =>
+          val typ = nb.get() & 0xFF; val level = nb.get() & 0xFF
+          require(typ == 0, s"group btree type $typ")
+          val used = nb.getShort() & 0xFFFF
+          nb.getLong(); nb.getLong() // siblings
+          // key0, child0, key1, child1 ... key_used
+          nb.getLong() // key 0
+          (0 until used).foreach { _ =>
+            val child = nb.getLong(); nb.getLong() // child, next key
+            walkGroupNode(child) // level-0 children are SNODs
+          }
+          require(level >= 0)
+        case "SNOD" =>
+          nb.get(); nb.get() // version, reserved
+          val n = nb.getShort() & 0xFFFF
+          (0 until n).foreach { _ =>
+            val nameOff = nb.getLong()
+            val hdr = nb.getLong()
+            nb.getInt(); nb.getInt() // cache type, reserved
+            val scratch = new Array[Byte](16); nb.get(scratch)
+            parseDataset(r, heapName(nameOff), hdr).foreach(out += _)
+          }
+        case s => throw new IllegalArgumentException(s"unexpected node $s")
+      }
+    }
+    walkGroupNode(btreeAddr)
+    out.toSeq.sortBy(_.name)
+  }
+
+  /** v1 object header: all (type, body) messages, following
+    * continuation blocks.
+    */
+  private def readObjectHeader(r: Reader, addr: Long): Seq[(Int, Array[Byte])] = {
+    val hb = r.bb(addr)
+    val ver = hb.get() & 0xFF
+    require(ver == 1,
+      s"object header version $ver unsupported (v2 needs new-libver files)")
+    hb.get() // reserved
+    val nMsgs = hb.getShort() & 0xFFFF
+    hb.getInt() // ref count
+    val headerSize = hb.getInt()
+    hb.getInt() // 4-byte gap: messages are 8-aligned after the 12B prefix
+    val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
+    // messages live in the first block (addr+16, headerSize bytes) and in
+    // continuation blocks announced by 0x0010 messages; each block is
+    // read to its own end, in announcement order
+    var blocks: List[(Long, Long)] = List((addr + 16, headerSize.toLong))
+    var read = 0
+    while (read < nMsgs && blocks.nonEmpty) {
+      val (start, len) = blocks.head; blocks = blocks.tail
+      val cur = r.bb(start)
+      val end = start + len
+      while (read < nMsgs && cur.position() + 8 <= end) {
+        val typ = cur.getShort() & 0xFFFF
+        val size = cur.getShort() & 0xFFFF
+        cur.get(); cur.get(); cur.get(); cur.get() // flags + reserved
+        val body = new Array[Byte](size)
+        cur.get(body)
+        read += 1
+        if (typ == 0x0010) { // continuation: queue its block
+          val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = blocks :+ ((cb.getLong(), cb.getLong()))
+        } else if (typ != 0x0000) msgs += ((typ, body))
+      }
+    }
+    require(read == nMsgs,
+      s"object header at $addr: read $read of $nMsgs messages")
+    msgs.toSeq
+  }
+
+  /** Decode one dataset's object header into H5Var (None for groups or
+    * datasets outside the subset we accept — none occur in the files
+    * this reader targets).
+    */
+  private def parseDataset(r: Reader, name: String, addr: Long): Option[H5Var] = {
+    val msgs = readObjectHeader(r, addr)
+    val byType = msgs.groupBy(_._1)
+    if (!byType.contains(0x0008)) return None // no layout => not a dataset
+    // dataspace
+    val ds = ByteBuffer.wrap(byType(0x0001).head._2).order(ByteOrder.LITTLE_ENDIAN)
+    val dsVer = ds.get() & 0xFF
+    val rank = ds.get() & 0xFF
+    val dsFlags = ds.get() & 0xFF
+    if (dsVer == 1) { ds.get(); ds.getInt() } // reserved x5
+    else ds.get() // v2: type byte
+    require(rank <= 2, s"dataset $name: rank $rank > 2")
+    val dims = Array.fill(rank)(ds.getLong().toInt)
+    if ((dsFlags & 1) != 0) (0 until rank).foreach(_ => ds.getLong()) // maxdims
+    // datatype
+    val (ncType, signed, little) = parseDatatype(byType(0x0003).head._2, name)
+    // layout v3
+    val lb = ByteBuffer.wrap(byType(0x0008).head._2).order(ByteOrder.LITTLE_ENDIAN)
+    val lv = lb.get() & 0xFF
+    require(lv == 3, s"dataset $name: layout version $lv (v3 only)")
+    val lclass = lb.get() & 0xFF
+    var contiguous: Option[(Long, Long)] = None
+    var compact: Option[Array[Byte]] = None
+    var chunkDims: Array[Int] = Array.emptyIntArray
+    var chunks: Seq[ChunkRef] = Nil
+    lclass match {
+      case 0 =>
+        val sz = lb.getShort() & 0xFFFF
+        val a = new Array[Byte](sz); lb.get(a); compact = Some(a)
+      case 1 =>
+        contiguous = Some((lb.getLong(), lb.getLong()))
+      case 2 =>
+        val ndim = lb.get() & 0xFF // rank + 1 per spec
+        val btAddr = lb.getLong()
+        chunkDims = Array.fill(ndim - 1)(lb.getInt())
+        lb.getInt() // element size dim
+        if (btAddr != -1L) chunks = walkChunkTree(r, btAddr, ndim)
+      case c => throw new IllegalArgumentException(s"layout class $c")
+    }
+    // filters
+    var gzip = false; var shuffle = false
+    byType.get(0x000B).foreach { fp =>
+      val fb = ByteBuffer.wrap(fp.head._2).order(ByteOrder.LITTLE_ENDIAN)
+      val fv = fb.get() & 0xFF
+      val nf = fb.get() & 0xFF
+      if (fv == 1) { fb.getShort(); fb.getInt() } // reserved
+      (0 until nf).foreach { _ =>
+        val id = fb.getShort() & 0xFFFF
+        val nameLen =
+          if (fv == 1 || id >= 256) fb.getShort() & 0xFFFF else 0
+        fb.getShort() // flags
+        val ncd = fb.getShort() & 0xFFFF
+        if (nameLen > 0) {
+          val pad = if (fv == 1) ((nameLen + 7) / 8) * 8 else nameLen
+          fb.position(fb.position() + pad)
+        }
+        (0 until ncd).foreach(_ => fb.getInt())
+        if (fv == 1 && ncd % 2 == 1) fb.getInt() // pad to 8
+        id match {
+          case 1 => gzip = true
+          case 2 => shuffle = true
+          case other => throw new IllegalArgumentException(
+            s"dataset $name: filter $other unsupported (gzip/shuffle only; " +
+              "szip/zstd need codecs this container lacks)")
+        }
+      }
+    }
+    // the three numeric attributes we honor
+    var scale = 1.0; var offset = 0.0; var fill: Option[Double] = None
+    byType.getOrElse(0x000C, Nil).foreach { case (_, body) =>
+      parseAttribute(body).foreach {
+        case ("scale_factor", v) => scale = v
+        case ("add_offset", v) => offset = v
+        case ("_FillValue", v) => fill = Some(v)
+        case _ =>
+      }
+    }
+    Some(H5Var(name, dims, ncType, signed, little, contiguous, compact,
+      chunkDims, chunks, gzip, shuffle, scale, offset, fill))
+  }
+
+  /** (ncType, signed, littleEndian) for fixed-point/float datatypes. */
+  private def parseDatatype(body: Array[Byte], name: String): (Int, Boolean, Boolean) = {
+    val tb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val cv = tb.get() & 0xFF
+    val cls = cv & 0x0F
+    val b0 = tb.get() & 0xFF; tb.get(); tb.get()
+    val size = tb.getInt()
+    val little = (b0 & 1) == 0
+    cls match {
+      case 0 => // fixed-point; bit 3 of bitfield 0 = signed
+        val signed = (b0 & 0x08) != 0
+        val t = size match {
+          case 1 => Netcdf.NcByte
+          case 2 => Netcdf.NcShort
+          case 4 => Netcdf.NcInt
+          case s => throw new IllegalArgumentException(
+            s"dataset $name: ${s}B integers unsupported")
+        }
+        (t, signed, little)
+      case 1 =>
+        val t = size match {
+          case 4 => Netcdf.NcFloat
+          case 8 => Netcdf.NcDouble
+          case s => throw new IllegalArgumentException(
+            s"dataset $name: ${s}B floats unsupported")
+        }
+        (t, true, little)
+      case c => throw new IllegalArgumentException(
+        s"dataset $name: datatype class $c unsupported (numeric grids only)")
+    }
+  }
+
+  /** Attribute message v1/2/3 → (name, first numeric value), or None for
+    * non-numeric (reference/vlen system attributes).
+    */
+  private def parseAttribute(body: Array[Byte]): Option[(String, Double)] = {
+    val ab = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = ab.get() & 0xFF
+    require(ver >= 1 && ver <= 3, s"attribute version $ver")
+    ab.get() // reserved (v1) / flags (v2+)
+    val nameSize = ab.getShort() & 0xFFFF
+    val dtSize = ab.getShort() & 0xFFFF
+    val dsSize = ab.getShort() & 0xFFFF
+    if (ver == 3) ab.get() // name encoding
+    def pad8(n: Int): Int = if (ver == 1) ((n + 7) / 8) * 8 else n
+    val nameBytes = new Array[Byte](pad8(nameSize)); ab.get(nameBytes)
+    var end = nameSize
+    while (end > 0 && nameBytes(end - 1) == 0) end -= 1
+    val name = new String(nameBytes, 0, end, StandardCharsets.UTF_8)
+    val dtBytes = new Array[Byte](pad8(dtSize)); ab.get(dtBytes)
+    val dsBytes = new Array[Byte](pad8(dsSize)); ab.get(dsBytes)
+    val cls = dtBytes(0) & 0x0F
+    if (cls != 0 && cls != 1) return None // skip references/strings/vlen
+    val (nc, signed, little) =
+      try parseDatatype(dtBytes, name) catch { case _: Exception => return None }
+    if (ab.remaining() < Netcdf.typeSize(nc)) return None
+    val vb = ab.slice().order(
+      if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    require(dsBytes.nonEmpty)
+    val v = nc match {
+      case Netcdf.NcByte =>
+        val x = vb.get().toInt; (if (signed) x else x & 0xFF).toDouble
+      case Netcdf.NcShort =>
+        val x = vb.getShort().toInt; (if (signed) x else x & 0xFFFF).toDouble
+      case Netcdf.NcInt =>
+        val x = vb.getInt(); if (signed) x.toDouble else (x.toLong & 0xFFFFFFFFL).toDouble
+      case Netcdf.NcFloat => vb.getFloat().toDouble
+      case Netcdf.NcDouble => vb.getDouble()
+    }
+    Some((name, v))
+  }
+
+  /** Walk a v1 chunk B-tree (node type 1) to its leaf entries. */
+  private def walkChunkTree(r: Reader, addr: Long, ndim: Int): Seq[ChunkRef] = {
+    val nb = r.bb(addr)
+    val sig = new Array[Byte](4); nb.get(sig)
+    require(new String(sig, StandardCharsets.US_ASCII) == "TREE", "bad chunk btree")
+    val typ = nb.get() & 0xFF; val level = nb.get() & 0xFF
+    require(typ == 1, s"chunk btree type $typ")
+    val used = nb.getShort() & 0xFFFF
+    nb.getLong(); nb.getLong() // siblings
+    val out = ArrayBuffer.empty[ChunkRef]
+    (0 until used).foreach { _ =>
+      // key: chunk size (4), filter mask (4), ndim offsets (8 each)
+      val csize = nb.getInt()
+      nb.getInt() // filter mask
+      val start = Array.fill(ndim - 1)(nb.getLong().toInt)
+      nb.getLong() // trailing elem-size dimension offset
+      val child = nb.getLong()
+      if (level == 0) out += ChunkRef(start, child, csize)
+      else out ++= walkChunkTree(r, child, ndim)
+    }
+    out.toSeq
+  }
+
+  /** Decode one variable fully: chunk walk + inflate + unshuffle +
+    * edge-clip into a row-major cell array of raw (packed) values.
+    */
+  def readVarData(path: String, v: H5Var): Array[Double] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      def readRange(addr: Long, n: Int): Array[Byte] = {
+        val a = new Array[Byte](n); raf.seek(addr); raf.readFully(a); a
+      }
+      val order = if (v.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      def cellAt(b: ByteBuffer, idx: Int): Double = v.ncType match {
+        case Netcdf.NcByte =>
+          val x = b.get(idx).toInt; (if (v.signed) x else x & 0xFF).toDouble
+        case Netcdf.NcShort =>
+          val x = b.getShort(idx * 2).toInt; (if (v.signed) x else x & 0xFFFF).toDouble
+        case Netcdf.NcInt =>
+          val x = b.getInt(idx * 4)
+          if (v.signed) x.toDouble else (x.toLong & 0xFFFFFFFFL).toDouble
+        case Netcdf.NcFloat => b.getFloat(idx * 4).toDouble
+        case Netcdf.NcDouble => b.getDouble(idx * 8)
+      }
+      val out = new Array[Double](v.nCells)
+      (v.compact, v.contiguous) match {
+        case (Some(data), _) =>
+          val b = ByteBuffer.wrap(data).order(order)
+          (0 until v.nCells).foreach(i => out(i) = cellAt(b, i))
+        case (_, Some((addr, size))) =>
+          val b = ByteBuffer.wrap(readRange(addr, size.toInt)).order(order)
+          (0 until v.nCells).foreach(i => out(i) = cellAt(b, i))
+        case _ =>
+          val (d0, d1) =
+            (v.dims.headOption.getOrElse(1),
+              if (v.dims.length >= 2) v.dims(1) else 1)
+          val (c0, c1) =
+            (v.chunkDims.headOption.getOrElse(1),
+              if (v.chunkDims.length >= 2) v.chunkDims(1) else 1)
+          val rawChunk = c0 * c1 * v.elemSize
+          v.chunks.foreach { ch =>
+            var data = readRange(ch.addr, ch.size)
+            if (v.gzip) data = inflate(data, rawChunk)
+            if (v.shuffle) data = unshuffle(data, v.elemSize)
+            require(data.length == rawChunk,
+              s"${v.name}: chunk decodes to ${data.length}, want $rawChunk")
+            val b = ByteBuffer.wrap(data).order(order)
+            val s0 = ch.start.headOption.getOrElse(0)
+            val s1 = if (ch.start.length >= 2) ch.start(1) else 0
+            var i = 0
+            while (i < c0) {
+              var j = 0
+              while (j < c1) {
+                val gi = s0 + i; val gj = s1 + j
+                if (gi < d0 && gj < d1)
+                  out(gi * d1 + gj) = cellAt(b, i * c1 + j)
+                j += 1
+              }
+              i += 1
+            }
+          }
+      }
+      out
+    } finally raf.close()
+  }
+
+  private def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](expected)
+      var n = 0
+      while (n < expected && !inf.finished()) n += inf.inflate(out, n, expected - n)
+      require(n == expected, s"short inflate: $n of $expected")
+      out
+    } finally inf.end()
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** HDF5 shuffle filter: byte-transpose by element size (encode). */
+  def shuffleBytes(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < elemSize) { out(b * n + i) = raw(i * elemSize + b); b += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[shuffleBytes]]. */
+  def unshuffle(sh: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = sh.length / elemSize
+    val out = new Array[Byte](sh.length)
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < elemSize) { out(i * elemSize + b) = sh(b * n + i); b += 1 }
+      i += 1
+    }
+    out
+  }
+
+  // ---- fixture writer ------------------------------------------------
+
+  /** One dataset for [[write]]: `data` carries PACKED values row-major.
+    * chunkDims non-empty selects chunked layout (with optional
+    * gzip/shuffle); empty means contiguous.
+    */
+  final case class H5WVar(name: String, ncType: Int, dims: Seq[Int],
+      data: Array[Double], chunkDims: Seq[Int] = Nil,
+      gzip: Boolean = false, shuffle: Boolean = false,
+      scale: Option[Double] = None, offset: Option[Double] = None,
+      fill: Option[Double] = None, littleEndian: Boolean = true,
+      compactLayout: Boolean = false)
+
+  def write(path: String, vars: Seq[H5WVar]): Unit = {
+    val out = ByteBuffer.allocate(1 << 24).order(ByteOrder.LITTLE_ENDIAN)
+    def align8(): Unit = while (out.position() % 8 != 0) out.put(0.toByte)
+
+    def packCells(v: H5WVar, cells: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(cells.length * Netcdf.typeSize(v.ncType))
+        .order(if (v.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      cells.foreach { d =>
+        v.ncType match {
+          case Netcdf.NcByte => b.put(d.toByte)
+          case Netcdf.NcShort => b.putShort(d.toShort)
+          case Netcdf.NcInt => b.putInt(d.toInt)
+          case Netcdf.NcFloat => b.putFloat(d.toFloat)
+          case Netcdf.NcDouble => b.putDouble(d)
+        }
+      }
+      b.array()
+    }
+
+    // ---- datatype/dataspace encodings (shared by datasets and attrs)
+    def dtBytes(ncType: Int, littleEndian: Boolean): Array[Byte] = {
+      val size = Netcdf.typeSize(ncType)
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      val (cls, b0) = ncType match {
+        case Netcdf.NcFloat | Netcdf.NcDouble =>
+          (1, (if (littleEndian) 0 else 1) | 0x20) // IEEE, signed mantissa norm
+        case _ => (0, (if (littleEndian) 0 else 1) | 0x08) // fixed, signed
+      }
+      b.put(((1 << 4) | cls).toByte).put(b0.toByte).put(0.toByte).put(0.toByte)
+      b.putInt(size)
+      if (cls == 0) { b.putShort(0); b.putShort((size * 8).toShort) }
+      else {
+        // float properties: bit offset/precision + IEEE field layout
+        b.putShort(0); b.putShort((size * 8).toShort)
+        // (exponent location etc. are unread by this parser; the 12-byte
+        // header above is what parseDatatype consumes)
+      }
+      b.array()
+    }
+    def dsBytes(dims: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + dims.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(dims.length.toByte).put(0.toByte).put(0.toByte)
+      b.putInt(0)
+      dims.foreach(d => b.putLong(d.toLong))
+      b.array()
+    }
+    def attrBytes(name: String, ncType: Int, value: Double): Array[Byte] = {
+      def p8(n: Int) = ((n + 7) / 8) * 8
+      val nameB = name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+      val dt = dtBytes(ncType, littleEndian = true)
+      val ds = dsBytes(Nil)
+      val b = ByteBuffer.allocate(8 + p8(nameB.length) + p8(dt.length)
+        + p8(ds.length) + Netcdf.typeSize(ncType)).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(0.toByte)
+      b.putShort(nameB.length.toShort)
+      b.putShort(dt.length.toShort)
+      b.putShort(ds.length.toShort)
+      b.put(nameB); (nameB.length until p8(nameB.length)).foreach(_ => b.put(0.toByte))
+      b.put(dt); (dt.length until p8(dt.length)).foreach(_ => b.put(0.toByte))
+      b.put(ds); (ds.length until p8(ds.length)).foreach(_ => b.put(0.toByte))
+      b.put(packCells(H5WVar(name, ncType, Nil, Array(value)), Seq(value)))
+      b.array()
+    }
+
+    // ---- chunk data + per-variable raw payloads (written first so the
+    // object headers can reference real addresses)
+    final case class Placed(v: H5WVar, contAddr: Long, contSize: Long,
+        chunkRefs: Seq[(Array[Int], Long, Int)])
+    // superblock (96 bytes for v0 with 8/8 sizes) written LAST into a
+    // reserved prefix
+    val SuperblockLen = 96
+    out.position(SuperblockLen)
+    val placed = vars.map { v =>
+      val n = if (v.dims.isEmpty) 1 else v.dims.product
+      require(v.data.length == n)
+      if (v.compactLayout) Placed(v, -1L, 0L, Nil) // data lives in the header
+      else if (v.chunkDims.isEmpty) {
+        align8()
+        val addr = out.position().toLong
+        val raw = packCells(v, v.data.toSeq)
+        out.put(raw)
+        Placed(v, addr, raw.length.toLong, Nil)
+      } else {
+        val d0 = v.dims.headOption.getOrElse(1)
+        val d1 = if (v.dims.length >= 2) v.dims(1) else 1
+        val c0 = v.chunkDims.head
+        val c1 = if (v.chunkDims.length >= 2) v.chunkDims(1) else 1
+        val refs = ArrayBuffer.empty[(Array[Int], Long, Int)]
+        var s0 = 0
+        while (s0 < d0) {
+          var s1 = 0
+          while (s1 < d1) {
+            val cells = (0 until c0).flatMap { i =>
+              (0 until c1).map { j =>
+                val gi = s0 + i; val gj = s1 + j
+                if (gi < d0 && gj < d1) v.data(gi * d1 + gj) else 0.0
+              }
+            }
+            var raw = packCells(v, cells)
+            if (v.shuffle) raw = shuffleBytes(raw, Netcdf.typeSize(v.ncType))
+            if (v.gzip) raw = deflate(raw)
+            align8()
+            refs += ((Array(s0, s1).take(v.dims.length), out.position().toLong, raw.length))
+            out.put(raw)
+            s1 += c1
+          }
+          s0 += c0
+        }
+        Placed(v, -1L, 0L, refs.toSeq)
+      }
+    }
+
+    // ---- chunk B-trees (one level-0 node per chunked variable)
+    val chunkTreeAddr: Map[String, Long] = placed.collect {
+      case p if p.chunkRefs.nonEmpty =>
+        align8()
+        val addr = out.position().toLong
+        val ndim = p.v.dims.length + 1
+        out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+        out.put(1.toByte).put(0.toByte) // type 1, level 0
+        out.putShort(p.chunkRefs.size.toShort)
+        out.putLong(-1L); out.putLong(-1L) // siblings
+        p.chunkRefs.foreach { case (start, addr2, size) =>
+          out.putInt(size); out.putInt(0)
+          start.foreach(s => out.putLong(s.toLong))
+          (start.length until ndim - 1).foreach(_ => out.putLong(0L))
+          out.putLong(0L) // elem-size dim
+          out.putLong(addr2)
+        }
+        // trailing key after the last child
+        out.putInt(0); out.putInt(0)
+        (0 until ndim).foreach(_ => out.putLong(0L))
+        p.v.name -> addr
+    }.toMap
+
+    // ---- object headers (v1) per dataset
+    def message(typ: Int, body: Array[Byte]): Array[Byte] = {
+      val padded = ((body.length + 7) / 8) * 8
+      val b = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(typ.toShort).putShort(padded.toShort)
+      b.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.put(body)
+      b.array() // zero pad implicit
+    }
+    def objectHeader(msgs: Seq[Array[Byte]]): Long = {
+      align8()
+      val addr = out.position().toLong
+      val total = msgs.map(_.length).sum
+      out.put(1.toByte).put(0.toByte)
+      out.putShort(msgs.size.toShort)
+      out.putInt(1) // ref count
+      out.putInt(total)
+      out.putInt(0) // alignment gap
+      msgs.foreach(out.put)
+      addr
+    }
+    val varHdrs: Seq[(String, Long)] = placed.map { p =>
+      val v = p.v
+      val layoutBody: Array[Byte] =
+        if (v.compactLayout) {
+          val raw = packCells(v, v.data.toSeq)
+          val b = ByteBuffer.allocate(4 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(0.toByte)
+          b.putShort(raw.length.toShort)
+          b.put(raw)
+          b.array()
+        } else if (p.chunkRefs.nonEmpty) {
+          val ndim = v.dims.length + 1
+          val b = ByteBuffer.allocate(2 + 1 + 8 + 4 * ndim)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(2.toByte).put(ndim.toByte)
+          b.putLong(chunkTreeAddr(v.name))
+          val c0 = v.chunkDims.head
+          val c1 = if (v.chunkDims.length >= 2) v.chunkDims(1) else 1
+          (if (v.dims.length >= 2) Seq(c0, c1) else Seq(c0))
+            .foreach(b.putInt)
+          b.putInt(Netcdf.typeSize(v.ncType))
+          b.array()
+        } else {
+          val b = ByteBuffer.allocate(2 + 16).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte).put(1.toByte)
+          b.putLong(p.contAddr); b.putLong(p.contSize)
+          b.array()
+        }
+      val filterMsg: Seq[Array[Byte]] =
+        if (v.gzip || v.shuffle) {
+          val fb = ByteBuffer.allocate(8 + 2 * 16).order(ByteOrder.LITTLE_ENDIAN)
+          val nf = (if (v.shuffle) 1 else 0) + (if (v.gzip) 1 else 0)
+          fb.put(1.toByte).put(nf.toByte).putShort(0).putInt(0)
+          // write order = application order: shuffle then gzip
+          if (v.shuffle) {
+            fb.putShort(2).putShort(0).putShort(1).putShort(1)
+            fb.putInt(Netcdf.typeSize(v.ncType)); fb.putInt(0) // pad odd cd
+          }
+          if (v.gzip) {
+            fb.putShort(1).putShort(0).putShort(1).putShort(1)
+            fb.putInt(6); fb.putInt(0)
+          }
+          Seq(message(0x000B,
+            java.util.Arrays.copyOf(fb.array(), fb.position())))
+        } else Nil
+      val attrs =
+        v.scale.map(s => message(0x000C, attrBytes("scale_factor", Netcdf.NcDouble, s))).toSeq ++
+        v.offset.map(o => message(0x000C, attrBytes("add_offset", Netcdf.NcDouble, o))).toSeq ++
+        v.fill.map(f => message(0x000C, attrBytes("_FillValue", v.ncType, f))).toSeq
+      val msgs = Seq(
+        message(0x0001, dsBytes(v.dims)),
+        message(0x0003, dtBytes(v.ncType, v.littleEndian)),
+        message(0x0008, layoutBody)) ++ filterMsg ++ attrs
+      v.name -> objectHeader(msgs)
+    }
+
+    // ---- root group: local heap, SNOD, B-tree, root object header
+    align8()
+    val heapDataAddr = out.position().toLong + 32
+    val names = vars.map(_.name).sorted
+    val nameOffsets = scala.collection.mutable.Map.empty[String, Long]
+    val heapData = {
+      val b = ByteBuffer.allocate(names.map(_.length + 9).sum + 16)
+      var off = 8L // offset 0 is conventionally the empty name slot
+      b.put(new Array[Byte](8))
+      names.foreach { n =>
+        nameOffsets(n) = off
+        val a = n.getBytes(StandardCharsets.UTF_8)
+        b.put(a).put(0.toByte)
+        val used = a.length + 1
+        val pad = (8 - used % 8) % 8
+        b.put(new Array[Byte](pad))
+        off += used + pad
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    out.put("HEAP".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putLong(heapData.length.toLong)
+    out.putLong(heapData.length.toLong) // free list: none
+    out.putLong(heapDataAddr)
+    require(out.position() == heapDataAddr)
+    out.put(heapData)
+
+    align8()
+    val snodAddr = out.position().toLong
+    out.put("SNOD".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte).put(0.toByte)
+    out.putShort(names.size.toShort)
+    val hdrByName = varHdrs.toMap
+    names.foreach { n =>
+      out.putLong(nameOffsets(n))
+      out.putLong(hdrByName(n))
+      out.putInt(0); out.putInt(0)
+      out.put(new Array[Byte](16))
+    }
+
+    align8()
+    val btreeAddr = out.position().toLong
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte).put(0.toByte) // group node, level 0
+    out.putShort(1) // one child (the SNOD)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putLong(0L) // key 0
+    out.putLong(snodAddr)
+    out.putLong(nameOffsets(names.last)) // key 1
+
+    val rootHdr = objectHeader(Seq(message(0x0011, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(btreeAddr); b.putLong(heapDataAddr - 32) // heap header addr
+      b.array()
+    })))
+
+    val eof = out.position().toLong
+    // ---- superblock v0 at offset 0
+    out.position(0)
+    out.put(Signature)
+    out.put(0.toByte) // superblock v0
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // fs ver, root ver, res
+    out.put(0.toByte) // shared header ver
+    out.put(8.toByte).put(8.toByte).put(0.toByte) // sizes + reserved
+    out.putShort(4).putShort(16) // leaf k, internal k
+    out.putInt(0) // consistency
+    out.putLong(0L) // base
+    out.putLong(-1L) // free space
+    out.putLong(eof)
+    out.putLong(-1L) // driver info
+    // root symbol table entry
+    out.putLong(0L) // link name offset
+    out.putLong(rootHdr)
+    out.putInt(0); out.putInt(0)
+    out.put(new Array[Byte](16))
+    require(out.position() <= SuperblockLen,
+      s"superblock overflow: ${out.position()}")
+    val all = java.util.Arrays.copyOf(out.array(), eof.toInt)
+    Files.write(Paths.get(path), all)
+  }
+}
