@@ -844,12 +844,17 @@ object Geo {
     cpaLatest(s, d).groupBy(col("tb"), col("cl"), col("cn"))
       .agg(count(lit(1)).as("n_entities"))
 
-  /** cpaLatest minus the members of overdense cells (the density cap). */
+  /** cpaLatest minus the members of overdense cells (the density cap).
+    * One count-window on the cell key — cheaper than a groupBy + join
+    * (measured at sf0.1: 4.1 s vs 7.1 s for the whole query; one
+    * exchange instead of two, and the cap costs ~nothing vs uncapped).
+    */
   private def cpaLatestCapped(s: SparkSession, d: String): DataFrame =
-    cpaLatest(s, d).join(
-        cpaDensity(s, d).filter(col("n_entities") <= CpaCellCap)
-          .select(col("tb"), col("cl"), col("cn")),
-        Seq("tb", "cl", "cn"))
+    cpaLatest(s, d)
+      .withColumn("cell_n", count(lit(1)).over(
+        Window.partitionBy(col("tb"), col("cl"), col("cn"))))
+      .filter(col("cell_n") <= CpaCellCap)
+      .drop("cell_n")
 
   /** Oracle CTE chain up to `latest` / `dens` / `kept` — the DuckDB twin
     * of cpaLatest/cpaDensity/cpaLatestCapped, shared by the geo_cpa and
