@@ -14,9 +14,10 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Minimal pure-JVM GeoTIFF (classic TIFF, either byte order, strip- OR
-  * tile-organized, single-band float32; compression 1 = none, 5 = LZW,
-  * 8 = Adobe DEFLATE — the three GDAL ships by default and the set
+/** Minimal pure-JVM GeoTIFF (classic TIFF or BigTIFF, either byte
+  * order, strip- OR tile-organized, single-band float32, internal
+  * overview pages via the IFD chain; compression 1 = none, 5 = LZW,
+  * 8 = Adobe DEFLATE, 32773 = PackBits — what GDAL ships and the set
   * public DEMs (USGS 3DEP, Copernicus GLO-30) actually use) — the
   * raster file format the reference decodes through GDAL
   * (odin_gdal/src/lib.rs, odin_dem/src/lib.rs DEM tiles, odin_hrrr
@@ -64,23 +65,79 @@ object GeoTiff {
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
 
-  /** Compression codes accepted/written: none, LZW, Adobe DEFLATE. */
+  /** Compression codes accepted/written: none, LZW, Adobe DEFLATE,
+    * PackBits.
+    */
   val CompNone = 1
   val CompLzw = 5
   val CompDeflate = 8
+  val CompPackBits = 32773
 
   private def compress(comp: Int, raw: Array[Byte]): Array[Byte] = comp match {
     case CompNone => raw
     case CompLzw => lzwEncode(raw)
     case CompDeflate => zlibDeflate(raw)
+    case CompPackBits => packBitsEncode(raw)
   }
 
-  private def decompress(comp: Int, a: Array[Byte], expected: Int): Array[Byte] =
+  private[sources] def decompress(comp: Int, a: Array[Byte], expected: Int): Array[Byte] =
     comp match {
       case CompNone => a
       case CompLzw => lzwDecode(a, expected)
       case CompDeflate => zlibInflate(a, expected)
+      case CompPackBits => packBitsDecode(a, expected)
     }
+
+  /** TIFF PackBits (the Apple RLE of TIFF 6.0 §9): control byte n in
+    * 0..127 copies n+1 literals; n in -127..-1 repeats the next byte
+    * 1−n times; -128 is a no-op.
+    */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 64 + 8)
+    var i = 0
+    while (i < raw.length) {
+      // measure the run at i
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1)
+        out.write(raw(i))
+        i += run
+      } else {
+        // literal stretch: until a >=3 run starts or 128 bytes
+        var lit = 1
+        var j = i + 1
+        while (j < raw.length && lit < 128 && !(j + 2 < raw.length
+            && raw(j) == raw(j + 1) && raw(j) == raw(j + 2))) {
+          lit += 1; j += 1
+        }
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inverse of [[packBitsEncode]]. */
+  def packBitsDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0; var o = 0
+    while (o < expected && i < in.length) {
+      val n = in(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(o + cnt <= expected && i + cnt <= in.length, "PackBits overrun")
+        System.arraycopy(in, i, out, o, cnt); i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(o + cnt <= expected && i < in.length, "PackBits overrun")
+        java.util.Arrays.fill(out, o, o + cnt, in(i)); i += 1; o += cnt
+      }
+    }
+    require(o == expected, s"PackBits short decode: $o of $expected")
+    out
+  }
 
   /** Write a single-band float32 strip-organized GeoTIFF, uncompressed
     * or per-strip zlib DEFLATE (TIFF compression 8). Tiepoint maps pixel
@@ -233,6 +290,130 @@ object GeoTiff {
     Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
   }
 
+  /** Write a BigTIFF (magic 43, 8-byte offsets — what GDAL emits for
+    * rasters past 4 GiB) single-band float32 strip-organized fixture.
+    */
+  def writeBigTiff(path: String, width: Int, height: Int, data: Array[Float],
+      originLon: Double, originLat: Double, sx: Double, sy: Double,
+      rowsPerStrip: Int = 64, compression: Int = CompNone): Unit = {
+    require(data.length == width * height)
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = ByteBuffer.allocate(rows * width * 4).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until rows * width).foreach(i => raw.putFloat(data(s * rowsPerStrip * width + i)))
+      compress(compression, raw.array())
+    }
+    val stripBytes = strips.map(_.length)
+    val dataStart = 16L
+    val stripOffsets = stripBytes.scanLeft(dataStart)(_ + _).dropRight(1)
+    val ifdOffset = dataStart + stripBytes.sum
+    val nEntries = 12
+    val ifdSize = 8 + nEntries * 20 + 8
+    var extraOff = ifdOffset + ifdSize
+    val bb = ByteBuffer.allocate((ifdOffset + ifdSize).toInt
+      + 8 * 9 + 8 * 2 * nStrips + 64).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(43)
+    bb.putShort(8).putShort(0).putLong(ifdOffset)
+    strips.foreach(bb.put)
+    bb.putLong(nEntries.toLong)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putLong(count)
+      typ match {
+        case 3 => bb.putShort(value.toShort); bb.putShort(0); bb.putInt(0)
+        case 16 => bb.putLong(value)
+        case _ => bb.putInt(value.toInt); bb.putInt(0)
+      }
+    }
+    def entryArr8(tag: Int, values: Seq[Long]): Unit =
+      if (values.size == 1) entry(tag, 16, 1, values.head)
+      else {
+        bb.putShort(tag.toShort).putShort(16.toShort).putLong(values.size.toLong)
+        bb.putLong(extraOff)
+        extraOff += values.size * 8
+      }
+    entry(TImageWidth, 4, 1, width)
+    entry(TImageLength, 4, 1, height)
+    entry(TBitsPerSample, 3, 1, 32)
+    entry(TCompression, 3, 1, compression)
+    entry(TPhotometric, 3, 1, 1)
+    entryArr8(TStripOffsets, stripOffsets)
+    entry(TSamplesPerPixel, 3, 1, 1)
+    entry(TRowsPerStrip, 4, 1, rowsPerStrip)
+    entryArr8(TStripByteCounts, stripBytes.map(_.toLong))
+    entry(TSampleFormat, 3, 1, 3)
+    bb.putShort(TModelPixelScale.toShort).putShort(12.toShort).putLong(3L)
+    bb.putLong(extraOff); extraOff += 24
+    bb.putShort(TModelTiepoint.toShort).putShort(12.toShort).putLong(6L)
+    bb.putLong(extraOff); extraOff += 48
+    bb.putLong(0L) // next IFD
+    if (stripOffsets.size > 1) stripOffsets.foreach(bb.putLong)
+    if (stripBytes.size > 1) stripBytes.foreach(c => bb.putLong(c.toLong))
+    Seq(sx, sy, 0.0).foreach(bb.putDouble)
+    Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0).foreach(bb.putDouble)
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+  }
+
+  /** Write a classic TIFF with ONE internal overview page (IFD chain:
+    * full resolution, then the 2×2-subsampled half-resolution page —
+    * how GDAL stores internal overviews). Single strip per page.
+    */
+  def writeWithOverview(path: String, width: Int, height: Int,
+      data: Array[Float], originLon: Double, originLat: Double,
+      sx: Double, sy: Double): Unit = {
+    require(data.length == width * height)
+    val w2 = (width + 1) / 2; val h2 = (height + 1) / 2
+    val data2 = Array.tabulate(h2 * w2)(i =>
+      data((i / w2) * 2 * width + (i % w2) * 2))
+    def rawOf(d: Array[Float]): Array[Byte] = {
+      val b = ByteBuffer.allocate(d.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      d.foreach(b.putFloat); b.array()
+    }
+    val raw1 = rawOf(data); val raw2 = rawOf(data2)
+    val ifdSize = 2 + 12 * 12 + 4
+    val ifd1 = 8L + raw1.length + raw2.length
+    val dbl1 = ifd1 + ifdSize
+    val ifd2 = dbl1 + 72
+    val dbl2 = ifd2 + ifdSize
+    val bb = ByteBuffer.allocate((dbl2 + 72).toInt).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd1.toInt)
+    bb.put(raw1); bb.put(raw2)
+    def page(w: Int, h: Int, dataOff: Long, dataLen: Int, dblOff: Long,
+        pxx: Double, pxy: Double, next: Long): Unit = {
+      bb.putShort(12)
+      def e(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+        else bb.putInt(value.toInt)
+      }
+      e(TImageWidth, 4, 1, w)
+      e(TImageLength, 4, 1, h)
+      e(TBitsPerSample, 3, 1, 32)
+      e(TCompression, 3, 1, CompNone)
+      e(TPhotometric, 3, 1, 1)
+      e(TStripOffsets, 4, 1, dataOff)
+      e(TSamplesPerPixel, 3, 1, 1)
+      e(TRowsPerStrip, 4, 1, h)
+      e(TStripByteCounts, 4, 1, dataLen)
+      e(TSampleFormat, 3, 1, 3)
+      bb.putShort(TModelPixelScale.toShort).putShort(12.toShort).putInt(3)
+      bb.putInt(dblOff.toInt)
+      bb.putShort(TModelTiepoint.toShort).putShort(12.toShort).putInt(6)
+      bb.putInt((dblOff + 24).toInt)
+      bb.putInt(next.toInt)
+      val mark = bb.position()
+      bb.position(dblOff.toInt)
+      Seq(pxx, pxy, 0.0).foreach(bb.putDouble)
+      Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0).foreach(bb.putDouble)
+      bb.position(mark)
+    }
+    page(width, height, 8L, raw1.length, dbl1, sx, sy, ifd2)
+    bb.position(ifd2.toInt)
+    page(w2, h2, 8L + raw1.length, raw2.length, dbl2, sx * 2, sy * 2, 0L)
+    Files.write(Paths.get(path),
+      java.util.Arrays.copyOf(bb.array(), (dbl2 + 72).toInt))
+  }
+
   /** TIFF 6.0 LZW encoder (MSB-first bit packing, Clear=256, EOI=257,
     * first entry 258, code widths 9→12; the width grows when the next
     * free entry reaches 2^w — the libtiff convention, pinned EMPIRICALLY
@@ -375,7 +556,13 @@ object GeoTiff {
     * reader makes (single band, float32, predictor none, compression
     * none/LZW/DEFLATE).
     */
-  def readMeta(path: String): Meta = {
+  def readMeta(path: String): Meta = readMeta(path, 0)
+
+  /** `overview` picks the IFD page: 0 = full resolution, k = the k-th
+    * reduced-resolution overview in the file's IFD chain (how GDAL
+    * stores internal overviews).
+    */
+  def readMeta(path: String, overview: Int): Meta = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val ordBytes = new Array[Byte](2)
@@ -390,11 +577,33 @@ object GeoTiff {
         raf.seek(off); raf.readFully(a)
         ByteBuffer.wrap(a).order(order)
       }
-      val head = readBytes(2, 6)
-      require(head.getShort() == 42, "not classic TIFF")
-      val ifdOff = head.getInt() & 0xFFFFFFFFL
-      val nEntries = readBytes(ifdOff, 2).getShort() & 0xFFFF
-      val entries = readBytes(ifdOff + 2, nEntries * 12)
+      val head = readBytes(2, 14)
+      val magic = head.getShort() & 0xFFFF
+      val big = magic match {
+        case 42 => false
+        case 43 => // BigTIFF: 8-byte offsets everywhere
+          require((head.getShort() & 0xFFFF) == 8, "BigTIFF offset size != 8")
+          require(head.getShort() == 0, "BigTIFF reserved word != 0")
+          true
+        case m => throw new IllegalArgumentException(s"TIFF magic $m")
+      }
+      var ifdOff = if (big) head.getLong() else head.getInt() & 0xFFFFFFFFL
+      // walk the IFD chain to the requested overview page
+      var page = 0
+      while (page < overview) {
+        val n =
+          if (big) readBytes(ifdOff, 8).getLong().toInt
+          else readBytes(ifdOff, 2).getShort() & 0xFFFF
+        val next =
+          if (big) readBytes(ifdOff + 8 + n * 20, 8).getLong()
+          else readBytes(ifdOff + 2 + n * 12, 4).getInt() & 0xFFFFFFFFL
+        require(next != 0, s"file has no overview $overview (chain ends at $page)")
+        ifdOff = next; page += 1
+      }
+      val (nEntries, entrySize, entriesAt) =
+        if (big) (readBytes(ifdOff, 8).getLong().toInt, 20, ifdOff + 8)
+        else (readBytes(ifdOff, 2).getShort() & 0xFFFF, 12, ifdOff + 2)
+      val entries = readBytes(entriesAt, nEntries * entrySize)
       var width = 0; var height = 0; var rps = 0
       var bits = 0; var comp = 1; var fmt = 1; var pred = 1
       var tw = 0; var th = 0
@@ -404,11 +613,15 @@ object GeoTiff {
       (0 until nEntries).foreach { _ =>
         val tag = entries.getShort() & 0xFFFF
         val typ = entries.getShort() & 0xFFFF
-        val count = entries.getInt()
+        val count = (if (big) entries.getLong() else entries.getInt().toLong).toInt
         val rawPos = entries.position()
-        val value: Long =
-          if (typ == 3) entries.getShort() & 0xFFFFL else entries.getInt() & 0xFFFFFFFFL
-        entries.position(rawPos + 4)
+        val value: Long = typ match {
+          case 3 => entries.getShort() & 0xFFFFL
+          case 16 => entries.getLong() // LONG8 (BigTIFF)
+          case _ if big => entries.getLong()
+          case _ => entries.getInt() & 0xFFFFFFFFL
+        }
+        entries.position(rawPos + (if (big) 8 else 4))
         tag match {
           case TImageWidth => width = value.toInt
           case TImageLength => height = value.toInt
@@ -426,28 +639,32 @@ object GeoTiff {
           case _ =>
         }
       }
-      require(comp == CompNone || comp == CompLzw || comp == CompDeflate,
-        s"compression $comp unsupported (only none=1 / LZW=5 / DEFLATE=8)")
+      require(comp == CompNone || comp == CompLzw || comp == CompDeflate
+          || comp == CompPackBits,
+        s"compression $comp unsupported (none=1 / LZW=5 / DEFLATE=8 / " +
+          "PackBits=32773)")
       require(pred == 1,
         s"predictor $pred unsupported (only 1 = none; re-export without " +
           "horizontal/floating-point differencing)")
       require(bits == 32 && fmt == 3, s"expect float32 band (bits=$bits fmt=$fmt)")
       require((tw == 0) == (th == 0), "TileWidth/TileLength must pair")
       if (rps == 0 && tw == 0) rps = height
-      // SHORT (2-byte) or LONG (4-byte) arrays, inline when they fit
+      // SHORT / LONG / LONG8 arrays, inline when they fit the value field
       def longArray(spec: (Int, Int, Long)): Array[Long] = {
         val (typ, count, v) = spec
-        val w = if (typ == 3) 2 else 4
-        if (count * w <= 4) {
-          // inline: re-split the raw 4-byte value field is not needed for
-          // count==1; count==2 SHORT inline is not produced by writers we
-          // accept (offsets/bytecounts of a 2-chunk raster exceed SHORT)
+        val w = typ match { case 3 => 2; case 16 => 8; case _ => 4 }
+        if (count * w <= (if (big) 8 else 4)) {
+          // count==2 inline arrays are not produced by writers we accept
+          // (offsets/bytecounts of a 2-chunk raster exceed SHORT)
           require(count == 1, s"unsupported inline array count=$count typ=$typ")
           Array(v)
         } else {
           val b = readBytes(v, count * w)
-          if (typ == 3) Array.fill(count)(b.getShort() & 0xFFFFL)
-          else Array.fill(count)(b.getInt() & 0xFFFFFFFFL)
+          typ match {
+            case 3 => Array.fill(count)(b.getShort() & 0xFFFFL)
+            case 16 => Array.fill(count)(b.getLong())
+            case _ => Array.fill(count)(b.getInt() & 0xFFFFFFFFL)
+          }
         }
       }
       val offs = longArray(so)
@@ -465,6 +682,36 @@ object GeoTiff {
       Meta(width, height, rps, tw, th, comp,
         order == ByteOrder.BIG_ENDIAN, offs, cnts,
         originLon, originLat, sx, sy)
+    } finally raf.close()
+  }
+
+  /** Number of IFD pages (1 + internal overviews). */
+  def pageCount(path: String): Int = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      def readBytes(off: Long, n: Int): ByteBuffer = {
+        val a = new Array[Byte](n)
+        raf.seek(off); raf.readFully(a)
+        val ord = new Array[Byte](2)
+        raf.seek(0); raf.readFully(ord)
+        ByteBuffer.wrap(a).order(
+          if (ord(0) == 'M') ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      }
+      val head = readBytes(2, 14)
+      val big = (head.getShort() & 0xFFFF) == 43
+      if (big) { head.getShort(); head.getShort() }
+      var off = if (big) head.getLong() else head.getInt() & 0xFFFFFFFFL
+      var n = 0
+      while (off != 0) {
+        val cnt =
+          if (big) readBytes(off, 8).getLong().toInt
+          else readBytes(off, 2).getShort() & 0xFFFF
+        off =
+          if (big) readBytes(off + 8 + cnt * 20, 8).getLong()
+          else readBytes(off + 2 + cnt * 12, 4).getInt() & 0xFFFFFFFFL
+        n += 1
+      }
+      n
     } finally raf.close()
   }
 }
@@ -486,10 +733,11 @@ class GeoTiffTable(props: Map[String, String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoTiffScanBuilder(path)
+    new GeoTiffScanBuilder(path,
+      props.get("overview").map(_.toInt).getOrElse(0))
 }
 
-class GeoTiffScanBuilder(path: String) extends ScanBuilder
+class GeoTiffScanBuilder(path: String, overview: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = GeoTiff.SCHEMA
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -498,7 +746,7 @@ class GeoTiffScanBuilder(path: String) extends ScanBuilder
     val pruned = StructType(GeoTiff.SCHEMA.fields.filter(f => keep(f.name)))
     required = if (pruned.isEmpty) StructType(GeoTiff.SCHEMA.fields.take(1)) else pruned
   }
-  override def build(): Scan = new GeoTiffScan(path, required)
+  override def build(): Scan = new GeoTiffScan(path, overview, required)
 }
 
 /** One strip or one tile: a contiguous byte range decoding to
@@ -513,11 +761,12 @@ final case class GeoTiffChunkPartition(path: String, offset: Long,
     sx: Double, sy: Double)
   extends InputPartition
 
-class GeoTiffScan(path: String, required: StructType) extends Scan with Batch {
+class GeoTiffScan(path: String, overview: Int, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = GeoTiff.readMeta(path)
+    val m = GeoTiff.readMeta(path, overview)
     val bigEndian = m.bigEndian
     if (m.tiled) {
       val tilesAcross = (m.width + m.tileW - 1) / m.tileW
@@ -558,11 +807,7 @@ class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
       val expected = p.chunkRows * p.chunkCols * 4
-      val raw = p.compression match {
-        case GeoTiff.CompLzw => GeoTiff.lzwDecode(a, expected)
-        case GeoTiff.CompDeflate => GeoTiff.zlibInflate(a, expected)
-        case _ => a
-      }
+      val raw = GeoTiff.decompress(p.compression, a, expected)
       ByteBuffer.wrap(raw).order(
         if (p.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     } finally raf.close()

@@ -177,6 +177,66 @@ class GeoTiffSpec extends SparkSpecBase {
     }
   }
 
+  test("PackBits round-trips: codec + tiled raster") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array[Byte](5),
+      Array.fill[Byte](300)(7), // long run > 128
+      Array.tabulate[Byte](257)(i => i.toByte), // long literal > 128
+      Array.tabulate[Byte](999)(i => if (i % 10 < 6) 3 else (i % 251).toByte))
+    cases.foreach { c =>
+      val enc = GeoTiff.packBitsEncode(c)
+      assert(GeoTiff.packBitsDecode(enc, c.length).toSeq == c.toSeq)
+    }
+    tiledRoundTrip(GeoTiff.CompPackBits)
+  }
+
+  test("BigTIFF (magic 43, 8-byte offsets) round-trips") {
+    val f = java.nio.file.Files.createTempDirectory("gtiffb").resolve("big.tif")
+    GeoTiff.writeBigTiff(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, compression = GeoTiff.CompDeflate)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.width == w && m.chunkOffsets.length == (h + 15) / 16)
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load().collect()
+    assert(df.length == w * h)
+    df.foreach { r =>
+      assert(r.getAs[Double]("value") ==
+        z(r.getAs[Int]("row"), r.getAs[Int]("col")).toDouble)
+    }
+  }
+
+  test("internal overviews: IFD chain pages readable via option") {
+    val f = java.nio.file.Files.createTempDirectory("gtiffo").resolve("ovr.tif")
+    GeoTiff.writeWithOverview(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01)
+    assert(GeoTiff.pageCount(f.toString) == 2)
+    // default read = full resolution
+    val full = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load()
+    assert(full.count() == w.toLong * h)
+    // overview 1 = 2x2-subsampled page with doubled pixel scale
+    val ovr = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).option("overview", "1").load().collect()
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    assert(ovr.length == w2 * h2)
+    ovr.foreach { r =>
+      val row = r.getAs[Int]("row"); val col = r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == z(row * 2, col * 2).toDouble)
+      assert(r.getAs[Double]("lon") == -120.0 + col * 0.02)
+    }
+    // asking past the chain is a clear error
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.GeoTiffProvider")
+        .option("path", f.toString).option("overview", "2").load().count()
+    }
+    assert(ex.getMessage.contains("overview")
+      || ex.getCause != null && ex.getCause.getMessage.contains("overview"))
+  }
+
   test("unsupported predictor is rejected with a clear error") {
     // hand-patch a predictor=2 tag into a copy of the strip fixture —
     // readMeta must refuse rather than emit silently wrong values
