@@ -25,9 +25,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * directly; the writer exists to produce fixture rasters for specs and
   * dev data. The LZW codec follows TIFF 6.0 with libtiff's early
   * code-width change — cross-validated both directions against the
-  * JDK's independent ImageIO TIFF plugin in LzwSpec. Predictor must be
-  * 1 (none — GDAL's default for float rasters; horizontal/FP differencing
-  * predictors 2/3 are rejected at readMeta with a clear error).
+  * JDK's independent ImageIO TIFF plugin in LzwSpec. Predictors: 1
+  * (none, GDAL's float default) and 3 (floating-point differencing,
+  * `PREDICTOR=3`); 2 (horizontal) is for integer bands this float32
+  * reader does not accept and is rejected with a clear error.
   *
   * Scale shape (what a 100 TB DEM/HRRR sweep needs, all here):
   * - one InputPartition PER STRIP/TILE — the natural parallel unit; a
@@ -117,6 +118,70 @@ object GeoTiff {
       }
     }
     out.toByteArray
+  }
+
+  /** TIFF floating-point predictor (3, the TIFF tech-note extension
+    * GDAL writes for float rasters as `PREDICTOR=3`): per row, floats
+    * are re-laid-out as BIG-ENDIAN byte planes (all MSBs first, then the
+    * next byte, ...) and then horizontally byte-differenced. `rowBytes`
+    * = samples-per-row × 4; `littleEndian` = the order the surrounding
+    * file stores floats in.
+    */
+  def fpPredictEncode(raw: Array[Byte], rowBytes: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    require(raw.length % rowBytes == 0 && rowBytes % 4 == 0)
+    val n = rowBytes / 4
+    val out = new Array[Byte](raw.length)
+    var base = 0
+    while (base < raw.length) {
+      var j = 0
+      while (j < n) {
+        val o = base + j * 4
+        val (b0, b1, b2, b3) =
+          if (littleEndian) (raw(o + 3), raw(o + 2), raw(o + 1), raw(o))
+          else (raw(o), raw(o + 1), raw(o + 2), raw(o + 3))
+        out(base + j) = b0
+        out(base + n + j) = b1
+        out(base + 2 * n + j) = b2
+        out(base + 3 * n + j) = b3
+        j += 1
+      }
+      var i = base + rowBytes - 1
+      while (i > base) { out(i) = (out(i) - out(i - 1)).toByte; i -= 1 }
+      base += rowBytes
+    }
+    out
+  }
+
+  /** Inverse of [[fpPredictEncode]]; emits floats back in
+    * `littleEndian` order so the downstream cell reader is unchanged.
+    */
+  def fpPredictDecode(enc: Array[Byte], rowBytes: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    require(enc.length % rowBytes == 0 && rowBytes % 4 == 0)
+    val n = rowBytes / 4
+    val out = new Array[Byte](enc.length)
+    val plane = new Array[Byte](rowBytes)
+    var base = 0
+    while (base < enc.length) {
+      System.arraycopy(enc, base, plane, 0, rowBytes)
+      var i = 1
+      while (i < rowBytes) { plane(i) = (plane(i) + plane(i - 1)).toByte; i += 1 }
+      var j = 0
+      while (j < n) {
+        val o = base + j * 4
+        if (littleEndian) {
+          out(o + 3) = plane(j); out(o + 2) = plane(n + j)
+          out(o + 1) = plane(2 * n + j); out(o) = plane(3 * n + j)
+        } else {
+          out(o) = plane(j); out(o + 1) = plane(n + j)
+          out(o + 2) = plane(2 * n + j); out(o + 3) = plane(3 * n + j)
+        }
+        j += 1
+      }
+      base += rowBytes
+    }
+    out
   }
 
   /** Inverse of [[packBitsEncode]]. */
@@ -219,9 +284,11 @@ object GeoTiff {
     */
   def writeTiled(path: String, width: Int, height: Int, data: Array[Float],
       originLon: Double, originLat: Double, sx: Double, sy: Double,
-      tileW: Int = 64, tileH: Int = 64, compression: Int = CompNone): Unit = {
+      tileW: Int = 64, tileH: Int = 64, compression: Int = CompNone,
+      fpPredictor: Boolean = false): Unit = {
     require(data.length == width * height)
     require(tileW % 16 == 0 && tileH % 16 == 0, "TIFF tiles are multiples of 16")
+    val nEntries = if (fpPredictor) 14 else 13
     val tilesAcross = (width + tileW - 1) / tileW
     val tilesDown = (height + tileH - 1) / tileH
     val tiles: Seq[Array[Byte]] = (0 until tilesDown).flatMap { tr =>
@@ -239,14 +306,16 @@ object GeoTiff {
           }
           r += 1
         }
-        compress(compression, raw.array())
+        compress(compression,
+          if (fpPredictor)
+            fpPredictEncode(raw.array(), tileW * 4, littleEndian = true)
+          else raw.array())
       }
     }
     val tileBytes = tiles.map(_.length)
     val dataStart = 8
     val tileOffsets = tileBytes.scanLeft(dataStart)(_ + _).dropRight(1)
     val ifdOffset = dataStart + tileBytes.sum
-    val nEntries = 13
     val ifdSize = 2 + nEntries * 12 + 4
     var extraOff = ifdOffset + ifdSize
     val nTiles = tiles.size
@@ -272,6 +341,7 @@ object GeoTiff {
     entryInline(TCompression, 3, 1, compression)
     entryInline(TPhotometric, 3, 1, 1)
     entryInline(TSamplesPerPixel, 3, 1, 1)
+    if (fpPredictor) entryInline(TPredictor, 3, 1, 3)
     entryInline(TTileWidth, 4, 1, tileW)
     entryInline(TTileLength, 4, 1, tileH)
     entryArray(TTileOffsets, tileOffsets.map(_.toLong))
@@ -545,7 +615,8 @@ object GeoTiff {
     * chunkByteCounts are strips top-to-bottom, or tiles row-major.
     */
   final case class Meta(width: Int, height: Int, rowsPerStrip: Int,
-      tileW: Int, tileH: Int, compression: Int, bigEndian: Boolean,
+      tileW: Int, tileH: Int, compression: Int, predictor: Int,
+      bigEndian: Boolean,
       chunkOffsets: Array[Long], chunkByteCounts: Array[Long],
       originLon: Double, originLat: Double, sx: Double, sy: Double) {
     def tiled: Boolean = tileW > 0
@@ -643,9 +714,10 @@ object GeoTiff {
           || comp == CompPackBits,
         s"compression $comp unsupported (none=1 / LZW=5 / DEFLATE=8 / " +
           "PackBits=32773)")
-      require(pred == 1,
-        s"predictor $pred unsupported (only 1 = none; re-export without " +
-          "horizontal/floating-point differencing)")
+      require(pred == 1 || pred == 3,
+        s"predictor $pred unsupported (1 = none or 3 = floating-point " +
+          "differencing; 2 = horizontal is for integer bands this " +
+          "float32 reader does not accept)")
       require(bits == 32 && fmt == 3, s"expect float32 band (bits=$bits fmt=$fmt)")
       require((tw == 0) == (th == 0), "TileWidth/TileLength must pair")
       if (rps == 0 && tw == 0) rps = height
@@ -679,7 +751,7 @@ object GeoTiff {
       val tb = readBytes(tieOff, 48)
       tb.getDouble(); tb.getDouble(); tb.getDouble() // pixel-space tiepoint (0,0,0)
       val originLon = tb.getDouble(); val originLat = tb.getDouble()
-      Meta(width, height, rps, tw, th, comp,
+      Meta(width, height, rps, tw, th, comp, pred,
         order == ByteOrder.BIG_ENDIAN, offs, cnts,
         originLon, originLat, sx, sy)
     } finally raf.close()
@@ -757,8 +829,8 @@ class GeoTiffScanBuilder(path: String, overview: Int) extends ScanBuilder
 final case class GeoTiffChunkPartition(path: String, offset: Long,
     byteCount: Long, startRow: Int, startCol: Int, chunkRows: Int,
     chunkCols: Int, imgWidth: Int, imgHeight: Int, compression: Int,
-    bigEndian: Boolean, originLon: Double, originLat: Double,
-    sx: Double, sy: Double)
+    predictor: Int, bigEndian: Boolean, originLon: Double,
+    originLat: Double, sx: Double, sy: Double)
   extends InputPartition
 
 class GeoTiffScan(path: String, overview: Int, required: StructType)
@@ -773,16 +845,16 @@ class GeoTiffScan(path: String, overview: Int, required: StructType)
       m.chunkOffsets.indices.map { i =>
         GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
           (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
-          m.tileH, m.tileW, m.width, m.height, m.compression, bigEndian,
-          m.originLon, m.originLat, m.sx, m.sy)
+          m.tileH, m.tileW, m.width, m.height, m.compression, m.predictor,
+          bigEndian, m.originLon, m.originLat, m.sx, m.sy)
       }.toArray
     } else {
       m.chunkOffsets.indices.map { i =>
         val startRow = i * m.rowsPerStrip
         GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
           startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
-          m.width, m.width, m.height, m.compression, bigEndian,
-          m.originLon, m.originLat, m.sx, m.sy)
+          m.width, m.width, m.height, m.compression, m.predictor,
+          bigEndian, m.originLon, m.originLat, m.sx, m.sy)
       }.toArray
     }
   }
@@ -807,7 +879,11 @@ class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
       val expected = p.chunkRows * p.chunkCols * 4
-      val raw = GeoTiff.decompress(p.compression, a, expected)
+      val undiff = GeoTiff.decompress(p.compression, a, expected)
+      val raw =
+        if (p.predictor == 3)
+          GeoTiff.fpPredictDecode(undiff, p.chunkCols * 4, !p.bigEndian)
+        else undiff
       ByteBuffer.wrap(raw).order(
         if (p.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     } finally raf.close()

@@ -237,6 +237,39 @@ class GeoTiffSpec extends SparkSpecBase {
       || ex.getCause != null && ex.getCause.getMessage.contains("overview"))
   }
 
+  test("floating-point predictor (3): byte planes pinned + tiled round trip") {
+    // hand-pinned example: row of [1.0f, 2.0f] little-endian
+    // 1.0f = 3F 80 00 00 (BE), 2.0f = 40 00 00 00 (BE)
+    // planes (MSB-first): 3F 40 | 80 00 | 00 00 | 00 00
+    // horizontal diff:    3F 01 | 40 80 | 00 00 | 00 00
+    val raw = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    raw.putFloat(1.0f); raw.putFloat(2.0f)
+    val enc = GeoTiff.fpPredictEncode(raw.array(), 8, littleEndian = true)
+    assert(enc.toSeq == Seq(0x3F, 0x01, 0x40, 0x80, 0x00, 0x00, 0x00, 0x00)
+      .map(_.toByte))
+    assert(GeoTiff.fpPredictDecode(enc, 8, littleEndian = true).toSeq
+      == raw.array().toSeq)
+    // full raster: tiled LZW + predictor 3 (the compressed-float-DEM
+    // production combination) round-trips through the DSv2 source
+    val f = java.nio.file.Files.createTempDirectory("gtiffp3")
+      .resolve("pred3.tif")
+    GeoTiff.writeTiled(f.toString, w, h,
+      Array.tabulate(h * w)(i => z(i / w, i % w)),
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      tileW = 48, tileH = 32, compression = GeoTiff.CompLzw,
+      fpPredictor = true)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.predictor == 3 && m.compression == GeoTiff.CompLzw)
+    val got = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load().collect()
+    assert(got.length == w * h)
+    got.foreach { r =>
+      assert(r.getAs[Double]("value") ==
+        z(r.getAs[Int]("row"), r.getAs[Int]("col")).toDouble)
+    }
+  }
+
   test("unsupported predictor is rejected with a clear error") {
     // hand-patch a predictor=2 tag into a copy of the strip fixture —
     // readMeta must refuse rather than emit silently wrong values
