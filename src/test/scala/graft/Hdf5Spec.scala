@@ -129,6 +129,36 @@ class Hdf5Spec extends SparkSpecBase {
     assert(Hdf5.unshuffle(sh, 4).toSeq == raw.toSeq)
   }
 
+  test("randomized file shapes round-trip (seeded sweep over the subset)") {
+    // deterministic sweep over dtype x layout x filter x endianness x
+    // awkward shapes — the whole-parser analog of RasterCodecProps
+    val rnd = new scala.util.Random(42)
+    val types = Seq(Netcdf.NcByte, Netcdf.NcShort, Netcdf.NcInt,
+      Netcdf.NcFloat, Netcdf.NcDouble)
+    (0 until 25).foreach { k =>
+      val t = types(k % types.length)
+      val d0 = 1 + rnd.nextInt(40)
+      val d1 = 1 + rnd.nextInt(40)
+      val chunked = k % 3 != 0
+      val gz = chunked && k % 2 == 0
+      val sh = gz && k % 4 == 0
+      val le = k % 5 != 0
+      val lim = t match {
+        case Netcdf.NcByte => 127; case Netcdf.NcShort => 32000; case _ => 1000000
+      }
+      val data = Array.fill(d0 * d1)((rnd.nextInt(2 * lim) - lim).toDouble)
+      val dir = Files.createTempDirectory("h5rand").toFile.getAbsolutePath
+      val path = s"$dir/r$k.nc"
+      Hdf5.write(path, Seq(H5WVar(s"v$k", t, Seq(d0, d1), data,
+        chunkDims = if (chunked) Seq(1 + rnd.nextInt(16), 1 + rnd.nextInt(16)) else Nil,
+        gzip = gz, shuffle = sh, littleEndian = le)))
+      val v = Hdf5.readVars(path).head
+      val got = Hdf5.readVarData(path, v)
+      assert(got.toSeq == data.toSeq,
+        s"case $k (t=$t ${d0}x$d1 chunked=$chunked gz=$gz sh=$sh le=$le)")
+    }
+  }
+
   test("out-of-subset files fail with actionable errors") {
     val path = goesFixture()
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
