@@ -824,4 +824,65 @@ object Streams {
       }
     }
   }
+
+  case class Fix(user_id: Long, ts_sec: Long, lat: Double, lon: Double,
+      vlat: Double, vlon: Double)
+
+  /** stream_cpa: LIVE closest-point-of-approach monitoring — the
+    * streaming twin of geo_cpa and the shape of odin_adsb's closing-rate
+    * watch (each incoming track fix is immediately checked against every
+    * recent fix in its spatial neighborhood). Grid-bucketed watermarked
+    * stream-stream SELF-join: side A keeps each fix in its home 1° cell,
+    * side B replicates fixes to the 3×3 neighbor cells; cell-key
+    * equality plus the ±`bandSec` event-time range and BOTH watermarks
+    * let Spark expire join state (a fix older than watermark − band can
+    * never pair again), so state is bounded by neighborhood density ×
+    * band — never feed length. Emits every candidate pair whose
+    * linear-motion CPA inside the next 30 min is ≤ `maxKm`, with the
+    * same clamped-solve arithmetic as the batch operator.
+    */
+  def cpaStream(fixes: Dataset[Fix], maxKm: Double = 100.0,
+      bandSec: Long = 900L, lateness: String = "10 minutes"): DataFrame = {
+    val base = fixes.toDF()
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withColumn("cl", floor(col("lat")).cast("long"))
+      .withColumn("cn", floor(col("lon")).cast("long"))
+    val a = base.select(col("user_id").as("user_a"), col("ts").as("ts_a"),
+        col("lat").as("lat_a"), col("lon").as("lon_a"),
+        col("vlat").as("vlat_a"), col("vlon").as("vlon_a"),
+        col("cl").as("cl_a"), col("cn").as("cn_a"))
+      .withWatermark("ts_a", lateness)
+    val b = base
+      .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+        col("lat").as("lat_b"), col("lon").as("lon_b"),
+        col("vlat").as("vlat_b"), col("vlon").as("vlon_b"),
+        (col("cl") + col("dlat")).as("cl_b"),
+        (col("cn") + col("dlon")).as("cn_b"))
+      .withWatermark("ts_b", lateness)
+    a.join(b, expr(
+      s"""cl_a = cl_b AND cn_a = cn_b
+          AND user_a < user_b
+          AND ts_b >= ts_a - interval $bandSec seconds
+          AND ts_b <= ts_a + interval $bandSec seconds"""))
+      .withColumn("kx",
+        round(cos(radians((col("lat_a") + col("lat_b")) / 2.0)), 6) * 111.195)
+      .withColumn("dx", (col("lon_b") - col("lon_a")) * col("kx"))
+      .withColumn("dy", (col("lat_b") - col("lat_a")) * 111.195)
+      .withColumn("dvx", (col("vlon_b") - col("vlon_a")) * col("kx"))
+      .withColumn("dvy", (col("vlat_b") - col("vlat_a")) * 111.195)
+      .withColumn("den", col("dvx") * col("dvx") + col("dvy") * col("dvy"))
+      .withColumn("t_cpa_min",
+        when(col("den") <= 1e-12, 0.0).otherwise(
+          least(greatest(-(col("dx") * col("dvx") + col("dy") * col("dvy"))
+            / col("den"), lit(0.0)), lit(30.0)) + lit(0.0)))
+      .withColumn("d_cpa_km",
+        sqrt(pow(col("dx") + col("dvx") * col("t_cpa_min"), 2)
+          + pow(col("dy") + col("dvy") * col("t_cpa_min"), 2)))
+      .filter(col("d_cpa_km") <= maxKm)
+      .select(col("user_a"), col("user_b"), col("ts_a"), col("ts_b"),
+        round(col("t_cpa_min"), 3).as("t_cpa_min"),
+        round(col("d_cpa_km"), 3).as("d_cpa_km"))
+  }
 }
