@@ -68,6 +68,26 @@ object Grib2Props extends Properties("Grib2") {
       roundTrip(ni, nj, vals, 3)
     }
 
+  property("PNG packing 5.41 round-trips exactly (incl. bitmap holes)") =
+    forAll(gridGen(withHoles = true)) { case (ni, nj, vals) =>
+      roundTrip(ni, nj, vals, 41)
+    }
+
+  // narrow ranges exercise the 8-bit PNG depth arm
+  property("PNG packing 5.41 at depth 8 round-trips") =
+    forAll(for {
+      (ni, nj) <- dims
+      vals <- Gen.listOfN(ni * nj, Gen.chooseNum(0, 255).map(_ / 100.0))
+    } yield (ni, nj, vals.toArray)) { case (ni, nj, vals) =>
+      val f = java.nio.file.Files.createTempFile("grib-prop8", ".grib2")
+      try {
+        Grib2.write(f.toString, Seq(field(ni, nj, vals, 41).copy(nBits = 8)))
+        val m = Grib2.scanMessages(f.toString).head
+        val d = Grib2.decodeMessage(f.toString, m.offset, m.length)
+        d.values.toSeq == vals.toSeq
+      } finally java.nio.file.Files.delete(f)
+    }
+
   // Lambert conformal: inverse is the left inverse of forward across
   // tangent and secant cones, for points within the cone's longitude span
   private val lccGen: Gen[(Grib2.Lcc, Double, Double)] = for {
