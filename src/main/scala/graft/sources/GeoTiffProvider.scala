@@ -45,7 +45,8 @@ object GeoTiff {
     StructField("col", IntegerType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("lat", DoubleType, nullable = false),
-    StructField("value", DoubleType, nullable = false)))
+    StructField("value", DoubleType, nullable = false),
+    StructField("file", StringType, nullable = false)))
 
   // TIFF tag ids
   private val TImageWidth = 256
@@ -837,27 +838,30 @@ class GeoTiffScan(path: String, overview: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val m = GeoTiff.readMeta(path, overview)
-    val bigEndian = m.bigEndian
-    if (m.tiled) {
-      val tilesAcross = (m.width + m.tileW - 1) / m.tileW
-      m.chunkOffsets.indices.map { i =>
-        GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
-          (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
-          m.tileH, m.tileW, m.width, m.height, m.compression, m.predictor,
-          bigEndian, m.originLon, m.originLat, m.sx, m.sy)
-      }.toArray
-    } else {
-      m.chunkOffsets.indices.map { i =>
-        val startRow = i * m.rowsPerStrip
-        GeoTiffChunkPartition(path, m.chunkOffsets(i), m.chunkByteCounts(i),
-          startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
-          m.width, m.width, m.height, m.compression, m.predictor,
-          bigEndian, m.originLon, m.originLat, m.sx, m.sy)
-      }.toArray
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    // file x chunk: a directory of rasters (DEM tiles, forecast grids)
+    // fans out to nFiles x nChunks partitions
+    SourcePaths.resolve(path).flatMap { f =>
+      val m = GeoTiff.readMeta(f, overview)
+      val bigEndian = m.bigEndian
+      if (m.tiled) {
+        val tilesAcross = (m.width + m.tileW - 1) / m.tileW
+        m.chunkOffsets.indices.map { i =>
+          GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
+            (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
+            m.tileH, m.tileW, m.width, m.height, m.compression, m.predictor,
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy)
+        }
+      } else {
+        m.chunkOffsets.indices.map { i =>
+          val startRow = i * m.rowsPerStrip
+          GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
+            startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
+            m.width, m.width, m.height, m.compression, m.predictor,
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy)
+        }
+      }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoTiffReaderFactory(required)
 }
@@ -911,10 +915,14 @@ class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
         case "lon" => out.setDouble(f, p.originLon + colI * p.sx)
         case "lat" => out.setDouble(f, p.originLat - row * p.sy)
         case "value" => out.setDouble(f, v)
+        case "file" => out.update(f, fileName)
       }
       f += 1
     }
     out
   }
+  private val fileName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      SourcePaths.baseName(p.path))
   override def close(): Unit = ()
 }

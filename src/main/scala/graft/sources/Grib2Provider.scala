@@ -58,7 +58,8 @@ object Grib2 {
     StructField("col", IntegerType, nullable = false),
     StructField("lat", DoubleType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
-    StructField("value", DoubleType, nullable = true))) // null = bitmap-missing
+    StructField("value", DoubleType, nullable = true),  // null = bitmap-missing
+    StructField("file", StringType, nullable = false)))  // file basename (multi-file reads)
 
   /** Lambert-conformal-conic grid parameters (grid definition template
     * 3.30) — the projection the real HRRR surface grid uses (tangent
@@ -677,8 +678,12 @@ class Grib2Scan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Grib2.scanMessages(path).map { m =>
-      Grib2MsgPartition(path, m.index, m.offset, m.length)
+    // file x message: a directory of GRIB files (one per forecast run)
+    // fans out to nFiles x nMessages partitions
+    SourcePaths.resolve(path).flatMap { f =>
+      Grib2.scanMessages(f).map { m =>
+        Grib2MsgPartition(f, m.index, m.offset, m.length)
+      }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new Grib2ReaderFactory(required)
@@ -726,10 +731,14 @@ class Grib2MsgReader(p: Grib2MsgPartition, required: StructType)
         case "value" =>
           if (d.present(i)) out.setDouble(f, d.values(presentRank))
           else out.setNullAt(f)
+        case "file" => out.update(f, fileName)
       }
       f += 1
     }
     out
   }
+  private val fileName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      SourcePaths.baseName(p.path))
   override def close(): Unit = ()
 }

@@ -49,7 +49,8 @@ object Netcdf {
     StructField("i", IntegerType, nullable = false),   // first-dim index
     StructField("j", IntegerType, nullable = false),   // second-dim index (0 for 1-D)
     StructField("raw", LongType, nullable = true),     // packed integer (null for float/double)
-    StructField("value", DoubleType, nullable = true)))// scaled physical value (null at fill)
+    StructField("value", DoubleType, nullable = true), // scaled physical value (null at fill)
+    StructField("file", StringType, nullable = false)))// product-file basename (multi-file reads)
 
   // classic-format tags and type ids (public NetCDF spec)
   private val NcDimension = 0x0A
@@ -283,18 +284,20 @@ class NetcdfScan(path: String, vars: Option[String], required: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val want = vars.map(_.split(",").map(_.trim).toSet)
-    if (Hdf5.isHdf5(path))
-      Hdf5.readVars(path)
-        .filter(v => want.forall(_.contains(v.name)))
-        .map(v => NetcdfH5Partition(path, v): InputPartition)
-        .toArray
-    else
-      Netcdf.readMeta(path)
-        .filter(v => v.ncType != Netcdf.NcChar) // char vars are metadata text
-        .filter(v => want.forall(_.contains(v.name)))
-        .map(v => NetcdfVarPartition(path, v.name, v.dimSizes, v.ncType,
-          v.begin, v.scale, v.offset, v.fill): InputPartition)
-        .toArray
+    // file x variable is the parallel unit: a directory of product files
+    // (one per observation slot) fans out to nFiles x nVars partitions
+    SourcePaths.resolve(path).flatMap { f =>
+      if (Hdf5.isHdf5(f))
+        Hdf5.readVars(f)
+          .filter(v => want.forall(_.contains(v.name)))
+          .map(v => NetcdfH5Partition(f, v): InputPartition)
+      else
+        Netcdf.readMeta(f)
+          .filter(v => v.ncType != Netcdf.NcChar) // char vars are metadata text
+          .filter(v => want.forall(_.contains(v.name)))
+          .map(v => NetcdfVarPartition(f, v.name, v.dimSizes, v.ncType,
+            v.begin, v.scale, v.offset, v.fill): InputPartition)
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required)
@@ -336,11 +339,13 @@ class NetcdfH5VarReader(p: NetcdfH5Partition, required: StructType)
         case "value" =>
           if (isFill) out.setNullAt(f)
           else out.setDouble(f, rawD * v.scale + v.offset)
+        case "file" => out.update(f, fileName)
       }
       f += 1
     }
     out
   }
+  private val fileName = UTF8String.fromString(SourcePaths.baseName(p.path))
   override def close(): Unit = ()
 }
 
@@ -386,10 +391,12 @@ class NetcdfVarReader(p: NetcdfVarPartition, required: StructType)
         case "value" =>
           if (isFill) out.setNullAt(f)
           else out.setDouble(f, rawD * p.scale + p.offset)
+        case "file" => out.update(f, fileName)
       }
       f += 1
     }
     out
   }
+  private val fileName = UTF8String.fromString(SourcePaths.baseName(p.path))
   override def close(): Unit = ()
 }
