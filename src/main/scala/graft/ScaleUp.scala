@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * driver's own /root/testdata dirs. This exists for BENCH_NOTES scale
   * sweeps only.
   *
+  * Dimension-catalog caveat (three instances found across r8/r9):
+  * queries whose synthetic catalog derives from a replicated table
+  * (geo_hotspot_footprint and geo_track_bearing from `part`,
+  * geo_line_of_sight's stations from `supplier`) scale that catalog with
+  * the corpus here, which a production deployment never does — for those,
+  * measure against a variant dir whose catalog table is the unscaled
+  * original (BENCH_NOTES records each construction).
+  *
   * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
   */
 object ScaleUp {
