@@ -825,6 +825,56 @@ object Streams {
     }
   }
 
+  case class FenceSeg(fence: Int, ax: Long, ay: Long, bx: Long, by: Long)
+  case class FixEv(user_id: Long, event_id: Long, ts_sec: Long,
+      lat: Double, lon: Double)
+  case class Crossing(user_id: Long, e_from: Long, e_to: Long,
+      fence: Int, ts_sec: Long)
+  case class FenceState(event_id: Long, ts_sec: Long, px: Long, py: Long)
+
+  /** stream_fence: live geofence/perimeter crossing alerts (streaming
+    * twin of geo_fence_crossings — "track entered the fire perimeter",
+    * the alerting the reference's track actors do imperatively). State =
+    * ONE last fix per entity; each arriving fix closes a track segment
+    * and tests it against the broadcast fence set with the batch
+    * operator's exact-integer orientation predicate (1e-5-degree
+    * fixed-point cross products in Long — bit-identical decisions, no
+    * floating point). Constant state and O(|fences|) work per record.
+    */
+  def fenceStream(fixes: Dataset[FixEv], fences: Seq[FenceSeg])
+      : Dataset[Crossing] = {
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    def cross(p: FenceState, qx: Long, qy: Long, f: FenceSeg): Boolean = {
+      def o(ax: Long, ay: Long, bx: Long, by: Long,
+          cx: Long, cy: Long): Int =
+        java.lang.Long.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+      o(p.px, p.py, qx, qy, f.ax, f.ay) * o(p.px, p.py, qx, qy, f.bx, f.by) < 0 &&
+        o(f.ax, f.ay, f.bx, f.by, p.px, p.py) * o(f.ax, f.ay, f.bx, f.by, qx, qy) < 0
+    }
+    fixes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[FixEv], state: GroupState[FenceState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Crossing]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            val qx = math.floor(e.lon * 100000.0).toLong
+            val qy = math.floor(e.lat * 100000.0).toLong
+            prev.foreach { p =>
+              fences.foreach { f =>
+                if (cross(p, qx, qy, f))
+                  out += Crossing(e.user_id, p.event_id, e.event_id,
+                    f.fence, p.ts_sec)
+              }
+            }
+            prev = Some(FenceState(e.event_id, e.ts_sec, qx, qy))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Fix(user_id: Long, ts_sec: Long, lat: Double, lon: Double,
       vlat: Double, vlon: Double)
 
