@@ -77,8 +77,13 @@ object Bench {
       Files.write(Paths.get("BENCH_FULL.json"),
         full.getBytes(StandardCharsets.UTF_8))
     val headline = SparkEntry.benchQueries.toSet
+    // a filtered run (SPARK_GRAFT_BENCH_QUERIES) marks itself and drops the
+    // queries_full pointer — its headline must not read as a full-suite
+    // record to anything parsing stdout (ADVICE r9)
+    val tail =
+      if (only.isEmpty) ""","queries_full":"BENCH_FULL.json"""" else ""","filtered":true"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"queries_full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","runs":$runs,"n_queries":${results.size}$tail}"""
     println(line)
     // make the JSON line the LAST thing in the combined capture: flush
     // stdout before spark.stop() can interleave anything after it

@@ -392,33 +392,78 @@ object TextOps {
   private val lidModelCache = new scala.collection.concurrent.TrieMap[
     String, (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row])]()
 
+  /** Per-language vocabulary cap for the collected LID model: at most K
+    * trigrams per language (most frequent first, ties broken by trigram
+    * text) are held on the driver; rarer trigrams score with the per-lang
+    * unseen fallback. K = 131072 is far above any ASCII-ish corpus's
+    * per-lang trigram vocabulary (~charset³ ≈ 40³ = 64k for lowercased
+    * text), so gate outputs are unchanged (LidVocabCapSpec asserts it) —
+    * the cap exists to bound driver memory on a 100 TB Unicode corpus,
+    * where vocab could otherwise grow toward 2²¹ codepoint-triples.
+    */
+  private[graft] val LidVocabCapK = 131072
+
+  /** Cache key = dir + a cheap content fingerprint of documents.parquet
+    * (file names, lengths, mtimes), so regenerating the data under the
+    * same path within one JVM (ScaleUp rewriting a sweep dir, then
+    * re-verifying) retrains instead of silently scoring against a stale
+    * model.
+    */
+  private def lidCorpusKey(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val doc = new java.io.File(new java.io.File(d), "documents.parquet")
+    walk(doc).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(d + "|", ",", "")
+  }
+
+  /** Train the LID model (no memoization): collected (tri, mlang, lp)
+    * rows capped at `capK` trigrams per language, plus per-lang fallback
+    * rows. Exposed for LidVocabCapSpec, which asserts capped == uncapped
+    * on the gate corpus.
+    */
+  private[graft] def trainLidModel(s: SparkSession, d: String, capK: Int)
+      : (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {
+    // persist the SMALL model frame (distinct trigram x lang): totals,
+    // vocab count, and the smoothed logprobs all derive from it; the
+    // corpus-wide explode+groupBy lineage runs once
+    val model = lidDocTri(s, d).groupBy(col("tri"), col("lang").as("mlang"))
+      .agg(sum(col("cnt")).as("c"))
+      .persist()
+    try {
+      val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
+      val vocab = model.select(col("tri")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val fallback = totals.crossJoin(broadcast(vocab))
+        .select(col("mlang"),
+          round(log(lit(1.0) / (col("tot") + col("v")).cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)).as("fb"))
+      // totals and vocab come from the UNCAPPED model so the smoothed
+      // probabilities are identical; the cap only bounds which (tri,
+      // mlang) rows ride to the driver — the rest fall back to fb.
+      val capped = model.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("mlang"))
+            .orderBy(col("c").desc, col("tri"))))
+        .filter(col("rk") <= capK).drop("rk")
+      val scored = capped
+        .join(broadcast(totals.withColumnRenamed("mlang", "tlang")),
+          col("mlang") === col("tlang"))
+        .drop("tlang")
+        .crossJoin(broadcast(vocab))
+        .select(col("tri"), col("mlang"),
+          round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
+            .cast(DecimalType(18, 6)).as("lp"))
+      (scored.collect(), fallback.collect())
+    } finally model.unpersist(false)
+  }
+
   private def lidModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (mRows, fRows) = lidModelCache.getOrElseUpdate(d, {
-      // persist the SMALL model frame (distinct trigram x lang): totals,
-      // vocab count, and the smoothed logprobs all derive from it; the
-      // corpus-wide explode+groupBy lineage runs once
-      val model = lidDocTri(s, d).groupBy(col("tri"), col("lang").as("mlang"))
-        .agg(sum(col("cnt")).as("c"))
-        .persist()
-      try {
-        val totals = model.groupBy(col("mlang")).agg(sum(col("c")).as("tot"))
-        val vocab = model.select(col("tri")).distinct()
-          .agg(count(lit(1)).as("v"))
-        val fallback = totals.crossJoin(broadcast(vocab))
-          .select(col("mlang"),
-            round(log(lit(1.0) / (col("tot") + col("v")).cast(DoubleType)), 6)
-              .cast(DecimalType(18, 6)).as("fb"))
-        val scored = model
-          .join(broadcast(totals.withColumnRenamed("mlang", "tlang")),
-            col("mlang") === col("tlang"))
-          .drop("tlang")
-          .crossJoin(broadcast(vocab))
-          .select(col("tri"), col("mlang"),
-            round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
-              .cast(DecimalType(18, 6)).as("lp"))
-        (scored.collect(), fallback.collect())
-      } finally model.unpersist(false)
-    })
+    val (mRows, fRows) = lidModelCache.getOrElseUpdate(lidCorpusKey(d),
+      trainLidModel(s, d, LidVocabCapK))
     val mSchema = StructType(Seq(StructField("tri", StringType),
       StructField("mlang", StringType), StructField("lp", DecimalType(18, 6))))
     val fSchema = StructType(Seq(StructField("mlang", StringType),

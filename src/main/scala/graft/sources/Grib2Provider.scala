@@ -572,6 +572,14 @@ object Grib2 {
         new java.io.ByteArrayInputStream(packed))
       require(img != null, "5.41: PNG decode failed")
       val r = img.getRaster
+      // g2clib encodes depth 24/32 as RGB/RGBA PNGs; reading band 0 of such
+      // an image would silently return one byte plane. Reject like 5.40.
+      require(r.getNumBands == 1,
+        s"5.41: ${r.getNumBands}-band PNG (depth > 16) unsupported, see SURVEY — " +
+          "only single-band grayscale PNG packing (depth 8/16) is decoded")
+      val pngSampleBits = img.getColorModel.getComponentSize(0)
+      require(nBits <= pngSampleBits,
+        s"5.41: section-5 depth $nBits exceeds PNG sample size $pngSampleBits")
       val iw = img.getWidth
       require(iw.toLong * img.getHeight >= nPoints,
         s"5.41: ${iw}x${img.getHeight} PNG holds < $nPoints points")

@@ -76,6 +76,13 @@ object Hdf5 {
   // ---- read ----------------------------------------------------------
 
   private final class Reader(path: String) {
+    // The metadata walk indexes a single in-memory array with Int offsets;
+    // a >= 2 GiB file would overflow those .toInt casts mid-parse. Reject
+    // up front with a diagnosable error instead (readVarData already does
+    // seek-based I/O, so only the metadata walk carries this bound).
+    require(Files.size(Paths.get(path)) < Int.MaxValue.toLong,
+      s"HDF5 file $path is >= 2 GiB — the pure-JVM metadata reader maps " +
+        "the file into one array; split the product or subset it first")
     val bytes: Array[Byte] = Files.readAllBytes(Paths.get(path))
     def bb(off: Long): ByteBuffer = {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -858,7 +858,18 @@ object Streams {
           val sorted = it.toSeq.sortBy(e => (e.ts_sec, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[Crossing]
           var prev = state.getOption
-          sorted.foreach { e =>
+          // Event-time guard across micro-batches: a late fix whose
+          // (ts_sec, event_id) is <= the stored state's key would regress
+          // state and emit a time-backwards segment, diverging from the
+          // batch twin (geo_fence_crossings) whose segments are strictly
+          // (ts_sec, event_id)-ordered. State only moves forward.
+          val fresh = prev match {
+            case Some(p) => sorted.filter(e =>
+              e.ts_sec > p.ts_sec ||
+                (e.ts_sec == p.ts_sec && e.event_id > p.event_id))
+            case None => sorted
+          }
+          fresh.foreach { e =>
             val qx = math.floor(e.lon * 100000.0).toLong
             val qy = math.floor(e.lat * 100000.0).toLong
             prev.foreach { p =>

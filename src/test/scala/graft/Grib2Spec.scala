@@ -151,6 +151,55 @@ class Grib2Spec extends SparkSpecBase {
       s"PNG message not compressed: ${msgs(0).length} B")
   }
 
+  test("5.41 rejects multi-band (depth 24/32 RGB) PNGs instead of reading band 0") {
+    // g2clib encodes depths 24/32 as RGB/RGBA PNGs; decoding band 0 of
+    // such an image would silently return one byte plane. Build a valid
+    // 5.41 message, then splice an RGB PNG into section 7.
+    val vals = Array.tabulate(nj * ni)(i => (i % 101) / 100.0)
+    val dir = java.nio.file.Files.createTempDirectory("grib")
+    val f = dir.resolve("gray.grib2")
+    Grib2.write(f.toString, Seq(Grib2.Field(
+      discipline = 0, category = 2, parameter = 2, levelType = 103, level = 10,
+      year = 2026, month = 8, day = 12, hour = 6, forecastHour = 2,
+      ni = ni, nj = nj, la1Deg = 44.0, lo1Deg = -124.0,
+      diDeg = 0.1, djDeg = 0.1, values = vals, nBits = 8, packing = 41)))
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    // RGB replacement PNG, same pixel count
+    val img = new java.awt.image.BufferedImage(ni, nj,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until nj * ni).foreach(i => img.setRGB(i % ni, i / ni, i * 7919))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val rgb = baos.toByteArray
+    // walk sections to find 7: indicator is 16 bytes, then len(4)+num(1)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var pos = 16
+    var s7Start = -1; var s7Len = -1
+    while (s7Start < 0) {
+      val len = bb.getInt(pos); val num = bytes(pos + 4) & 0xFF
+      if (num == 7) { s7Start = pos; s7Len = len } else pos += len
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, s7Start)
+    val nb = java.nio.ByteBuffer.allocate(5)
+    nb.putInt(5 + rgb.length).put(7.toByte)
+    out.write(nb.array()); out.write(rgb)
+    out.write(bytes, s7Start + s7Len, bytes.length - s7Start - s7Len)
+    val doctored = out.toByteArray
+    // fix the indicator's total-length field (octets 9-16, big-endian)
+    java.nio.ByteBuffer.wrap(doctored).putLong(8, doctored.length.toLong)
+    val f2 = dir.resolve("rgb.grib2")
+    java.nio.file.Files.write(f2, doctored)
+    val msg = Grib2.scanMessages(f2.toString).head
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decodeMessage(f2.toString, msg.offset, msg.length)
+    }
+    assert(e.getMessage.contains("band"), e.getMessage)
+    // the undoctored twin still decodes (the splice harness is sound)
+    val ok = Grib2.scanMessages(f.toString).head
+    Grib2.decodeMessage(f.toString, ok.offset, ok.length)
+  }
+
   test("Lambert conformal grid (template 3.30): the real HRRR projection") {
     // HRRR CONUS parameters: tangent cone at 38.5N, LoV 262.5E, 3 km
     val lcc = Grib2.Lcc(latin1Deg = 38.5, latin2Deg = 38.5,

@@ -86,4 +86,32 @@ class StreamFenceSpec extends SparkSpecBase {
         s"case $i: stream=${crossed.contains(i.toLong)} sql=${sqlDecision(i)}")
     }
   }
+
+  test("late fix older than stored state is ignored (event-time guard)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixes = MemoryStream[FixEv]
+    val q = Streams.fenceStream(fixes.toDS(), Seq(fence))
+      .writeStream.format("memory").queryName("fence_late")
+      .outputMode("append").start()
+    // batch 1: west -> east, proper crossing at ts 1000->1100
+    fixes.addData(
+      FixEv(1L, 100L, 1000L, 0.0, 9.5),
+      FixEv(1L, 101L, 1100L, 0.0, 10.5))
+    q.processAllAvailable()
+    // batch 2: a LATE fix (ts 1050, west side) arrives after state moved
+    // to ts 1100. Without the guard it would regress state and emit a
+    // time-backwards 101->99 "crossing"; with it, state stays at 101.
+    fixes.addData(FixEv(1L, 99L, 1050L, 0.0, 9.7))
+    q.processAllAvailable()
+    // batch 3: a genuinely newer fix back west -> one more crossing FROM
+    // event 101 (proving state was not regressed by the late fix)
+    fixes.addData(FixEv(1L, 102L, 1200L, 0.0, 9.6))
+    q.processAllAvailable()
+    val rows = spark.table("fence_late").as[Crossing].collect()
+    q.stop()
+    assert(rows.toSet == Set(
+      Crossing(1L, 100L, 101L, 7, 1000L),
+      Crossing(1L, 101L, 102L, 7, 1100L)), rows.mkString("; "))
+  }
 }
