@@ -5344,8 +5344,98 @@ object Geo {
                CASE WHEN ((w0 + w1) + w2) + w3 > 0.0e0
                     THEN (((v0 + v1) + v2) + v3) / (((w0 + w1) + w2) + w3)
                END AS value
-        FROM agg ORDER BY ti, tj"""))
+        FROM agg ORDER BY ti, tj""")),
+
+    // ----- src_grib2_ps: GRIB2 template-3.20 grid, end-to-end ------------
+    // The reader-side twin of geo_warp_ps: a polar-stereographic GRIB2
+    // file (NDFD Alaska convention — LaD 60°N, LoV −150°, 5 km cells,
+    // PNG packing 5.41) is decoded by Grib2Provider and every cell's
+    // value AND geolocation are oracle-checked. Values round-trip
+    // exactly (dyadic quantization, see fixture); cell lat/lons are
+    // recomputed by the engine-shared PsInvK inverse SQL (identical text
+    // both engines, micro-degree rounded), and `geo_ok` asserts the
+    // reader's own Snyder inverse (Grib2.PsMath, the Scala form of the
+    // same formula) agrees within 1e-6° — so a reader geolocation bug
+    // breaks the hash. Single tiny file: the scan is one partition; at
+    // scale the provider fans out file x message (MultiFileSourcesSpec).
+    "src_grib2_ps" -> Q(
+      build = (s, _) => {
+        val xS = PsInvK.x("col"); val yS = PsInvK.y("row")
+        s.read.format("graft.sources.Grib2Provider")
+          .option("path", psFixturePath).load()
+          .select(col("row"), col("col"), col("lat"), col("lon"), col("value"))
+          .withColumn("lat_sql", expr(PsInvK.lat(xS, yS)))
+          .withColumn("lon_sql", expr(PsInvK.lon(xS, yS)))
+          .select(col("row").cast("long").as("gi"),
+            col("col").cast("long").as("gj"),
+            expr("round(lat_sql, 6)").as("lat6"),
+            expr("round(lon_sql, 6)").as("lon6"),
+            col("value"),
+            expr("abs(lat - lat_sql) < 1.0e-6 AND abs(lon - lon_sql) < 1.0e-6")
+              .as("geo_ok"))
+          .orderBy(col("gi"), col("gj"))
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT r.a AS gi, c.b AS gj
+          FROM generate_series(0, 24) AS r(a), generate_series(0, 39) AS c(b)),
+        pos AS (
+          SELECT gi, gj, ${PsInvK.x("gj")} AS x, ${PsInvK.y("gi")} AS y
+          FROM cells)
+        SELECT gi, gj,
+               round(${PsInvK.lat("x", "y")}, 6) AS lat6,
+               round(${PsInvK.lon("x", "y")}, 6) AS lon6,
+               CAST((gi*19 + gj*47) % 600 AS DOUBLE)/4.0e0 - 30.0e0 AS value,
+               TRUE AS geo_ok
+        FROM pos ORDER BY gi, gj"""))
   )
+
+  /** The committed-in-code src_grib2_ps fixture: a 40×25 template-3.20
+    * grid anchored at (57°N, 163°W), v(r,c) = ((r·19 + c·47) mod 600)/4
+    * − 30 — dyadic steps at decScale 2, so PNG packing round-trips every
+    * value bit-exactly ((25k−3000)/100 is correctly rounded to the exact
+    * dyadic (k−120)/4). Written once per JVM to the tmpdir; a pure
+    * function of source (no RNG, no clock).
+    */
+  private lazy val psFixturePath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_src_grib2_ps.grib2")
+    val vals = Array.tabulate(25 * 40) { i =>
+      ((i / 40) * 19 + (i % 40) * 47) % 600 / 4.0 - 30.0
+    }
+    graft.sources.Grib2.write(f.toString, Seq(graft.sources.Grib2.Field(
+      discipline = 0, category = 0, parameter = 0, levelType = 1, level = 0,
+      year = 2026, month = 8, day = 15, hour = 0, forecastHour = 0,
+      ni = 40, nj = 25, la1Deg = 57.0, lo1Deg = -163.0,
+      diDeg = 0.0, djDeg = 0.0, values = vals,
+      decScale = 2, nBits = 16, packing = 41,
+      ps = Some(graft.sources.Grib2.Ps(60.0, -150.0, 5000.0, 5000.0)))))
+    f.toString
+  }
+
+  /** Engine-shared polar-stereographic INVERSE fragments (Snyder 1987,
+    * eq. 20-14/20-16 with 21-15 ρ), fixed to the src_grib2_ps fixture
+    * conventions: LaD 60°N, LoV −150°, anchor cell (57°N, 163°W), 5 km
+    * spacing. The anchor forward is UNROUNDED (unlike PsK's mm-rounded
+    * warp fragments) because it must reproduce the reader's
+    * Grib2.PsMath.forward arithmetic exactly.
+    */
+  private[graft] object PsInvK {
+    private val K0 = "((1.0e0 + sin(radians(60.0e0))) / 2.0e0)"
+    private def rho(lat: String) =
+      s"(2.0e0 * 6371229.0e0 * $K0 * tan(pi()/4.0e0 - radians($lat)/2.0e0))"
+    private def dl(lon: String) = s"(radians($lon) - radians(-150.0e0))"
+    private val x1 = s"(${rho("57.0e0")} * sin(${dl("-163.0e0")}))"
+    private val y1 = s"(0.0e0 - ${rho("57.0e0")} * cos(${dl("-163.0e0")}))"
+    def x(colE: String): String = s"($x1 + ($colE) * 5000.0e0)"
+    def y(rowE: String): String = s"($y1 + ($rowE) * 5000.0e0)"
+    def lat(xE: String, yE: String): String =
+      s"""(90.0e0 - degrees(2.0e0 * atan(
+         sqrt(($xE)*($xE) + ($yE)*($yE))
+         / (2.0e0 * 6371229.0e0 * $K0))))"""
+    def lon(xE: String, yE: String): String =
+      s"(-150.0e0 + degrees(atan2($xE, 0.0e0 - ($yE))))"
+  }
 
   /** Cube rounding for axial hex coords as one shared formula pair: round
     * q, r, s=-q-r to integers (FLOOR(x+0.5) — exact), then re-derive the

@@ -69,13 +69,21 @@ object Grib2 {
   final case class Lcc(latin1Deg: Double, latin2Deg: Double,
       loVDeg: Double, dxM: Double, dyM: Double)
 
+  /** Polar-stereographic grid parameters (grid definition template
+    * 3.20) — the projection NDFD Alaska products ship (standard parallel
+    * LaD = 60°N, orientation LoV = −150°, north-polar aspect). Spherical
+    * earth (shape 6, R = 6 371 229 m).
+    */
+  final case class Ps(laDDeg: Double, loVDeg: Double, dxM: Double, dyM: Double)
+
   /** One GRIB2 message to encode: a single field/level/forecast-hour on
     * either a regular lat/lon grid (template 3.0; scanned +i west→east,
-    * −j north→south; di/dj degrees) or, when `lcc` is set, a Lambert
-    * conformal grid (template 3.30; scanned +i, +j, row-major from the
-    * SW corner, di/dj ignored). (la1, lo1) is the first grid point in
-    * both cases. `values` row-major; NaN marks a missing cell (encoded
-    * via a section-6 bitmap).
+    * −j north→south; di/dj degrees), or, when `lcc` is set, a Lambert
+    * conformal grid (template 3.30), or, when `ps` is set, a polar
+    * stereographic grid (template 3.20) — both projected grids scanned
+    * +i, +j, row-major from the first point, di/dj ignored. (la1, lo1)
+    * is the first grid point in all cases. `values` row-major; NaN marks
+    * a missing cell (encoded via a section-6 bitmap).
     */
   final case class Field(
       discipline: Int, category: Int, parameter: Int,
@@ -87,11 +95,13 @@ object Grib2 {
       values: Array[Double],
       decScale: Int = 2, nBits: Int = 16,
       lcc: Option[Lcc] = None,
-      packing: Int = 0) { // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing), 41 = PNG 5.41
+      packing: Int = 0, // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing), 41 = PNG 5.41
+      ps: Option[Ps] = None) {
     require(values.length == ni * nj, s"expect ${ni * nj} values")
     require(packing == 0 || packing == 2 || packing == 3 || packing == 41,
       s"packing $packing")
     require(packing != 41 || nBits <= 16, "PNG packing: depth 8 or 16 only")
+    require(lcc.isEmpty || ps.isEmpty, "at most one of lcc/ps")
   }
 
   /** Spherical Lambert conformal conic (Snyder 1987, eq. 15-1..15-5),
@@ -130,6 +140,39 @@ object Grib2 {
       while (lon > 180.0) lon -= 360.0
       while (lon < -180.0) lon += 360.0
       (math.toDegrees(lat), lon)
+    }
+  }
+
+  /** Spherical north-polar stereographic (Snyder 1987, eq. 21-8/21-9
+    * forward, 20-14/20-16 inverse with eq. 21-15 ρ), shared by the
+    * reader (inverse, per cell) and specs/queries (forward). k0 is the
+    * scale at the standard parallel LaD — (1 + sin LaD)/2, Snyder
+    * eq. 21-7 with φ1 = LaD — the same K0 Geo.PsK's SQL fragments use,
+    * so the two forms are one formula (PsMathSpec pins the parity).
+    * x/y are meters in the LoV-meridian frame: x east, y = −ρ·cos(Δλ)
+    * so y increases AWAY from the pole along −LoV (the GRIB row
+    * direction for scan +j grids anchored south of the pole).
+    */
+  object PsMath {
+    val R = 6371229.0
+    def k0(laDDeg: Double): Double =
+      (1.0 + math.sin(math.toRadians(laDDeg))) / 2.0
+    def forward(p: Ps, latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = 2.0 * R * k0(p.laDDeg) *
+        math.tan(Math.PI / 4.0 - math.toRadians(latDeg) / 2.0)
+      val dl = math.toRadians(lonDeg) - math.toRadians(p.loVDeg)
+      (rho * math.sin(dl), -rho * math.cos(dl))
+    }
+    def inverse(p: Ps, x: Double, y: Double): (Double, Double) = {
+      // sqrt(x²+y²), not hypot: the oracle SQL computes sqrt, and the
+      // shared-formula contract is bit-level
+      val rho = math.sqrt(x * x + y * y)
+      val lat = 90.0 -
+        math.toDegrees(2.0 * math.atan(rho / (2.0 * R * k0(p.laDDeg))))
+      var lon = p.loVDeg + math.toDegrees(math.atan2(x, -y))
+      while (lon > 180.0) lon -= 360.0
+      while (lon < -180.0) lon += 360.0
+      (lat, lon)
     }
   }
 
@@ -214,8 +257,23 @@ object Grib2 {
       bb.put(f.hour.toByte).put(0.toByte).put(0.toByte)
       bb.put(0.toByte).put(1.toByte) // operational, forecast
     }, 16)
-    val s3 = f.lcc match {
-      case None => sec(3, bb => {
+    val s3 = (f.lcc, f.ps) match {
+      case (None, Some(p)) => sec(3, bb => {
+        bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
+        bb.putShort(20) // template 3.20: polar stereographic
+        bb.put(6.toByte) // sphere 6371.229 km
+        bb.put(0.toByte).putInt(0).put(0.toByte).putInt(0).put(0.toByte).putInt(0)
+        bb.putInt(f.ni).putInt(f.nj)
+        bb.putInt(microDeg(f.la1Deg)).putInt(microDeg(f.lo1Deg))
+        bb.put(48.toByte) // res/component flags
+        bb.putInt(microDeg(p.laDDeg)) // LaD: lat where dx/dy are true
+        bb.putInt(microDeg(p.loVDeg))
+        bb.putInt(Math.round(p.dxM * 1000).toInt) // 10^-3 m
+        bb.putInt(Math.round(p.dyM * 1000).toInt)
+        bb.put(0.toByte) // projection centre: north pole
+        bb.put(64.toByte) // scan mode: +i, +j (row-major from first point)
+      }, 60)
+      case (None, None) => sec(3, bb => {
         bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
         bb.putShort(0) // template 3.0: lat/lon
         bb.put(6.toByte) // shape of earth: sphere 6371.229 km
@@ -229,7 +287,7 @@ object Grib2 {
         bb.putInt(microDeg(f.diDeg)).putInt(microDeg(f.djDeg))
         bb.put(0.toByte) // scan mode: +i, -j
       }, 67)
-      case Some(p) => sec(3, bb => {
+      case (Some(p), _) => sec(3, bb => {
         bb.put(0.toByte).putInt(n).put(0.toByte).put(0.toByte)
         bb.putShort(30) // template 3.30: Lambert conformal
         bb.put(6.toByte) // sphere 6371.229 km
@@ -426,15 +484,20 @@ object Grib2 {
       levelType: Int, level: Double, refEpochSec: Long, forecastHour: Int,
       ni: Int, nj: Int, la1: Double, lo1: Double, di: Double, dj: Double,
       present: Array[Boolean], values: Array[Double],
-      lcc: Option[Lcc] = None) {
-    // per-cell geolocation: lat/lon grid directly, LCC via inverse
+      lcc: Option[Lcc] = None, ps: Option[Ps] = None) {
+    // per-cell geolocation: lat/lon grid directly, LCC/PS via inverse
     // projection from the first point's projected coordinates
     private lazy val cone = lcc.map(LccMath.cone)
     private lazy val xy1 = cone.map(c => LccMath.forward(c, la1, lo1))
+    private lazy val psXy1 = ps.map(p => PsMath.forward(p, la1, lo1))
     def latLonAt(row: Int, col: Int): (Double, Double) = (cone, xy1, lcc) match {
       case (Some(c), Some((x1, y1)), Some(p)) =>
         LccMath.inverse(c, x1 + col * p.dxM, y1 + row * p.dyM)
-      case _ => (la1 - row * dj, lo1 + col * di)
+      case _ => (ps, psXy1) match {
+        case (Some(p), Some((x1, y1))) =>
+          PsMath.inverse(p, x1 + col * p.dxM, y1 + row * p.dyM)
+        case _ => (la1 - row * dj, lo1 + col * di)
+      }
     }
   }
 
@@ -462,6 +525,7 @@ object Grib2 {
     var grpLenRef = 0; var grpLenInc = 0; var grpLastLen = 0; var grpScaledLenBits = 0
     var sdOrder = 0; var sdOctets = 0
     var lccOpt: Option[Lcc] = None
+    var psOpt: Option[Ps] = None
     var present: Array[Boolean] = null
     var packed: Array[Byte] = null
     var nDataPts = 0
@@ -482,8 +546,9 @@ object Grib2 {
         case 3 =>
           bb.get(); nDataPts = bb.getInt(); bb.get(); bb.get()
           val tmpl = bb.getShort()
-          require(tmpl == 0 || tmpl == 30,
-            s"grid template 3.0 (lat/lon) or 3.30 (Lambert) only, got $tmpl")
+          require(tmpl == 0 || tmpl == 20 || tmpl == 30,
+            s"grid template 3.0 (lat/lon), 3.20 (polar stereo) or 3.30 " +
+              s"(Lambert) only, got $tmpl")
           bb.get(); bb.get(); bb.getInt(); bb.get(); bb.getInt(); bb.get(); bb.getInt()
           ni = bb.getInt(); nj = bb.getInt()
           if (tmpl == 0) {
@@ -494,6 +559,18 @@ object Grib2 {
             di = udeg(bb.getInt()); dj = udeg(bb.getInt())
             val scan = bb.get() & 0xFF
             require(scan == 0, s"scan mode 0 (+i,-j) only, got $scan")
+          } else if (tmpl == 20) {
+            la1 = udeg(bb.getInt()); lo1 = udeg(bb.getInt())
+            bb.get()
+            val laD = udeg(bb.getInt())
+            val loV = udeg(bb.getInt())
+            val dx = bb.getInt() / 1000.0; val dy = bb.getInt() / 1000.0
+            val pc = bb.get() & 0xFF
+            require((pc & 0x80) == 0,
+              s"south-polar aspect unsupported (projection centre $pc)")
+            val scan = bb.get() & 0xFF
+            require(scan == 64, s"PS scan mode 64 (+i,+j) only, got $scan")
+            psOpt = Some(Ps(laD, loV, dx, dy))
           } else {
             la1 = udeg(bb.getInt()); lo1 = udeg(bb.getInt())
             bb.get()
@@ -644,7 +721,7 @@ object Grib2 {
       while (k < nPoints) { vals(k) = (rRef + xsOut(k) * binF) / decF; k += 1 }
     }
     Decoded(discipline, cat, par, lvlT, lvl, refSec, fh,
-      ni, nj, la1, lo1, di, dj, present, vals, lccOpt)
+      ni, nj, la1, lo1, di, dj, present, vals, lccOpt, psOpt)
   }
 }
 

@@ -151,6 +151,68 @@ class Grib2Spec extends SparkSpecBase {
       s"PNG message not compressed: ${msgs(0).length} B")
   }
 
+  test("polar stereographic grid (template 3.20): the NDFD Alaska projection") {
+    // NDFD Alaska convention: standard parallel 60°N, LoV −150°, 5 km
+    // cells, north-polar aspect — the grid geo_warp_ps warps FROM; this
+    // pins the reader side (decode + per-cell Snyder inverse geolocation)
+    val ps = Grib2.Ps(laDDeg = 60.0, loVDeg = -150.0, dxM = 5000.0, dyM = 5000.0)
+    val (w, h) = (30, 20)
+    val vals = Array.tabulate(h * w)(i => ((i * 13) % 201) / 4.0 - 25.0)
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("ps.grib2")
+    Grib2.write(f.toString, Seq(Grib2.Field(
+      discipline = 0, category = 3, parameter = 0, levelType = 1, level = 0,
+      year = 2026, month = 8, day = 15, hour = 12, forecastHour = 1,
+      ni = w, nj = h, la1Deg = 57.0, lo1Deg = -163.0,
+      diDeg = 0.0, djDeg = 0.0, values = vals, ps = Some(ps))))
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", f.toString).load()
+      .select("row", "col", "lat", "lon", "value").collect()
+    assert(rows.length == w * h)
+    // values round-trip exactly (0.25-steps at decScale 2)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("row") * w + r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == vals(i), s"cell $i")
+    }
+    // cell (0,0) is the anchor; every cell's forward-projection sits on
+    // the 5 km lattice from the anchor (Snyder round-trip identity)
+    val (x1, y1) = Grib2.PsMath.forward(ps, 57.0, -163.0)
+    rows.foreach { r =>
+      val (row, col) = (r.getAs[Int]("row"), r.getAs[Int]("col"))
+      val (fx, fy) = Grib2.PsMath.forward(ps,
+        r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+      assert(math.abs(fx - (x1 + col * 5000.0)) < 1e-5, s"x($row,$col)")
+      assert(math.abs(fy - (y1 + row * 5000.0)) < 1e-5, s"y($row,$col)")
+    }
+    val r00 = rows.find(r => r.getAs[Int]("row") == 0 && r.getAs[Int]("col") == 0).get
+    assert(math.abs(r00.getAs[Double]("lat") - 57.0) < 1e-9)
+    assert(math.abs(r00.getAs[Double]("lon") + 163.0) < 1e-9)
+    // shared-formula parity: PsMath.forward is the Scala form of the
+    // engine's PsK SQL fragments (same K0, LoV, R; PsK mm-rounds)
+    import graft.operators.Geo.PsK
+    Seq((58.0, -160.0), (61.95, -145.25), (70.0, -140.0)).foreach {
+      case (la, lo) =>
+        val sqlXY = spark.sql(s"SELECT ${PsK.x(la + "e0", lo + "e0")} AS x, " +
+          s"${PsK.y(la + "e0", lo + "e0")} AS y").collect()(0)
+        val (ex, ey) = Grib2.PsMath.forward(ps, la, lo)
+        assert(math.abs(sqlXY.getDouble(0) - ex) < 2e-3, s"PsK x($la,$lo)")
+        assert(math.abs(sqlXY.getDouble(1) - ey) < 2e-3, s"PsK y($la,$lo)")
+    }
+    // south-polar aspect is an explicit rejection, not a silent misread
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    // projection-centre flag: octet 64 of section 3 (section starts after
+    // the 16-byte indicator + 21-byte section 1)
+    val s3Start = 16 + 21
+    assert((bytes(s3Start + 4) & 0xFF) == 3, "walk: expected section 3")
+    bytes(s3Start + 63) = 0x80.toByte // bit 1 set = south pole
+    val f2 = f.resolveSibling("ps_south.grib2")
+    java.nio.file.Files.write(f2, bytes)
+    val m = Grib2.scanMessages(f2.toString).head
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decodeMessage(f2.toString, m.offset, m.length)
+    }
+    assert(e.getMessage.contains("south-polar"), e.getMessage)
+  }
+
   test("5.41 rejects multi-band (depth 24/32 RGB) PNGs instead of reading band 0") {
     // g2clib encodes depths 24/32 as RGB/RGBA PNGs; decoding band 0 of
     // such an image would silently return one byte plane. Build a valid
