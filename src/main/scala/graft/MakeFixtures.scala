@@ -14,5 +14,22 @@ object MakeFixtures {
     val onnx = functions.Onnx.encode(functions.Onnx.fixtureModel)
     Files.write(dir.resolve("smoke_mlp.onnx"), onnx)
     println(s"wrote smoke_mlp.onnx (${onnx.length} bytes)")
+
+    // HDF5 golden fixture: committed bytes that Hdf5GoldenSpec walks with
+    // its own spec-derived micro-parser (independent of Hdf5.Reader), so
+    // a shared writer/reader misreading of the format spec can't
+    // self-validate. Layout chosen for hand-verifiable offsets: the
+    // contiguous float var is placed first -> its data sits at exactly
+    // offset 96 (the v0 superblock reserves 0..95).
+    val h5 = dir.resolve("golden_nc4.nc")
+    sources.Hdf5.write(h5.toString, Seq(
+      sources.Hdf5.H5WVar("flt", sources.Netcdf.NcFloat, Seq(4),
+        Array[Double](0.5, 1.5, 2.5, 3.5)),
+      sources.Hdf5.H5WVar("T", sources.Netcdf.NcShort, Seq(3, 4),
+        Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+        chunkDims = Seq(2, 2), gzip = true, shuffle = true),
+      sources.Hdf5.H5WVar("sc", sources.Netcdf.NcDouble, Seq(),
+        Array[Double](42.25), compactLayout = true)))
+    println(s"wrote golden_nc4.nc (${Files.size(h5)} bytes)")
   }
 }
