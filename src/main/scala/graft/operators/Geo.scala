@@ -902,6 +902,15 @@ object Geo {
           JOIN dens dd ON dd.tb = l.tb AND dd.cl = l.cl AND dd.cn = l.cn
           WHERE dd.n_entities <= $CpaCellCap)"""
 
+  /** Per-(day, corridor) membership cap for the geo_convoys pair join
+    * (see the query's derivation comment). 64 = the geo_cpa density-cap
+    * precedent; sf0.1 max occupancy is 11, so the cap is inert at every
+    * gate SF and engages only on overdense fleets (×100: 1044). Declared
+    * BEFORE defs: the oracle strings interpolate it eagerly at object
+    * init, so a later declaration would read as 0.
+    */
+  private[graft] final val ConvoyCapK = 64
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -4994,21 +5003,28 @@ object Geo {
     // corridor on >=3 CONSECUTIVE days (the corridor axis is the stable
     // component of the synthetic tracks; real feeds would key on the full
     // 2-D cell). Each entity contributes one fix per day (struct-max
-    // argmax), pairs form from an equi-join keyed on (day, corridor) —
-    // bounded by corridor occupancy, never all-pairs across space — and
+    // argmax), pairs form from an equi-join keyed on (day, corridor), and
     // persistence is the rn-difference islands trick over each pair's day
     // sequence. Everything integer-exact.
+    //
+    // Density cap (r10, the geo_cpa r9 pattern): corridor occupancy is
+    // bounded by FLEET density, not space — the r10 ×100 sweep measured
+    // max occupancy 11 → 1044 (pairs ×10⁴, 377 s). Each (day, corridor)
+    // keeps its K=64 lowest-user_id members in the pair join (one
+    // row_number window, identical SQL both engines — inert below K:
+    // sf0.1 max is 11); members beyond K surface in the
+    // geo_convoys_overflow audit, so overdense corridors are REPORTED
+    // rather than silently quadratic. ×100: 377 s → see BENCH_NOTES r10.
     "geo_convoys" -> Q(
       build = (s, d) => {
-        val perDay = evPts(s, d)
-          .select(col("user_id"), expr("ts_sec div 86400").as("dy"),
-            col("ts_sec"), col("event_id"),
-            expr("CAST(FLOOR(lat) AS BIGINT)").as("ci"))
-          .groupBy(col("user_id"), col("dy"))
-          .agg(max(struct(col("ts_sec"), col("event_id"), col("ci"))).as("m"))
-          .select(col("user_id"), col("dy"), col("m.ci").as("ci"))
-        val pairs = perDay.as("a")
-          .join(perDay.as("b"), col("a.dy") === col("b.dy")
+        val perDay = convoyPerDay(s, d)
+        val wCap = Window.partitionBy(col("dy"), col("ci"))
+          .orderBy(col("user_id"))
+        val capped = perDay
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= ConvoyCapK).drop("rk")
+        val pairs = capped.as("a")
+          .join(capped.as("b"), col("a.dy") === col("b.dy")
             && col("a.ci") === col("b.ci")
             && col("a.user_id") < col("b.user_id"))
           .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
@@ -5036,9 +5052,15 @@ object Geo {
                    ROW_NUMBER() OVER (PARTITION BY user_id, ts_sec // 86400
                      ORDER BY ts_sec DESC, event_id DESC) AS rn
             FROM pts) WHERE rn = 1),
+        capped AS (
+          SELECT user_id, dy, ci FROM (
+            SELECT user_id, dy, ci,
+                   ROW_NUMBER() OVER (PARTITION BY dy, ci ORDER BY user_id)
+                     AS rk
+            FROM ph) WHERE rk <= $ConvoyCapK),
         pairs AS (
           SELECT a.user_id AS u1, b.user_id AS u2, a.dy, a.ci AS corridor
-          FROM ph a JOIN ph b
+          FROM capped a JOIN capped b
             ON a.dy = b.dy AND a.ci = b.ci
            AND a.user_id < b.user_id),
         runs AS (
@@ -5051,6 +5073,38 @@ object Geo {
         FROM runs GROUP BY u1, u2, grp
         HAVING COUNT(*) >= 3
         ORDER BY u1, u2, start_day""")),
+
+    // ----- geo_convoys_overflow: the density-cap audit twin ---------------
+    // Every (day, corridor) whose occupancy exceeds ConvoyCapK, with its
+    // occupancy and how many members the cap excluded from the convoy
+    // pair join — the geo_cpa_overflow pattern: capped density is
+    // REPORTED, never silently dropped. Empty at gate SFs (max occupancy
+    // 11 < 64); engages at ×100 where it was cross-engine verified.
+    "geo_convoys_overflow" -> Q(
+      build = (s, d) =>
+        convoyPerDay(s, d)
+          .groupBy(col("dy"), col("ci").as("corridor"))
+          .agg(count(lit(1)).as("occupancy"))
+          .filter(col("occupancy") > ConvoyCapK)
+          .withColumn("excluded", col("occupancy") - ConvoyCapK)
+          .orderBy(col("dy"), col("corridor")),
+      oracle = Some(s"""
+        WITH pts AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 event_id,
+                 CAST(FLOOR($LAT) AS BIGINT) AS ci
+          FROM events),
+        ph AS (
+          SELECT user_id, ts_sec // 86400 AS dy, ci FROM (
+            SELECT user_id, ts_sec, ci,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts_sec // 86400
+                     ORDER BY ts_sec DESC, event_id DESC) AS rn
+            FROM pts) WHERE rn = 1)
+        SELECT dy, ci AS corridor, CAST(COUNT(*) AS BIGINT) AS occupancy,
+               CAST(COUNT(*) - $ConvoyCapK AS BIGINT) AS excluded
+        FROM ph GROUP BY dy, ci
+        HAVING COUNT(*) > $ConvoyCapK
+        ORDER BY dy, corridor""")),
 
     // ----- geo_himawari_filenames: Himawari L2WLF feed codec -------------
     // The JAXA Himawari wildfire feed's full codec round trip, the last
@@ -5389,6 +5443,18 @@ object Geo {
                TRUE AS geo_ok
         FROM pos ORDER BY gi, gj"""))
   )
+
+  /** Shared daily-last-fix frame for geo_convoys and its overflow audit:
+    * per (user, day), the corridor of the (ts_sec, event_id)-max fix.
+    */
+  private def convoyPerDay(s: SparkSession, d: String): DataFrame =
+    evPts(s, d)
+      .select(col("user_id"), expr("ts_sec div 86400").as("dy"),
+        col("ts_sec"), col("event_id"),
+        expr("CAST(FLOOR(lat) AS BIGINT)").as("ci"))
+      .groupBy(col("user_id"), col("dy"))
+      .agg(max(struct(col("ts_sec"), col("event_id"), col("ci"))).as("m"))
+      .select(col("user_id"), col("dy"), col("m.ci").as("ci"))
 
   /** The committed-in-code src_grib2_ps fixture: a 40×25 template-3.20
     * grid anchored at (57°N, 163°W), v(r,c) = ((r·19 + c·47) mod 600)/4
