@@ -59,7 +59,9 @@ object Grib2 {
     StructField("lat", DoubleType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = true),  // null = bitmap-missing
-    StructField("file", StringType, nullable = false)))  // file basename (multi-file reads)
+    StructField("file", StringType, nullable = false),  // file basename (multi-file reads)
+    StructField("stat_type", IntegerType, nullable = true),  // 4.8: code table 4.10 (null for 4.0)
+    StructField("interval_end", LongType, nullable = true))) // 4.8: epoch sec of interval end
 
   /** Lambert-conformal-conic grid parameters (grid definition template
     * 3.30) — the projection the real HRRR surface grid uses (tangent
@@ -75,6 +77,14 @@ object Grib2 {
     * earth (shape 6, R = 6 371 229 m).
     */
   final case class Ps(laDDeg: Double, loVDeg: Double, dxM: Double, dyM: Double)
+
+  /** Statistical processing over a time interval (product definition
+    * template 4.8) — what real NDFD products carry (12-h PoP, 6-h QPF
+    * accumulations, daily max-T). `statType` is the code-table 4.10
+    * process (0 avg, 1 accumulation, 2 max, 3 min); the interval starts
+    * at the forecast time and spans `intervalHours`.
+    */
+  final case class Stat(statType: Int, intervalHours: Int)
 
   /** One GRIB2 message to encode: a single field/level/forecast-hour on
     * either a regular lat/lon grid (template 3.0; scanned +i west→east,
@@ -96,7 +106,8 @@ object Grib2 {
       decScale: Int = 2, nBits: Int = 16,
       lcc: Option[Lcc] = None,
       packing: Int = 0, // 0 = simple 5.0, 2 = complex 5.2, 3 = 5.3 (order-2 spatial differencing), 41 = PNG 5.41
-      ps: Option[Ps] = None) {
+      ps: Option[Ps] = None,
+      stat: Option[Stat] = None) { // Some = product template 4.8, None = 4.0
     require(values.length == ni * nj, s"expect ${ni * nj} values")
     require(packing == 0 || packing == 2 || packing == 3 || packing == 41,
       s"packing $packing")
@@ -306,14 +317,29 @@ object Grib2 {
       }, 76)
     }
     val s4 = sec(4, bb => {
-      bb.putShort(0).putShort(0) // NV, template 4.0
+      bb.putShort(0).putShort(if (f.stat.isDefined) 8 else 0) // NV, template
       bb.put(f.category.toByte).put(f.parameter.toByte)
       bb.put(2.toByte).put(0.toByte).put(0.toByte) // forecast, background, process
       bb.putShort(0).put(0.toByte) // cutoff h, min
       bb.put(1.toByte).putInt(f.forecastHour) // unit=hour
       bb.put(f.levelType.toByte).put(0.toByte).putInt(f.level)
       bb.put(255.toByte).put(255.toByte).putInt(-1) // no second surface
-    }, 29)
+      f.stat.foreach { st =>
+        // template 4.8 tail: end of overall interval, one time range
+        val end = java.time.LocalDateTime
+          .of(f.year, f.month, f.day, f.hour, 0, 0)
+          .plusHours(f.forecastHour.toLong + st.intervalHours)
+        bb.putShort(end.getYear.toShort).put(end.getMonthValue.toByte)
+        bb.put(end.getDayOfMonth.toByte).put(end.getHour.toByte)
+        bb.put(end.getMinute.toByte).put(end.getSecond.toByte)
+        bb.put(1.toByte) // one time range specification
+        bb.putInt(0) // no missing values in interval
+        bb.put(st.statType.toByte)
+        bb.put(2.toByte) // increment type: same start, fcst time incremented
+        bb.put(1.toByte).putInt(st.intervalHours) // range unit=hour, length
+        bb.put(1.toByte).putInt(0) // increment unit=hour, continuous
+      }
+    }, if (f.stat.isDefined) 53 else 29)
     // ---- data representation: simple (5.0) or complex (5.2 / 5.3) -----
     val G = 32 // cells per group for complex packing
     def bitsFor(v: Long): Int =
@@ -484,7 +510,8 @@ object Grib2 {
       levelType: Int, level: Double, refEpochSec: Long, forecastHour: Int,
       ni: Int, nj: Int, la1: Double, lo1: Double, di: Double, dj: Double,
       present: Array[Boolean], values: Array[Double],
-      lcc: Option[Lcc] = None, ps: Option[Ps] = None) {
+      lcc: Option[Lcc] = None, ps: Option[Ps] = None,
+      statType: Option[Int] = None, intervalEnd: Option[Long] = None) {
     // per-cell geolocation: lat/lon grid directly, LCC/PS via inverse
     // projection from the first point's projected coordinates
     private lazy val cone = lcc.map(LccMath.cone)
@@ -526,6 +553,8 @@ object Grib2 {
     var sdOrder = 0; var sdOctets = 0
     var lccOpt: Option[Lcc] = None
     var psOpt: Option[Ps] = None
+    var statType: Option[Int] = None
+    var intervalEnd: Option[Long] = None
     var present: Array[Boolean] = null
     var packed: Array[Byte] = null
     var nDataPts = 0
@@ -586,21 +615,43 @@ object Grib2 {
           }
         case 4 =>
           bb.getShort()
-          require(bb.getShort() == 0, "product template 4.0 only")
+          val tmpl4 = bb.getShort()
+          require(tmpl4 == 0 || tmpl4 == 8,
+            s"product template 4.0 or 4.8 only, got $tmpl4")
           cat = bb.get() & 0xFF; par = bb.get() & 0xFF
           bb.get(); bb.get(); bb.get(); bb.getShort(); bb.get()
-          val unit = bb.get() & 0xFF
-          val ft = bb.getInt()
-          fh = unit match {
+          def hours(unit: Int, ft: Int): Int = unit match {
             case 0 => ft / 60 // minutes
             case 1 => ft
             case 2 => ft * 24
             case u => throw new IllegalArgumentException(s"time unit $u")
           }
+          fh = hours(bb.get() & 0xFF, bb.getInt())
           lvlT = bb.get() & 0xFF
           val ls = bb.get() & 0xFF // 8-bit sign-magnitude scale factor
           val lsv = if ((ls & 0x80) != 0) -(ls & 0x7F) else ls
           lvl = bb.getInt() / math.pow(10, lsv)
+          if (tmpl4 == 8) {
+            bb.get(); bb.get(); bb.getInt() // second fixed surface
+            // statistical interval (code table 4.10 process over
+            // [forecast time, interval end]): NDFD PoP/QPF/max-T shape
+            val y = bb.getShort() & 0xFFFF
+            val mo = bb.get() & 0xFF; val dd = bb.get() & 0xFF
+            val hh = bb.get() & 0xFF; val mi = bb.get() & 0xFF
+            val ss = bb.get() & 0xFF
+            intervalEnd = Some(java.time.LocalDateTime
+              .of(y, mo, dd, hh, mi, ss)
+              .toEpochSecond(java.time.ZoneOffset.UTC))
+            val nRanges = bb.get() & 0xFF
+            require(nRanges >= 1, "4.8: no time range specifications")
+            bb.getInt() // total missing in interval
+            statType = Some(bb.get() & 0xFF)
+            bb.get() // time increment type
+            bb.get(); bb.getInt() // range unit + length (end time is authoritative)
+            bb.get(); bb.getInt() // increment unit + value
+            // further ranges (nested stats) are skipped; the outermost
+            // process is what consumers key on
+          }
         case 5 =>
           nPoints = bb.getInt()
           tmpl5 = bb.getShort()
@@ -721,7 +772,8 @@ object Grib2 {
       while (k < nPoints) { vals(k) = (rRef + xsOut(k) * binF) / decF; k += 1 }
     }
     Decoded(discipline, cat, par, lvlT, lvl, refSec, fh,
-      ni, nj, la1, lo1, di, dj, present, vals, lccOpt, psOpt)
+      ni, nj, la1, lo1, di, dj, present, vals, lccOpt, psOpt,
+      statType, intervalEnd)
   }
 }
 
@@ -817,6 +869,10 @@ class Grib2MsgReader(p: Grib2MsgPartition, required: StructType)
           if (d.present(i)) out.setDouble(f, d.values(presentRank))
           else out.setNullAt(f)
         case "file" => out.update(f, fileName)
+        case "stat_type" =>
+          d.statType.fold(out.setNullAt(f))(out.setInt(f, _))
+        case "interval_end" =>
+          d.intervalEnd.fold(out.setNullAt(f))(out.setLong(f, _))
       }
       f += 1
     }

@@ -213,6 +213,48 @@ class Grib2Spec extends SparkSpecBase {
     assert(e.getMessage.contains("south-polar"), e.getMessage)
   }
 
+  test("product template 4.8: statistical interval — the full NDFD shape") {
+    // a real NDFD Alaska product is PS-gridded (3.20), PNG-packed (5.41)
+    // AND interval-statistical (4.8): 12-h PoP ending 12Z next day. One
+    // message carries all three; a plain 4.0 message in the same file
+    // keeps null stat columns.
+    val ps = Grib2.Ps(60.0, -150.0, 5000.0, 5000.0)
+    val vals = Array.tabulate(nj * ni)(i => (i % 101).toDouble) // percent
+    def field(stat: Option[Grib2.Stat]) = Grib2.Field(
+      discipline = 0, category = 1, parameter = 8, // APCP-ish
+      levelType = 1, level = 0,
+      year = 2026, month = 8, day = 15, hour = 18, forecastHour = 6,
+      ni = ni, nj = nj, la1Deg = 57.0, lo1Deg = -163.0,
+      diDeg = 0.0, djDeg = 0.0, values = vals,
+      decScale = 0, nBits = 8, packing = 41, ps = Some(ps), stat = stat)
+    val f = java.nio.file.Files.createTempDirectory("grib").resolve("ndfd.grib2")
+    Grib2.write(f.toString, Seq(
+      field(Some(Grib2.Stat(statType = 1, intervalHours = 12))), // accumulation
+      field(None)))
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", f.toString).load()
+      .select("msg", "row", "col", "value", "forecast_hour", "ref_time",
+        "stat_type", "interval_end")
+      .collect()
+    assert(rows.length == 2 * ni * nj)
+    val ref = java.time.LocalDateTime.of(2026, 8, 15, 18, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("row") * ni + r.getAs[Int]("col")
+      assert(r.getAs[Double]("value") == vals(i))
+      assert(r.getAs[Long]("ref_time") == ref)
+      assert(r.getAs[Int]("forecast_hour") == 6)
+      if (r.getAs[Int]("msg") == 0) {
+        assert(r.getAs[Int]("stat_type") == 1, "accumulation")
+        // interval [ref+6h, ref+18h]: end = 2026-08-16T12:00Z
+        assert(r.getAs[Long]("interval_end") == ref + 18L * 3600)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("stat_type")), "4.0: no stat")
+        assert(r.isNullAt(r.fieldIndex("interval_end")))
+      }
+    }
+  }
+
   test("5.41 rejects multi-band (depth 24/32 RGB) PNGs instead of reading band 0") {
     // g2clib encodes depths 24/32 as RGB/RGBA PNGs; decoding band 0 of
     // such an image would silently return one byte plane. Build a valid
