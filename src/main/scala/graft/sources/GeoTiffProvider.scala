@@ -185,6 +185,58 @@ object GeoTiff {
     out
   }
 
+  /** TIFF horizontal predictor (2, the TIFF 6.0 integer predictor GDAL
+    * writes for int DEMs as `PREDICTOR=2`): per row, each 16-bit SAMPLE
+    * is replaced by its difference from the previous sample. Operates on
+    * sample values (not bytes — that is predictor 3's trick), respecting
+    * the file byte order.
+    */
+  def h16PredictEncode(raw: Array[Byte], rowBytes: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    require(raw.length % rowBytes == 0 && rowBytes % 2 == 0)
+    val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val in = ByteBuffer.wrap(raw).order(ord)
+    val out = new Array[Byte](raw.length)
+    val ob = ByteBuffer.wrap(out).order(ord)
+    val n = rowBytes / 2
+    var base = 0
+    while (base < raw.length) {
+      var prev = 0
+      var j = 0
+      while (j < n) {
+        val v = in.getShort(base + j * 2).toInt
+        ob.putShort(base + j * 2, (v - prev).toShort)
+        prev = v
+        j += 1
+      }
+      base += rowBytes
+    }
+    out
+  }
+
+  /** Inverse of [[h16PredictEncode]]. */
+  def h16PredictDecode(enc: Array[Byte], rowBytes: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    require(enc.length % rowBytes == 0 && rowBytes % 2 == 0)
+    val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val in = ByteBuffer.wrap(enc).order(ord)
+    val out = new Array[Byte](enc.length)
+    val ob = ByteBuffer.wrap(out).order(ord)
+    val n = rowBytes / 2
+    var base = 0
+    while (base < enc.length) {
+      var acc = 0
+      var j = 0
+      while (j < n) {
+        acc = (acc + in.getShort(base + j * 2)).toShort.toInt
+        ob.putShort(base + j * 2, acc.toShort)
+        j += 1
+      }
+      base += rowBytes
+    }
+    out
+  }
+
   /** Inverse of [[packBitsEncode]]. */
   def packBitsDecode(in: Array[Byte], expected: Int): Array[Byte] = {
     val out = new Array[Byte](expected)
@@ -272,6 +324,79 @@ object GeoTiff {
     extraOff += 48
     bb.putInt(0) // next IFD
     // out-of-line arrays, in the order offsets were assigned
+    if (stripOffsets.size * 4 > 4) stripOffsets.foreach(o => bb.putInt(o))
+    if (stripBytes.size * 4 > 4) stripBytes.foreach(c => bb.putInt(c))
+    doubleArrays.foreach { case (_, ds) => ds.foreach(bb.putDouble) }
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+  }
+
+  /** Write a single-band SIGNED-INT16 strip-organized GeoTIFF — the
+    * SRTM/ASTER-style DEM combination (BitsPerSample 16, SampleFormat 2),
+    * optionally LZW-compressed with the TIFF 6.0 horizontal predictor
+    * (PREDICTOR=2), which is what `gdal_translate -co PREDICTOR=2` emits
+    * for integer elevation bands.
+    */
+  def writeInt16(path: String, width: Int, height: Int, data: Array[Short],
+      originLon: Double, originLat: Double, sx: Double, sy: Double,
+      rowsPerStrip: Int = 64, lzw: Boolean = false,
+      predictor2: Boolean = false): Unit = {
+    require(data.length == width * height)
+    val comp = if (lzw) CompLzw else CompNone
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val strips: Seq[Array[Byte]] = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = ByteBuffer.allocate(rows * width * 2).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until rows * width).foreach(i => raw.putShort(data(s * rowsPerStrip * width + i)))
+      val pre =
+        if (predictor2) h16PredictEncode(raw.array(), width * 2, littleEndian = true)
+        else raw.array()
+      compress(comp, pre)
+    }
+    val stripBytes = strips.map(_.length)
+    val dataStart = 8
+    val stripOffsets = stripBytes.scanLeft(dataStart)(_ + _).dropRight(1)
+    val ifdOffset = dataStart + stripBytes.sum
+    val nEntries = 13 // the float writer's 12 + Predictor
+    val ifdSize = 2 + nEntries * 12 + 4
+    var extraOff = ifdOffset + ifdSize
+
+    val bb = ByteBuffer.allocate(ifdOffset + ifdSize + 8 * 9 + 4 * 2 * nStrips + 64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    strips.foreach(bb.put)
+    bb.putShort(nEntries.toShort)
+    def entryInline(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value.toInt)
+    }
+    def entryArray(tag: Int, typ: Int, values: Seq[Long]): Unit = {
+      val w = if (typ == 12) 8 else 4
+      if (values.size * w <= 4) entryInline(tag, typ, values.size, values.head)
+      else {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(values.size).putInt(extraOff)
+        extraOff += values.size * w
+      }
+    }
+    val doubleArrays = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])]
+    entryInline(TImageWidth, 4, 1, width)
+    entryInline(TImageLength, 4, 1, height)
+    entryInline(TBitsPerSample, 3, 1, 16)
+    entryInline(TCompression, 3, 1, comp)
+    entryInline(TPhotometric, 3, 1, 1)
+    entryArray(TStripOffsets, 4, stripOffsets.map(_.toLong))
+    entryInline(TSamplesPerPixel, 3, 1, 1)
+    entryInline(TRowsPerStrip, 4, 1, rowsPerStrip)
+    entryArray(TStripByteCounts, 4, stripBytes.map(_.toLong))
+    entryInline(TPredictor, 3, 1, if (predictor2) 2 else 1)
+    entryInline(TSampleFormat, 3, 1, 2) // signed integer
+    bb.putShort(TModelPixelScale.toShort).putShort(12.toShort).putInt(3).putInt(extraOff)
+    doubleArrays += ((extraOff, Seq(sx, sy, 0.0)))
+    extraOff += 24
+    bb.putShort(TModelTiepoint.toShort).putShort(12.toShort).putInt(6).putInt(extraOff)
+    doubleArrays += ((extraOff, Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0)))
+    extraOff += 48
+    bb.putInt(0) // next IFD
     if (stripOffsets.size * 4 > 4) stripOffsets.foreach(o => bb.putInt(o))
     if (stripBytes.size * 4 > 4) stripBytes.foreach(c => bb.putInt(c))
     doubleArrays.foreach { case (_, ds) => ds.foreach(bb.putDouble) }
@@ -619,7 +744,8 @@ object GeoTiff {
       tileW: Int, tileH: Int, compression: Int, predictor: Int,
       bigEndian: Boolean,
       chunkOffsets: Array[Long], chunkByteCounts: Array[Long],
-      originLon: Double, originLat: Double, sx: Double, sy: Double) {
+      originLon: Double, originLat: Double, sx: Double, sy: Double,
+      bits: Int = 32) { // 32 = float32 band, 16 = int16 band (DEM)
     def tiled: Boolean = tileW > 0
   }
 
@@ -715,11 +841,12 @@ object GeoTiff {
           || comp == CompPackBits,
         s"compression $comp unsupported (none=1 / LZW=5 / DEFLATE=8 / " +
           "PackBits=32773)")
-      require(pred == 1 || pred == 3,
-        s"predictor $pred unsupported (1 = none or 3 = floating-point " +
-          "differencing; 2 = horizontal is for integer bands this " +
-          "float32 reader does not accept)")
-      require(bits == 32 && fmt == 3, s"expect float32 band (bits=$bits fmt=$fmt)")
+      require((bits == 32 && fmt == 3) || (bits == 16 && fmt == 2),
+        s"expect float32 or signed-int16 band (bits=$bits fmt=$fmt)")
+      require(pred == 1 || (pred == 3 && bits == 32) || (pred == 2 && bits == 16),
+        s"predictor $pred unsupported for bits=$bits (1 = none; " +
+          "3 = floating-point differencing, float32 only; " +
+          "2 = horizontal differencing, integer bands only)")
       require((tw == 0) == (th == 0), "TileWidth/TileLength must pair")
       if (rps == 0 && tw == 0) rps = height
       // SHORT / LONG / LONG8 arrays, inline when they fit the value field
@@ -754,7 +881,7 @@ object GeoTiff {
       val originLon = tb.getDouble(); val originLat = tb.getDouble()
       Meta(width, height, rps, tw, th, comp, pred,
         order == ByteOrder.BIG_ENDIAN, offs, cnts,
-        originLon, originLat, sx, sy)
+        originLon, originLat, sx, sy, bits)
     } finally raf.close()
   }
 
@@ -831,7 +958,7 @@ final case class GeoTiffChunkPartition(path: String, offset: Long,
     byteCount: Long, startRow: Int, startCol: Int, chunkRows: Int,
     chunkCols: Int, imgWidth: Int, imgHeight: Int, compression: Int,
     predictor: Int, bigEndian: Boolean, originLon: Double,
-    originLat: Double, sx: Double, sy: Double)
+    originLat: Double, sx: Double, sy: Double, bits: Int = 32)
   extends InputPartition
 
 class GeoTiffScan(path: String, overview: Int, required: StructType)
@@ -850,7 +977,7 @@ class GeoTiffScan(path: String, overview: Int, required: StructType)
           GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
             (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
             m.tileH, m.tileW, m.width, m.height, m.compression, m.predictor,
-            bigEndian, m.originLon, m.originLat, m.sx, m.sy)
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits)
         }
       } else {
         m.chunkOffsets.indices.map { i =>
@@ -858,7 +985,7 @@ class GeoTiffScan(path: String, overview: Int, required: StructType)
           GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
             startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
             m.width, m.width, m.height, m.compression, m.predictor,
-            bigEndian, m.originLon, m.originLat, m.sx, m.sy)
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits)
         }
       }
     }.toArray
@@ -877,16 +1004,19 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
   */
 class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val floats: ByteBuffer = {
+  private val sampleBytes = p.bits / 8
+  private val cells: ByteBuffer = {
     val raf = new RandomAccessFile(p.path, "r")
     try {
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
-      val expected = p.chunkRows * p.chunkCols * 4
+      val expected = p.chunkRows * p.chunkCols * sampleBytes
       val undiff = GeoTiff.decompress(p.compression, a, expected)
       val raw =
         if (p.predictor == 3)
           GeoTiff.fpPredictDecode(undiff, p.chunkCols * 4, !p.bigEndian)
+        else if (p.predictor == 2)
+          GeoTiff.h16PredictDecode(undiff, p.chunkCols * 2, !p.bigEndian)
         else undiff
       ByteBuffer.wrap(raw).order(
         if (p.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -905,7 +1035,9 @@ class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
   override def get(): InternalRow = {
     val row = p.startRow + i / p.chunkCols
     val colI = p.startCol + i % p.chunkCols
-    val v = floats.getFloat(i * 4).toDouble
+    val v =
+      if (p.bits == 16) cells.getShort(i * 2).toDouble
+      else cells.getFloat(i * 4).toDouble
     val out = new GenericInternalRow(required.size)
     var f = 0
     while (f < required.size) {

@@ -294,4 +294,57 @@ class GeoTiffSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("predictor"))
   }
+
+  test("int16 DEM band (SampleFormat 2) round-trips, plain and " +
+      "LZW + horizontal predictor 2") {
+    // the SRTM/ASTER shape: signed-int16 elevations, and the
+    // gdal_translate -co COMPRESS=LZW -co PREDICTOR=2 production combo
+    def elev(r: Int, c: Int): Short = // smooth ramp + texture, some < 0
+      (r * 3 + c / 2 + (r * 31 + c * 7) % 11 - 40).toShort
+    val data = Array.tabulate(h * w)(i => elev(i / w, i % w))
+    val dir = java.nio.file.Files.createTempDirectory("gtiff16")
+    val plain = dir.resolve("dem16.tif"); val packed = dir.resolve("dem16p.tif")
+    GeoTiff.writeInt16(plain.toString, w, h, data,
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16)
+    GeoTiff.writeInt16(packed.toString, w, h, data,
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, lzw = true, predictor2 = true)
+    for (p <- Seq(plain, packed)) {
+      val rows = spark.read.format("graft.sources.GeoTiffProvider")
+        .option("path", p.toString).load().collect()
+      assert(rows.length == w * h, p)
+      rows.foreach { r =>
+        val (row, col) = (r.getAs[Int]("row"), r.getAs[Int]("col"))
+        assert(r.getAs[Double]("value") == elev(row, col).toDouble,
+          s"$p at ($row,$col)")
+        assert(r.getAs[Double]("lon") == -120.0 + col * 0.01)
+      }
+    }
+    // the predictor is doing its job: differenced ramps compress better
+    // than raw LZW of the same data
+    val rawLzw = dir.resolve("dem16l.tif")
+    GeoTiff.writeInt16(rawLzw.toString, w, h, data,
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, lzw = true)
+    val (szP, szL) = (java.nio.file.Files.size(packed),
+      java.nio.file.Files.size(rawLzw))
+    assert(szP < szL, s"predictor2 $szP !< raw-LZW $szL")
+    // predictor 3 on an int16 band is as invalid as 2 on float32
+    val bytes = java.nio.file.Files.readAllBytes(plain)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    val target = (0 until n).find { e =>
+      (bb.getShort(ifd + 2 + e * 12) & 0xFFFF) == 317
+    }.get
+    bb.putShort(ifd + 2 + target * 12 + 8, 3.toShort)
+    val bad = dir.resolve("dem16bad.tif")
+    java.nio.file.Files.write(bad, bytes)
+    val ex = intercept[IllegalArgumentException] {
+      GeoTiff.readMeta(bad.toString)
+    }
+    assert(ex.getMessage.contains("predictor"))
+  }
 }
