@@ -5441,8 +5441,118 @@ object Geo {
                round(${PsInvK.lon("x", "y")}, 6) AS lon6,
                CAST((gi*19 + gj*47) % 600 AS DOUBLE)/4.0e0 - 30.0e0 AS value,
                TRUE AS geo_ok
-        FROM pos ORDER BY gi, gj"""))
+        FROM pos ORDER BY gi, gj""")),
+
+    // ----- src_geotiff_dem: GeoTIFF int16 DEM read, end-to-end ------------
+    // Full-oracle twin for the GeoTIFF reader (the src_grib2_ps pattern):
+    // a signed-int16 DEM in the SRTM/ASTER production combination —
+    // LZW-compressed with horizontal predictor 2 — is decoded by
+    // GeoTiffProvider and every cell's value AND georeference is
+    // driver-hash-checked against the closed-form fixture definition.
+    // Exercises the whole decode chain (strip scan, LZW, h16 predictor,
+    // int16 samples, tiepoint/scale geolocation) cross-engine each round.
+    "src_geotiff_dem" -> Q(
+      build = (s, _) =>
+        s.read.format("graft.sources.GeoTiffProvider")
+          .option("path", demFixturePath).load()
+          .select(col("row").cast("long").as("gi"),
+            col("col").cast("long").as("gj"),
+            col("lon"), col("lat"), col("value"))
+          .orderBy(col("gi"), col("gj")),
+      oracle = Some("""
+        SELECT r.a AS gi, c.b AS gj,
+               -120.0e0 + c.b * 0.01e0 AS lon,
+               45.0e0 - r.a * 0.01e0 AS lat,
+               CAST(r.a*3 + c.b//2 + (r.a*31 + c.b*7) % 11 - 40 AS DOUBLE)
+                 AS value
+        FROM generate_series(0, 39) AS r(a), generate_series(0, 59) AS c(b)
+        ORDER BY gi, gj""")),
+
+    // ----- src_netcdf_goes: netCDF-4/HDF5 read, end-to-end ----------------
+    // Full-oracle twin for the HDF5-backed NetCDF reader: a GOES-R-shaped
+    // fixture (scaled-int16 grids, chunked + gzip(+shuffle), float grid,
+    // _FillValue semantics) is decoded by NetcdfProvider and every cell's
+    // raw AND physical value is driver-hash-checked against the
+    // closed-form definition. With Hdf5GoldenSpec (structure) this closes
+    // the matched-pair caveat from the VALUE side: the decode chain —
+    // superblock walk, chunk B-tree, gzip, shuffle, scale/offset/fill —
+    // must reproduce pure-SQL arithmetic every round.
+    "src_netcdf_goes" -> Q(
+      build = (s, _) =>
+        s.read.format("graft.sources.NetcdfProvider")
+          .option("path", goesFixturePath).load()
+          .select(col("var"), col("i").cast("long").as("gi"),
+            col("j").cast("long").as("gj"), col("raw"), col("value"))
+          .orderBy(col("var"), col("gi"), col("gj")),
+      oracle = Some("""
+        WITH cells AS (
+          SELECT i.a AS gi, j.b AS gj
+          FROM generate_series(0, 19) AS i(a), generate_series(0, 29) AS j(b))
+        SELECT 'Mask' AS var, gi, gj,
+               CAST((gi*13 + gj*7) % 50 AS BIGINT) AS raw,
+               CAST((gi*13 + gj*7) % 50 AS DOUBLE) AS value
+        FROM cells
+        UNION ALL
+        SELECT 'Power' AS var, gi, gj,
+               CASE WHEN (gi + gj) % 9 = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST((gi*3 + gj) % 60 AS BIGINT) END AS raw,
+               CASE WHEN (gi + gj) % 9 = 0 THEN NULL
+                    ELSE CAST((gi*3 + gj) % 60 AS DOUBLE) * 0.25e0 + 100.0e0
+               END AS value
+        FROM cells
+        UNION ALL
+        SELECT 'Temp' AS var, gi, gj,
+               CAST(NULL AS BIGINT) AS raw,
+               CAST((gi*5 + gj*3) % 40 AS DOUBLE) * 0.25e0 AS value
+        FROM cells
+        ORDER BY var, gi, gj"""))
   )
+
+  /** The src_geotiff_dem fixture: 60×40 signed-int16 DEM, LZW +
+    * horizontal predictor 2 (what `gdal_translate -co COMPRESS=LZW -co
+    * PREDICTOR=2` emits), elevation = r·3 + c/2 + (r·31+c·7) mod 11 − 40
+    * (integer-exact both engines). Pure function of source; written once
+    * per JVM.
+    */
+  private lazy val demFixturePath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_src_geotiff_dem.tif")
+    val data = Array.tabulate(40 * 60) { k =>
+      val r = k / 60; val c = k % 60
+      (r * 3 + c / 2 + (r * 31 + c * 7) % 11 - 40).toShort
+    }
+    graft.sources.GeoTiff.writeInt16(f.toString, 60, 40, data,
+      originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
+      rowsPerStrip = 16, lzw = true, predictor2 = true)
+    f.toString
+  }
+
+  /** The src_netcdf_goes fixture: netCDF-4/HDF5 with the GOES-R L2 value
+    * semantics — Mask (int16, chunked 8×8, gzip+shuffle, unscaled),
+    * Power (int16, chunked 8×8, gzip, scale 0.25 / offset 100 /
+    * _FillValue −1 — all dyadic, so raw·scale+offset is exact), Temp
+    * (float32 contiguous, quarter-steps exact in float). Pure function
+    * of source; written once per JVM.
+    */
+  private lazy val goesFixturePath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_src_netcdf_goes.nc")
+    val (h, w) = (20, 30)
+    def grid(g: (Int, Int) => Double) =
+      Array.tabulate(h * w)(k => g(k / w, k % w))
+    graft.sources.Hdf5.write(f.toString, Seq(
+      graft.sources.Hdf5.H5WVar("Mask", graft.sources.Netcdf.NcShort,
+        Seq(h, w), grid((i, j) => ((i * 13 + j * 7) % 50).toDouble),
+        chunkDims = Seq(8, 8), gzip = true, shuffle = true),
+      graft.sources.Hdf5.H5WVar("Power", graft.sources.Netcdf.NcShort,
+        Seq(h, w), grid((i, j) =>
+          if ((i + j) % 9 == 0) -1.0 else ((i * 3 + j) % 60).toDouble),
+        chunkDims = Seq(8, 8), gzip = true,
+        scale = Some(0.25), offset = Some(100.0), fill = Some(-1.0)),
+      graft.sources.Hdf5.H5WVar("Temp", graft.sources.Netcdf.NcFloat,
+        Seq(h, w), grid((i, j) => ((i * 5 + j * 3) % 40) * 0.25))))
+    f.toString
+  }
 
   /** Shared daily-last-fix frame for geo_convoys and its overflow audit:
     * per (user, day), the corridor of the (ts_sec, event_id)-max fix.
