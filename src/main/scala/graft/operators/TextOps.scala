@@ -1161,6 +1161,89 @@ object TextOps {
         WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
         ORDER BY doc_a, doc_b""")),
 
+    // ----- doc_simhash_grouped: production-form SimHash listing ----------
+    // The group-COMPRESSED twin of doc_simhash (the doc_ngram_dedup_grouped
+    // pattern): m byte-identical documents share one simhash, so the
+    // exploded listing's OUTPUT grows ~m² under duplicate multiplicity
+    // (every replica pair is a hamming-0 row — the r10 ×100 finding:
+    // 112 s, output-bound). Here identical SIGNATURES collapse to their
+    // min-doc_id rep and each row carries its pair multiplicity:
+    // cross-group rows weigh m_a·m_b, within-group rows (rep, rep,
+    // hamming 0) weigh m·(m−1)/2. Exactly expansion-equivalent to the
+    // exploded listing (SimhashGroupedSpec); banding runs over DISTINCT
+    // signatures, so duplicate-multiplied pair frames never materialize.
+    "doc_simhash_grouped" -> Q(
+      build = (s, d) => {
+        val sigs = docs(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+        val mm = sigs.groupBy(col("simhash"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+        val chunks = (0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
+        }
+        val keyed = mm.select(col("simhash"), col("rep"), col("m"),
+            explode(array(chunks: _*)).as("c"))
+          .select(col("simhash"), col("rep"), col("m"),
+            col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+        val cross = keyed.as("x").join(keyed.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck")
+              && col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+              .as("hamming"),
+            (col("x.m") * col("y.m")).as("n_pairs"))
+          .distinct() // a pair matched via 2+ chunks repeats the same row
+          .filter(col("hamming") <= 6)
+        val within = mm.filter(col("m") >= 2)
+          .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+            lit(0).as("hamming"), expr("m * (m - 1) div 2").as("n_pairs"))
+        cross.union(within).orderBy(col("rep_a"), col("rep_b"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+        th AS (
+          SELECT doc_id,
+                 ${tokSum(graft.functions.TextHashKernels.B1)} * 2147483648
+               + ${tokSum(graft.functions.TextHashKernels.B2)} AS h
+          FROM tok WHERE len(t) > 0),
+        votes AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(generate_series(0, 61)) AS j) jj
+          GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN v > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                     ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id),
+        mm AS (
+          SELECT simhash, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS m
+          FROM sh GROUP BY simhash),
+        keyed AS (
+          SELECT simhash, rep, m, c,
+                 (simhash >> CAST(c * 16 AS INT)) & 65535 AS ck
+          FROM mm, (SELECT unnest(generate_series(0, 3)) AS c) cc),
+        cpairs AS (
+          SELECT DISTINCT x.simhash AS sa, y.simhash AS sb,
+                 x.rep AS rep_a, y.rep AS rep_b
+          FROM keyed x JOIN keyed y
+            ON x.c = y.c AND x.ck = y.ck AND x.rep < y.rep
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= 6)
+        SELECT p.rep_a, p.rep_b,
+               CAST(bit_count(xor(p.sa, p.sb)) AS INT) AS hamming,
+               ma.m * mb.m AS n_pairs
+        FROM cpairs p
+        JOIN mm ma ON ma.simhash = p.sa
+        JOIN mm mb ON mb.simhash = p.sb
+        UNION ALL
+        SELECT rep, rep, 0, m * (m - 1) // 2
+        FROM mm WHERE m >= 2
+        ORDER BY rep_a, rep_b""")),
+
     // ----- doc_fingerprint: winnowed rolling-hash fingerprints -----------
     // Winnowing (k=20, w=5) in one pass per row via the codegen kernel
     // (graft.functions.WinnowFingerprints) — a narrow map over the scan,

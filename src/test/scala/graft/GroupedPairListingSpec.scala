@@ -83,4 +83,51 @@ class GroupedPairListingSpec extends SparkSpecBase {
     assert(within.forall(_.getAs[Long]("n_pairs") == 3L))
     assert(within.forall(_.getAs[Double]("jaccard") == 1.0))
   }
+
+  /** doc_simhash_grouped collapses on the SIGNATURE (not the text — the
+    * sf corpus already contains distinct texts that hash to the same
+    * simhash), so its rollup key is the per-signature min-doc_id rep.
+    */
+  private def simhashRollup(dir: String): Set[(Long, Long, Int, Long)] = {
+    val sig = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+    val rep = sig.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
+    val m = sig.join(rep, "sh").select(col("doc_id"), col("rep"))
+    SparkEntry.queries("doc_simhash")(spark, dir)
+      .join(m.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+      .select(least(col("ra"), col("rb")).as("rep_a"),
+        greatest(col("ra"), col("rb")).as("rep_b"), col("hamming"))
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("hamming")).as("dh"), min(col("hamming")).as("h"))
+      .collect().map { r =>
+        assert(r.getAs[Long]("dh") == 1L, s"group pair mixes hammings: $r")
+        (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+          r.getAs[Int]("h"), r.getAs[Long]("n_pairs"))
+      }.toSet
+  }
+
+  private def simhashCompressed(dir: String): Set[(Long, Long, Int, Long)] =
+    SparkEntry.queries("doc_simhash_grouped")(spark, dir).collect().map(r =>
+      (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+        r.getAs[Int]("hamming"), r.getAs[Long]("n_pairs"))).toSet
+
+  test("simhash: exploded listing rolls up exactly to the grouped one") {
+    // on the base corpus (where colliding signatures exist but no
+    // duplicated texts) ...
+    assert(simhashCompressed(sf) == simhashRollup(sf))
+    // ... and on a 3x duplicated corpus (the ScaleUp shape, where the
+    // exploded listing is ~9x larger)
+    val dir = dupCorpus(3)
+    val comp = simhashCompressed(dir)
+    assert(comp == simhashRollup(dir))
+    // duplicated signatures contribute hamming-0 within rows of
+    // m*(m-1)/2 >= 3 pairs
+    val within = comp.filter(t => t._1 == t._2)
+    assert(within.nonEmpty)
+    assert(within.forall(_._3 == 0))
+    assert(within.forall(_._4 >= 3L))
+  }
 }
