@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import graft.streaming.Streams
+
+/** Sustained-throughput benchmark for the live monitors: replay the
+  * events table (event-time order) through each streaming operator in
+  * fixed-size micro-batches via MemoryStream, force full computation per
+  * batch with a counting foreachBatch sink, and report events/sec over
+  * the steady-state phase (first batch is untimed warm-up — it absorbs
+  * codegen, state-store init, and the first shuffle).
+  *
+  * Not wired to the driver: this is the BENCH_NOTES protocol for the
+  * streaming side, the analogue of the batch ×100 tiers. Run:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamBench"
+  * Optional: SPARK_GRAFT_STREAM_BATCH (rows per micro-batch, default
+  * 20000), SPARK_GRAFT_STREAM_MONITORS (comma list to filter).
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "20000").toInt
+    val only = sys.env.get("SPARK_GRAFT_STREAM_MONITORS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // one replay buffer for all monitors: the full feed in event-time
+    // order, exactly what a live source would deliver
+    val evs: Array[Streams.Ev] = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_sec"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Ev]
+      .collect()
+      .sortBy(e => (e.ts_sec, e.event_id))
+    val chunks = evs.grouped(batchRows).toArray
+    System.err.println(
+      s"[sbench] feed: ${evs.length} events, ${chunks.length} batches of <= $batchRows")
+
+    // fixes reuse the batch operators' deterministic position derivation
+    // (Geo.evPts formula) so fence/cpa see the same spatial density the
+    // batch twins are profiled at; cpa velocities are small deterministic
+    // hash walks (<= 0.06 deg/min, the replay-spec convention)
+    def fixEvOf(e: Streams.Ev): Streams.FixEv = {
+      val lat = (e.user_id * 37 % 140 - 70).toDouble + e.value / 1000.0
+      val lon = (e.event_id * 73 % 360 - 180).toDouble + e.value / 2000.0
+      Streams.FixEv(e.user_id, e.event_id, e.ts_sec, lat, lon)
+    }
+    def fixOf(e: Streams.Ev): Streams.Fix = {
+      val f = fixEvOf(e)
+      def h(k: Long): Long = {
+        var z = k + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def frac(k: Long): Double = (h(k) >>> 11).toDouble / (1L << 53).toDouble
+      Streams.Fix(f.user_id, f.ts_sec, f.lat, f.lon,
+        0.12 * frac(e.event_id * 31 + 1) - 0.06,
+        0.12 * frac(e.event_id * 31 + 2) - 0.06)
+    }
+    // 12 fixed meridian/parallel fence segments across the ±70/±180 box,
+    // 1e-5-degree fixed point (the fenceStream convention)
+    val fences: Seq[Streams.FenceSeg] =
+      (0 until 6).map { i =>
+        val lonq = ((i * 60 - 150).toLong) * 100000L
+        Streams.FenceSeg(i, lonq, -70L * 100000L, lonq, 70L * 100000L)
+      } ++ (0 until 6).map { i =>
+        val latq = ((i * 24 - 60).toLong) * 100000L
+        Streams.FenceSeg(6 + i, -180L * 100000L, latq, 180L * 100000L, latq)
+      }
+
+    /** Replay all chunks through a query built on `stream`; returns
+      * (timedRows, seconds, outputRows).
+      */
+    def bench[T](name: String,
+        mkStream: () => (MemoryStream[T], DataFrame),
+        toIn: Streams.Ev => T,
+        mode: OutputMode): Option[(String, Double)] = {
+      if (!only.forall(_.contains(name))) return None
+      val outRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val (mem, out) = mkStream()
+      val q: StreamingQuery = out.writeStream
+        .outputMode(mode)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          outRows.addAndGet(df.count()); ()
+        }
+        .start()
+      // warm-up: first chunk untimed
+      mem.addData(chunks.head.toSeq.map(toIn))
+      q.processAllAvailable()
+      val timedRows = chunks.drop(1).map(_.length.toLong).sum
+      val t0 = System.nanoTime()
+      chunks.drop(1).foreach { c =>
+        mem.addData(c.toSeq.map(toIn))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rate = timedRows / sec
+      System.err.println(f"[sbench] $name%-22s ${rate / 1000.0}%9.1f k-events/s  " +
+        f"($timedRows rows, ${chunks.length - 1} batches, $sec%.1f s, out=${outRows.get()})")
+      Some(name -> rate)
+    }
+
+    val results = Seq(
+      bench[Streams.Ev]("stream_latest_state", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.latestState(m.toDS()).toDF())
+      }, identity, OutputMode.Update()),
+      bench[Streams.Ev]("stream_dedup", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.dedupStream(m.toDF()))
+      }, identity, OutputMode.Append()),
+      bench[Streams.Ev]("stream_windowed_agg", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.windowedAgg(m.toDF()))
+      }, identity, OutputMode.Update()),
+      bench[Streams.Ev]("stream_session", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.sessionStream(m.toDF()))
+      }, identity, OutputMode.Append()),
+      bench[Streams.Ev]("stream_threshold", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.thresholdAlarm(m.toDS(), threshold = 90.0).toDF())
+      }, identity, OutputMode.Append()),
+      bench[Streams.FixEv]("stream_fence", () => {
+        val m = MemoryStream[Streams.FixEv]
+        (m, Streams.fenceStream(m.toDS(), fences).toDF())
+      }, fixEvOf, OutputMode.Append()),
+      bench[Streams.Fix]("stream_cpa", () => {
+        val m = MemoryStream[Streams.Fix]
+        (m, Streams.cpaStream(m.toDS()))
+      }, fixOf, OutputMode.Append())
+    ).flatten
+
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val line = results.map { case (k, v) => "\"" + k + "\":" + f1(v) }
+      .mkString(
+        s"""{"metric":"events_per_sec","sf":"$sfDir","batch_rows":$batchRows,"n_events":${evs.length},"monitors":{""",
+        ",", "}}")
+    println(line)
+    System.out.flush()
+    spark.stop()
+  }
+}
