@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   * measure against a variant dir whose catalog table is the unscaled
   * original (BENCH_NOTES records each construction).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * The optional 4th arg (comma list) clones only those tables — for
+  * very large factors where only a query family's own tables are
+  * needed (e.g. ×1000 events for the density-capped geo monitors).
   */
 object ScaleUp {
   private val S = 1000000000L
 
   def main(args: Array[String]): Unit = {
     val (src, out, k) = (args(0), args(1), args(2).toInt)
+    val tablesWanted: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(n: String): Boolean = tablesWanted.forall(_.contains(n))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +51,7 @@ object ScaleUp {
       }.drop("rep_i")
     }
 
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: => DataFrame, name: String): Unit = if (wanted(name)) {
       df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scaleup] $name done")
     }

@@ -1106,6 +1106,74 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
+    // ----- doc_minhash_lsh_grouped: production form of the LSH listing ---
+    // The ×1000 sweep (BENCH_NOTES r10) showed doc_minhash_lsh is the
+    // fourth output-bound pair listing: identical texts ⇒ identical
+    // signatures ⇒ every replica pair is a candidate OUTPUT row (m²
+    // growth — 23 s at ×100 hid it, 433 s at ×1000 did not). Same cure
+    // as ngram/containment/simhash: band-join over DISTINCT signatures
+    // (one row per signature, rep = min doc_id, multiplicity m), emit
+    // rep pairs with the exact pair count they compress — cross-group
+    // m_a·m_b (signature determines every band, so all member pairs are
+    // candidates together), within-group m(m−1)/2 (identical signatures
+    // share all 8 bands). Expansion-equivalence spec'd in
+    // GroupedPairListingSpec; grouping is by SIGNATURE, not text, so
+    // cross-text signature collisions are handled by construction.
+    "doc_minhash_lsh_grouped" -> Q(
+      build = (s, d) => {
+        val sigs = docs(s, d)
+          .filter(length(col("text")) >= 20)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.minhash_signature(col("text")).as("sig"))
+        val mm = sigs.groupBy(col("sig"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+        val bandCols = (0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            element_at(col("sig"), b * 4 + 1).as("s0"),
+            element_at(col("sig"), b * 4 + 2).as("s1"),
+            element_at(col("sig"), b * 4 + 3).as("s2"),
+            element_at(col("sig"), b * 4 + 4).as("s3"))
+        }
+        val keyed = mm.select(col("rep"), col("m"),
+            explode(array(bandCols: _*)).as("bs"))
+          .select(col("rep"), col("m"), col("bs.band").as("band"),
+            col("bs.s0").as("s0"), col("bs.s1").as("s1"),
+            col("bs.s2").as("s2"), col("bs.s3").as("s3"))
+        val cross = keyed.as("x").join(keyed.as("y"),
+            col("x.band") === col("y.band") && col("x.s0") === col("y.s0")
+              && col("x.s1") === col("y.s1") && col("x.s2") === col("y.s2")
+              && col("x.s3") === col("y.s3")
+              && col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+            (col("x.m") * col("y.m")).as("n_pairs"))
+          .distinct() // a pair matched via 2+ bands repeats the same row
+        val within = mm.filter(col("m") >= 2)
+          .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+            expr("m * (m - 1) div 2").as("n_pairs"))
+        cross.union(within).orderBy(col("rep_a"), col("rep_b"))
+      },
+      oracle = Some(s"""
+        WITH $MINHASH_CTES,
+        sigl AS (
+          SELECT doc_id, list(s ORDER BY p) AS sig FROM pm GROUP BY doc_id),
+        mm AS (
+          SELECT sig, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS m
+          FROM sigl GROUP BY sig),
+        keyed AS (
+          SELECT rep, m, b,
+                 sig[CAST(b*4+1 AS INT)] AS s0, sig[CAST(b*4+2 AS INT)] AS s1,
+                 sig[CAST(b*4+3 AS INT)] AS s2, sig[CAST(b*4+4 AS INT)] AS s3
+          FROM mm, (SELECT unnest(generate_series(0, 7)) AS b) bb)
+        SELECT rep_a, rep_b, n_pairs FROM (
+          SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b,
+                 x.m * y.m AS n_pairs
+          FROM keyed x JOIN keyed y
+            ON x.b = y.b AND x.s0 = y.s0 AND x.s1 = y.s1
+           AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.rep < y.rep)
+        UNION ALL
+        SELECT rep, rep, m * (m - 1) // 2 FROM mm WHERE m >= 2
+        ORDER BY rep_a, rep_b""")),
+
     // ----- doc_simhash: 64-bit SimHash + hamming candidate pairs ---------
     // SimHash computed per row by the one-pass kernel (no token explode,
     // no 64-column aggregation shuffle).

@@ -130,4 +130,43 @@ class GroupedPairListingSpec extends SparkSpecBase {
     assert(within.forall(_._3 == 0))
     assert(within.forall(_._4 >= 3L))
   }
+
+  /** doc_minhash_lsh_grouped collapses on the full 32-perm SIGNATURE
+    * (same reasoning as simhash: distinct texts can share a signature),
+    * so the rollup key is the per-signature min-doc_id rep. The exploded
+    * listing (doc_minhash_lsh) has no score columns — equivalence is the
+    * exact pair-count decomposition: cross-group rep pairs carry
+    * m_a·m_b (a shared signature shares every band), within-group rows
+    * m(m−1)/2.
+    */
+  private def minhashRollup(dir: String): Set[Row2] = {
+    val sig = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhash_signature(col("text")).as("sg"))
+    val rep = sig.groupBy(col("sg")).agg(min(col("doc_id")).as("rep"))
+    val m = sig.join(rep, "sg").select(col("doc_id"), col("rep"))
+    SparkEntry.queries("doc_minhash_lsh")(spark, dir)
+      .join(m.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+      .select(least(col("ra"), col("rb")).as("rep_a"),
+        greatest(col("ra"), col("rb")).as("rep_b"))
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => Row2(r.getAs[Long]("rep_a"),
+        r.getAs[Long]("rep_b"), r.getAs[Long]("n_pairs"))).toSet
+  }
+
+  test("minhash-lsh: exploded listing rolls up exactly to the grouped one") {
+    // base corpus: signature-keyed rollup equality (collisions included)
+    assert(compressed("doc_minhash_lsh_grouped", sf) == minhashRollup(sf))
+    // 3x duplicated corpus: the ScaleUp shape where the exploded listing
+    // carries ~9x the rows and every text contributes a within row
+    val dir = dupCorpus(3)
+    val comp = compressed("doc_minhash_lsh_grouped", dir)
+    assert(comp == minhashRollup(dir))
+    val within = comp.filter(t => t.a == t.b)
+    assert(within.nonEmpty)
+    assert(within.forall(_.n >= 3L))
+  }
 }
