@@ -1420,20 +1420,47 @@ object TextOps {
     // the background hump and the duplicate spike). Bucketing floor(j*10)
     // is the same IEEE op on the same doubles on both engines.
     "doc_sim_histogram" -> Q(
-      build = (s, d) =>
-        jaccardAll(s, d)
-          .withColumn("bucket", floor(col("jaccard") * 10.0).cast(LongType))
+      // r10 ×100 catch-up finding: the raw jaccardAll form OOMs at ×100 —
+      // replica groups blow the shingle join ×m² — but the output is an
+      // AGGREGATE, so the r8 group-weighted pair algebra (doc_lsh_recall's
+      // fix) applies exactly: score DISTINCT texts only, weight each
+      // cross-group rep pair by m_a·m_b (pair jaccard is a function of
+      // the texts alone), and add the within-group mass m(m−1)/2 to the
+      // jaccard-1.0 bucket. Output identical (hash-gated sf0.01 + sf0.1).
+      build = (s, d) => {
+        val (sizes, repDocs) = repGroups(s, d)
+        val cross = jaccardAllOf(repDocs)
+          .join(sizes.select(col("rep").as("doc_a"), col("m").as("m_a")),
+            "doc_a")
+          .join(sizes.select(col("rep").as("doc_b"), col("m").as("m_b")),
+            "doc_b")
+          .select(floor(col("jaccard") * 10.0).cast(LongType).as("bucket"),
+            (col("m_a") * col("m_b")).as("w"),
+            (col("jaccard") >= 0.5).as("above"))
+        val within = sizes.filter(col("m") >= 2)
+          .select(lit(10L).as("bucket"), expr("m * (m - 1) div 2").as("w"),
+            lit(true).as("above"))
+        cross.union(within)
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_pairs"),
-            count(when(col("jaccard") >= 0.5, 1)).as("n_above_threshold"))
-          .orderBy(col("bucket")),
+          .agg(sum(col("w")).as("n_pairs"),
+            sum(when(col("above"), col("w")).otherwise(0L))
+              .as("n_above_threshold"))
+          .orderBy(col("bucket"))
+      },
       oracle = Some(s"""
-        WITH $JPAIRS
-        SELECT CAST(floor(jaccard*10.0) AS BIGINT) AS bucket,
-               COUNT(*) AS n_pairs,
-               CAST(COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS BIGINT)
+        WITH $GROUPED_CTES,
+        wpairs AS (
+          SELECT CAST(floor(s.jaccard*10.0) AS BIGINT) AS bucket,
+                 ma.m * mb.m AS w, s.jaccard >= 0.5 AS above
+          FROM gscored s
+          JOIN mm ma ON ma.rep = s.doc_a
+          JOIN mm mb ON mb.rep = s.doc_b
+          UNION ALL
+          SELECT 10, m * (m - 1) // 2, TRUE FROM mm WHERE m >= 2)
+        SELECT bucket, CAST(SUM(w) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN above THEN w ELSE 0 END) AS BIGINT)
                  AS n_above_threshold
-        FROM jpairs_all GROUP BY 1 ORDER BY bucket""")),
+        FROM wpairs GROUP BY 1 ORDER BY bucket""")),
 
     // ----- doc_source_overlap: cross-source duplication matrix -----------
     // Which crawls re-collect each other's documents? Pairs of sources
