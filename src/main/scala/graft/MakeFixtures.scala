@@ -15,6 +15,10 @@ object MakeFixtures {
     Files.write(dir.resolve("smoke_mlp.onnx"), onnx)
     println(s"wrote smoke_mlp.onnx (${onnx.length} bytes)")
 
+    val cnn = functions.Onnx.encode(functions.Onnx.fixtureConvModel)
+    Files.write(dir.resolve("smoke_cnn.onnx"), cnn)
+    println(s"wrote smoke_cnn.onnx (${cnn.length} bytes)")
+
     // HDF5 golden fixture: committed bytes that Hdf5GoldenSpec walks with
     // its own spec-derived micro-parser (independent of Hdf5.Reader), so
     // a shared writer/reader misreading of the format spec can't

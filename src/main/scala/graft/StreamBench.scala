@@ -51,7 +51,14 @@ object StreamBench {
       .as[Streams.Ev]
       .collect()
       .sortBy(e => (e.ts_sec, e.event_id))
+    require(evs.nonEmpty, s"empty events table under $sfDir")
     val chunks = evs.grouped(batchRows).toArray
+    // the first chunk is untimed warm-up, so a single-chunk feed would
+    // time 0 rows and divide by ~0 (NaN/Infinity breaks the JSON line)
+    require(chunks.length >= 2,
+      s"feed (${evs.length} events) fits in one micro-batch of $batchRows; " +
+        "lower SPARK_GRAFT_STREAM_BATCH so at least one timed batch follows " +
+        "the warm-up batch")
     System.err.println(
       s"[sbench] feed: ${evs.length} events, ${chunks.length} batches of <= $batchRows")
 

@@ -110,6 +110,33 @@ object ImageCodec {
     out
   }
 
+  /** 8×8 block-mean luminance tile in [0, 1] — the conv classifier's
+    * input (mm_conv_infer): the image splits into an 8×8 grid of equal
+    * blocks (widths here are multiples of 8), each block's integer
+    * luminance sum divides by (blockPixels · 255). Exact integer sums
+    * before the one division, so executors and the driver-side oracle
+    * LUT agree bit-for-bit.
+    */
+  def cnnTile8(img: BufferedImage): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val bw = math.max(1, w / 8); val bh = math.max(1, h / 8)
+    val lum = lumBytes(img)
+    Array.tabulate(64) { i =>
+      val by = i / 8; val bx = i % 8
+      var s = 0L
+      var y = by * bh
+      while (y < (by + 1) * bh && y < h) {
+        var x = bx * bw
+        while (x < (bx + 1) * bw && x < w) {
+          s += lum(y * w + x) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      s.toDouble / (bw.toLong * bh * 255L).toDouble
+    }
+  }
+
   /** Per-channel statistics over decoded pixels — the 8-dim feature
     * vector the inference stage consumes: mean R/G/B, luminance
     * mean/min/max, luminance stddev, horizontal edge energy. Exact

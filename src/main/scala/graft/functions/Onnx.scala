@@ -15,9 +15,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * against the public `onnx/onnx.proto` schema (field numbers below are
   * from that public definition) and loads in stock onnxruntime/netron
   * unchanged. The parser reads the protobuf wire format directly; the
-  * executor supports the operator subset the fixture's MLP needs
-  * (Gemm, Relu, MatMul, Add) with ONNX-spec semantics (Gemm:
-  * Y = alpha·A·B^T + beta·C under transB=1, unidirectional broadcast of C).
+  * executor supports the MLP subset (Gemm, Relu, MatMul, Add — Gemm:
+  * Y = alpha·A·B^T + beta·C under transB=1, unidirectional broadcast of
+  * C) plus the conv-net subset a small vision classifier needs (Conv,
+  * MaxPool, Flatten), all with ONNX-spec semantics.
   *
   * All arithmetic is float32, as ONNX Runtime would compute for an f32
   * graph; executors and the driver-side oracle LUT run the identical JVM
@@ -37,7 +38,8 @@ object Onnx {
       inputs: Seq[String],
       outputs: Seq[String],
       attrI: Map[String, Long] = Map.empty,
-      attrF: Map[String, Float] = Map.empty)
+      attrF: Map[String, Float] = Map.empty,
+      attrIs: Map[String, Seq[Long]] = Map.empty)
 
   final case class Model(
       irVersion: Long,
@@ -111,6 +113,9 @@ object Onnx {
     def packedF32(field: Int, vs: Array[Float]): Unit = {
       val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putFloat); bytes(field, b.array())
+    }
+    def packedI64(field: Int, vs: Seq[Long]): Unit = {
+      val w = new Writer; vs.foreach(w.varint); bytes(field, w.result())
     }
   }
 
@@ -233,30 +238,39 @@ object Onnx {
     def parseNode(r: Reader): Node = {
       var op = ""; var ins = Vector.empty[String]; var outs = Vector.empty[String]
       var ai = Map.empty[String, Long]; var af = Map.empty[String, Float]
+      var ais = Map.empty[String, Seq[Long]]
       while (r.hasMore) {
         val k = r.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
         field match {
           case 1 => ins = ins :+ r.string()
           case 2 => outs = outs :+ r.string()
           case 4 => op = r.string()
-          case 5 => // AttributeProto{name=1, f=2, i=3, type=20}
+          case 5 => // AttributeProto{name=1, f=2, i=3, ints=8, type=20}
             val a = r.sub()
             var an = ""; var av = 0L; var afv = 0.0f; var at = 0L
+            var avs = Vector.empty[Long]
             while (a.hasMore) {
-              val ak = a.varint()
+              val ak = a.varint(); val aw = (ak & 7).toInt
               ((ak >> 3).toInt: @unchecked) match {
                 case 1 => an = a.string()
                 case 2 => afv = java.lang.Float.intBitsToFloat(a.fixed32())
                 case 3 => av = a.varint()
+                case 8 => // ints: packed (wire 2) or unpacked varints
+                  if (aw == 2) {
+                    val p = a.sub()
+                    while (p.hasMore) avs = avs :+ p.varint()
+                  } else avs = avs :+ a.varint()
                 case 20 => at = a.varint()
-                case _ => a.skip((ak & 7).toInt)
+                case _ => a.skip(aw)
               }
             }
-            if (at == 1L) af += (an -> afv) else ai += (an -> av)
+            if (at == 1L) af += (an -> afv)
+            else if (at == 7L || avs.nonEmpty) ais += (an -> avs)
+            else ai += (an -> av)
           case _ => r.skip(wire)
         }
       }
-      Node(op, ins, outs, ai, af)
+      Node(op, ins, outs, ai, af, ais)
     }
 
     while (graph.hasMore) {
@@ -297,12 +311,18 @@ object Onnx {
           n.inputs.foreach(nw.str(1, _))
           n.outputs.foreach(nw.str(2, _))
           nw.str(4, n.opType)
-          // deterministic attr order: ints sorted, then floats sorted
+          // deterministic attr order: ints sorted, then floats sorted,
+          // then int lists sorted
           n.attrI.toSeq.sortBy(_._1).foreach { case (an, av) =>
             nw.msg(5) { aw => aw.str(1, an); aw.i64(3, av); aw.i64(20, 2) }
           }
           n.attrF.toSeq.sortBy(_._1).foreach { case (an, av) =>
             nw.msg(5) { aw => aw.str(1, an); aw.f32(2, av); aw.i64(20, 1) }
+          }
+          n.attrIs.toSeq.sortBy(_._1).foreach { case (an, avs) =>
+            nw.msg(5) { aw =>
+              aw.str(1, an); aw.packedI64(8, avs); aw.i64(20, 7)
+            }
           }
         }
       }
@@ -341,36 +361,57 @@ object Onnx {
 
   // ---------- executor ----------
 
+  /** A shaped float32 value flowing through the graph. */
+  private final case class V(dims: Array[Int], data: Array[Float])
+
   /** An inference session over a parsed model: topological (graph-order)
     * execution of the node list, float32 throughout. One Session is built
     * per classloader (see `smokeSession`) and reused across batches —
     * the same lifecycle odin_onnx gives its ort::Session.
+    *
+    * Executor op subset: Gemm, MatMul, Relu, Add (the MLP path) plus
+    * Conv (2D, group=1, dilation=1, explicit pads), MaxPool (2D) and
+    * Flatten (the vision path) — the layers a small conv smoke/fire
+    * classifier is made of. Values are N-D row-major tensors; Conv
+    * follows the ONNX spec (NCHW input, [M,C,kH,kW] weights,
+    * oH = (H + padT + padB − kH) / sH + 1), MaxPool ignores padded
+    * cells (−inf padding), Flatten reshapes around its `axis`.
     */
   final class Session(val model: Model) {
     private val hidden = model.inits
 
-    /** Run the graph on a row-major [n, inDim] batch; returns [n, outDim]. */
+    /** Run the graph on a row-major batch (each row = one flattened
+      * input tensor, reshaped per the model's declared input dims with
+      * the symbolic batch dim bound to the batch length); returns the
+      * output as [n, outSize] rows.
+      */
     def run(batch: Array[Array[Float]]): Array[Array[Float]] = {
       if (batch.isEmpty) return Array.empty
-      var vals: Map[String, (Int, Int, Array[Float])] =
-        hidden.map { case (nm, t) =>
-          val (r, c) = t.dims match {
-            case Seq(a, b) => (a, b)
-            case Seq(a) => (1, a)
-            case other => (other.product, 1)
-          }
-          nm -> (r, c, t.data)
-        }
+      var vals: Map[String, V] =
+        hidden.map { case (nm, t) => nm -> V(t.dims.toArray, t.data) }
       val n = batch.length
       val inDim = batch(0).length
+      val declared = model.inputDims.map(_.toInt)
+      val rest = declared.drop(1).filter(_ > 0)
+      val inShape: Array[Int] =
+        if (declared.nonEmpty && rest.product == inDim && rest.nonEmpty)
+          (n +: rest).toArray
+        else Array(n, inDim)
       val flat = new Array[Float](n * inDim)
       var i = 0
       while (i < n) { System.arraycopy(batch(i), 0, flat, i * inDim, inDim); i += 1 }
-      vals += (model.inputName -> (n, inDim, flat))
+      vals += (model.inputName -> V(inShape, flat))
 
-      def gemm(node: Node): (Int, Int, Array[Float]) = {
-        val (ar, ac, a) = vals(node.inputs(0))
-        val (br, bc, b) = vals(node.inputs(1))
+      def as2d(v: V, ctx: String): (Int, Int, Array[Float]) = v.dims match {
+        case Array(a, b) => (a, b, v.data)
+        case Array(a) => (1, a, v.data)
+        case other => throw new IllegalArgumentException(
+          s"$ctx: expected 2-D, got ${other.mkString("x")}")
+      }
+
+      def gemm(node: Node): V = {
+        val (ar, ac, a) = as2d(vals(node.inputs(0)), s"Gemm ${node.outputs.head} A")
+        val (br, bc, b) = as2d(vals(node.inputs(1)), s"Gemm ${node.outputs.head} B")
         val alpha = node.attrF.getOrElse("alpha", 1.0f)
         val beta = node.attrF.getOrElse("beta", 1.0f)
         val transB = node.attrI.getOrElse("transB", 0L) == 1L
@@ -395,7 +436,8 @@ object Onnx {
           r += 1
         }
         if (node.inputs.length > 2) {
-          val (cr, cc, cd) = vals(node.inputs(2))
+          val cv = vals(node.inputs(2))
+          val (cr, cc, cd) = as2d(cv, s"Gemm ${node.outputs.head} C")
           require(cc == m || (cr == 1 && cd.length == m),
             s"Gemm bias shape ${cr}x$cc vs cols $m")
           var r2 = 0
@@ -409,35 +451,177 @@ object Onnx {
             r2 += 1
           }
         }
-        (ar, m, out)
+        V(Array(ar, m), out)
+      }
+
+      def conv(node: Node): V = {
+        val x = vals(node.inputs(0))
+        val w = vals(node.inputs(1))
+        require(x.dims.length == 4, s"Conv ${node.outputs.head}: input must " +
+          s"be NCHW, got ${x.dims.mkString("x")}")
+        require(w.dims.length == 4, s"Conv ${node.outputs.head}: weights " +
+          s"must be [M,C,kH,kW], got ${w.dims.mkString("x")}")
+        require(node.attrI.getOrElse("group", 1L) == 1L,
+          s"Conv ${node.outputs.head}: only group=1 supported")
+        val dil = node.attrIs.getOrElse("dilations", Seq(1L, 1L))
+        require(dil.forall(_ == 1L),
+          s"Conv ${node.outputs.head}: only dilation=1 supported")
+        val Array(nb, cIn, h, wd) = x.dims
+        val Array(m, cW, kH, kW) = w.dims
+        require(cW == cIn, s"Conv ${node.outputs.head}: channels $cIn vs $cW")
+        val strides = node.attrIs.getOrElse("strides", Seq(1L, 1L)).map(_.toInt)
+        val pads = node.attrIs.getOrElse("pads", Seq(0L, 0L, 0L, 0L)).map(_.toInt)
+        val (sH, sW) = (strides(0), strides(1))
+        val (pT, pL, pB, pR) = (pads(0), pads(1), pads(2), pads(3))
+        val oH = (h + pT + pB - kH) / sH + 1
+        val oW = (wd + pL + pR - kW) / sW + 1
+        val bias: Array[Float] =
+          if (node.inputs.length > 2) {
+            val b = vals(node.inputs(2))
+            require(b.data.length == m,
+              s"Conv ${node.outputs.head}: bias ${b.data.length} vs M $m")
+            b.data
+          } else new Array[Float](m)
+        val out = new Array[Float](nb * m * oH * oW)
+        var b0 = 0
+        while (b0 < nb) {
+          var f = 0
+          while (f < m) {
+            var oy = 0
+            while (oy < oH) {
+              var ox = 0
+              while (ox < oW) {
+                var acc = bias(f)
+                var c = 0
+                while (c < cIn) {
+                  var ky = 0
+                  while (ky < kH) {
+                    val iy = oy * sH - pT + ky
+                    if (iy >= 0 && iy < h) {
+                      var kx = 0
+                      while (kx < kW) {
+                        val ix = ox * sW - pL + kx
+                        if (ix >= 0 && ix < wd)
+                          acc += x.data(((b0 * cIn + c) * h + iy) * wd + ix) *
+                            w.data(((f * cIn + c) * kH + ky) * kW + kx)
+                        kx += 1
+                      }
+                    }
+                    ky += 1
+                  }
+                  c += 1
+                }
+                out(((b0 * m + f) * oH + oy) * oW + ox) = acc
+                ox += 1
+              }
+              oy += 1
+            }
+            f += 1
+          }
+          b0 += 1
+        }
+        V(Array(nb, m, oH, oW), out)
+      }
+
+      def maxPool(node: Node): V = {
+        val x = vals(node.inputs(0))
+        require(x.dims.length == 4, s"MaxPool ${node.outputs.head}: input " +
+          s"must be NCHW, got ${x.dims.mkString("x")}")
+        val Array(nb, cIn, h, wd) = x.dims
+        val kern = node.attrIs.getOrElse("kernel_shape",
+          throw new IllegalArgumentException(
+            s"MaxPool ${node.outputs.head}: kernel_shape required"))
+          .map(_.toInt)
+        val (kH, kW) = (kern(0), kern(1))
+        val strides = node.attrIs.get("strides").map(_.map(_.toInt))
+          .getOrElse(Seq(kH, kW))
+        val pads = node.attrIs.getOrElse("pads", Seq(0L, 0L, 0L, 0L)).map(_.toInt)
+        val (sH, sW) = (strides(0), strides(1))
+        val (pT, pL, pB, pR) = (pads(0), pads(1), pads(2), pads(3))
+        val oH = (h + pT + pB - kH) / sH + 1
+        val oW = (wd + pL + pR - kW) / sW + 1
+        val out = new Array[Float](nb * cIn * oH * oW)
+        var b0 = 0
+        while (b0 < nb) {
+          var c = 0
+          while (c < cIn) {
+            var oy = 0
+            while (oy < oH) {
+              var ox = 0
+              while (ox < oW) {
+                var mx = Float.NegativeInfinity
+                var ky = 0
+                while (ky < kH) {
+                  val iy = oy * sH - pT + ky
+                  if (iy >= 0 && iy < h) {
+                    var kx = 0
+                    while (kx < kW) {
+                      val ix = ox * sW - pL + kx
+                      if (ix >= 0 && ix < wd) {
+                        val v = x.data(((b0 * cIn + c) * h + iy) * wd + ix)
+                        if (v > mx) mx = v
+                      }
+                      kx += 1
+                    }
+                  }
+                  ky += 1
+                }
+                out(((b0 * cIn + c) * oH + oy) * oW + ox) = mx
+                ox += 1
+              }
+              oy += 1
+            }
+            c += 1
+          }
+          b0 += 1
+        }
+        V(Array(nb, cIn, oH, oW), out)
       }
 
       model.nodes.foreach { node =>
-        val res: (Int, Int, Array[Float]) = node.opType match {
+        val res: V = node.opType match {
           case "Gemm" => gemm(node)
           case "MatMul" => gemm(node.copy(attrF = Map.empty, attrI = Map.empty,
             inputs = node.inputs.take(2)))
           case "Relu" =>
-            val (r, c, a) = vals(node.inputs.head)
-            (r, c, a.map(v => if (v > 0f) v else 0f))
+            val v = vals(node.inputs.head)
+            V(v.dims, v.data.map(x => if (x > 0f) x else 0f))
           case "Add" =>
-            val (r, c, a) = vals(node.inputs(0))
-            val (br, bc, b) = vals(node.inputs(1))
+            val a = vals(node.inputs(0))
+            val b = vals(node.inputs(1))
             val out =
-              if (br == r && bc == c) Array.tabulate(a.length)(i2 => a(i2) + b(i2))
-              else { // broadcast [1,c]
-                require(b.length == c, s"Add broadcast ${br}x$bc vs ${r}x$c")
-                Array.tabulate(a.length)(i2 => a(i2) + b(i2 % c))
+              if (java.util.Arrays.equals(a.dims, b.dims))
+                Array.tabulate(a.data.length)(i2 => a.data(i2) + b.data(i2))
+              else if (a.dims.length == 4 && b.data.length == a.dims(1)) {
+                // NCHW per-channel bias broadcast [C] / [1,C,1,1]
+                val hw = a.dims(2) * a.dims(3)
+                Array.tabulate(a.data.length)(i2 =>
+                  a.data(i2) + b.data(i2 / hw % a.dims(1)))
+              } else { // trailing-dim broadcast [1,c] over [r,c]
+                val c = a.dims.last
+                require(b.data.length == c,
+                  s"Add broadcast ${b.dims.mkString("x")} vs ${a.dims.mkString("x")}")
+                Array.tabulate(a.data.length)(i2 => a.data(i2) + b.data(i2 % c))
               }
-            (r, c, out)
+            V(a.dims, out)
+          case "Conv" => conv(node)
+          case "MaxPool" => maxPool(node)
+          case "Flatten" =>
+            val v = vals(node.inputs.head)
+            val axis = node.attrI.getOrElse("axis", 1L).toInt
+            val lead = v.dims.take(axis).product
+            V(Array(lead, v.data.length / lead), v.data)
           case op => throw new UnsupportedOperationException(
-            s"ONNX op $op not in executor subset (Gemm/MatMul/Relu/Add)")
+            s"ONNX op $op not in executor subset " +
+              "(Gemm/MatMul/Relu/Add/Conv/MaxPool/Flatten)")
         }
         vals += (node.outputs.head -> res)
       }
-      val (or, oc, o) = vals(model.outputName)
-      require(or == n, s"output rows $or != batch $n")
-      Array.tabulate(or)(r => java.util.Arrays.copyOfRange(o, r * oc, (r + 1) * oc))
+      val o = vals(model.outputName)
+      require(o.dims(0) == n, s"output rows ${o.dims(0)} != batch $n")
+      val oc = o.data.length / n
+      Array.tabulate(n)(r =>
+        java.util.Arrays.copyOfRange(o.data, r * oc, (r + 1) * oc))
     }
   }
 
@@ -473,17 +657,80 @@ object Onnx {
       initOrder = Seq("w1", "b1", "w2", "b2"))
   }
 
-  /** Classloader-wide session over the committed fixture — loaded once
-    * per executor JVM, shared by every batch (ort Session lifecycle).
+  /** The deterministic conv smoke classifier committed as
+    * smoke_cnn.onnx — the vision-model shape odin_onnx actually serves
+    * (its configs load convolutional smoke/fire classifiers):
+    * [N,1,8,8] grayscale → Conv(4@3×3, pad 1) → Relu → MaxPool 2×2 →
+    * Conv(8@3×3, pad 1) → Relu → MaxPool 2×2 → Flatten →
+    * Gemm(transB) → 4 logits (cloud/smoke/fire/none). Integer-derived
+    * weights from fixed formulas — reproducible from source, no RNG.
     */
-  lazy val smokeSession: Session = {
-    val in = getClass.getResourceAsStream("/graft/smoke_mlp.onnx")
-    require(in != null, "resource graft/smoke_mlp.onnx missing")
+  def fixtureConvModel: Model = {
+    val w1 = Tensor(Seq(4, 1, 3, 3),
+      Array.tabulate(4 * 9)(i => (((i * 41) % 13) - 6).toFloat / 8f))
+    val b1 = Tensor(Seq(4), Array.tabulate(4)(i => ((i % 3) - 1).toFloat / 4f))
+    val w2 = Tensor(Seq(8, 4, 3, 3),
+      Array.tabulate(8 * 4 * 9)(i => (((i * 23) % 15) - 7).toFloat / 16f))
+    val b2 = Tensor(Seq(8), Array.tabulate(8)(i => ((i % 5) - 2).toFloat / 8f))
+    val w3 = Tensor(Seq(4, 32),
+      Array.tabulate(4 * 32)(i => (((i * 31) % 11) - 5).toFloat / 16f))
+    val b3 = Tensor(Seq(4), Array.tabulate(4)(i => (i - 2).toFloat / 2f))
+    Model(
+      irVersion = 8L, opsetVersion = 13L, producer = "graft",
+      graphName = "smoke_cnn",
+      inputName = "img", inputDims = Seq(-1L, 1L, 8L, 8L),
+      outputName = "logits", outputDims = Seq(-1L, 4L),
+      nodes = Seq(
+        Node("Conv", Seq("img", "w1", "b1"), Seq("c1"),
+          attrI = Map("group" -> 1L),
+          attrIs = Map("kernel_shape" -> Seq(3L, 3L),
+            "strides" -> Seq(1L, 1L), "pads" -> Seq(1L, 1L, 1L, 1L),
+            "dilations" -> Seq(1L, 1L))),
+        Node("Relu", Seq("c1"), Seq("r1")),
+        Node("MaxPool", Seq("r1"), Seq("p1"),
+          attrIs = Map("kernel_shape" -> Seq(2L, 2L),
+            "strides" -> Seq(2L, 2L))),
+        Node("Conv", Seq("p1", "w2", "b2"), Seq("c2"),
+          attrI = Map("group" -> 1L),
+          attrIs = Map("kernel_shape" -> Seq(3L, 3L),
+            "strides" -> Seq(1L, 1L), "pads" -> Seq(1L, 1L, 1L, 1L),
+            "dilations" -> Seq(1L, 1L))),
+        Node("Relu", Seq("c2"), Seq("r2")),
+        Node("MaxPool", Seq("r2"), Seq("p2"),
+          attrIs = Map("kernel_shape" -> Seq(2L, 2L),
+            "strides" -> Seq(2L, 2L))),
+        Node("Flatten", Seq("p2"), Seq("fl"), attrI = Map("axis" -> 1L)),
+        Node("Gemm", Seq("fl", "w3", "b3"), Seq("logits"),
+          attrI = Map("transB" -> 1L),
+          attrF = Map("alpha" -> 1.0f, "beta" -> 1.0f))),
+      inits = Map("w1" -> w1, "b1" -> b1, "w2" -> w2, "b2" -> b2,
+        "w3" -> w3, "b3" -> b3),
+      initOrder = Seq("w1", "b1", "w2", "b2", "w3", "b3"))
+  }
+
+  private def resourceSession(path: String): Session = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"resource $path missing")
     val bytes =
       try in.readAllBytes()
       finally in.close()
     new Session(parse(bytes))
   }
+
+  /** Classloader-wide session over the committed fixture — loaded once
+    * per executor JVM, shared by every batch (ort Session lifecycle).
+    */
+  lazy val smokeSession: Session = resourceSession("/graft/smoke_mlp.onnx")
+
+  /** Classloader-wide session over the committed conv fixture. */
+  lazy val cnnSession: Session = resourceSession("/graft/smoke_cnn.onnx")
+
+  /** The mm_conv_infer entry: an 8×8 grayscale tile (f64 in [0,1]) →
+    * f32 NCHW input → conv-net logits back as f64 (exact widening),
+    * identical on executors and in the driver-side oracle LUT.
+    */
+  def smokeCnnLogits(pixels: Array[Double]): Array[Double] =
+    cnnSession.run(Array(pixels.map(_.toFloat))).head.map(_.toDouble)
 
   /** The mm_batch_infer entry: features (f64 stats) → f32 input → logits
     * back as f64 (exact widening), identical on executors and in the

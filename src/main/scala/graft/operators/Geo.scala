@@ -5468,6 +5468,34 @@ object Geo {
         FROM generate_series(0, 39) AS r(a), generate_series(0, 59) AS c(b)
         ORDER BY gi, gj""")),
 
+    // ----- src_geotiff_rgb: multi-band GeoTIFF read, end-to-end ----------
+    // Full-oracle twin for the MULTI-BAND GeoTIFF path (r11): an RGB
+    // orthophoto-shaped fixture — 3 uint8 bands, chunky interleaved,
+    // LZW + channel-strided horizontal predictor 2, the GDAL default
+    // combo for compressed RGB — is decoded by GeoTiffProvider and every
+    // (cell, band) sample plus its geolocation is driver-hash-checked
+    // against the closed-form band formula. Exercises per-sample
+    // BitsPerSample/SampleFormat arrays, SamplesPerPixel,
+    // PlanarConfiguration, and the spp-strided predictor in one gate.
+    "src_geotiff_rgb" -> Q(
+      build = (s, _) =>
+        s.read.format("graft.sources.GeoTiffProvider")
+          .option("path", rgbFixturePath).load()
+          .select(col("row").cast("long").as("gi"),
+            col("col").cast("long").as("gj"),
+            col("band").cast("long").as("gb"),
+            col("lon"), col("lat"), col("value"))
+          .orderBy(col("gi"), col("gj"), col("gb")),
+      oracle = Some("""
+        SELECT r.a AS gi, c.b AS gj, bb.k AS gb,
+               10.0e0 + c.b * 0.02e0 AS lon,
+               20.0e0 - r.a * 0.02e0 AS lat,
+               CAST((r.a*7 + c.b*13 + bb.k*41 + (r.a*c.b + bb.k) % 29) % 256
+                 AS DOUBLE) AS value
+        FROM generate_series(0, 19) AS r(a), generate_series(0, 29) AS c(b),
+             generate_series(0, 2) AS bb(k)
+        ORDER BY gi, gj, gb""")),
+
     // ----- src_netcdf_goes: netCDF-4/HDF5 read, end-to-end ----------------
     // Full-oracle twin for the HDF5-backed NetCDF reader: a GOES-R-shaped
     // fixture (scaled-int16 grids, chunked + gzip(+shuffle), float grid,
@@ -5524,6 +5552,24 @@ object Geo {
     graft.sources.GeoTiff.writeInt16(f.toString, 60, 40, data,
       originLon = -120.0, originLat = 45.0, sx = 0.01, sy = 0.01,
       rowsPerStrip = 16, lzw = true, predictor2 = true)
+    f.toString
+  }
+
+  /** The src_geotiff_rgb fixture: 3-band uint8 chunky RGB, 20×30, LZW +
+    * horizontal predictor 2 (channel-strided). Pure function of source;
+    * written once per JVM.
+    */
+  private lazy val rgbFixturePath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_src_geotiff_rgb.tif")
+    val (h, w) = (20, 30)
+    val bands = (0 until 3).map(b => Array.tabulate(h * w) { k =>
+      val r = k / w; val c = k % w
+      ((r * 7 + c * 13 + b * 41 + (r * c + b) % 29) % 256).toByte
+    })
+    graft.sources.GeoTiff.writeBands8(f.toString, w, h, bands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 8, lzw = true, predictor2 = true)
     f.toString
   }
 

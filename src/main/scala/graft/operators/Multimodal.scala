@@ -216,6 +216,31 @@ object Multimodal {
         SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b"""
   }
 
+  /** Driver-side conv-net LUT (mm_conv_infer): per residue class, the
+    * committed smoke_cnn.onnx logits over the 8×8 block-mean tile —
+    * the identical Session code path the executors run.
+    */
+  private lazy val convInferOracle: String = {
+    import graft.functions.{ImageCodec, Onnx}
+    val rows = (0 until 768).map { m =>
+      val img = ImageCodec.decode(ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)))
+      val lg = Onnx.smokeCnnLogits(ImageCodec.cnnTile8(img))
+      s"($m,${lg.map(dlit).mkString(",")},${lg.indexOf(lg.max)})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, logit0, logit1, logit2, logit3, pred_class)
+          AS (VALUES $rows),
+        b AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id // 32) AS INT) AS batch_n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 32 ORDER BY doc_id) - 1 AS INT) AS batch_pos
+          FROM documents)
+        SELECT b.doc_id, b.batch_n, b.batch_pos,
+               l.logit0, l.logit1, l.logit2, l.logit3, l.pred_class
+        FROM b JOIN lut l ON b.doc_id % 768 = l.mod_id
+        ORDER BY b.doc_id"""
+  }
+
   private lazy val batchInferOracle: String = {
     val rows = featureLutLocal.map { case (m, _, f) =>
       val lg = graft.functions.Onnx.smokeLogits(f)
@@ -446,6 +471,50 @@ object Multimodal {
           .orderBy(col("doc_id"))
       },
       oracle = Some(batchInferOracle)),
+
+    // ----- mm_conv_infer: conv-net batch inference (the vision path) -----
+    // The convolutional twin of mm_batch_infer: odin_onnx's deployed
+    // models are vision classifiers (conv + pool + dense), not MLPs. Same
+    // deterministic batch assembly (doc_id / 32 key, one Session.run per
+    // group), but the input is a real image tensor — the decoded frame's
+    // 8×8 block-mean luminance tile, shipped to the executor's
+    // smoke_cnn.onnx session as ONE [n,1,8,8] NCHW batch (true batched
+    // conv execution, not row-at-a-time). Conv/MaxPool/Flatten run in
+    // the same pure-JVM float32 interpreter (functions/Onnx.scala); the
+    // committed artifact is standard ONNX protobuf that stock
+    // onnxruntime loads unchanged. LUT oracle: period-768 tiles through
+    // the identical session driver-side — logits hash bit-exact.
+    "mm_conv_infer" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.{ImageCodec, Onnx}
+        val batchSize = 32L
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .groupByKey(id => id / batchSize)
+          .flatMapGroups { (_, ids) =>
+            val batch = ids.toArray.sorted
+            val tiles = batch.map { id =>
+              val img = ImageCodec.decode(ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+              if (img == null) new Array[Double](64)
+              else ImageCodec.cnnTile8(img)
+            }
+            // one batched NCHW run per group — the ort-session shape
+            val logits = Onnx.cnnSession
+              .run(tiles.map(_.map(_.toFloat)))
+              .map(_.map(_.toDouble))
+            batch.zip(logits).zipWithIndex.map { case ((id, lg), i) =>
+              (id, batch.length, i, lg, lg.indexOf(lg.max))
+            }.iterator
+          }
+          .toDF("doc_id", "batch_n", "batch_pos", "logits", "pred_class")
+          .select(col("doc_id") +: col("batch_n") +: col("batch_pos") +:
+            (0 until 4).map(k => col("logits")(k).as(s"logit$k")) :+
+            col("pred_class"): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(convInferOracle)),
 
     // ----- mm_smoke_diff: consecutive-frame tiled smoke detection --------
     // odin_image/src/smoke.rs:70 get_gw_smoke_diff: fire-camera smoke

@@ -401,6 +401,11 @@ object Relational {
       // no join-back shuffle (r10: 11.3 s → one agg at ×100).
       build = (s, d) =>
         li(s, d)
+          // struct-min only skips fully-null structs, so a NULL price
+          // would sort first and win where the oracle's MIN ignores it;
+          // the filter makes the rewrite unconditionally equivalent
+          // (no-op on TPC-H data, pushed into the scan)
+          .filter(col("l_extendedprice").isNotNull)
           .groupBy(col("l_partkey"))
           .agg(min(struct(col("l_extendedprice"), col("l_orderkey"))).as("m"))
           .select(col("l_partkey"), col("m.l_orderkey").as("cheapest_order"),

@@ -15,20 +15,22 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Minimal pure-JVM GeoTIFF (classic TIFF or BigTIFF, either byte
-  * order, strip- OR tile-organized, single-band float32, internal
-  * overview pages via the IFD chain; compression 1 = none, 5 = LZW,
-  * 8 = Adobe DEFLATE, 32773 = PackBits — what GDAL ships and the set
-  * public DEMs (USGS 3DEP, Copernicus GLO-30) actually use) — the
-  * raster file format the reference decodes through GDAL
-  * (odin_gdal/src/lib.rs, odin_dem/src/lib.rs DEM tiles, odin_hrrr
+  * order, strip- OR tile-organized, float32 / signed-int16 / uint8
+  * samples, 1..n bands in either PlanarConfiguration (chunky
+  * interleaved or per-band planes — RGB orthophotos and multi-band L2
+  * products), internal overview pages via the IFD chain; compression
+  * 1 = none, 5 = LZW, 8 = Adobe DEFLATE, 32773 = PackBits — what GDAL
+  * ships and the set public DEMs (USGS 3DEP, Copernicus GLO-30)
+  * actually use) — the raster file format the reference decodes through
+  * GDAL (odin_gdal/src/lib.rs, odin_dem/src/lib.rs DEM tiles, odin_hrrr
   * grids). No GDAL ships in this container, so the binary parse is done
   * directly; the writer exists to produce fixture rasters for specs and
   * dev data. The LZW codec follows TIFF 6.0 with libtiff's early
   * code-width change — cross-validated both directions against the
   * JDK's independent ImageIO TIFF plugin in LzwSpec. Predictors: 1
-  * (none, GDAL's float default) and 3 (floating-point differencing,
-  * `PREDICTOR=3`); 2 (horizontal) is for integer bands this float32
-  * reader does not accept and is rejected with a clear error.
+  * (none, GDAL's float default), 2 (horizontal differencing for integer
+  * samples, channel-strided on chunky multi-band rows) and 3
+  * (floating-point differencing, `PREDICTOR=3`, single-band float32).
   *
   * Scale shape (what a 100 TB DEM/HRRR sweep needs, all here):
   * - one InputPartition PER STRIP/TILE — the natural parallel unit; a
@@ -43,6 +45,7 @@ object GeoTiff {
   val SCHEMA: StructType = StructType(Seq(
     StructField("row", IntegerType, nullable = false),
     StructField("col", IntegerType, nullable = false),
+    StructField("band", IntegerType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("lat", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false),
@@ -58,6 +61,7 @@ object GeoTiff {
   private val TSamplesPerPixel = 277
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
+  private val TPlanarConfiguration = 284
   private val TPredictor = 317
   private val TTileWidth = 322
   private val TTileLength = 323
@@ -192,7 +196,7 @@ object GeoTiff {
     * the file byte order.
     */
   def h16PredictEncode(raw: Array[Byte], rowBytes: Int,
-      littleEndian: Boolean): Array[Byte] = {
+      littleEndian: Boolean, stride: Int = 1): Array[Byte] = {
     require(raw.length % rowBytes == 0 && rowBytes % 2 == 0)
     val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val in = ByteBuffer.wrap(raw).order(ord)
@@ -201,12 +205,12 @@ object GeoTiff {
     val n = rowBytes / 2
     var base = 0
     while (base < raw.length) {
-      var prev = 0
+      val prev = new Array[Int](stride)
       var j = 0
       while (j < n) {
         val v = in.getShort(base + j * 2).toInt
-        ob.putShort(base + j * 2, (v - prev).toShort)
-        prev = v
+        ob.putShort(base + j * 2, (v - prev(j % stride)).toShort)
+        prev(j % stride) = v
         j += 1
       }
       base += rowBytes
@@ -214,9 +218,12 @@ object GeoTiff {
     out
   }
 
-  /** Inverse of [[h16PredictEncode]]. */
+  /** Inverse of [[h16PredictEncode]]. `stride` = SamplesPerPixel for
+    * chunky multi-band rows (the predictor differences each sample
+    * against the SAME channel of the previous pixel, TIFF 6.0 §14).
+    */
   def h16PredictDecode(enc: Array[Byte], rowBytes: Int,
-      littleEndian: Boolean): Array[Byte] = {
+      littleEndian: Boolean, stride: Int = 1): Array[Byte] = {
     require(enc.length % rowBytes == 0 && rowBytes % 2 == 0)
     val ord = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val in = ByteBuffer.wrap(enc).order(ord)
@@ -225,11 +232,52 @@ object GeoTiff {
     val n = rowBytes / 2
     var base = 0
     while (base < enc.length) {
-      var acc = 0
+      val acc = new Array[Int](stride)
       var j = 0
       while (j < n) {
-        acc = (acc + in.getShort(base + j * 2)).toShort.toInt
-        ob.putShort(base + j * 2, acc.toShort)
+        val c = j % stride
+        acc(c) = (acc(c) + in.getShort(base + j * 2)).toShort.toInt
+        ob.putShort(base + j * 2, acc(c).toShort)
+        j += 1
+      }
+      base += rowBytes
+    }
+    out
+  }
+
+  /** Byte-sample horizontal predictor 2 — the GDAL default for LZW/
+    * DEFLATE-compressed uint8 RGB orthophotos (`PREDICTOR=2`): per row,
+    * each byte differenced against the same channel of the previous
+    * pixel (`stride` = SamplesPerPixel for chunky rows, 1 for planar).
+    */
+  def h8PredictEncode(raw: Array[Byte], rowBytes: Int,
+      stride: Int): Array[Byte] = {
+    require(raw.length % rowBytes == 0)
+    val out = new Array[Byte](raw.length)
+    var base = 0
+    while (base < raw.length) {
+      var j = 0
+      while (j < rowBytes) {
+        val prev = if (j >= stride) raw(base + j - stride).toInt else 0
+        out(base + j) = (raw(base + j) - prev).toByte
+        j += 1
+      }
+      base += rowBytes
+    }
+    out
+  }
+
+  /** Inverse of [[h8PredictEncode]]. */
+  def h8PredictDecode(enc: Array[Byte], rowBytes: Int,
+      stride: Int): Array[Byte] = {
+    require(enc.length % rowBytes == 0)
+    val out = new Array[Byte](enc.length)
+    var base = 0
+    while (base < enc.length) {
+      var j = 0
+      while (j < rowBytes) {
+        val prev = if (j >= stride) out(base + j - stride).toInt else 0
+        out(base + j) = (enc(base + j) + prev).toByte
         j += 1
       }
       base += rowBytes
@@ -400,6 +448,126 @@ object GeoTiff {
     if (stripOffsets.size * 4 > 4) stripOffsets.foreach(o => bb.putInt(o))
     if (stripBytes.size * 4 > 4) stripBytes.foreach(c => bb.putInt(c))
     doubleArrays.foreach { case (_, ds) => ds.foreach(bb.putDouble) }
+    Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
+  }
+
+  /** Write a MULTI-BAND uint8 strip-organized GeoTIFF — the RGB
+    * orthophoto combination (BitsPerSample 8×spp, SampleFormat 1,
+    * Photometric 2) in either PlanarConfiguration: 1 = chunky (samples
+    * interleaved per pixel, GDAL's default) or 2 = planar (each band's
+    * strips stored consecutively). Optional LZW/DEFLATE with the TIFF
+    * 6.0 horizontal predictor (`PREDICTOR=2`), which for chunky rows
+    * differences each sample against the same channel of the previous
+    * pixel. `bands` is one full-plane byte array per band.
+    */
+  def writeBands8(path: String, width: Int, height: Int,
+      bands: Seq[Array[Byte]],
+      originLon: Double, originLat: Double, sx: Double, sy: Double,
+      rowsPerStrip: Int = 64, planar: Int = 1, lzw: Boolean = false,
+      deflate: Boolean = false, predictor2: Boolean = false): Unit = {
+    val spp = bands.length
+    require(spp >= 1 && bands.forall(_.length == width * height))
+    require(planar == 1 || planar == 2)
+    val comp = if (lzw) CompLzw else if (deflate) CompDeflate else CompNone
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    def stripRows(s: Int) = math.min(rowsPerStrip, height - s * rowsPerStrip)
+    val strips: Seq[Array[Byte]] =
+      if (planar == 1) (0 until nStrips).map { s =>
+        val rows = stripRows(s)
+        val raw = new Array[Byte](rows * width * spp)
+        var i = 0
+        var y = s * rowsPerStrip
+        while (y < s * rowsPerStrip + rows) {
+          var x = 0
+          while (x < width) {
+            var b = 0
+            while (b < spp) { raw(i) = bands(b)(y * width + x); i += 1; b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val pre = if (predictor2) h8PredictEncode(raw, width * spp, spp) else raw
+        compress(comp, pre)
+      }
+      else (0 until spp).flatMap { b =>
+        (0 until nStrips).map { s =>
+          val rows = stripRows(s)
+          val raw = java.util.Arrays.copyOfRange(bands(b),
+            s * rowsPerStrip * width, s * rowsPerStrip * width + rows * width)
+          val pre = if (predictor2) h8PredictEncode(raw, width, 1) else raw
+          compress(comp, pre)
+        }
+      }
+    val stripBytes = strips.map(_.length)
+    val dataStart = 8
+    val stripOffsets = stripBytes.scanLeft(dataStart)(_ + _).dropRight(1)
+    val ifdOffset = dataStart + stripBytes.sum
+    val nEntries = 14
+    val ifdSize = 2 + nEntries * 12 + 4
+    var extraOff = ifdOffset + ifdSize
+
+    val bb = ByteBuffer.allocate(ifdOffset + ifdSize + 8 * 9
+        + 4 * 2 * strips.length + 4 * spp + 64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffset)
+    strips.foreach(bb.put)
+    bb.putShort(nEntries.toShort)
+    def entryInline(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value.toInt)
+    }
+    // a count-spp SHORT array: inline when it fits the 4-byte value field
+    def entryShorts(tag: Int, values: Seq[Int]): Unit = {
+      if (values.size * 2 <= 4) {
+        bb.putShort(tag.toShort).putShort(3.toShort).putInt(values.size)
+        values.foreach(v => bb.putShort(v.toShort))
+        (values.size until 2).foreach(_ => bb.putShort(0))
+      } else {
+        bb.putShort(tag.toShort).putShort(3.toShort).putInt(values.size)
+          .putInt(extraOff)
+        extraOff += values.size * 2
+      }
+    }
+    def entryArray(tag: Int, typ: Int, values: Seq[Long]): Unit = {
+      val w = if (typ == 12) 8 else 4
+      if (values.size * w <= 4) entryInline(tag, typ, values.size, values.head)
+      else {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(values.size)
+          .putInt(extraOff)
+        extraOff += values.size * w
+      }
+    }
+    val doubleArrays = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    entryInline(TImageWidth, 4, 1, width)
+    entryInline(TImageLength, 4, 1, height)
+    entryShorts(TBitsPerSample, Seq.fill(spp)(8))
+    entryInline(TCompression, 3, 1, comp)
+    entryInline(TPhotometric, 3, 1, if (spp >= 3) 2 else 1)
+    entryArray(TStripOffsets, 4, stripOffsets.map(_.toLong))
+    entryInline(TSamplesPerPixel, 3, 1, spp)
+    entryInline(TRowsPerStrip, 4, 1, rowsPerStrip)
+    entryArray(TStripByteCounts, 4, stripBytes.map(_.toLong))
+    entryInline(TPlanarConfiguration, 3, 1, planar)
+    entryInline(TPredictor, 3, 1, if (predictor2) 2 else 1)
+    entryShorts(TSampleFormat, Seq.fill(spp)(1)) // unsigned integer
+    bb.putShort(TModelPixelScale.toShort).putShort(12.toShort).putInt(3)
+      .putInt(extraOff)
+    doubleArrays += Seq(sx, sy, 0.0)
+    extraOff += 24
+    bb.putShort(TModelTiepoint.toShort).putShort(12.toShort).putInt(6)
+      .putInt(extraOff)
+    doubleArrays += Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0)
+    extraOff += 48
+    bb.putInt(0) // next IFD
+    // out-of-line arrays in extraOff assignment order: BitsPerSample,
+    // strip offsets, strip bytecounts, SampleFormat, then the doubles
+    val bitsOut = spp * 2 > 4
+    if (bitsOut) Seq.fill(spp)(8).foreach(v => bb.putShort(v.toShort))
+    if (stripOffsets.size * 4 > 4) stripOffsets.foreach(o => bb.putInt(o))
+    if (stripBytes.size * 4 > 4) stripBytes.foreach(c => bb.putInt(c))
+    if (bitsOut) Seq.fill(spp)(1).foreach(v => bb.putShort(v.toShort))
+    doubleArrays.foreach(ds => ds.foreach(bb.putDouble))
     Files.write(Paths.get(path), java.util.Arrays.copyOf(bb.array(), bb.position()))
   }
 
@@ -745,14 +913,16 @@ object GeoTiff {
       bigEndian: Boolean,
       chunkOffsets: Array[Long], chunkByteCounts: Array[Long],
       originLon: Double, originLat: Double, sx: Double, sy: Double,
-      bits: Int = 32) { // 32 = float32 band, 16 = int16 band (DEM)
+      bits: Int = 32, // 32 = float32, 16 = int16 (DEM), 8 = uint8 (RGB)
+      spp: Int = 1, // SamplesPerPixel (bands)
+      planar: Int = 1) { // 1 = chunky (interleaved), 2 = planar (per-band)
     def tiled: Boolean = tileW > 0
   }
 
   /** Parse header + IFD of a classic TIFF (either byte order), strip- or
-    * tile-organized float32 GeoTIFF; validates the assumptions this
-    * reader makes (single band, float32, predictor none, compression
-    * none/LZW/DEFLATE).
+    * tile-organized GeoTIFF; validates the assumptions this reader makes
+    * (float32/int16/uint8 samples, 1..n bands chunky or planar,
+    * predictor none/2/3, compression none/LZW/DEFLATE/PackBits).
     */
   def readMeta(path: String): Meta = readMeta(path, 0)
 
@@ -803,10 +973,13 @@ object GeoTiff {
         else (readBytes(ifdOff, 2).getShort() & 0xFFFF, 12, ifdOff + 2)
       val entries = readBytes(entriesAt, nEntries * entrySize)
       var width = 0; var height = 0; var rps = 0
-      var bits = 0; var comp = 1; var fmt = 1; var pred = 1
+      var comp = 1; var pred = 1
+      var spp = 1; var planar = 1
       var tw = 0; var th = 0
       // offset/bytecount arrays: (type, count, inline-or-offset)
       var so = (0, 0, 0L); var sc = (0, 0, 0L)
+      // per-sample arrays (count = SamplesPerPixel): (type, count, rawPos)
+      var bitsSpec = (0, 0, 0); var fmtSpec = (0, 0, 0)
       var scaleOff = -1L; var tieOff = -1L
       (0 until nEntries).foreach { _ =>
         val tag = entries.getShort() & 0xFFFF
@@ -823,10 +996,12 @@ object GeoTiff {
         tag match {
           case TImageWidth => width = value.toInt
           case TImageLength => height = value.toInt
-          case TBitsPerSample => bits = value.toInt
+          case TBitsPerSample => bitsSpec = (typ, count, rawPos)
           case TCompression => comp = value.toInt
           case TRowsPerStrip => rps = value.toInt
-          case TSampleFormat => fmt = value.toInt
+          case TSamplesPerPixel => spp = value.toInt
+          case TPlanarConfiguration => planar = value.toInt
+          case TSampleFormat => fmtSpec = (typ, count, rawPos)
           case TPredictor => pred = value.toInt
           case TTileWidth => tw = value.toInt
           case TTileLength => th = value.toInt
@@ -837,16 +1012,45 @@ object GeoTiff {
           case _ =>
         }
       }
+      // a per-sample SHORT array: inline in the value field when it
+      // fits, else behind a LONG offset (TIFF 6.0 §2); all samples must
+      // agree (mixed-depth bands are out of scope)
+      def sampleValue(spec: (Int, Int, Int), dflt: Int, what: String): Int =
+        spec match {
+          case (0, _, _) => dflt // tag absent
+          case (typ, count, rawPos) =>
+            require(typ == 3, s"$what: expected SHORT, got type $typ")
+            val vs: Seq[Int] =
+              if (count * 2 <= (if (big) 8 else 4))
+                (0 until count).map(k => entries.getShort(rawPos + k * 2) & 0xFFFF)
+              else {
+                val off =
+                  if (big) entries.getLong(rawPos)
+                  else entries.getInt(rawPos) & 0xFFFFFFFFL
+                val b = readBytes(off, count * 2)
+                Seq.fill(count)(b.getShort() & 0xFFFF)
+              }
+            require(vs.distinct.size == 1,
+              s"$what: per-band values differ (${vs.mkString(",")})")
+            vs.head
+        }
+      val bits = sampleValue(bitsSpec, 1, "BitsPerSample")
+      val fmt = sampleValue(fmtSpec, 1, "SampleFormat")
       require(comp == CompNone || comp == CompLzw || comp == CompDeflate
           || comp == CompPackBits,
         s"compression $comp unsupported (none=1 / LZW=5 / DEFLATE=8 / " +
           "PackBits=32773)")
-      require((bits == 32 && fmt == 3) || (bits == 16 && fmt == 2),
-        s"expect float32 or signed-int16 band (bits=$bits fmt=$fmt)")
-      require(pred == 1 || (pred == 3 && bits == 32) || (pred == 2 && bits == 16),
-        s"predictor $pred unsupported for bits=$bits (1 = none; " +
-          "3 = floating-point differencing, float32 only; " +
-          "2 = horizontal differencing, integer bands only)")
+      require((bits == 32 && fmt == 3) || (bits == 16 && fmt == 2)
+          || (bits == 8 && fmt == 1),
+        s"expect float32, signed-int16 or uint8 samples (bits=$bits fmt=$fmt)")
+      require(spp >= 1, s"SamplesPerPixel $spp")
+      require(planar == 1 || planar == 2,
+        s"PlanarConfiguration $planar (1 = chunky, 2 = planar)")
+      require(pred == 1 || (pred == 3 && bits == 32 && spp == 1)
+          || (pred == 2 && (bits == 16 || bits == 8)),
+        s"predictor $pred unsupported for bits=$bits spp=$spp (1 = none; " +
+          "3 = floating-point differencing, single-band float32 only; " +
+          "2 = horizontal differencing, integer samples only)")
       require((tw == 0) == (th == 0), "TileWidth/TileLength must pair")
       if (rps == 0 && tw == 0) rps = height
       // SHORT / LONG / LONG8 arrays, inline when they fit the value field
@@ -869,9 +1073,14 @@ object GeoTiff {
       }
       val offs = longArray(so)
       val cnts = longArray(sc)
+      val planes = if (planar == 2) spp else 1
       if (tw > 0) {
-        val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
+        val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th) * planes
         require(offs.length == expect, s"expect $expect tiles, got ${offs.length}")
+      } else {
+        val expect = ((height + rps - 1) / rps) * planes
+        require(offs.length == expect,
+          s"expect $expect strips, got ${offs.length}")
       }
       require(scaleOff >= 0 && tieOff >= 0, "missing georeferencing tags")
       val sb = readBytes(scaleOff, 24)
@@ -881,7 +1090,7 @@ object GeoTiff {
       val originLon = tb.getDouble(); val originLat = tb.getDouble()
       Meta(width, height, rps, tw, th, comp, pred,
         order == ByteOrder.BIG_ENDIAN, offs, cnts,
-        originLon, originLat, sx, sy, bits)
+        originLon, originLat, sx, sy, bits, spp, planar)
     } finally raf.close()
   }
 
@@ -958,7 +1167,8 @@ final case class GeoTiffChunkPartition(path: String, offset: Long,
     byteCount: Long, startRow: Int, startCol: Int, chunkRows: Int,
     chunkCols: Int, imgWidth: Int, imgHeight: Int, compression: Int,
     predictor: Int, bigEndian: Boolean, originLon: Double,
-    originLat: Double, sx: Double, sy: Double, bits: Int = 32)
+    originLat: Double, sx: Double, sy: Double, bits: Int = 32,
+    spp: Int = 1, bandIdx: Int = -1) // bandIdx >= 0: planar chunk of ONE band
   extends InputPartition
 
 class GeoTiffScan(path: String, overview: Int, required: StructType)
@@ -971,21 +1181,30 @@ class GeoTiffScan(path: String, overview: Int, required: StructType)
     SourcePaths.resolve(path).flatMap { f =>
       val m = GeoTiff.readMeta(f, overview)
       val bigEndian = m.bigEndian
+      // planar files list each band's chunks consecutively (band 0's
+      // strips/tiles, then band 1's, ...); chunky files interleave all
+      // bands inside every chunk (bandIdx -1)
+      val planes = if (m.planar == 2) m.spp else 1
+      val perBand = m.chunkOffsets.length / planes
       if (m.tiled) {
         val tilesAcross = (m.width + m.tileW - 1) / m.tileW
         m.chunkOffsets.indices.map { i =>
+          val ib = i % perBand
           GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
-            (i / tilesAcross) * m.tileH, (i % tilesAcross) * m.tileW,
+            (ib / tilesAcross) * m.tileH, (ib % tilesAcross) * m.tileW,
             m.tileH, m.tileW, m.width, m.height, m.compression, m.predictor,
-            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits)
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits,
+            m.spp, if (m.planar == 2) i / perBand else -1)
         }
       } else {
         m.chunkOffsets.indices.map { i =>
-          val startRow = i * m.rowsPerStrip
+          val ib = i % perBand
+          val startRow = ib * m.rowsPerStrip
           GeoTiffChunkPartition(f, m.chunkOffsets(i), m.chunkByteCounts(i),
             startRow, 0, math.min(m.rowsPerStrip, m.height - startRow),
             m.width, m.width, m.height, m.compression, m.predictor,
-            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits)
+            bigEndian, m.originLon, m.originLat, m.sx, m.sy, m.bits,
+            m.spp, if (m.planar == 2) i / perBand else -1)
         }
       }
     }.toArray
@@ -1005,38 +1224,49 @@ class GeoTiffReaderFactory(required: StructType) extends PartitionReaderFactory 
 class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   private val sampleBytes = p.bits / 8
+  // samples interleaved per pixel (chunky) or one band per chunk (planar)
+  private val sampPerCell = if (p.bandIdx >= 0) 1 else p.spp
   private val cells: ByteBuffer = {
     val raf = new RandomAccessFile(p.path, "r")
     try {
       val a = new Array[Byte](p.byteCount.toInt)
       raf.seek(p.offset); raf.readFully(a)
-      val expected = p.chunkRows * p.chunkCols * sampleBytes
+      val expected = p.chunkRows * p.chunkCols * sampPerCell * sampleBytes
       val undiff = GeoTiff.decompress(p.compression, a, expected)
+      val rowSamples = p.chunkCols * sampPerCell
       val raw =
         if (p.predictor == 3)
-          GeoTiff.fpPredictDecode(undiff, p.chunkCols * 4, !p.bigEndian)
+          GeoTiff.fpPredictDecode(undiff, rowSamples * 4, !p.bigEndian)
+        else if (p.predictor == 2 && p.bits == 16)
+          GeoTiff.h16PredictDecode(undiff, rowSamples * 2, !p.bigEndian,
+            sampPerCell)
         else if (p.predictor == 2)
-          GeoTiff.h16PredictDecode(undiff, p.chunkCols * 2, !p.bigEndian)
+          GeoTiff.h8PredictDecode(undiff, rowSamples, sampPerCell)
         else undiff
       ByteBuffer.wrap(raw).order(
         if (p.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     } finally raf.close()
   }
-  private val nCells = p.chunkRows * p.chunkCols
+  private val nSamples = p.chunkRows * p.chunkCols * sampPerCell
   private var i = -1
-  private def inImage(j: Int): Boolean =
-    p.startRow + j / p.chunkCols < p.imgHeight &&
-      p.startCol + j % p.chunkCols < p.imgWidth
+  private def inImage(j: Int): Boolean = {
+    val cell = j / sampPerCell
+    p.startRow + cell / p.chunkCols < p.imgHeight &&
+      p.startCol + cell % p.chunkCols < p.imgWidth
+  }
   override def next(): Boolean = {
     i += 1
-    while (i < nCells && !inImage(i)) i += 1
-    i < nCells
+    while (i < nSamples && !inImage(i)) i += 1
+    i < nSamples
   }
   override def get(): InternalRow = {
-    val row = p.startRow + i / p.chunkCols
-    val colI = p.startCol + i % p.chunkCols
+    val cell = i / sampPerCell
+    val band = if (p.bandIdx >= 0) p.bandIdx else i % sampPerCell
+    val row = p.startRow + cell / p.chunkCols
+    val colI = p.startCol + cell % p.chunkCols
     val v =
-      if (p.bits == 16) cells.getShort(i * 2).toDouble
+      if (p.bits == 8) (cells.get(i) & 0xFF).toDouble
+      else if (p.bits == 16) cells.getShort(i * 2).toDouble
       else cells.getFloat(i * 4).toDouble
     val out = new GenericInternalRow(required.size)
     var f = 0
@@ -1044,6 +1274,7 @@ class GeoTiffChunkReader(p: GeoTiffChunkPartition, required: StructType)
       required.fields(f).name match {
         case "row" => out.setInt(f, row)
         case "col" => out.setInt(f, colI)
+        case "band" => out.setInt(f, band)
         case "lon" => out.setDouble(f, p.originLon + colI * p.sx)
         case "lat" => out.setDouble(f, p.originLat - row * p.sy)
         case "value" => out.setDouble(f, v)

@@ -825,6 +825,35 @@ object Streams {
     }
   }
 
+  /** stream_conv_infer: the conv-net twin of [[batchInferStream]] — the
+    * LIVE camera-feed scoring odin_onnx actually deploys is a vision
+    * (conv) classifier. Same stateless fixed-size-32 batching, but each
+    * decoded frame becomes an 8×8 block-mean tile and the whole batch
+    * runs as ONE [n,1,8,8] NCHW tensor through the committed
+    * smoke_cnn.onnx session (Conv/MaxPool/Flatten in the pure-JVM
+    * interpreter) — loaded once per executor JVM, shared with
+    * mm_conv_infer, bit-identical logits to the batch operator.
+    */
+  def convInferStream(in: Dataset[InferIn]): Dataset[InferOut] = {
+    import in.sparkSession.implicits._
+    import graft.functions.{ImageCodec, Onnx}
+    in.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        val tiles = batch.map { r =>
+          val img = ImageCodec.decode(r.png)
+          if (img == null) new Array[Double](64) else ImageCodec.cnnTile8(img)
+        }
+        val logits = Onnx.cnnSession
+          .run(tiles.map(_.map(_.toFloat)).toArray)
+          .map(_.map(_.toDouble))
+        batch.zip(logits).map { case (r, lg) =>
+          InferOut(r.doc_id, batch.length, lg.indexOf(lg.max),
+            lg(0), lg(1), lg(2), lg(3))
+        }
+      }
+    }
+  }
+
   case class FenceSeg(fence: Int, ax: Long, ay: Long, bx: Long, by: Long)
   case class FixEv(user_id: Long, event_id: Long, ts_sec: Long,
       lat: Double, lon: Double)
@@ -889,61 +918,217 @@ object Streams {
   case class Fix(user_id: Long, ts_sec: Long, lat: Double, lon: Double,
       vlat: Double, vlon: Double)
 
-  /** stream_cpa: LIVE closest-point-of-approach monitoring — the
+  /** One fix replicated into a grid cell's pairing scope. `home` is true
+    * on the copy landing in the fix's own 1° cell, false on the 8
+    * neighbor-cell copies.
+    */
+  case class CpaIn(cl: Long, cn: Long, user_id: Long, ts_sec: Long,
+      ts: java.sql.Timestamp, lat: Double, lon: Double,
+      vlat: Double, vlon: Double, home: Boolean)
+
+  case class CpaStoredFix(user_id: Long, ts_sec: Long, lat: Double,
+      lon: Double, vlat: Double, vlon: Double, home: Boolean)
+
+  case class CpaTbUser(tb: Long, user_id: Long)
+
+  /** Per-cell CPA state: the fixes still inside the pairing band plus
+    * the per-time-bucket keeper sets that enforce the density cap.
+    */
+  case class CpaCellState(fixes: Seq[CpaStoredFix],
+      homeAdm: Seq[CpaTbUser], probeAdm: Seq[CpaTbUser])
+
+  /** Pair or overflow event from the per-cell CPA monitor. kind="pair"
+    * rows carry the encounter; kind="over" rows carry a home fix the
+    * density cap rejected (user_a / ts_a_sec are the rejected fix).
+    */
+  case class CpaEvent(kind: String, user_a: Long, user_b: Long,
+      ts_a_sec: Long, ts_b_sec: Long, t_cpa_min: Double, d_cpa_km: Double,
+      tb: Long, cl: Long, cn: Long)
+
+  /** stream_cpa core: LIVE closest-point-of-approach monitoring — the
     * streaming twin of geo_cpa and the shape of odin_adsb's closing-rate
     * watch (each incoming track fix is immediately checked against every
-    * recent fix in its spatial neighborhood). Grid-bucketed watermarked
-    * stream-stream SELF-join: side A keeps each fix in its home 1° cell,
-    * side B replicates fixes to the 3×3 neighbor cells; cell-key
-    * equality plus the ±`bandSec` event-time range and BOTH watermarks
-    * let Spark expire join state (a fix older than watermark − band can
-    * never pair again), so state is bounded by neighborhood density ×
-    * band — never feed length. Emits every candidate pair whose
-    * linear-motion CPA inside the next 30 min is ≤ `maxKm`, with the
-    * same clamped-solve arithmetic as the batch operator.
+    * recent fix in its spatial neighborhood). Each fix is replicated to
+    * its 3×3 neighbor 1° cells (home copy + 8 probe copies) and the
+    * stream is keyed by cell; one flatMapGroupsWithState stage per cell
+    * holds the fixes still inside the ±`bandSec` event-time band and
+    * pairs every arriving copy against them with the batch operator's
+    * exact clamped-solve arithmetic (round-6 midpoint cosine, clamp to
+    * [0, 30] min, -0.0 canonicalization, round-3 display). A pair
+    * (a, b), user_a < user_b, is emitted exactly once — in user_a's home
+    * cell when user_b's copy reaches it — matching the batch twin's
+    * home-side × 3×3-probe join.
+    *
+    * Density cap (the guard geo_cpa needed twice and geo_convoys once —
+    * uncapped pair output is quadratic in per-cell entity density, and
+    * in the live path an overdense cell stalls the micro-batch): per
+    * (cell, 30-min time bucket) at most `cellCap` distinct HOME users are
+    * admitted to pairing; later home fixes in a tripped bucket are
+    * rejected to the kind="over" side-output (cpaOverflowStream) instead
+    * of pairing. Probe copies get an 8×`cellCap` keeper set — it only
+    * rejects when some neighbor cell is itself over the cap, so pair
+    * output is EXACTLY the uncapped set whenever every cell in a fix's
+    * 3×3 catchment holds ≤ `cellCap` distinct users per bucket
+    * (StreamReplaySpec pins this parity; gate-scale densities peak at 9
+    * vs 64). State per cell is bounded by ≤ 9·cellCap admitted users ×
+    * their fixes in band; watermark eviction (a fix older than
+    * watermark − band can never pair again) plus an event-time timeout
+    * bounds it by density × band — never feed length.
     */
-  def cpaStream(fixes: Dataset[Fix], maxKm: Double = 100.0,
-      bandSec: Long = 900L, lateness: String = "10 minutes"): DataFrame = {
-    val base = fixes.toDF()
+  def cpaEvents(fixes: Dataset[Fix], maxKm: Double = 100.0,
+      bandSec: Long = 900L, lateness: String = "10 minutes",
+      cellCap: Int = 64): Dataset[CpaEvent] = {
+    val spark = fixes.sparkSession
+    import spark.implicits._
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def r3(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
+
+    val replicated = fixes.toDF()
       .withColumn("ts", timestamp_seconds(col("ts_sec")))
-      .withColumn("cl", floor(col("lat")).cast("long"))
-      .withColumn("cn", floor(col("lon")).cast("long"))
-    val a = base.select(col("user_id").as("user_a"), col("ts").as("ts_a"),
-        col("lat").as("lat_a"), col("lon").as("lon_a"),
-        col("vlat").as("vlat_a"), col("vlon").as("vlon_a"),
-        col("cl").as("cl_a"), col("cn").as("cn_a"))
-      .withWatermark("ts_a", lateness)
-    val b = base
+      .withWatermark("ts", lateness)
+      .withColumn("hcl", floor(col("lat")).cast("long"))
+      .withColumn("hcn", floor(col("lon")).cast("long"))
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("user_id").as("user_b"), col("ts").as("ts_b"),
-        col("lat").as("lat_b"), col("lon").as("lon_b"),
-        col("vlat").as("vlat_b"), col("vlon").as("vlon_b"),
-        (col("cl") + col("dlat")).as("cl_b"),
-        (col("cn") + col("dlon")).as("cn_b"))
-      .withWatermark("ts_b", lateness)
-    a.join(b, expr(
-      s"""cl_a = cl_b AND cn_a = cn_b
-          AND user_a < user_b
-          AND ts_b >= ts_a - interval $bandSec seconds
-          AND ts_b <= ts_a + interval $bandSec seconds"""))
-      .withColumn("kx",
-        round(cos(radians((col("lat_a") + col("lat_b")) / 2.0)), 6) * 111.195)
-      .withColumn("dx", (col("lon_b") - col("lon_a")) * col("kx"))
-      .withColumn("dy", (col("lat_b") - col("lat_a")) * 111.195)
-      .withColumn("dvx", (col("vlon_b") - col("vlon_a")) * col("kx"))
-      .withColumn("dvy", (col("vlat_b") - col("vlat_a")) * 111.195)
-      .withColumn("den", col("dvx") * col("dvx") + col("dvy") * col("dvy"))
-      .withColumn("t_cpa_min",
-        when(col("den") <= 1e-12, 0.0).otherwise(
-          least(greatest(-(col("dx") * col("dvx") + col("dy") * col("dvy"))
-            / col("den"), lit(0.0)), lit(30.0)) + lit(0.0)))
-      .withColumn("d_cpa_km",
-        sqrt(pow(col("dx") + col("dvx") * col("t_cpa_min"), 2)
-          + pow(col("dy") + col("dvy") * col("t_cpa_min"), 2)))
-      .filter(col("d_cpa_km") <= maxKm)
-      .select(col("user_a"), col("user_b"), col("ts_a"), col("ts_b"),
-        round(col("t_cpa_min"), 3).as("t_cpa_min"),
-        round(col("d_cpa_km"), 3).as("d_cpa_km"))
+      .select((col("hcl") + col("dlat")).as("cl"),
+        (col("hcn") + col("dlon")).as("cn"),
+        col("user_id"), col("ts_sec"), col("ts"),
+        col("lat"), col("lon"), col("vlat"), col("vlon"),
+        (col("dlat") === 0L && col("dlon") === 0L).as("home"))
+      .as[CpaIn]
+
+    replicated.groupByKey(r => (r.cl, r.cn))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), it: Iterator[CpaIn],
+            state: GroupState[CpaCellState]) =>
+          val (cellL, cellN) = key
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption
+            .getOrElse(CpaCellState(Nil, Nil, Nil))
+          // watermark eviction: a stored fix can only pair with arrivals
+          // whose ts >= watermark, so ts + band < watermark is dead;
+          // a keeper bucket whose span (+band) is behind the watermark
+          // can never gain a member either
+          val live = prev.fixes
+            .filter(f => (f.ts_sec + bandSec) * 1000L >= wmMs)
+          def liveAdm(adm: Seq[CpaTbUser]) = adm.filter(a =>
+            ((a.tb + 1) * 1800L + bandSec) * 1000L >= wmMs)
+          val stored = scala.collection.mutable.ArrayBuffer(live: _*)
+          val homeAdm = scala.collection.mutable.Map.empty[Long,
+            scala.collection.mutable.LinkedHashSet[Long]]
+          val probeAdm = scala.collection.mutable.Map.empty[Long,
+            scala.collection.mutable.LinkedHashSet[Long]]
+          liveAdm(prev.homeAdm).foreach(a => homeAdm
+            .getOrElseUpdate(a.tb, scala.collection.mutable.LinkedHashSet
+              .empty[Long]) += a.user_id)
+          liveAdm(prev.probeAdm).foreach(a => probeAdm
+            .getOrElseUpdate(a.tb, scala.collection.mutable.LinkedHashSet
+              .empty[Long]) += a.user_id)
+
+          val out = scala.collection.mutable.ArrayBuffer.empty[CpaEvent]
+          // deterministic in-batch order; late rows (below watermark)
+          // are dropped exactly as the stream-stream join would drop them
+          val incoming = it.toSeq
+            .filter(_.ts_sec * 1000L >= wmMs)
+            .sortBy(r => (r.ts_sec, r.user_id, !r.home))
+          incoming.foreach { r =>
+            val tb = Math.floorDiv(r.ts_sec, 1800L)
+            val adm = if (r.home) homeAdm else probeAdm
+            val cap = if (r.home) cellCap else 8 * cellCap
+            val set = adm.getOrElseUpdate(tb,
+              scala.collection.mutable.LinkedHashSet.empty[Long])
+            if (set.contains(r.user_id) || set.size < cap) {
+              set += r.user_id
+              stored.foreach { s =>
+                if (s.user_id != r.user_id
+                    && math.abs(s.ts_sec - r.ts_sec) <= bandSec) {
+                  // the pair's home side is "a"; user_a < user_b picks
+                  // the one cell (home(a)) where the pair is emitted
+                  val ab =
+                    if (r.home && r.user_id < s.user_id)
+                      Some((CpaStoredFix(r.user_id, r.ts_sec, r.lat, r.lon,
+                        r.vlat, r.vlon, r.home), s))
+                    else if (s.home && s.user_id < r.user_id)
+                      Some((s, CpaStoredFix(r.user_id, r.ts_sec, r.lat,
+                        r.lon, r.vlat, r.vlon, r.home)))
+                    else None
+                  ab.foreach { case (a, b) =>
+                    val kx =
+                      r6(math.cos(math.toRadians((a.lat + b.lat) / 2.0))) *
+                        111.195
+                    val dx = (b.lon - a.lon) * kx
+                    val dy = (b.lat - a.lat) * 111.195
+                    val dvx = (b.vlon - a.vlon) * kx
+                    val dvy = (b.vlat - a.vlat) * 111.195
+                    val den = dvx * dvx + dvy * dvy
+                    val t = if (den <= 1e-12) 0.0
+                      else math.min(math.max(-(dx * dvx + dy * dvy) / den,
+                        0.0), 30.0) + 0.0
+                    val dKm = math.sqrt(math.pow(dx + dvx * t, 2)
+                      + math.pow(dy + dvy * t, 2))
+                    if (dKm <= maxKm)
+                      out += CpaEvent("pair", a.user_id, b.user_id,
+                        a.ts_sec, b.ts_sec, r3(t), r3(dKm),
+                        tb, cellL, cellN)
+                  }
+                }
+              }
+              stored += CpaStoredFix(r.user_id, r.ts_sec, r.lat, r.lon,
+                r.vlat, r.vlon, r.home)
+            } else if (r.home) {
+              out += CpaEvent("over", r.user_id, -1L, r.ts_sec, -1L,
+                0.0, 0.0, tb, cellL, cellN)
+            } // a rejected probe's home cell reports it — stay silent
+          }
+
+          val admSeq = (m: scala.collection.mutable.Map[Long,
+              scala.collection.mutable.LinkedHashSet[Long]]) =>
+            m.toSeq.sortBy(_._1)
+              .flatMap { case (tb, us) => us.toSeq.map(CpaTbUser(tb, _)) }
+          if (stored.isEmpty && homeAdm.valuesIterator.forall(_.isEmpty)
+              && probeAdm.valuesIterator.forall(_.isEmpty)) {
+            state.remove()
+          } else {
+            state.update(CpaCellState(stored.toSeq,
+              admSeq(homeAdm), admSeq(probeAdm)))
+            val horizon = (stored.map(_.ts_sec + bandSec) ++
+              homeAdm.keys.map(tb => (tb + 1) * 1800L + bandSec) ++
+              probeAdm.keys.map(tb => (tb + 1) * 1800L + bandSec)).max
+            state.setTimeoutTimestamp(
+              math.max(horizon * 1000L + 1000L, wmMs + 1000L))
+          }
+          out.iterator
+      }
   }
+
+  /** stream_cpa: the pair alarms from [[cpaEvents]] in the batch twin's
+    * output schema (user_a, user_b, ts_a, ts_b, t_cpa_min, d_cpa_km).
+    */
+  def cpaStream(fixes: Dataset[Fix], maxKm: Double = 100.0,
+      bandSec: Long = 900L, lateness: String = "10 minutes",
+      cellCap: Int = 64): DataFrame =
+    cpaEvents(fixes, maxKm, bandSec, lateness, cellCap)
+      .filter(col("kind") === "pair")
+      .select(col("user_a"), col("user_b"),
+        timestamp_seconds(col("ts_a_sec")).as("ts_a"),
+        timestamp_seconds(col("ts_b_sec")).as("ts_b"),
+        col("t_cpa_min"), col("d_cpa_km"))
+
+  /** stream_cpa_overflow: the density-cap audit side of [[cpaEvents]] —
+    * the live twin of geo_cpa_overflow. One row per home fix the cap
+    * rejected: the (time-bucket, cell) that tripped, the entity, and the
+    * fix time. Operators triage these (shrink the cell, raise the cap)
+    * instead of paying an unbounded quadratic pair listing.
+    */
+  def cpaOverflowStream(fixes: Dataset[Fix], maxKm: Double = 100.0,
+      bandSec: Long = 900L, lateness: String = "10 minutes",
+      cellCap: Int = 64): DataFrame =
+    cpaEvents(fixes, maxKm, bandSec, lateness, cellCap)
+      .filter(col("kind") === "over")
+      .select(col("tb"), col("cl"), col("cn"),
+        col("user_a").as("user_id"),
+        timestamp_seconds(col("ts_a_sec")).as("ts"))
 }

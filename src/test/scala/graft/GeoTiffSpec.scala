@@ -347,4 +347,94 @@ class GeoTiffSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("predictor"))
   }
+
+  // ---- multi-band (RGB orthophoto combination) ----
+
+  private val rw = 50
+  private val rh = 34
+  private def rgb(b: Int, r: Int, c: Int): Int =
+    (r * 7 + c * 13 + b * 41 + (r * c + b) % 29) % 256
+  private def rgbBands: Seq[Array[Byte]] =
+    (0 until 3).map(b => Array.tabulate(rh * rw)(i =>
+      rgb(b, i / rw, i % rw).toByte))
+
+  private def checkRgb(path: String): Unit = {
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", path).load().collect()
+    assert(df.length == rw * rh * 3)
+    df.foreach { r =>
+      val row = r.getAs[Int]("row"); val col = r.getAs[Int]("col")
+      val band = r.getAs[Int]("band")
+      assert(r.getAs[Double]("value") == rgb(band, row, col).toDouble,
+        s"value mismatch at ($row,$col,b$band)")
+      assert(r.getAs[Double]("lon") == 10.0 + col * 0.02)
+      assert(r.getAs[Double]("lat") == 20.0 - row * 0.02)
+    }
+  }
+
+  test("chunky RGB uint8 round-trips every (cell, band)") {
+    val f = java.nio.file.Files.createTempDirectory("gtrgb").resolve("rgb.tif")
+    GeoTiff.writeBands8(f.toString, rw, rh, rgbBands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 10)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.spp == 3 && m.planar == 1 && m.bits == 8)
+    checkRgb(f.toString)
+  }
+
+  test("planar RGB uint8 round-trips; one partition per (band, strip)") {
+    val f = java.nio.file.Files.createTempDirectory("gtrgbp").resolve("rgbp.tif")
+    GeoTiff.writeBands8(f.toString, rw, rh, rgbBands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 10, planar = 2)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.planar == 2 && m.chunkOffsets.length == 3 * ((rh + 9) / 10))
+    checkRgb(f.toString)
+    val parts = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load().rdd.getNumPartitions
+    assert(parts == 3 * ((rh + 9) / 10))
+  }
+
+  test("chunky RGB survives LZW + channel-strided horizontal predictor 2") {
+    val dir = java.nio.file.Files.createTempDirectory("gtrgbl")
+    val f = dir.resolve("rgbl.tif")
+    GeoTiff.writeBands8(f.toString, rw, rh, rgbBands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 10, lzw = true, predictor2 = true)
+    val m = GeoTiff.readMeta(f.toString)
+    assert(m.compression == GeoTiff.CompLzw && m.predictor == 2)
+    checkRgb(f.toString)
+    // planar DEFLATE + predictor too (stride 1 within a plane)
+    val fp = dir.resolve("rgblp.tif")
+    GeoTiff.writeBands8(fp.toString, rw, rh, rgbBands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 10, planar = 2, deflate = true, predictor2 = true)
+    checkRgb(fp.toString)
+  }
+
+  test("h8 predictor encode/decode invert for every stride") {
+    val raw = Array.tabulate(240)(i => ((i * 89 + 7) % 256).toByte)
+    for (stride <- Seq(1, 3, 4)) {
+      val enc = GeoTiff.h8PredictEncode(raw, 60, stride)
+      assert(java.util.Arrays.equals(
+        GeoTiff.h8PredictDecode(enc, 60, stride), raw))
+    }
+  }
+
+  test("band column prunes like any other; single-band files read band 0") {
+    val f = java.nio.file.Files.createTempDirectory("gtrgbq").resolve("rgbq.tif")
+    GeoTiff.writeBands8(f.toString, rw, rh, rgbBands,
+      originLon = 10.0, originLat = 20.0, sx = 0.02, sy = 0.02,
+      rowsPerStrip = 10)
+    val df = spark.read.format("graft.sources.GeoTiffProvider")
+      .option("path", f.toString).load()
+    // per-band mean: the select that only needs (band, value) prunes lon
+    val pruned = df.select("band", "value")
+    assert(!pruned.queryExecution.executedPlan.toString.contains("lon"))
+    val means = pruned.groupBy("band").agg(avg("value")).collect()
+    assert(means.length == 3)
+    // the single-band DEM fixture reads band 0 everywhere
+    assert(raster.select("band").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(0))
+  }
 }

@@ -179,6 +179,41 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("stream_conv_infer: live conv scoring matches the batch CNN path bit-exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{ImageCodec, Onnx}
+    import graft.streaming.Streams
+    val in = MemoryStream[Streams.InferIn]
+    val q = Streams.convInferStream(in.toDS())
+      .writeStream.format("memory").queryName("cinfer_out")
+      .outputMode("append").start()
+    def png(id: Long): Array[Byte] = {
+      val m = id % 768
+      ImageCodec.toPng(ImageCodec.syntheticImage(m, 32 + (m % 3).toInt * 16, 32))
+    }
+    in.addData((0L until 40L).map(i =>
+      Streams.InferIn(i, if (i == 7L) Array[Byte](1, 2, 3) else png(i))))
+    q.processAllAvailable()
+    val out = spark.table("cinfer_out").collect()
+    q.stop()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val tile =
+        if (id == 7L) new Array[Double](64)
+        else ImageCodec.cnnTile8(ImageCodec.decode(png(id)))
+      val lg = Onnx.smokeCnnLogits(tile)
+      (0 until 4).foreach { k =>
+        assert(java.lang.Double.doubleToRawLongBits(lg(k))
+          == java.lang.Double.doubleToRawLongBits(r.getAs[Double](s"logit$k")),
+          s"doc $id logit$k")
+      }
+      assert(r.getAs[Int]("pred_class") == lg.indexOf(lg.max))
+    }
+  }
+
   test("oracle payload-scan caps cover the data (generate_series bounds)") {
     // The mm_scene_segments / mm_motion_tiles / mm_keyframes oracles scan
     // payload bytes via a hardcoded generate_series(1, 1024), and the

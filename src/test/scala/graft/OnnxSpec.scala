@@ -157,6 +157,140 @@ class OnnxSpec extends AnyFunSuite {
       new Onnx.Session(Onnx.parse(committedBytes)).run(Array(x.clone)).head))
   }
 
+  private def committedCnnBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/smoke_cnn.onnx")
+    assert(in != null, "committed conv fixture missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("committed conv fixture is the encoded fixtureConvModel, bit-exact") {
+    assert(java.util.Arrays.equals(committedCnnBytes,
+      Onnx.encode(Onnx.fixtureConvModel)))
+  }
+
+  test("conv model parse round-trips ints attributes (pads/strides/kernel)") {
+    val m = Onnx.parse(committedCnnBytes)
+    assert(m.graphName == "smoke_cnn")
+    assert(m.inputName == "img" && m.inputDims == Seq(-1L, 1L, 8L, 8L))
+    assert(m.nodes.map(_.opType) == Seq("Conv", "Relu", "MaxPool", "Conv",
+      "Relu", "MaxPool", "Flatten", "Gemm"))
+    val c1 = m.nodes.head
+    assert(c1.attrIs("pads") == Seq(1L, 1L, 1L, 1L))
+    assert(c1.attrIs("strides") == Seq(1L, 1L))
+    assert(c1.attrIs("kernel_shape") == Seq(3L, 3L))
+    val p1 = m.nodes(2)
+    assert(p1.attrIs("kernel_shape") == Seq(2L, 2L))
+    assert(p1.attrIs("strides") == Seq(2L, 2L))
+    val f = Onnx.fixtureConvModel
+    assert(m.initOrder == f.initOrder)
+    f.inits.foreach { case (nm, t) =>
+      assert(m.inits(nm).dims == t.dims, s"$nm dims")
+      assert(java.util.Arrays.equals(m.inits(nm).data, t.data), s"$nm data")
+    }
+  }
+
+  test("Conv/MaxPool/Flatten match an independent forward pass") {
+    // independent reference: direct convolution loops written against the
+    // ONNX Conv spec (NCHW, [M,C,kH,kW], explicit pads), NOT via Session
+    val f = Onnx.fixtureConvModel
+    def convRef(x: Array[Float], c: Int, h: Int, w: Int,
+        wt: Array[Float], bs: Array[Float], m: Int,
+        kh: Int, kw: Int, pad: Int): (Array[Float], Int, Int) = {
+      val oh = h + 2 * pad - kh + 1; val ow = w + 2 * pad - kw + 1
+      val out = new Array[Float](m * oh * ow)
+      for (fo <- 0 until m; oy <- 0 until oh; ox <- 0 until ow) {
+        var acc = bs(fo)
+        for (ci <- 0 until c; ky <- 0 until kh; kx <- 0 until kw) {
+          val iy = oy - pad + ky; val ix = ox - pad + kx
+          if (iy >= 0 && iy < h && ix >= 0 && ix < w)
+            acc += x((ci * h + iy) * w + ix) *
+              wt(((fo * c + ci) * kh + ky) * kw + kx)
+        }
+        out((fo * oh + oy) * ow + ox) = acc
+      }
+      (out, oh, ow)
+    }
+    def reluRef(x: Array[Float]) = x.map(v => if (v > 0f) v else 0f)
+    def poolRef(x: Array[Float], c: Int, h: Int, w: Int)
+        : (Array[Float], Int, Int) = {
+      val oh = h / 2; val ow = w / 2
+      val out = new Array[Float](c * oh * ow)
+      for (ci <- 0 until c; oy <- 0 until oh; ox <- 0 until ow) {
+        var mx = Float.NegativeInfinity
+        for (ky <- 0 until 2; kx <- 0 until 2) {
+          val v = x((ci * h + oy * 2 + ky) * w + ox * 2 + kx)
+          if (v > mx) mx = v
+        }
+        out((ci * oh + oy) * ow + ox) = mx
+      }
+      (out, oh, ow)
+    }
+    def ref(img: Array[Float]): Array[Float] = {
+      val (c1, h1, w1) = convRef(img, 1, 8, 8,
+        f.inits("w1").data, f.inits("b1").data, 4, 3, 3, 1)
+      val (p1, hp1, wp1) = poolRef(reluRef(c1), 4, h1, w1)
+      val (c2, h2, w2) = convRef(p1, 4, hp1, wp1,
+        f.inits("w2").data, f.inits("b2").data, 8, 3, 3, 1)
+      val (p2, _, _) = poolRef(reluRef(c2), 8, h2, w2)
+      val w3 = f.inits("w3").data; val b3 = f.inits("b3").data
+      Array.tabulate(4) { k =>
+        var acc = 0.0f
+        for (i <- 0 until 32) acc += p2(i) * w3(k * 32 + i)
+        acc + b3(k)
+      }
+    }
+    val sess = new Onnx.Session(Onnx.parse(committedCnnBytes))
+    val inputs = Seq(
+      Array.fill(64)(0.0f),
+      Array.tabulate(64)(i => i.toFloat / 64f),
+      Array.tabulate(64)(i => ((i * 37) % 11 - 5).toFloat / 4f),
+      Array.tabulate(64)(i => math.sin(i.toDouble).toFloat))
+    val got = sess.run(inputs.map(_.clone).toArray)
+    inputs.zip(got).foreach { case (x, g) =>
+      assert(java.util.Arrays.equals(g, ref(x)),
+        s"mismatch: got ${g.mkString(",")} want ${ref(x).mkString(",")}")
+    }
+  }
+
+  test("batched NCHW run equals per-row runs (conv path)") {
+    val sess = Onnx.cnnSession
+    val rows = Array.tabulate(5)(r =>
+      Array.tabulate(64)(j => ((r * 64 + j) * 17 % 29).toFloat / 7f))
+    val batched = sess.run(rows)
+    val single = rows.map(r => sess.run(Array(r)).head)
+    batched.zip(single).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+  }
+
+  test("MaxPool padding is ignored (-inf), strided output shape correct") {
+    // 1×1×3×3 input, 2×2 pool, stride 2, pads 1 on all sides → 2×2 out:
+    // each window sees only the in-bounds cells
+    val m = Onnx.Model(8L, 13L, "graft", "pool_pad",
+      "x", Seq(-1L, 1L, 3L, 3L), "y", Seq(-1L, 1L, 2L, 2L),
+      nodes = Seq(Onnx.Node("MaxPool", Seq("x"), Seq("y"),
+        attrIs = Map("kernel_shape" -> Seq(2L, 2L),
+          "strides" -> Seq(2L, 2L), "pads" -> Seq(1L, 1L, 1L, 1L)))),
+      inits = Map.empty, initOrder = Seq.empty)
+    val x = Array.tabulate(9)(i => (i + 1).toFloat) // 1..9 row-major
+    val y = new Onnx.Session(m).run(Array(x)).head
+    // windows: {1},{2,3},{4,7},{5,6,8,9} → maxes 1,3,7,9
+    assert(y.toSeq == Seq(1f, 3f, 7f, 9f))
+  }
+
+  test("smokeCnnLogits is deterministic and class-discriminating") {
+    val t = Array.tabulate(64)(i => (i % 7).toDouble / 7.0)
+    val a = Onnx.smokeCnnLogits(t)
+    val b = Onnx.smokeCnnLogits(t)
+    assert(a.sameElements(b) && a.length == 4)
+    val preds = (0 until 48).map { s =>
+      val lg = Onnx.smokeCnnLogits(Array.tabulate(64)(j =>
+        ((s * 64 + j) * 41 % 255).toDouble / 255.0))
+      lg.indexOf(lg.max)
+    }
+    assert(preds.distinct.size > 1)
+  }
+
   test("smokeLogits is deterministic and class-discriminating") {
     val a = Onnx.smokeLogits(Array(10.0, 20.0, 30.0, 15.0, 0.0, 255.0, 40.0, 7.0))
     val b = Onnx.smokeLogits(Array(10.0, 20.0, 30.0, 15.0, 0.0, 255.0, 40.0, 7.0))

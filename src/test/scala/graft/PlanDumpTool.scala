@@ -27,7 +27,7 @@ object PlanDumpTool {
           case b: BroadcastNestedLoopJoinExec =>
             val side = b.buildSide.toString
             val build = if (side.contains("Right")) b.right else b.left
-            // one-line summary: the top 3 operator names of the build side
+            // one-line summary: the top 6 operator names of the build side
             val ops = build.collect { case n => n.nodeName }.take(6)
             println(s"$name\t$side\t${ops.mkString(" <- ")}")
           case _ =>

@@ -88,13 +88,21 @@ class PlanSweepSpec extends SparkSpecBase {
     Seq("events.parquet", "documents.parquet", "embeddings.parquet",
       "lineitem.parquet", "orders.parquet")
 
+  /** Operators that genuinely reduce a corpus scan before it is
+    * broadcast. A Join is deliberately NOT bounding (an equi-join of two
+    * corpus tables is still corpus-sized), and a Filter counts only if it
+    * has a real predicate — isnotnull-only Filters (the planner inserts
+    * one above most scans) don't reduce anything.
+    */
   private def boundingOps(p: SparkPlan): Int = p.collect {
-    case n if n.nodeName.contains("Filter") => n
+    case n: org.apache.spark.sql.execution.FilterExec
+        if n.condition.toString.split(" AND ").exists(c =>
+          !c.replaceAll("[()\\s]", "").toLowerCase.startsWith("isnotnull")) =>
+      n
     case n if n.nodeName.contains("Aggregate") => n
     case n if n.nodeName.contains("Window") => n
     case n if n.nodeName.contains("Generate") => n
     case n if n.nodeName.contains("Limit") => n
-    case n if n.nodeName.contains("Join") => n // bounded by its own build
   }.size
 
   test("no CartesianProduct anywhere; BNLJ only via the reviewed tiny-broadcast idiom; no corpus-scan broadcast") {

@@ -63,4 +63,55 @@ class StreamCpaSpec extends SparkSpecBase {
     assert(r.getAs[Double]("t_cpa_min") == 0.0)
     assert(math.abs(r.getAs[Double]("d_cpa_km") - 11.12) < 0.01)
   }
+
+  test("density cap bounds an overdense cell; sparse cells unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixes = MemoryStream[Fix]
+    // cap 4: 10 static entities crowd one (cell, 30-min bucket); two
+    // more converge in a far-away sparse cell
+    val hot = (0 until 10).map(i =>
+      Fix(10L + i, 1000L + i * 10L, 10.1 + i * 0.02, 20.5, 0.0, 0.0))
+    val sparse = Seq(
+      Fix(100L, 1000L, -30.2, 50.5, 0.05, 0.0),
+      Fix(101L, 1100L, -30.8 + 1.0, 50.5, -0.05, 0.0))
+    val q = Streams.cpaStream(fixes.toDS(), maxKm = 100.0, cellCap = 4)
+      .writeStream.format("memory").queryName("cpa_cap")
+      .outputMode("append").start()
+    fixes.addData(hot ++ sparse: _*)
+    q.processAllAvailable()
+    val rows = spark.table("cpa_cap").collect()
+    q.stop()
+    val hotPairs = rows.filter(_.getAs[Long]("user_a") < 100L)
+    val sparsePairs = rows.filter(_.getAs[Long]("user_a") >= 100L)
+    // first 4 distinct home users (10..13, ts order) pair freely: C(4,2);
+    // users 14..19 are rejected, so NO pair touches them
+    assert(hotPairs.length == 6, rows.mkString("; "))
+    assert(hotPairs.forall(r => r.getAs[Long]("user_b") <= 13L))
+    // the sparse cell is byte-for-byte unaffected by the hot cell
+    assert(sparsePairs.length == 1)
+    assert(sparsePairs.head.getAs[Long]("user_a") == 100L
+      && sparsePairs.head.getAs[Long]("user_b") == 101L)
+  }
+
+  test("overflow side-output reports each rejected home fix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixes = MemoryStream[Fix]
+    val hot = (0 until 10).map(i =>
+      Fix(10L + i, 1000L + i * 10L, 10.1 + i * 0.02, 20.5, 0.0, 0.0))
+    val q = Streams.cpaOverflowStream(fixes.toDS(), cellCap = 4)
+      .writeStream.format("memory").queryName("cpa_over")
+      .outputMode("append").start()
+    fixes.addData(hot: _*)
+    q.processAllAvailable()
+    val rows = spark.table("cpa_over").collect()
+    q.stop()
+    // 10 entities, cap 4 => 6 rejected home fixes, all in tb 0 / (10,20)
+    assert(rows.length == 6, rows.mkString("; "))
+    assert(rows.map(_.getAs[Long]("user_id")).sorted.toSeq
+      == (14L to 19L).toSeq)
+    assert(rows.forall(r => r.getAs[Long]("tb") == 0L
+      && r.getAs[Long]("cl") == 10L && r.getAs[Long]("cn") == 20L))
+  }
 }
