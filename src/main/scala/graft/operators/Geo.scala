@@ -2972,6 +2972,111 @@ object Geo {
         FROM agg ORDER BY ti, tj"""
       })),
 
+    // ----- geo_resample_nearest: nearest-neighbor warp kernel -----------
+    // odin_gdal/src/warp.rs:35-45 exposes GDAL's ResampleAlg enum; after
+    // bilinear (geo_grid_resample), NEAREST is the kernel a real user
+    // hits first — it is the only correct choice for CATEGORICAL rasters
+    // (fire masks, land-cover classes), where averaging invents classes.
+    // Same warp geometry as geo_grid_resample (UTM-projected target
+    // lattice over a 1 km source grid): each target cell takes the
+    // single source sample nearest its projected position
+    // (floor(f + 0.5), the round-half-up GDAL uses), and nodata passes
+    // through untouched — exactly how class rasters must behave. Scale
+    // shape: one broadcast hash join target×1 source cell, no explode.
+    "geo_resample_nearest" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 50).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 40).select(col("id").as("tj")))
+          .withColumn("lat", expr("36.025e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-122.975e0 + tj * 0.05e0"))
+        val proj = Geo.withUtm(tgt, col("lat"), col("lon"))
+          .withColumn("fx",
+            expr("(round(utm_easting, 3) - 500000.0e0) / 1000.0e0"))
+          .withColumn("fy",
+            expr("(round(utm_northing, 3) - 4000000.0e0) / 1000.0e0"))
+          .withColumn("ni", expr("CAST(floor(fx + 0.5e0) AS BIGINT)"))
+          .withColumn("nj", expr("CAST(floor(fy + 0.5e0) AS BIGINT)"))
+        val src = s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+        proj.join(broadcast(src),
+            proj("ni") === src("si") && proj("nj") === src("sj"), "left")
+          .select(col("ti"), col("tj"), col("lat"), col("lon"),
+            col("v").isNotNull.as("valid"), col("v").as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some({
+        val (fw, last) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "rf")
+        s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 36.025e0 + ti.a * 0.05e0 AS lat,
+                 -122.975e0 + tj.b * 0.05e0 AS lon
+          FROM generate_series(0, 49) AS ti(a),
+               generate_series(0, 39) AS tj(b)),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone
+               FROM tgt),
+        $fw,
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b)),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor((round(utm_easting, 3) - 500000.0e0)
+                   / 1000.0e0 + 0.5e0) AS BIGINT) AS ni,
+                 CAST(floor((round(utm_northing, 3) - 4000000.0e0)
+                   / 1000.0e0 + 0.5e0) AS BIGINT) AS nj
+          FROM $last)
+        SELECT c.ti, c.tj, c.lat, c.lon,
+               s.v IS NOT NULL AS valid, s.v AS value
+        FROM cells c LEFT JOIN src s ON c.ni = s.si AND c.nj = s.sj
+        ORDER BY c.ti, c.tj"""
+      })),
+
+    // ----- geo_resample_average: averaging downsample kernel ------------
+    // The other ResampleAlg a real user hits (warp.rs:35-45 Average):
+    // DOWNSAMPLING a continuous raster (DEM 1 km → 4 km) where bilinear
+    // would alias — every source sample inside the target footprint
+    // contributes equally, and nodata renormalizes (mean over the
+    // non-null members, GDAL's average semantics). Integer decimation
+    // geometry (factor 4 both axes), the canonical DEM pyramid step.
+    // Exact cross-engine: integer-valued samples sum exactly, the
+    // count-weighted division is the single IEEE op. Scale shape: ONE
+    // map-side-combinable groupBy over the source grid keyed on the
+    // target cell — linear, no join at all.
+    "geo_resample_average" -> Q(
+      build = (s, d) =>
+        s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"))
+          .agg(count(col("v")).as("n_valid"),
+            sum(col("v")).as("vsum"))
+          .select(col("ti"), col("tj"), col("n_valid"),
+            (col("n_valid") > 0).as("valid"),
+            expr("CASE WHEN n_valid > 0 THEN vsum / n_valid END").as("value"))
+          .orderBy(col("ti"), col("tj")),
+      oracle = Some("""
+        WITH src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b))
+        SELECT si // 4 AS ti, sj // 4 AS tj,
+               COUNT(v) AS n_valid, COUNT(v) > 0 AS valid,
+               CASE WHEN COUNT(v) > 0 THEN SUM(v) / COUNT(v) END AS value
+        FROM src GROUP BY 1, 2 ORDER BY ti, tj""")),
+
     // ----- geo_zonal_stats: raster reduction over polygon zones ---------
     // Zonal statistics — the raster consumer's other half next to the
     // warp (odin_gdal's dataset reductions feeding per-perimeter /

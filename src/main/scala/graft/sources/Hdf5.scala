@@ -75,23 +75,37 @@ object Hdf5 {
 
   // ---- read ----------------------------------------------------------
 
+  /** Seek-based metadata access (r11 — lifts the old 2 GiB
+    * whole-file-in-one-array cap; full-disk GOES-R ABI products cross
+    * it): every structure the walk touches (superblock, object headers,
+    * group/chunk B-tree nodes, SNOD leaves, local heaps) is a bounded
+    * few-KiB record, so each `bb` call reads one small window at the
+    * absolute offset. File size no longer matters — only readVarData
+    * touches data, and it always seeked.
+    */
   private final class Reader(path: String) {
-    // The metadata walk indexes a single in-memory array with Int offsets;
-    // a >= 2 GiB file would overflow those .toInt casts mid-parse. Reject
-    // up front with a diagnosable error instead (readVarData already does
-    // seek-based I/O, so only the metadata walk carries this bound).
-    require(Files.size(Paths.get(path)) < Int.MaxValue.toLong,
-      s"HDF5 file $path is >= 2 GiB — the pure-JVM metadata reader maps " +
-        "the file into one array; split the product or subset it first")
-    val bytes: Array[Byte] = Files.readAllBytes(Paths.get(path))
-    def bb(off: Long): ByteBuffer = {
-      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.position(off.toInt); b
+    private val raf = new RandomAccessFile(path, "r")
+    val size: Long = raf.length()
+    def readRange(off: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      raf.seek(off); raf.readFully(a)
+      a
     }
+    /** A little-endian window at `off`; default 64 KiB (clamped to EOF)
+      * covers every metadata record this subset walks.
+      */
+    def bb(off: Long, len: Long = 65536L): ByteBuffer =
+      ByteBuffer.wrap(readRange(off, math.min(len, size - off).toInt))
+        .order(ByteOrder.LITTLE_ENDIAN)
+    def close(): Unit = raf.close()
   }
 
   def readVars(path: String): Seq[H5Var] = {
     val r = new Reader(path)
+    try readVarsWith(r) finally r.close()
+  }
+
+  private def readVarsWith(r: Reader): Seq[H5Var] = {
     val sb = r.bb(0)
     val sig = new Array[Byte](8); sb.get(sig)
     require(java.util.Arrays.equals(sig, Signature), "not an HDF5 file")
@@ -123,13 +137,17 @@ object Hdf5 {
     val hsig = new Array[Byte](4); hb.get(hsig)
     require(new String(hsig, StandardCharsets.US_ASCII) == "HEAP", "bad heap")
     hb.get(); hb.get(); hb.get(); hb.get() // version + reserved
-    hb.getLong(); hb.getLong()
+    val heapSegSize = hb.getLong(); hb.getLong() // seg size, free-list head
     val heapData = hb.getLong()
+    // the name heap is tiny (variable names); load it once
+    require(heapSegSize <= (1L << 24),
+      s"local name heap unexpectedly large ($heapSegSize bytes)")
+    val heapBytes = r.readRange(heapData, heapSegSize.toInt)
     def heapName(off: Long): String = {
-      var p = (heapData + off).toInt
+      var p = off.toInt
       val s = p
-      while (r.bytes(p) != 0) p += 1
-      new String(r.bytes, s, p - s, StandardCharsets.UTF_8)
+      while (heapBytes(p) != 0) p += 1
+      new String(heapBytes, s, p - s, StandardCharsets.UTF_8)
     }
     // walk the group B-tree down to SNOD leaves
     def walkGroupNode(addr: Long): Unit = {
@@ -186,9 +204,8 @@ object Hdf5 {
     var read = 0
     while (read < nMsgs && blocks.nonEmpty) {
       val (start, len) = blocks.head; blocks = blocks.tail
-      val cur = r.bb(start)
-      val end = start + len
-      while (read < nMsgs && cur.position() + 8 <= end) {
+      val cur = r.bb(start, len) // window positions are block-relative
+      while (read < nMsgs && cur.position() + 8 <= len) {
         val typ = cur.getShort() & 0xFFFF
         val size = cur.getShort() & 0xFFFF
         cur.get(); cur.get(); cur.get(); cur.get() // flags + reserved

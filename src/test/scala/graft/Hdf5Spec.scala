@@ -168,4 +168,27 @@ class Hdf5Spec extends SparkSpecBase {
     val ex = intercept[IllegalArgumentException] { Hdf5.readVars(p2.toString) }
     assert(ex.getMessage.contains("superblock"))
   }
+
+  test("files past 2 GiB parse (seek-based metadata walk, r11)") {
+    // full-disk GOES-R ABI products cross 2 GiB; the old walk read the
+    // whole file into one Int-indexed array and rejected these. Extend a
+    // valid fixture to 2 GiB + 64 MiB with a sparse tail (metadata
+    // offsets are unchanged; HDF5 readers never chase the EOF field) and
+    // assert both the metadata walk and the data decode still work.
+    val path = goesFixture()
+    val big = java.nio.file.Paths.get(path + ".big")
+    Files.copy(java.nio.file.Paths.get(path), big,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raf = new java.io.RandomAccessFile(big.toFile, "rw")
+    try raf.setLength(Int.MaxValue.toLong + (64L << 20))
+    finally raf.close()
+    val vars = Hdf5.readVars(big.toString)
+    val varsSmall = Hdf5.readVars(path)
+    assert(vars.map(_.name) == varsSmall.map(_.name))
+    vars.zip(varsSmall).foreach { case (b, s) =>
+      assert(Hdf5.readVarData(big.toString, b).toSeq
+        == Hdf5.readVarData(path, s).toSeq, s"var ${b.name}")
+    }
+    Files.delete(big)
+  }
 }
