@@ -241,6 +241,34 @@ object Multimodal {
         ORDER BY b.doc_id"""
   }
 
+  /** mm_phash_pairs_grouped oracle: group the LUT-joined hashes, band
+    * over distinct hashes, carry pair multiplicities exactly.
+    */
+  private lazy val phashPairsGroupedOracle: String = {
+    val rows = phashLutLocal.map { case (m, ph) => s"($m,CAST($ph AS BIGINT))" }
+      .mkString(",")
+    s"""WITH lut(mod_id, ph) AS (VALUES $rows),
+        sigs AS (
+          SELECT d.doc_id, l.ph FROM documents d
+          JOIN lut l ON d.doc_id % 768 = l.mod_id),
+        mm AS (
+          SELECT ph, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS m
+          FROM sigs GROUP BY ph),
+        chunks AS (
+          SELECT rep, m, ph, g.c, (ph >> (g.c * 16)) & 65535 AS ck
+          FROM mm, generate_series(0, 3) AS g(c))
+        SELECT rep_a, rep_b, hamming, n_pairs FROM (
+          SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b,
+                 CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming,
+                 x.m * y.m AS n_pairs
+          FROM chunks x JOIN chunks y
+            ON x.c = y.c AND x.ck = y.ck AND x.rep < y.rep
+          WHERE bit_count(xor(x.ph, y.ph)) <= 6)
+        UNION ALL
+        SELECT rep, rep, 0, m * (m - 1) // 2 FROM mm WHERE m >= 2
+        ORDER BY rep_a, rep_b"""
+  }
+
   private lazy val batchInferOracle: String = {
     val rows = featureLutLocal.map { case (m, _, f) =>
       val lg = graft.functions.Onnx.smokeLogits(f)
@@ -1306,6 +1334,53 @@ object Multimodal {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       oracle = Some(phashPairsOracle)),
+
+    // ----- mm_phash_pairs_grouped: the production form --------------------
+    // The FIFTH output-bound pair listing (r11, found analytically by the
+    // doc_minhash_lsh ×1000 lesson): duplicate images share a pHash
+    // bit-exactly, so m copies of an image put m²-ish rows in
+    // mm_phash_pairs' OUTPUT — at ×1000 the synthetic corpus alone would
+    // emit ~1.6e10 pairs. Same cure as
+    // doc_minhash_lsh/simhash/ngram/containment _grouped: the banded
+    // hamming join runs over DISTINCT pHashes (one row per hash with
+    // rep = min doc_id and multiplicity m); cross-hash rep pairs carry
+    // m_a·m_b exact pairs, within-hash rows m(m−1)/2 at hamming 0.
+    // Grouping is by HASH, not image bytes, so distinct images colliding
+    // into one pHash group together — correct by construction (they are
+    // hamming-0 near-dups by definition of the detector). Expansion-
+    // equivalence spec'd in GroupedPairListingSpec.
+    "mm_phash_pairs_grouped" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        val sigs = Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = ImageCodec.decode(ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+              (id, if (img == null) 0L else ImageCodec.phash64(img))
+            }
+          }.toDF("doc_id", "ph")
+        val mm = sigs.groupBy(col("ph"))
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+        val chunks = mm
+          .withColumn("c", explode(expr("sequence(0, 3)")))
+          .withColumn("ck", expr("shiftright(ph, c * 16) & 65535"))
+        val cross = chunks.as("x").join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.ck") === col("y.ck")
+              && col("x.rep") < col("y.rep"))
+          .filter(expr("bit_count(x.ph ^ y.ph) <= 6"))
+          .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+            expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"),
+            (col("x.m") * col("y.m")).as("n_pairs"))
+          .distinct() // a pair matched via 2+ chunks repeats the same row
+        val within = mm.filter(col("m") >= 2)
+          .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+            lit(0L).as("hamming"), expr("m * (m - 1) div 2").as("n_pairs"))
+        cross.union(within).orderBy(col("rep_a"), col("rep_b"))
+      },
+      oracle = Some(phashPairsGroupedOracle)),
 
     // ----- mm_scene_segments: shot-boundary segmentation -----------------
     // Scene/shot segmentation of each camera's frame stream — the

@@ -169,4 +169,62 @@ class GroupedPairListingSpec extends SparkSpecBase {
     assert(within.nonEmpty)
     assert(within.forall(_.n >= 3L))
   }
+
+  /** mm_phash_pairs_grouped collapses on the 64-bit pHASH (duplicate
+    * images share it bit-exactly; distinct images colliding into one
+    * hash are hamming-0 near-dups by the detector's own definition).
+    */
+  private def phashOf(dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageCodec
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = ImageCodec.decode(ImageCodec.toPng(
+          ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+        (id, if (img == null) 0L else ImageCodec.phash64(img))
+      }).toDF("doc_id", "ph")
+  }
+
+  private def phashRollup(dir: String): Set[(Long, Long, Long, Long)] = {
+    val sig = phashOf(dir)
+    val rep = sig.groupBy(col("ph")).agg(min(col("doc_id")).as("rep"))
+    val m = sig.join(rep, "ph").select(col("doc_id"), col("rep"))
+    SparkEntry.queries("mm_phash_pairs")(spark, dir)
+      .join(m.select(col("doc_id").as("doc_a"), col("rep").as("ra")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("rep").as("rb")), "doc_b")
+      .select(least(col("ra"), col("rb")).as("rep_a"),
+        greatest(col("ra"), col("rb")).as("rep_b"), col("hamming"))
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("hamming")).as("dh"), min(col("hamming")).as("h"))
+      .collect().map { r =>
+        assert(r.getAs[Long]("dh") == 1L, s"group pair mixes hammings: $r")
+        (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+          r.getAs[Long]("h"), r.getAs[Long]("n_pairs"))
+      }.toSet
+  }
+
+  private def phashCompressed(dir: String): Set[(Long, Long, Long, Long)] =
+    SparkEntry.queries("mm_phash_pairs_grouped")(spark, dir).collect().map(r =>
+      (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"))).toSet
+
+  test("phash: exploded listing rolls up exactly to the grouped one") {
+    assert(phashCompressed(sf) == phashRollup(sf))
+    // duplicated corpus with the id shift a multiple of 768 (the image
+    // period), so every replica is image-identical to its original —
+    // the ScaleUp-at-×1000 shape that makes the exploded listing
+    // quadratic: each group carries m=3 and a within row of 3 pairs
+    val base = Tables.t(spark, sf, "documents").select(col("doc_id"))
+    val dup = (0 until 3).map(i => base.withColumn("doc_id",
+      col("doc_id") + lit(i * 768000000L))).reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("phashdup").toString
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val comp = phashCompressed(dir)
+    assert(comp == phashRollup(dir))
+    val within = comp.filter(t => t._1 == t._2)
+    assert(within.nonEmpty)
+    assert(within.forall(t => t._3 == 0L && t._4 >= 3L))
+  }
 }
