@@ -911,6 +911,19 @@ object Geo {
     */
   private[graft] final val ConvoyCapK = 64
 
+  /** Keys cubic-convolution weight (a = −0.5, Catmull-Rom — GDAL's
+    * cubic): weight of the tap at integer offset `c` ∈ −1..2 for
+    * fraction `t` ∈ [0,1). ONE SQL fragment interpolated into both the
+    * Spark plan and the DuckDB oracle, so the expression tree — and
+    * every IEEE intermediate — is identical across engines.
+    */
+  private def CubicW(c: String, t: String): String =
+    s"""(CASE $c
+        WHEN -1 THEN ((-($t*$t*$t) + 2.0e0*($t*$t)) - $t) / 2.0e0
+        WHEN 0  THEN ((3.0e0*($t*$t*$t) - 5.0e0*($t*$t)) + 2.0e0) / 2.0e0
+        WHEN 1  THEN ((-3.0e0*($t*$t*$t) + 4.0e0*($t*$t)) + $t) / 2.0e0
+        ELSE (($t*$t*$t) - ($t*$t)) / 2.0e0 END)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -3037,6 +3050,116 @@ object Geo {
                s.v IS NOT NULL AS valid, s.v AS value
         FROM cells c LEFT JOIN src s ON c.ni = s.si AND c.nj = s.sj
         ORDER BY c.ti, c.tj"""
+      })),
+
+    // ----- geo_resample_cubic: cubic-convolution warp kernel ------------
+    // Third ResampleAlg (warp.rs:35-45 Cubic): Keys cubic convolution
+    // with a = −0.5 (Catmull-Rom — GDAL's cubic), the kernel for
+    // upsampling smooth continuous fields (DEMs, temperature grids)
+    // where bilinear's gradient discontinuities show. Same UTM warp
+    // geometry; each target takes the 4×4 tap neighborhood
+    // (offsets −1..2), separable weights from one engine-shared
+    // polynomial fragment. Negative lobes make nodata renormalization
+    // ill-defined, so the strict contract applies: a target is valid
+    // only when all 16 taps exist and are non-null (GDAL's
+    // all-valid fast path); else NULL+valid=false. Scale shape: 16
+    // broadcast-hash-joined taps per target, one groupBy — no explode
+    // beyond the fixed 16.
+    "geo_resample_cubic" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 50).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 40).select(col("id").as("tj")))
+          .withColumn("lat", expr("36.025e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-122.975e0 + tj * 0.05e0"))
+        val proj = Geo.withUtm(tgt, col("lat"), col("lon"))
+          .withColumn("fx",
+            expr("(round(utm_easting, 3) - 500000.0e0) / 1000.0e0"))
+          .withColumn("fy",
+            expr("(round(utm_northing, 3) - 4000000.0e0) / 1000.0e0"))
+          .withColumn("i", expr("CAST(floor(fx) AS BIGINT)"))
+          .withColumn("j", expr("CAST(floor(fy) AS BIGINT)"))
+          .withColumn("di", expr("fx - floor(fx)"))
+          .withColumn("dj", expr("fy - floor(fy)"))
+        val src = s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+        val taps = proj
+          .withColumn("ci", explode(array((-1L to 2L).map(lit): _*)))
+          .withColumn("cj", explode(array((-1L to 2L).map(lit): _*)))
+          .withColumn("wx", expr(CubicW("ci", "di")))
+          .withColumn("wy", expr(CubicW("cj", "dj")))
+          .withColumn("ord", (col("ci") + 1) * 4 + col("cj") + 1)
+        // one row per (target, ord): max() is exact selection, and the
+        // 16-term add below runs in ONE fixed order on both engines
+        // (a float SUM's partial-aggregation order is engine-defined)
+        val piv = taps.join(broadcast(src),
+            taps("i") + taps("ci") === src("si")
+              && taps("j") + taps("cj") === src("sj"), "left")
+          .groupBy(col("ti"), col("tj"), col("lat"), col("lon"))
+          .agg(count(col("v")).as("n_valid"),
+            (0 until 16).map(k => max(when(col("ord") === k,
+              expr("wx * wy * v"))).as(s"p$k")): _*)
+        val chain = (1 until 16)
+          .foldLeft("p0")((acc, k) => s"($acc + p$k)")
+        piv.select(col("ti"), col("tj"), col("lat"), col("lon"),
+            (col("n_valid") === 16).as("valid"),
+            expr(s"CASE WHEN n_valid = 16 THEN $chain END").as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some({
+        val (fw, last) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "rf")
+        s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 36.025e0 + ti.a * 0.05e0 AS lat,
+                 -122.975e0 + tj.b * 0.05e0 AS lon
+          FROM generate_series(0, 49) AS ti(a),
+               generate_series(0, 39) AS tj(b)),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone
+               FROM tgt),
+        $fw,
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b)),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor((round(utm_easting, 3) - 500000.0e0)
+                   / 1000.0e0) AS BIGINT) AS i,
+                 CAST(floor((round(utm_northing, 3) - 4000000.0e0)
+                   / 1000.0e0) AS BIGINT) AS j,
+                 (round(utm_easting, 3) - 500000.0e0) / 1000.0e0
+                   - floor((round(utm_easting, 3) - 500000.0e0)
+                     / 1000.0e0) AS di,
+                 (round(utm_northing, 3) - 4000000.0e0) / 1000.0e0
+                   - floor((round(utm_northing, 3) - 4000000.0e0)
+                     / 1000.0e0) AS dj
+          FROM $last),
+        taps AS (
+          SELECT c.*, ci.c AS ci, cj.c AS cj,
+                 (ci.c + 1) * 4 + cj.c + 1 AS ord,
+                 ${CubicW("ci.c", "c.di")} AS wx,
+                 ${CubicW("cj.c", "c.dj")} AS wy
+          FROM cells c, generate_series(-1, 2) AS ci(c),
+               generate_series(-1, 2) AS cj(c)),
+        agg AS (
+          SELECT t.ti, t.tj, t.lat, t.lon, COUNT(s.v) AS n_valid,
+                 ${(0 until 16).map(k =>
+                   s"MAX(CASE WHEN t.ord = $k THEN t.wx * t.wy * s.v END) AS p$k")
+                   .mkString(", ")}
+          FROM taps t LEFT JOIN src s
+            ON t.i + t.ci = s.si AND t.j + t.cj = s.sj
+          GROUP BY 1, 2, 3, 4)
+        SELECT ti, tj, lat, lon, n_valid = 16 AS valid,
+               CASE WHEN n_valid = 16
+                    THEN ${(1 until 16).foldLeft("p0")((a, k) => s"($a + p$k)")}
+               END AS value
+        FROM agg ORDER BY ti, tj"""
       })),
 
     // ----- geo_resample_average: averaging downsample kernel ------------

@@ -3088,7 +3088,8 @@ object TextOps {
     // lists never materialize doc x doc, iterative closure checkpointed.
     "doc_dedup_decision" -> Q(
       build = (s, d) => {
-        val hashed = docs(s, d)
+        val base = docs(s, d)
+        val hashed = base
           .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
         val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
         val exact = hashed.join(keepers, Seq("h"))
@@ -3097,9 +3098,17 @@ object TextOps {
             col("keeper").as("keeper_id"))
         val surv = exact.filter(col("doc_id") === col("keeper"))
           .select(col("doc_id"))
-        val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-          .join(surv.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-          .join(surv.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        // r11 scale fix (found by the ×1000 tier): run the shingle pair
+        // join over SURVIVORS ONLY — jaccard is a function of the two
+        // texts alone, so pairs-over-survivors ≡ pairs-over-all
+        // semi-joined to survivors, but m byte-identical replicas no
+        // longer put m² rows in every posting-list join (the r8
+        // doc_cc_clusters defect, reborn here behind the semi-join:
+        // ×1000 ran >20 min; fixed form is seconds). Output-identical;
+        // oracle unchanged (it filters the full pair set to survivors).
+        val survDocs = base.join(surv, Seq("doc_id"))
+        val pairs = jaccardAllOf(survDocs).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val cc = connectedComponents(surv.select(col("doc_id").as("node")), edges)
