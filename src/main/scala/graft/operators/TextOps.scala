@@ -3859,26 +3859,71 @@ object TextOps {
     // fan-out is bounded by the oriented degree. Local clustering
     // coefficient = 2t/(deg·(deg-1)), exact integers into one division.
     "doc_triangle_count" -> Q(
+      // r11 scale fix (the ×1000 tier's third catch): the old form built
+      // the jaccard edge set over ALL docs — m byte-identical replicas
+      // form an m-clique (m² edges) and contribute m³ triangle-join rows,
+      // so ×1000 was disk-death. The output is PER-DOC (linear), and
+      // every member of an identical-text group has the same degree and
+      // triangle count, so the whole query decomposes exactly onto the
+      // rep graph (distinct texts, multiplicities m): for a doc in group
+      // A with neighbor groups N(A) (jaccard is a function of the two
+      // texts alone, within-group jaccard = 1 ≥ 0.5):
+      //   degree = (m_A−1) + Σ_{B∈N(A)} m_B
+      //   triangles = C(m_A−1,2)                    (both in A)
+      //             + (m_A−1)·Σ m_B                 (one in A, one in B)
+      //             + Σ_{B∈N(A)} C(m_B,2)           (both in same B)
+      //             + Σ_{rep-triangles (A,B,C)} m_B·m_C  (distinct B,C)
+      // Triangle joins now run over the rep edge set only; docs fan back
+      // out through one membership join. Output-identical (m ≡ 1
+      // degenerates to the old plan); oracle unchanged.
       build = (s, d) => {
-        val e = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
-          .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_a")
-            && col("e3.doc_b") === col("e2.doc_b"))
-          .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
-            col("e2.doc_b").as("c"))
-        val perDoc = tri.select(col("a").as("doc_id"))
-          .unionAll(tri.select(col("b").as("doc_id")))
-          .unionAll(tri.select(col("c").as("doc_id")))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-        val deg = e.select(col("doc_a").as("doc_id"))
-          .unionAll(e.select(col("doc_b").as("doc_id")))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-        deg.join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("degree"),
-            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        val memb = docs(s, d).filter(length(col("text")) >= 20)
+          .withColumn("rep", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text").cast(BinaryType)))))
+          .select(col("doc_id"), col("rep"))
+        val sizes = memb.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+        val repDocs = docs(s, d).join(
+          memb.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+          Seq("doc_id"))
+        val re = jaccardAllOf(repDocs).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a").as("ra"), col("doc_b").as("rb"))
+        val sym = re.select(col("ra").as("a"), col("rb").as("b"))
+          .unionAll(re.select(col("rb").as("a"), col("ra").as("b")))
+        val nbr = sym
+          .join(sizes.select(col("rep").as("b"), col("m").as("mb")), Seq("b"))
+          .groupBy(col("a").as("rep"))
+          .agg(sum(col("mb")).as("s_nb"),
+            sum(expr("mb * (mb - 1) div 2")).as("c2_nb"))
+        val rtri = re.as("e1")
+          .join(re.as("e2"), col("e2.ra") === col("e1.rb"))
+          .join(re.as("e3"), col("e3.ra") === col("e1.ra")
+            && col("e3.rb") === col("e2.rb"))
+          .select(col("e1.ra").as("ta"), col("e1.rb").as("tb"),
+            col("e2.rb").as("tc"))
+          .join(sizes.select(col("rep").as("ta"), col("m").as("ma")), Seq("ta"))
+          .join(sizes.select(col("rep").as("tb"), col("m").as("mb")), Seq("tb"))
+          .join(sizes.select(col("rep").as("tc"), col("m").as("mc")), Seq("tc"))
+        val triCross = rtri.select(col("ta").as("rep"),
+            (col("mb") * col("mc")).as("w"))
+          .unionAll(rtri.select(col("tb").as("rep"),
+            (col("ma") * col("mc")).as("w")))
+          .unionAll(rtri.select(col("tc").as("rep"),
+            (col("ma") * col("mb")).as("w")))
+          .groupBy(col("rep")).agg(sum(col("w")).as("t_cross"))
+        val groupStats = sizes
+          .join(nbr, Seq("rep"), "left")
+          .join(triCross, Seq("rep"), "left")
+          .withColumn("s_nb", coalesce(col("s_nb"), lit(0L)))
+          .withColumn("degree", col("m") - 1 + col("s_nb"))
+          .filter(col("degree") >= 1)
+          .withColumn("n_triangles",
+            expr("(m - 1) * (m - 2) div 2") + (col("m") - 1) * col("s_nb")
+              + coalesce(col("c2_nb"), lit(0L))
+              + coalesce(col("t_cross"), lit(0L)))
+        memb.join(groupStats, Seq("rep"))
+          .select(col("doc_id"), col("degree"), col("n_triangles"),
             when(col("degree") >= 2,
-              coalesce(col("n_triangles"), lit(0L)).cast(DoubleType) * 2.0
+              col("n_triangles").cast(DoubleType) * 2.0
                 / (col("degree") * (col("degree") - 1)))
               .otherwise(lit(0.0)).as("clustering"))
           .orderBy(col("doc_id"))

@@ -125,6 +125,49 @@ class R8fOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("doc_triangle_count: group algebra == brute force on a dup corpus") {
+    // 3x duplicated corpus (id shift preserves nothing about text, so
+    // replicas are byte-identical): every text group is a 3-clique, and
+    // the r11 rep-graph decomposition must reproduce the brute-force
+    // per-doc degree/triangle counts exactly
+    val base = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val dup = (0 until 3).map(i => base.withColumn("doc_id",
+      col("doc_id") + lit(i * 1000000000L))).reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("tridup").toString
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("doc_triangle_count")(spark, dir)
+    val pairs = SparkEntry.queries("doc_ngram_dedup")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      adj(a).intersect(adj(b)).foreach { c =>
+        if (a < b && b < c) {
+          triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+        }
+      }
+    }
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val outDocs = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(outDocs == adj.keySet, // same doc universe as the edge set
+      s"doc set mismatch: ${(outDocs -- adj.keySet).take(3)} / ${(adj.keySet -- outDocs).take(3)}")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("degree") == adj(id).size.toLong, s"degree $id")
+      assert(r.getAs[Long]("n_triangles") == triCount(id), s"tri $id")
+    }
+    // duplication engaged the within-group terms: every doc has degree
+    // >= 2 (its two clones) and >= 1 triangle (the clone 3-clique)
+    assert(rows.forall(_.getAs[Long]("degree") >= 2))
+    assert(rows.forall(_.getAs[Long]("n_triangles") >= 1))
+  }
+
   test("q51_kmv_distinct: merge is lossless and estimates track exact") {
     val df = run("q51_kmv_distinct").cache()
     assert(df.count() > 0)
