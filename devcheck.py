@@ -24,6 +24,9 @@ sfdir, outdir = args[0], args[1]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+# the oracle engine version belongs in every gate record (SURVEY §6):
+# a DuckDB upgrade that changes hash/format behavior must be visible
+print(f"oracle engine: duckdb {duckdb.__version__}")
 if tz:
     con.execute(f"SET TimeZone='{tz}'")
 import os

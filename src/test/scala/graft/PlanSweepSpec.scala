@@ -64,8 +64,9 @@ class PlanSweepSpec extends SparkSpecBase {
   private val boundedGridBroadcast = Set(
     "doc_drift_kl", "doc_heaps_curve", "geo_dem_bilinear", "geo_fill_nodata",
     "geo_grid_resample", "geo_line_of_sight", "geo_look_angles",
-    "geo_orbit_nodes", "geo_overpass", "geo_terrain_indices", "geo_warp_lcc",
-    "geo_warp_ps", "geo_wind_vector", "geo_zonal_stats",
+    "geo_orbit_nodes", "geo_overpass", "geo_resample_average",
+    "geo_resample_cubic", "geo_resample_nearest", "geo_terrain_indices",
+    "geo_warp_lcc", "geo_warp_ps", "geo_wind_vector", "geo_zonal_stats",
     "ts_covering_overpass")
 
   /** Build side is a bounded catalog or model frame: the station list
