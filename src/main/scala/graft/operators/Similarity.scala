@@ -59,6 +59,15 @@ object Similarity {
   private def ivfSign(p: Int, c: Int): Long =
     if ((splitmix64(3000017L + p * 64L + c) & 1L) == 0L) 1L else -1L
 
+  // emb_knn_graph's corpus-adaptive bucket refinement (r11 — the ×1000
+  // tier found the fixed 2^8 LSH buckets quadratic at 5M vectors, the
+  // same defect class as r7's fixed IVF cell count): target mean bucket
+  // size and refinement budget, distinct splitmix64 stream.
+  private[graft] val KnnTargetBucket = 256L
+  private[graft] val KnnMaxSplit = 16
+  private def knnSign(p: Int, c: Int): Long =
+    if ((splitmix64(5000029L + p * 64L + c) & 1L) == 0L) 1L else -1L
+
   /** emb_semantic_dedup's candidate stage, exposed for plan specs: IVF
     * cell assignment (argmax quantized dot vs the codebook centroids),
     * corpus-adaptive cell refinement, and the cell-keyed pair join with
@@ -1634,13 +1643,36 @@ object Similarity {
             zip_with(xq, plane, (x, pl) => x * pl), lit(0L), (acc, x) => acc + x)
           when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_))
+        // corpus-adaptive refinement (r11; the semantic_dedup precedent):
+        // 2^8 base buckets alone make per-bucket pair work O(n²/256) —
+        // flat at ×100, disk-death at ×1000. Extra sign-plane bits split
+        // each bucket so bucket count grows ∝ n and mean occupancy stays
+        // ≤ KnnTargetBucket; k is an exact integer decision from one
+        // 1-row count aggregate, identical on both engines. At gate SFs
+        // k = 0 and the refinement is the identity (bits % 1 = 0).
+        val bitsCol = (0 until KnnMaxSplit).map { p =>
+          val signs = typedLit((0 until 64).map(c => knnSign(p, c)))
+          val dot = aggregate(
+            zip_with(xq, signs, (x, sgn) => x * sgn),
+            lit(0L), (acc, x) => acc + x)
+          when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val kdf = e.agg(count(lit(1)).as("n_vec"))
+          .select(expr(s"aggregate(sequence($KnnMaxSplit, 0, -1), " +
+            s"CAST($KnnMaxSplit AS BIGINT), (acc, c) -> " +
+            s"IF(256 * $KnnTargetBucket * shiftleft(CAST(1 AS BIGINT), c) " +
+            s">= n_vec, CAST(c AS BIGINT), acc))").as("k"))
         val keyed = e.select(col("vec_id"), col("embedding"), col("nq"),
-          sig.as("bucket"))
-        val a = keyed.select(col("bucket"), col("vec_id"),
+            sig.as("bucket"), bitsCol.as("bits"))
+          .crossJoin(broadcast(kdf))
+          .withColumn("sub",
+            expr("bits % shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+        val a = keyed.select(col("bucket"), col("sub"), col("vec_id"),
           col("embedding").as("emb_a"), col("nq").as("nq_a"))
-        val b = keyed.select(col("bucket"), col("vec_id").as("n_vec_id"),
+        val b = keyed.select(col("bucket"), col("sub"),
+          col("vec_id").as("n_vec_id"),
           col("embedding").as("emb_b"), col("nq").as("nq_b"))
-        val ranked = a.join(b, Seq("bucket"))
+        val ranked = a.join(b, Seq("bucket", "sub"))
           .filter(col("vec_id") =!= col("n_vec_id"))
           .withColumn("simq", qdot(col("emb_a"), col("emb_b")))
           .withColumn("rn", row_number().over(
@@ -1665,8 +1697,13 @@ object Similarity {
           p <- 0 until LshPlanes
           c <- 0 until 64
         } yield s"($p,${1L << p},${c + 1},${lshSign(p, c)})").mkString(",")
+        val kplaneRows = (for {
+          p <- 0 until KnnMaxSplit
+          c <- 0 until 64
+        } yield s"($p,${1L << p},${c + 1},${knnSign(p, c)})").mkString(",")
         s"""
         WITH planes(p, w, i, s) AS (VALUES $planeRows),
+        kplanes(p, w, i, s) AS (VALUES $kplaneRows),
         xq AS (
           SELECT vec_id, t.i AS i,
                  CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1048576) AS BIGINT) AS xq
@@ -1674,16 +1711,31 @@ object Similarity {
         dots AS (
           SELECT x.vec_id, p.p, p.w, CAST(SUM(x.xq*p.s) AS BIGINT) AS dp
           FROM xq x JOIN planes p ON x.i = p.i GROUP BY 1, 2, 3),
+        kdots AS (
+          SELECT x.vec_id, p.p, p.w, CAST(SUM(x.xq*p.s) AS BIGINT) AS dp
+          FROM xq x JOIN kplanes p ON x.i = p.i GROUP BY 1, 2, 3),
+        kval AS (
+          SELECT CAST(MIN(g.c) AS INT) AS k
+          FROM generate_series(0, $KnnMaxSplit) AS g(c),
+               (SELECT COUNT(*) AS n FROM embeddings) nn
+          WHERE 256 * $KnnTargetBucket * (CAST(1 AS BIGINT) << g.c) >= nn.n),
         buckets AS (
-          SELECT vec_id,
-                 CAST(SUM(CASE WHEN dp >= 0 THEN w ELSE 0 END) AS BIGINT)
-                   AS bucket
-          FROM dots GROUP BY 1),
+          SELECT d.vec_id,
+                 CAST(SUM(CASE WHEN d.dp >= 0 THEN d.w ELSE 0 END) AS BIGINT)
+                   AS bucket,
+                 CAST(kb.bits % (CAST(1 AS BIGINT) << kv.k) AS BIGINT) AS sub
+          FROM dots d
+          JOIN (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dp >= 0 THEN w ELSE 0 END) AS BIGINT)
+                         AS bits
+                FROM kdots GROUP BY 1) kb ON kb.vec_id = d.vec_id
+          CROSS JOIN kval kv
+          GROUP BY 1, 3),
         sims AS (
           SELECT a.vec_id, b.vec_id AS n_vec_id,
                  SUM(${qterm("ea.embedding[t.i]", "eb.embedding[t.i]")}) AS simq
           FROM buckets a JOIN buckets b
-            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id <> b.vec_id
           JOIN embeddings ea ON ea.vec_id = a.vec_id
           JOIN embeddings eb ON eb.vec_id = b.vec_id
           CROSS JOIN generate_series(1, 64) AS t(i)
