@@ -3701,6 +3701,96 @@ object Geo {
         WHERE round(${havS("a.lat", "a.lon", "b.lat", "b.lon")}, 3) <= 25.0
         ORDER BY event_a, event_b""")),
 
+    // ----- geo_proximity_capped: the density-capped production form ------
+    // geo_proximity_pairs is the SIXTH output-bound pair listing (r11
+    // ×1000: 402 s, >100× for 10× data — per-(10-min, 1°-cell) event
+    // density grows with the corpus, so the pair OUTPUT is quadratic; no
+    // plan beats its own output size). Production guard = the geo_cpa
+    // precedent: cells whose event count exceeds K=64 are excluded from
+    // the pair join wholesale and reported by geo_proximity_overflow.
+    // One count-window on the cell key (no extra groupBy+join); the
+    // shared dens logic is formula-identical in the oracle, so gate
+    // outputs hash-match by construction whether or not any cell trips.
+    "geo_proximity_capped" -> Q(
+      build = (s, d) => {
+        val pts = evPts(s, d)
+          .select(col("event_id"), expr("ts_sec div 600").as("tb"),
+            col("lat"), col("lon"),
+            floor(col("lat")).cast(LongType).as("cl"),
+            floor(col("lon")).cast(LongType).as("cn"))
+          .withColumn("cell_n", count(lit(1)).over(
+            Window.partitionBy(col("tb"), col("cl"), col("cn"))))
+          .filter(col("cell_n") <= CpaCellCap)
+          .drop("cell_n")
+        val probe = pts
+          .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("event_id"), col("tb"), col("lat"), col("lon"),
+            (col("cl") + col("dlat")).as("cl"), (col("cn") + col("dlon")).as("cn"))
+        pts.as("a").join(probe.as("b"),
+            col("a.tb") === col("b.tb")
+              && col("a.cl") === col("b.cl") && col("a.cn") === col("b.cn")
+              && col("a.event_id") < col("b.event_id"))
+          .withColumn("dist_km",
+            round(havC(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 3))
+          .filter(col("dist_km") <= 25.0)
+          .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+            col("a.tb").as("tb"), col("dist_km"))
+          .orderBy(col("event_a"), col("event_b"))
+      },
+      oracle = Some(s"""
+        WITH pts0 AS (
+          SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) // 600 AS tb,
+                 $LAT AS lat, $LON AS lon,
+                 CAST(floor($LAT) AS BIGINT) AS cl,
+                 CAST(floor($LON) AS BIGINT) AS cn
+          FROM events),
+        dens AS (
+          SELECT tb, cl, cn, COUNT(*) AS n FROM pts0 GROUP BY 1, 2, 3),
+        pts AS (
+          SELECT p.* FROM pts0 p
+          JOIN dens dd ON dd.tb = p.tb AND dd.cl = p.cl AND dd.cn = p.cn
+          WHERE dd.n <= $CpaCellCap),
+        probe AS (
+          SELECT event_id, tb, lat, lon, cl + g1.d AS cl, cn + g2.d AS cn
+          FROM pts, generate_series(-1, 1) AS g1(d), generate_series(-1, 1) AS g2(d))
+        SELECT a.event_id AS event_a, b.event_id AS event_b, a.tb AS tb,
+               round(${havS("a.lat", "a.lon", "b.lat", "b.lon")}, 3) AS dist_km
+        FROM pts a JOIN probe b
+          ON a.tb = b.tb AND a.cl = b.cl AND a.cn = b.cn
+         AND a.event_id < b.event_id
+        WHERE round(${havS("a.lat", "a.lon", "b.lat", "b.lon")}, 3) <= 25.0
+        ORDER BY event_a, event_b""")),
+
+    // ----- geo_proximity_overflow: the cap's audit twin -------------------
+    // Every pair-capable (10-min bucket, cell) with its event count and
+    // whether the cap excluded it — what geo_proximity_capped declined to
+    // pair, for operator triage (geo_cpa_overflow pattern). One linear
+    // groupBy; no pair join.
+    "geo_proximity_overflow" -> Q(
+      build = (s, d) =>
+        evPts(s, d)
+          .select(expr("ts_sec div 600").as("tb"),
+            floor(col("lat")).cast(LongType).as("cl"),
+            floor(col("lon")).cast(LongType).as("cn"))
+          .groupBy(col("tb"), col("cl"), col("cn"))
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events") >= 2)
+          .select(col("tb"), col("cl"), col("cn"), col("n_events"),
+            (col("n_events") > CpaCellCap).as("capped"))
+          .orderBy(col("tb"), col("cl"), col("cn")),
+      oracle = Some(s"""
+        WITH pts0 AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 600 AS tb,
+                 CAST(floor($LAT) AS BIGINT) AS cl,
+                 CAST(floor($LON) AS BIGINT) AS cn
+          FROM events)
+        SELECT tb, cl, cn, CAST(COUNT(*) AS BIGINT) AS n_events,
+               COUNT(*) > $CpaCellCap AS capped
+        FROM pts0 GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 2
+        ORDER BY tb, cl, cn""")),
+
     // ----- geo_track_envelope: per-track bounding rect (GeoRect) ---------
     // GeoRect::from_min_max over each entity's track (geo.rs:216) plus the
     // diagonal extent — the viewport query every track display needs.

@@ -799,34 +799,38 @@ object Multimodal {
         val pairs = frames.select(col("source"), col("doc_id"))
           .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
           .filter(col("prev_doc_id").isNotNull)
-        val tiles = frames
+        // r11 scale shape: one row per (frame, 16-byte tile) carrying the
+        // tile STRING — Σx/Σxx fold inside the row via codegen'd HOFs,
+        // and Σxy folds over the two aligned tile strings after the
+        // (pair, tile) join. The old form exploded one row PER BYTE and
+        // positional-joined 5e9-row sides at ×1000 (hundreds of GB of
+        // shuffle on one box, ENOSPC); the per-byte integers and
+        // therefore every output value are unchanged.
+        val tileStr = frames
           .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
-              .as("pos"),
+            explode(expr(
+              "sequence(0, CAST(floor(length(text)/16) AS INT) - 1)"))
+              .as("tile_id"),
             col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"),
-            expr("ascii(substring(text, pos, 1))").as("b"))
-          .groupBy(col("doc_id"), col("tile_id"))
-          .agg(sum(col("b")).as("sx"),
-            sum((col("b") * col("b")).cast(LongType)).as("sxx"))
-        val cur = tiles
-        val prevT = frames
-          .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"), col("pos"),
-            expr("ascii(substring(text, pos, 1))").as("b"))
-        // Σxy needs positional alignment: join per (doc-pair, tile, pos)
-        val curP = prevT.select(col("doc_id"), col("tile_id"), col("pos"), col("b"))
-        val prvP = prevT.select(col("doc_id").as("prev_doc_id"), col("tile_id"),
-          col("pos"), col("b").as("pb"))
-        val sxyT = pairs.join(curP, Seq("doc_id"))
-          .join(prvP, Seq("prev_doc_id", "tile_id", "pos"))
-          .groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"))
-          .agg(sum((col("b") * col("pb")).cast(LongType)).as("sxy"))
+          .select(col("doc_id"), col("tile_id").cast(LongType).as("tile_id"),
+            expr("substring(text, CAST(tile_id*16+1 AS INT), 16)").as("ts"))
+        def foldAscii(src: String, term: String): String =
+          s"aggregate(sequence(1, 16), CAST(0 AS BIGINT), " +
+            s"(acc, i) -> acc + CAST($term AS BIGINT))"
+        val cur = tileStr
+          .withColumn("sx", expr(foldAscii("ts",
+            "ascii(substring(ts, i, 1))")))
+          .withColumn("sxx", expr(foldAscii("ts",
+            "ascii(substring(ts, i, 1)) * ascii(substring(ts, i, 1))")))
+          .drop("ts")
+        val prvS = tileStr.select(col("doc_id").as("prev_doc_id"),
+          col("tile_id"), col("ts").as("pts"))
+        val sxyT = pairs.join(tileStr, Seq("doc_id"))
+          .join(prvS, Seq("prev_doc_id", "tile_id"))
+          .withColumn("sxy", expr(foldAscii("ts",
+            "ascii(substring(ts, i, 1)) * ascii(substring(pts, i, 1))")))
+          .select(col("doc_id"), col("prev_doc_id"), col("tile_id"),
+            col("sxy"))
         val prevStats = cur.select(col("doc_id").as("prev_doc_id"), col("tile_id"),
           col("sx").as("sy"), col("sxx").as("syy"))
         val perTile = sxyT
