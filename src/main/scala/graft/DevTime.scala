@@ -31,6 +31,11 @@ object DevTime {
         }
       case q =>
         SparkEntry.queries(q)(spark, d).count() // warm
+        // queries that .cache() an intermediate would hand the timed run
+        // a plan-matched cache hit; clear so the steady-state number is
+        // the real recompute cost (caches INSIDE one run still count,
+        // as they should — that reuse is part of the plan)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime
         SparkEntry.queries(q)(spark, d).count()
         println(f"[devtime] $q ${(System.nanoTime - t0) / 1e9}%.2f s")

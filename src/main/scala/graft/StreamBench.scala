@@ -84,6 +84,17 @@ object StreamBench {
         0.12 * frac(e.event_id * 31 + 1) - 0.06,
         0.12 * frac(e.event_id * 31 + 2) - 0.06)
     }
+    // camera frames for the inference monitors: the period-768 synthetic
+    // PNG set, encoded ONCE — feed records share references, so 10 M
+    // events cost ~50 MB of driver heap, not 10 M encodes
+    lazy val pngLut: Array[Array[Byte]] = {
+      import graft.functions.ImageCodec
+      (0 until 768).map(m => ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))).toArray
+    }
+    def inferInOf(e: Streams.Ev): Streams.InferIn =
+      Streams.InferIn(e.event_id, pngLut((e.event_id % 768L).toInt))
+
     // 12 fixed meridian/parallel fence segments across the ±70/±180 box,
     // 1e-5-degree fixed point (the fenceStream convention)
     val fences: Seq[Streams.FenceSeg] =
@@ -156,7 +167,15 @@ object StreamBench {
       bench[Streams.Fix]("stream_cpa", () => {
         val m = MemoryStream[Streams.Fix]
         (m, Streams.cpaStream(m.toDS()))
-      }, fixOf, OutputMode.Append())
+      }, fixOf, OutputMode.Append()),
+      bench[Streams.InferIn]("stream_batch_infer", () => {
+        val m = MemoryStream[Streams.InferIn]
+        (m, Streams.batchInferStream(m.toDS()).toDF())
+      }, inferInOf, OutputMode.Append()),
+      bench[Streams.InferIn]("stream_conv_infer", () => {
+        val m = MemoryStream[Streams.InferIn]
+        (m, Streams.convInferStream(m.toDS()).toDF())
+      }, inferInOf, OutputMode.Append())
     ).flatten
 
     def f1(v: Double): String =

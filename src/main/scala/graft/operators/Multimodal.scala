@@ -1473,28 +1473,34 @@ object Multimodal {
           .select(col("source"), col("doc_id"))
           .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
           .filter(col("prev_doc_id").isNotNull)
-        val bytes = frames
-          .select(col("doc_id"), col("text"),
-            explode(expr("sequence(1, length(text))")).as("pos"))
-          .select(col("doc_id"), col("pos"),
-            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
-        val prevBytes = bytes.select(col("doc_id").as("prev_doc_id"),
-          col("pos").as("ppos"), col("b").as("pb"))
-        val sads = pairs.join(bytes, Seq("doc_id"))
-          // interior tiles only, so every shift sees all 16 samples
-          .withColumn("tile_id", expr("CAST((pos - 1) div 16 AS BIGINT)"))
-          .withColumn("shift", explode(expr("sequence(-2, 2)")))
-          .withColumn("ppos", col("pos") + col("shift"))
-          .join(prevBytes, Seq("prev_doc_id", "ppos"))
-          .groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"),
-            col("shift"))
-          .agg(count(lit(1)).as("n_cmp"), sum(abs(col("b") - col("pb"))).as("sad"))
-          .filter(col("n_cmp") === 16)
-        sads.groupBy(col("doc_id"), col("prev_doc_id"), col("tile_id"))
-          .agg(min(struct(col("sad"), col("shift"))).as("m"),
-            count(lit(1)).as("n_shifts"))
-          .filter(col("n_shifts") === 5)
-          .select(col("doc_id"), col("prev_doc_id"), col("tile_id"),
+        // r11 scale shape (the mm_ssim idiom): one row per (pair, tile)
+        // carrying the 16-char current tile and the prev frame's 20-char
+        // ±2 window — the 5 shifted SADs fold INSIDE the row via
+        // codegen'd HOFs. The old form exploded one row per byte × 5
+        // shifts and positional-joined ~2.5e10 rows at ×1000 (ENOSPC).
+        // Validity is the old n_cmp/n_shifts contract made explicit: a
+        // tile survives iff every shift sees all 16 prev samples, i.e.
+        // tile_id ≥ 1 and tile_id·16+18 ≤ len(prev); byte-level integers
+        // and the (sad, shift) struct-min tie-break are unchanged.
+        val prevTxt = frames.select(col("doc_id").as("prev_doc_id"),
+          col("text").as("ptext"))
+        val sadStructs = array((-2 to 2).map(sh => struct(
+          expr(s"aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, i) -> " +
+            s"acc + CAST(abs(ascii(substring(ts, i, 1)) - " +
+            s"ascii(substring(pw, i + ${sh + 2}, 1))) AS BIGINT))").as("sad"),
+          lit(sh).as("shift"))): _*)
+        pairs.join(frames.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .join(prevTxt, Seq("prev_doc_id"))
+          .withColumn("tile_id", explode(expr(
+            "sequence(1, CAST(length(text) DIV 16 AS INT) - 1)")))
+          .filter(expr("tile_id * 16 + 18 <= length(ptext)"))
+          .withColumn("ts",
+            expr("substring(text, CAST(tile_id*16+1 AS INT), 16)"))
+          .withColumn("pw",
+            expr("substring(ptext, CAST(tile_id*16-1 AS INT), 20)"))
+          .withColumn("m", array_min(sadStructs))
+          .select(col("doc_id"), col("prev_doc_id"),
+            col("tile_id").cast(LongType).as("tile_id"),
             col("m.shift").as("best_shift"), col("m.sad").as("best_sad"),
             (col("m.sad") > 320L).as("scene_change"))
           .orderBy(col("doc_id"), col("tile_id"))
