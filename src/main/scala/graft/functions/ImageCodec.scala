@@ -52,6 +52,97 @@ object ImageCodec {
     try ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case _: Exception => null }
 
+  /** Encode to baseline JPEG at an EXPLICIT quality — the camera-frame
+    * format (odin_sentinel image records and the odin_live/odin_alertca
+    * camera products ship JPEG, not PNG). Quality is pinned through
+    * ImageWriteParam so the byte stream is deterministic within a JVM:
+    * the LUT oracles re-run this exact encoder driver-side.
+    */
+  def toJpeg(img: BufferedImage, quality: Float = 0.85f): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Magic-byte format sniff for a mixed binary column — the dispatch a
+    * real ingest runs before choosing a decoder (a camera feed is JPEG,
+    * a tile cache PNG, and the pipeline sees both in one column).
+    */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89
+        && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF
+        && (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) "jpeg"
+    else "unknown"
+
+  /** Parsed JPEG container structure (mm_jpeg_meta) — the marker-segment
+    * walk a binary pipeline runs before trusting a camera frame, the
+    * JPEG twin of pngMeta's chunk walk: SOI, every FFxx segment with its
+    * big-endian length, SOF0/1/2 frame header (precision, dimensions,
+    * component count), APP0/JFIF detection, entropy-coded scan byte
+    * accounting (stuffed FF00 and RST0-7 stay inside the scan), EOI.
+    * markerOk = the walk consumed every byte exactly and ended at EOI.
+    */
+  final case class JpegInfo(jpegLen: Int, width: Int, height: Int,
+      precision: Int, nComponents: Int, nSegments: Int, hasJfif: Boolean,
+      entropyBytes: Long, markerOk: Boolean)
+
+  def jpegMeta(bytes: Array[Byte]): JpegInfo = {
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    var ok = bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8
+    var off = 2; var n = if (ok) 1 else 0 // SOI counted
+    var w = 0; var h = 0; var prec = 0; var ncomp = 0
+    var jfif = false; var entropy = 0L; var sawEoi = false
+    while (ok && !sawEoi && off + 2 <= bytes.length) {
+      if (u8(off) != 0xFF) ok = false
+      else {
+        val m = u8(off + 1)
+        if (m == 0xD9) { sawEoi = true; n += 1; off += 2 } // EOI
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { n += 1; off += 2 }
+        else if (off + 4 > bytes.length) ok = false
+        else {
+          val len = u16(off + 2)
+          if (len < 2 || off + 2 + len > bytes.length) ok = false
+          else {
+            // SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): frame header
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              prec = u8(off + 4); h = u16(off + 5); w = u16(off + 7)
+              ncomp = u8(off + 9)
+            }
+            if (m == 0xE0 && len >= 7 && bytes(off + 4) == 'J'
+                && bytes(off + 5) == 'F' && bytes(off + 6) == 'I'
+                && bytes(off + 7) == 'F' && bytes(off + 8) == 0) jfif = true
+            n += 1
+            off += 2 + len
+            if (m == 0xDA) { // SOS: entropy-coded scan follows the header
+              var scanning = true
+              while (scanning && off < bytes.length) {
+                if (u8(off) == 0xFF && off + 1 < bytes.length) {
+                  val mm = u8(off + 1)
+                  if (mm == 0x00 || (mm >= 0xD0 && mm <= 0xD7)) {
+                    entropy += 2; off += 2 // byte stuffing / restart
+                  } else scanning = false
+                } else { entropy += 1; off += 1 }
+              }
+            }
+          }
+        }
+      }
+    }
+    JpegInfo(bytes.length, w, h, prec, ncomp, n, jfif, entropy,
+      ok && sawEoi && off == bytes.length)
+  }
+
   /** Parsed PNG container structure (mm_png_meta): the real chunk walk a
     * binary-column pipeline runs before trusting a payload — signature,
     * per-chunk CRC32 validation, IHDR decode, IDAT accounting.

@@ -184,6 +184,118 @@ object Multimodal {
         ORDER BY d.doc_id"""
   }
 
+  /** mm_jpeg_meta oracle: the JPEG marker walk replayed per residue
+    * class on the driver's identical encoder+walk path (same JVM ⇒
+    * identical JPEG bytes, so lengths and entropy counts match
+    * bit-exactly).
+    */
+  private lazy val jpegMetaOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = (0 until 768).map { m =>
+      val jpg = ImageCodec.toJpeg(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32))
+      val i = ImageCodec.jpegMeta(jpg)
+      s"($m,${i.jpegLen},${i.width},${i.height},${i.precision}," +
+        s"${i.nComponents},${i.nSegments},${i.hasJfif},${i.entropyBytes}," +
+        s"${i.markerOk})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, jpeg_len, width, height, precision, n_components,
+                 n_segments, has_jfif, entropy_bytes, marker_ok)
+          AS (VALUES $rows)
+        SELECT d.doc_id, CAST(l.jpeg_len AS BIGINT) AS jpeg_len,
+               CAST(l.width AS BIGINT) AS width,
+               CAST(l.height AS BIGINT) AS height,
+               CAST(l.precision AS BIGINT) AS precision,
+               CAST(l.n_components AS BIGINT) AS n_components,
+               CAST(l.n_segments AS BIGINT) AS n_segments, l.has_jfif,
+               CAST(l.entropy_bytes AS BIGINT) AS entropy_bytes, l.marker_ok
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
+  /** mm_codec_dispatch oracle: per residue class the MIXED-format
+    * encode→sniff→decode→featurize chain (even residues PNG, odd JPEG —
+    * 768 is even, so doc_id % 768 fixes the parity too).
+    */
+  private lazy val codecDispatchOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = (0 until 768).map { m =>
+      val img = ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)
+      val bytes = if (m % 2 == 0) ImageCodec.toPng(img)
+        else ImageCodec.toJpeg(img)
+      val fmt = ImageCodec.sniffFormat(bytes)
+      val f = ImageCodec.features(ImageCodec.decode(bytes))
+      s"($m,'$fmt',${bytes.length},${f.map(dlit).mkString(",")})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, format, n_bytes, f0, f1, f2, f3, f4, f5, f6, f7)
+          AS (VALUES $rows)
+        SELECT d.doc_id, l.format, CAST(l.n_bytes AS BIGINT) AS n_bytes,
+               TRUE AS decoded,
+               l.f0, l.f1, l.f2, l.f3, l.f4, l.f5, l.f6, l.f7
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
+  /** mm_jpeg_robustness oracle: per residue class, pHash of the lossless
+    * PNG round trip vs pHash after a REAL lossy JPEG re-encode — both
+    * hashes from the driver's identical codec path.
+    */
+  private lazy val jpegRobustnessOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = (0 until 768).map { m =>
+      val img = ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)
+      val phPng = ImageCodec.phash64(ImageCodec.decode(ImageCodec.toPng(img)))
+      val phJpg = ImageCodec.phash64(ImageCodec.decode(ImageCodec.toJpeg(img)))
+      val ham = java.lang.Long.bitCount(phPng ^ phJpg)
+      s"($m,CAST($phPng AS BIGINT),CAST($phJpg AS BIGINT),$ham)"
+    }.mkString(",")
+    s"""WITH lut(mod_id, ph_png, ph_jpeg, hamming) AS (VALUES $rows)
+        SELECT d.doc_id, l.ph_png, l.ph_jpeg,
+               CAST(l.hamming AS BIGINT) AS hamming,
+               l.hamming <= 6 AS near_dup
+        FROM documents d JOIN lut l ON d.doc_id % 768 = l.mod_id
+        ORDER BY d.doc_id"""
+  }
+
+  /** mm_jpeg_scenes oracle: the per-shot pHash LUT (frames are keyed on
+    * doc_id div 8, so the image — and its JPEG-decoded pHash — is
+    * constant inside a shot) + the same lag/cut/gaps-and-islands SQL the
+    * Spark build runs.
+    */
+  private lazy val jpegScenesOracle: String = {
+    import graft.functions.ImageCodec
+    val rows = (0 until 768).map { m =>
+      val img = ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)
+      val ph = ImageCodec.phash64(ImageCodec.decode(ImageCodec.toJpeg(img)))
+      s"($m,CAST($ph AS BIGINT))"
+    }.mkString(",")
+    s"""WITH lut(mod_id, ph) AS (VALUES $rows),
+        seq AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+          FROM documents),
+        frames AS (
+          SELECT q.source, q.doc_id, l.ph FROM seq q
+          JOIN lut l ON ((q.rn - 1) // 8) % 768 = l.mod_id),
+        flagged AS (
+          SELECT source, doc_id, ph,
+                 CASE WHEN lag(ph) OVER w IS NULL
+                        OR bit_count(xor(ph, lag(ph) OVER w)) > 10
+                      THEN 1 ELSE 0 END AS cut
+          FROM frames WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        segs AS (
+          SELECT source, doc_id,
+                 CAST(SUM(cut) OVER (PARTITION BY source ORDER BY doc_id)
+                      AS BIGINT) AS seg_id
+          FROM flagged)
+        SELECT source, seg_id, MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM segs GROUP BY 1, 2
+        ORDER BY source, seg_id"""
+  }
+
   /** Driver-side pHash LUT over the doc_id period (lcm(256,3) = 768) —
     * same JVM codec path the executors run, so the VALUES literals are
     * bit-identical to the distributed result.
@@ -337,6 +449,146 @@ object Multimodal {
           .orderBy(col("doc_id"))
       },
       oracle = Some(pngMetaOracle)),
+
+    // ----- mm_jpeg_meta: real JPEG marker walk (the camera format) -------
+    // The JPEG twin of mm_png_meta: odin_sentinel image records and the
+    // odin_live/odin_alertca camera products ship JPEG frames, so the
+    // first real file a camera pipeline feeds this engine is a JPEG.
+    // Per document a REAL baseline JPEG is produced by the in-JDK
+    // encoder at pinned quality and its marker structure walked —
+    // SOI/APPn/DQT/SOF0/DHT/SOS/EOI, frame-header dims, JFIF detection,
+    // entropy-scan byte accounting (stuffed FF00 / RST stay in-scan),
+    // exact-consumption audit. LUT oracle, period 768.
+    "mm_jpeg_meta" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val jpg = ImageCodec.toJpeg(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32))
+              val i = ImageCodec.jpegMeta(jpg)
+              (id, i.jpegLen.toLong, i.width.toLong, i.height.toLong,
+                i.precision.toLong, i.nComponents.toLong, i.nSegments.toLong,
+                i.hasJfif, i.entropyBytes, i.markerOk)
+            }
+          }
+          .toDF("doc_id", "jpeg_len", "width", "height", "precision",
+            "n_components", "n_segments", "has_jfif", "entropy_bytes",
+            "marker_ok")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(jpegMetaOracle)),
+
+    // ----- mm_codec_dispatch: mixed-format binary column -----------------
+    // A real ingest column carries BOTH formats (camera feeds JPEG, tile
+    // caches PNG); the pipeline must sniff each payload's magic bytes and
+    // dispatch to the right decoder — never trust a filename or a side
+    // channel. Even docs encode PNG, odd docs JPEG; the query sniffs the
+    // BYTES, decodes through javax.imageio, and featurizes the decoded
+    // pixels (lossy for the JPEG half — the LUT runs the identical
+    // codec). This is mm_feature_extract's JPEG path.
+    "mm_codec_dispatch" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = ImageCodec.syntheticImage(
+                id, 32 + (id % 3).toInt * 16, 32)
+              val bytes = if (id % 2 == 0) ImageCodec.toPng(img)
+                else ImageCodec.toJpeg(img)
+              val fmt = ImageCodec.sniffFormat(bytes)
+              val dec = ImageCodec.decode(bytes)
+              val ok = dec != null
+              val f = if (ok) ImageCodec.features(dec) else new Array[Double](8)
+              (id, fmt, bytes.length, ok, f)
+            }
+          }.toDF("doc_id", "format", "n_bytes", "decoded", "features")
+          .select(col("doc_id") +: col("format") +: col("n_bytes") +:
+            col("decoded") +:
+            (0 until 8).map(k => col("features")(k).as(s"f$k")): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(codecDispatchOracle)),
+
+    // ----- mm_jpeg_robustness: pHash stability across lossy re-encode ----
+    // Image dedup must catch the SAME frame stored once as PNG and once
+    // as a camera JPEG: per document, pHash of the lossless round trip
+    // vs pHash after a REAL lossy JPEG re-encode, with the hamming
+    // distance and the dedup verdict at the mm_phash_pairs threshold.
+    // This is mm_phash_pairs' JPEG path: it pins, per image class, that
+    // the banded-hamming detector treats a JPEG re-encode as a near-dup
+    // of its source (hamming ≤ 6), not a distinct image.
+    "mm_jpeg_robustness" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = ImageCodec.syntheticImage(
+                id, 32 + (id % 3).toInt * 16, 32)
+              val phPng = ImageCodec.phash64(
+                ImageCodec.decode(ImageCodec.toPng(img)))
+              val phJpg = ImageCodec.phash64(
+                ImageCodec.decode(ImageCodec.toJpeg(img)))
+              val ham = java.lang.Long.bitCount(phPng ^ phJpg).toLong
+              (id, phPng, phJpg, ham, ham <= 6L)
+            }
+          }
+          .toDF("doc_id", "ph_png", "ph_jpeg", "hamming", "near_dup")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(jpegRobustnessOracle)),
+
+    // ----- mm_jpeg_scenes: shot segmentation over JPEG camera frames -----
+    // mm_scene_segments' JPEG path: each camera's frame stream (documents
+    // per source, ordered by doc_id) decoded through the REAL JPEG codec
+    // and pHashed; a cut fires when consecutive frames' hamming distance
+    // exceeds 10 bits; gaps-and-islands over the cut flags yields the
+    // shots. Frames are keyed on the PER-SOURCE frame index div 8 (a
+    // camera's shot spans consecutive frames of that camera, not global
+    // doc ids), so a shot holds ~8 near-identical frames (hamming 0
+    // inside, ~random across) — the clip-level grouping a video dedup
+    // pipeline needs. Two windows + one partial agg around the codec
+    // scan; the codec cost is the mapPartitions scan, linear in frames.
+    "mm_jpeg_scenes" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.ImageCodec
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val ph = Tables.t(s, d, "documents").select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .as[(String, Long, Int)]
+          .mapPartitions { it =>
+            it.map { case (src, id, rn) =>
+              val shot = (rn - 1).toLong / 8
+              val img = ImageCodec.syntheticImage(
+                shot, 32 + (shot % 3).toInt * 16, 32)
+              (src, id, ImageCodec.phash64(
+                ImageCodec.decode(ImageCodec.toJpeg(img))))
+            }
+          }.toDF("source", "doc_id", "ph")
+        ph.withColumn("prev_ph", lag(col("ph"), 1).over(w))
+          .withColumn("cut",
+            when(col("prev_ph").isNull
+              || expr("bit_count(ph ^ prev_ph) > 10"), 1L).otherwise(0L))
+          .withColumn("seg_id", sum(col("cut")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("source"), col("seg_id"))
+          .agg(min(col("doc_id")).as("first_doc_id"),
+            max(col("doc_id")).as("last_doc_id"),
+            count(lit(1)).as("n_frames"))
+          .orderBy(col("source"), col("seg_id"))
+      },
+      oracle = Some(jpegScenesOracle)),
 
     // ----- mm_frame_sample: deterministic frame/chunk sampling -----------
     // "Frames" are 32-byte windows every 64 bytes — the shape of sampling
