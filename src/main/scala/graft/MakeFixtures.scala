@@ -19,6 +19,10 @@ object MakeFixtures {
     Files.write(dir.resolve("smoke_cnn.onnx"), cnn)
     println(s"wrote smoke_cnn.onnx (${cnn.length} bytes)")
 
+    val cnn2 = functions.Onnx.encode(functions.Onnx.fixtureConvModel2)
+    Files.write(dir.resolve("smoke_cnn2.onnx"), cnn2)
+    println(s"wrote smoke_cnn2.onnx (${cnn2.length} bytes)")
+
     // HDF5 golden fixture: committed bytes that Hdf5GoldenSpec walks with
     // its own spec-derived micro-parser (independent of Hdf5.Reader), so
     // a shared writer/reader misreading of the format spec can't

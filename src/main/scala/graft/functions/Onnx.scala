@@ -369,13 +369,19 @@ object Onnx {
     * per classloader (see `smokeSession`) and reused across batches —
     * the same lifecycle odin_onnx gives its ort::Session.
     *
-    * Executor op subset: Gemm, MatMul, Relu, Add (the MLP path) plus
-    * Conv (2D, group=1, dilation=1, explicit pads), MaxPool (2D) and
-    * Flatten (the vision path) — the layers a small conv smoke/fire
-    * classifier is made of. Values are N-D row-major tensors; Conv
+    * Executor op subset: Gemm, MatMul, Relu, Add (the MLP path); Conv
+    * (2D, group=1, dilation=1, explicit pads), MaxPool and AveragePool
+    * (2D, count_include_pad both ways), GlobalAveragePool, Flatten (the
+    * vision path); and the head/normalization ops a real exported
+    * classifier carries — Sigmoid, Softmax (last axis),
+    * BatchNormalization (inference-mode per-channel fold), Concat
+    * (any axis, N inputs). Values are N-D row-major tensors; Conv
     * follows the ONNX spec (NCHW input, [M,C,kH,kW] weights,
-    * oH = (H + padT + padB − kH) / sH + 1), MaxPool ignores padded
-    * cells (−inf padding), Flatten reshapes around its `axis`.
+    * oH = (H + padT + padB − kH) / sH + 1), the pools ignore padded
+    * cells, Flatten reshapes around its `axis`. Attribute lists are
+    * length-checked and pads >= kernel rejected with op-context
+    * messages (ADVICE r11) — malformed models fail loudly, never with
+    * a bare IndexOutOfBounds or a propagated −inf.
     */
   final class Session(val model: Model) {
     private val hidden = model.inits
@@ -471,8 +477,17 @@ object Onnx {
         require(cW == cIn, s"Conv ${node.outputs.head}: channels $cIn vs $cW")
         val strides = node.attrIs.getOrElse("strides", Seq(1L, 1L)).map(_.toInt)
         val pads = node.attrIs.getOrElse("pads", Seq(0L, 0L, 0L, 0L)).map(_.toInt)
+        // malformed attribute lists fail with an op-context message, not
+        // an IndexOutOfBounds mid-loop (ADVICE r11)
+        require(strides.length >= 2 && pads.length >= 4,
+          s"Conv ${node.outputs.head}: strides needs 2 entries and pads 4," +
+            s" got ${strides.length}/${pads.length}")
         val (sH, sW) = (strides(0), strides(1))
         val (pT, pL, pB, pR) = (pads(0), pads(1), pads(2), pads(3))
+        require(pT < kH && pB < kH && pL < kW && pR < kW,
+          s"Conv ${node.outputs.head}: pad >= kernel " +
+            s"(${pads.mkString(",")} vs ${kH}x$kW) is outside the " +
+            "supported subset")
         val oH = (h + pT + pB - kH) / sH + 1
         val oW = (wd + pL + pR - kW) / sW + 1
         val bias: Array[Float] =
@@ -536,8 +551,18 @@ object Onnx {
         val strides = node.attrIs.get("strides").map(_.map(_.toInt))
           .getOrElse(Seq(kH, kW))
         val pads = node.attrIs.getOrElse("pads", Seq(0L, 0L, 0L, 0L)).map(_.toInt)
+        require(strides.length >= 2 && pads.length >= 4,
+          s"MaxPool ${node.outputs.head}: strides needs 2 entries and pads " +
+            s"4, got ${strides.length}/${pads.length}")
         val (sH, sW) = (strides(0), strides(1))
         val (pT, pL, pB, pR) = (pads(0), pads(1), pads(2), pads(3))
+        // a window lying entirely in padding would emit -inf; the
+        // supported subset requires pads < kernel so every window sees
+        // at least one real cell (ADVICE r11)
+        require(pT < kH && pB < kH && pL < kW && pR < kW,
+          s"MaxPool ${node.outputs.head}: pad >= kernel " +
+            s"(${pads.mkString(",")} vs ${kH}x$kW) is outside the " +
+            "supported subset")
         val oH = (h + pT + pB - kH) / sH + 1
         val oW = (wd + pL + pR - kW) / sW + 1
         val out = new Array[Float](nb * cIn * oH * oW)
@@ -578,6 +603,170 @@ object Onnx {
         V(Array(nb, cIn, oH, oW), out)
       }
 
+      def avgPool(node: Node): V = {
+        val x = vals(node.inputs(0))
+        require(x.dims.length == 4, s"AveragePool ${node.outputs.head}: " +
+          s"input must be NCHW, got ${x.dims.mkString("x")}")
+        val Array(nb, cIn, h, wd) = x.dims
+        val kern = node.attrIs.getOrElse("kernel_shape",
+          throw new IllegalArgumentException(
+            s"AveragePool ${node.outputs.head}: kernel_shape required"))
+          .map(_.toInt)
+        val (kH, kW) = (kern(0), kern(1))
+        val strides = node.attrIs.get("strides").map(_.map(_.toInt))
+          .getOrElse(Seq(kH, kW))
+        val pads = node.attrIs.getOrElse("pads", Seq(0L, 0L, 0L, 0L)).map(_.toInt)
+        require(strides.length >= 2 && pads.length >= 4,
+          s"AveragePool ${node.outputs.head}: strides needs 2 entries and " +
+            s"pads 4, got ${strides.length}/${pads.length}")
+        val (sH, sW) = (strides(0), strides(1))
+        val (pT, pL, pB, pR) = (pads(0), pads(1), pads(2), pads(3))
+        require(pT < kH && pB < kH && pL < kW && pR < kW,
+          s"AveragePool ${node.outputs.head}: pad >= kernel is outside " +
+            "the supported subset")
+        // count_include_pad=0 (default): divide by VALID cells only;
+        // =1: divide by the full kernel area (padded cells count as 0)
+        val incPad = node.attrI.getOrElse("count_include_pad", 0L) == 1L
+        val oH = (h + pT + pB - kH) / sH + 1
+        val oW = (wd + pL + pR - kW) / sW + 1
+        val out = new Array[Float](nb * cIn * oH * oW)
+        var b0 = 0
+        while (b0 < nb) {
+          var c = 0
+          while (c < cIn) {
+            var oy = 0
+            while (oy < oH) {
+              var ox = 0
+              while (ox < oW) {
+                var s = 0.0f; var cnt = 0
+                var ky = 0
+                while (ky < kH) {
+                  val iy = oy * sH - pT + ky
+                  if (iy >= 0 && iy < h) {
+                    var kx = 0
+                    while (kx < kW) {
+                      val ix = ox * sW - pL + kx
+                      if (ix >= 0 && ix < wd) {
+                        s += x.data(((b0 * cIn + c) * h + iy) * wd + ix)
+                        cnt += 1
+                      }
+                      kx += 1
+                    }
+                  }
+                  ky += 1
+                }
+                out(((b0 * cIn + c) * oH + oy) * oW + ox) =
+                  s / (if (incPad) kH * kW else cnt)
+                ox += 1
+              }
+              oy += 1
+            }
+            c += 1
+          }
+          b0 += 1
+        }
+        V(Array(nb, cIn, oH, oW), out)
+      }
+
+      // inference-mode BatchNormalization: per-channel affine from the
+      // recorded running stats — y = scale·(x−mean)/sqrt(var+eps) + B.
+      // Inputs: X, scale[C], B[C], mean[C], var[C]; NCHW or [N,C].
+      def batchNorm(node: Node): V = {
+        val x = vals(node.inputs(0))
+        require(node.inputs.length >= 5,
+          s"BatchNormalization ${node.outputs.head}: needs X,scale,B,mean,var")
+        val sc = vals(node.inputs(1)).data
+        val bb = vals(node.inputs(2)).data
+        val mu = vals(node.inputs(3)).data
+        val vr = vals(node.inputs(4)).data
+        val eps = node.attrF.getOrElse("epsilon", 1e-5f)
+        val cC = if (x.dims.length >= 2) x.dims(1) else x.dims(0)
+        require(sc.length == cC && bb.length == cC && mu.length == cC
+          && vr.length == cC,
+          s"BatchNormalization ${node.outputs.head}: param length vs C=$cC")
+        // fold to one multiply-add per element: a = scale/sqrt(var+eps),
+        // b = B − a·mean (the standard inference-time BN fold)
+        val a = Array.tabulate(cC)(c =>
+          sc(c) / math.sqrt(vr(c).toDouble + eps).toFloat)
+        val b2 = Array.tabulate(cC)(c => bb(c) - a(c) * mu(c))
+        val inner = if (x.dims.length > 2) x.dims.drop(2).product else 1
+        val out = new Array[Float](x.data.length)
+        var i2 = 0
+        while (i2 < out.length) {
+          val c = i2 / inner % cC
+          out(i2) = a(c) * x.data(i2) + b2(c)
+          i2 += 1
+        }
+        V(x.dims, out)
+      }
+
+      def softmax(node: Node): V = {
+        val x = vals(node.inputs(0))
+        val rank = x.dims.length
+        val axisRaw = node.attrI.getOrElse("axis", -1L).toInt
+        val axis = if (axisRaw < 0) rank + axisRaw else axisRaw
+        require(axis == rank - 1,
+          s"Softmax ${node.outputs.head}: only last-axis softmax in this " +
+            s"subset (axis=$axisRaw, rank=$rank)")
+        val inner = x.dims(rank - 1)
+        val outer = x.data.length / inner
+        val out = new Array[Float](x.data.length)
+        var r = 0
+        while (r < outer) {
+          var mx = Float.NegativeInfinity
+          var j = 0
+          while (j < inner) {
+            if (x.data(r * inner + j) > mx) mx = x.data(r * inner + j)
+            j += 1
+          }
+          var s = 0.0f
+          j = 0
+          while (j < inner) {
+            val e = math.exp((x.data(r * inner + j) - mx).toDouble).toFloat
+            out(r * inner + j) = e; s += e
+            j += 1
+          }
+          j = 0
+          while (j < inner) { out(r * inner + j) /= s; j += 1 }
+          r += 1
+        }
+        V(x.dims, out)
+      }
+
+      def concat(node: Node): V = {
+        val parts = node.inputs.map(vals(_))
+        val rank = parts.head.dims.length
+        val axisRaw = node.attrI.getOrElse("axis",
+          throw new IllegalArgumentException(
+            s"Concat ${node.outputs.head}: axis required")).toInt
+        val axis = if (axisRaw < 0) rank + axisRaw else axisRaw
+        require(axis >= 0 && axis < rank,
+          s"Concat ${node.outputs.head}: axis $axisRaw out of rank $rank")
+        parts.foreach { p =>
+          require(p.dims.length == rank && (0 until rank).forall(i2 =>
+            i2 == axis || p.dims(i2) == parts.head.dims(i2)),
+            s"Concat ${node.outputs.head}: shape mismatch " +
+              parts.map(_.dims.mkString("x")).mkString(" vs "))
+        }
+        val outDims = parts.head.dims.clone()
+        outDims(axis) = parts.map(_.dims(axis)).sum
+        val lead = parts.head.dims.take(axis).product
+        val trail = parts.head.dims.drop(axis + 1).product
+        val out = new Array[Float](outDims.product)
+        val rowLen = outDims(axis) * trail
+        var l = 0
+        while (l < lead) {
+          var off = 0
+          parts.foreach { p =>
+            val seg = p.dims(axis) * trail
+            System.arraycopy(p.data, l * seg, out, l * rowLen + off, seg)
+            off += seg
+          }
+          l += 1
+        }
+        V(outDims, out)
+      }
+
       model.nodes.foreach { node =>
         val res: V = node.opType match {
           case "Gemm" => gemm(node)
@@ -606,14 +795,39 @@ object Onnx {
             V(a.dims, out)
           case "Conv" => conv(node)
           case "MaxPool" => maxPool(node)
+          case "AveragePool" => avgPool(node)
+          case "GlobalAveragePool" =>
+            val v = vals(node.inputs.head)
+            require(v.dims.length == 4,
+              s"GlobalAveragePool ${node.outputs.head}: input must be NCHW")
+            val Array(nb, cC, h, wd) = v.dims
+            val hw = h * wd
+            val out = new Array[Float](nb * cC)
+            var i2 = 0
+            while (i2 < nb * cC) {
+              var s = 0.0f
+              var j = 0
+              while (j < hw) { s += v.data(i2 * hw + j); j += 1 }
+              out(i2) = s / hw
+              i2 += 1
+            }
+            V(Array(nb, cC, 1, 1), out)
+          case "Sigmoid" =>
+            val v = vals(node.inputs.head)
+            V(v.dims, v.data.map(x =>
+              (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat))
+          case "Softmax" => softmax(node)
+          case "Concat" => concat(node)
+          case "BatchNormalization" => batchNorm(node)
           case "Flatten" =>
             val v = vals(node.inputs.head)
             val axis = node.attrI.getOrElse("axis", 1L).toInt
             val lead = v.dims.take(axis).product
             V(Array(lead, v.data.length / lead), v.data)
           case op => throw new UnsupportedOperationException(
-            s"ONNX op $op not in executor subset " +
-              "(Gemm/MatMul/Relu/Add/Conv/MaxPool/Flatten)")
+            s"ONNX op $op not in executor subset (Gemm/MatMul/Relu/Add/" +
+              "Conv/MaxPool/AveragePool/GlobalAveragePool/Sigmoid/Softmax/" +
+              "Concat/BatchNormalization/Flatten)")
         }
         vals += (node.outputs.head -> res)
       }
@@ -708,6 +922,75 @@ object Onnx {
       initOrder = Seq("w1", "b1", "w2", "b2", "w3", "b3"))
   }
 
+  /** The extended conv classifier committed as smoke_cnn2.onnx — one
+    * committed artifact that exercises EVERY op the executor supports
+    * beyond the LeNet shape (r12: the first real exported model hits
+    * AveragePool / GlobalAveragePool / Softmax / Sigmoid / Concat /
+    * BatchNormalization immediately):
+    * [N,1,8,8] → Conv(4@3×3 pad 1) → BatchNormalization → Relu →
+    * AveragePool 2×2 → Conv(8@3×3 pad 1) → Sigmoid →
+    * {GlobalAveragePool | MaxPool 4×4} → Flatten ×2 → Concat(axis 1) →
+    * Gemm → Softmax → 4 calibrated class scores. Integer-derived
+    * weights from fixed formulas — reproducible from source, no RNG.
+    */
+  def fixtureConvModel2: Model = {
+    val w1 = Tensor(Seq(4, 1, 3, 3),
+      Array.tabulate(4 * 9)(i => (((i * 41) % 13) - 6).toFloat / 8f))
+    val b1 = Tensor(Seq(4), Array.tabulate(4)(i => ((i % 3) - 1).toFloat / 4f))
+    val bnS = Tensor(Seq(4), Array.tabulate(4)(i => 1.0f + (i % 2) * 0.5f))
+    val bnB = Tensor(Seq(4), Array.tabulate(4)(i => (i - 2).toFloat / 8f))
+    val bnM = Tensor(Seq(4), Array.tabulate(4)(i => ((i % 3) - 1).toFloat / 16f))
+    val bnV = Tensor(Seq(4), Array.tabulate(4)(i => 0.25f + (i % 2) * 0.75f))
+    val w2 = Tensor(Seq(8, 4, 3, 3),
+      Array.tabulate(8 * 4 * 9)(i => (((i * 23) % 15) - 7).toFloat / 16f))
+    val b2 = Tensor(Seq(8), Array.tabulate(8)(i => ((i % 5) - 2).toFloat / 8f))
+    val w3 = Tensor(Seq(4, 16),
+      Array.tabulate(4 * 16)(i => (((i * 31) % 11) - 5).toFloat / 4f))
+    val b3 = Tensor(Seq(4), Array.tabulate(4)(i => (i - 2).toFloat / 2f))
+    Model(
+      irVersion = 8L, opsetVersion = 13L, producer = "graft",
+      graphName = "smoke_cnn2",
+      inputName = "img", inputDims = Seq(-1L, 1L, 8L, 8L),
+      outputName = "scores", outputDims = Seq(-1L, 4L),
+      nodes = Seq(
+        Node("Conv", Seq("img", "w1", "b1"), Seq("c1"),
+          attrI = Map("group" -> 1L),
+          attrIs = Map("kernel_shape" -> Seq(3L, 3L),
+            "strides" -> Seq(1L, 1L), "pads" -> Seq(1L, 1L, 1L, 1L),
+            "dilations" -> Seq(1L, 1L))),
+        Node("BatchNormalization",
+          Seq("c1", "bn_s", "bn_b", "bn_m", "bn_v"), Seq("bn"),
+          attrF = Map("epsilon" -> 1e-5f)),
+        Node("Relu", Seq("bn"), Seq("r1")),
+        Node("AveragePool", Seq("r1"), Seq("ap"),
+          attrIs = Map("kernel_shape" -> Seq(2L, 2L),
+            "strides" -> Seq(2L, 2L))),
+        Node("Conv", Seq("ap", "w2", "b2"), Seq("c2"),
+          attrI = Map("group" -> 1L),
+          attrIs = Map("kernel_shape" -> Seq(3L, 3L),
+            "strides" -> Seq(1L, 1L), "pads" -> Seq(1L, 1L, 1L, 1L),
+            "dilations" -> Seq(1L, 1L))),
+        Node("Sigmoid", Seq("c2"), Seq("sg")),
+        Node("GlobalAveragePool", Seq("sg"), Seq("ga")),
+        Node("MaxPool", Seq("sg"), Seq("mp"),
+          attrIs = Map("kernel_shape" -> Seq(4L, 4L),
+            "strides" -> Seq(4L, 4L))),
+        Node("Flatten", Seq("ga"), Seq("f1"), attrI = Map("axis" -> 1L)),
+        Node("Flatten", Seq("mp"), Seq("f2"), attrI = Map("axis" -> 1L)),
+        Node("Concat", Seq("f1", "f2"), Seq("cc"),
+          attrI = Map("axis" -> 1L)),
+        Node("Gemm", Seq("cc", "w3", "b3"), Seq("lg"),
+          attrI = Map("transB" -> 1L),
+          attrF = Map("alpha" -> 1.0f, "beta" -> 1.0f)),
+        Node("Softmax", Seq("lg"), Seq("scores"),
+          attrI = Map("axis" -> -1L))),
+      inits = Map("w1" -> w1, "b1" -> b1, "bn_s" -> bnS, "bn_b" -> bnB,
+        "bn_m" -> bnM, "bn_v" -> bnV, "w2" -> w2, "b2" -> b2,
+        "w3" -> w3, "b3" -> b3),
+      initOrder = Seq("w1", "b1", "bn_s", "bn_b", "bn_m", "bn_v",
+        "w2", "b2", "w3", "b3"))
+  }
+
   private def resourceSession(path: String): Session = {
     val in = getClass.getResourceAsStream(path)
     require(in != null, s"resource $path missing")
@@ -724,6 +1007,18 @@ object Onnx {
 
   /** Classloader-wide session over the committed conv fixture. */
   lazy val cnnSession: Session = resourceSession("/graft/smoke_cnn.onnx")
+
+  /** Classloader-wide session over the committed extended conv fixture
+    * (BatchNorm/AveragePool/Sigmoid/GlobalAveragePool/Concat/Softmax).
+    */
+  lazy val cnn2Session: Session = resourceSession("/graft/smoke_cnn2.onnx")
+
+  /** The mm_cnn2_infer entry: 8×8 tile → calibrated class scores
+    * (softmax output) as f64, identical on executors and in the
+    * driver-side oracle LUT.
+    */
+  def smokeCnn2Scores(pixels: Array[Double]): Array[Double] =
+    cnn2Session.run(Array(pixels.map(_.toFloat))).head.map(_.toDouble)
 
   /** The mm_conv_infer entry: an 8×8 grayscale tile (f64 in [0,1]) →
     * f32 NCHW input → conv-net logits back as f64 (exact widening),

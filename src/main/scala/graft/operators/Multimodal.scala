@@ -353,6 +353,32 @@ object Multimodal {
         ORDER BY b.doc_id"""
   }
 
+  /** mm_cnn2_infer oracle: per residue class, the committed
+    * smoke_cnn2.onnx calibrated scores (BatchNorm/AveragePool/Sigmoid/
+    * GlobalAveragePool/Concat/Softmax path) over the 8×8 block-mean
+    * tile — identical Session code path driver-side.
+    */
+  private lazy val cnn2InferOracle: String = {
+    import graft.functions.{ImageCodec, Onnx}
+    val rows = (0 until 768).map { m =>
+      val img = ImageCodec.decode(ImageCodec.toPng(
+        ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)))
+      val sc = Onnx.smokeCnn2Scores(ImageCodec.cnnTile8(img))
+      s"($m,${sc.map(dlit).mkString(",")},${sc.indexOf(sc.max)})"
+    }.mkString(",")
+    s"""WITH lut(mod_id, score0, score1, score2, score3, pred_class)
+          AS (VALUES $rows),
+        b AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id // 32) AS INT) AS batch_n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 32 ORDER BY doc_id) - 1 AS INT) AS batch_pos
+          FROM documents)
+        SELECT b.doc_id, b.batch_n, b.batch_pos,
+               l.score0, l.score1, l.score2, l.score3, l.pred_class
+        FROM b JOIN lut l ON b.doc_id % 768 = l.mod_id
+        ORDER BY b.doc_id"""
+  }
+
   /** mm_phash_pairs_grouped oracle: group the LUT-joined hashes, band
     * over distinct hashes, carry pair multiplicities exactly.
     */
@@ -795,6 +821,46 @@ object Multimodal {
           .orderBy(col("doc_id"))
       },
       oracle = Some(convInferOracle)),
+
+    // ----- mm_cnn2_infer: the full-op-coverage conv classifier -----------
+    // mm_conv_infer covers the LeNet shape; the first real exported model
+    // beyond it immediately hits BatchNorm, average pooling, a calibrated
+    // output head, or a multi-branch concat (r11 verdict). smoke_cnn2.onnx
+    // is ONE committed artifact exercising all of them: Conv → BatchNorm
+    // → Relu → AveragePool → Conv → Sigmoid → {GlobalAveragePool |
+    // MaxPool} → Flatten×2 → Concat → Gemm → Softmax. Same deterministic
+    // 32-doc batch assembly and one batched NCHW Session.run per group;
+    // output = calibrated class scores (softmax), not raw logits.
+    "mm_cnn2_infer" -> Q(
+      build = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        import graft.functions.{ImageCodec, Onnx}
+        val batchSize = 32L
+        Tables.t(s, d, "documents").select(col("doc_id")).as[Long]
+          .groupByKey(id => id / batchSize)
+          .flatMapGroups { (_, ids) =>
+            val batch = ids.toArray.sorted
+            val tiles = batch.map { id =>
+              val img = ImageCodec.decode(ImageCodec.toPng(
+                ImageCodec.syntheticImage(id, 32 + (id % 3).toInt * 16, 32)))
+              if (img == null) new Array[Double](64)
+              else ImageCodec.cnnTile8(img)
+            }
+            val scores = Onnx.cnn2Session
+              .run(tiles.map(_.map(_.toFloat)))
+              .map(_.map(_.toDouble))
+            batch.zip(scores).zipWithIndex.map { case ((id, sc), i) =>
+              (id, batch.length, i, sc, sc.indexOf(sc.max))
+            }.iterator
+          }
+          .toDF("doc_id", "batch_n", "batch_pos", "scores", "pred_class")
+          .select(col("doc_id") +: col("batch_n") +: col("batch_pos") +:
+            (0 until 4).map(k => col("scores")(k).as(s"score$k")) :+
+            col("pred_class"): _*)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(cnn2InferOracle)),
 
     // ----- mm_smoke_diff: consecutive-frame tiled smoke detection --------
     // odin_image/src/smoke.rs:70 get_gw_smoke_diff: fire-camera smoke

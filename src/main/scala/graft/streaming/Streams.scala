@@ -854,6 +854,32 @@ object Streams {
     }
   }
 
+  /** stream_cnn2_infer: the extended-op conv twin (r12) — live scoring
+    * through the committed smoke_cnn2.onnx (BatchNorm/AveragePool/
+    * Sigmoid/GlobalAveragePool/Concat/Softmax), same stateless 32-frame
+    * batching and one NCHW Session.run per batch; emits CALIBRATED
+    * class scores (softmax), bit-identical to mm_cnn2_infer's.
+    */
+  def cnn2InferStream(in: Dataset[InferIn]): Dataset[InferOut] = {
+    import in.sparkSession.implicits._
+    import graft.functions.{ImageCodec, Onnx}
+    in.mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        val tiles = batch.map { r =>
+          val img = ImageCodec.decode(r.png)
+          if (img == null) new Array[Double](64) else ImageCodec.cnnTile8(img)
+        }
+        val scores = Onnx.cnn2Session
+          .run(tiles.map(_.map(_.toFloat)).toArray)
+          .map(_.map(_.toDouble))
+        batch.zip(scores).map { case (r, sc) =>
+          InferOut(r.doc_id, batch.length, sc.indexOf(sc.max),
+            sc(0), sc(1), sc(2), sc(3))
+        }
+      }
+    }
+  }
+
   case class FenceSeg(fence: Int, ax: Long, ay: Long, bx: Long, by: Long)
   case class FixEv(user_id: Long, event_id: Long, ts_sec: Long,
       lat: Double, lon: Double)

@@ -214,6 +214,44 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("stream_cnn2_infer: live extended-op scoring matches the batch path bit-exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{ImageCodec, Onnx}
+    import graft.streaming.Streams
+    val in = MemoryStream[Streams.InferIn]
+    val q = Streams.cnn2InferStream(in.toDS())
+      .writeStream.format("memory").queryName("cnn2_out")
+      .outputMode("append").start()
+    def png(id: Long): Array[Byte] = {
+      val m = id % 768
+      ImageCodec.toPng(ImageCodec.syntheticImage(m, 32 + (m % 3).toInt * 16, 32))
+    }
+    in.addData((0L until 40L).map(i =>
+      Streams.InferIn(i, if (i == 5L) Array[Byte](9, 9) else png(i))))
+    q.processAllAvailable()
+    val out = spark.table("cnn2_out").collect()
+    q.stop()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val tile =
+        if (id == 5L) new Array[Double](64)
+        else ImageCodec.cnnTile8(ImageCodec.decode(png(id)))
+      val sc = Onnx.smokeCnn2Scores(tile)
+      (0 until 4).foreach { k =>
+        assert(java.lang.Double.doubleToRawLongBits(sc(k))
+          == java.lang.Double.doubleToRawLongBits(r.getAs[Double](s"logit$k")),
+          s"doc $id score$k")
+      }
+      assert(r.getAs[Int]("pred_class") == sc.indexOf(sc.max))
+      // calibrated head: the four scores sum to ~1
+      assert(math.abs((0 until 4).map(k => r.getAs[Double](s"logit$k")).sum
+        - 1.0) < 1e-5)
+    }
+  }
+
   test("oracle payload-scan caps cover the data (generate_series bounds)") {
     // The mm_scene_segments / mm_motion_tiles / mm_keyframes oracles scan
     // payload bytes via a hardcoded generate_series(1, 1024), and the

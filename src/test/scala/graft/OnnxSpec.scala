@@ -86,11 +86,11 @@ class OnnxSpec extends AnyFunSuite {
   test("unsupported op fails loudly, not silently") {
     val m = Onnx.fixtureModel
     val bad = m.copy(nodes = m.nodes.map(n =>
-      if (n.opType == "Relu") n.copy(opType = "Sigmoid") else n))
+      if (n.opType == "Relu") n.copy(opType = "LSTM") else n))
     val e = intercept[UnsupportedOperationException] {
       new Onnx.Session(bad).run(Array(Array.fill(8)(1.0f)))
     }
-    assert(e.getMessage.contains("Sigmoid"))
+    assert(e.getMessage.contains("LSTM"))
   }
 
   test("input resolution is order- and old-exporter-independent") {
