@@ -1132,20 +1132,21 @@ object Multimodal {
             col("text"))
           .select(col("doc_id"), col("tile_id").cast(LongType).as("tile_id"),
             expr("substring(text, CAST(tile_id*16+1 AS INT), 16)").as("ts"))
-        def foldAscii(src: String, term: String): String =
+        // in-row 16-byte fold: acc + term(i), codegen'd HOF (no explode)
+        def foldAscii(term: String): String =
           s"aggregate(sequence(1, 16), CAST(0 AS BIGINT), " +
             s"(acc, i) -> acc + CAST($term AS BIGINT))"
         val cur = tileStr
-          .withColumn("sx", expr(foldAscii("ts",
+          .withColumn("sx", expr(foldAscii(
             "ascii(substring(ts, i, 1))")))
-          .withColumn("sxx", expr(foldAscii("ts",
+          .withColumn("sxx", expr(foldAscii(
             "ascii(substring(ts, i, 1)) * ascii(substring(ts, i, 1))")))
           .drop("ts")
         val prvS = tileStr.select(col("doc_id").as("prev_doc_id"),
           col("tile_id"), col("ts").as("pts"))
         val sxyT = pairs.join(tileStr, Seq("doc_id"))
           .join(prvS, Seq("prev_doc_id", "tile_id"))
-          .withColumn("sxy", expr(foldAscii("ts",
+          .withColumn("sxy", expr(foldAscii(
             "ascii(substring(ts, i, 1)) * ascii(substring(pts, i, 1))")))
           .select(col("doc_id"), col("prev_doc_id"), col("tile_id"),
             col("sxy"))

@@ -1715,7 +1715,10 @@ object Similarity {
           SELECT x.vec_id, p.p, p.w, CAST(SUM(x.xq*p.s) AS BIGINT) AS dp
           FROM xq x JOIN kplanes p ON x.i = p.i GROUP BY 1, 2, 3),
         kval AS (
-          SELECT CAST(MIN(g.c) AS INT) AS k
+          -- COALESCE mirrors the Spark aggregate's $KnnMaxSplit fallback:
+          -- past ~4.3e9 vectors no c satisfies the bound and MIN is NULL,
+          -- which would silently empty the oracle while the engine clamps
+          SELECT CAST(COALESCE(MIN(g.c), $KnnMaxSplit) AS INT) AS k
           FROM generate_series(0, $KnnMaxSplit) AS g(c),
                (SELECT COUNT(*) AS n FROM embeddings) nn
           WHERE 256 * $KnnTargetBucket * (CAST(1 AS BIGINT) << g.c) >= nn.n),

@@ -87,12 +87,20 @@ object Hdf5 {
     private val raf = new RandomAccessFile(path, "r")
     val size: Long = raf.length()
     def readRange(off: Long, n: Int): Array[Byte] = {
+      require(off >= 0 && off <= size,
+        s"HDF5 read at offset $off outside file (size $size) — corrupt " +
+          "or truncated metadata pointer")
       val a = new Array[Byte](n)
       raf.seek(off); raf.readFully(a)
       a
     }
     /** A little-endian window at `off`; default 64 KiB (clamped to EOF)
-      * covers every metadata record this subset walks.
+      * covers every metadata record this subset walks. A record that
+      * overruns its window surfaces as BufferUnderflow INSIDE the
+      * caller's parse — callers that know a record's own length field
+      * pass it as `len` instead of relying on the default (ADVICE r11);
+      * an out-of-file offset fails here with a named error, never a
+      * NegativeArraySize.
       */
     def bb(off: Long, len: Long = 65536L): ByteBuffer =
       ByteBuffer.wrap(readRange(off, math.min(len, size - off).toInt))
@@ -106,7 +114,7 @@ object Hdf5 {
   }
 
   private def readVarsWith(r: Reader): Seq[H5Var] = {
-    val sb = r.bb(0)
+    val sb = r.bb(0, 96) // v0 superblock is exactly 96 bytes
     val sig = new Array[Byte](8); sb.get(sig)
     require(java.util.Arrays.equals(sig, Signature), "not an HDF5 file")
     val sbVersion = sb.get() & 0xFF
@@ -117,7 +125,9 @@ object Hdf5 {
     val sizeOff = sb.get() & 0xFF; val sizeLen = sb.get() & 0xFF
     require(sizeOff == 8 && sizeLen == 8, s"offset/length sizes $sizeOff/$sizeLen")
     sb.get() // reserved
-    sb.getShort(); sb.getShort() // leaf k, internal k
+    // group B-tree fan-outs — they size the TREE/SNOD read windows below
+    val kLeaf = sb.getShort() & 0xFFFF
+    val kInt = sb.getShort() & 0xFFFF
     sb.getInt() // consistency flags
     val base = sb.getLong()
     require(base == 0L, s"nonzero base address $base")
@@ -133,7 +143,7 @@ object Hdf5 {
     val stb = ByteBuffer.wrap(stm._2).order(ByteOrder.LITTLE_ENDIAN)
     val btreeAddr = stb.getLong(); val heapAddr = stb.getLong()
     // local heap data segment
-    val hb = r.bb(heapAddr)
+    val hb = r.bb(heapAddr, 32) // local heap header is exactly 32 bytes
     val hsig = new Array[Byte](4); hb.get(hsig)
     require(new String(hsig, StandardCharsets.US_ASCII) == "HEAP", "bad heap")
     hb.get(); hb.get(); hb.get(); hb.get() // version + reserved
@@ -151,7 +161,12 @@ object Hdf5 {
     }
     // walk the group B-tree down to SNOD leaves
     def walkGroupNode(addr: Long): Unit = {
-      val nb = r.bb(addr)
+      // window sized from the superblock's own fan-outs (ADVICE r11):
+      // TREE = 24B header + (2k+1) keys + 2k children (8B each);
+      // SNOD = 8B header + 2k 40-byte symbol entries
+      val winLen = math.max(24L + 8L * (4L * kInt + 1),
+        8L + 80L * kLeaf) + 8
+      val nb = r.bb(addr, winLen)
       val nsig = new Array[Byte](4); nb.get(nsig)
       new String(nsig, StandardCharsets.US_ASCII) match {
         case "TREE" =>
@@ -382,7 +397,10 @@ object Hdf5 {
 
   /** Walk a v1 chunk B-tree (node type 1) to its leaf entries. */
   private def walkChunkTree(r: Reader, addr: Long, ndim: Int): Seq[ChunkRef] = {
-    val nb = r.bb(addr)
+    // a v0 superblock cannot carry a custom istore_k (H5Pset_istore_k
+    // bumps it to v1), so the chunk B-tree fan-out is the default 32:
+    // 24B header + 65 keys of (8 + 8*(ndim+1)) + 64 children of 8B
+    val nb = r.bb(addr, 24L + 65L * (8L + 8L * (ndim + 1)) + 64L * 8L + 8)
     val sig = new Array[Byte](4); nb.get(sig)
     require(new String(sig, StandardCharsets.US_ASCII) == "TREE", "bad chunk btree")
     val typ = nb.get() & 0xFF; val level = nb.get() & 0xFF
