@@ -108,19 +108,160 @@ object Hdf5 {
     def close(): Unit = raf.close()
   }
 
+  /** Jenkins lookup3 `hashlittle` — the checksum every version-2+ HDF5
+    * metadata structure carries (superblock v2/v3, OHDR/OCHK chunks).
+    * Public algorithm (lookup3.c); Hdf5ModernSpec pins the published
+    * self-test vectors so reader and writer can't share a wrong
+    * implementation unnoticed.
+    */
+  object Lookup3 {
+    private def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def hash(data: Array[Byte], initval: Int = 0): Int = {
+      var a = 0xdeadbeef + data.length + initval
+      var b = a; var c = a
+      var i = 0; var len = data.length
+      def u(j: Int): Int = data(j) & 0xFF
+      def w(j: Int): Int =
+        u(j) | (u(j + 1) << 8) | (u(j + 2) << 16) | (u(j + 3) << 24)
+      while (len > 12) {
+        a += w(i); b += w(i + 4); c += w(i + 8)
+        a -= c; a ^= rot(c, 4); c += b
+        b -= a; b ^= rot(a, 6); a += c
+        c -= b; c ^= rot(b, 8); b += a
+        a -= c; a ^= rot(c, 16); c += b
+        b -= a; b ^= rot(a, 19); a += c
+        c -= b; c ^= rot(b, 4); b += a
+        i += 12; len -= 12
+      }
+      if (len == 0) return c // empty tail: final() is skipped (lookup3.c)
+      if (len >= 12) c += u(i + 11) << 24
+      if (len >= 11) c += u(i + 10) << 16
+      if (len >= 10) c += u(i + 9) << 8
+      if (len >= 9) c += u(i + 8)
+      if (len >= 8) b += u(i + 7) << 24
+      if (len >= 7) b += u(i + 6) << 16
+      if (len >= 6) b += u(i + 5) << 8
+      if (len >= 5) b += u(i + 4)
+      if (len >= 4) a += u(i + 3) << 24
+      if (len >= 3) a += u(i + 2) << 16
+      if (len >= 2) a += u(i + 1) << 8
+      a += u(i)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+      c
+    }
+  }
+
   def readVars(path: String): Seq[H5Var] = {
     val r = new Reader(path)
     try readVarsWith(r) finally r.close()
   }
 
   private def readVarsWith(r: Reader): Seq[H5Var] = {
+    val head = r.bb(0, 9)
+    val hsig = new Array[Byte](8); head.get(hsig)
+    require(java.util.Arrays.equals(hsig, Signature), "not an HDF5 file")
+    (head.get() & 0xFF) match {
+      case 0 => readVarsV0(r)
+      case v @ (2 | 3) => readVarsModern(r, v)
+      case v => throw new IllegalArgumentException(
+        s"HDF5 superblock version $v unsupported (0 = the netcdf-c " +
+          "default and 2/3 = libver-latest/h5py-modern are supported; " +
+          "v1 is the custom-H5Pset_istore_k variant nothing common emits)")
+    }
+  }
+
+  /** Superblock v2/v3 (libver ≥ 1.8 "latest", what h5py and modern
+    * exporters emit): 48-byte prefix with a lookup3 checksum, root
+    * object header addressed directly (no symbol-table entry). The root
+    * group itself is new-style — compact link messages in a v2 object
+    * header. Dense link storage (fractal heap + name B-tree, used above
+    * ~8 links with default group-info settings... netcdf/h5py variable
+    * counts stay compact unless the file holds hundreds of objects) is
+    * rejected with a named error.
+    */
+  private def readVarsModern(r: Reader, ver: Int): Seq[H5Var] = {
+    val raw = r.readRange(0, 48)
+    val body = java.util.Arrays.copyOf(raw, 44)
+    val sb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    sb.position(9)
+    val sizeOff = sb.get() & 0xFF; val sizeLen = sb.get() & 0xFF
+    require(sizeOff == 8 && sizeLen == 8, s"offset/length sizes $sizeOff/$sizeLen")
+    sb.get() // file consistency flags
+    val base = sb.getLong()
+    require(base == 0L, s"nonzero base address $base")
+    val ext = sb.getLong()
+    require(ext == -1L,
+      "superblock extension present (shared object header messages / " +
+        "SOHM) — unsupported; re-export without H5Pset_shared_mesg_*")
+    sb.getLong() // EOF
+    val rootHdr = sb.getLong()
+    val stored = sb.getInt()
+    require(Lookup3.hash(body) == stored,
+      s"superblock v$ver checksum mismatch (file corrupt or truncated)")
+    val rootMsgs = readObjectHeader(r, rootHdr)
+    if (rootMsgs.exists(_._1 == 0x0011)) {
+      // legal hybrid: old-style root group in a v2+ superblock file
+      val stb = ByteBuffer.wrap(rootMsgs.find(_._1 == 0x0011).get._2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      symbolTableVars(r, stb.getLong(), stb.getLong(), 4, 16)
+    } else linkMessageVars(r, rootMsgs)
+  }
+
+  /** New-style group: compact link messages in the group's own header. */
+  private def linkMessageVars(r: Reader,
+      msgs: Seq[(Int, Array[Byte])]): Seq[H5Var] = {
+    msgs.find(_._1 == 0x0002).foreach { case (_, body) =>
+      val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val v = lb.get() & 0xFF
+      require(v == 0, s"link info message version $v")
+      val flags = lb.get() & 0xFF
+      if ((flags & 1) != 0) lb.getLong() // max creation index
+      val fheap = lb.getLong()
+      require(fheap == -1L,
+        "dense link storage (fractal heap + name B-tree) unsupported — " +
+          "compact-link groups only (typical variable counts stay " +
+          "compact; re-export with fewer objects per group or default " +
+          "H5Pset_link_phase_change)")
+    }
+    val links = msgs.filter(_._1 == 0x0006).map { case (_, body) =>
+      val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val v = lb.get() & 0xFF
+      require(v == 1, s"link message version $v")
+      val flags = lb.get() & 0xFF
+      if ((flags & 0x08) != 0) {
+        val lt = lb.get() & 0xFF
+        require(lt == 0,
+          s"link type $lt (soft/external) unsupported — hard links only")
+      }
+      if ((flags & 0x04) != 0) lb.getLong() // creation order
+      if ((flags & 0x10) != 0) lb.get() // charset
+      val nameLen = (flags & 3) match {
+        case 0 => lb.get() & 0xFFL
+        case 1 => lb.getShort() & 0xFFFFL
+        case 2 => lb.getInt() & 0xFFFFFFFFL
+        case _ => lb.getLong()
+      }
+      val nameB = new Array[Byte](nameLen.toInt); lb.get(nameB)
+      (new String(nameB, StandardCharsets.UTF_8), lb.getLong())
+    }
+    require(links.nonEmpty,
+      "root group has no symbol table and no link messages (empty file?)")
+    links.flatMap { case (name, addr) => parseDataset(r, name, addr) }
+      .sortBy(_.name)
+  }
+
+  private def readVarsV0(r: Reader): Seq[H5Var] = {
     val sb = r.bb(0, 96) // v0 superblock is exactly 96 bytes
     val sig = new Array[Byte](8); sb.get(sig)
     require(java.util.Arrays.equals(sig, Signature), "not an HDF5 file")
     val sbVersion = sb.get() & 0xFF
-    require(sbVersion == 0,
-      s"HDF5 superblock version $sbVersion unsupported (netcdf-c default " +
-        "is 0; re-export without H5Pset_libver_bounds)")
+    require(sbVersion == 0, s"superblock version $sbVersion in v0 path")
     sb.get(); sb.get(); sb.get(); sb.get() // fs ver, root ver, res, shared ver
     val sizeOff = sb.get() & 0xFF; val sizeLen = sb.get() & 0xFF
     require(sizeOff == 8 && sizeLen == 8, s"offset/length sizes $sizeOff/$sizeLen")
@@ -135,13 +276,20 @@ object Hdf5 {
     // root group symbol table entry
     sb.getLong() // link name offset
     val rootHdr = sb.getLong()
-    val out = ArrayBuffer.empty[H5Var]
     val rootMsgs = readObjectHeader(r, rootHdr)
-    val stm = rootMsgs.find(_._1 == 0x0011).getOrElse(
-      throw new IllegalArgumentException("root group has no symbol table " +
-        "(new-style groups unsupported; netcdf-c default is old-style)"))
-    val stb = ByteBuffer.wrap(stm._2).order(ByteOrder.LITTLE_ENDIAN)
-    val btreeAddr = stb.getLong(); val heapAddr = stb.getLong()
+    rootMsgs.find(_._1 == 0x0011) match {
+      case Some(stm) =>
+        val stb = ByteBuffer.wrap(stm._2).order(ByteOrder.LITTLE_ENDIAN)
+        symbolTableVars(r, stb.getLong(), stb.getLong(), kLeaf, kInt)
+      case None => // legal hybrid: new-style group under a v0 superblock
+        linkMessageVars(r, rootMsgs)
+    }
+  }
+
+  /** Old-style group: symbol-table B-tree + local heap + SNOD leaves. */
+  private def symbolTableVars(r: Reader, btreeAddr: Long, heapAddr: Long,
+      kLeaf: Int, kInt: Int): Seq[H5Var] = {
+    val out = ArrayBuffer.empty[H5Var]
     // local heap data segment
     val hb = r.bb(heapAddr, 32) // local heap header is exactly 32 bytes
     val hsig = new Array[Byte](4); hb.get(hsig)
@@ -198,14 +346,86 @@ object Hdf5 {
     out.toSeq.sortBy(_.name)
   }
 
+  /** Object header dispatch: v2 headers announce themselves with the
+    * OHDR signature; anything else parses as v1.
+    */
+  private def readObjectHeader(r: Reader, addr: Long): Seq[(Int, Array[Byte])] = {
+    val peek = r.readRange(addr, 4)
+    if (new String(peek, StandardCharsets.US_ASCII) == "OHDR")
+      readObjectHeaderV2(r, addr)
+    else readObjectHeaderV1(r, addr)
+  }
+
+  /** v2 object header (libver-latest writers): OHDR prefix with optional
+    * time/attr-limit fields, 1-byte message types, OCHK continuation
+    * blocks, lookup3 checksums on every chunk (verified).
+    */
+  private def readObjectHeaderV2(r: Reader, addr: Long): Seq[(Int, Array[Byte])] = {
+    val pre = r.bb(addr, 36)
+    pre.position(4)
+    val ver = pre.get() & 0xFF
+    require(ver == 2, s"object header at $addr: OHDR version $ver")
+    val flags = pre.get() & 0xFF
+    if ((flags & 0x20) != 0) { pre.getInt(); pre.getInt(); pre.getInt(); pre.getInt() }
+    if ((flags & 0x10) != 0) { pre.getShort(); pre.getShort() }
+    val chunk0Size: Long = (flags & 3) match {
+      case 0 => pre.get() & 0xFFL
+      case 1 => pre.getShort() & 0xFFFFL
+      case 2 => pre.getInt() & 0xFFFFFFFFL
+      case _ => pre.getLong()
+    }
+    val withOrder = (flags & 0x04) != 0
+    val msgHdrLen = if (withOrder) 6 else 4
+    val prefixLen = pre.position()
+    val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
+    // (blockStart, msgAreaOffsetInBlock, msgAreaLen); chunk 0's block is
+    // the whole header, continuations are OCHK blocks
+    var blocks: List[(Long, Int, Int)] =
+      List((addr, prefixLen, chunk0Size.toInt))
+    while (blocks.nonEmpty) {
+      val (start, msgOff, msgLen) = blocks.head; blocks = blocks.tail
+      val block = r.readRange(start, msgOff + msgLen + 4)
+      val stored = ByteBuffer.wrap(block, msgOff + msgLen, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(Lookup3.hash(java.util.Arrays.copyOf(block, msgOff + msgLen))
+        == stored,
+        s"object header chunk at $start: v2 checksum mismatch (corrupt)")
+      if (msgOff == 4) // continuation block: validate its signature
+        require(new String(block, 0, 4, StandardCharsets.US_ASCII) == "OCHK",
+          s"continuation block at $start: bad OCHK signature")
+      val bb2 = ByteBuffer.wrap(block, msgOff, msgLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      while (bb2.remaining() >= msgHdrLen) {
+        val typ = bb2.get() & 0xFF
+        val size = bb2.getShort() & 0xFFFF
+        bb2.get() // message flags
+        if (withOrder) bb2.getShort()
+        if (bb2.remaining() < size) {
+          // trailing gap smaller than a full message: done with block
+          bb2.position(bb2.limit())
+        } else {
+          val body = new Array[Byte](size); bb2.get(body)
+          if (typ == 0x10) {
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            val cOff = cb.getLong(); val cLen = cb.getLong()
+            // OCHK block = sig(4) + messages + checksum(4)
+            blocks = blocks :+ ((cOff, 4, (cLen - 8).toInt))
+          } else if (typ != 0x00) msgs += ((typ, body))
+        }
+      }
+    }
+    msgs.toSeq
+  }
+
   /** v1 object header: all (type, body) messages, following
     * continuation blocks.
     */
-  private def readObjectHeader(r: Reader, addr: Long): Seq[(Int, Array[Byte])] = {
+  private def readObjectHeaderV1(r: Reader, addr: Long): Seq[(Int, Array[Byte])] = {
     val hb = r.bb(addr)
     val ver = hb.get() & 0xFF
     require(ver == 1,
-      s"object header version $ver unsupported (v2 needs new-libver files)")
+      s"object header version $ver unsupported (v1 and v2/OHDR are the " +
+        "supported forms)")
     hb.get() // reserved
     val nMsgs = hb.getShort() & 0xFFFF
     hb.getInt() // ref count
@@ -261,8 +481,19 @@ object Hdf5 {
     // layout v3
     val lb = ByteBuffer.wrap(byType(0x0008).head._2).order(ByteOrder.LITTLE_ENDIAN)
     val lv = lb.get() & 0xFF
-    require(lv == 3, s"dataset $name: layout version $lv (v3 only)")
+    // v4 compact/contiguous bodies are identical to v3; v4 CHUNKED uses
+    // the new chunk indexes (fixed/extensible array, v2 B-tree) and is
+    // rejected by name below
+    require(lv == 3 || lv == 4, s"dataset $name: layout version $lv")
     val lclass = lb.get() & 0xFF
+    if (lv == 4 && lclass == 2)
+      throw new IllegalArgumentException(
+        s"dataset $name: data layout v4 chunked (fixed/extensible-array " +
+          "or v2-B-tree chunk index) unsupported — re-export with libver " +
+          "earliest so chunked data uses the v1 B-tree index")
+    if (lv == 4 && lclass == 3)
+      throw new IllegalArgumentException(
+        s"dataset $name: virtual dataset layout unsupported")
     var contiguous: Option[(Long, Long)] = None
     var compact: Option[Array[Byte]] = None
     var chunkDims: Array[Int] = Array.emptyIntArray
@@ -546,7 +777,16 @@ object Hdf5 {
       fill: Option[Double] = None, littleEndian: Boolean = true,
       compactLayout: Boolean = false)
 
-  def write(path: String, vars: Seq[H5WVar]): Unit = {
+  /** `modern = true` emits the libver-latest shape a current h5py/HDF5
+    * writer produces — superblock v3 + v2 (OHDR) object headers + a
+    * new-style root group with compact link messages, all lookup3
+    * checksummed — so Hdf5ModernSpec exercises the modern read path on a
+    * structurally faithful fixture. `denseLinkStub = true` (test-only)
+    * writes a DEFINED fractal-heap address into the link-info message so
+    * the dense-link named rejection actually fires under test.
+    */
+  def write(path: String, vars: Seq[H5WVar], modern: Boolean = false,
+      denseLinkStub: Boolean = false): Unit = {
     val out = ByteBuffer.allocate(1 << 24).order(ByteOrder.LITTLE_ENDIAN)
     def align8(): Unit = while (out.position() % 8 != 0) out.put(0.toByte)
 
@@ -702,6 +942,29 @@ object Hdf5 {
       msgs.foreach(out.put)
       addr
     }
+    /** v2 (OHDR) object header: 1-byte message types, 2-byte chunk-0
+      * size (flags = 0x01), lookup3 checksum over the whole chunk.
+      */
+    def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Long = {
+      align8()
+      val addr = out.position().toLong
+      val msgBytes = msgs.map { case (t, body) =>
+        val padded = ((body.length + 7) / 8) * 8
+        val b = ByteBuffer.allocate(4 + padded).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(t.toByte).putShort(padded.toShort).put(0.toByte).put(body)
+        b.array()
+      }
+      val total = msgBytes.map(_.length).sum
+      val b = ByteBuffer.allocate(8 + total + 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+      b.put(2.toByte).put(1.toByte) // version 2, flags: 2-byte chunk0 size
+      b.putShort(total.toShort)
+      msgBytes.foreach(b.put)
+      val pre = java.util.Arrays.copyOf(b.array(), b.position())
+      b.putInt(Lookup3.hash(pre))
+      out.put(b.array(), 0, 8 + total + 4)
+      addr
+    }
     val varHdrs: Seq[(String, Long)] = placed.map { p =>
       val v = p.v
       val layoutBody: Array[Byte] =
@@ -730,7 +993,7 @@ object Hdf5 {
           b.putLong(p.contAddr); b.putLong(p.contSize)
           b.array()
         }
-      val filterMsg: Seq[Array[Byte]] =
+      val filterMsg: Seq[(Int, Array[Byte])] =
         if (v.gzip || v.shuffle) {
           val fb = ByteBuffer.allocate(8 + 2 * 16).order(ByteOrder.LITTLE_ENDIAN)
           val nf = (if (v.shuffle) 1 else 0) + (if (v.gzip) 1 else 0)
@@ -744,18 +1007,62 @@ object Hdf5 {
             fb.putShort(1).putShort(0).putShort(1).putShort(1)
             fb.putInt(6); fb.putInt(0)
           }
-          Seq(message(0x000B,
+          Seq((0x000B,
             java.util.Arrays.copyOf(fb.array(), fb.position())))
         } else Nil
-      val attrs =
-        v.scale.map(s => message(0x000C, attrBytes("scale_factor", Netcdf.NcDouble, s))).toSeq ++
-        v.offset.map(o => message(0x000C, attrBytes("add_offset", Netcdf.NcDouble, o))).toSeq ++
-        v.fill.map(f => message(0x000C, attrBytes("_FillValue", v.ncType, f))).toSeq
-      val msgs = Seq(
-        message(0x0001, dsBytes(v.dims)),
-        message(0x0003, dtBytes(v.ncType, v.littleEndian)),
-        message(0x0008, layoutBody)) ++ filterMsg ++ attrs
-      v.name -> objectHeader(msgs)
+      val attrs: Seq[(Int, Array[Byte])] =
+        v.scale.map(s => (0x000C, attrBytes("scale_factor", Netcdf.NcDouble, s))).toSeq ++
+        v.offset.map(o => (0x000C, attrBytes("add_offset", Netcdf.NcDouble, o))).toSeq ++
+        v.fill.map(f => (0x000C, attrBytes("_FillValue", v.ncType, f))).toSeq
+      val rawMsgs: Seq[(Int, Array[Byte])] = Seq(
+        (0x0001, dsBytes(v.dims)),
+        (0x0003, dtBytes(v.ncType, v.littleEndian)),
+        (0x0008, layoutBody)) ++ filterMsg ++ attrs
+      v.name -> (if (modern) objectHeaderV2(rawMsgs)
+        else objectHeader(rawMsgs.map { case (t, b) => message(t, b) }))
+    }
+
+    if (modern) {
+      // ---- new-style root group: link info + group info + one compact
+      // link message per dataset, in a v2 object header
+      val hdrByName = varHdrs.toMap
+      val linkInfo = {
+        val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0.toByte).put(0.toByte) // version, flags (no creation order)
+        b.putLong(if (denseLinkStub) 0x1000L else -1L) // fractal heap addr
+        b.putLong(-1L) // name index B-tree addr
+        b.array()
+      }
+      val groupInfo = Array[Byte](0, 0) // version 0, flags 0
+      val linkMsgs: Seq[(Int, Array[Byte])] =
+        vars.map(_.name).sorted.map { n =>
+          val nb = n.getBytes(StandardCharsets.UTF_8)
+          require(nb.length <= 255, s"name $n too long for 1-byte length")
+          val b = ByteBuffer.allocate(3 + nb.length + 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(1.toByte).put(0.toByte) // version 1, flags: u8 name length
+          b.put(nb.length.toByte).put(nb)
+          b.putLong(hdrByName(n))
+          (0x0006, b.array())
+        }
+      val rootHdr = objectHeaderV2(
+        Seq((0x0002, linkInfo), (0x000A, groupInfo)) ++ linkMsgs)
+      val eof = out.position().toLong
+      // ---- superblock v3 at offset 0 (48 bytes; prefix reserve is 96)
+      out.position(0)
+      out.put(Signature)
+      out.put(3.toByte) // superblock v3
+      out.put(8.toByte).put(8.toByte) // offset/length sizes
+      out.put(0.toByte) // file consistency flags
+      out.putLong(0L) // base
+      out.putLong(-1L) // superblock extension
+      out.putLong(eof)
+      out.putLong(rootHdr)
+      val sbBody = java.util.Arrays.copyOf(out.array(), 44)
+      out.putInt(Lookup3.hash(sbBody))
+      val all = java.util.Arrays.copyOf(out.array(), eof.toInt)
+      Files.write(Paths.get(path), all)
+      return
     }
 
     // ---- root group: local heap, SNOD, B-tree, root object header

@@ -162,11 +162,12 @@ class Hdf5Spec extends SparkSpecBase {
   test("out-of-subset files fail with actionable errors") {
     val path = goesFixture()
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
-    bytes(8) = 2 // superblock version -> 2
-    val p2 = java.nio.file.Paths.get(path + ".v2")
+    bytes(8) = 1 // superblock version -> 1 (istore_k variant; v2/3 are
+    // SUPPORTED since r12, so v1 is the remaining unsupported version)
+    val p2 = java.nio.file.Paths.get(path + ".v1")
     Files.write(p2, bytes)
     val ex = intercept[IllegalArgumentException] { Hdf5.readVars(p2.toString) }
-    assert(ex.getMessage.contains("superblock"))
+    assert(ex.getMessage.contains("superblock version 1"))
   }
 
   test("files past 2 GiB parse (seek-based metadata walk, r11)") {
