@@ -106,14 +106,34 @@ object StreamBench {
         Streams.FenceSeg(6 + i, -180L * 100000L, latq, 180L * 100000L, latq)
       }
 
-    /** Replay all chunks through a query built on `stream`; returns
-      * (timedRows, seconds, outputRows).
+    // document feed for the stateful dedup monitors (r12): the documents
+    // table in doc_id order, chunked like the event feed; loaded lazily so
+    // event-only runs never touch it. content hash = md5(text), the batch
+    // twins' convention.
+    lazy val docChunks: Array[Array[(Long, String)]] = {
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      // the doc table is ~100x smaller than events: size chunks so the
+      // feed always spans >= ~5 micro-batches (>= 1 timed after warm-up)
+      val chunkSize = math.min(batchRows, math.max(1, (rows.length + 4) / 5))
+      System.err.println(
+        s"[sbench] doc feed: ${rows.length} docs, chunks of $chunkSize")
+      rows.grouped(chunkSize).toArray
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    /** Replay a feed through a query built on `stream`; returns
+      * (name, events/sec).
       */
-    def bench[T](name: String,
+    def benchFeed[S, T](name: String, feed: => Array[Array[S]],
         mkStream: () => (MemoryStream[T], DataFrame),
-        toIn: Streams.Ev => T,
+        toIn: S => T,
         mode: OutputMode): Option[(String, Double)] = {
       if (!only.forall(_.contains(name))) return None
+      val chunks = feed
       val outRows = new java.util.concurrent.atomic.AtomicLong(0L)
       val (mem, out) = mkStream()
       val q: StreamingQuery = out.writeStream
@@ -138,6 +158,12 @@ object StreamBench {
         f"($timedRows rows, ${chunks.length - 1} batches, $sec%.1f s, out=${outRows.get()})")
       Some(name -> rate)
     }
+
+    def bench[T](name: String,
+        mkStream: () => (MemoryStream[T], DataFrame),
+        toIn: Streams.Ev => T,
+        mode: OutputMode): Option[(String, Double)] =
+      benchFeed[Streams.Ev, T](name, chunks, mkStream, toIn, mode)
 
     val results = Seq(
       bench[Streams.Ev]("stream_latest_state", () => {
@@ -175,7 +201,43 @@ object StreamBench {
       bench[Streams.InferIn]("stream_conv_infer", () => {
         val m = MemoryStream[Streams.InferIn]
         (m, Streams.convInferStream(m.toDS()).toDF())
-      }, inferInOf, OutputMode.Append())
+      }, inferInOf, OutputMode.Append()),
+      bench[Streams.InferIn]("stream_cnn2_infer", () => {
+        val m = MemoryStream[Streams.InferIn]
+        (m, Streams.cnn2InferStream(m.toDS()).toDF())
+      }, inferInOf, OutputMode.Append()),
+      // the stateful distinct/top-k/robust-filter/forecast monitors
+      // (r12: every bounded-state claim carries a measured rate)
+      bench[Streams.Ev]("stream_kmv_distinct", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.kmvDistinctStream(m.toDS()).toDF())
+      }, identity, OutputMode.Update()),
+      bench[Streams.Ev]("stream_topk", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.topkStream(m.toDS()).toDF())
+      }, identity, OutputMode.Update()),
+      bench[Streams.Ev]("stream_hampel", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.hampelStream(m.toDS()).toDF())
+      }, identity, OutputMode.Append()),
+      bench[Streams.Ev]("stream_holt", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.holtStream(m.toDS()).toDF())
+      }, identity, OutputMode.Append()),
+      // document-feed dedup monitors (r12): exact soft-dedup counters and
+      // MinHash-LSH near-dup over the documents table, doc_id order
+      benchFeed[(Long, String), Streams.DocIn]("stream_soft_dedup",
+        docChunks, () => {
+          val m = MemoryStream[Streams.DocIn]
+          (m, Streams.softDedupStream(m.toDS()).toDF())
+        }, { case (id, text) => Streams.DocIn(id, md5hex(text)) },
+        OutputMode.Append()),
+      benchFeed[(Long, String), (Long, String)]("stream_lsh_dedup",
+        docChunks, () => {
+          val m = MemoryStream[(Long, String)]
+          (m, Streams.lshDedupStream(
+            m.toDF().toDF("doc_id", "text")).toDF())
+        }, identity, OutputMode.Append())
     ).flatten
 
     def f1(v: Double): String =

@@ -924,6 +924,23 @@ object Geo {
         WHEN 1  THEN ((-3.0e0*($t*$t*$t) + 4.0e0*($t*$t)) + $t) / 2.0e0
         ELSE (($t*$t*$t) - ($t*$t)) / 2.0e0 END)"""
 
+  /** Lanczos-3 weight (GDAL's Lanczos): sinc(x)·sinc(x/3) at
+    * x = c − t for tap offset `c` ∈ −2..3, fraction `t` ∈ [0,1).
+    * sin() is transcendental, so unlike CubicW the raw IEEE result is
+    * not guaranteed bit-identical across libm implementations — the
+    * weight is QUANTIZED to 6 decimals (round half-away-from-zero, the
+    * shared behavior of Spark's and DuckDB's round on DOUBLE), making
+    * the kernel definition itself engine-exact; products and the
+    * fixed-order 36-term sum are then identical IEEE on both sides.
+    * One fragment interpolated into both engines, like CubicW.
+    */
+  private def LanczosW(c: String, t: String): String =
+    s"""round(CASE WHEN abs(CAST($c AS DOUBLE) - $t) < 1e-12 THEN 1.0e0
+        ELSE 3.0e0 * sin(3.141592653589793e0 * (CAST($c AS DOUBLE) - $t))
+             * sin(3.141592653589793e0 * (CAST($c AS DOUBLE) - $t) / 3.0e0)
+             / (9.869604401089358e0 * (CAST($c AS DOUBLE) - $t)
+                * (CAST($c AS DOUBLE) - $t)) END, 6)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- geo_contour: marching-squares isoline extraction --------------
@@ -3199,6 +3216,179 @@ object Geo {
                COUNT(v) AS n_valid, COUNT(v) > 0 AS valid,
                CASE WHEN COUNT(v) > 0 THEN SUM(v) / COUNT(v) END AS value
         FROM src GROUP BY 1, 2 ORDER BY ti, tj""")),
+
+    // ----- geo_resample_mode: majority downsample kernel ----------------
+    // ResampleAlg Mode (warp.rs:35-45): downsampling a CATEGORICAL
+    // raster (land cover, fire mask, QC flags) where averaging is
+    // meaningless — the target cell takes the most frequent source
+    // value in its footprint. Ties break to the smallest value
+    // (deterministic; GDAL leaves tie order unspecified, a contract a
+    // distributed engine must pin). Nodata excluded; valid = any
+    // non-null member. Exact integers end to end. Scale shape: two
+    // map-side-combinable groupBys (cell-value counts, then the
+    // min-struct argmax) — linear, no join against the raster.
+    "geo_resample_mode" -> Q(
+      build = (s, d) => {
+        val src = s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("vi", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 25 AS BIGINT) END"""))
+        val tot = src
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"))
+          .agg(count(col("vi")).as("n_valid"))
+        val mode = src.filter(col("vi").isNotNull)
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"),
+            col("vi"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("m", struct((-col("cnt")).as("nc"), col("vi").as("mv")))
+          .groupBy(col("ti"), col("tj"))
+          .agg(min(col("m")).as("m"))
+          .select(col("ti"), col("tj"), col("m.mv").as("value"),
+            (-col("m.nc")).as("mode_count"))
+        tot.join(mode, Seq("ti", "tj"), "left")
+          .select(col("ti"), col("tj"), col("n_valid"),
+            (col("n_valid") > 0).as("valid"), col("value"),
+            col("mode_count"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 25 AS BIGINT)
+                 END AS vi
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b)),
+        tot AS (
+          SELECT si // 4 AS ti, sj // 4 AS tj, COUNT(vi) AS n_valid
+          FROM src GROUP BY 1, 2),
+        cnts AS (
+          SELECT si // 4 AS ti, sj // 4 AS tj, vi, COUNT(*) AS cnt
+          FROM src WHERE vi IS NOT NULL GROUP BY 1, 2, 3),
+        md AS (
+          SELECT ti, tj, vi AS value, cnt AS mode_count,
+                 ROW_NUMBER() OVER (PARTITION BY ti, tj
+                   ORDER BY cnt DESC, vi ASC) AS rn
+          FROM cnts)
+        SELECT t.ti, t.tj, t.n_valid, t.n_valid > 0 AS valid,
+               m.value, m.mode_count
+        FROM tot t LEFT JOIN md m
+          ON m.ti = t.ti AND m.tj = t.tj AND m.rn = 1
+        ORDER BY t.ti, t.tj""")),
+
+    // ----- geo_resample_lanczos: Lanczos-3 warp kernel ------------------
+    // ResampleAlg Lanczos (warp.rs:35-45): the high-fidelity upsample
+    // for imagery where cubic still blurs — 6×6 sinc-windowed taps
+    // (offsets −2..3) with per-target weight normalization (Σwv / Σw,
+    // GDAL's kernel sum). Same UTM warp geometry and all-36-taps-valid
+    // strict contract as geo_resample_cubic (negative lobes make nodata
+    // renormalization ill-defined). Weights come from the QUANTIZED
+    // LanczosW fragment (see its scaladoc: sin() is the one
+    // transcendental, pinned by 6-decimal rounding shared by both
+    // engines); both Σ run in ONE fixed 36-term order via the pivot
+    // trick. Scale shape: 36 broadcast-hash-joined taps per target, one
+    // groupBy — fixed fan-out, no data-sized explode.
+    "geo_resample_lanczos" -> Q(
+      build = (s, d) => {
+        val tgt = s.range(0, 50).select(col("id").as("ti"))
+          .crossJoin(s.range(0, 40).select(col("id").as("tj")))
+          .withColumn("lat", expr("36.025e0 + ti * 0.05e0"))
+          .withColumn("lon", expr("-122.975e0 + tj * 0.05e0"))
+        val proj = Geo.withUtm(tgt, col("lat"), col("lon"))
+          .withColumn("fx",
+            expr("(round(utm_easting, 3) - 500000.0e0) / 1000.0e0"))
+          .withColumn("fy",
+            expr("(round(utm_northing, 3) - 4000000.0e0) / 1000.0e0"))
+          .withColumn("i", expr("CAST(floor(fx) AS BIGINT)"))
+          .withColumn("j", expr("CAST(floor(fy) AS BIGINT)"))
+          .withColumn("di", expr("fx - floor(fx)"))
+          .withColumn("dj", expr("fy - floor(fy)"))
+        val src = s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+        val taps = proj
+          .withColumn("ci", explode(array((-2L to 3L).map(lit): _*)))
+          .withColumn("cj", explode(array((-2L to 3L).map(lit): _*)))
+          .withColumn("wx", expr(LanczosW("ci", "di")))
+          .withColumn("wy", expr(LanczosW("cj", "dj")))
+          .withColumn("ord", (col("ci") + 2) * 6 + col("cj") + 2)
+        val piv = taps.join(broadcast(src),
+            taps("i") + taps("ci") === src("si")
+              && taps("j") + taps("cj") === src("sj"), "left")
+          .groupBy(col("ti"), col("tj"), col("lat"), col("lon"))
+          .agg(count(col("v")).as("n_valid"),
+            (0 until 36).map(k => max(when(col("ord") === k,
+              expr("wx * wy * v"))).as(s"p$k")) ++
+            (0 until 36).map(k => max(when(col("ord") === k,
+              expr("wx * wy"))).as(s"q$k")): _*)
+        val pChain = (1 until 36).foldLeft("p0")((a, k) => s"($a + p$k)")
+        val qChain = (1 until 36).foldLeft("q0")((a, k) => s"($a + q$k)")
+        piv.select(col("ti"), col("tj"), col("lat"), col("lon"),
+            (col("n_valid") === 36).as("valid"),
+            expr(s"CASE WHEN n_valid = 36 THEN ($pChain) / ($qChain) END")
+              .as("value"))
+          .orderBy(col("ti"), col("tj"))
+      },
+      oracle = Some({
+        val (fw, last) = UtmK.ctes("uz", UtmK.fwdSteps("lat", "lon"), "rf")
+        s"""
+        WITH tgt AS (
+          SELECT ti.a AS ti, tj.b AS tj,
+                 36.025e0 + ti.a * 0.05e0 AS lat,
+                 -122.975e0 + tj.b * 0.05e0 AS lon
+          FROM generate_series(0, 49) AS ti(a),
+               generate_series(0, 39) AS tj(b)),
+        uz AS (SELECT *, ${UtmK.zoneExpr("lat", "lon")} AS utm_zone
+               FROM tgt),
+        $fw,
+        src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b)),
+        cells AS (
+          SELECT ti, tj, lat, lon,
+                 CAST(floor((round(utm_easting, 3) - 500000.0e0)
+                   / 1000.0e0) AS BIGINT) AS i,
+                 CAST(floor((round(utm_northing, 3) - 4000000.0e0)
+                   / 1000.0e0) AS BIGINT) AS j,
+                 (round(utm_easting, 3) - 500000.0e0) / 1000.0e0
+                   - floor((round(utm_easting, 3) - 500000.0e0)
+                     / 1000.0e0) AS di,
+                 (round(utm_northing, 3) - 4000000.0e0) / 1000.0e0
+                   - floor((round(utm_northing, 3) - 4000000.0e0)
+                     / 1000.0e0) AS dj
+          FROM $last),
+        taps AS (
+          SELECT c.*, ci.c AS ci, cj.c AS cj,
+                 (ci.c + 2) * 6 + cj.c + 2 AS ord,
+                 ${LanczosW("ci.c", "c.di")} AS wx,
+                 ${LanczosW("cj.c", "c.dj")} AS wy
+          FROM cells c, generate_series(-2, 3) AS ci(c),
+               generate_series(-2, 3) AS cj(c)),
+        agg AS (
+          SELECT t.ti, t.tj, t.lat, t.lon, COUNT(s.v) AS n_valid,
+                 ${(0 until 36).map(k =>
+                   s"MAX(CASE WHEN t.ord = $k THEN t.wx * t.wy * s.v END) AS p$k")
+                   .mkString(", ")},
+                 ${(0 until 36).map(k =>
+                   s"MAX(CASE WHEN t.ord = $k THEN t.wx * t.wy END) AS q$k")
+                   .mkString(", ")}
+          FROM taps t LEFT JOIN src s
+            ON t.i + t.ci = s.si AND t.j + t.cj = s.sj
+          GROUP BY 1, 2, 3, 4)
+        SELECT ti, tj, lat, lon, n_valid = 36 AS valid,
+               CASE WHEN n_valid = 36
+                    THEN (${(1 until 36).foldLeft("p0")((a, k) => s"($a + p$k)")})
+                       / (${(1 until 36).foldLeft("q0")((a, k) => s"($a + q$k)")})
+               END AS value
+        FROM agg ORDER BY ti, tj"""
+      })),
 
     // ----- geo_zonal_stats: raster reduction over polygon zones ---------
     // Zonal statistics — the raster consumer's other half next to the

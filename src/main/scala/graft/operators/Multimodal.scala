@@ -48,21 +48,25 @@ object Multimodal {
     val frames = Tables.t(s, d, "documents")
       .filter(length(col("text")) >= 16)
     val byCam = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // frame distance folds INSIDE the pair row (codegen'd aggregate HOF
+    // over the lagged payload) — the mm_ssim r11 cure. The old form
+    // exploded one row per byte and positionally joined two corpus-byte-
+    // sized sides: ~5e9 shuffle rows at ×1000 (disk-death, r12 ledger).
+    // The inner positional join covered positions <= min(len, prev len);
+    // least() reproduces that bound exactly, so fdist is bit-identical
+    // and the oracle is untouched.
     val pairs = frames
-      .select(col("source"), col("doc_id"))
+      .select(col("source"), col("doc_id"), col("text"))
       .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
+      .withColumn("ptext", lag(col("text"), 1).over(byCam))
       .filter(col("prev_doc_id").isNotNull)
-    val bytes = frames
-      .select(col("doc_id"),
-        explode(expr("sequence(1, length(text))")).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
-    val dist = pairs.join(bytes, Seq("doc_id"))
-      .join(bytes.select(col("doc_id").as("prev_doc_id"),
-        col("pos"), col("b").as("pb")), Seq("prev_doc_id", "pos"))
-      .groupBy(col("source"), col("doc_id"), col("prev_doc_id"))
-      .agg(sum(abs(col("b") - col("pb"))).as("fdist"))
+    val dist = pairs
+      .select(col("source"), col("doc_id"), col("prev_doc_id"),
+        expr("""aggregate(sequence(1, least(length(text), length(ptext))),
+          CAST(0 AS BIGINT), (acc, i) -> acc +
+            abs(CAST(ascii(substring(text, i, 1)) AS BIGINT)
+              - CAST(ascii(substring(ptext, i, 1)) AS BIGINT)))""")
+          .as("fdist"))
     val med = graft.Det.rankPrefix(dist.select(col("fdist"), col("doc_id")),
         Seq.empty, Seq(col("fdist"), col("doc_id")))
       .filter(col("rn") === expr("(n_grp + 1) div 2"))
@@ -1980,18 +1984,21 @@ object Multimodal {
     // keyed shuffles only.
     "mm_keyframes" -> Q(
       build = (s, d) => {
+        // focus energy folds inside the row (r12: same in-row-HOF cure
+        // as sceneCuts — the old explode made ~960 rows per doc)
         val focus = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 96)
           .select(col("doc_id"),
             expr("CAST(floor(length(text)/32)*32 AS INT)").as("len32"),
             col("text"))
-          .select(col("doc_id"), col("len32"),
-            explode(expr("sequence(1, len32 - 64)")).as("pos"), col("text"))
           .select(col("doc_id"),
-            (expr("ascii(substring(text, pos + 64, 1))")
-              - expr("ascii(substring(text, pos, 1))")).as("dd"))
-          .groupBy(col("doc_id"))
-          .agg(sum((col("dd") * col("dd")).cast(LongType)).as("focus_sum"))
+            expr("""aggregate(sequence(1, len32 - 64), CAST(0 AS BIGINT),
+              (acc, pos) -> acc + CAST(
+                (ascii(substring(text, pos + 64, 1))
+                  - ascii(substring(text, pos, 1)))
+                * (ascii(substring(text, pos + 64, 1))
+                  - ascii(substring(text, pos, 1))) AS BIGINT))""")
+              .as("focus_sum"))
         sceneCuts(s, d)
           .select(col("source"), col("seg_id"), col("doc_id"))
           .join(focus, Seq("doc_id"))
