@@ -32,6 +32,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the replay feed is collected driver-side by design (a MemoryStream
+      // needs the records in hand); the ×1000 tier's 100 M events exceed
+      // the 1g default. Harness-only — no registered operator collects.
+      .config("spark.driver.maxResultSize", "32g")
     // SPARK_GRAFT_STREAM_STATESTORE=rocksdb benches the provider a
     // production cluster runs large keyed state on (bundled rocksdbjni);
     // default is the in-memory HDFS-backed provider
@@ -230,7 +234,11 @@ object StreamBench {
         docChunks, () => {
           val m = MemoryStream[Streams.DocIn]
           (m, Streams.softDedupStream(m.toDS()).toDF())
-        }, { case (id, text) => Streams.DocIn(id, md5hex(text)) },
+        }, { case (id, text) =>
+          // pseudo event time = doc_id + 1: ids start at 0 and a ts at
+          // exactly the initial watermark (0) sits on Spark's late-row
+          // boundary — shift so the feed is strictly above it
+          Streams.DocIn(id, md5hex(text), id + 1L) },
         OutputMode.Append()),
       benchFeed[(Long, String), (Long, String)]("stream_lsh_dedup",
         docChunks, () => {

@@ -101,8 +101,11 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("val_sum"))
 
-  case class DocIn(doc_id: Long, content_hash: String)
+  case class DocIn(doc_id: Long, content_hash: String, ts_sec: Long = 0L)
   case class DocCopy(doc_id: Long, content_hash: String, copy_idx: Long)
+  /** internal: DocIn + the watermark column (encoders need it public). */
+  case class DocInW(doc_id: Long, content_hash: String,
+      ts_sec: Long, ts: java.sql.Timestamp)
 
   /** stream_soft_dedup: streaming duplicate-pressure counter — the
     * streaming form of doc_soft_dedup. Keyed by content hash, each
@@ -110,31 +113,58 @@ object Streams {
     * an exact-dedup filter; the batch soft-dedup weight for a cluster of
     * size n is recoverable downstream from max(copy_idx)). Within a batch
     * arrivals order by doc_id so replays are deterministic. State is one
-    * counter per hash; with `ttl` set it is expired after that idle window
-    * (ProcessingTimeTimeout), so the state store is bounded by the
-    * active-duplication horizon — the same bounded-state contract as
-    * doc_bloom_dedup's filter. `ttl = None` keeps counters forever, the
-    * deterministic mode used by the spec.
+    * counter per hash; with `ttl` set (seconds of EVENT-time idleness) a
+    * counter whose hash has gone quiet is evicted by watermark +
+    * event-time timeout — the suite's stream_cpa pattern — so the state
+    * store is bounded by the active-duplication horizon AND eviction is
+    * deterministic on replay. (r12: this replaced a ProcessingTimeTimeout
+    * design — processing-time eviction is replay-nondeterministic, and
+    * its configured-timeout flag makes the engine treat EVERY batch as
+    * requiring another, so processAllAvailable-driven harnesses livelock
+    * in continuous no-data batches. Event time has neither defect.)
+    * `ttl = None` keeps counters forever, the mode the exact-equivalence
+    * spec uses.
     */
   def softDedupStream(docs: Dataset[DocIn],
-      ttl: Option[String] = Some("1 hour")): Dataset[DocCopy] = {
+      ttl: Option[Long] = Some(3600L)): Dataset[DocCopy] = {
     import docs.sparkSession.implicits._
-    val timeoutConf = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-                      else GroupStateTimeout.NoTimeout
-    docs.groupByKey(_.content_hash)
-      .flatMapGroupsWithState[Long, DocCopy](OutputMode.Append, timeoutConf) {
-        (h, batch, state: GroupState[Long]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var n = state.getOption.getOrElse(0L)
-            val out = batch.toSeq.sortBy(_.doc_id).map { dd =>
-              n += 1; DocCopy(dd.doc_id, h, n)
-            }
-            state.update(n)
-            ttl.foreach(state.setTimeoutDuration)
-            out.iterator
+    ttl match {
+      case None =>
+        docs.groupByKey(_.content_hash)
+          .flatMapGroupsWithState[Long, DocCopy](OutputMode.Append,
+              GroupStateTimeout.NoTimeout) {
+            (h, batch, state: GroupState[Long]) =>
+              var n = state.getOption.getOrElse(0L)
+              val out = batch.toSeq.sortBy(_.doc_id).map { dd =>
+                n += 1; DocCopy(dd.doc_id, h, n)
+              }
+              state.update(n)
+              out.iterator
           }
-      }
+      case Some(ttlSec) =>
+        docs.toDF()
+          .withColumn("ts", timestamp_seconds(col("ts_sec")))
+          .withWatermark("ts", s"$ttlSec seconds")
+          .as[DocInW]
+          .groupByKey(_.content_hash)
+          .flatMapGroupsWithState[Long, DocCopy](OutputMode.Append,
+              GroupStateTimeout.EventTimeTimeout) {
+            (h, batch, state: GroupState[Long]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                var n = state.getOption.getOrElse(0L)
+                val rows = batch.toSeq.sortBy(_.doc_id)
+                val out = rows.map { dd => n += 1; DocCopy(dd.doc_id, h, n) }
+                state.update(n)
+                // evict when event time moves ttl past the newest copy;
+                // the timeout must sit strictly above the watermark
+                state.setTimeoutTimestamp(math.max(
+                  (rows.map(_.ts_sec).max + ttlSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+                out.iterator
+              }
+          }
+    }
   }
 
   case class RepairedSample(user_id: Long, event_id: Long, ts_sec: Long,
