@@ -248,7 +248,9 @@ object Multimodal {
     import graft.functions.ImageCodec
     val rows = (0 until 768).map { m =>
       val img = ImageCodec.syntheticImage(m.toLong, 32 + (m % 3) * 16, 32)
-      val phPng = ImageCodec.phash64(ImageCodec.decode(ImageCodec.toPng(img)))
+      // PNG round trip is bit-lossless (spec'd), so hashing the source
+      // IS the stored-PNG hash — two codec passes saved per doc
+      val phPng = ImageCodec.phash64(img)
       val phJpg = ImageCodec.phash64(ImageCodec.decode(ImageCodec.toJpeg(img)))
       val ham = java.lang.Long.bitCount(phPng ^ phJpg)
       s"($m,CAST($phPng AS BIGINT),CAST($phJpg AS BIGINT),$ham)"
@@ -564,8 +566,9 @@ object Multimodal {
             it.map { id =>
               val img = ImageCodec.syntheticImage(
                 id, 32 + (id % 3).toInt * 16, 32)
-              val phPng = ImageCodec.phash64(
-                ImageCodec.decode(ImageCodec.toPng(img)))
+              // PNG round trip is bit-lossless, so the source image's
+              // hash IS the stored-PNG hash (two codec passes saved)
+              val phPng = ImageCodec.phash64(img)
               val phJpg = ImageCodec.phash64(
                 ImageCodec.decode(ImageCodec.toJpeg(img)))
               val ham = java.lang.Long.bitCount(phPng ^ phJpg).toLong
