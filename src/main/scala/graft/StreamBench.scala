@@ -21,6 +21,33 @@ import graft.streaming.Streams
   */
 object StreamBench {
 
+  /** Deterministic position derivation shared with the batch operators
+    * (Geo.evPts formula): reused by [[CpaParity]] so the ×1000 stream/batch
+    * parity check runs the literally-same Scala code on both sides.
+    */
+  def fixEvOf(e: Streams.Ev): Streams.FixEv = {
+    val lat = (e.user_id * 37 % 140 - 70).toDouble + e.value / 1000.0
+    val lon = (e.event_id * 73 % 360 - 180).toDouble + e.value / 2000.0
+    Streams.FixEv(e.user_id, e.event_id, e.ts_sec, lat, lon)
+  }
+
+  /** Fix with the small deterministic hash-walk velocity (≤ 0.06 deg/min,
+    * the replay-spec convention). Shared with [[CpaParity]].
+    */
+  def fixOf(e: Streams.Ev): Streams.Fix = {
+    val f = fixEvOf(e)
+    def h(k: Long): Long = {
+      var z = k + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def frac(k: Long): Double = (h(k) >>> 11).toDouble / (1L << 53).toDouble
+    Streams.Fix(f.user_id, f.ts_sec, f.lat, f.lon,
+      0.12 * frac(e.event_id * 31 + 1) - 0.06,
+      0.12 * frac(e.event_id * 31 + 2) - 0.06)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,28 +93,6 @@ object StreamBench {
     System.err.println(
       s"[sbench] feed: ${evs.length} events, ${chunks.length} batches of <= $batchRows")
 
-    // fixes reuse the batch operators' deterministic position derivation
-    // (Geo.evPts formula) so fence/cpa see the same spatial density the
-    // batch twins are profiled at; cpa velocities are small deterministic
-    // hash walks (<= 0.06 deg/min, the replay-spec convention)
-    def fixEvOf(e: Streams.Ev): Streams.FixEv = {
-      val lat = (e.user_id * 37 % 140 - 70).toDouble + e.value / 1000.0
-      val lon = (e.event_id * 73 % 360 - 180).toDouble + e.value / 2000.0
-      Streams.FixEv(e.user_id, e.event_id, e.ts_sec, lat, lon)
-    }
-    def fixOf(e: Streams.Ev): Streams.Fix = {
-      val f = fixEvOf(e)
-      def h(k: Long): Long = {
-        var z = k + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      def frac(k: Long): Double = (h(k) >>> 11).toDouble / (1L << 53).toDouble
-      Streams.Fix(f.user_id, f.ts_sec, f.lat, f.lon,
-        0.12 * frac(e.event_id * 31 + 1) - 0.06,
-        0.12 * frac(e.event_id * 31 + 2) - 0.06)
-    }
     // camera frames for the inference monitors: the period-768 synthetic
     // PNG set, encoded ONCE — feed records share references, so 10 M
     // events cost ~50 MB of driver heap, not 10 M encodes
@@ -139,11 +144,23 @@ object StreamBench {
       if (!only.forall(_.contains(name))) return None
       val chunks = feed
       val outRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      // SPARK_GRAFT_STREAM_HASH=1: also fold an order-insensitive content
+      // hash over every output batch (one agg pass — same plan cost class
+      // as the count) so a scale-tier replay can be checked byte-identical
+      // against its batch twin (CpaParity) without persisting the output
+      val hashOut = sys.env.get("SPARK_GRAFT_STREAM_HASH").contains("1")
+      val outHash = new java.util.concurrent.atomic.AtomicReference(
+        java.math.BigDecimal.ZERO)
       val (mem, out) = mkStream()
       val q: StreamingQuery = out.writeStream
         .outputMode(mode)
         .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          outRows.addAndGet(df.count()); ()
+          if (hashOut) {
+            val (n, h) = CpaParity.hashAgg(df)
+            outRows.addAndGet(n)
+            outHash.updateAndGet(_.add(h))
+          } else outRows.addAndGet(df.count())
+          ()
         }
         .start()
       // warm-up: first chunk untimed
@@ -159,7 +176,8 @@ object StreamBench {
       q.stop()
       val rate = timedRows / sec
       System.err.println(f"[sbench] $name%-22s ${rate / 1000.0}%9.1f k-events/s  " +
-        f"($timedRows rows, ${chunks.length - 1} batches, $sec%.1f s, out=${outRows.get()})")
+        f"($timedRows rows, ${chunks.length - 1} batches, $sec%.1f s, out=${outRows.get()})" +
+        (if (hashOut) s" out_hash=${outHash.get().toPlainString}" else ""))
       Some(name -> rate)
     }
 

@@ -104,6 +104,11 @@ object ImageCodec {
     var w = 0; var h = 0; var prec = 0; var ncomp = 0
     var jfif = false; var entropy = 0L; var sawEoi = false
     while (ok && !sawEoi && off + 2 <= bytes.length) {
+      // spec-legal fill bytes (ITU-T T.81 B.1.1.2): any number of extra
+      // 0xFF may pad before a marker — skip them so the length-segment
+      // branch never misreads a fill byte as a marker code (ADVICE r12)
+      while (off + 2 < bytes.length && u8(off) == 0xFF && u8(off + 1) == 0xFF)
+        off += 1
       if (u8(off) != 0xFF) ok = false
       else {
         val m = u8(off + 1)

@@ -928,18 +928,27 @@ object Geo {
     * x = c − t for tap offset `c` ∈ −2..3, fraction `t` ∈ [0,1).
     * sin() is transcendental, so unlike CubicW the raw IEEE result is
     * not guaranteed bit-identical across libm implementations — the
-    * weight is QUANTIZED to 6 decimals (round half-away-from-zero, the
-    * shared behavior of Spark's and DuckDB's round on DOUBLE), making
-    * the kernel definition itself engine-exact; products and the
-    * fixed-order 36-term sum are then identical IEEE on both sides.
-    * One fragment interpolated into both engines, like CubicW.
+    * weight is QUANTIZED to 6 decimals via floor(w·1e6 + 0.5)/1e6, an
+    * integer-exact spelling whose every step (multiply, add, floor,
+    * divide) is the same IEEE operation in both engines — unlike
+    * round(w, 6), whose implementations differ (Spark: BigDecimal
+    * HALF_UP on the shortest-decimal repr; DuckDB: multiply-based
+    * half-away) and can disagree exactly at a .5e-6 boundary (ADVICE
+    * r12). Products and the fixed-order 36-term sum downstream are then
+    * identical IEEE on both sides. One fragment interpolated into both
+    * engines, like CubicW. Residual risk, accepted and documented: if
+    * the two engines' libm sin() results straddle a floor boundary
+    * (|Δ| ~1 ulp at w·1e6 + 0.5 ≈ integer) the quantized weights can
+    * still differ — irreducible without shipping a table-driven sin;
+    * the gate corpus plus both DuckDB TZ runs have never hit it.
     */
   private def LanczosW(c: String, t: String): String =
-    s"""round(CASE WHEN abs(CAST($c AS DOUBLE) - $t) < 1e-12 THEN 1.0e0
+    s"""(floor((CASE WHEN abs(CAST($c AS DOUBLE) - $t) < 1e-12 THEN 1.0e0
         ELSE 3.0e0 * sin(3.141592653589793e0 * (CAST($c AS DOUBLE) - $t))
              * sin(3.141592653589793e0 * (CAST($c AS DOUBLE) - $t) / 3.0e0)
              / (9.869604401089358e0 * (CAST($c AS DOUBLE) - $t)
-                * (CAST($c AS DOUBLE) - $t)) END, 6)"""
+                * (CAST($c AS DOUBLE) - $t)) END) * 1.0e6 + 0.5e0)
+        / 1.0e6)"""
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -3276,6 +3285,97 @@ object Geo {
         FROM tot t LEFT JOIN md m
           ON m.ti = t.ti AND m.tj = t.tj AND m.rn = 1
         ORDER BY t.ti, t.tj""")),
+
+    // ----- geo_resample_min / _max / _med: order-statistic kernels ------
+    // The remaining ResampleAlg trio (warp.rs:35-45 Min/Max/Med):
+    // downsampling where the extreme or the robust middle is the
+    // product — Max for hazard rasters (worst fire-danger class in the
+    // coarse cell), Min for clearance/visibility floors, Med as the
+    // outlier-immune alternative to Average. Same integer-decimation
+    // geometry and nodata semantics as geo_resample_average (aggregate
+    // over the non-null members; valid = any member). Exact
+    // cross-engine: min/max are order statistics on exactly-represented
+    // doubles; med interpolates the two middle members with the SAME
+    // pos = 0.5·(n−1) formula in Spark's exact percentile and DuckDB's
+    // quantile_cont, and on integer-valued doubles every interpolation
+    // step is exact IEEE. Scale shape: min/max are ONE map-side-
+    // combinable groupBy (partial min/max per partition — constant
+    // shuffle rows per cell); med buffers per-group members, bounded by
+    // the 4×4 footprint = 16 values, so the sort-based aggregate is
+    // constant work per cell — linear, no join.
+    "geo_resample_min" -> Q(
+      build = (s, d) =>
+        s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"))
+          .agg(count(col("v")).as("n_valid"), min(col("v")).as("value"))
+          .select(col("ti"), col("tj"), col("n_valid"),
+            (col("n_valid") > 0).as("valid"), col("value"))
+          .orderBy(col("ti"), col("tj")),
+      oracle = Some("""
+        WITH src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b))
+        SELECT si // 4 AS ti, sj // 4 AS tj,
+               COUNT(v) AS n_valid, COUNT(v) > 0 AS valid, MIN(v) AS value
+        FROM src GROUP BY 1, 2 ORDER BY ti, tj""")),
+
+    "geo_resample_max" -> Q(
+      build = (s, d) =>
+        s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"))
+          .agg(count(col("v")).as("n_valid"), max(col("v")).as("value"))
+          .select(col("ti"), col("tj"), col("n_valid"),
+            (col("n_valid") > 0).as("valid"), col("value"))
+          .orderBy(col("ti"), col("tj")),
+      oracle = Some("""
+        WITH src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b))
+        SELECT si // 4 AS ti, sj // 4 AS tj,
+               COUNT(v) AS n_valid, COUNT(v) > 0 AS valid, MAX(v) AS value
+        FROM src GROUP BY 1, 2 ORDER BY ti, tj""")),
+
+    "geo_resample_med" -> Q(
+      build = (s, d) =>
+        s.range(0, 200).select(col("id").as("si"))
+          .crossJoin(s.range(0, 300).select(col("id").as("sj")))
+          .withColumn("v", expr(
+            """CASE WHEN (si*7 + sj*11) % 97 = 0 THEN NULL
+               ELSE CAST((si*31 + sj*17) % 500 AS DOUBLE) + 50.0 END"""))
+          .groupBy(expr("si DIV 4").as("ti"), expr("sj DIV 4").as("tj"))
+          .agg(count(col("v")).as("n_valid"),
+            expr("percentile(v, 0.5e0)").as("value"))
+          .select(col("ti"), col("tj"), col("n_valid"),
+            (col("n_valid") > 0).as("valid"), col("value"))
+          .orderBy(col("ti"), col("tj")),
+      oracle = Some("""
+        WITH src AS (
+          SELECT si.a AS si, sj.b AS sj,
+                 CASE WHEN (si.a*7 + sj.b*11) % 97 = 0 THEN NULL
+                      ELSE CAST((si.a*31 + sj.b*17) % 500 AS DOUBLE) + 50.0
+                 END AS v
+          FROM generate_series(0, 199) AS si(a),
+               generate_series(0, 299) AS sj(b))
+        SELECT si // 4 AS ti, sj // 4 AS tj,
+               COUNT(v) AS n_valid, COUNT(v) > 0 AS valid,
+               quantile_cont(v, 0.5e0) AS value
+        FROM src GROUP BY 1, 2 ORDER BY ti, tj""")),
 
     // ----- geo_resample_lanczos: Lanczos-3 warp kernel ------------------
     // ResampleAlg Lanczos (warp.rs:35-45): the high-fidelity upsample
@@ -5951,6 +6051,40 @@ object Geo {
                TRUE AS geo_ok
         FROM pos ORDER BY gi, gj""")),
 
+    // ----- src_grib2_rle: GRIB2 run-length packing (5.200), end-to-end ---
+    // The categorical-product read path (NDFD weather type, JMA radar
+    // intensity — products odin_goesr/odin_wx-class consumers ingest):
+    // a template-5.200 run-length-packed lat/lon grid is decoded by
+    // Grib2Provider and every cell's value and geolocation are
+    // oracle-checked. The fixture exercises the whole template: a
+    // 300-cell run whose repeat count needs TWO base-249 digits, the
+    // short mixed-level runs, and level-0 in-stream missing (no
+    // section-6 bitmap — null value). Levels decode exactly (2-octet
+    // scaled representatives / 10^1); the lat/lon recomputation is the
+    // same IEEE (la1 − r·dj) in both engines.
+    "src_grib2_rle" -> Q(
+      build = (s, _) =>
+        s.read.format("graft.sources.Grib2Provider")
+          .option("path", rleFixturePath).load()
+          .select(col("row").cast("long").as("gi"),
+            col("col").cast("long").as("gj"),
+            expr("round(lat, 6)").as("lat6"),
+            expr("round(lon, 6)").as("lon6"),
+            col("value"))
+          .orderBy(col("gi"), col("gj")),
+      oracle = Some("""
+        WITH cells AS (
+          SELECT r.a AS gi, c.b AS gj
+          FROM generate_series(0, 29) AS r(a), generate_series(0, 19) AS c(b))
+        SELECT gi, gj,
+               round(60.0e0 - gi * 0.1e0, 6) AS lat6,
+               round(-100.0e0 + gj * 0.1e0, 6) AS lon6,
+               CASE WHEN gi >= 15 AND (gi*5 + gj*11) % 37 = 0 THEN NULL
+                    WHEN gi < 15 THEN 25.0e0
+                    ELSE CAST(((gi*3 + gj // 4) % 6) * 5 + 10 AS DOUBLE)
+               END AS value
+        FROM cells ORDER BY gi, gj""")),
+
     // ----- src_geotiff_dem: GeoTIFF int16 DEM read, end-to-end ------------
     // Full-oracle twin for the GeoTIFF reader (the src_grib2_ps pattern):
     // a signed-int16 DEM in the SRTM/ASTER production combination —
@@ -6140,6 +6274,32 @@ object Geo {
       diDeg = 0.0, djDeg = 0.0, values = vals,
       decScale = 2, nBits = 16, packing = 41,
       ps = Some(graft.sources.Grib2.Ps(60.0, -150.0, 5000.0, 5000.0)))))
+    f.toString
+  }
+
+  /** The committed-in-code src_grib2_rle fixture: a 20×30 template-3.0
+    * lat/lon grid (60°N/−100°E anchor, 0.1° cells) run-length packed
+    * with level values (5.200, decScale 1). Rows 0–14 are one constant
+    * category (a 300-cell run → two base-249 repeat digits); rows 15+
+    * cycle 6 categories in length-4 runs with scattered level-0 missing
+    * cells. Values are multiples of 5 at decScale 1, so every level
+    * representative divides back exactly. Written once per JVM.
+    */
+  private lazy val rleFixturePath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_src_grib2_rle.grib2")
+    val vals = Array.tabulate(30 * 20) { i =>
+      val r = i / 20; val c = i % 20
+      if (r < 15) 25.0
+      else if ((r * 5 + c * 11) % 37 == 0) Double.NaN
+      else ((r * 3 + c / 4) % 6) * 5.0 + 10.0
+    }
+    graft.sources.Grib2.write(f.toString, Seq(graft.sources.Grib2.Field(
+      discipline = 0, category = 1, parameter = 192, levelType = 1, level = 0,
+      year = 2026, month = 8, day = 16, hour = 0, forecastHour = 0,
+      ni = 20, nj = 30, la1Deg = 60.0, lo1Deg = -100.0,
+      diDeg = 0.1, djDeg = 0.1, values = vals,
+      decScale = 1, packing = 200)))
     f.toString
   }
 

@@ -109,7 +109,8 @@ object Grib2 {
       ps: Option[Ps] = None,
       stat: Option[Stat] = None) { // Some = product template 4.8, None = 4.0
     require(values.length == ni * nj, s"expect ${ni * nj} values")
-    require(packing == 0 || packing == 2 || packing == 3 || packing == 41,
+    require(packing == 0 || packing == 2 || packing == 3 || packing == 41
+        || packing == 200,
       s"packing $packing")
     require(packing != 41 || nBits <= 16, "PNG packing: depth 8 or 16 only")
     require(lcc.isEmpty || ps.isEmpty, "at most one of lcc/ps")
@@ -252,8 +253,26 @@ object Grib2 {
     val scaled = f.values.collect { case v if !v.isNaN => Math.round(v * dec) }
     val rRef = if (scaled.isEmpty) 0L else scaled.min
     val xs = scaled.map(s => (s - rRef).toInt)
-    require(xs.forall(x => x < (1L << f.nBits)),
-      s"value range needs more than ${f.nBits} bits")
+    if (f.packing != 200)
+      require(xs.forall(x => x < (1L << f.nBits)),
+        s"value range needs more than ${f.nBits} bits")
+    // run-length packing (5.200): the level table is the sorted distinct
+    // scaled values (level 1..MV); NaN cells are level 0 (in-stream
+    // missing — 5.200 products carry no section-6 bitmap). 8-bit values,
+    // so MV <= 254 keeps at least one repeat digit in range.
+    val rleLevelVals: Array[Long] =
+      if (f.packing == 200) scaled.distinct.sorted.toArray
+      else Array.emptyLongArray
+    val rleCodes: Array[Int] =
+      if (f.packing == 200) {
+        require(rleLevelVals.length <= 254,
+          s"5.200: ${rleLevelVals.length} levels exceed the 8-bit cap of 254")
+        require(rleLevelVals.forall(v => v >= 0 && v <= 0xFFFF),
+          "5.200: scaled level values must fit 2 octets (0..65535)")
+        val idx = rleLevelVals.zipWithIndex.toMap
+        f.values.map(v =>
+          if (v.isNaN) 0 else idx(Math.round(v * dec)) + 1)
+      } else Array.emptyIntArray
 
     def sec(num: Int, body: ByteBuffer => Unit, bodyLen: Int): Array[Byte] = {
       val bb = ByteBuffer.allocate(5 + bodyLen) // big-endian by default
@@ -359,7 +378,7 @@ object Grib2 {
         var k = 2; while (k < n0) { a(k) = d2(k) - gmin; k += 1 }; a
       case _ => Array.emptyLongArray
     }
-    val ng = if (f.packing == 0 || f.packing == 41) 0 else (n0 + G - 1) / G
+    val ng = if (f.packing == 2 || f.packing == 3) (n0 + G - 1) / G else 0
     val grpRef = new Array[Long](ng); val grpWidth = new Array[Int](ng)
     var gi = 0
     while (gi < ng) {
@@ -390,6 +409,16 @@ object Grib2 {
         bb.putShort(signMag16(f.decScale).toShort)
         bb.put(pngDepth.toByte).put(0.toByte)
       }, 16)
+      else if (f.packing == 200) sec(5, bb => {
+        val mv = rleLevelVals.length
+        bb.putInt(n).putShort(200) // template 5.200: run length + levels
+        bb.put(8.toByte) // nBits
+        bb.putShort(mv.toShort) // MV: max level value used
+        bb.putShort(mv.toShort) // MVL: level-table size (all used)
+        val d = f.decScale // 8-bit sign-magnitude
+        bb.put((if (d < 0) 0x80 | (-d) else d).toByte)
+        rleLevelVals.foreach(v => bb.putShort(v.toShort))
+      }, 12 + 2 * rleLevelVals.length)
       else sec(5, bb => {
         bb.putInt(nPresent).putShort(f.packing.toShort) // template 5.2 / 5.3
         bb.putFloat(rRef.toFloat)
@@ -408,8 +437,8 @@ object Grib2 {
         bb.put(0.toByte) // bits for scaled group lengths (uniform G)
         if (f.packing == 3) { bb.put(2.toByte); bb.put(4.toByte) } // order 2, 4-octet extras
       }, if (f.packing == 2) 42 else 44)
-    val s6 =
-      if (!hasBitmap) sec(6, bb => bb.put(255.toByte), 1)
+    val s6 = // 5.200 never writes a bitmap: missing rides as level 0
+      if (!hasBitmap || f.packing == 200) sec(6, bb => bb.put(255.toByte), 1)
       else sec(6, bb => {
         bb.put(0.toByte)
         var acc = 0; var nb = 0
@@ -437,6 +466,24 @@ object Grib2 {
         val baos = new java.io.ByteArrayOutputStream()
         require(javax.imageio.ImageIO.write(img, "png", baos), "PNG encode")
         val data = baos.toByteArray
+        sec(7, bb => bb.put(data), data.length)
+      } else if (f.packing == 200) {
+        // RLE encode: level byte, then repeat count − 1 as little-endian
+        // base-(255 − MV) digits d encoded MV+1+d (inverse of the
+        // unpk_run_length decode; a count of 1 emits no digits)
+        val mv = rleLevelVals.length
+        val range = 255 - mv
+        val outB = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < rleCodes.length) {
+          val v = rleCodes(i)
+          var cnt = 0L
+          while (i < rleCodes.length && rleCodes(i) == v) { cnt += 1; i += 1 }
+          outB.write(v)
+          var q = cnt - 1
+          while (q > 0) { outB.write(mv + 1 + (q % range).toInt); q /= range }
+        }
+        val data = outB.toByteArray
         sec(7, bb => bb.put(data), data.length)
       } else if (f.packing == 0) {
         val packedLen = (nPresent * f.nBits + 7) / 8
@@ -551,6 +598,8 @@ object Grib2 {
     var grpWidthRef = 0; var grpWidthBits = 0
     var grpLenRef = 0; var grpLenInc = 0; var grpLastLen = 0; var grpScaledLenBits = 0
     var sdOrder = 0; var sdOctets = 0
+    var rleMv = 0; var rleMvl = 0; var rleDec = 0
+    var rleLevels: Array[Int] = null
     var lccOpt: Option[Lcc] = None
     var psOpt: Option[Ps] = None
     var statType: Option[Int] = None
@@ -655,10 +704,26 @@ object Grib2 {
         case 5 =>
           nPoints = bb.getInt()
           tmpl5 = bb.getShort()
-          require(tmpl5 == 0 || tmpl5 == 2 || tmpl5 == 3 || tmpl5 == 41,
-            s"data representation 5.0/5.2/5.3/5.41 only, got $tmpl5 " +
+          require(tmpl5 == 0 || tmpl5 == 2 || tmpl5 == 3 || tmpl5 == 41
+              || tmpl5 == 200,
+            s"data representation 5.0/5.2/5.3/5.41/5.200 only, got $tmpl5 " +
               "(5.40 JPEG2000 needs a codec this container lacks — " +
               "see SURVEY 2.H)")
+          if (tmpl5 == 200) {
+            // run-length packing with level values (JMA/NDFD categorical
+            // products): its layout replaces the common R/E/D header —
+            // nBits, MV (max level used), MVL (level count), level
+            // decimal scale, then MVL 2-octet scaled representatives
+            nBits = bb.get() & 0xFF
+            rleMv = bb.getShort() & 0xFFFF
+            rleMvl = bb.getShort() & 0xFFFF
+            val d8 = bb.get() & 0xFF // 8-bit sign-magnitude
+            rleDec = if ((d8 & 0x80) != 0) -(d8 & 0x7F) else d8
+            require(rleMvl >= 1 && rleMv <= rleMvl,
+              s"5.200: MV $rleMv / MVL $rleMvl inconsistent (corrupt " +
+                "level table)")
+            rleLevels = Array.fill(rleMvl)(bb.getShort() & 0xFFFF)
+          } else {
           rRef = bb.getFloat()
           eScale = sm16(bb.getShort() & 0xFFFF)
           dScale = sm16(bb.getShort() & 0xFFFF)
@@ -673,6 +738,7 @@ object Grib2 {
             grpLenRef = bb.getInt(); grpLenInc = bb.get() & 0xFF
             grpLastLen = bb.getInt(); grpScaledLenBits = bb.get() & 0xFF
             if (tmpl5 == 3) { sdOrder = bb.get() & 0xFF; sdOctets = bb.get() & 0xFF }
+          }
           }
         case 6 =>
           val ind = bb.get() & 0xFF
@@ -689,6 +755,73 @@ object Grib2 {
         case other => throw new IllegalArgumentException(s"section $other")
       }
       bb.position(secStart + secLen)
+    }
+    if (tmpl5 == 200) {
+      // run-length packing with level values (template 7.200, the
+      // JMA/NDFD categorical shape): the section-7 stream is nBits-wide
+      // values; v ≤ MV selects a level, a following run of values > MV
+      // is the repeat count encoded little-endian in base
+      // (2^nBits − 1 − MV) with digit d = v − (MV+1), total
+      // occurrences = 1 + Σ dₖ·baseᵏ — the public unpk_run_length.c
+      // algorithm (wgrib2). Level 0 is the in-stream missing marker;
+      // level v ≥ 1 decodes to scaledRep(v) / 10^dec.
+      require(present == null,
+        "5.200: section-6 bitmap unsupported — level 0 is the in-stream " +
+          "missing marker for run-length packed products")
+      require(nPoints == nDataPts,
+        s"5.200: $nPoints packed points != grid size $nDataPts")
+      val rleRange = (1 << nBits) - 1 - rleMv
+      require(rleRange >= 1,
+        s"5.200: no repeat-digit range (2^$nBits − 1 ≤ MV $rleMv) — " +
+          "corrupt template")
+      val totalBits = packed.length.toLong * 8
+      var bit = 0L
+      def hasNext: Boolean = bit + nBits <= totalBits
+      def next(): Int = {
+        var acc = 0L; var k = 0
+        while (k < nBits) {
+          val b = (bit + k)
+          acc = (acc << 1) | ((packed((b / 8).toInt) >> (7 - (b % 8).toInt)) & 1)
+          k += 1
+        }
+        bit += nBits
+        acc.toInt
+      }
+      val levels = new Array[Int](nDataPts)
+      var j = 0
+      while (j < nDataPts) {
+        require(hasNext, s"7.200: stream exhausted at point $j of $nDataPts")
+        val v = next()
+        require(v <= rleMv,
+          s"7.200: repeat digit $v (> MV $rleMv) where a level value is " +
+            "required — corrupt run-length stream")
+        require(v == 0 || v <= rleMvl,
+          s"7.200: level $v exceeds MVL $rleMvl")
+        var count = 1L
+        var factor = 1L
+        var more = true
+        while (more && hasNext) {
+          val save = bit
+          val d = next()
+          if (d > rleMv) { count += factor * (d - (rleMv + 1)); factor *= rleRange }
+          else { bit = save; more = false }
+        }
+        require(j + count <= nDataPts,
+          s"7.200: run of $count at point $j overruns grid size $nDataPts")
+        var k = 0L
+        while (k < count) { levels(j) = v; j += 1; k += 1 }
+      }
+      present = Array.tabulate(nDataPts)(i => levels(i) != 0)
+      val decFr = math.pow(10, rleDec)
+      val out = ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < nDataPts) {
+        if (levels(i) != 0) out += rleLevels(levels(i) - 1) / decFr
+        i += 1
+      }
+      return Decoded(discipline, cat, par, lvlT, lvl, refSec, fh,
+        ni, nj, la1, lo1, di, dj, present, out.toArray, lccOpt, psOpt,
+        statType, intervalEnd)
     }
     if (present == null) present = Array.fill(nDataPts)(true)
     // unpack nBits-wide big-endian integers; Y = (R + X·2^E) / 10^D

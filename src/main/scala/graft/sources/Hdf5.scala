@@ -87,9 +87,9 @@ object Hdf5 {
     private val raf = new RandomAccessFile(path, "r")
     val size: Long = raf.length()
     def readRange(off: Long, n: Int): Array[Byte] = {
-      require(off >= 0 && off <= size,
-        s"HDF5 read at offset $off outside file (size $size) — corrupt " +
-          "or truncated metadata pointer")
+      require(off >= 0 && n >= 0 && off + n.toLong <= size,
+        s"HDF5 read of $n bytes at offset $off outside file (size $size) " +
+          "— corrupt or truncated metadata pointer/length")
       val a = new Array[Byte](n)
       raf.seek(off); raf.readFully(a)
       a
@@ -377,6 +377,14 @@ object Hdf5 {
     val withOrder = (flags & 0x04) != 0
     val msgHdrLen = if (withOrder) 6 else 4
     val prefixLen = pre.position()
+    // a hostile chunk-0 size must fail HERE with the named error: pushed
+    // through .toInt it can wrap to a small positive value and misparse
+    // silently, or go negative and die as NegativeArraySize in readRange
+    // (ADVICE r12)
+    require(chunk0Size >= 0 &&
+        addr + prefixLen + chunk0Size + 4 <= r.size,
+      s"object header at $addr: chunk-0 size $chunk0Size overruns file " +
+        s"(size ${r.size}) — corrupt metadata length")
     val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
     // (blockStart, msgAreaOffsetInBlock, msgAreaLen); chunk 0's block is
     // the whole header, continuations are OCHK blocks
@@ -408,7 +416,14 @@ object Hdf5 {
           if (typ == 0x10) {
             val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
             val cOff = cb.getLong(); val cLen = cb.getLong()
-            // OCHK block = sig(4) + messages + checksum(4)
+            // OCHK block = sig(4) + messages + checksum(4); bounds-check
+            // the continuation pointer+length with the same named error
+            // as chunk 0 (a hostile cLen < 8 or overrun would otherwise
+            // surface as NegativeArraySize/EOF inside readRange)
+            require(cLen >= 8 && cOff >= 0 && cOff + cLen <= r.size,
+              s"object header at $addr: OCHK continuation at $cOff " +
+                s"length $cLen outside file (size ${r.size}) — corrupt " +
+                "metadata pointer/length")
             blocks = blocks :+ ((cOff, 4, (cLen - 8).toInt))
           } else if (typ != 0x00) msgs += ((typ, body))
         }

@@ -147,19 +147,24 @@ object Streams {
           .withWatermark("ts", s"$ttlSec seconds")
           .as[DocInW]
           .groupByKey(_.content_hash)
-          .flatMapGroupsWithState[Long, DocCopy](OutputMode.Append,
+          .flatMapGroupsWithState[(Long, Long), DocCopy](OutputMode.Append,
               GroupStateTimeout.EventTimeTimeout) {
-            (h, batch, state: GroupState[Long]) =>
+            (h, batch, state: GroupState[(Long, Long)]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
-                var n = state.getOption.getOrElse(0L)
+                // state = (count, max event time seen): the timeout must
+                // be ttl past the NEWEST copy ever seen, not this batch's
+                // max — a later in-watermark batch carrying only older
+                // timestamps must not pull eviction earlier (ADVICE r12)
+                var (n, maxTs) = state.getOption.getOrElse((0L, Long.MinValue))
                 val rows = batch.toSeq.sortBy(_.doc_id)
                 val out = rows.map { dd => n += 1; DocCopy(dd.doc_id, h, n) }
-                state.update(n)
+                maxTs = math.max(maxTs, rows.iterator.map(_.ts_sec).max)
+                state.update((n, maxTs))
                 // evict when event time moves ttl past the newest copy;
                 // the timeout must sit strictly above the watermark
                 state.setTimeoutTimestamp(math.max(
-                  (rows.map(_.ts_sec).max + ttlSec) * 1000L,
+                  (maxTs + ttlSec) * 1000L,
                   state.getCurrentWatermarkMs() + 1L))
                 out.iterator
               }

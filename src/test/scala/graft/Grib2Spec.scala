@@ -387,4 +387,128 @@ class Grib2Spec extends SparkSpecBase {
       }
     assert(nBoundary == exp, s"boundary blocks $nBoundary != $exp")
   }
+
+  // ---- template 5.200: run-length packing with level values ------------
+  // The categorical-product shape (NDFD weather type, JMA radar): level
+  // stream with base-(2^n−1−MV) repeat digits, level 0 = missing.
+
+  private def rleField(vals: Array[Double], ni: Int, nj: Int) =
+    Grib2.Field(discipline = 0, category = 1, parameter = 192,
+      levelType = 1, level = 0,
+      year = 2026, month = 8, day = 16, hour = 0, forecastHour = 0,
+      ni = ni, nj = nj, la1Deg = 50.0, lo1Deg = -110.0,
+      diDeg = 0.1, djDeg = 0.1, values = vals, decScale = 1, packing = 200)
+
+  private def writeRle(vals: Array[Double], ni: Int, nj: Int): String = {
+    val f = java.nio.file.Files.createTempDirectory("gribrle")
+      .resolve("rle.grib2")
+    Grib2.write(f.toString, Seq(rleField(vals, ni, nj)))
+    f.toString
+  }
+
+  /** Walk the single message's sections and return (sectionNumber ->
+    * absolute offset of the section start). Sections begin at octet 16.
+    */
+  private def sectionOffsets(bytes: Array[Byte]): Map[Int, Int] = {
+    var off = 16
+    var m = Map.empty[Int, Int]
+    while (off < bytes.length - 4) {
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+      val num = bytes(off + 4) & 0xFF
+      m += (num -> off)
+      off += len
+    }
+    m
+  }
+
+  test("5.200 run-length: writer emits the published unpk_run_length encoding") {
+    // 10 cells: [A ×3, B ×1, missing ×2, A ×4] with A=10.0, B=20.0 at
+    // decScale 1 → levels {100:1, 200:2}, MV=2, repeat digits 3+d in
+    // base 253; expected stream (wgrib2 unpk_run_length inverse):
+    // level 1 + digit(count−1=2) → [1,5], level 2 alone → [2],
+    // level 0 + digit(1) → [0,4], level 1 + digit(3) → [1,6]
+    val vals = Array(10.0, 10.0, 10.0, 20.0, Double.NaN, Double.NaN,
+      10.0, 10.0, 10.0, 10.0)
+    val p = writeRle(vals, ni = 10, nj = 1)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s7 = sectionOffsets(bytes)(7)
+    val s7len = java.nio.ByteBuffer.wrap(bytes, s7, 4).getInt
+    val stream = bytes.slice(s7 + 5, s7 + s7len).map(_ & 0xFF)
+    assert(stream.toSeq == Seq(1, 5, 2, 0, 4, 1, 6),
+      s"7.200 stream ${stream.toSeq}")
+    // and the decode round-trips, level 0 surfacing as null value
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", p).load()
+      .orderBy(col("row"), col("col"))
+      .select(col("value")).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(rows.length == 10)
+    vals.zip(rows).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(e.isNaN == g.isNaN && (e.isNaN || e == g), s"cell $i: $e vs $g")
+    }
+  }
+
+  test("5.200 run-length: multi-digit repeat counts round-trip") {
+    // a 300-cell constant run (count−1 = 299 = 50 + 1·249 → two digits
+    // in base 249 once all 6 levels exist) plus mixed short runs and
+    // scattered missing — the src_grib2_rle fixture geometry
+    val vals = Array.tabulate(30 * 20) { i =>
+      val r = i / 20; val c = i % 20
+      if (r < 15) 25.0
+      else if ((r * 5 + c * 11) % 37 == 0) Double.NaN
+      else ((r * 3 + c / 4) % 6) * 5.0 + 10.0
+    }
+    val p = writeRle(vals, ni = 20, nj = 30)
+    val rows = spark.read.format("graft.sources.Grib2Provider")
+      .option("path", p).load()
+      .orderBy(col("row"), col("col"))
+      .select(col("value")).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(rows.length == 600)
+    vals.zip(rows).zipWithIndex.foreach { case ((e, g), i) =>
+      assert(e.isNaN == g.isNaN && (e.isNaN || e == g), s"cell $i: $e vs $g")
+    }
+    // RLE actually compressed: 300-run collapses to 3 bytes
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s7 = sectionOffsets(bytes)(7)
+    val s7len = java.nio.ByteBuffer.wrap(bytes, s7, 4).getInt
+    assert(s7len - 5 < 400, s"7.200 stream ${s7len - 5} bytes (no RLE win?)")
+  }
+
+  test("5.200 run-length: corrupt streams are rejected by name") {
+    val vals = Array(10.0, 10.0, 20.0, 20.0)
+    val p = writeRle(vals, ni = 4, nj = 1)
+    val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def patched(f: Array[Byte] => Unit): String = {
+      val b = orig.clone(); f(b)
+      val out = java.nio.file.Files.createTempDirectory("gribbad")
+        .resolve("bad.grib2")
+      java.nio.file.Files.write(out, b)
+      out.toString
+    }
+    def readErr(path: String): String =
+      intercept[Exception] {
+        spark.read.format("graft.sources.Grib2Provider")
+          .option("path", path).load().collect()
+      }.getMessage
+    val secs = sectionOffsets(orig)
+    // (a) stream opening with a repeat digit instead of a level
+    val badStream = patched(b => b(secs(7) + 5) = (2 + 1).toByte)
+    assert(readErr(badStream).contains("where a level value is required"))
+    // (b) nBits too small for any repeat digit (2^1−1 ≤ MV)
+    val badBits = patched(b => b(secs(5) + 11) = 1.toByte)
+    assert(readErr(badBits).contains("no repeat-digit range"))
+    // (c) a section-6 bitmap alongside 5.200: splice in a real bitmap
+    // section (indicator 0 + 1 bitmap byte) and re-stamp the message
+    // total length
+    val s6off = secs(6)
+    val bm = java.nio.ByteBuffer.allocate(7).putInt(7).put(6.toByte)
+      .put(0.toByte).put(0xF0.toByte).array()
+    val spliced = orig.take(s6off) ++ bm ++ orig.drop(s6off + 6)
+    java.nio.ByteBuffer.wrap(spliced).putLong(8, spliced.length.toLong)
+    val bmOut = java.nio.file.Files.createTempDirectory("gribbad")
+      .resolve("bm.grib2")
+    java.nio.file.Files.write(bmOut, spliced)
+    assert(readErr(bmOut.toString).contains("section-6 bitmap unsupported"))
+  }
 }

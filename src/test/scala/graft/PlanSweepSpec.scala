@@ -65,14 +65,17 @@ class PlanSweepSpec extends SparkSpecBase {
     "doc_drift_kl", "doc_heaps_curve", "geo_dem_bilinear", "geo_fill_nodata",
     "geo_grid_resample", "geo_line_of_sight", "geo_look_angles",
     "geo_orbit_nodes", "geo_overpass", "geo_resample_average",
-    "geo_resample_cubic", "geo_resample_lanczos", "geo_resample_mode",
+    "geo_resample_cubic", "geo_resample_lanczos", "geo_resample_max",
+    "geo_resample_med", "geo_resample_min", "geo_resample_mode",
     "geo_resample_nearest", "geo_terrain_indices",
     "geo_warp_lcc", "geo_warp_ps", "geo_wind_vector", "geo_zonal_stats",
     "ts_covering_overpass")
     // r12 additions reviewed via PlanDumpTool: geo_resample_lanczos and
     // geo_resample_mode broadcast Project-over-Range lattices (the
     // target-grid / source-raster query constants), same category as the
-    // other resample kernels
+    // other resample kernels. r13: geo_resample_min/_max/_med share
+    // geo_resample_average's exact source lattice (200×300 range cross —
+    // a query constant), the same Project-over-Range category.
 
   /** Build side is a bounded catalog or model frame: the station list
     * (supplier-derived, fixed in production), a trained model's
