@@ -58,7 +58,19 @@ object ImageCodec {
     * ImageWriteParam so the byte stream is deterministic within a JVM:
     * the LUT oracles re-run this exact encoder driver-side.
     */
-  def toJpeg(img: BufferedImage, quality: Float = 0.85f): Array[Byte] = {
+  def toJpeg(img: BufferedImage, quality: Float = 0.85f): Array[Byte] =
+    toJpegImpl(img, quality, progressive = false)
+
+  /** Encode to PROGRESSIVE JPEG (SOF2 spectral-selection scans) — the
+    * other frame type cameras and web scrapes ship. Same pinned-quality
+    * determinism as [[toJpeg]]; the marker walk handles SOF2 through its
+    * generic SOF0-15 branch and ImageIO decodes multi-scan files.
+    */
+  def toJpegProgressive(img: BufferedImage, quality: Float = 0.85f): Array[Byte] =
+    toJpegImpl(img, quality, progressive = true)
+
+  private def toJpegImpl(img: BufferedImage, quality: Float,
+      progressive: Boolean): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageWriteParam}
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val bos = new ByteArrayOutputStream()
@@ -68,6 +80,7 @@ object ImageCodec {
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
+      if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
       writer.write(null, new IIOImage(img, null, null), p)
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray

@@ -213,47 +213,191 @@ object Hdf5 {
     } else linkMessageVars(r, rootMsgs)
   }
 
-  /** New-style group: compact link messages in the group's own header. */
+  /** One serialized link message body (type 0x06) → (name, header addr).
+    * Shared by the compact path (message in the group header) and the
+    * dense path (same serialization stored as a fractal heap object).
+    */
+  private def parseLinkMessage(body: Array[Byte]): (String, Long) = {
+    val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val v = lb.get() & 0xFF
+    require(v == 1, s"link message version $v")
+    val flags = lb.get() & 0xFF
+    if ((flags & 0x08) != 0) {
+      val lt = lb.get() & 0xFF
+      require(lt == 0,
+        s"link type $lt (soft/external) unsupported — hard links only")
+    }
+    if ((flags & 0x04) != 0) lb.getLong() // creation order
+    if ((flags & 0x10) != 0) lb.get() // charset
+    val nameLen = (flags & 3) match {
+      case 0 => lb.get() & 0xFFL
+      case 1 => lb.getShort() & 0xFFFFL
+      case 2 => lb.getInt() & 0xFFFFFFFFL
+      case _ => lb.getLong()
+    }
+    val nameB = new Array[Byte](nameLen.toInt); lb.get(nameB)
+    (new String(nameB, StandardCharsets.UTF_8), lb.getLong())
+  }
+
+  /** New-style group: compact link messages in the group's own header,
+    * or — above the compact threshold — dense storage (the link messages
+    * live as fractal heap objects indexed by a name v2 B-tree).
+    */
   private def linkMessageVars(r: Reader,
       msgs: Seq[(Int, Array[Byte])]): Seq[H5Var] = {
-    msgs.find(_._1 == 0x0002).foreach { case (_, body) =>
-      val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-      val v = lb.get() & 0xFF
-      require(v == 0, s"link info message version $v")
-      val flags = lb.get() & 0xFF
-      if ((flags & 1) != 0) lb.getLong() // max creation index
-      val fheap = lb.getLong()
-      require(fheap == -1L,
-        "dense link storage (fractal heap + name B-tree) unsupported — " +
-          "compact-link groups only (typical variable counts stay " +
-          "compact; re-export with fewer objects per group or default " +
-          "H5Pset_link_phase_change)")
-    }
-    val links = msgs.filter(_._1 == 0x0006).map { case (_, body) =>
-      val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
-      val v = lb.get() & 0xFF
-      require(v == 1, s"link message version $v")
-      val flags = lb.get() & 0xFF
-      if ((flags & 0x08) != 0) {
-        val lt = lb.get() & 0xFF
-        require(lt == 0,
-          s"link type $lt (soft/external) unsupported — hard links only")
+    val dense: Seq[(String, Long)] =
+      msgs.find(_._1 == 0x0002).toSeq.flatMap { case (_, body) =>
+        val lb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+        val v = lb.get() & 0xFF
+        require(v == 0, s"link info message version $v")
+        val flags = lb.get() & 0xFF
+        if ((flags & 1) != 0) lb.getLong() // max creation index
+        val fheap = lb.getLong()
+        val nameBt = lb.getLong()
+        if (fheap == -1L) Nil else denseLinks(r, fheap, nameBt)
       }
-      if ((flags & 0x04) != 0) lb.getLong() // creation order
-      if ((flags & 0x10) != 0) lb.get() // charset
-      val nameLen = (flags & 3) match {
-        case 0 => lb.get() & 0xFFL
-        case 1 => lb.getShort() & 0xFFFFL
-        case 2 => lb.getInt() & 0xFFFFFFFFL
-        case _ => lb.getLong()
-      }
-      val nameB = new Array[Byte](nameLen.toInt); lb.get(nameB)
-      (new String(nameB, StandardCharsets.UTF_8), lb.getLong())
-    }
+    val links = msgs.filter(_._1 == 0x0006)
+      .map { case (_, body) => parseLinkMessage(body) } ++ dense
     require(links.nonEmpty,
       "root group has no symbol table and no link messages (empty file?)")
     links.flatMap { case (name, addr) => parseDataset(r, name, addr) }
       .sortBy(_.name)
+  }
+
+  /** Dense link storage (groups past the compact threshold — the common
+    * shape for real L2 products with dozens of variables): the link
+    * messages are managed objects in a fractal heap ("FRHP" header +
+    * direct blocks), indexed by a type-5 v2 B-tree ("BTHD" + "BTLF")
+    * whose records are (lookup3 name hash, heap ID). Subset walked here:
+    * a single-direct-block root (current rows = 0), managed (non-huge /
+    * non-tiny) objects, unfiltered heap, depth-0 B-tree — what a group
+    * with up to a few hundred links occupies. Everything outside that
+    * (indirect root blocks, filtered heaps, multi-level name trees,
+    * huge/tiny IDs) is rejected by name; every checksum on the walk is
+    * verified, and each record's stored name hash is re-checked against
+    * lookup3 of the name it resolves to.
+    */
+  private def denseLinks(r: Reader, fheapAddr: Long,
+      nameBtAddr: Long): Seq[(String, Long)] = {
+    require(nameBtAddr != -1L,
+      "dense-link group carries no name-index v2 B-tree (corrupt " +
+        "link info message)")
+    // ---- fractal heap header: FRHP, 146 bytes when unfiltered
+    val hdr = r.readRange(fheapAddr, 146)
+    require(new String(hdr, 0, 4, StandardCharsets.US_ASCII) == "FRHP",
+      s"bad fractal heap signature at $fheapAddr (dense-link walk)")
+    require(Lookup3.hash(java.util.Arrays.copyOf(hdr, 142))
+      == ByteBuffer.wrap(hdr, 142, 4).order(ByteOrder.LITTLE_ENDIAN).getInt,
+      "fractal heap header checksum mismatch (corrupt)")
+    val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    hb.position(4)
+    require((hb.get() & 0xFF) == 0, "fractal heap version")
+    val heapIdLen = hb.getShort() & 0xFFFF
+    val ioFilterLen = hb.getShort() & 0xFFFF
+    require(ioFilterLen == 0,
+      "filtered fractal heap unsupported (dense links are never filtered)")
+    val fhFlags = hb.get() & 0xFF
+    hb.getInt() // max managed object size
+    hb.getLong(); // next huge id
+    hb.getLong() // huge v2 btree
+    hb.getLong(); hb.getLong() // free space amount + manager
+    hb.getLong(); hb.getLong(); hb.getLong() // managed / allocated / iter
+    hb.getLong() // number of managed objects
+    val hugeSize = hb.getLong(); val nHuge = hb.getLong()
+    val tinySize = hb.getLong(); val nTiny = hb.getLong()
+    require(nHuge == 0L && nTiny == 0L && hugeSize == 0L && tinySize == 0L,
+      "huge/tiny fractal heap objects unsupported (managed link " +
+        "messages only)")
+    hb.getShort() // table width
+    val startBlockSize = hb.getLong()
+    hb.getLong() // max direct block size
+    val maxHeapBits = hb.getShort() & 0xFFFF
+    hb.getShort() // starting rows
+    val rootBlockAddr = hb.getLong()
+    val curRows = hb.getShort() & 0xFFFF
+    require(curRows == 0,
+      "fractal heap indirect root block unsupported — single-direct-" +
+        "block dense groups only (up to a few hundred links)")
+    val offBytes = (maxHeapBits + 7) / 8
+    val lenBytes = heapIdLen - 1 - offBytes
+    require(offBytes >= 1 && offBytes <= 8 && lenBytes >= 1 && lenBytes <= 8,
+      s"fractal heap ID geometry $heapIdLen/$offBytes unsupported")
+    // ---- root direct block: FHDB (checksummed when header flag bit 1)
+    val dbChecksummed = (fhFlags & 2) != 0
+    val dbHdrLen = 4 + 1 + 8 + offBytes + (if (dbChecksummed) 4 else 0)
+    val db = r.readRange(rootBlockAddr, startBlockSize.toInt)
+    require(new String(db, 0, 4, StandardCharsets.US_ASCII) == "FHDB",
+      s"bad fractal heap direct block signature at $rootBlockAddr")
+    require((db(4) & 0xFF) == 0, "direct block version")
+    require(ByteBuffer.wrap(db, 5, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+      == fheapAddr, "direct block back-pointer != heap header address")
+    var blockOff = 0L
+    (0 until offBytes).foreach(k => blockOff |= (db(13 + k) & 0xFFL) << (8 * k))
+    require(blockOff == 0L, s"root direct block at heap offset $blockOff")
+    if (dbChecksummed) {
+      val cksOff = 13 + offBytes
+      val stored = ByteBuffer.wrap(db, cksOff, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val zeroed = db.clone()
+      java.util.Arrays.fill(zeroed, cksOff, cksOff + 4, 0.toByte)
+      require(Lookup3.hash(zeroed) == stored,
+        "fractal heap direct block checksum mismatch (corrupt)")
+    }
+    // ---- name-index v2 B-tree: BTHD header + one BTLF leaf
+    val bt = r.readRange(nameBtAddr, 38)
+    require(new String(bt, 0, 4, StandardCharsets.US_ASCII) == "BTHD",
+      s"bad v2 B-tree signature at $nameBtAddr (dense-link name index)")
+    require(Lookup3.hash(java.util.Arrays.copyOf(bt, 34))
+      == ByteBuffer.wrap(bt, 34, 4).order(ByteOrder.LITTLE_ENDIAN).getInt,
+      "v2 B-tree header checksum mismatch (corrupt)")
+    val tb = ByteBuffer.wrap(bt).order(ByteOrder.LITTLE_ENDIAN)
+    tb.position(4)
+    require((tb.get() & 0xFF) == 0, "v2 B-tree version")
+    val btType = tb.get() & 0xFF
+    require(btType == 5,
+      s"v2 B-tree type $btType (expected 5, the group link name index)")
+    tb.getInt() // node size
+    val recSize = tb.getShort() & 0xFFFF
+    require(recSize == 4 + heapIdLen,
+      s"name-index record size $recSize != 4 + heap ID length $heapIdLen")
+    val depth = tb.getShort() & 0xFFFF
+    require(depth == 0,
+      "multi-level dense-link name B-tree unsupported — depth-0 " +
+        "(single-leaf) groups only")
+    tb.get(); tb.get() // split/merge percents
+    val leafAddr = tb.getLong()
+    val nRec = tb.getShort() & 0xFFFF
+    // ---- leaf: BTLF
+    val leafLen = 6 + nRec * recSize + 4
+    val lf = r.readRange(leafAddr, leafLen)
+    require(new String(lf, 0, 4, StandardCharsets.US_ASCII) == "BTLF",
+      s"bad v2 B-tree leaf signature at $leafAddr")
+    require((lf(4) & 0xFF) == 0 && (lf(5) & 0xFF) == 5, "leaf version/type")
+    require(Lookup3.hash(java.util.Arrays.copyOf(lf, leafLen - 4))
+      == ByteBuffer.wrap(lf, leafLen - 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt,
+      "v2 B-tree leaf checksum mismatch (corrupt)")
+    (0 until nRec).map { i =>
+      val base = 6 + i * recSize
+      val nameHash = ByteBuffer.wrap(lf, base, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val idB0 = lf(base + 4) & 0xFF
+      require((idB0 & 0xF0) == 0,
+        s"heap ID version/type ${idB0 >> 4} unsupported (managed v0 only)")
+      var off = 0L
+      (0 until offBytes).foreach(k =>
+        off |= (lf(base + 5 + k) & 0xFFL) << (8 * k))
+      var len = 0L
+      (0 until lenBytes).foreach(k =>
+        len |= (lf(base + 5 + offBytes + k) & 0xFFL) << (8 * k))
+      require(off >= dbHdrLen && off + len <= startBlockSize,
+        s"heap object [$off, ${off + len}) outside the root direct block")
+      val (name, addr) = parseLinkMessage(
+        java.util.Arrays.copyOfRange(db, off.toInt, (off + len).toInt))
+      require(Lookup3.hash(name.getBytes(StandardCharsets.UTF_8)) == nameHash,
+        s"dense link '$name': stored name hash mismatch (corrupt index)")
+      (name, addr)
+    }
   }
 
   private def readVarsV0(r: Reader): Seq[H5Var] = {
@@ -501,11 +645,6 @@ object Hdf5 {
     // rejected by name below
     require(lv == 3 || lv == 4, s"dataset $name: layout version $lv")
     val lclass = lb.get() & 0xFF
-    if (lv == 4 && lclass == 2)
-      throw new IllegalArgumentException(
-        s"dataset $name: data layout v4 chunked (fixed/extensible-array " +
-          "or v2-B-tree chunk index) unsupported — re-export with libver " +
-          "earliest so chunked data uses the v1 B-tree index")
     if (lv == 4 && lclass == 3)
       throw new IllegalArgumentException(
         s"dataset $name: virtual dataset layout unsupported")
@@ -513,12 +652,59 @@ object Hdf5 {
     var compact: Option[Array[Byte]] = None
     var chunkDims: Array[Int] = Array.emptyIntArray
     var chunks: Seq[ChunkRef] = Nil
+    val eltSize = Netcdf.typeSize(ncType)
     lclass match {
       case 0 =>
         val sz = lb.getShort() & 0xFFFF
         val a = new Array[Byte](sz); lb.get(a); compact = Some(a)
       case 1 =>
         contiguous = Some((lb.getLong(), lb.getLong()))
+      case 2 if lv == 4 =>
+        // v4 chunked (libver-latest writers): flags, variable-width chunk
+        // dims, and one of the new chunk indexes. The fixed-array index
+        // (the shape h5py/netCDF4 emit for fixed-extent chunked data) is
+        // walked below; the grow-able indexes stay named rejections.
+        val flags = lb.get() & 0xFF
+        val ndims = lb.get() & 0xFF
+        val encLen = lb.get() & 0xFF
+        require(encLen >= 1 && encLen <= 8,
+          s"dataset $name: v4 chunk dim encoding length $encLen")
+        def varUint(): Long = {
+          var v = 0L; var k = 0
+          while (k < encLen) { v |= (lb.get() & 0xFFL) << (8 * k); k += 1 }
+          v
+        }
+        val dims4 = Array.fill(ndims)(varUint())
+        // tolerate both published conventions: rank dims (chunk extents
+        // only) or rank+1 with the v3-style trailing element-size dim —
+        // when present the trailer must equal the datatype size
+        require(ndims == rank || ndims == rank + 1,
+          s"dataset $name: v4 chunk dimensionality $ndims vs rank $rank")
+        if (ndims == rank + 1)
+          require(dims4.last == eltSize,
+            s"dataset $name: v4 trailing chunk dim ${dims4.last} != " +
+              s"element size $eltSize")
+        chunkDims = dims4.take(rank).map(_.toInt)
+        val idxType = lb.get() & 0xFF
+        idxType match {
+          case 3 =>
+            val pageBits = lb.get() & 0xFF
+            val faAddr = lb.getLong()
+            if (faAddr != -1L)
+              chunks = walkFixedArray(r, name, faAddr, pageBits,
+                dims, chunkDims, eltSize,
+                filtered = byType.contains(0x000B))
+          case 1 | 2 | 4 | 5 =>
+            val idxName = Map(1 -> "single-chunk", 2 -> "implicit",
+              4 -> "extensible-array", 5 -> "version-2 B-tree")(idxType)
+            throw new IllegalArgumentException(
+              s"dataset $name: v4 chunk index '$idxName' unsupported " +
+                "(fixed-array is the supported modern index; re-export " +
+                "with libver earliest for the v1 B-tree)")
+          case other => throw new IllegalArgumentException(
+            s"dataset $name: unknown v4 chunk index type $other")
+        }
+        val _ = flags // bound-chunk filtering flags don't change the walk
       case 2 =>
         val ndim = lb.get() & 0xFF // rank + 1 per spec
         val btAddr = lb.getLong()
@@ -667,6 +853,99 @@ object Hdf5 {
     out.toSeq
   }
 
+  /** Fixed-array chunk index (layout v4 index type 3 — the
+    * libver-latest shape for fixed-extent chunked datasets): a FAHD
+    * header pointing at one FADB data block whose elements are the
+    * chunk records in row-major chunk-grid order. Client 0 elements are
+    * a bare chunk address; client 1 (filtered) adds the stored chunk
+    * size and filter mask. Both blocks carry lookup3 checksums,
+    * verified here like every other v2+ structure. Paged data blocks
+    * (more entries than 2^pageBits) are rejected by name — the products
+    * this subset targets keep chunk counts far below a page.
+    */
+  private def walkFixedArray(r: Reader, name: String, addr: Long,
+      pageBits: Int, dims: Array[Int], chunkDims: Array[Int],
+      eltSize: Int, filtered: Boolean): Seq[ChunkRef] = {
+    val nChunksPerDim = dims.zip(chunkDims).map { case (d, c) =>
+      require(c >= 1, s"dataset $name: zero chunk extent")
+      (d + c - 1) / c
+    }
+    val nelmts = nChunksPerDim.map(_.toLong).product
+    // FAHD: sig(4) ver(1) client(1) entrySize(1) pageBits(1)
+    //       maxNumEntries(8) dataBlockAddr(8) checksum(4)
+    val hdr = r.readRange(addr, 28)
+    require(new String(hdr, 0, 4, StandardCharsets.US_ASCII) == "FAHD",
+      s"dataset $name: bad fixed-array header signature at $addr")
+    require(Lookup3.hash(java.util.Arrays.copyOf(hdr, 24))
+      == ByteBuffer.wrap(hdr, 24, 4).order(ByteOrder.LITTLE_ENDIAN).getInt,
+      s"dataset $name: fixed-array header checksum mismatch (corrupt)")
+    val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    hb.position(4)
+    require((hb.get() & 0xFF) == 0, s"dataset $name: fixed-array version")
+    val clientId = hb.get() & 0xFF
+    require(clientId == (if (filtered) 1 else 0),
+      s"dataset $name: fixed-array client $clientId vs filter pipeline " +
+        s"${if (filtered) "present" else "absent"}")
+    val entrySize = hb.get() & 0xFF
+    val hdrPageBits = hb.get() & 0xFF
+    require(hdrPageBits == pageBits,
+      s"dataset $name: fixed-array page bits $hdrPageBits != layout $pageBits")
+    val maxEntries = hb.getLong()
+    require(maxEntries == nelmts,
+      s"dataset $name: fixed-array holds $maxEntries entries, chunk grid " +
+        s"needs $nelmts")
+    require(maxEntries <= (1L << pageBits),
+      s"dataset $name: paged fixed-array data block ($maxEntries entries " +
+        s"> 2^$pageBits page) unsupported")
+    if (filtered)
+      require(entrySize > 12 && entrySize <= 20,
+        s"dataset $name: filtered fixed-array entry size $entrySize")
+    else require(entrySize == 8,
+      s"dataset $name: unfiltered fixed-array entry size $entrySize")
+    val dbAddr = hb.getLong()
+    // FADB: sig(4) ver(1) client(1) headerAddr(8) elements checksum(4)
+    val dbLen = 14 + maxEntries.toInt * entrySize + 4
+    val db = r.readRange(dbAddr, dbLen)
+    require(new String(db, 0, 4, StandardCharsets.US_ASCII) == "FADB",
+      s"dataset $name: bad fixed-array data block signature at $dbAddr")
+    require(Lookup3.hash(java.util.Arrays.copyOf(db, dbLen - 4))
+      == ByteBuffer.wrap(db, dbLen - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt,
+      s"dataset $name: fixed-array data block checksum mismatch (corrupt)")
+    val bb = ByteBuffer.wrap(db).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(4)
+    require((bb.get() & 0xFF) == 0, s"dataset $name: data block version")
+    require((bb.get() & 0xFF) == clientId, s"dataset $name: client mismatch")
+    require(bb.getLong() == addr,
+      s"dataset $name: data block back-pointer != header address")
+    val plainChunkBytes = chunkDims.map(_.toLong).product * eltSize
+    val szLen = entrySize - 12 // filtered: addr(8) + size(szLen) + mask(4)
+    val out = ArrayBuffer.empty[ChunkRef]
+    var k = 0L
+    while (k < maxEntries) {
+      val caddr = bb.getLong()
+      val (csize, _) =
+        if (filtered) {
+          var sz = 0L; var i = 0
+          while (i < szLen) { sz |= (bb.get() & 0xFFL) << (8 * i); i += 1 }
+          (sz, bb.getInt()) // filter mask
+        } else (plainChunkBytes, 0)
+      if (caddr != -1L) {
+        // linear index k -> chunk-grid coords, row-major (last fastest)
+        val start = new Array[Int](dims.length)
+        var rem = k
+        var d = dims.length - 1
+        while (d >= 0) {
+          start(d) = (rem % nChunksPerDim(d)).toInt * chunkDims(d)
+          rem /= nChunksPerDim(d)
+          d -= 1
+        }
+        out += ChunkRef(start, caddr, csize.toInt)
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
   /** Decode one variable fully: chunk walk + inflate + unshuffle +
     * edge-clip into a row-major cell array of raw (packed) values.
     */
@@ -790,7 +1069,8 @@ object Hdf5 {
       gzip: Boolean = false, shuffle: Boolean = false,
       scale: Option[Double] = None, offset: Option[Double] = None,
       fill: Option[Double] = None, littleEndian: Boolean = true,
-      compactLayout: Boolean = false)
+      compactLayout: Boolean = false,
+      fixedArrayIndex: Boolean = false) // v4 layout + fixed-array chunk index
 
   /** `modern = true` emits the libver-latest shape a current h5py/HDF5
     * writer produces — superblock v3 + v2 (OHDR) object headers + a
@@ -801,7 +1081,7 @@ object Hdf5 {
     * the dense-link named rejection actually fires under test.
     */
   def write(path: String, vars: Seq[H5WVar], modern: Boolean = false,
-      denseLinkStub: Boolean = false): Unit = {
+      denseLinkStub: Boolean = false, denseLinks: Boolean = false): Unit = {
     val out = ByteBuffer.allocate(1 << 24).order(ByteOrder.LITTLE_ENDIAN)
     def align8(): Unit = while (out.position() % 8 != 0) out.put(0.toByte)
 
@@ -913,9 +1193,43 @@ object Hdf5 {
       }
     }
 
+    // ---- fixed-array chunk indexes (layout v4): FAHD + one unpaged FADB
+    // whose elements are the chunk records in row-major grid order —
+    // chunk address alone (client 0), or address + stored size + filter
+    // mask (client 1) when a filter pipeline applies. Both checksummed.
+    val fixedArrayAddr: Map[String, Long] = placed.collect {
+      case p if p.chunkRefs.nonEmpty && p.v.fixedArrayIndex =>
+        align8()
+        val filtered = p.v.gzip || p.v.shuffle
+        val entrySize = if (filtered) 16 else 8 // size field = 4 bytes
+        val nelmts = p.chunkRefs.size
+        require(nelmts <= 1024, s"${p.v.name}: fixed-array page overflow")
+        val addrH = out.position().toLong
+        val dbAddr = addrH + 28
+        val hb = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+        hb.put("FAHD".getBytes(StandardCharsets.US_ASCII))
+        hb.put(0.toByte).put((if (filtered) 1 else 0).toByte)
+        hb.put(entrySize.toByte).put(10.toByte) // page bits: 2^10 entries
+        hb.putLong(nelmts.toLong).putLong(dbAddr)
+        hb.putInt(Lookup3.hash(java.util.Arrays.copyOf(hb.array(), 24)))
+        out.put(hb.array())
+        val dbLen = 14 + nelmts * entrySize + 4
+        val db = ByteBuffer.allocate(dbLen).order(ByteOrder.LITTLE_ENDIAN)
+        db.put("FADB".getBytes(StandardCharsets.US_ASCII))
+        db.put(0.toByte).put((if (filtered) 1 else 0).toByte)
+        db.putLong(addrH)
+        p.chunkRefs.foreach { case (_, caddr, size) =>
+          db.putLong(caddr)
+          if (filtered) { db.putInt(size); db.putInt(0) } // size, mask
+        }
+        db.putInt(Lookup3.hash(java.util.Arrays.copyOf(db.array(), dbLen - 4)))
+        out.put(db.array())
+        p.v.name -> addrH
+    }.toMap
+
     // ---- chunk B-trees (one level-0 node per chunked variable)
     val chunkTreeAddr: Map[String, Long] = placed.collect {
-      case p if p.chunkRefs.nonEmpty =>
+      case p if p.chunkRefs.nonEmpty && !p.v.fixedArrayIndex =>
         align8()
         val addr = out.position().toLong
         val ndim = p.v.dims.length + 1
@@ -990,6 +1304,24 @@ object Hdf5 {
           b.putShort(raw.length.toShort)
           b.put(raw)
           b.array()
+        } else if (p.chunkRefs.nonEmpty && v.fixedArrayIndex) {
+          // layout v4 chunked + fixed-array index (the libver-latest
+          // form): flags, rank+1 chunk dims (4-byte encoding, trailing
+          // element size), index type 3 with page bits, index address
+          val rank = v.dims.length
+          val b = ByteBuffer.allocate(5 + 4 * (rank + 1) + 2 + 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(4.toByte).put(2.toByte) // version 4, chunked
+          b.put(0.toByte) // flags
+          b.put((rank + 1).toByte)
+          b.put(4.toByte) // dim size encoded length
+          val c0 = v.chunkDims.head
+          val c1 = if (v.chunkDims.length >= 2) v.chunkDims(1) else 1
+          (if (rank >= 2) Seq(c0, c1) else Seq(c0)).foreach(b.putInt)
+          b.putInt(Netcdf.typeSize(v.ncType))
+          b.put(3.toByte).put(10.toByte) // fixed array, page bits
+          b.putLong(fixedArrayAddr(v.name))
+          b.array()
         } else if (p.chunkRefs.nonEmpty) {
           val ndim = v.dims.length + 1
           val b = ByteBuffer.allocate(2 + 1 + 8 + 4 * ndim)
@@ -1038,28 +1370,129 @@ object Hdf5 {
     }
 
     if (modern) {
-      // ---- new-style root group: link info + group info + one compact
-      // link message per dataset, in a v2 object header
+      // ---- new-style root group: link info + group info + either one
+      // compact link message per dataset, or (denseLinks) the same link
+      // messages as fractal heap objects indexed by a name v2 B-tree
       val hdrByName = varHdrs.toMap
+      def linkBody(n: String): Array[Byte] = {
+        val nb = n.getBytes(StandardCharsets.UTF_8)
+        require(nb.length <= 255, s"name $n too long for 1-byte length")
+        val b = ByteBuffer.allocate(3 + nb.length + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(0.toByte) // version 1, flags: u8 name length
+        b.put(nb.length.toByte).put(nb)
+        b.putLong(hdrByName(n))
+        b.array()
+      }
+      val denseAddrs: Option[(Long, Long)] = if (!denseLinks) None else {
+        // fractal heap geometry: 32-bit heap offsets, 2-byte lengths
+        // (heap ID length 7, the library default for group heaps),
+        // checksummed direct blocks (header flag bit 1), single
+        // direct-block root
+        val offBytes = 4; val lenBytes = 2
+        val names = vars.map(_.name).sorted
+        val bodies = names.map(linkBody)
+        val dbHdrLen = 4 + 1 + 8 + offBytes + 4
+        val needed = dbHdrLen + bodies.map(_.length).sum
+        var blockSize = 512L
+        while (blockSize < needed) blockSize *= 2
+        align8()
+        val fheapAddr = out.position().toLong
+        val dbAddr = fheapAddr + 146
+        // FRHP
+        val hb = ByteBuffer.allocate(146).order(ByteOrder.LITTLE_ENDIAN)
+        hb.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+        hb.put(0.toByte)
+        hb.putShort((1 + offBytes + lenBytes).toShort) // heap ID length
+        hb.putShort(0.toShort) // I/O filter encoded length
+        hb.put(2.toByte) // flags: checksummed direct blocks
+        hb.putInt(4096) // max managed object size
+        hb.putLong(0L) // next huge id
+        hb.putLong(-1L) // huge v2 btree
+        hb.putLong(blockSize - needed) // free space
+        hb.putLong(-1L) // free space manager
+        hb.putLong(blockSize) // managed space
+        hb.putLong(blockSize) // allocated managed space
+        hb.putLong(needed.toLong) // iterator offset
+        hb.putLong(bodies.length.toLong) // managed objects
+        hb.putLong(0L); hb.putLong(0L) // huge size/count
+        hb.putLong(0L); hb.putLong(0L) // tiny size/count
+        hb.putShort(4.toShort) // table width
+        hb.putLong(blockSize) // starting block size
+        hb.putLong(65536L) // max direct block size
+        hb.putShort(32.toShort) // max heap size (bits)
+        hb.putShort(1.toShort) // starting rows in root indirect block
+        hb.putLong(dbAddr)
+        hb.putShort(0.toShort) // current rows: root is a direct block
+        hb.putInt(Lookup3.hash(java.util.Arrays.copyOf(hb.array(), 142)))
+        out.put(hb.array())
+        // FHDB with object data; heap IDs record heap-global offsets
+        // (block offset 0 ⇒ block-local)
+        val db = ByteBuffer.allocate(blockSize.toInt)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        db.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+        db.put(0.toByte)
+        db.putLong(fheapAddr)
+        db.putInt(0) // block offset (offBytes = 4)
+        val cksPos = db.position()
+        db.putInt(0) // checksum placeholder
+        val ids = names.zip(bodies).map { case (n, b) =>
+          val o = db.position()
+          db.put(b)
+          (n, o, b.length)
+        }
+        val zeroed = db.array().clone()
+        db.putInt(cksPos, 0) // (already zero — explicit)
+        db.putInt(cksPos, Lookup3.hash(zeroed))
+        out.put(db.array())
+        // name-index v2 B-tree: BTHD + one BTLF leaf, records sorted by
+        // lookup3 name hash
+        val recSize = 4 + 1 + offBytes + lenBytes
+        val recs = ids.map { case (n, o, l) =>
+          (Lookup3.hash(n.getBytes(StandardCharsets.UTF_8)), n, o, l)
+        }.sortBy(t => t._1.toLong & 0xFFFFFFFFL)
+        align8()
+        val btAddr = out.position().toLong
+        val leafAddr = btAddr + 38
+        val tb = ByteBuffer.allocate(38).order(ByteOrder.LITTLE_ENDIAN)
+        tb.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+        tb.put(0.toByte).put(5.toByte) // version, type 5: link name index
+        tb.putInt(512) // node size
+        tb.putShort(recSize.toShort)
+        tb.putShort(0.toShort) // depth
+        tb.put(100.toByte).put(40.toByte) // split/merge percents
+        tb.putLong(leafAddr)
+        tb.putShort(recs.size.toShort)
+        tb.putLong(recs.size.toLong)
+        tb.putInt(Lookup3.hash(java.util.Arrays.copyOf(tb.array(), 34)))
+        out.put(tb.array())
+        val leafLen = 6 + recs.size * recSize + 4
+        val lb2 = ByteBuffer.allocate(leafLen).order(ByteOrder.LITTLE_ENDIAN)
+        lb2.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+        lb2.put(0.toByte).put(5.toByte)
+        recs.foreach { case (h, _, o, l) =>
+          lb2.putInt(h)
+          lb2.put(0.toByte) // heap ID: version 0, managed
+          lb2.putInt(o) // offset (4 bytes LE)
+          lb2.putShort(l.toShort) // length (2 bytes LE)
+        }
+        lb2.putInt(Lookup3.hash(
+          java.util.Arrays.copyOf(lb2.array(), leafLen - 4)))
+        out.put(lb2.array())
+        Some((fheapAddr, btAddr))
+      }
       val linkInfo = {
         val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         b.put(0.toByte).put(0.toByte) // version, flags (no creation order)
-        b.putLong(if (denseLinkStub) 0x1000L else -1L) // fractal heap addr
-        b.putLong(-1L) // name index B-tree addr
+        b.putLong(denseAddrs.map(_._1)
+          .getOrElse(if (denseLinkStub) 0x1000L else -1L)) // fractal heap
+        b.putLong(denseAddrs.map(_._2).getOrElse(-1L)) // name index B-tree
         b.array()
       }
       val groupInfo = Array[Byte](0, 0) // version 0, flags 0
       val linkMsgs: Seq[(Int, Array[Byte])] =
-        vars.map(_.name).sorted.map { n =>
-          val nb = n.getBytes(StandardCharsets.UTF_8)
-          require(nb.length <= 255, s"name $n too long for 1-byte length")
-          val b = ByteBuffer.allocate(3 + nb.length + 8)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          b.put(1.toByte).put(0.toByte) // version 1, flags: u8 name length
-          b.put(nb.length.toByte).put(nb)
-          b.putLong(hdrByName(n))
-          (0x0006, b.array())
-        }
+        if (denseLinks) Nil
+        else vars.map(_.name).sorted.map(n => (0x0006, linkBody(n)))
       val rootHdr = objectHeaderV2(
         Seq((0x0002, linkInfo), (0x000A, groupInfo)) ++ linkMsgs)
       val eof = out.position().toLong

@@ -54,12 +54,54 @@ class Hdf5ModernSpec extends AnyFunSuite {
     }
   }
 
-  test("dense link storage is rejected by name") {
+  test("a dangling dense-link pointer fails the heap walk by name") {
+    // r13: dense links are now WALKED, so a stubbed fractal heap address
+    // pointing at non-heap bytes must die on the FRHP signature check,
+    // not wander off into garbage
     val p = tmp("dense.nc")
     Hdf5.write(p, fixtureVars, modern = true, denseLinkStub = true)
     val e = intercept[IllegalArgumentException](Hdf5.readVars(p))
-    assert(e.getMessage.contains("fractal heap"),
+    // the stub carries a heap address but no name B-tree: the walk dies
+    // on its first consistency check, by name
+    assert(e.getMessage.contains("name-index v2 B-tree"),
       s"got: ${e.getMessage}")
+  }
+
+  test("dense-link group (fractal heap + name B-tree) reads green") {
+    // 12 variables — past the default compact threshold (8), the shape
+    // a real L2 product with dozens of variables occupies
+    val many = (0 until 12).map { k =>
+      Hdf5.H5WVar(f"v$k%02d", Netcdf.NcInt, Seq(3),
+        Array.tabulate(3)(i => (k * 10 + i).toDouble),
+        chunkDims = if (k % 2 == 0) Seq(2) else Nil,
+        gzip = k % 4 == 0)
+    }
+    val p = tmp("dense_real.nc")
+    Hdf5.write(p, many, modern = true, denseLinks = true)
+    val vars = Hdf5.readVars(p)
+    assert(vars.map(_.name) == (0 until 12).map(k => f"v$k%02d"))
+    // value-identical to the compact-link twin
+    val p0 = tmp("dense_compact.nc")
+    Hdf5.write(p0, many, modern = true)
+    val v0 = Hdf5.readVars(p0)
+    vars.zip(v0).foreach { case (d, c) =>
+      assert(Hdf5.readVarData(p, d).toSeq == Hdf5.readVarData(p0, c).toSeq,
+        s"${d.name} differs between dense and compact link storage")
+    }
+  }
+
+  test("corrupt dense-link index fails its checksum by name") {
+    val many = (0 until 10).map(k =>
+      Hdf5.H5WVar(s"w$k", Netcdf.NcShort, Seq(2), Array[Double](k, k + 1)))
+    val p = tmp("dense_bad.nc")
+    Hdf5.write(p, many, modern = true, denseLinks = true)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val btlf = bytes.indices.find(i => i + 4 <= bytes.length &&
+      new String(bytes, i, 4, "US-ASCII") == "BTLF").get
+    bytes(btlf + 8) = (bytes(btlf + 8) ^ 0x3C).toByte
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.readVars(p))
+    assert(e.getMessage.contains("leaf checksum"), s"got: ${e.getMessage}")
   }
 
   test("superblock v1 is rejected by name") {
@@ -96,6 +138,78 @@ class Hdf5ModernSpec extends AnyFunSuite {
     Files.write(Paths.get(p), bytes)
     val e = intercept[IllegalArgumentException](Hdf5.readVars(p))
     assert(e.getMessage.contains("outside file"), s"got: ${e.getMessage}")
+  }
+
+  private val faVars = Seq(
+    // client 0: unfiltered chunks, bare-address elements
+    Hdf5.H5WVar("P", Netcdf.NcInt, Seq(5, 6),
+      Array.tabulate(30)(i => (i * 7 % 90).toDouble),
+      chunkDims = Seq(2, 4), fixedArrayIndex = true),
+    // client 1: gzip+shuffle pipeline — elements carry stored size + mask
+    Hdf5.H5WVar("T", Netcdf.NcShort, Seq(3, 4),
+      Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+      chunkDims = Seq(2, 2), gzip = true, shuffle = true,
+      scale = Some(0.25), offset = Some(100.0), fill = Some(-9.0),
+      fixedArrayIndex = true))
+
+  test("layout v4 + fixed-array chunk index round-trips, filtered and not") {
+    val p = tmp("farray.nc")
+    Hdf5.write(p, faVars, modern = true)
+    val vars = Hdf5.readVars(p).sortBy(_.name)
+    assert(vars.map(_.name) == Seq("P", "T"))
+    assert(vars.forall(_.chunkDims.nonEmpty))
+    // edge-clipped grids: P = 3x2 chunk grid minus none (all defined),
+    // T = 2x2; every chunk present
+    assert(vars.find(_.name == "P").get.chunks.size == 6)
+    assert(vars.find(_.name == "T").get.chunks.size == 4)
+    // value-identical to the classic twin (v1 B-tree index)
+    val p0 = tmp("farray_classic.nc")
+    Hdf5.write(p0, faVars.map(_.copy(fixedArrayIndex = false)))
+    val v0 = Hdf5.readVars(p0).sortBy(_.name)
+    vars.zip(v0).foreach { case (m, c) =>
+      assert(Hdf5.readVarData(p, m).toSeq == Hdf5.readVarData(p0, c).toSeq,
+        s"${m.name} data differs between fixed-array and v1-B-tree forms")
+    }
+  }
+
+  test("grow-able v4 chunk indexes are rejected by name") {
+    val p = tmp("farray_ea.nc")
+    Hdf5.write(p, faVars, modern = true)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    // the v4 chunked layout body for rank-2 P: 04 02 00 03 04 + 3x4-byte
+    // dims + index type at +17 — locate it by its unambiguous prefix
+    val pat = Array[Byte](4, 2, 0, 3, 4)
+    val at = bytes.indices.find(i => i + 17 < bytes.length &&
+      pat.indices.forall(k => bytes(i + k) == pat(k)) &&
+      bytes(i + 17) == 3)
+    assert(at.isDefined, "v4 layout body not found")
+    bytes(at.get + 17) = 4 // extensible array
+    // re-stamp the enclosing OHDR checksum so the failure is the index
+    // rejection, not the header checksum
+    val hdrStart = (0 to at.get).findLast(j =>
+      new String(bytes, j, 4, "US-ASCII") == "OHDR").get
+    val total = (bytes(hdrStart + 6) & 0xFF) | ((bytes(hdrStart + 7) & 0xFF) << 8)
+    val sum = Hdf5.Lookup3.hash(
+      java.util.Arrays.copyOfRange(bytes, hdrStart, hdrStart + 8 + total))
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(hdrStart + 8 + total, sum)
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.readVars(p))
+    assert(e.getMessage.contains("extensible-array"), s"got: ${e.getMessage}")
+  }
+
+  test("corrupt fixed-array blocks fail their checksums by name") {
+    val p = tmp("farray_bad.nc")
+    Hdf5.write(p, faVars, modern = true)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val fadb = bytes.indices.find(i => i + 4 <= bytes.length &&
+      new String(bytes, i, 4, "US-ASCII") == "FADB")
+    assert(fadb.isDefined)
+    bytes(fadb.get + 15) = (bytes(fadb.get + 15) ^ 0x5A).toByte
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.readVars(p))
+    assert(e.getMessage.contains("fixed-array data block checksum"),
+      s"got: ${e.getMessage}")
   }
 
   test("hybrid: old-style symbol-table group still reads under v0 path") {

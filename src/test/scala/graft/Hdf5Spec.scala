@@ -192,4 +192,29 @@ class Hdf5Spec extends SparkSpecBase {
     }
     Files.delete(big)
   }
+
+  test("modern fixed-array chunked file reads through the DSv2 surface") {
+    // the src_netcdf surface is container-agnostic: a libver-latest file
+    // (superblock v3, OHDR, layout v4 + fixed-array chunk index, gzip+
+    // shuffle) yields the same rows as its classic twin
+    val dir = Files.createTempDirectory("h5fa").toFile.getAbsolutePath
+    val mask = Array[Double](10, 40, 11, 0, 12, 13, 0, 14, 15, 40, 10, 0)
+    def vars(fa: Boolean) = Seq(
+      H5WVar("Mask", Netcdf.NcShort, Seq(3, 4), mask,
+        chunkDims = Seq(2, 2), gzip = true, shuffle = true,
+        fixedArrayIndex = fa),
+      H5WVar("P", Netcdf.NcInt, Seq(3, 4),
+        Array.tabulate(12)(_.toDouble), chunkDims = Seq(2, 3),
+        fixedArrayIndex = fa))
+    val modern = s"$dir/modern_fa.nc"; val classic = s"$dir/classic.nc"
+    Hdf5.write(modern, vars(fa = true), modern = true)
+    Hdf5.write(classic, vars(fa = false))
+    def rows(p: String) = read(p)
+      .select(col("var"), col("i"), col("j"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(rows(modern) == rows(classic))
+    assert(rows(modern).count(_._1 == "Mask") == 12)
+  }
 }

@@ -55,6 +55,62 @@ class JpegOpsSpec extends SparkSpecBase {
     assert(ham <= 8, s"pHash moved $ham bits across the re-encode")
   }
 
+  /** Independent mini-walk: collect the non-entropy marker codes of the
+    * head (up to the first SOS) — used to assert a fixture genuinely
+    * carries the frame type under test without trusting jpegMeta.
+    */
+  private def headMarkers(b: Array[Byte]): Seq[Int] = {
+    def u8(o: Int) = b(o) & 0xFF
+    def u16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    var off = 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done && off + 4 <= b.length) {
+      while (u8(off) == 0xFF && u8(off + 1) == 0xFF) off += 1
+      assert(u8(off) == 0xFF, s"lost sync at $off")
+      val m = u8(off + 1)
+      out += m
+      if (m == 0xDA) done = true
+      else off += 2 + u16(off + 2)
+    }
+    out.toSeq
+  }
+
+  test("progressive (SOF2) frames: marker walk and decode agree") {
+    val im = img(7)
+    val prog = ImageCodec.toJpegProgressive(im)
+    // genuinely progressive: a SOF2 frame header, no baseline SOF0
+    val heads = headMarkers(prog)
+    assert(heads.contains(0xC2) && !heads.contains(0xC0),
+      s"fixture not progressive: markers ${heads.map(_.toHexString)}")
+    val info = ImageCodec.jpegMeta(prog)
+    assert(info.markerOk, "walk must consume a multi-scan file exactly")
+    assert(info.width == im.getWidth && info.height == im.getHeight
+      && info.precision == 8 && info.nComponents == 3)
+    // multi-scan: progressive files carry more segments than baseline
+    val base = ImageCodec.toJpeg(im)
+    assert(info.nSegments > ImageCodec.jpegMeta(base).nSegments)
+    val dec = ImageCodec.decode(prog)
+    assert(dec != null && dec.getWidth == im.getWidth
+      && dec.getHeight == im.getHeight)
+    // and the progressive re-encode stays pHash-close to the baseline one
+    val ham = java.lang.Long.bitCount(
+      ImageCodec.phash64(dec) ^ ImageCodec.phash64(ImageCodec.decode(base)))
+    assert(ham <= 8, s"pHash moved $ham bits baseline vs progressive")
+  }
+
+  test("spec-legal 0xFF fill bytes before a marker walk cleanly") {
+    val bytes = ImageCodec.toJpeg(img(9))
+    // insert two fill bytes before the first post-SOI marker (B.1.1.2:
+    // fill bytes may pad in front of any marker)
+    val padded = bytes.take(2) ++ Array(0xFF.toByte, 0xFF.toByte) ++ bytes.drop(2)
+    val info = ImageCodec.jpegMeta(padded)
+    val orig = ImageCodec.jpegMeta(bytes)
+    assert(info.markerOk, "fill bytes must not break the walk")
+    assert(info.width == orig.width && info.height == orig.height
+      && info.nSegments == orig.nSegments)
+  }
+
   test("mm_jpeg_scenes yields multi-frame shots on the gate corpus") {
     val rows = run("mm_jpeg_scenes").collect()
     assert(rows.nonEmpty)
