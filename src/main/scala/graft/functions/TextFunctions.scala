@@ -80,6 +80,37 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** All k-gram rolling hashes of a string, one per 1-based position —
+    * the ExactSubstr window pass (Lee et al. training-data dedup): one
+    * Karp-Rabin sweep emits the combined 62-bit (B1, B2) hash of
+    * text[i, i+k) for every i, so the stride-1 duplicated-window find is
+    * a hash groupBy, never a substring shuffle. Same arithmetic as
+    * [[winnow]]'s gram array (mod P, double base), ASCII-only contract
+    * like [[cdcCuts]] (byte positions == char positions).
+    */
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    var bk1 = 1L; var bk2 = 1L
+    var i = 0
+    while (i < k) { bk1 = bk1 * B1 % P; bk2 = bk2 * B2 % P; i += 1 }
+    val gram = new Array[Long](n - k + 1)
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < n) {
+      h1 = (h1 * B1 + (bytes(i) & 0xFF)) % P
+      h2 = (h2 * B2 + (bytes(i) & 0xFF)) % P
+      if (i >= k) {
+        h1 = (h1 - bk1 * (bytes(i - k) & 0xFF) % P + P) % P
+        h2 = (h2 - bk2 * (bytes(i - k) & 0xFF) % P + P) % P
+      }
+      if (i >= k - 1) gram(i - k + 1) = h1 * SHIFT + h2
+      i += 1
+    }
+    new GenericArrayData(gram)
+  }
+
   /** Content-defined chunk cut positions (1-based), one rolling-hash
     * pass: a cut before position p (p >= 2) wherever the k-gram B1 hash
     * starting at p satisfies h % mask1 == 0 — the SAME polynomial value
@@ -235,6 +266,20 @@ case class CdcCuts(child: Expression, k: Int, mask1: Int)
     copy(child = c)
 }
 
+/** array<long> of every k-gram rolling hash of a string column. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.gramHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.gramHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a string column (whitespace tokens, bit votes). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -256,6 +301,8 @@ object TextFunctions {
     GraftInternal.column(SimHash64(GraftInternal.expr(c)))
   def cdc_cuts(c: Column, k: Int = 20, mask1: Int = 64): Column =
     GraftInternal.column(CdcCuts(GraftInternal.expr(c), k, mask1))
+  def gram_hashes(c: Column, k: Int): Column =
+    GraftInternal.column(GramHashes(GraftInternal.expr(c), k))
 
   /** SQL registration of the text kernels (default parameters). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

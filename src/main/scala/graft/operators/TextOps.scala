@@ -82,6 +82,48 @@ object TextOps {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docs(s, d))
 
+  /** Core of doc_exact_substr, factored so the expansion-equivalence
+    * spec can drive it over a seeded corpus: stride-1 L-char
+    * duplicated-window find (gram_hashes kernel, total occurrences ≥ 2)
+    * + maximal-span merge (island detection over duplicated positions).
+    */
+  private[graft] def exactSubstrOf(dd: DataFrame, L: Int = 50): DataFrame = {
+    val eligible = dd.filter(length(col("text")) >= L)
+    val w = eligible
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(graft.functions.TextFunctions.gram_hashes(col("text"), L)))
+      .select(col("doc_id"), col("len"), (col("pos") + 1).as("i"),
+        col("col").as("h"))
+    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val dw = w.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = dw
+      .withColumn("st",
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= L, 0).otherwise(1))
+      .withColumn("g", sum(col("st")).over(byDoc))
+      .groupBy(col("doc_id"), col("len"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"),
+        sum(col("nw")).as("n_dup_windows"))
+    eligible
+      .select(col("doc_id"), length(col("text")).as("len"),
+        (length(col("text")) - (L - 1)).cast(LongType).as("n_windows"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) / col("len"))
+          .as("dup_frac"),
+        (coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) / col("len")
+          >= 0.2).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   // DuckDB 1.0 can't lateral-join generate_series on a column; use a fixed
   // series (docs are < 1024 chars) + filter, which yields the same set.
   private val SHINGLES = """
@@ -1997,6 +2039,66 @@ object TextOps {
                CAST(COALESCE(dd.n_dup_spans, 0) AS DOUBLE)/t.n_spans >= 0.2 AS flagged
         FROM tot t LEFT JOIN dd ON t.doc_id = dd.doc_id
         ORDER BY t.doc_id""")),
+
+    // ----- doc_exact_substr: full ExactSubstr duplicated-span dedup ------
+    // The published training-data-dedup standard (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // EVERY 50-char window occurring more than once in the corpus
+    // (stride 1 — the suffix-array "find" re-expressed as a Karp-Rabin
+    // hash groupBy), then merge overlapping duplicated windows into
+    // MAXIMAL duplicated spans per document (the paper's expansion
+    // step). doc_span_dedup remains the cheap stride-8 approximation;
+    // this is the exact pass. Scale shape: the gram_hashes kernel emits
+    // all window hashes in one codegen'd pass (8-byte shuffle keys, no
+    // substring shuffle — the 100 TB posture the stride-8 form only
+    // promised in a comment); the span merge is two bounded per-doc
+    // windows (≤ len rows per doc). The engine keys on the combined
+    // 62-bit (B1,B2) hash while the oracle keys on the raw substring —
+    // they disagree only on a double-collision (~2^-62 per pair), so
+    // the hash gate cross-checks the kernel against literal substring
+    // equality. ASCII corpus contract, as doc_cdc_chunks.
+    "doc_exact_substr" -> Q(
+      build = (s, d) => exactSubstrOf(docs(s, d)),
+      oracle = Some("""
+        WITH w AS (
+          SELECT d.doc_id, length(d.text) AS len, g.i,
+                 substr(d.text, g.i, 50) AS sp
+          FROM documents d, generate_series(1, 1024) AS g(i)
+          WHERE length(d.text) >= 50 AND g.i <= length(d.text) - 49),
+        dup AS (SELECT sp FROM w GROUP BY sp HAVING COUNT(*) >= 2),
+        dw AS (SELECT doc_id, len, i FROM w
+               WHERE sp IN (SELECT sp FROM dup)),
+        isl AS (
+          SELECT doc_id, len, i,
+                 CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                        <= 50 THEN 0 ELSE 1 END AS st
+          FROM dw),
+        grps AS (
+          SELECT doc_id, len, i,
+                 SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM isl),
+        spans AS (
+          SELECT doc_id, len, g, MIN(i) AS s, MAX(i) + 49 AS e,
+                 COUNT(*) AS nw
+          FROM grps GROUP BY 1, 2, 3),
+        per AS (
+          SELECT doc_id, len, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+                 CAST(SUM(nw) AS BIGINT) AS n_dup_windows
+          FROM spans GROUP BY 1, 2),
+        base AS (
+          SELECT doc_id, length(text) AS len,
+                 CAST(length(text) - 49 AS BIGINT) AS n_windows
+          FROM documents WHERE length(text) >= 50)
+        SELECT b.doc_id, b.n_windows,
+               COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.dup_chars, 0) AS dup_chars,
+               CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.len AS dup_frac,
+               CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.len >= 0.2
+                 AS flagged
+        FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+        ORDER BY b.doc_id""")),
 
     // ----- doc_pack_sequences: training-example packing ------------------
     // Pack documents into fixed 2048-token training sequences: shuffle
