@@ -68,18 +68,15 @@ object CpaParity {
       Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
   }
 
-  /** The batch pair set, in [[graft.streaming.Streams.cpaStream]]'s exact
-    * output schema (user_a, user_b, ts_a, ts_b, t_cpa_min, d_cpa_km).
+  /** The replayed fix feed with its micro-batch index: replay order =
+    * (ts_sec, event_id), chunk = pos / batchRows. RDD sortBy +
+    * zipWithIndex keeps the global-position assignment distributed (no
+    * single-partition window over the full feed).
     */
-  def pairs(spark: SparkSession, sfDir: String, batchRows: Int,
-      maxKm: Double = 100.0, bandSec: Long = 900L,
-      cellCap: Int = 64): DataFrame = {
+  def fixesFor(spark: SparkSession, sfDir: String,
+      batchRows: Int): Dataset[FixAt] = {
     import spark.implicits._
-
-    // replay order = (ts_sec, event_id); micro-batch index = pos/batchRows.
-    // RDD sortBy + zipWithIndex keeps the global-position assignment
-    // distributed (no single-partition window over the full feed).
-    val fixes: Dataset[FixAt] = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts_sec"), col("user_id"),
         col("event_type"), col("value"))
       .as[graft.streaming.Streams.Ev]
@@ -92,6 +89,31 @@ object CpaParity {
           pos / batchRows)
       }
       .toDS()
+  }
+
+  /** The batch pair set, in [[graft.streaming.Streams.cpaStream]]'s exact
+    * output schema (user_a, user_b, ts_a, ts_b, t_cpa_min, d_cpa_km).
+    *
+    * `tbRange = Some((lo, hi))` computes only the pairs whose HOME side
+    * falls in 30-min buckets [lo, hi) — with input widened one bucket
+    * each way so every admission set and every ±band partner of an
+    * owned pair is fully present (admission is (cell, tb)-local and
+    * band < bucket width, so tb-aligned slices are EXACT). The ×1000
+    * tier runs as a sum of slices because the full 2.7-billion-row
+    * replicated join doesn't fit this box's /tmp — count and the
+    * additive content hash compose across slices; a cluster would run
+    * it unsliced.
+    */
+  def pairs(spark: SparkSession, fixesAll: Dataset[FixAt],
+      maxKm: Double = 100.0, bandSec: Long = 900L,
+      cellCap: Int = 64, tbRange: Option[(Long, Long)] = None): DataFrame = {
+    // slice halo: one bucket each side covers every partner and every
+    // admission member of an owned pair (chunk indexes stay GLOBAL —
+    // they were assigned over the full feed, before any slicing)
+    val fixes = tbRange.fold(fixesAll) { case (lo, hi) =>
+      fixesAll.filter(col("ts_sec") >= (lo - 1) * 1800L
+        && col("ts_sec") < (hi + 1) * 1800L)
+    }
 
     val home = fixes.toDF()
       .withColumn("hcl", floor(col("lat")).cast("long"))
@@ -143,11 +165,14 @@ object CpaParity {
       .withColumn("bb",
         floor(col("ts_sec") / bandSec.toDouble).cast("long") + col("dbb"))
       .drop("dbb")
-    aB.as("a").join(bB.as("b"),
+    val joined = aB.as("a").join(bB.as("b"),
         col("a.cl") === col("b.cl") && col("a.cn") === col("b.cn")
           && col("a.bb") === col("b.bb")
           && col("a.user_id") < col("b.user_id")
           && abs(col("a.ts_sec") - col("b.ts_sec")) <= bandSec)
+    tbRange.fold(joined) { case (lo, hi) =>
+      joined.filter(col("a.tb") >= lo && col("a.tb") < hi)
+    }
       .withColumn("kx",
         round(cos(radians((col("a.lat") + col("b.lat")) / 2.0)), 6) * 111.195)
       .withColumn("dx", (col("b.lon") - col("a.lon")) * col("kx"))
@@ -181,11 +206,50 @@ object CpaParity {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CPA_SLICES=N runs the tb-sliced form (see pairs());
+    // count and the additive hash compose exactly across slices
+    val slices = sys.env.getOrElse("SPARK_GRAFT_CPA_SLICES", "1").toInt
     val t0 = System.nanoTime()
-    val (n, h) = hashAgg(pairs(spark, sfDir, batchRows))
+    val (n, h) =
+      if (slices <= 1) hashAgg(pairs(spark, fixesFor(spark, sfDir, batchRows)))
+      else {
+        // materialize the chunk-indexed feed ONCE (the global sort is
+        // the expensive part; slices then read it back with a
+        // pushed-down ts filter instead of re-sorting 100 M rows each)
+        import spark.implicits._
+        val fxPath = s"/tmp/cpa_parity_fixes_${System.nanoTime()}"
+        fixesFor(spark, sfDir, batchRows)
+          .write.mode("overwrite").parquet(fxPath)
+        val fx = spark.read.parquet(fxPath).as[FixAt]
+        val mm = Tables.events(spark, sfDir)
+          .agg(min(col("ts_sec")), max(col("ts_sec"))).head()
+        val tbLo = Math.floorDiv(mm.getLong(0), 1800L)
+        val tbHi = Math.floorDiv(mm.getLong(1), 1800L) + 1
+        val step = math.max(1L, (tbHi - tbLo + slices - 1) / slices)
+        var total = 0L
+        var sum = java.math.BigDecimal.ZERO
+        var lo = tbLo
+        var k = 0
+        while (lo < tbHi) {
+          val hi = math.min(tbHi, lo + step)
+          val (sn, sh) = hashAgg(pairs(spark, fx, tbRange = Some((lo, hi))))
+          total += sn
+          sum = sum.add(sh)
+          System.err.println(
+            s"[cpa-parity] slice $k tb[$lo,$hi): $sn pairs, running $total")
+          lo = hi
+          k += 1
+        }
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(fxPath)).deleteRecursively()
+        } catch { case _: Exception => }
+        (total, sum)
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"cpa_parity","sf":"$sfDir","batch_rows":$batchRows,""" +
-      s""""pairs":$n,"hash":"${h.toPlainString}","sec":${f"$sec%.1f"}}""")
+      s""""slices":$slices,"pairs":$n,"hash":"${h.toPlainString}",""" +
+      s""""sec":${f"$sec%.1f"}}""")
     spark.stop()
   }
 }

@@ -263,7 +263,25 @@ object StreamBench {
           val m = MemoryStream[(Long, String)]
           (m, Streams.lshDedupStream(
             m.toDF().toDF("doc_id", "text")).toDF())
-        }, identity, OutputMode.Append())
+        }, identity, OutputMode.Append()),
+      // fleet-cardinality tier (r13): the sketch monitors re-keyed by
+      // user_id — the odin_adsb per-aircraft shape (sbs.rs:69
+      // process_msgs is a per-aircraft loop, not a per-type one) — so
+      // the measured rate reflects real keyed parallelism instead of
+      // event_type's 5-key ceiling. Items: distinct events per entity
+      // (kmv), heavy event ids per entity (topk).
+      bench[Streams.Ev]("stream_kmv_distinct_ukey", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.kmvDistinctStream(m.toDS(),
+          keyOf = e => java.lang.Long.toString(e.user_id),
+          itemOf = _.event_id).toDF())
+      }, identity, OutputMode.Update()),
+      bench[Streams.Ev]("stream_topk_ukey", () => {
+        val m = MemoryStream[Streams.Ev]
+        (m, Streams.topkStream(m.toDS(),
+          keyOf = e => java.lang.Long.toString(e.user_id),
+          itemOf = _.event_id).toDF())
+      }, identity, OutputMode.Update())
     ).flatten
 
     def f1(v: Double): String =

@@ -687,6 +687,24 @@ object Hdf5 {
         chunkDims = dims4.take(rank).map(_.toInt)
         val idxType = lb.get() & 0xFF
         idxType match {
+          case 1 =>
+            // single-chunk index (dataset extent == one chunk, the other
+            // common libver-latest shape): the "index" is the chunk
+            // address itself; flag bit 1 adds the filtered size + mask
+            val filteredSingle = (flags & 2) != 0
+            val (csize, _) =
+              if (filteredSingle) (lb.getLong(), lb.getInt())
+              else (chunkDims.map(_.toLong).product * eltSize, 0)
+            val caddr = lb.getLong()
+            require(filteredSingle == byType.contains(0x000B),
+              s"dataset $name: single-chunk filtered flag " +
+                s"$filteredSingle vs filter pipeline")
+            require(dims.zip(chunkDims).forall { case (d, c) => c >= d },
+              s"dataset $name: single-chunk index but chunk " +
+                s"${chunkDims.mkString("x")} < extent ${dims.mkString("x")}")
+            if (caddr != -1L)
+              chunks = Seq(ChunkRef(Array.fill(dims.length)(0), caddr,
+                csize.toInt))
           case 3 =>
             val pageBits = lb.get() & 0xFF
             val faAddr = lb.getLong()
@@ -694,13 +712,13 @@ object Hdf5 {
               chunks = walkFixedArray(r, name, faAddr, pageBits,
                 dims, chunkDims, eltSize,
                 filtered = byType.contains(0x000B))
-          case 1 | 2 | 4 | 5 =>
-            val idxName = Map(1 -> "single-chunk", 2 -> "implicit",
+          case 2 | 4 | 5 =>
+            val idxName = Map(2 -> "implicit",
               4 -> "extensible-array", 5 -> "version-2 B-tree")(idxType)
             throw new IllegalArgumentException(
               s"dataset $name: v4 chunk index '$idxName' unsupported " +
-                "(fixed-array is the supported modern index; re-export " +
-                "with libver earliest for the v1 B-tree)")
+                "(single-chunk and fixed-array are the supported modern " +
+                "indexes; re-export with libver earliest for the v1 B-tree)")
           case other => throw new IllegalArgumentException(
             s"dataset $name: unknown v4 chunk index type $other")
         }
@@ -1070,7 +1088,8 @@ object Hdf5 {
       scale: Option[Double] = None, offset: Option[Double] = None,
       fill: Option[Double] = None, littleEndian: Boolean = true,
       compactLayout: Boolean = false,
-      fixedArrayIndex: Boolean = false) // v4 layout + fixed-array chunk index
+      fixedArrayIndex: Boolean = false, // v4 layout + fixed-array chunk index
+      singleChunkIndex: Boolean = false) // v4 layout + single-chunk index
 
   /** `modern = true` emits the libver-latest shape a current h5py/HDF5
     * writer produces — superblock v3 + v2 (OHDR) object headers + a
@@ -1303,6 +1322,29 @@ object Hdf5 {
           b.put(3.toByte).put(0.toByte)
           b.putShort(raw.length.toShort)
           b.put(raw)
+          b.array()
+        } else if (p.chunkRefs.nonEmpty && v.singleChunkIndex) {
+          // layout v4 chunked + single-chunk index: the chunk address is
+          // the index; filtered datasets flag bit 1 and carry size+mask
+          require(p.chunkRefs.size == 1,
+            s"${v.name}: single-chunk index needs chunkDims >= dims")
+          val filtered = v.gzip || v.shuffle
+          val rank = v.dims.length
+          val b = ByteBuffer.allocate(5 + 4 * (rank + 1) + 1 +
+              (if (filtered) 12 else 0) + 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(4.toByte).put(2.toByte)
+          b.put((if (filtered) 2 else 0).toByte) // flags
+          b.put((rank + 1).toByte)
+          b.put(4.toByte)
+          val c0 = v.chunkDims.head
+          val c1 = if (v.chunkDims.length >= 2) v.chunkDims(1) else 1
+          (if (rank >= 2) Seq(c0, c1) else Seq(c0)).foreach(b.putInt)
+          b.putInt(Netcdf.typeSize(v.ncType))
+          b.put(1.toByte) // single-chunk index
+          val (_, caddr, csize) = p.chunkRefs.head
+          if (filtered) { b.putLong(csize.toLong); b.putInt(0) }
+          b.putLong(caddr)
           b.array()
         } else if (p.chunkRefs.nonEmpty && v.fixedArrayIndex) {
           // layout v4 chunked + fixed-array index (the libver-latest

@@ -710,21 +710,27 @@ object Streams {
     * merge property the batch query proves). Emits the running estimate
     * after each batch.
     */
-  def kmvDistinctStream(events: Dataset[Ev], k: Int = 64): Dataset[KmvOut] = {
+  def kmvDistinctStream(events: Dataset[Ev], k: Int = 64,
+      keyOf: Ev => String = _.event_type,
+      itemOf: Ev => Long = _.user_id): Dataset[KmvOut] = {
+    // keyOf/itemOf default to the registered per-type distinct-user
+    // semantics; StreamBench's fleet-cardinality tier re-keys by
+    // user_id (the odin_adsb per-aircraft loop, sbs.rs:69) with
+    // distinct events as the sketched item
     import events.sparkSession.implicits._
     def hash48(uid: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(uid.toString.getBytes("UTF-8"))
       md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
     }
-    events.groupByKey(_.event_type)
+    events.groupByKey(keyOf)
       .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
         case (etype, it, state) =>
           var st = state.getOption.getOrElse(KmvState(Vector.empty, 0L))
           var hs = st.hashes
           var n = st.n_seen
           it.foreach { e =>
-            val h = hash48(e.user_id)
+            val h = hash48(itemOf(e))
             n += 1
             if (!hs.contains(h)) hs = (hs :+ h).sorted.take(k)
           }
@@ -749,25 +755,31 @@ object Streams {
     * replay is deterministic; emits the current top-5 per type after
     * each batch.
     */
-  def topkStream(events: Dataset[Ev], capacity: Int = 16): Dataset[TopKOut] = {
+  def topkStream(events: Dataset[Ev], capacity: Int = 16,
+      keyOf: Ev => String = _.event_type,
+      itemOf: Ev => Long = _.user_id): Dataset[TopKOut] = {
+    // keyOf/itemOf as in kmvDistinctStream: defaults preserve the
+    // registered semantics, the bench re-keys by entity for the
+    // fleet-cardinality tier
     import events.sparkSession.implicits._
     events
-      .groupByKey(_.event_type)
+      .groupByKey(keyOf)
       .mapGroupsWithState[TopKState, TopKOut](GroupStateTimeout.NoTimeout) {
         (etype, batch, state: GroupState[TopKState]) =>
           var st = state.getOption.getOrElse(TopKState(Seq.empty, 0L))
           var cs = st.counters.toVector
           batch.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
-            val i = cs.indexWhere(_.user_id == e.user_id)
+            val item = itemOf(e)
+            val i = cs.indexWhere(_.user_id == item)
             if (i >= 0) cs = cs.updated(i, cs(i).copy(est = cs(i).est + 1))
-            else if (cs.size < capacity) cs :+= SsCounter(e.user_id, 1L, 0L)
+            else if (cs.size < capacity) cs :+= SsCounter(item, 1L, 0L)
             else {
               // evict the min-estimate counter (largest user_id on ties:
               // deterministic) and inherit its estimate as the error bound
               val victim = cs.minBy(c => (c.est, -c.user_id))
               val j = cs.indexOf(victim)
               cs = cs.updated(j,
-                SsCounter(e.user_id, victim.est + 1, victim.est))
+                SsCounter(item, victim.est + 1, victim.est))
             }
             st = st.copy(n_seen = st.n_seen + 1)
           }

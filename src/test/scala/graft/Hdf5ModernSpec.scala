@@ -172,6 +172,31 @@ class Hdf5ModernSpec extends AnyFunSuite {
     }
   }
 
+  test("layout v4 + single-chunk index round-trips, filtered and not") {
+    // the other common libver-latest shape: dataset extent == one chunk,
+    // the chunk address IS the index (flag bit 1 adds size + mask)
+    val scVars = Seq(
+      Hdf5.H5WVar("A", Netcdf.NcInt, Seq(4, 5),
+        Array.tabulate(20)(i => (i * 3 % 40).toDouble),
+        chunkDims = Seq(4, 5), singleChunkIndex = true),
+      Hdf5.H5WVar("B", Netcdf.NcShort, Seq(6),
+        Array.tabulate(6)(i => (i + 1).toDouble),
+        chunkDims = Seq(6), gzip = true, shuffle = true,
+        singleChunkIndex = true))
+    val p = tmp("single.nc")
+    Hdf5.write(p, scVars, modern = true)
+    val vars = Hdf5.readVars(p).sortBy(_.name)
+    assert(vars.map(_.name) == Seq("A", "B"))
+    assert(vars.forall(_.chunks.size == 1))
+    val p0 = tmp("single_classic.nc")
+    Hdf5.write(p0, scVars.map(_.copy(singleChunkIndex = false)))
+    val v0 = Hdf5.readVars(p0).sortBy(_.name)
+    vars.zip(v0).foreach { case (m, c) =>
+      assert(Hdf5.readVarData(p, m).toSeq == Hdf5.readVarData(p0, c).toSeq,
+        s"${m.name} data differs between single-chunk and v1-B-tree forms")
+    }
+  }
+
   test("grow-able v4 chunk indexes are rejected by name") {
     val p = tmp("farray_ea.nc")
     Hdf5.write(p, faVars, modern = true)
