@@ -712,13 +712,46 @@ object Hdf5 {
               chunks = walkFixedArray(r, name, faAddr, pageBits,
                 dims, chunkDims, eltSize,
                 filtered = byType.contains(0x000B))
-          case 2 | 4 | 5 =>
-            val idxName = Map(2 -> "implicit",
+          case 2 =>
+            // implicit index (early-allocated, non-filtered datasets):
+            // chunks sit contiguously from the base address in row-major
+            // chunk-grid order — pure address arithmetic, no structure
+            require(!byType.contains(0x000B),
+              s"dataset $name: implicit chunk index cannot carry a " +
+                "filter pipeline (the library never writes that shape)")
+            val base = lb.getLong()
+            if (base != -1L) {
+              val nPerDim = dims.zip(chunkDims).map { case (d, c) =>
+                require(c >= 1, s"dataset $name: zero chunk extent")
+                (d + c - 1) / c
+              }
+              val chunkBytes = chunkDims.map(_.toLong).product * eltSize
+              val nelmts = nPerDim.map(_.toLong).product
+              val refs = ArrayBuffer.empty[ChunkRef]
+              var k = 0L
+              while (k < nelmts) {
+                val start = new Array[Int](dims.length)
+                var rem = k
+                var di = dims.length - 1
+                while (di >= 0) {
+                  start(di) = (rem % nPerDim(di)).toInt * chunkDims(di)
+                  rem /= nPerDim(di)
+                  di -= 1
+                }
+                refs += ChunkRef(start, base + k * chunkBytes,
+                  chunkBytes.toInt)
+                k += 1
+              }
+              chunks = refs.toSeq
+            }
+          case 4 | 5 =>
+            val idxName = Map(
               4 -> "extensible-array", 5 -> "version-2 B-tree")(idxType)
             throw new IllegalArgumentException(
               s"dataset $name: v4 chunk index '$idxName' unsupported " +
-                "(single-chunk and fixed-array are the supported modern " +
-                "indexes; re-export with libver earliest for the v1 B-tree)")
+                "(single-chunk, implicit and fixed-array are the " +
+                "supported modern indexes; re-export with libver " +
+                "earliest for the v1 B-tree)")
           case other => throw new IllegalArgumentException(
             s"dataset $name: unknown v4 chunk index type $other")
         }
@@ -1089,7 +1122,8 @@ object Hdf5 {
       fill: Option[Double] = None, littleEndian: Boolean = true,
       compactLayout: Boolean = false,
       fixedArrayIndex: Boolean = false, // v4 layout + fixed-array chunk index
-      singleChunkIndex: Boolean = false) // v4 layout + single-chunk index
+      singleChunkIndex: Boolean = false, // v4 layout + single-chunk index
+      implicitIndex: Boolean = false) // v4 layout + implicit (contiguous) index
 
   /** `modern = true` emits the libver-latest shape a current h5py/HDF5
     * writer produces — superblock v3 + v2 (OHDR) object headers + a
@@ -1201,7 +1235,9 @@ object Hdf5 {
             var raw = packCells(v, cells)
             if (v.shuffle) raw = shuffleBytes(raw, Netcdf.typeSize(v.ncType))
             if (v.gzip) raw = deflate(raw)
-            align8()
+            // implicit index: chunks must sit contiguously (address
+            // arithmetic IS the index) — only the block start aligns
+            if (!v.implicitIndex || refs.isEmpty) align8()
             refs += ((Array(s0, s1).take(v.dims.length), out.position().toLong, raw.length))
             out.put(raw)
             s1 += c1
@@ -1345,6 +1381,24 @@ object Hdf5 {
           val (_, caddr, csize) = p.chunkRefs.head
           if (filtered) { b.putLong(csize.toLong); b.putInt(0) }
           b.putLong(caddr)
+          b.array()
+        } else if (p.chunkRefs.nonEmpty && v.implicitIndex) {
+          // layout v4 chunked + implicit index: base address only
+          require(!v.gzip && !v.shuffle,
+            s"${v.name}: implicit index is unfiltered by definition")
+          val rank = v.dims.length
+          val b = ByteBuffer.allocate(5 + 4 * (rank + 1) + 1 + 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(4.toByte).put(2.toByte)
+          b.put(0.toByte)
+          b.put((rank + 1).toByte)
+          b.put(4.toByte)
+          val c0 = v.chunkDims.head
+          val c1 = if (v.chunkDims.length >= 2) v.chunkDims(1) else 1
+          (if (rank >= 2) Seq(c0, c1) else Seq(c0)).foreach(b.putInt)
+          b.putInt(Netcdf.typeSize(v.ncType))
+          b.put(2.toByte) // implicit index
+          b.putLong(p.chunkRefs.head._2)
           b.array()
         } else if (p.chunkRefs.nonEmpty && v.fixedArrayIndex) {
           // layout v4 chunked + fixed-array index (the libver-latest

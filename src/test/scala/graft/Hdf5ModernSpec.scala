@@ -197,6 +197,30 @@ class Hdf5ModernSpec extends AnyFunSuite {
     }
   }
 
+  test("layout v4 + implicit index round-trips; filtered implicit rejects") {
+    // implicit index: early-allocated unfiltered chunks, contiguous from
+    // the base address in row-major chunk-grid order (incl. edge chunks)
+    val imVars = Seq(
+      Hdf5.H5WVar("M", Netcdf.NcShort, Seq(5, 7),
+        Array.tabulate(35)(i => (i * 11 % 60).toDouble),
+        chunkDims = Seq(2, 3), implicitIndex = true))
+    val p = tmp("implicit.nc")
+    Hdf5.write(p, imVars, modern = true)
+    val v = Hdf5.readVars(p).head
+    assert(v.chunks.size == 3 * 3) // ceil(5/2) x ceil(7/3)
+    val p0 = tmp("implicit_classic.nc")
+    Hdf5.write(p0, imVars.map(_.copy(implicitIndex = false)))
+    assert(Hdf5.readVarData(p, v).toSeq
+      == Hdf5.readVarData(p0, Hdf5.readVars(p0).head).toSeq)
+    // a filter pipeline alongside an implicit index is rejected by name
+    val bytes = Files.readAllBytes(Paths.get(p))
+    intercept[IllegalArgumentException] {
+      Hdf5.write(tmp("implicit_bad.nc"),
+        imVars.map(_.copy(gzip = true)), modern = true)
+    }
+    val _ = bytes
+  }
+
   test("grow-able v4 chunk indexes are rejected by name") {
     val p = tmp("farray_ea.nc")
     Hdf5.write(p, faVars, modern = true)
