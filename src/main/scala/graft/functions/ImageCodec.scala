@@ -18,6 +18,34 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // r13 (guide §1.2 step 2 / §4.5): javax.imageio defaults to FILE-cached
+  // image streams — every encode/decode round trip created and deleted a
+  // temp file. Memory-cached streams produce byte-identical output (the
+  // cache is transport, not encoding); this is process-wide and set once.
+  ImageIO.setUseCache(false)
+
+  // One PNG writer/reader per thread: ImageIO.write/read scan the SPI
+  // registry and construct a fresh codec instance per call; the codec
+  // queries call these ~5000× per pass. Reuse is the guide's
+  // initialize-heavyweight-state-once-per-task rule; output bytes are
+  // identical (same codec, default write param).
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+
   /** Deterministic synthetic RGB image for a document id: a structured
     * gradient+stripe pattern (not noise, so channel stats are nontrivial).
     */
@@ -38,19 +66,39 @@ object ImageCodec {
     img
   }
 
-  /** Encode to PNG bytes (lossless). */
+  /** Encode to PNG bytes (lossless). Same encoder and default write
+    * param as ImageIO.write(img, "png", …) — byte-identical stream —
+    * minus the per-call SPI scan and writer construction.
+    */
   def toPng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = pngWriter.get()
+    try { w.setOutput(ios); w.write(img) }
+    finally { w.setOutput(null); ios.close() }
     bos.toByteArray
   }
 
   /** Real decode: PNG/JPEG bytes → BufferedImage (null-safe: returns
     * null for undecodable payloads, callers surface that as a flag).
+    * Known formats dispatch by magic bytes to a reused per-thread reader
+    * (same decoder ImageIO.read would pick — identical pixels); anything
+    * else falls back to the generic ImageIO.read scan.
     */
   def decode(bytes: Array[Byte]): BufferedImage =
-    try ImageIO.read(new ByteArrayInputStream(bytes))
-    catch { case _: Exception => null }
+    try {
+      val rd = sniffFormat(bytes) match {
+        case "png"  => pngReader.get()
+        case "jpeg" => jpegReader.get()
+        case _      => null
+      }
+      if (rd == null) ImageIO.read(new ByteArrayInputStream(bytes))
+      else {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try { rd.setInput(iis); rd.read(0) }
+        finally { rd.setInput(null); iis.close() }
+      }
+    } catch { case _: Exception => null }
 
   /** Encode to baseline JPEG at an EXPLICIT quality — the camera-frame
     * format (odin_sentinel image records and the odin_live/odin_alertca
@@ -72,7 +120,7 @@ object ImageCodec {
   private def toJpegImpl(img: BufferedImage, quality: Float,
       progressive: Boolean): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageWriteParam}
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriter.get() // r13: per-thread reuse, same codec
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     try {
@@ -82,7 +130,7 @@ object ImageCodec {
       p.setCompressionQuality(quality)
       if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
       writer.write(null, new IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     bos.toByteArray
   }
 

@@ -60,13 +60,15 @@ object Multimodal {
       .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
       .withColumn("ptext", lag(col("text"), 1).over(byCam))
       .filter(col("prev_doc_id").isNotNull)
+    // r13: the aggregate(sequence…substring) fold indexed characters with
+    // substring (O(len) scan per char ⇒ O(len²) per pair) and evaluated
+    // its lambda interpreted; byte_sad_prefix is the same Σ|aᵢ−bᵢ| over
+    // the common prefix in one codegen'd byte scan (ASCII corpus ⇒
+    // bit-identical, ByteKernelsSpec pins it)
     val dist = pairs
       .select(col("source"), col("doc_id"), col("prev_doc_id"),
-        expr("""aggregate(sequence(1, least(length(text), length(ptext))),
-          CAST(0 AS BIGINT), (acc, i) -> acc +
-            abs(CAST(ascii(substring(text, i, 1)) AS BIGINT)
-              - CAST(ascii(substring(ptext, i, 1)) AS BIGINT)))""")
-          .as("fdist"))
+        graft.functions.ByteFunctions
+          .byte_sad_prefix(col("text"), col("ptext")).as("fdist"))
     val med = graft.Det.rankPrefix(dist.select(col("fdist"), col("doc_id")),
         Seq.empty, Seq(col("fdist"), col("doc_id")))
       .filter(col("rn") === expr("(n_grp + 1) div 2"))
@@ -890,14 +892,18 @@ object Multimodal {
           .select(col("source"), col("doc_id"))
           .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
           .filter(col("prev_doc_id").isNotNull)
+        // r13: posexplode the byte-code array (one O(len) kernel scan)
+        // instead of exploding positions and re-indexing each with
+        // ascii(substring(text, pos, 1)) — whose head-scan made the
+        // stage O(len²). pos0 is 0-based, so tile_id = pos0 div 16 and
+        // the whole-tiles bound is pos0 < floor(len/16)*16.
         val tiles = frames
+          .select(col("doc_id"), length(col("text")).as("len"),
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("pos") < expr("CAST(floor(len/16)*16 AS INT)"))
           .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/16)*16 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 16 AS BIGINT)").as("tile_id"),
-            expr("ascii(substring(text, pos, 1))").as("b"))
+            expr("CAST(pos DIV 16 AS BIGINT)").as("tile_id"),
+            col("col").as("b"))
           .groupBy(col("doc_id"), col("tile_id"))
           .agg(sum(col("b")).as("wsum"),
             sum(when(col("b").between(97, 122), 1L).otherwise(0L)).as("gsum"))
@@ -957,10 +963,12 @@ object Multimodal {
         val pairs = frames.select(col("source"), col("doc_id"))
           .withColumn("prev_doc_id", lag(col("doc_id"), 1).over(byCam))
           .filter(col("prev_doc_id").isNotNull)
+        // r13: explode the byte-code array (O(len) kernel) instead of the
+        // position sequence + per-position substring head-scan (O(len²))
         val hist = frames
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
-          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+            explode(graft.functions.ByteFunctions.ascii_codes(col("text")))
+              .as("b"))
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("cnt"))
         val stats = hist.groupBy(col("doc_id"))
@@ -1060,13 +1068,17 @@ object Multimodal {
     // aggregation; no second explode.
     "mm_mask_ops" -> Q(
       build = (s, d) => {
+        // r13: byte-code array explode (O(len)) replaces the position
+        // explode whose two ascii(substring) evaluations each head-scanned
+        // the string (O(len²) per doc)
         val bits = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 16)
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
+            explode(graft.functions.ByteFunctions.ascii_codes(col("text")))
+              .as("bc"))
           .select(col("doc_id"),
-            expr("ascii(substring(text, pos, 1)) > 109").as("a"),
-            expr("ascii(substring(text, pos, 1)) BETWEEN 97 AND 122").as("b"))
+            (col("bc") > 109).as("a"),
+            col("bc").between(97, 122).as("b"))
         bits.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bits"),
             sum(when(col("a"), 1L).otherwise(0L)).as("a_count"),
@@ -1131,14 +1143,16 @@ object Multimodal {
         // positional-joined 5e9-row sides at ×1000 (hundreds of GB of
         // shuffle on one box, ENOSPC); the per-byte integers and
         // therefore every output value are unchanged.
+        // r13: char_windows slices all 16-byte tiles in one O(len) kernel
+        // pass (posexplode pos = tile_id, both 0-based); the old form
+        // carried the full text through the explode and head-scanned it
+        // per tile via substring
         val tileStr = frames
           .select(col("doc_id"),
-            explode(expr(
-              "sequence(0, CAST(floor(length(text)/16) AS INT) - 1)"))
-              .as("tile_id"),
-            col("text"))
-          .select(col("doc_id"), col("tile_id").cast(LongType).as("tile_id"),
-            expr("substring(text, CAST(tile_id*16+1 AS INT), 16)").as("ts"))
+            posexplode(graft.functions.ByteFunctions
+              .char_windows(col("text"), 16, 16)))
+          .select(col("doc_id"), col("pos").cast(LongType).as("tile_id"),
+            col("col").as("ts"))
         // in-row 16-byte fold: acc + term(i), codegen'd HOF (no explode)
         def foldAscii(term: String): String =
           s"aggregate(sequence(1, 16), CAST(0 AS BIGINT), " +
@@ -1227,11 +1241,12 @@ object Multimodal {
     // ≤256 histogram rows per doc — never over raw pixels.
     "mm_contrast_stretch" -> Q(
       build = (s, d) => {
+        // r13: byte-code array explode — see mm_hist_compare
         val hist = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 16)
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
-          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+            explode(graft.functions.ByteFunctions.ascii_codes(col("text")))
+              .as("b"))
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("cnt"))
         val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("b"))
@@ -1279,17 +1294,23 @@ object Multimodal {
     // aggregation, no UDFs.
     "mm_audio_features" -> Q(
       build = (s, d) => {
+        // r13: zip the byte-code array with its shift-by-one (0-padded —
+        // ascii('') = 0 is what substring(text, len+1, 1) yielded at the
+        // final position) and posexplode the pair structs; one O(len)
+        // kernel pass replaces two O(len²) substring head-scans per row
+        val codes = graft.functions.ByteFunctions.ascii_codes(col("text"))
         val frames = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), length(col("text")).as("len"),
+            posexplode(arrays_zip(codes.as("c0"),
+              concat(slice(codes, lit(2), greatest(length(col("text")) - 1, lit(0))),
+                array(lit(0))).as("c1"))))
+          .filter(col("pos") < expr("CAST(floor(len/64)*64 AS INT)"))
           .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
-            col("pos"),
-            (expr("ascii(substring(text, pos, 1))") - 128).as("s0"),
-            (expr("ascii(substring(text, pos + 1, 1))") - 128).as("s1"))
+            expr("CAST(pos DIV 64 AS BIGINT)").as("frame_id"),
+            (col("pos") + 1).as("pos"),
+            (col("col.c0") - 128).as("s0"),
+            (col("col.c1") - 128).as("s1"))
         frames.groupBy(col("doc_id"), col("frame_id"))
           .agg(
             sum((col("s0") * col("s0")).cast(LongType)).as("energy"),
@@ -1329,17 +1350,17 @@ object Multimodal {
     // fold inside codegen, one (doc, frame) groupBy.
     "mm_audio_pitch" -> Q(
       build = (s, d) => {
+        // r13: posexplode the byte-code array (O(len) kernel) instead of
+        // per-position ascii(substring) head-scans (O(len²))
         val frames = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), length(col("text")).as("len"),
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("pos") < expr("CAST(floor(len/64)*64 AS INT)"))
           .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
-            expr("(pos - 1) % 64").as("p"),
-            (expr("ascii(substring(text, pos, 1))") - 128)
-              .cast(LongType).as("sv"))
+            expr("CAST(pos DIV 64 AS BIGINT)").as("frame_id"),
+            expr("pos % 64").as("p"),
+            (col("col") - 128).cast(LongType).as("sv"))
           .groupBy(col("doc_id"), col("frame_id"))
           .agg(expr("transform(array_sort(collect_list(struct(p, sv))), x -> x.sv)")
             .as("v"))
@@ -1406,11 +1427,12 @@ object Multimodal {
     // windows over histogram rows, never raw pixels.
     "mm_hist_equalize" -> Q(
       build = (s, d) => {
+        // r13: byte-code array explode — see mm_hist_compare
         val hist = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 16)
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
-          .select(col("doc_id"), expr("ascii(substring(text, pos, 1))").as("b"))
+            explode(graft.functions.ByteFunctions.ascii_codes(col("text")))
+              .as("b"))
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("cnt"))
         val byDoc = Window.partitionBy(col("doc_id"))
@@ -1456,18 +1478,19 @@ object Multimodal {
     // map-side-combinable groupBy per doc.
     "mm_focus_measure" -> Q(
       build = (s, d) =>
+        // r13: the per-position explode + groupBy re-aggregated what is a
+        // single in-row fold — byte_stride_sq_sum computes the identical
+        // Σ(b[i+64]−b[i])² in one codegen'd byte scan, removing both the
+        // O(len²) substring indexing and the whole per-pixel shuffle
+        // (plan: 1 Exchange fewer; len ≥ 96 ⇒ bound = len32−64 ≥ 32)
         Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 96)
           .select(col("doc_id"),
             expr("CAST(floor(length(text)/32)*32 AS INT)").as("len32"),
             col("text"))
           .select(col("doc_id"), col("len32"),
-            explode(expr("sequence(1, len32 - 64)")).as("pos"), col("text"))
-          .select(col("doc_id"), col("len32"),
-            (expr("ascii(substring(text, pos + 64, 1))")
-              - expr("ascii(substring(text, pos, 1))")).as("dd"))
-          .groupBy(col("doc_id"), col("len32"))
-          .agg(sum((col("dd") * col("dd")).cast(LongType)).as("focus_sum"))
+            graft.functions.ByteFunctions.byte_stride_sq_sum(col("text"),
+              expr("CAST(len32 - 64 AS INT)"), 64).as("focus_sum"))
           .select(col("doc_id"), lit(32L).as("w"),
             expr("CAST(len32 DIV 32 AS BIGINT)").as("h"),
             col("focus_sum"),
@@ -1505,16 +1528,19 @@ object Multimodal {
     // over 32 columns per doc — never a window over raw pixels.
     "mm_horizon_line" -> Q(
       build = (s, d) => {
+        // r13: posexplode the byte-code array — O(len) kernel scan vs the
+        // O(len²) per-position substring head-scan (0-based pos keeps the
+        // same x/y lattice the 1-based (pos−1) arithmetic produced)
         val cols32 = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 256)
           .select(col("doc_id"),
-            expr("CAST(floor(length(text)/32) AS BIGINT)").as("h"), col("text"))
+            expr("CAST(floor(length(text)/32) AS BIGINT)").as("h"),
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("pos") < expr("CAST(h*32 AS INT)"))
           .select(col("doc_id"), col("h"),
-            explode(expr("sequence(1, CAST(h*32 AS INT))")).as("pos"), col("text"))
-          .select(col("doc_id"), col("h"),
-            expr("CAST((pos - 1) % 32 AS BIGINT)").as("x"),
-            expr("CAST((pos - 1) DIV 32 AS BIGINT)").as("y"),
-            expr("ascii(substring(text, pos, 1))").as("b"))
+            expr("CAST(pos % 32 AS BIGINT)").as("x"),
+            expr("CAST(pos DIV 32 AS BIGINT)").as("y"),
+            col("col").as("b"))
           .groupBy(col("doc_id"), col("h"), col("x"))
           .agg(coalesce(min(when(col("b") < 96, col("y"))), col("h")).as("y_raw"))
         val wCols = Window.partitionBy(col("doc_id"))
@@ -1810,20 +1836,34 @@ object Multimodal {
         // and the (sad, shift) struct-min tie-break are unchanged.
         val prevTxt = frames.select(col("doc_id").as("prev_doc_id"),
           col("text").as("ptext"))
+        // r13: both window sets come from one char_windows kernel pass
+        // each (O(len)) and ride a zipped posexplode — replacing the
+        // tile_id explode that carried both full texts per tile row and
+        // head-scanned them per substring, and the interpreted 5×16-term
+        // aggregate-HOF SAD with the codegen'd byte_sad_prefix kernel.
+        //  - current tiles 1..len/16−1 = char_windows(text,16,16) w ≥ 1
+        //  - prev ±2 windows: the w-th stride-16 20-byte window of
+        //    ptext[15..] starts at byte 16(w+1)−2 — exactly tile w+1's
+        //    window; char_windows only emits FULL windows, so its length
+        //    bound reproduces the old tile·16+18 ≤ len(ptext) filter,
+        //    and arrays_zip's null padding marks the shorter side.
         val sadStructs = array((-2 to 2).map(sh => struct(
-          expr(s"aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, i) -> " +
-            s"acc + CAST(abs(ascii(substring(ts, i, 1)) - " +
-            s"ascii(substring(pw, i + ${sh + 2}, 1))) AS BIGINT))").as("sad"),
+          graft.functions.ByteFunctions.byte_sad_prefix(
+            col("ts"), substring(col("pw"), sh + 3, 16)).as("sad"),
           lit(sh).as("shift"))): _*)
+        val curW = graft.functions.ByteFunctions.char_windows(col("text"), 16, 16)
+        val prvW = graft.functions.ByteFunctions.char_windows(
+          expr("substring(ptext, 15, length(ptext))"), 20, 16)
         pairs.join(frames.select(col("doc_id"), col("text")), Seq("doc_id"))
           .join(prevTxt, Seq("prev_doc_id"))
-          .withColumn("tile_id", explode(expr(
-            "sequence(1, CAST(length(text) DIV 16 AS INT) - 1)")))
-          .filter(expr("tile_id * 16 + 18 <= length(ptext)"))
-          .withColumn("ts",
-            expr("substring(text, CAST(tile_id*16+1 AS INT), 16)"))
-          .withColumn("pw",
-            expr("substring(ptext, CAST(tile_id*16-1 AS INT), 20)"))
+          .select(col("doc_id"), col("prev_doc_id"),
+            posexplode(arrays_zip(
+              slice(curW, lit(2), greatest(size(curW) - 1, lit(0))).as("ts"),
+              prvW.as("pw"))))
+          .filter(col("col.ts").isNotNull && col("col.pw").isNotNull)
+          .select(col("doc_id"), col("prev_doc_id"),
+            (col("pos") + 1).as("tile_id"),
+            col("col.ts").as("ts"), col("col.pw").as("pw"))
           .withColumn("m", array_min(sadStructs))
           .select(col("doc_id"), col("prev_doc_id"),
             col("tile_id").cast(LongType).as("tile_id"),
@@ -1880,13 +1920,16 @@ object Multimodal {
     // the spec checks box sums against brute force.
     "mm_integral_image" -> Q(
       build = (s, d) => {
+        // r13: posexplode the first 256 byte codes (one O(len) kernel
+        // pass) instead of 256 ascii(substring) head-scans per doc
         val px = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 256)
           .select(col("doc_id"),
-            explode(expr("sequence(0, 255)")).as("p"), col("text"))
-          .select(col("doc_id"), expr("p % 16").as("x"),
-            expr("p div 16").as("y"),
-            expr("ascii(substring(text, p + 1, 1))").cast(LongType).as("v"))
+            posexplode(slice(
+              graft.functions.ByteFunctions.ascii_codes(col("text")), 1, 256)))
+          .select(col("doc_id"), expr("pos % 16").as("x"),
+            expr("pos div 16").as("y"),
+            col("col").cast(LongType).as("v"))
         val rowCum = px.withColumn("rc",
           sum(col("v")).over(Window.partitionBy(col("doc_id"), col("y"))
             .orderBy(col("x"))))
@@ -1925,15 +1968,15 @@ object Multimodal {
     // per-doc frame count is payload/64, so the window state is tiny.
     "mm_audio_vad" -> Q(
       build = (s, d) => {
+        // r13: posexplode the byte-code array — see mm_audio_pitch
         val frames = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), length(col("text")).as("len"),
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("pos") < expr("CAST(floor(len/64)*64 AS INT)"))
           .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/64)*64 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"),
-            expr("CAST((pos - 1) DIV 64 AS BIGINT)").as("frame_id"),
-            (expr("ascii(substring(text, pos, 1))") - 128).as("s0"))
+            expr("CAST(pos DIV 64 AS BIGINT)").as("frame_id"),
+            (col("col") - 128).as("s0"))
           .groupBy(col("doc_id"), col("frame_id"))
           .agg(sum((col("s0") * col("s0")).cast(LongType)).as("energy"))
           .filter(col("energy") > 30000L)
@@ -1995,13 +2038,12 @@ object Multimodal {
             expr("CAST(floor(length(text)/32)*32 AS INT)").as("len32"),
             col("text"))
           .select(col("doc_id"),
-            expr("""aggregate(sequence(1, len32 - 64), CAST(0 AS BIGINT),
-              (acc, pos) -> acc + CAST(
-                (ascii(substring(text, pos + 64, 1))
-                  - ascii(substring(text, pos, 1)))
-                * (ascii(substring(text, pos + 64, 1))
-                  - ascii(substring(text, pos, 1))) AS BIGINT))""")
-              .as("focus_sum"))
+            // r13: one codegen'd byte scan instead of the interpreted
+            // aggregate-HOF whose substring indexing was O(len²); the
+            // len >= 96 filter guarantees len32 - 64 >= 32 ≥ 1, so the
+            // kernel's empty-bound branch never fires here
+            graft.functions.ByteFunctions.byte_stride_sq_sum(col("text"),
+              expr("CAST(len32 - 64 AS INT)"), 64).as("focus_sum"))
         sceneCuts(s, d)
           .select(col("source"), col("seg_id"), col("doc_id"))
           .join(focus, Seq("doc_id"))
@@ -2084,14 +2126,14 @@ object Multimodal {
     // this data, but the guard is there for real image bytes.
     "mm_channel_balance" -> Q(
       build = (s, d) =>
+        // r13: posexplode the byte-code array — see mm_audio_pitch
         Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 16)
-          .select(col("doc_id"),
-            explode(expr("sequence(1, CAST(floor(length(text)/3)*3 AS INT))"))
-              .as("pos"),
-            col("text"))
-          .select(col("doc_id"), expr("(pos - 1) % 3").as("ch"),
-            expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("b"))
+          .select(col("doc_id"), length(col("text")).as("len"),
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("pos") < expr("CAST(floor(len/3)*3 AS INT)"))
+          .select(col("doc_id"), expr("pos % 3").as("ch"),
+            col("col").cast(LongType).as("b"))
           .groupBy(col("doc_id"))
           .agg(sum(col("b")).as("s_tot"),
             sum(when(col("ch") === 0, col("b")).otherwise(0L)).as("s_r"),
@@ -2142,11 +2184,14 @@ object Multimodal {
     // One window pass per doc (bounded by payload length), no joins.
     "mm_rle_mask" -> Q(
       build = (s, d) => {
+        // r13: posexplode the byte-code array (1-based pos preserved for
+        // the emitted start_pos) — see mm_audio_pitch
         val on = Tables.t(s, d, "documents")
           .filter(length(col("text")) >= 16)
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text))")).as("pos"), col("text"))
-          .filter(expr("ascii(substring(text, pos, 1)) >= 110"))
+            posexplode(graft.functions.ByteFunctions.ascii_codes(col("text"))))
+          .filter(col("col") >= 110)
+          .select(col("doc_id"), (col("pos") + 1).as("pos"))
         val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val runs = on
           .withColumn("isl", col("pos") - row_number().over(wd))

@@ -70,13 +70,16 @@ object TextOps {
        |              j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))),
        |            (acc, x) -> (acc * $base + x) % $HP)""".stripMargin
 
-  // char shingles: k=20, stride 4 (both engines generate identical sets)
+  // char shingles: k=20, stride 4 (both engines generate identical sets).
+  // r13: char_windows slices every window in one O(len) kernel pass — the
+  // position explode + per-window substring head-scan was O(len²/4) per
+  // doc and carried the full text through the explode; window sets are
+  // identical on the ASCII corpus (ByteKernelsSpec).
   private def shinglesOf(dd: DataFrame): DataFrame =
     dd.filter(length(col("text")) >= 20)
       .select(col("doc_id"),
-        explode(expr("sequence(1, length(text) - 19, 4)")).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, i, 20)").as("sh"))
+        explode(graft.functions.ByteFunctions.char_windows(col("text"), 20, 4))
+          .as("sh"))
       .distinct()
 
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -238,57 +241,63 @@ object TextOps {
     * stats O(1).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // iterate only over the subgraph that has edges — isolated nodes join
-    // back as their own singleton components at the end
-    var e = checkpointReset(
-      edges.select(col("src").as("u"), col("dst").as("v")).distinct())
-    def minNbr(d: DataFrame): DataFrame = d.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("m"))
-    // one LS+SS contraction pass over a symmetric distinct edge set
+    // r13 (guide §2.4, remove shuffles outright): the edge-PAIR form of
+    // each LS/SS contraction cost ~8 exchanges per round (two
+    // groupBy+join passes + two (u,v) distincts + the fixed-point join),
+    // and round LATENCY — not data — dominated the long-ring CC
+    // (geo_contour_rings: 10 rounds × ~0.65 s measured at sf0.1). The
+    // adjacency-LIST form below is the same Kiveris et al. alternation
+    // (identical star-forest fixed point, hence identical labels) with 2
+    // groupBy exchanges per round: the closed-neighborhood min and both
+    // stars' emissions fold IN-ROW over the sorted neighbor array, and
+    // symmetrize+dedup ride the regrouping collect_set. Per-group memory
+    // is one node's neighbor set — the same reduce-side width the
+    // published MapReduce formulation carries, and large-star exists
+    // precisely to keep hub degrees shrinking at scale.
+    //
+    // iterate only over the subgraph that has edges — isolated nodes
+    // join back as their own singleton components at the end
+    def toLists(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("nb"))
+    var L = checkpointReset(
+      toLists(edges.select(col("src").as("u"), col("dst").as("v"))))
+    // one LS+SS contraction: list in, list out
     def contract(d: DataFrame): DataFrame = {
-      // large-star: every neighbor v > u re-attaches to u's closed-
-      // neighborhood min
-      val ls = d.join(minNbr(d), Seq("u")).filter(col("v") > col("u"))
+      // m = min(closed neighborhood) = least(u, nb[1]) (nb sorted)
+      def withM(df: DataFrame): DataFrame =
+        df.withColumn("m", least(col("u"), element_at(col("nb"), 1)))
+      // large-star: every neighbor v > u re-attaches to m
+      val ls = withM(d).select(col("m"),
+          explode(filter(col("nb"), v => v > col("u"))).as("v"))
         .select(col("v").as("u"), col("m").as("v"))
-      val lsSym = ls
-        .union(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
-      // small-star: every neighbor v <= u (and u itself) attaches to the
-      // closed-neighborhood min
-      val mS = minNbr(lsSym)
-      val ss = lsSym.join(mS, Seq("u"))
-        .filter(col("v") <= col("u") && col("v") =!= col("m"))
+      val lsL = toLists(ls.union(ls.select(col("v").as("u"), col("u").as("v"))))
+      // small-star: every neighbor v <= u (and u itself) attaches to m
+      val ss = withM(lsL).select(col("m"),
+          explode(filter(col("nb"),
+            v => v <= col("u") && v =!= col("m"))).as("v"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(mS.filter(col("u") =!= col("m"))
+        .union(withM(lsL).filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
-      ss.union(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
+      toLists(ss.union(ss.select(col("v").as("u"), col("u").as("v"))))
     }
     var converged = false
     var iter = 0
     val maxIter = 30 // 60 contractions: deep headroom over O(log² n)
-    var prevCnt = e.count()
     while (!converged && iter < maxIter) {
-      // ONE contraction per materialized round. (Composing two
-      // contractions per checkpoint was tried to halve the action count
-      // on long-diameter ring CC and is a measured 3.5× REGRESSION: each
-      // contract() references its input ~4 times, so the unmaterialized
-      // composition re-evaluates the inner contraction under every
-      // reference — plan blowup dwarfs the scheduling saved.)
-      val ss2 = contract(e)
-      // fixed-point test fused into the checkpoint: mark edges absent
-      // from the previous round; equal counts + no fresh edges ⟺ equal
-      // sets (both sides distinct), avoiding two exceptAll shuffles
-      val e2f = checkpointReset(
-        ss2
-          .join(e.withColumn("old", lit(1)), Seq("u", "v"), "left")
-          .select(col("u"), col("v"), col("old").isNull.as("fresh")))
-      // one action per round: (count, fresh-count) in a single agg over the
-      // materialized checkpoint; previous round's count is carried, so the
-      // per-round driver latency is 2 jobs (checkpoint + agg), not 4
-      val st = e2f.agg(count(lit(1)), count(when(col("fresh"), 1))).head()
-      val cnt = st.getLong(0)
-      converged = cnt == prevCnt && st.getLong(1) == 0L
-      prevCnt = cnt
-      e = e2f.select(col("u"), col("v"))
+      // fixed-point test fused into the checkpoint: a node is "fresh"
+      // when its sorted neighbor array changed (or appeared); equal node
+      // counts + zero fresh ⟺ identical edge sets (arrays are
+      // canonical: sorted distinct). One action per round.
+      val L2 = contract(L)
+      val prev = L.select(col("u"), col("nb").as("nb0"))
+      val l2f = checkpointReset(
+        L2.join(prev, Seq("u"), "full")
+          .select(col("u"), col("nb"),
+            (col("nb").isNull || col("nb0").isNull
+              || col("nb") =!= col("nb0")).as("fresh")))
+      val st = l2f.agg(count(when(col("fresh"), 1))).head()
+      converged = st.getLong(0) == 0L
+      L = l2f.filter(col("nb").isNotNull).select(col("u"), col("nb"))
       iter += 1
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(s"[cc] round $iter converged=$converged " +
@@ -300,7 +309,8 @@ object TextOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     // terminal state is a star forest rooted at each component's min
-    val lbl = minNbr(e).select(col("u").as("node"), col("m").as("label"))
+    val lbl = L.select(col("u").as("node"),
+      least(col("u"), element_at(col("nb"), 1)).as("label"))
     nodes.join(lbl, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
@@ -411,9 +421,12 @@ object TextOps {
     docs(s, d)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
+      // r13: one char_windows kernel pass per doc (O(len)) — the
+      // transform-over-positions form paid an O(i) substring head-scan
+      // per trigram (O(len²) per doc) plus interpreted lambda overhead
       .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(t) - 2), " +
-          "i -> substring(t, i, 3))")).as("tri"))
+        explode(graft.functions.ByteFunctions.char_windows(col("t"), 3, 1))
+          .as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -2006,10 +2019,12 @@ object TextOps {
     // one explode + two keyed aggs, no pair join anywhere.
     "doc_span_dedup" -> Q(
       build = (s, d) => {
+        // r13: char_windows kernel — see shinglesOf (same window set,
+        // multiplicity preserved: no distinct here)
         val w = docs(s, d).filter(length(col("text")) >= 32)
           .select(col("doc_id"),
-            explode(expr("sequence(1, length(text) - 31, 8)")).as("i"), col("text"))
-          .select(col("doc_id"), expr("substring(text, i, 32)").as("span"))
+            explode(graft.functions.ByteFunctions
+              .char_windows(col("text"), 32, 8)).as("span"))
         val dup = w.groupBy(col("span"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
           .filter(col("n_docs") >= 2)
