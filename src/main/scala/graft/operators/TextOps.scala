@@ -261,8 +261,9 @@ object TextOps {
       .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("nb"))
     var L = checkpointReset(
       toLists(edges.select(col("src").as("u"), col("dst").as("v"))))
-    // one LS+SS contraction: list in, list out
-    def contract(d: DataFrame): DataFrame = {
+    // one LS+SS contraction: list in, SYMMETRIC PAIR STREAM out (the
+    // caller fuses the final regroup with its fixed-point test)
+    def contractPairs(d: DataFrame): DataFrame = {
       // m = min(closed neighborhood) = least(u, nb[1]) (nb sorted)
       def withM(df: DataFrame): DataFrame =
         df.withColumn("m", least(col("u"), element_at(col("nb"), 1)))
@@ -278,26 +279,32 @@ object TextOps {
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM(lsL).filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
-      toLists(ss.union(ss.select(col("v").as("u"), col("u").as("v"))))
+      ss.union(ss.select(col("v").as("u"), col("u").as("v")))
     }
     var converged = false
     var iter = 0
     val maxIter = 30 // 60 contractions: deep headroom over O(log² n)
     while (!converged && iter < maxIter) {
-      // fixed-point test fused into the checkpoint: a node is "fresh"
-      // when its sorted neighbor array changed (or appeared); equal node
-      // counts + zero fresh ⟺ identical edge sets (arrays are
-      // canonical: sorted distinct). One action per round.
-      val L2 = contract(L)
-      val prev = L.select(col("u"), col("nb").as("nb0"))
+      // fixed-point test fused into the ROUND's own regroup (no separate
+      // join with the previous state): the previous round's edges ride
+      // the same groupBy tagged old=true, and a node is "fresh" when its
+      // sorted new neighbor array differs from its sorted old one
+      // (vanished nodes surface as new=[] ≠ old). Zero fresh ⟺
+      // identical edge sets (arrays are canonical: sorted distinct).
+      // One action per round, 2 shuffles total.
+      val ssPairs = contractPairs(L)
+      val tagged = ssPairs.select(col("u"), col("v"), lit(false).as("old"))
+        .union(L.select(col("u"), explode(col("nb")).as("v"),
+          lit(true).as("old")))
       val l2f = checkpointReset(
-        L2.join(prev, Seq("u"), "full")
+        tagged.groupBy(col("u")).agg(
+          sort_array(collect_set(when(!col("old"), col("v")))).as("nb"),
+          sort_array(collect_set(when(col("old"), col("v")))).as("nb0"))
           .select(col("u"), col("nb"),
-            (col("nb").isNull || col("nb0").isNull
-              || col("nb") =!= col("nb0")).as("fresh")))
+            (col("nb") =!= col("nb0")).as("fresh")))
       val st = l2f.agg(count(when(col("fresh"), 1))).head()
       converged = st.getLong(0) == 0L
-      L = l2f.filter(col("nb").isNotNull).select(col("u"), col("nb"))
+      L = l2f.filter(size(col("nb")) > 0).select(col("u"), col("nb"))
       iter += 1
       if (sys.env.contains("GRAFT_CC_TRACE"))
         System.err.println(s"[cc] round $iter converged=$converged " +
@@ -548,7 +555,9 @@ object TextOps {
             col("best.mlang").as("pred_lang"),
             col("best.score").cast(DoubleType).as("score"),
             (col("best.mlang") === col("lang")).as("agree"))
-          .orderBy(col("doc_id"))
+          // r13: no orderBy here — doc_char_lid adds it; doc_lid_confusion
+          // aggregates this frame, and the range exchange + sort were
+          // dead weight on that path
   }
 
   /** The matching DuckDB CTE chain (through `best`), shared by the
@@ -3072,7 +3081,7 @@ object TextOps {
     // (trigram, lang) frame shuffled once and broadcast to score; the
     // corpus is tokenized exactly once.
     "doc_char_lid" -> Q(
-      build = (s, d) => charLid(s, d),
+      build = (s, d) => charLid(s, d).orderBy(col("doc_id")),
       oracle = Some(s"""$CHARLID_CTES
         SELECT doc_id, lang, pred_lang, score, pred_lang = lang AS agree
         FROM best ORDER BY doc_id""")),
@@ -3088,8 +3097,14 @@ object TextOps {
         val conf = charLid(s, d)
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"))
-        val tot = conf.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
-        conf.join(tot, "lang")
+        // r13: n_lang as a window over conf, not conf.groupBy + self-join
+        // — the join form evaluated the whole charLid scoring subtree
+        // TWICE (no exchange reuse across the two branches; measured ~2×
+        // doc_char_lid's time). The window runs over the |langs|² conf
+        // frame; values identical.
+        conf
+          .withColumn("n_lang", sum(col("n_docs")).over(
+            Window.partitionBy(col("lang"))))
           .select(col("lang"), col("pred_lang"), col("n_docs"), col("n_lang"),
             (col("n_docs").cast(DoubleType) / col("n_lang")).as("frac"),
             (col("lang") === col("pred_lang")).as("diagonal"))
