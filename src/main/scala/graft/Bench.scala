@@ -10,6 +10,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r14 (guide §2.2 "fewer, larger reduce partitions" / VERDICT r13
+      // item 8): size-based AQE coalescing instead of parallelism-first.
+      // parallelismFirst=true (the default) keeps up to `cpus` post-shuffle
+      // partitions however tiny the data, so every stage of every
+      // sub-second query schedules 32 tasks — pure scheduler overhead at
+      // local SFs, and at 100 TB the same setting produces millions of
+      // ~1 MB reduce partitions (the guide's quadratic-block regime).
+      // Size-based coalescing targets advisoryPartitionSizeInBytes
+      // (default 64 MB) at ANY scale: tiny iterative rounds collapse to
+      // one task, production shuffles land in the guide's 100 MB–1 GB
+      // band. Overridable via env for scale experiments.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+      // r14 (guide §1.2 step 2, measured): the Janino class cache defaults
+      // to 100 entries; one iterative query (CC / BPE / Lloyd rounds ×
+      // 3 timed runs) cycles through several hundred generated classes, so
+      // every round recompiled every stage — 30–80 ms × stages × rounds of
+      // pure driver-side compilation (geo_contour_rings 9.6→7.2 s,
+      // doc_cc_clusters 5.4→3.8 s from this one setting). Scale-safe: the
+      // cache is keyed on generated source, bounded (LRU), and identical
+      // plan shapes recur at every SF — a 100 TB iterative job recompiles
+      // the same round plan the same way.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -48,9 +48,15 @@ object ImageCodec {
 
   /** Deterministic synthetic RGB image for a document id: a structured
     * gradient+stripe pattern (not noise, so channel stats are nontrivial).
+    * r14 (guide §1.2 step 2, per-task CPU): pixels go straight into the
+    * backing DataBufferInt — for a freshly constructed TYPE_INT_RGB image
+    * setRGB stores exactly (rgb & 0xFFFFFF) at y*w+x, so the bytes are
+    * identical, minus w·h color-model dispatches.
     */
   def syntheticImage(docId: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
@@ -58,12 +64,75 @@ object ImageCodec {
         val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt & 0xFF
         val g = ((docId * 17 + x * 3) % 256).toInt & 0xFF
         val b = ((docId * 5 + y * 11) % 256).toInt & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
     img
+  }
+
+  /** Bulk ARGB fetch — one pass instead of w·h getRGB(x, y) calls (each
+    * of which re-dispatches through the ColorModel). Values are identical
+    * to per-pixel getRGB: the two fast paths reproduce it bit-for-bit for
+    * the layouts this pipeline actually produces (synthetic TYPE_INT_RGB,
+    * ImageIO-decoded TYPE_3BYTE_BGR with the standard {2,1,0} band
+    * offsets); anything else falls back to the bulk getRGB API, which is
+    * the same conversion loop in one library call. r14, guide §1.2
+    * step 2 (per-task CPU) — feeds phash64 / features / lumBytes, i.e.
+    * every decoded-pixel consumer.
+    */
+  private[graft] def argbOf(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val plain = raster.getSampleModelTranslateX == 0 &&
+      raster.getSampleModelTranslateY == 0
+    img.getType match {
+      case BufferedImage.TYPE_INT_RGB if plain =>
+        val sm = raster.getSampleModel
+          .asInstanceOf[java.awt.image.SinglePixelPackedSampleModel]
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val stride = sm.getScanlineStride
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val base = y * stride
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = 0xFF000000 | (data(base + x) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      case BufferedImage.TYPE_3BYTE_BGR if plain &&
+          raster.getSampleModel.isInstanceOf[java.awt.image.ComponentSampleModel] &&
+          raster.getSampleModel.asInstanceOf[java.awt.image.ComponentSampleModel]
+            .getPixelStride == 3 &&
+          java.util.Arrays.equals(raster.getSampleModel
+            .asInstanceOf[java.awt.image.ComponentSampleModel].getBandOffsets,
+            Array(2, 1, 0)) =>
+        val sm = raster.getSampleModel
+          .asInstanceOf[java.awt.image.ComponentSampleModel]
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        val stride = sm.getScanlineStride
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var p = y * stride
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = 0xFF000000 | ((data(p + 2) & 0xFF) << 16) |
+              ((data(p + 1) & 0xFF) << 8) | (data(p) & 0xFF)
+            x += 1; p += 3
+          }
+          y += 1
+        }
+        out
+      case _ => img.getRGB(0, 0, w, h, null, 0, w)
+    }
   }
 
   /** Encode to PNG bytes (lossless). Same encoder and default write
@@ -252,17 +321,14 @@ object ImageCodec {
     */
   def lumBytes(img: BufferedImage): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight
+    val px = argbOf(img)
     val out = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
-        out(y * w + x) = ((299L * r + 587L * g + 114L * b) / 1000L).toByte
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < out.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      out(i) = ((299L * r + 587L * g + 114L * b) / 1000L).toByte
+      i += 1
     }
     out
   }
@@ -307,12 +373,13 @@ object ImageCodec {
     var slum = 0L; var slum2 = 0L
     var minLum = 255L; var maxLum = 0L
     var edge = 0L
+    val px = argbOf(img)
     var y = 0
     while (y < h) {
       var prevLum = -1L
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = px(y * w + x)
         val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
         sr += r; sg += g; sb += b
         // integer luminance (ITU-R 601 weights scaled by 1000)
@@ -346,6 +413,7 @@ object ImageCodec {
     val N = 32
     val w = img.getWidth
     val h = img.getHeight
+    val px = argbOf(img)
     val lum = Array.ofDim[Double](N, N)
     var i = 0
     while (i < N) {
@@ -358,7 +426,7 @@ object ImageCodec {
         while (y < h && y < y1) {
           var x = x0
           while (x < w && x < x1) {
-            val p = img.getRGB(x, y)
+            val p = px(y * w + x)
             s += (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF)
               + 114L * (p & 0xFF)) / 1000L
             cnt += 1

@@ -1998,7 +1998,7 @@ object Geo {
         val hot = cells.crossJoin(broadcast(mu))
           .filter(col("n").cast(DoubleType) >= col("mu") + lit(2.0) * sqrt(col("mu")))
           .withColumn("cell_id", (col("cla") + 100L) * 1000L + (col("clo") + 200L))
-          .localCheckpoint(true) // reused 3x (nodes, edges, rollup)
+          .localCheckpoint(false) // reused 3x (nodes, edges, rollup)
         val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
           (0, 1), (1, -1), (1, 0), (1, 1))
         val nbrs = hot.select(col("cell_id").as("src"),
@@ -3849,10 +3849,10 @@ object Geo {
         var pos = evPts(s, d)
           .filter(col("event_id") % 37 === 0)
           .select(col("event_id"), col("lat"), col("lon"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var out = pos.withColumn("step", lit(0))
         for (k <- 1 to K) {
-          pos = advect(pos).localCheckpoint(true)
+          pos = advect(pos).localCheckpoint(false)
           out = out.union(pos.withColumn("step", lit(k)))
         }
         out.select(col("event_id"), col("step"), col("lat"), col("lon"))

@@ -814,11 +814,11 @@ object Similarity {
         val seed = e.filter(col("vec_id") === 0)
           .select(col("vec_id").as("sel_id"),
             col("embedding").as("sel_emb"), col("nq").as("sel_nq"))
-        var md = d2To(seed).localCheckpoint(true)
+        var md = d2To(seed).localCheckpoint(false)
         var picks = seed
           .select(col("sel_id").as("vec_id"), lit(0).as("sel_round"),
             lit(0L).as("min_d2"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (r <- 1 to 7) {
           val pick = md
             .agg(max(struct(col("d2").as("d2"), (-col("vec_id")).as("nv")))
@@ -827,16 +827,16 @@ object Similarity {
           val newSel = pick.join(e, pick("sel_id") === e("vec_id"))
             .select(col("sel_id"), col("embedding").as("sel_emb"),
               col("nq").as("sel_nq"), col("min_d2"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           picks = picks.unionByName(
             newSel.select(col("sel_id").as("vec_id"),
               lit(r).as("sel_round"), col("min_d2")))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           md = md.as("m")
             .join(d2To(newSel.drop("min_d2")).as("n"), "vec_id")
             .select(col("vec_id"),
               least(col("m.d2"), col("n.d2")).as("d2"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         picks.orderBy(col("sel_round"))
       },
@@ -1147,7 +1147,7 @@ object Similarity {
           .groupBy(col("sub_id"), col("code"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             st => st.getField("m")).as("centroid"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var codebook = cbInit
         for (_ <- 1 to 2) {
           val upd = sub.join(broadcast(codebook), Seq("sub_id"))
@@ -1167,7 +1167,7 @@ object Similarity {
           codebook = codebook.join(upd, Seq("sub_id", "code"), "left")
             .select(col("sub_id"), col("code"),
               coalesce(col("c2"), col("centroid")).as("centroid"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         val codes = sub.join(broadcast(codebook), Seq("sub_id"))
           .withColumn("d2", dist2)
@@ -1304,7 +1304,7 @@ object Similarity {
         var cents = e.filter(col("vec_id") < k)
           .select(col("vec_id").cast(IntegerType).as("cid"),
             transform(col("embedding"), _.cast(DoubleType)).as("centroid"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (_ <- 1 to 3) {
           val upd = assign(cents)
             .select(col("cid"), posexplode(col("embedding")))
@@ -1317,7 +1317,7 @@ object Similarity {
             .groupBy(col("cid"))
             .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
               st => st.getField("m")).as("centroid"))
-          cents = upd.localCheckpoint(true)
+          cents = upd.localCheckpoint(false)
         }
         assign(cents)
           .withColumn("cluster_size",

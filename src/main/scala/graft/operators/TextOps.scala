@@ -85,6 +85,25 @@ object TextOps {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docs(s, d))
 
+  /** In-row bigram stream over whitespace tokens: equivalent to
+    * posexplode(split(text,' ')) → filter(term ≠ '') → lag/lead over
+    * (doc_id, pos) — i.e. consecutive NON-EMPTY tokens — but computed
+    * from the split array in one narrow pass. r14 (guide §2.4, remove
+    * shuffles outright): the window form shuffled and sorted the entire
+    * token stream per query; adjacency is a per-row property of the
+    * filtered array, so no Exchange is fundamentally required. Emits
+    * `keep` columns plus (w1, w2) per consecutive token pair.
+    */
+  private def bigramsOf(dd: DataFrame, keep: Seq[String]): DataFrame = {
+    val ks = keep.map(col)
+    dd.select(ks :+ expr("filter(split(text, ' '), t -> t <> '')").as("ws"): _*)
+      .filter(size(col("ws")) >= 2)
+      .select(ks :+ explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("bg"): _*)
+      .select(ks :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
   /** Core of doc_exact_substr, factored so the expansion-equivalence
     * spec can drive it over a seeded corpus: stride-1 L-char
     * duplicated-window find (gram_hashes kernel, total occurrences ≥ 2)
@@ -281,34 +300,61 @@ object TextOps {
           .select(col("u"), col("m").as("v")))
       ss.union(ss.select(col("v").as("u"), col("u").as("v")))
     }
-    var converged = false
-    var iter = 0
-    val maxIter = 30 // 60 contractions: deep headroom over O(log² n)
-    while (!converged && iter < maxIter) {
-      // fixed-point test fused into the ROUND's own regroup (no separate
-      // join with the previous state): the previous round's edges ride
-      // the same groupBy tagged old=true, and a node is "fresh" when its
-      // sorted new neighbor array differs from its sorted old one
-      // (vanished nodes surface as new=[] ≠ old). Zero fresh ⟺
-      // identical edge sets (arrays are canonical: sorted distinct).
-      // One action per round, 2 shuffles total.
-      val ssPairs = contractPairs(L)
+    // fixed-point test fused into the round's own regroup (no separate
+    // join with the previous state): the previous round's edges ride
+    // the same groupBy tagged old=true, and a node is "fresh" when its
+    // sorted new neighbor array differs from its sorted old one
+    // (vanished nodes surface as new=[] ≠ old). Zero fresh ⟺
+    // identical edge sets (arrays are canonical: sorted distinct).
+    def regroupTagged(ssPairs: DataFrame, prev: DataFrame): DataFrame = {
       val tagged = ssPairs.select(col("u"), col("v"), lit(false).as("old"))
-        .union(L.select(col("u"), explode(col("nb")).as("v"),
+        .union(prev.select(col("u"), explode(col("nb")).as("v"),
           lit(true).as("old")))
-      val l2f = checkpointReset(
-        tagged.groupBy(col("u")).agg(
+      tagged.groupBy(col("u")).agg(
           sort_array(collect_set(when(!col("old"), col("v")))).as("nb"),
           sort_array(collect_set(when(col("old"), col("v")))).as("nb0"))
-          .select(col("u"), col("nb"),
-            (col("nb") =!= col("nb0")).as("fresh")))
-      val st = l2f.agg(count(when(col("fresh"), 1))).head()
-      converged = st.getLong(0) == 0L
-      L = l2f.filter(size(col("nb")) > 0).select(col("u"), col("nb"))
+        .select(col("u"), col("nb"),
+          (col("nb") =!= col("nb0")).as("fresh"))
+    }
+    // r14 (guide §1.2 step 1 / VERDICT r13 item 1): BATCH `batch`
+    // contractions per materialized round. Round LATENCY — driver action +
+    // checkpoint materialization + per-stage scheduling — dominated the
+    // long-ring CC (geo_contour_rings: 10 driver rounds); chaining 3
+    // contractions lazily inside one job cuts that to 4 rounds. Only the
+    // LAST state per job is checkpointed; each contraction still carries
+    // its own fused freshness flag, and the job's single action collects
+    // ALL per-contraction fresh counts (the shared regroup exchanges are
+    // deduplicated by ReuseExchange, so the count branches re-read the
+    // shuffle instead of recomputing the round). Convergence at
+    // contraction j ≤ batch is safe to read off the batch's final state:
+    // LS/SS is monotone (every re-attachment strictly lowers an endpoint
+    // id), so a converged state is a fixed point of both stars and the
+    // trailing contractions are no-ops.
+    var converged = false
+    var iter = 0
+    val batch = 3
+    val maxIter = 10 // 30 LS+SS rounds: deep headroom over O(log² n)
+    while (!converged && iter < maxIter) {
+      var prev = L
+      val states = Seq.newBuilder[DataFrame]
+      for (j <- 1 to batch) {
+        val reg0 = regroupTagged(contractPairs(prev), prev)
+        val reg = if (j == batch) checkpointReset(reg0) else reg0
+        states += reg
+        prev = reg.filter(size(col("nb")) > 0).select(col("u"), col("nb"))
+      }
+      // one action per batch: ordered per-contraction fresh counts
+      val counts = states.result().zipWithIndex.map { case (st, i) =>
+        st.agg(count(when(col("fresh"), 1)).as("c"))
+          .select(lit(i).as("i"), col("c"))
+      }.reduce(_ union _).collect()
+        .sortBy(_.getInt(0)).map(_.getLong(1))
+      converged = counts.contains(0L)
+      L = prev
       iter += 1
       if (sys.env.contains("GRAFT_CC_TRACE"))
-        System.err.println(s"[cc] round $iter converged=$converged " +
-          s"t=${System.nanoTime() / 1000000000L % 100000}")
+        System.err.println(s"[cc] batch $iter fresh=${counts.mkString(",")} " +
+          s"converged=$converged t=${System.nanoTime() / 1000000000L % 100000}")
     }
     // Never emit silently-wrong labels: if the loop exited on the round cap
     // rather than a fixed point, fail loudly so the caller can raise maxIter.
@@ -727,7 +773,11 @@ object TextOps {
     // left-to-right `replace(' a b ' -> ' ab ')` — identical greedy
     // semantics in Spark and DuckDB, no UDF. Each round localCheckpoints
     // (O(1) plan depth, the kmeans/cc convention) and broadcasts the
-    // 1-row argmax. Output: the learned merge table.
+    // 1-row argmax. Output: the learned merge table. r14: the round
+    // checkpoints are LAZY — no per-round driver action exists, so the
+    // whole merge chain materializes inside the final action's job
+    // cascade instead of 2 synchronous jobs per round (guide §1.2 step 1:
+    // fewer passes/barriers; plan depth stays O(1) per round).
     "doc_bpe_train" -> Q(
       build = (s, d) => {
         var spaced = docs(s, d)
@@ -736,7 +786,7 @@ object TextOps {
           .groupBy(col("word")).agg(count(lit(1)).as("wc"))
           .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
             .as("spaced"), col("wc"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var merges: DataFrame = null
         for (r <- 0 until BpeRounds) {
           val best = spaced
@@ -750,14 +800,14 @@ object TextOps {
             .agg(sum(col("wc")).as("pair_count"))
             .orderBy(col("pair_count").desc, col("pair")).limit(1)
             .select(lit(r).as("round"), col("pair"), col("pair_count"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           merges = if (merges == null) best else merges.union(best)
           if (r < BpeRounds - 1)
             spaced = spaced.crossJoin(broadcast(best.select(col("pair").as("bp"))))
               .select(expr(
                 "replace(spaced, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")
                 .as("spaced"), col("wc"))
-              .localCheckpoint(true)
+              .localCheckpoint(false)
         }
         merges
           .select(col("round"), col("pair"),
@@ -825,7 +875,7 @@ object TextOps {
           .select(col("word"),
             concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
               .as("spaced"), col("wc"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (_ <- 0 until BpeRounds) {
           val best = dict
             .select(split(trim(col("spaced")), " ").as("l"), col("wc"))
@@ -838,12 +888,12 @@ object TextOps {
             .agg(sum(col("wc")).as("pair_count"))
             .orderBy(col("pair_count").desc, col("pair")).limit(1)
             .select(col("pair").as("bp"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           dict = dict.crossJoin(broadcast(best))
             .select(col("word"), expr(
               "replace(spaced, ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")
               .as("spaced"), col("wc"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         val enc = dict.select(col("word"),
           size(split(trim(col("spaced")), " ")).cast(LongType).as("n_sym"))
@@ -1791,15 +1841,10 @@ object TextOps {
     // to 6 decimals before a DECIMAL-exact sum (order-free, cross-engine).
     "doc_bigram_surprisal" -> Q(
       build = (s, d) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val toks = docs(s, d)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "pos", "term")
-          .filter(col("term") =!= "")
-        val big = toks
-          .withColumn("prev", lag(col("term"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("doc_id"), col("prev"), col("term"))
+        // r14: in-row bigrams (bigramsOf) — the lag() window shuffled and
+        // sorted the whole token stream; same consecutive-non-empty pairs
+        val big = bigramsOf(docs(s, d), Seq("doc_id"))
+          .select(col("doc_id"), col("w1").as("prev"), col("w2").as("term"))
         val pair = big.groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c12"))
         val left = pair.groupBy(col("prev")).agg(sum(col("c12")).as("c1"))
         val scored = big
@@ -2238,21 +2283,14 @@ object TextOps {
     // exactly the doc_unigram_logprob convention.
     "doc_dsir" -> Q(
       build = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val toks = docs(s, d)
-          .select(col("doc_id"), col("lang"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .filter(col("term") =!= "")
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         // ONE corpus tokenize pass: per-(doc, bucket) counts first; both
         // models and the per-doc weights derive from this frame, which is
         // ≤ 256 rows per doc — at 100 TB the corpus is scanned and
-        // shuffled once, not three times
-        val docBkt = toks
-          .withColumn("nxt", lead(col("term"), 1).over(w))
-          .filter(col("nxt").isNotNull)
+        // shuffled once, not three times. r14: in-row bigrams (bigramsOf)
+        // replace the lead() window — no token-stream Exchange+Sort.
+        val docBkt = bigramsOf(docs(s, d), Seq("doc_id", "lang"))
           .select(col("doc_id"), col("lang"),
-            substring(md5(concat(col("term"), lit(" "), col("nxt"))
+            substring(md5(concat(col("w1"), lit(" "), col("w2"))
               .cast(BinaryType)), 1, 2).as("bkt"))
           .groupBy(col("doc_id"), col("lang"), col("bkt"))
           .agg(count(lit(1)).as("cnt"))
@@ -3299,15 +3337,10 @@ object TextOps {
     // same (doc, w1, w2) counts; scoring is one bigram-keyed join.
     "doc_ngram_lm_interp" -> Q(
       build = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val docBg = docs(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .filter(col("term") =!= "")
-          .withColumn("nxt", lead(col("term"), 1).over(wDoc))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+        // r14: in-row bigrams (bigramsOf) replace the lead() window — no
+        // token-stream Exchange+Sort (guide §2.4); same pair multiset
+        val docBg = bigramsOf(docs(s, d), Seq("doc_id"))
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
           .agg(count(lit(1)).as("cnt"))
         val docBgCk = checkpointReset(docBg)
         val c12 = docBgCk.groupBy(col("w1"), col("w2"))
@@ -3376,21 +3409,25 @@ object TextOps {
     // at each use (the doc_dsir ln-quantization scheme).
     "doc_quality_logreg" -> Q(
       build = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // r14: in-row bigrams replace the lead() window (no token-stream
+        // Exchange+Sort, guide §2.4), and n_bg — the per-doc bigram total
+        // the old code recovered with a window sum — is just
+        // size(filtered tokens) - 1, computed in-row, so the per-doc
+        // window shuffle goes too.
         val bg = docs(s, d)
           .select(col("doc_id"), col("lang"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .filter(col("term") =!= "")
-          .withColumn("nxt", lead(col("term"), 1).over(wDoc))
-          .filter(col("nxt").isNotNull)
+            expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+          .filter(size(col("ws")) >= 2)
           .select(col("doc_id"), col("lang"),
-            substring(md5(concat(col("term"), lit(" "), col("nxt"))
+            (size(col("ws")) - 1).cast(LongType).as("n_bg"),
+            explode(expr("transform(sequence(1, size(ws) - 1)," +
+              " i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("bgp"))
+          .select(col("doc_id"), col("lang"), col("n_bg"),
+            substring(md5(concat(col("bgp.w1"), lit(" "), col("bgp.w2"))
               .cast(BinaryType)), 1, 1).as("bkt"))
-        val counts = bg.groupBy(col("doc_id"), col("lang"), col("bkt"))
+        val counts = bg
+          .groupBy(col("doc_id"), col("lang"), col("n_bg"), col("bkt"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("n_bg",
-            sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
         val feats = counts
           .select(col("doc_id"), col("lang"), col("bkt"),
             expr("CAST(round(CAST(cnt AS DOUBLE) / n_bg, 9) AS DECIMAL(18,9))")
@@ -3399,7 +3436,13 @@ object TextOps {
             .select(col("doc_id"), col("lang"), lit("B").as("bkt"),
               expr("CAST(1.0 AS DECIMAL(18,9))").as("x")))
           .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
-        val featsCk = checkpointReset(feats)
+        // hash-partition by doc_id BEFORE the checkpoint: localCheckpoint
+        // preserves output partitioning, so each GD round's
+        // groupBy(doc_id, y) and the grad join on doc_id are
+        // exchange-free (guide §2.4: two operations keyed the same way
+        // share one exchange) — 2 shuffles/round × 4 rounds removed for
+        // one up-front repartition
+        val featsCk = feats.repartition(col("doc_id")).localCheckpoint(false)
         val n = featsCk.select(col("doc_id")).distinct().count()
         val buckets = (0 to 9).map(_.toString) ++ Seq("a", "b", "c", "d", "e", "f", "B")
         var w = featsCk.sparkSession
@@ -3705,14 +3748,10 @@ object TextOps {
     // merge, never a global sort shuffle).
     "doc_collocations" -> Q(
       build = (s, d) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val big = docs(s, d)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "pos", "term")
-          .filter(col("term") =!= "")
-          .withColumn("prev", lag(col("term"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("w1"), col("term").as("w2"))
+        // r14: in-row bigrams (bigramsOf) replace the lag() window — no
+        // token-stream Exchange+Sort (guide §2.4); same (w1, w2) multiset
+        val big = bigramsOf(docs(s, d), Seq("doc_id"))
+          .select(col("w1"), col("w2"))
         val pair = big.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("c12"))
         val lft = pair.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -3828,17 +3867,18 @@ object TextOps {
     // corpus size at any SF.
     "doc_ngram_novelty" -> Q(
       build = (s, d) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // r14: in-row 5-gram windows over the filtered token array — the
+        // lead()×4 window shuffled and sorted the whole token stream
+        // (guide §2.4); identical window set (consecutive non-empty
+        // tokens, full windows only)
         val sh = docs(s, d)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "pos", "term")
-          .filter(col("term") =!= "")
-          .withColumn("g", concat_ws(" ", col("term"),
-            lead(col("term"), 1).over(w), lead(col("term"), 2).over(w),
-            lead(col("term"), 3).over(w), lead(col("term"), 4).over(w)))
-          .withColumn("k", lead(col("term"), 4).over(w))
-          .filter(col("k").isNotNull)
-          .select(col("doc_id"), col("g")).distinct()
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 4)," +
+              " i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+          .distinct()
         val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
         sh.join(first, "g")
           .groupBy(col("doc_id"))
